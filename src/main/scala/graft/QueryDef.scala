@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One engine operator exposed through the driver contract: a Spark
+  * implementation plus (when SQL-expressible) an equivalent DuckDB
+  * oracle query over the same parquet tables.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def sqlChecked(name: String)(oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle))
+
+  def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+}
+
+/** Helpers that keep Spark results bit-identical to the DuckDB oracle.
+  *
+  * Double summation is order-dependent; Spark and DuckDB will add
+  * partitions in different orders, so a plain sum(double) hash-diverges
+  * in the last few bits. Casting each addend to an exact decimal first
+  * makes the sum exact (and therefore order-independent); casting the
+  * exact total back to double is then a single deterministic rounding,
+  * identical in both engines. The oracle SQL mirrors the same casts.
+  */
+object Exact {
+  /** Order-independent double sum: exact decimal(18, scale) accumulate. */
+  def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Larger headroom variant for wide doubles. */
+  def dsumWide(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(28, scale))).cast(DoubleType)
+
+  /** avg as exact-sum / count — one deterministic double division. */
+  def davg(c: Column, scale: Int): Column =
+    dsum(c, scale) / count(c)
+
+  /** Matching DuckDB SQL fragment for dsum. */
+  def sqlDsum(expr: String, scale: Int): String =
+    s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
+
+  def sqlDsumWide(expr: String, scale: Int): String =
+    s"cast(sum(cast($expr as decimal(28,$scale))) as double)"
+}

@@ -1,0 +1,8 @@
+package graft.queries
+
+import graft.QueryDef
+
+/** Single place that decides which query modules are live. */
+object Registry {
+  def all: Seq[QueryDef] = Relational.defs
+}

@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.Exact._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage over the TPC-H-ish corpus: hash
+  * aggregation, multi-way joins (broadcast dims), semi/anti joins,
+  * ranking + running windows, rollup, distinct aggregation, set ops.
+  *
+  * Every double aggregate goes through [[graft.Exact]] so results are
+  * bit-identical to the DuckDB oracle regardless of partitioning /
+  * addition order — the same trick keeps results stable on a real
+  * cluster where partition counts differ run to run.
+  */
+object Relational {
+
+  /** TPC-H Q1 analog: scan → filter → hash agg (partial+final for free). */
+  private val q1 = QueryDef.sqlChecked("q1_pricing_summary")(
+    "SELECT l_returnflag, l_linestatus, " +
+      s"${sqlDsum("l_quantity", 2)} AS sum_qty, " +
+      s"${sqlDsum("l_extendedprice", 2)} AS sum_base_price, " +
+      s"${sqlDsum("l_extendedprice*(1-l_discount)", 4)} AS sum_disc_price, " +
+      s"${sqlDsum("l_extendedprice*(1-l_discount)*(1+l_tax)", 6)} AS sum_charge, " +
+      s"${sqlDsum("l_quantity", 2)}/count(*) AS avg_qty, " +
+      "count(*) AS count_order " +
+      "FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02' " +
+      "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")) *
+          (lit(1d) + col("l_tax")), 6).as("sum_charge"),
+        (dsum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3 analog: selective dim filter → broadcast join → agg → top-k.
+    * customer is tiny relative to lineitem at any SF → broadcast; the
+    * final ORDER BY + LIMIT plans as TakeOrderedAndProject (no full sort).
+    */
+  private val q3 = QueryDef.sqlChecked("q3_top_revenue")(
+    "SELECT l_orderkey, " +
+      s"${sqlDsum("l_extendedprice*(1-l_discount)", 4)} AS revenue, " +
+      "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority " +
+      "FROM customer, orders, lineitem " +
+      "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey " +
+      "AND l_orderkey = o_orderkey AND o_orderdate < timestamp '1998-06-01' " +
+      "AND l_shipdate > timestamp '1998-06-01' " +
+      "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+      "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+  ) { (s, d) =>
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-06-01"))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-06-01"))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), 4)
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 analog: 6-way join; all dims broadcast, single shuffle for
+    * the final agg. */
+  private val q5 = QueryDef.sqlChecked("q5_region_revenue")(
+    "SELECT n_name, " +
+      s"${sqlDsum("l_extendedprice*(1-l_discount)", 4)} AS revenue " +
+      "FROM customer, orders, lineitem, supplier, nation, region " +
+      "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+      "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+      "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+      "AND r_name = 'ASIA' " +
+      "AND o_orderdate >= timestamp '1996-01-01' " +
+      "AND o_orderdate < timestamp '1998-01-01' " +
+      "GROUP BY n_name ORDER BY revenue DESC, n_name"
+  ) { (s, d) =>
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, d)
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val cust = Tables.customer(s, d)
+    Tables.lineitem(s, d)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one finished order. */
+  private val qSemi = QueryDef.sqlChecked("q_semi_join")(
+    "SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F') " +
+      "ORDER BY c_custkey"
+  ) { (s, d) =>
+    val ord = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    Tables.customer(s, d)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no in-progress order. */
+  private val qAnti = QueryDef.sqlChecked("q_anti_join")(
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P') " +
+      "ORDER BY c_custkey"
+  ) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Ranking window: top-3 orders per customer by price (W1 analog). */
+  private val qWindowRank = QueryDef.sqlChecked("q_window_rank")(
+    "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+      "cast(row_number() OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_totalprice DESC, o_orderkey) as bigint) AS rn FROM orders) " +
+      "WHERE rn <= 3 ORDER BY o_custkey, rn"
+  ) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("bigint").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running-total window (analytic frame), exact-decimal accumulation so
+    * the running sum is order-stable. */
+  private val qWindowRunning = QueryDef.sqlChecked("q_window_running")(
+    "SELECT l_suppkey, l_orderkey, l_linenumber, " +
+      "cast(sum(cast(l_quantity as decimal(18,2))) OVER " +
+      "(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_qty " +
+      "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber"
+  ) { (s, d) =>
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_qty"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** ROLLUP grouping sets with coalesced totals rows. */
+  private val qRollup = QueryDef.sqlChecked("q_rollup")(
+    "SELECT coalesce(l_returnflag, 'ALL') AS rf, " +
+      "coalesce(l_linestatus, 'ALL') AS ls, " +
+      s"${sqlDsum("l_quantity", 2)} AS sum_qty, count(*) AS n " +
+      "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+      "ORDER BY rf, ls"
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+  }
+
+  /** Exact distinct aggregation (expand + two-phase agg in Spark). */
+  private val qDistinct = QueryDef.sqlChecked("q_distinct_agg")(
+    "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, " +
+      "count(*) AS n FROM orders GROUP BY o_orderpriority " +
+      "ORDER BY o_orderpriority"
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** INTERSECT (set semantics): customers active in both years. */
+  private val qIntersect = QueryDef.sqlChecked("q_intersect")(
+    "SELECT o_custkey FROM orders WHERE o_orderdate >= timestamp '1996-01-01' " +
+      "AND o_orderdate < timestamp '1997-01-01' " +
+      "INTERSECT " +
+      "SELECT o_custkey FROM orders WHERE o_orderdate >= timestamp '1997-01-01' " +
+      "AND o_orderdate < timestamp '1998-01-01' " +
+      "ORDER BY o_custkey"
+  ) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val y96 = ord.filter(col("o_orderdate") >= lit("1996-01-01") &&
+      col("o_orderdate") < lit("1997-01-01")).select("o_custkey")
+    val y97 = ord.filter(col("o_orderdate") >= lit("1997-01-01") &&
+      col("o_orderdate") < lit("1998-01-01")).select("o_custkey")
+    y96.intersect(y97).orderBy("o_custkey")
+  }
+
+  /** EXCEPT (set semantics): customers active in 1996 but not 1997. */
+  private val qExcept = QueryDef.sqlChecked("q_except")(
+    "SELECT o_custkey FROM orders WHERE o_orderdate >= timestamp '1996-01-01' " +
+      "AND o_orderdate < timestamp '1997-01-01' " +
+      "EXCEPT " +
+      "SELECT o_custkey FROM orders WHERE o_orderdate >= timestamp '1997-01-01' " +
+      "AND o_orderdate < timestamp '1998-01-01' " +
+      "ORDER BY o_custkey"
+  ) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val y96 = ord.filter(col("o_orderdate") >= lit("1996-01-01") &&
+      col("o_orderdate") < lit("1997-01-01")).select("o_custkey")
+    val y97 = ord.filter(col("o_orderdate") >= lit("1997-01-01") &&
+      col("o_orderdate") < lit("1998-01-01")).select("o_custkey")
+    y96.except(y97).orderBy("o_custkey")
+  }
+
+  /** UNION ALL then re-aggregate (corpus-append shape from SURVEY §2.9). */
+  private val qUnionAgg = QueryDef.sqlChecked("q_union_agg")(
+    "SELECT k, count(*) AS n FROM " +
+      "(SELECT o_custkey AS k FROM orders UNION ALL SELECT c_custkey FROM customer) " +
+      "GROUP BY k ORDER BY k"
+  ) { (s, d) =>
+    Tables.orders(s, d).select(col("o_custkey").as("k"))
+      .unionAll(Tables.customer(s, d).select(col("c_custkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q5, qSemi, qAnti, qWindowRank,
+    qWindowRunning, qRollup, qDistinct, qIntersect, qExcept, qUnionAgg)
+}
