@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.functions.vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact k-nearest-neighbor search, the oracle for the ANN path.
+  *
+  * Mirrors the reference's implied query lifecycle (SURVEY §3 E3):
+  * query → score against corpus (DOT_PRODUCT_DISTANCE,
+  * /root/reference/common/config.py:33) → optional restrict filters
+  * (/root/reference/vector_store/setup_vector_search.py:45-62) →
+  * crowding cap (:65-67) → top-k (approximate_neighbors_count,
+  * common/config.py:32).
+  *
+  * Scale shape: the query set is broadcast (it is k·|Q| rows, always
+  * small next to the corpus), scoring is a codegen'd expression inside
+  * the corpus scan stage (no shuffle), and the per-query rank limit is
+  * a window that Spark 3.5+ rewrites to WindowGroupLimit — a partial
+  * per-partition top-k BEFORE the shuffle, so only |partitions|·k rows
+  * move. Single-query top-k plans as TakeOrderedAndProject (no full
+  * sort, no shuffle of the corpus).
+  */
+object Knn {
+
+  sealed trait Metric {
+    def score(corpusVec: Column, queryVec: Column): Column
+    /** true if higher score = closer */
+    def descending: Boolean
+  }
+  case object Dot extends Metric {
+    def score(c: Column, q: Column): Column = vectors.dotProduct(c, q)
+    def descending = true
+  }
+  case object Cosine extends Metric {
+    def score(c: Column, q: Column): Column = vectors.cosineSimilarity(c, q)
+    def descending = true
+  }
+  case object L2 extends Metric {
+    def score(c: Column, q: Column): Column = vectors.l2Distance(c, q)
+    def descending = false
+  }
+
+  private def rankOrder(metric: Metric, tieBreak: Column): Seq[Column] = {
+    val s = if (metric.descending) col("score").desc else col("score").asc
+    Seq(s, tieBreak)
+  }
+
+  /** Score every corpus row against every query row (queries broadcast).
+    * Output: queries' columns + corpus' columns + `score`.
+    */
+  def score(corpus: DataFrame, queries: DataFrame, corpusVec: String,
+      queryVec: String, metric: Metric): DataFrame =
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("score", metric.score(col(corpusVec), col(queryVec)))
+      .drop(corpusVec, queryVec)
+
+  /** Per-query top-k over a scored set, deterministic tie-break. */
+  def topKPerQuery(scored: DataFrame, k: Int, queryId: String,
+      tieBreak: String, metric: Metric): DataFrame = {
+    val w = Window.partitionBy(queryId)
+      .orderBy(rankOrder(metric, col(tieBreak)): _*)
+    scored.withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Crowding/diversity cap: keep at most `cap` results per
+    * (query, crowdingAttr) before final ranking.
+    */
+  def crowd(scored: DataFrame, cap: Int, queryId: String,
+      crowdingAttr: String, tieBreak: String, metric: Metric): DataFrame = {
+    val w = Window.partitionBy(queryId, crowdingAttr)
+      .orderBy(rankOrder(metric, col(tieBreak)): _*)
+    scored.withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= cap)
+      .drop("crn")
+  }
+
+  /** Single-query exact top-k: plans as TakeOrderedAndProject. */
+  def topK(scored: DataFrame, k: Int, tieBreak: String,
+      metric: Metric): DataFrame =
+    scored.orderBy(rankOrder(metric, col(tieBreak)): _*).limit(k)
+
+  /** Similarity range search: all pairs above/below a threshold. */
+  def rangeSearch(scored: DataFrame, threshold: Double,
+      metric: Metric): DataFrame =
+    if (metric.descending) scored.filter(col("score") >= threshold)
+    else scored.filter(col("score") <= threshold)
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.vectors
+import graft.operators.Knn
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector-search operator coverage over the `embeddings` table:
+  * exact kNN under dot/cosine/L2, batch kNN, restrict-filtered kNN,
+  * crowding-capped kNN, similarity range search, norms.
+  *
+  * Oracles use DuckDB's list_* functions on DOUBLE[] — graft's
+  * expressions were calibrated to match their accumulation order
+  * bit-for-bit (see VectorExpressions).
+  */
+object VectorSearch {
+
+  private val dotE = "list_inner_product(cast(e.embedding as double[]), cast(q.embedding as double[]))"
+  private val cosE = "list_cosine_similarity(cast(e.embedding as double[]), cast(q.embedding as double[]))"
+  private val qSub = "(SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0)"
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+
+  private def queriesDf(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  /** Single-query exact kNN, dot product (reference default metric). */
+  private val vKnnDot = QueryDef.sqlChecked("v_knn_dot")(
+    "SELECT e.vec_id AS vec_id, " +
+      s"list_inner_product(cast(e.embedding as double[]), $qSub) AS score " +
+      "FROM embeddings e WHERE e.vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 10"
+  ) { (s, d) =>
+    val q = corpus(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val scored = corpus(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        vectors.dotProduct(col("embedding"), col("q_emb")).as("score"))
+    Knn.topK(scored, 10, "vec_id", Knn.Dot)
+  }
+
+  /** Single-query exact kNN, cosine similarity. */
+  private val vKnnCosine = QueryDef.sqlChecked("v_knn_cosine")(
+    "SELECT e.vec_id AS vec_id, " +
+      s"list_cosine_similarity(cast(e.embedding as double[]), $qSub) AS score " +
+      "FROM embeddings e WHERE e.vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 10"
+  ) { (s, d) =>
+    val q = corpus(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val scored = corpus(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        vectors.cosineSimilarity(col("embedding"), col("q_emb")).as("score"))
+    Knn.topK(scored, 10, "vec_id", Knn.Cosine)
+  }
+
+  /** Single-query exact kNN, L2 distance (ascending). */
+  private val vKnnL2 = QueryDef.sqlChecked("v_knn_l2")(
+    "SELECT e.vec_id AS vec_id, " +
+      s"list_distance(cast(e.embedding as double[]), $qSub) AS score " +
+      "FROM embeddings e WHERE e.vec_id <> 0 ORDER BY score ASC, vec_id LIMIT 10"
+  ) { (s, d) =>
+    val q = corpus(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val scored = corpus(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        vectors.l2Distance(col("embedding"), col("q_emb")).as("score"))
+    Knn.topK(scored, 10, "vec_id", Knn.L2)
+  }
+
+  /** Batch kNN: 8 broadcast queries, per-query top-5 via rank-limit
+    * window (WindowGroupLimit partial top-k at scale).
+    */
+  private val vKnnBatch = QueryDef.sqlChecked("v_knn_batch")(
+    "SELECT query_id, vec_id, score, rn FROM (" +
+      "SELECT query_id, vec_id, score, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn " +
+      s"FROM (SELECT q.vec_id AS query_id, e.vec_id AS vec_id, $dotE AS score " +
+      "FROM embeddings e, embeddings q WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id)) " +
+      "WHERE rn <= 5 ORDER BY query_id, rn"
+  ) { (s, d) =>
+    val scored = corpus(s, d)
+      .crossJoin(broadcast(queriesDf(s, d, 8)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.dotProduct(col("embedding"), col("q_emb")).as("score"))
+    Knn.topKPerQuery(scored, 5, "query_id", "vec_id", Knn.Dot)
+      .orderBy("query_id", "rn")
+  }
+
+  /** Restrict-filtered kNN: categorical (label) + numeric (vec_id)
+    * restricts applied BEFORE scoring — predicate pushdown reaches the
+    * parquet scan, the ANN analog of the reference's filtered search.
+    */
+  private val vKnnFiltered = QueryDef.sqlChecked("v_knn_filtered")(
+    "SELECT e.vec_id AS vec_id, e.label AS label, " +
+      s"list_inner_product(cast(e.embedding as double[]), $qSub) AS score " +
+      "FROM embeddings e WHERE e.label = 3 AND e.vec_id >= 100 " +
+      "ORDER BY score DESC, vec_id LIMIT 10"
+  ) { (s, d) =>
+    val q = corpus(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val scored = corpus(s, d)
+      .filter(col("label") === 3 && col("vec_id") >= 100)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        vectors.dotProduct(col("embedding"), col("q_emb")).as("score"))
+    Knn.topK(scored, 10, "vec_id", Knn.Dot)
+  }
+
+  /** Crowding: at most 2 results per (query, label), then top-6 —
+    * the reference's diversity cap (setup_vector_search.py:65-67).
+    */
+  private val vCrowding = QueryDef.sqlChecked("v_crowding")(
+    "SELECT query_id, vec_id, label, score, rn FROM (" +
+      "SELECT query_id, vec_id, label, score, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn " +
+      "FROM (SELECT query_id, vec_id, label, score FROM (" +
+      "SELECT query_id, vec_id, label, score, " +
+      "row_number() OVER (PARTITION BY query_id, label ORDER BY score DESC, vec_id) AS crn " +
+      s"FROM (SELECT q.vec_id AS query_id, e.vec_id AS vec_id, e.label AS label, $dotE AS score " +
+      "FROM embeddings e, embeddings q WHERE q.vec_id < 4 AND e.vec_id <> q.vec_id)" +
+      ") WHERE crn <= 2)) " +
+      "WHERE rn <= 6 ORDER BY query_id, rn"
+  ) { (s, d) =>
+    val scored = corpus(s, d)
+      .crossJoin(broadcast(queriesDf(s, d, 4)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        vectors.dotProduct(col("embedding"), col("q_emb")).as("score"))
+    val crowded = Knn.crowd(scored, 2, "query_id", "label", "vec_id", Knn.Dot)
+    Knn.topKPerQuery(crowded, 6, "query_id", "vec_id", Knn.Dot)
+      .orderBy("query_id", "rn")
+  }
+
+  /** Similarity range search (theta join on score threshold). */
+  private val vRangeCosine = QueryDef.sqlChecked("v_range_cosine")(
+    s"SELECT q.vec_id AS query_id, e.vec_id AS vec_id, $cosE AS score " +
+      "FROM embeddings e, embeddings q " +
+      s"WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id AND $cosE >= 0.25 " +
+      "ORDER BY query_id, vec_id"
+  ) { (s, d) =>
+    val scored = corpus(s, d)
+      .crossJoin(broadcast(queriesDf(s, d, 3)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.cosineSimilarity(col("embedding"), col("q_emb")).as("score"))
+    Knn.rangeSearch(scored, 0.25, Knn.Cosine)
+      .orderBy("query_id", "vec_id")
+  }
+
+  /** Top vectors by L2 norm (covers the norm expression). */
+  private val vNormTop = QueryDef.sqlChecked("v_norm_top")(
+    "SELECT vec_id, sqrt(list_inner_product(cast(embedding as double[]), " +
+      "cast(embedding as double[]))) AS norm " +
+      "FROM embeddings ORDER BY norm DESC, vec_id LIMIT 20"
+  ) { (s, d) =>
+    corpus(s, d)
+      .select(col("vec_id"), vectors.l2Norm(col("embedding")).as("norm"))
+      .orderBy(col("norm").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  val defs: Seq[QueryDef] = Seq(vKnnDot, vKnnCosine, vKnnL2, vKnnBatch,
+    vKnnFiltered, vCrowding, vRangeCosine, vNormTop)
+}
