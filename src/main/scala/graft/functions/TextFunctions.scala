@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline surface:
+  * tokenization + counting (reference parity: the token-validation
+  * step at /root/reference/common/utils/embeddings.py:62-90), quality
+  * scoring, language-ID heuristic, content fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` (split / filter /
+  * aggregate higher-order functions) — no UDFs — and each helper has an
+  * exact DuckDB SQL equivalent so oracle checks stay bit-identical.
+  */
+object text {
+
+  /** Whitespace tokens, empties dropped (leading/trailing whitespace). */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
+  /** Whitespace token count (the reference's token_count analog). */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("bigint")
+
+  /** BPE-ish sub-word count: runs of letters, runs of digits, or single
+    * other non-space chars — a deterministic stand-in for a real BPE
+    * vocabulary (zero-egress: tiktoken downloads are unavailable).
+    */
+  val BpePattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpePattern), lit(0))).cast("bigint")
+
+  /** Validation predicate, reference cap 2042 (common/config.py:57). */
+  val MaxTokens = 2042
+  def isValid(c: Column): Column = tokenCount(c) <= MaxTokens
+
+  /** How many tokens appear in `words`. */
+  def stopwordCount(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c),
+      t => array_contains(array(words.map(lit): _*), t))).cast("bigint")
+
+  private[graft] val EnStop = Seq("the", "a", "is", "of", "and", "to", "in")
+  private[graft] val DeStop = Seq("der", "die", "das", "und", "ist", "nicht")
+  private[graft] val EsStop = Seq("el", "la", "los", "de", "y", "es")
+  private[graft] val FrStop = Seq("le", "la", "les", "et", "est", "une")
+
+  /** Stopword-vote language ID with deterministic en>de>es>fr tiebreak. */
+  def langId(c: Column): Column = {
+    val en = stopwordCount(c, EnStop)
+    val de = stopwordCount(c, DeStop)
+    val es = stopwordCount(c, EsStop)
+    val fr = stopwordCount(c, FrStop)
+    when(en > 0 && en >= de && en >= es && en >= fr, "en")
+      .when(de > 0 && de >= es && de >= fr, "de")
+      .when(es > 0 && es >= fr, "es")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Punctuation-ish character count (anything outside [a-z0-9 ]). */
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^a-z0-9 ]"), lit(0))).cast("bigint")
+
+  /** Composite quality score in [0,1]: stopword density, length, and
+    * punctuation cleanliness. Fixed IEEE op order — matches the oracle
+    * SQL expression exactly, term by term.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val stopRatio = stopwordCount(c, EnStop).cast("double") / nTok
+    val punctRatio = punctCount(c).cast("double") / length(c).cast("double")
+    lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+      lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio)
+  }
+
+  /** Content fingerprint: md5 hex of the UTF-8 text. */
+  def md5Fingerprint(c: Column): Column = md5(c)
+
+  /** Polynomial rolling hash over characters, mod 1e9+7 — built from
+    * the `aggregate` higher-order function (DuckDB: list_reduce with a
+    * prepended 0 seed).
+    */
+  def polyHash(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => ch =!= lit("")),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch).cast("bigint")) % 1000000007L)
+
+  /** SQL fragments mirroring the helpers above (DuckDB dialect). */
+  object sql {
+    val tokens = "list_filter(string_split_regex(%s, '\\s+'), t -> t <> '')"
+    def tokensOf(col: String): String = tokens.format(col)
+    def tokenCount(col: String): String = s"len(${tokensOf(col)})"
+    def bpeTokenCount(col: String): String =
+      s"len(regexp_extract_all($col, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))"
+    def stopwordCount(col: String, words: Seq[String]): String = {
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(${tokensOf(col)}, t -> list_contains($lst, t)))"
+    }
+    def punctCount(col: String): String =
+      s"len(regexp_extract_all($col, '[^a-z0-9 ]'))"
+    def polyHash(col: String): String =
+      s"list_reduce(list_prepend(cast(0 as bigint), " +
+        s"list_transform(list_filter(string_split_regex($col, ''), c -> c <> ''), " +
+        s"c -> cast(unicode(c) as bigint))), (a, b) -> (a * 31 + b) % 1000000007)"
+  }
+}

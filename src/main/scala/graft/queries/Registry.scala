@@ -4,5 +4,6 @@ import graft.QueryDef
 
 /** Single place that decides which query modules are live. */
 object Registry {
-  def all: Seq[QueryDef] = Relational.defs ++ VectorSearch.defs
+  def all: Seq[QueryDef] = Relational.defs ++ VectorSearch.defs ++
+    TextAnalysis.defs
 }

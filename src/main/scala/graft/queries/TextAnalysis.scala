@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.text
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator coverage over `documents`: token counting
+  * (whitespace + BPE-ish regex), validation, quality scoring,
+  * language ID, content fingerprinting. All composed from codegen'd
+  * built-ins; oracles replicate the identical computation in DuckDB.
+  */
+object TextAnalysis {
+
+  import text.sql
+
+  /** Token counting + the reference's ≤2042 validation predicate
+    * (common/utils/embeddings.py:70-90).
+    */
+  private val tTokenCount = QueryDef.sqlChecked("t_token_count")(
+    s"SELECT doc_id, ${sql.tokenCount("text")} AS n_tokens, " +
+      s"${sql.bpeTokenCount("text")} AS n_bpe, " +
+      s"${sql.tokenCount("text")} <= 2042 AS is_valid " +
+      "FROM documents ORDER BY doc_id"
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      text.tokenCount(col("text")).as("n_tokens"),
+      text.bpeTokenCount(col("text")).as("n_bpe"),
+      text.isValid(col("text")).as("is_valid"))
+      .orderBy("doc_id")
+  }
+
+  /** Composite quality score (stopword density / length / punct). */
+  private val tQuality = QueryDef.sqlChecked("t_quality_score")(
+    "SELECT doc_id, n_tokens, " +
+      "0.3 * least(cast(n_stop as double) / cast(n_tokens as double) * 5.0, 1.0) + " +
+      "0.4 * least(cast(n_tokens as double) / 100.0, 1.0) + " +
+      "0.3 * (1.0 - cast(n_punct as double) / cast(n_chars as double)) AS quality " +
+      s"FROM (SELECT doc_id, ${sql.tokenCount("text")} AS n_tokens, " +
+      s"${sql.stopwordCount("text", text.EnStop)} AS n_stop, " +
+      s"${sql.punctCount("text")} AS n_punct, " +
+      "cast(length(text) as bigint) AS n_chars FROM documents) " +
+      "ORDER BY doc_id"
+  ) { (s, d) =>
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      text.tokenCount(col("text")).as("n_tokens"),
+      text.stopwordCount(col("text"), text.EnStop).as("n_stop"),
+      text.punctCount(col("text")).as("n_punct"),
+      length(col("text")).cast("bigint").as("n_chars"))
+    base.select(
+      col("doc_id"), col("n_tokens"),
+      (lit(0.3) * least(col("n_stop").cast("double") / col("n_tokens").cast("double") * 5.0, lit(1.0)) +
+        lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - col("n_punct").cast("double") / col("n_chars").cast("double"))).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-vote language ID (deterministic tiebreak). */
+  private val tLangId = QueryDef.sqlChecked("t_lang_id")(
+    "SELECT doc_id, c_en, c_de, c_es, c_fr, " +
+      "CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en' " +
+      "WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr THEN 'de' " +
+      "WHEN c_es > 0 AND c_es >= c_fr THEN 'es' " +
+      "WHEN c_fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred " +
+      s"FROM (SELECT doc_id, ${sql.stopwordCount("text", text.EnStop)} AS c_en, " +
+      s"${sql.stopwordCount("text", text.DeStop)} AS c_de, " +
+      s"${sql.stopwordCount("text", text.EsStop)} AS c_es, " +
+      s"${sql.stopwordCount("text", text.FrStop)} AS c_fr FROM documents) " +
+      "ORDER BY doc_id"
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      text.stopwordCount(col("text"), text.EnStop).as("c_en"),
+      text.stopwordCount(col("text"), text.DeStop).as("c_de"),
+      text.stopwordCount(col("text"), text.EsStop).as("c_es"),
+      text.stopwordCount(col("text"), text.FrStop).as("c_fr"),
+      text.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprints: md5 + polynomial rolling hash. */
+  private val tFingerprint = QueryDef.sqlChecked("t_fingerprint")(
+    s"SELECT doc_id, md5(text) AS fp_md5, ${sql.polyHash("text")} AS fp_poly " +
+      "FROM documents ORDER BY doc_id"
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      text.md5Fingerprint(col("text")).as("fp_md5"),
+      text.polyHash(col("text")).as("fp_poly"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(tTokenCount, tQuality, tLangId, tFingerprint)
+}
