@@ -86,6 +86,15 @@ object text {
       lit(0L),
       (acc, ch) => (acc * 31L + ascii(ch).cast("bigint")) % 1000000007L)
 
+  /** Word n-gram shingles ("a b c" strings), empty when < n tokens. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** SQL fragments mirroring the helpers above (DuckDB dialect). */
   object sql {
     val tokens = "list_filter(string_split_regex(%s, '\\s+'), t -> t <> '')"
@@ -103,5 +112,13 @@ object text {
       s"list_reduce(list_prepend(cast(0 as bigint), " +
         s"list_transform(list_filter(string_split_regex($col, ''), c -> c <> ''), " +
         s"c -> cast(unicode(c) as bigint))), (a, b) -> (a * 31 + b) % 1000000007)"
+    /** 3-gram word shingles; 1-indexed, end-exclusive range ≡ the Spark
+      * `shingles` helper (empty when < 3 tokens).
+      */
+    def shingles(col: String): String = {
+      val tk = tokensOf(col)
+      s"list_transform(range(1, greatest(len($tk) - 1, 1)), " +
+        s"i -> $tk[i] || ' ' || $tk[i+1] || ' ' || $tk[i+2])"
+    }
   }
 }

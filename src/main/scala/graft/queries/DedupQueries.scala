@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{text, vectors}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup operator coverage on `documents` / `embeddings`. Every query
+  * has a full DuckDB oracle — including MinHash and SimHash, whose
+  * hash pipelines are replicated in SQL via list_reduce.
+  */
+object DedupQueries {
+
+  import text.sql
+
+  private val ShinglesSql = sql.shingles("text")
+  private def minExprs: String =
+    Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map {
+      case ((a, b), i) => s"min((h * $a + $b) % ${Dedup.P}) AS m${i + 1}"
+    }.mkString(", ")
+  private val SigCte =
+    s"WITH sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest($ShinglesSql) AS s FROM documents)), " +
+      s"hs AS (SELECT doc_id, ${sql.polyHash("s")} AS h FROM sh), " +
+      s"sig AS (SELECT doc_id, $minExprs FROM hs GROUP BY doc_id)"
+  private val SimhashCte = {
+    val bitsum = (0 until Dedup.SimhashBits).map(j =>
+      s"sum(CASE WHEN (h>>$j)&1=1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val simexpr = (0 until Dedup.SimhashBits).map(j =>
+      s"(CASE WHEN b$j>0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"WITH th AS (SELECT doc_id, ${sql.polyHash("t")} AS h " +
+      s"FROM (SELECT doc_id, unnest(${sql.tokensOf("text")}) AS t FROM documents)), " +
+      s"bits AS (SELECT doc_id, $bitsum FROM th GROUP BY doc_id), " +
+      s"sim AS (SELECT doc_id, $simexpr AS simhash FROM bits)"
+  }
+
+  /** Exact dedup: first doc per md5 fingerprint. */
+  private val dExact = QueryDef.sqlChecked("d_dedup_exact")(
+    "SELECT doc_id FROM (SELECT doc_id, row_number() OVER " +
+      "(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) " +
+      "WHERE rn = 1 ORDER BY doc_id"
+  ) { (s, d) =>
+    Dedup.exactFirst(Tables.documents(s, d), md5(col("text")), col("doc_id"))
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Exact 3-gram Jaccard near-dup pairs via inverted-index join. */
+  private val dJaccard = QueryDef.sqlChecked("d_dedup_jaccard")(
+    s"WITH ds AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest($ShinglesSql) AS s FROM documents)), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+      "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+      "FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT da, db, cast(c as double) / (x.n + y.n - c) AS jaccard " +
+      "FROM pairs JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id " +
+      "WHERE cast(c as double) / (x.n + y.n - c) >= 0.2 ORDER BY da, db"
+  ) { (s, d) =>
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.2)
+      .orderBy("da", "db")
+  }
+
+  /** MinHash signatures (8 permutations over shingle poly-hashes). */
+  private val dMinhashSig = QueryDef.sqlChecked("d_minhash_signatures")(
+    s"$SigCte SELECT * FROM sig ORDER BY doc_id"
+  ) { (s, d) =>
+    Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** LSH candidate pairs: 4 bands × 2 rows, bucket equi-joins. */
+  private val dMinhashPairs = QueryDef.sqlChecked("d_minhash_pairs")(
+    s"$SigCte SELECT a.doc_id AS da, b.doc_id AS db FROM sig a " +
+      "JOIN sig b ON a.doc_id < b.doc_id AND " +
+      "((a.m1 = b.m1 AND a.m2 = b.m2) OR (a.m3 = b.m3 AND a.m4 = b.m4) OR " +
+      "(a.m5 = b.m5 AND a.m6 = b.m6) OR (a.m7 = b.m7 AND a.m8 = b.m8)) " +
+      "ORDER BY da, db"
+  ) { (s, d) =>
+    val sig = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
+    Dedup.minhashCandidates(sig, "doc_id").orderBy("da", "db")
+  }
+
+  /** SimHash fingerprints (32-bit, token-hash multiset). */
+  private val dSimhash = QueryDef.sqlChecked("d_simhash")(
+    s"$SimhashCte SELECT doc_id, simhash FROM sim ORDER BY doc_id"
+  ) { (s, d) =>
+    Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs at hamming ≤ 1. */
+  private val dSimhashPairs = QueryDef.sqlChecked("d_simhash_pairs")(
+    s"$SimhashCte SELECT a.doc_id AS da, b.doc_id AS db, " +
+      "cast(bit_count(xor(a.simhash, b.simhash)) as bigint) AS hd " +
+      "FROM sim a JOIN sim b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.simhash, b.simhash)) <= 1 ORDER BY da, db"
+  ) { (s, d) =>
+    val sim = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+    Dedup.simhashPairs(sim, "doc_id", 1).orderBy("da", "db")
+  }
+
+  /** Embedding-cosine near-dup pairs (brute-force baseline). */
+  private val dCosinePairs = QueryDef.sqlChecked("d_cosine_pairs")(
+    "SELECT a.vec_id AS ida, b.vec_id AS idb, " +
+      "list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])) AS score " +
+      "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND " +
+      "list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])) >= 0.4 " +
+      "ORDER BY ida, idb"
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    a.crossJoin(b).filter(col("ida") < col("idb"))
+      .withColumn("score", vectors.cosineSimilarity(col("ea"), col("eb")))
+      .filter(col("score") >= 0.4)
+      .select("ida", "idb", "score")
+      .orderBy("ida", "idb")
+  }
+
+  val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
+    dSimhash, dSimhashPairs, dCosinePairs)
+}

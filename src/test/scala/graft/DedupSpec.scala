@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("exact dedup collapses planted duplicates") {
+    val dup = docs.limit(5).unionAll(docs.limit(5))
+    val out = Dedup.exactFirst(dup, md5(col("text")), col("doc_id"))
+    assert(out.count() == 5)
+  }
+
+  test("jaccard of a doc with itself is 1.0") {
+    val two = docs.limit(3)
+      .select(col("doc_id"), col("text"))
+      .unionAll(docs.limit(3)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+    val pairs = Dedup.jaccardPairs(two, "doc_id", "text", 0.99)
+      .filter(col("db") === col("da") + 1000)
+    assert(pairs.count() == 3)
+    assert(pairs.select("jaccard").as[Double].collect().forall(_ == 1.0))
+  }
+
+  test("LSH candidates cover all very-similar pairs (recall at J>=0.8)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val cand = Dedup.minhashCandidates(sig, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(cand),
+      s"missed: ${exact.diff(cand).take(5)} of ${exact.size}")
+  }
+
+  test("identical texts get identical simhash, hamming 0") {
+    val sim = Dedup.simhash(
+      docs.limit(2).unionAll(docs.limit(2)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))),
+      "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sim, "doc_id", 0)
+      .filter(col("db") === col("da") + 1000)
+    assert(pairs.count() == 2)
+  }
+}
