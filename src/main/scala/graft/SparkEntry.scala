@@ -12,9 +12,12 @@ object SparkEntry {
 
   def all: Seq[QueryDef] = _root_.graft.queries.Registry.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full reference lifecycle: embed corpus + query, sparse-dot
+    * score, top-k, metadata join (SURVEY §3 E3).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("r_search_e2e")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import graft.functions.text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic local embedders (zero-egress stand-ins for the
+  * reference's Vertex AI model, common/utils/embeddings.py:120-130).
+  *
+  * Two forms:
+  *
+  *  1. [[FeatureHashEmbedder]] — a Dataset transform producing a dense
+  *     normalized Array[Float]; runs batched inside mapPartitions,
+  *     mirroring the reference's batch-of-10 RPC fan-out (X1–X3) with
+  *     executor-side model state.
+  *
+  *  2. [[SparseEmbed]] — the same feature-hashing expressed as pure
+  *     relational ops over (id, dim_idx, weight BIGINT) rows. Integer
+  *     weights make every downstream score EXACT (no float
+  *     accumulation), so embed→score→top-k is DuckDB-oracle-checkable
+  *     end-to-end, and sparse dot scales as a groupBy join instead of
+  *     a dense cross product.
+  */
+object SparseEmbed {
+  val Dim = 32
+
+  /** token → dimension index: polyHash mod Dim. */
+  def dimIdx(tok: Column): Column = text.polyHash(tok) % Dim
+
+  /** token → ±1 sign from hash bit 5. */
+  def sign(tok: Column): Column =
+    shiftright(text.polyHash(tok), 5).bitwiseAND(lit(1L)) * 2L - 1L
+
+  /** (idCol, text) → (id, idx, w): sparse integer embedding rows. */
+  def embed(df: DataFrame, id: String, textCol: String): DataFrame =
+    df.select(col(id), explode(text.tokens(col(textCol))).as("t"))
+      .select(col(id), dimIdx(col("t")).as("idx"), sign(col("t")).as("s"))
+      .groupBy(col(id), col("idx"))
+      .agg(sum(col("s")).as("w"))
+      .filter(col("w") =!= 0)
+
+  /** Matching DuckDB fragments. */
+  object sql {
+    import graft.functions.text.{sql => tsql}
+    def embedCte(alias: String, idCol: String = "doc_id"): String =
+      s"$alias AS (SELECT $idCol, idx, cast(sum(s) as bigint) AS w FROM (" +
+        s"SELECT $idCol, ${tsql.polyHash("t")} % ${SparseEmbed.Dim} AS idx, " +
+        s"((${tsql.polyHash("t")} >> 5) & 1) * 2 - 1 AS s " +
+        s"FROM (SELECT $idCol, unnest(${tsql.tokensOf("text")}) AS t FROM documents)) " +
+        s"GROUP BY $idCol, idx HAVING sum(s) <> 0)"
+  }
+}
+
+/** Dense deterministic embedder with the reference's operational shape:
+  * batched invocation (EMBEDDING_BATCH_SIZE=10, common/config.py:62),
+  * per-batch "model call", executor-side lazy state — but a pure
+  * function of the text, so golden tests are stable.
+  */
+class FeatureHashEmbedder(val dim: Int = 64, val batchSize: Int = 10)
+    extends Serializable {
+
+  /** Embed one batch (stand-in for the batched RPC X3). */
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map(embedOne)
+
+  def embedOne(s: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    var acc = 0L
+    var start = 0
+    def addToken(tok: CharSequence): Unit = {
+      var h = 0L
+      var i = 0
+      while (i < tok.length) { h = (h * 31 + tok.charAt(i)) % 1000000007L; i += 1 }
+      val idx = (h % dim).toInt
+      val sgn = if (((h >> 5) & 1L) == 1L) 1f else -1f
+      v(idx) += sgn
+    }
+    val toks = s.split("\\s+").filter(_.nonEmpty)
+    toks.foreach(addToken)
+    // L2-normalize so dot product ≈ cosine (reference serves
+    // DOT_PRODUCT_DISTANCE over unit-ish embedding-model vectors)
+    var n = 0.0
+    v.foreach(x => n += x.toDouble * x.toDouble)
+    val inv = if (n == 0) 0f else (1.0 / math.sqrt(n)).toFloat
+    v.map(_ * inv)
+  }
+
+  /** DataFrame transform: adds `embedding ARRAY<FLOAT>`. Runs inside
+    * mapPartitions with `grouped(batchSize)` — the Spark analog of the
+    * reference's thread-pool batch fan-out (embeddings.py:164-192),
+    * with task parallelism replacing the pool (and removing its
+    * ordering bug, SURVEY §2.6 X2).
+    */
+  def transform(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val embs = embedBatch(batch.map(_.getString(idx)))
+        batch.zip(embs).map { case (r, e) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ e.toSeq)
+        }
+      }
+    }(enc)
+  }
+}

@@ -5,5 +5,5 @@ import graft.QueryDef
 /** Single place that decides which query modules are live. */
 object Registry {
   def all: Seq[QueryDef] = Relational.defs ++ VectorSearch.defs ++
-    TextAnalysis.defs ++ DedupQueries.defs
+    TextAnalysis.defs ++ DedupQueries.defs ++ ReferencePipeline.defs
 }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.IvfIndex
+import graft.pipeline.FeatureHashEmbedder
+import graft.sources.{DocumentSource, MetadataStore}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("md dir source reads whole files and filters by glob") {
+    val dir = Files.createTempDirectory("graft-md")
+    Files.writeString(dir.resolve("a.md"), "hello world\nsecond line")
+    Files.writeString(dir.resolve("b.md"), "another doc")
+    Files.writeString(dir.resolve("skip.txt"), "not markdown")
+    val df = DocumentSource.readMdDir(spark, dir.toString)
+    val rows = df.as[(String, String)].collect().toMap
+    assert(rows.keySet == Set("a.md", "b.md"))
+    assert(rows("a.md") == "hello world\nsecond line")
+  }
+
+  test("md dir source fails fast on empty corpus") {
+    val dir = Files.createTempDirectory("graft-empty")
+    intercept[DocumentSource.EmptyCorpusException] {
+      DocumentSource.readMdDir(spark, dir.toString)
+    }
+  }
+
+  test("feature-hash embedder is deterministic, unit-norm, batched") {
+    val emb = new FeatureHashEmbedder(dim = 64, batchSize = 3)
+    val docs = Tables.documents(spark, sf).limit(10)
+    val out = emb.transform(docs, "text")
+      .select(col("doc_id"), col("embedding"))
+    val a = out.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = emb.transform(docs, "text")
+      .select(col("doc_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b)
+    a.values.foreach { v =>
+      val n = v.map(x => x.toDouble * x.toDouble).sum
+      assert(math.abs(n - 1.0) < 1e-3, s"norm was $n")
+    }
+  }
+
+  test("metadata store upsert is idempotent and last-write-wins") {
+    val v1 = Seq((1L, "one", 1), (2L, "two", 1)).toDF("id", "content", "v")
+    val v2 = Seq((1L, "one-updated", 2)).toDF("id", "content", "v")
+    val resolved = MetadataStore.resolve(
+      MetadataStore.append(MetadataStore.append(v1, v2), v2),
+      "id", col("v"))
+    val got = resolved.select("id", "content").as[(Long, String)]
+      .collect().toMap
+    assert(got == Map(1L -> "one-updated", 2L -> "two"))
+  }
+
+  test("IVF search recall@10 vs exact kNN, probing 25% of leaves") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "embedding", 16)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    var hit = 0; var total = 0
+    queries.foreach { case (qid, q) =>
+      val exact = Knn10(emb, qid, q)
+      val approx = IvfIndex.searchDf(indexed.filter(col("vec_id") =!= qid),
+        model, q, nProbe = 4, k = 10, "vec_id", "embedding")
+        .select("vec_id").as[Long].collect().toSet
+      hit += exact.count(approx.contains); total += exact.size
+    }
+    val recall = hit.toDouble / total
+    assert(recall >= 0.4, s"recall@10 = $recall")
+    // probing all leaves must recover exact search entirely
+    val (qid, q) = queries.head
+    val full = IvfIndex.searchDf(indexed.filter(col("vec_id") =!= qid),
+      model, q, nProbe = 16, k = 10, "vec_id", "embedding")
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == Knn10(emb, qid, q).toSet)
+  }
+
+  private def Knn10(emb: org.apache.spark.sql.DataFrame, qid: Long,
+      q: Array[Double]): Seq[Long] = {
+    import graft.functions.vectors
+    emb.filter(col("vec_id") =!= qid)
+      .select(col("vec_id"),
+        vectors.dotProduct(col("embedding"), typedLit(q.toSeq)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10).select("vec_id").as[Long].collect().toSeq
+  }
+}
