@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.Exact._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream analytics in batch form (the same frames the
+  * streaming path computes incrementally): tumbling time windows,
+  * JSON-ish property extraction, per-user gap analysis (lag).
+  */
+object EventsQueries {
+
+  /** Tumbling 1-hour windows per event type. */
+  private val qHourly = QueryDef.sqlChecked("q_events_hourly")(
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, " +
+      s"event_type, count(*) AS n, ${sqlDsum("value", 6)} AS sum_value " +
+      "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:00:00").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Property extraction from the JSON-ish props string (regex — no
+    * JSON extension dependency on the oracle side).
+    */
+  private val qProps = QueryDef.sqlChecked("q_events_props")(
+    "SELECT k, count(*) AS n FROM (SELECT cast(regexp_extract(props, " +
+      "'\"k\": ([0-9]+)', 1) as bigint) AS k FROM events) " +
+      "GROUP BY k ORDER BY k"
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+        .cast("bigint").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+  }
+
+  /** Per-user inter-event gap via lag() — microsecond-exact. */
+  private val qGaps = QueryDef.sqlChecked("q_events_gaps")(
+    "SELECT user_id, event_id, epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us " +
+      "FROM events ORDER BY user_id, event_id"
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qHourly, qProps, qGaps)
+}

@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.text
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing coverage: binary payload columns decoded via
+  * batched executor-side passes, and frame sampling. The decode stub
+  * is a deterministic byte-level computation, so both queries are
+  * fully oracle-checked (documents are ASCII → byte ops ≡ char ops).
+  */
+object MultimodalQueries {
+
+  import text.{sql => tsql}
+
+  /** Batched decode over BINARY payloads (mapPartitions). */
+  private val mDecode = QueryDef.sqlChecked("m_decode_features")(
+    "SELECT doc_id, cast(length(text) as bigint) AS n_bytes, " +
+      s"${tsql.polyHash("text")} AS checksum FROM documents ORDER BY doc_id"
+  ) { (s, d) =>
+    val withPayload = Multimodal.withPayload(Tables.documents(s, d), "text")
+    Multimodal.decodeFeatures(withPayload, "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling: 64-byte frames, every 4th kept. */
+  private val mFrames = QueryDef.sqlChecked("m_frame_sample")(
+    "SELECT doc_id, frame_no, cast(length(f) as bigint) AS n_chars, " +
+      s"${tsql.polyHash("f")} AS checksum FROM (" +
+      "SELECT doc_id, frame_no, substr(text, cast(frame_no * 64 + 1 as int), 64) AS f " +
+      "FROM (SELECT doc_id, text, unnest(list_filter(" +
+      "range(0, cast(ceil(length(text) / 64.0) as bigint)), i -> i % 4 = 0)) AS frame_no " +
+      "FROM documents)) ORDER BY doc_id, frame_no"
+  ) { (s, d) =>
+    val withPayload = Multimodal.withPayload(Tables.documents(s, d), "text")
+    val frames = Multimodal.sampleFrames(withPayload, "doc_id", 4)
+    frames.select(col("doc_id"), col("frame_no"),
+      decode(col("frame"), "UTF-8").as("f"))
+      .select(col("doc_id"), col("frame_no"),
+        length(col("f")).cast("bigint").as("n_chars"),
+        text.polyHash(col("f")).as("checksum"))
+      .orderBy("doc_id", "frame_no")
+  }
+
+  val defs: Seq[QueryDef] = Seq(mDecode, mFrames)
+}

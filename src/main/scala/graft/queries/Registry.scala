@@ -5,5 +5,6 @@ import graft.QueryDef
 /** Single place that decides which query modules are live. */
 object Registry {
   def all: Seq[QueryDef] = Relational.defs ++ VectorSearch.defs ++
-    TextAnalysis.defs ++ DedupQueries.defs ++ ReferencePipeline.defs
+    TextAnalysis.defs ++ DedupQueries.defs ++ ReferencePipeline.defs ++
+    EventsQueries.defs ++ MultimodalQueries.defs
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.StreamUpdate
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("stream upsert: micro-batches append, reader resolves LWW") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = Files.createTempDirectory("graft-su").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft-ck").toString
+
+    val stream = MemoryStream[(Long, String, Int)]
+    stream.addData((1L, "v1", 1), (2L, "v1", 1))
+    val q1 = StreamUpdate.startUpsertStream(
+      stream.toDF.toDF("id", "content", "version"), table, ckpt)
+    q1.awaitTermination()
+
+    stream.addData((1L, "v2", 2), (3L, "v1", 1))
+    val q2 = StreamUpdate.startUpsertStream(
+      stream.toDF.toDF("id", "content", "version"), table, ckpt)
+    q2.awaitTermination()
+
+    val resolved = StreamUpdate.readResolved(spark, table, "id", "version")
+      .select("id", "content").as[(Long, String)].collect().toMap
+    assert(resolved == Map(1L -> "v2", 2L -> "v1", 3L -> "v1"))
+
+    StreamUpdate.compact(spark, table, "id", "version")
+    val compacted = spark.read.parquet(table)
+    assert(compacted.count() == 3)
+    val after = StreamUpdate.readResolved(spark, table, "id", "version")
+      .select("id", "content").as[(Long, String)].collect().toMap
+    assert(after == resolved)
+  }
+
+  test("watermarked tumbling windows aggregate event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:30")
+    val t1 = Timestamp.valueOf("2024-01-01 10:00:55")
+    val t2 = Timestamp.valueOf("2024-01-01 10:01:10")
+    stream.addData((t0, "click", 1.0), (t1, "click", 2.0), (t2, "view", 3.0))
+    val agg = StreamUpdate.windowedCounts(
+      stream.toDF.toDF("ts", "event_type", "value"),
+      "ts", "event_type", "1 minute", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("wc").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wc")
+      .select(col("window.start").cast("string"), col("event_type"),
+        col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00", "click", 2L, 3.0),
+      ("2024-01-01 10:01:00", "view", 1L, 3.0)))
+  }
+}
