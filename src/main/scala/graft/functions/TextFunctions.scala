@@ -76,24 +76,24 @@ object text {
   /** Content fingerprint: md5 hex of the UTF-8 text. */
   def md5Fingerprint(c: Column): Column = md5(c)
 
-  /** Polynomial rolling hash over characters, mod 1e9+7 — built from
-    * the `aggregate` higher-order function (DuckDB: list_reduce with a
-    * prepended 0 seed).
+  /** Polynomial rolling hash over code points, mod 1e9+7 — a codegen
+    * Catalyst expression (DuckDB oracle: list_reduce with a prepended
+    * 0 seed over unicode(c)).
     */
-  def polyHash(c: Column): Column =
-    aggregate(
-      filter(split(c, ""), ch => ch =!= lit("")),
-      lit(0L),
-      (acc, ch) => (acc * 31L + ascii(ch).cast("bigint")) % 1000000007L)
+  def polyHash(c: Column): Column = PolyHash.column(c)
 
-  /** Word n-gram shingles ("a b c" strings), empty when < n tokens. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val toks = tokens(c)
+  /** Word n-gram shingles ("a b c" strings), empty when < n tokens.
+    *
+    * IMPORTANT: `toks` must be a materialized array column (e.g. via a
+    * prior select of [[tokens]]), NOT the tokens(...) expression — a
+    * lambda referencing the expression tree re-runs the regex split
+    * per element, turning shingling O(tokens²) per document.
+    */
+  def shinglesOfTokens(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** SQL fragments mirroring the helpers above (DuckDB dialect). */
   object sql {
@@ -112,13 +112,17 @@ object text {
       s"list_reduce(list_prepend(cast(0 as bigint), " +
         s"list_transform(list_filter(string_split_regex($col, ''), c -> c <> ''), " +
         s"c -> cast(unicode(c) as bigint))), (a, b) -> (a * 31 + b) % 1000000007)"
-    /** 3-gram word shingles; 1-indexed, end-exclusive range ≡ the Spark
-      * `shingles` helper (empty when < 3 tokens).
+    /** 3-gram shingles over an already-bound token-list column —
+      * 1-indexed, end-exclusive range ≡ the Spark `shinglesOfTokens`
+      * (empty when < 3 tokens).
       */
-    def shingles(col: String): String = {
-      val tk = tokensOf(col)
+    def shinglesOfTokens(tk: String): String =
       s"list_transform(range(1, greatest(len($tk) - 1, 1)), " +
         s"i -> $tk[i] || ' ' || $tk[i+1] || ' ' || $tk[i+2])"
-    }
+
+    /** (id, shingle) rows subquery; tokens materialized once per doc. */
+    def shingleRows(idCol: String, table: String = "documents"): String =
+      s"SELECT $idCol, unnest(${shinglesOfTokens("tk")}) AS s " +
+        s"FROM (SELECT $idCol, ${tokensOf("text")} AS tk FROM $table)"
   }
 }

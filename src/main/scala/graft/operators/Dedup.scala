@@ -35,9 +35,13 @@ object Dedup {
       .filter(col("rn") === 1).drop("rn")
   }
 
-  /** Distinct (id, shingle) pairs. */
+  /** Distinct (id, shingle) pairs. Tokens are materialized into a
+    * column first so the shingle lambda reads a bound array instead of
+    * re-splitting the text per element.
+    */
   def shingleSets(docs: DataFrame, id: String, textCol: String): DataFrame =
-    docs.select(col(id), explode(text.shingles(col(textCol))).as("s"))
+    docs.select(col(id), text.tokens(col(textCol)).as("__tk"))
+      .select(col(id), explode(text.shinglesOfTokens(col("__tk"))).as("s"))
       .distinct()
 
   /** Exact pairwise n-gram Jaccard ≥ threshold via inverted index. */
@@ -70,13 +74,17 @@ object Dedup {
     sh.groupBy(id).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidates: equi-join per band of 2 rows, union, distinct. */
+  /** LSH candidates: equi-join per band of 2 rows, union, distinct.
+    * The signature set is persisted first — its lineage (shingle +
+    * hash pipeline) would otherwise be recomputed once per band side.
+    */
   def minhashCandidates(sig: DataFrame, id: String): DataFrame = {
+    val s = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = MinhashA.indices.grouped(2).toSeq
     val perBand = bands.map { cols =>
       val key = struct(cols.map(i => col(s"m${i + 1}")): _*)
-      val a = sig.select(col(id).as("da"), key.as("k"))
-      val b = sig.select(col(id).as("db"), key.as("k"))
+      val a = s.select(col(id).as("da"), key.as("k"))
+      val b = s.select(col(id).as("db"), key.as("k"))
       a.join(b, Seq("k")).filter(col("da") < col("db")).select("da", "db")
     }
     perBand.reduce(_ unionAll _).distinct()

@@ -35,11 +35,11 @@ object IvfIndex {
 
   /** Fit k-means and return (indexed corpus with leaf_id, model). */
   def build(emb: DataFrame, id: String, vecCol: String, numLeaves: Int,
-      seed: Long = 42L): (DataFrame, Model) = {
+      seed: Long = 42L, maxIter: Int = 10): (DataFrame, Model) = {
     val feat = emb.withColumn("__features",
       array_to_vector(col(vecCol).cast("array<double>")))
     val km = new KMeans()
-      .setK(numLeaves).setSeed(seed)
+      .setK(numLeaves).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("leaf_id")
     val model = km.fit(feat)
     val indexed = model.transform(feat).drop("__features")

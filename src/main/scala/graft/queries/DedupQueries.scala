@@ -13,13 +13,12 @@ object DedupQueries {
 
   import text.sql
 
-  private val ShinglesSql = sql.shingles("text")
   private def minExprs: String =
     Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map {
       case ((a, b), i) => s"min((h * $a + $b) % ${Dedup.P}) AS m${i + 1}"
     }.mkString(", ")
   private val SigCte =
-    s"WITH sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest($ShinglesSql) AS s FROM documents)), " +
+    s"WITH sh AS (SELECT DISTINCT doc_id, s FROM (${sql.shingleRows("doc_id")})), " +
       s"hs AS (SELECT doc_id, ${sql.polyHash("s")} AS h FROM sh), " +
       s"sig AS (SELECT doc_id, $minExprs FROM hs GROUP BY doc_id)"
   private val SimhashCte = {
@@ -45,7 +44,7 @@ object DedupQueries {
 
   /** Exact 3-gram Jaccard near-dup pairs via inverted-index join. */
   private val dJaccard = QueryDef.sqlChecked("d_dedup_jaccard")(
-    s"WITH ds AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest($ShinglesSql) AS s FROM documents)), " +
+    s"WITH ds AS (SELECT DISTINCT doc_id, s FROM (${sql.shingleRows("doc_id")})), " +
       "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
       "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
       "FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
