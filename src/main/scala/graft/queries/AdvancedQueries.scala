@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Advanced relational coverage: as-of join, sessionization, CUBE,
+  * the wider window-function surface, and HLL approximate distinct.
+  */
+object AdvancedQueries {
+
+  /** As-of join: each purchase gets the user's most recent prior (or
+    * simultaneous) click. Clicks deduped to one per (user, ts) first
+    * so tie-breaks are engine-independent.
+    */
+  private val qAsof = QueryDef.sqlChecked("q_asof_join")(
+    "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'), " +
+      "c AS (SELECT * FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY user_id, ts ORDER BY event_id) AS rn FROM events " +
+      "WHERE event_type = 'click') WHERE rn = 1) " +
+      "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS pts, " +
+      "c.event_id AS click_id, epoch_us(c.ts) AS cts " +
+      "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts " +
+      "ORDER BY p.event_id"
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val wDedup = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    val clicks = ev.filter(col("event_type") === "click")
+      .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOfJoin(purchases, clicks, Seq("user_id"), "ts",
+      carry = Seq("event_id", "ts"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("pts"),
+        col("asof_event_id").as("click_id"),
+        unix_micros(col("asof_ts")).as("cts"))
+      .orderBy("event_id")
+  }
+
+  /** Sessionization: 30-minute inactivity gap splits sessions. */
+  private val qSessionize = QueryDef.sqlChecked("q_sessionize")(
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+      "m AS (SELECT user_id, event_id, us, CASE WHEN lag(us) OVER " +
+      "(PARTITION BY user_id ORDER BY us, event_id) IS NULL OR " +
+      "us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 " +
+      "THEN 1 ELSE 0 END AS is_new FROM e), " +
+      "s AS (SELECT user_id, us, cast(sum(is_new) OVER (PARTITION BY user_id " +
+      "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) as bigint) AS session_id FROM m) " +
+      "SELECT user_id, session_id, count(*) AS n_events, " +
+      "min(us) AS start_us, max(us) AS end_us " +
+      "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val m = e.withColumn("is_new",
+      when(lag("us", 1).over(w).isNull ||
+        col("us") - lag("us", 1).over(w) > 1800000000L, 1).otherwise(0))
+    val sess = m.withColumn("session_id",
+      sum("is_new").over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).cast("bigint"))
+    sess.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** CUBE over two dimensions with coalesced totals. */
+  private val qCube = QueryDef.sqlChecked("q_cube")(
+    "SELECT coalesce(l_returnflag, 'ALL') AS rf, " +
+      "coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n, " +
+      s"${graft.Exact.sqlDsum("l_extendedprice", 2)} AS sum_price " +
+      "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+      "ORDER BY rf, ls"
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum(col("l_extendedprice"), 2).as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_price"))
+      .orderBy("rf", "ls")
+  }
+
+  /** Wider window surface: rank, dense_rank, ntile, lead, sliding
+    * 4-row average — one pass, one window partition spec family.
+    */
+  private val qWindowAnalytics = QueryDef.sqlChecked("q_window_analytics")(
+    "SELECT o_custkey, o_orderkey, " +
+      "cast(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) as bigint) AS rnk, " +
+      "cast(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) as bigint) AS drnk, " +
+      "cast(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) as bigint) AS quartile, " +
+      "lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order, " +
+      "cast(sum(cast(o_totalprice as decimal(18,2))) OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) as double) / " +
+      "count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sliding_avg " +
+      "FROM orders ORDER BY o_custkey, o_orderkey"
+  ) { (s, d) =>
+    val byPrio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val slide = byDate.rowsBetween(-3, Window.currentRow)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(byPrio).cast("bigint").as("rnk"),
+      dense_rank().over(byPrio).cast("bigint").as("drnk"),
+      ntile(4).over(byPrice).cast("bigint").as("quartile"),
+      lead("o_orderkey", 1).over(byDate).as("next_order"),
+      (sum(col("o_totalprice").cast("decimal(18,2)")).over(slide)
+        .cast("double") / count(lit(1)).over(slide)).as("sliding_avg"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** HLL approximate distinct vs exact — algorithm-specific, so
+    * rows-only for the driver; relative error asserted in spec.
+    */
+  private val qApproxDistinct = QueryDef.rowsOnly("q_approx_distinct") {
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
+          countDistinct(col("o_custkey")).as("exact_cust"))
+        .orderBy("o_orderpriority")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qAsof, qSessionize, qCube,
+    qWindowAnalytics, qApproxDistinct)
+}
