@@ -6,5 +6,6 @@ import graft.QueryDef
 object Registry {
   def all: Seq[QueryDef] = Relational.defs ++ VectorSearch.defs ++
     TextAnalysis.defs ++ DedupQueries.defs ++ ReferencePipeline.defs ++
-    EventsQueries.defs ++ MultimodalQueries.defs ++ AdvancedQueries.defs
+    EventsQueries.defs ++ MultimodalQueries.defs ++ AdvancedQueries.defs ++
+    ScalarQueries.defs
 }
