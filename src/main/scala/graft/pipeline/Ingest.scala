@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import graft.functions.text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The full E1 index-build lifecycle (SURVEY §3):
+  * documents → token validation (fail-fast, cap 2042) → embed →
+  * datapoint projection (id, vector, restricts, numeric restricts,
+  * crowding tag) → index table + metadata table, two writes, one
+  * linear DAG.
+  *
+  * Replaces the reference's orchestration
+  * (/root/reference/vector_store/setup_vector_search.py:108-186): the
+  * GCP index/endpoint lifecycle (D1–D5) becomes table writes; ids are
+  * deterministic content hashes instead of UUIDv4 so reruns are
+  * idempotent and golden tests stable.
+  */
+object Ingest {
+
+  final case class TokenLimitExceeded(count: Long)
+      extends RuntimeException(
+        s"$count document(s) exceed the ${text.MaxTokens}-token cap")
+
+  final case class Config(
+      indexPath: String,
+      metadataPath: String,
+      dim: Int = 64,
+      failFast: Boolean = true)
+
+  /** Validate + embed + project. Returns (datapoints, metadata). */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+      crowdingCol: String, cfg: Config): (DataFrame, DataFrame) = {
+    val counted = docs.withColumn("__tokens", text.tokenCount(col(textCol)))
+    if (cfg.failFast) {
+      // the reference aborts the whole job on the first invalid text
+      // (embeddings.py:146-149)
+      val bad = counted.filter(col("__tokens") > text.MaxTokens).count()
+      if (bad > 0) throw TokenLimitExceeded(bad)
+    }
+    val valid = counted.filter(col("__tokens") <= text.MaxTokens)
+
+    val embedder = new FeatureHashEmbedder(dim = cfg.dim)
+    val embedded = embedder.transform(valid, textCol)
+
+    val datapoints = embedded.select(
+      md5(col(textCol)).as("datapoint_id"),
+      col("embedding"),
+      // categorical restricts, flattened for parquet-stat pushdown
+      lit("text").as("file_type"),
+      lit("documentation").as("content_type"),
+      // numeric restricts
+      lit(cfg.dim.toLong).as("embedding_dimension"),
+      length(col(textCol)).cast("bigint").as("content_length"),
+      col(crowdingCol).as("crowding_tag"))
+
+    val metadata = embedded.select(
+      md5(col(textCol)).as("datapoint_id"),
+      col(idCol),
+      col(textCol).as("content"),
+      col("__tokens").as("token_count"),
+      current_timestamp().as("created_at"))
+
+    (datapoints, metadata)
+  }
+
+  /** Run the full build: two writes, one pass over the corpus. */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+      crowdingCol: String, cfg: Config): Unit = {
+    val (datapoints, metadata) = prepare(docs, idCol, textCol, crowdingCol, cfg)
+    datapoints.write.mode("overwrite").parquet(cfg.indexPath)
+    metadata.write.mode("overwrite").parquet(cfg.metadataPath)
+  }
+
+  /** Query side of the lifecycle (E3) over a built index: embed the
+    * query text, score vs the index, optional restrict filter, top-k,
+    * join metadata.
+    */
+  def search(spark: SparkSession, cfg: Config, queryText: String, k: Int,
+      restrict: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val embedder = new FeatureHashEmbedder(dim = cfg.dim)
+    val qVec = embedder.embedOne(queryText).map(_.toDouble).toSeq
+    val index = spark.read.parquet(cfg.indexPath)
+    val filtered = restrict.map(index.filter).getOrElse(index)
+    val hits = filtered.select(col("datapoint_id"), col("crowding_tag"),
+      graft.functions.vectors.dotProduct(col("embedding"), typedLit(qVec))
+        .as("score"))
+      .orderBy(col("score").desc, col("datapoint_id"))
+      .limit(k)
+    hits.join(spark.read.parquet(cfg.metadataPath), "datapoint_id")
+  }
+}
