@@ -7,5 +7,5 @@ object Registry {
   def all: Seq[QueryDef] = Relational.defs ++ VectorSearch.defs ++
     TextAnalysis.defs ++ DedupQueries.defs ++ ReferencePipeline.defs ++
     EventsQueries.defs ++ MultimodalQueries.defs ++ AdvancedQueries.defs ++
-    ScalarQueries.defs ++ SubqueryQueries.defs
+    ScalarQueries.defs ++ SubqueryQueries.defs ++ GroupingQueries.defs
 }
