@@ -51,16 +51,48 @@ object SparseEmbed {
   }
 }
 
+/** Per-item retry with bounded attempts and delay — the reference's
+  * transient-failure policy (3 attempts / 1 s,
+  * common/utils/embeddings.py:99-118, common/config.py:60-61). Coarse
+  * task-level failures are still covered by spark.task.maxFailures;
+  * this handles flaky per-batch model calls without failing the task.
+  */
+object Retry {
+  def withRetries[T](maxAttempts: Int = 3, delayMs: Long = 1000L)(
+      f: () => T): T = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < maxAttempts) {
+      try return f()
+      catch {
+        case e: Throwable =>
+          lastErr = e
+          attempt += 1
+          if (attempt < maxAttempts && delayMs > 0) Thread.sleep(delayMs)
+      }
+    }
+    throw lastErr
+  }
+}
+
 /** Dense deterministic embedder with the reference's operational shape:
   * batched invocation (EMBEDDING_BATCH_SIZE=10, common/config.py:62),
-  * per-batch "model call", executor-side lazy state — but a pure
-  * function of the text, so golden tests are stable.
+  * per-batch "model call" with retry, executor-side lazy state — but a
+  * pure function of the text, so golden tests are stable.
   */
-class FeatureHashEmbedder(val dim: Int = 64, val batchSize: Int = 10)
+class FeatureHashEmbedder(val dim: Int = 64, val batchSize: Int = 10,
+    val maxAttempts: Int = 3, val retryDelayMs: Long = 0L)
     extends Serializable {
 
-  /** Embed one batch (stand-in for the batched RPC X3). */
-  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map(embedOne)
+  /** Override point standing in for the remote model RPC (X3); tests
+    * inject failures here to exercise the retry path.
+    */
+  protected def callModel(texts: Seq[String]): Seq[Array[Float]] =
+    texts.map(embedOne)
+
+  /** Embed one batch with the reference's retry policy (X4). */
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    Retry.withRetries(maxAttempts, retryDelayMs)(() => callModel(texts))
 
   def embedOne(s: String): Array[Float] = {
     val v = new Array[Float](dim)

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.text
+import org.apache.spark.sql.functions._
+
+/** RAG-pipeline text ops the reference implies but doesn't ship:
+  * document chunking (overlapping token windows → one row per chunk)
+  * and term-based relevance scoring (TF-IDF in exact integer
+  * arithmetic so the oracle is drift-free).
+  */
+object ChunkingQueries {
+
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** Overlapping token-window chunking: windows of 32 tokens with
+    * stride 24. The chunk explosion is the row-multiplying Generator
+    * shape (§2.10) a whole-file embedder lacks.
+    */
+  private val tChunk = QueryDef.sqlChecked("t_chunk")(
+    "SELECT doc_id, (s - 1) // 24 AS chunk_no, " +
+      "array_to_string(tk[s : s + 31], ' ') AS chunk_text, " +
+      "cast(len(tk[s : s + 31]) as bigint) AS n_chunk_tokens " +
+      "FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 31, 1) + 1, 24)) AS s " +
+      s"FROM (SELECT doc_id, ${text.sql.tokensOf("text")} AS tk FROM documents)) " +
+      "ORDER BY doc_id, chunk_no"
+  ) { (s, d) =>
+    val withToks = Tables.documents(s, d)
+      .select(col("doc_id"), text.tokens(col("text")).as("tk"))
+    withToks
+      .withColumn("s", explode(sequence(lit(1),
+        greatest(size(col("tk")) - 31, lit(1)), lit(ChunkStride))))
+      .select(col("doc_id"),
+        ((col("s") - 1) / ChunkStride).cast("bigint").as("chunk_no"),
+        concat_ws(" ", slice(col("tk"), col("s"), lit(ChunkTokens)))
+          .as("chunk_text"),
+        size(slice(col("tk"), col("s"), lit(ChunkTokens))).cast("bigint")
+          .as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
+  private val QueryTerms = Seq("spark", "join", "stream", "table",
+    "window", "group")
+
+  /** TF-IDF relevance in exact integer arithmetic: score =
+    * Σ_t tf(t,doc) · ⌊N·1000 / df(t)⌋ — floor division keeps both
+    * engines bit-identical (a float log-idf would drift in the last
+    * ulp across libm implementations).
+    */
+  private val qTfidf = QueryDef.sqlChecked("q_tfidf_rational")(
+    s"WITH toks AS (SELECT doc_id, unnest(${text.sql.tokensOf("text")}) AS t FROM documents), " +
+      s"q AS (SELECT unnest(${QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")}) AS t), " +
+      "tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t IN (SELECT t FROM q) GROUP BY doc_id, t), " +
+      "df AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks WHERE t IN (SELECT t FROM q) GROUP BY t), " +
+      "nd AS (SELECT count(*) AS n FROM documents) " +
+      "SELECT tf.doc_id, cast(sum(tf * ((n * 1000) // df)) as bigint) AS score " +
+      "FROM tf JOIN df ON tf.t = df.t CROSS JOIN nd " +
+      "GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 10"
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(text.tokens(col("text"))).as("t"))
+      .filter(col("t").isin(QueryTerms: _*))
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("t")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n"))
+    tf.join(broadcast(df), "t").crossJoin(broadcast(nd))
+      .withColumn("w", col("tf") * expr("(n * 1000) div df"))
+      .groupBy("doc_id").agg(sum(col("w")).cast("bigint").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val defs: Seq[QueryDef] = Seq(tChunk, qTfidf)
+}

@@ -7,5 +7,6 @@ object Registry {
   def all: Seq[QueryDef] = Relational.defs ++ VectorSearch.defs ++
     TextAnalysis.defs ++ DedupQueries.defs ++ ReferencePipeline.defs ++
     EventsQueries.defs ++ MultimodalQueries.defs ++ AdvancedQueries.defs ++
-    ScalarQueries.defs ++ SubqueryQueries.defs ++ GroupingQueries.defs
+    ScalarQueries.defs ++ SubqueryQueries.defs ++ GroupingQueries.defs ++
+    ChunkingQueries.defs
 }
