@@ -247,6 +247,57 @@ object Relational {
       .orderBy("k")
   }
 
+  /** TPC-H Q18 analog: large orders via HAVING + join back. */
+  private val q18 = QueryDef.sqlChecked("q18_large_orders")(
+    "SELECT c_custkey, c_name, o_orderkey, " +
+      s"${sqlDsum("l_quantity", 2)} AS total_qty " +
+      "FROM customer, orders, lineitem " +
+      "WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey " +
+      "AND o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+      "GROUP BY l_orderkey HAVING sum(cast(l_quantity as decimal(18,2))) > 150) " +
+      "GROUP BY c_custkey, c_name, o_orderkey ORDER BY c_custkey, o_orderkey"
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      .filter(col("q") > 150)
+      .select("l_orderkey")
+    li.join(big, Seq("l_orderkey"), "left_semi")
+      .join(broadcast(Tables.orders(s, d)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "o_orderkey")
+      .agg(dsum(col("l_quantity"), 2).as("total_qty"))
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
+  /** Supplier league table: revenue share of each supplier's nation. */
+  private val qSupplierShare = QueryDef.sqlChecked("q_supplier_share")(
+    "SELECT s_suppkey, s_name, n_name, " +
+      s"${sqlDsum("l_extendedprice*(1-l_discount)", 4)} AS revenue, " +
+      "cast(rank() OVER (PARTITION BY n_name ORDER BY " +
+      s"${sqlDsum("l_extendedprice*(1-l_discount)", 4)} DESC, s_suppkey) as bigint) AS rank_in_nation " +
+      "FROM lineitem, supplier, nation " +
+      "WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey " +
+      "GROUP BY s_suppkey, s_name, n_name ORDER BY s_suppkey"
+  ) { (s, d) =>
+    val w = Window.partitionBy("n_name")
+    val agg = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_suppkey", "s_name", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), 4)
+        .as("revenue"))
+    agg.withColumn("rank_in_nation",
+      rank().over(w.orderBy(col("revenue").desc, col("s_suppkey")))
+        .cast("bigint"))
+      .orderBy("s_suppkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(q1, q3, q5, qSemi, qAnti, qWindowRank,
-    qWindowRunning, qRollup, qDistinct, qIntersect, qExcept, qUnionAgg)
+    qWindowRunning, qRollup, qDistinct, qIntersect, qExcept, qUnionAgg,
+    q18, qSupplierShare)
 }

@@ -16,6 +16,12 @@ class RelationalSpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
+  test("query names are unique across modules") {
+    val names = SparkEntry.all.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+  }
+
   test("q1 aggregates match a direct computation") {
     val got = SparkEntry.queries("q1_pricing_summary")(spark, sf)
       .agg(sum("count_order")).first().getLong(0)
