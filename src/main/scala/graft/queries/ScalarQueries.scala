@@ -142,6 +142,25 @@ object ScalarQueries {
       .orderBy("l_suppkey")
   }
 
+  /** Z-order (Morton) clustering key — the multi-dim layout key used
+    * by Layout.writeZOrdered; bit-exact in both engines.
+    */
+  private val qZorder = QueryDef.sqlChecked("q_zorder")(
+    "SELECT o_orderkey, " +
+      graft.operators.Layout.zValueSql("o_custkey", "days") + " AS z " +
+      "FROM (SELECT o_orderkey, o_custkey, " +
+      "date_diff('day', timestamp '1995-01-01', o_orderdate) AS days " +
+      "FROM orders) ORDER BY o_orderkey"
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast("bigint").as("days"))
+      .select(col("o_orderkey"),
+        graft.operators.Layout.zValue(col("o_custkey"), col("days")).as("z"))
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(qString, qPromo, qDate, qArray, qMath,
-    qSalted)
+    qSalted, qZorder)
 }
