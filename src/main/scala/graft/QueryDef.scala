@@ -40,10 +40,6 @@ object Exact {
   def dsumWide(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(28, scale))).cast(DoubleType)
 
-  /** avg as exact-sum / count — one deterministic double division. */
-  def davg(c: Column, scale: Int): Column =
-    dsum(c, scale) / count(c)
-
   /** Matching DuckDB SQL fragment for dsum. */
   def sqlDsum(expr: String, scale: Int): String =
     s"cast(sum(cast($expr as decimal(18,$scale))) as double)"

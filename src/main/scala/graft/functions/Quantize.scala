@@ -15,14 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object quantize {
 
-  /** Per-vector scale: max |v_i| (0-safe). */
+  /** Per-vector scale: max |v_i|. */
   def maxAbs(v: Column): Column = array_max(transform(v, x => abs(x)))
 
   /** Quantize to BIGINT codes in [-127, 127]. floor(x+0.5) rounding is
-    * bit-deterministic (no banker's-rounding ambiguity).
+    * bit-deterministic (no banker's-rounding ambiguity). A zero vector
+    * (m = 0) quantizes to all-zero codes — without the guard Spark's
+    * x/0 → NULL while DuckDB's IEEE 0·inf → NaN, and the engines
+    * diverge.
     */
   def codes(v: Column, m: Column): Column =
-    transform(v, x => floor(x * (lit(127.0) / m) + 0.5).cast("bigint"))
+    transform(v, x => when(m === 0d, lit(0L))
+      .otherwise(floor(x * (lit(127.0) / m) + 0.5).cast("bigint")))
 
   /** Exact integer dot product of two code vectors. */
   def intDot(a: Column, b: Column): Column =

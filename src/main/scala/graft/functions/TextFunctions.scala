@@ -62,15 +62,18 @@ object text {
 
   /** Composite quality score in [0,1]: stopword density, length, and
     * punctuation cleanliness. Fixed IEEE op order — matches the oracle
-    * SQL expression exactly, term by term.
+    * SQL expression exactly, term by term. Empty / whitespace-only
+    * text scores 0.0 (the unguarded ratios would be NULL in Spark but
+    * NaN in DuckDB — engines would diverge).
     */
   def qualityScore(c: Column): Column = {
     val nTok = tokenCount(c).cast("double")
     val stopRatio = stopwordCount(c, EnStop).cast("double") / nTok
     val punctRatio = punctCount(c).cast("double") / length(c).cast("double")
-    lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
-      lit(0.4) * least(nTok / 100.0, lit(1.0)) +
-      lit(0.3) * (lit(1.0) - punctRatio)
+    when(tokenCount(c) === 0 || length(c) === 0, lit(0.0)).otherwise(
+      lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+        lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - punctRatio))
   }
 
   /** Content fingerprint: md5 hex of the UTF-8 text. */

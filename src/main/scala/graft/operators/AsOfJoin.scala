@@ -41,8 +41,13 @@ object AsOfJoin {
           .as(s"asof_$c")) ++
         leftCols.filterNot(keyAndTs.contains).map(col): _*)
 
+    // carry columns join the sort as final tiebreak: multiple right
+    // rows at the same (key, ts) would otherwise make last() pick an
+    // arbitrary one per run (the greatest carry tuple wins,
+    // deterministically; nulls-first keeps left rows unaffected)
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(col(tsCol).asc +: col("__side").asc +:
+        carry.map(c => col(s"asof_$c").asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = rTagged.unionByName(lTagged)

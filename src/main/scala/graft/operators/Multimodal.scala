@@ -66,9 +66,12 @@ object Multimodal {
   def sampleFrames(df: DataFrame, idCol: String, stride: Int): DataFrame = {
     val nFrames = ceil(length(col("payload")) / lit(FrameBytes.toDouble))
       .cast("int")
-    df.withColumn("frame_no",
-        explode(filter(sequence(lit(0), nFrames - 1),
-          i => i % stride === 0)))
+    // nFrames=0 (empty payload) must yield NO frames — a bare
+    // sequence(0, -1) would count downward and emit phantom rows
+    val frameNos = when(nFrames > 0,
+      filter(sequence(lit(0), nFrames - 1), i => i % stride === 0))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn("frame_no", explode(frameNos))
       .select(col(idCol), col("frame_no").cast("bigint"),
         substring_index_bytes(col("payload"), col("frame_no")))
   }

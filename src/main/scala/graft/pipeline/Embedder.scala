@@ -96,8 +96,6 @@ class FeatureHashEmbedder(val dim: Int = 64, val batchSize: Int = 10,
 
   def embedOne(s: String): Array[Float] = {
     val v = new Array[Float](dim)
-    var acc = 0L
-    var start = 0
     def addToken(tok: CharSequence): Unit = {
       var h = 0L
       var i = 0

@@ -31,6 +31,15 @@ object Ingest {
   /** Validate + embed + project. Returns (datapoints, metadata). */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       crowdingCol: String, cfg: Config): (DataFrame, DataFrame) = {
+    val (dp, md, _) = prepareWithStage(docs, idCol, textCol, crowdingCol, cfg)
+    (dp, md)
+  }
+
+  /** As [[prepare]], also returning the shared embedded stage so the
+    * caller can persist/unpersist it around multi-sink writes.
+    */
+  def prepareWithStage(docs: DataFrame, idCol: String, textCol: String,
+      crowdingCol: String, cfg: Config): (DataFrame, DataFrame, DataFrame) = {
     val counted = docs.withColumn("__tokens", text.tokenCount(col(textCol)))
     if (cfg.failFast) {
       // the reference aborts the whole job on the first invalid text
@@ -61,15 +70,25 @@ object Ingest {
       col("__tokens").as("token_count"),
       current_timestamp().as("created_at"))
 
-    (datapoints, metadata)
+    (datapoints, metadata, embedded)
   }
 
-  /** Run the full build: two writes, one pass over the corpus. */
+  /** Run the full build: two writes, ONE embedding pass — the shared
+    * validate+embed stage is persisted before fanning out to the two
+    * sinks (otherwise each write re-runs the embedder over the whole
+    * corpus, doubling the most expensive stage).
+    */
   def run(docs: DataFrame, idCol: String, textCol: String,
       crowdingCol: String, cfg: Config): Unit = {
-    val (datapoints, metadata) = prepare(docs, idCol, textCol, crowdingCol, cfg)
-    datapoints.write.mode("overwrite").parquet(cfg.indexPath)
-    metadata.write.mode("overwrite").parquet(cfg.metadataPath)
+    val (datapoints, metadata, embedded) =
+      prepareWithStage(docs, idCol, textCol, crowdingCol, cfg)
+    embedded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      datapoints.write.mode("overwrite").parquet(cfg.indexPath)
+      metadata.write.mode("overwrite").parquet(cfg.metadataPath)
+    } finally {
+      embedded.unpersist()
+    }
   }
 
   /** Query side of the lifecycle (E3) over a built index: embed the

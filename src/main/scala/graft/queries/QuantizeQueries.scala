@@ -13,7 +13,8 @@ object QuantizeQueries {
   private val CodesCte =
     "WITH qn AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings), " +
       "mm AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM qn), " +
-      "cc AS (SELECT vec_id, ma, list_transform(v, x -> cast(floor(x * (127.0 / ma) + 0.5) as bigint)) AS codes FROM mm)"
+      "cc AS (SELECT vec_id, ma, list_transform(v, x -> CASE WHEN ma = 0 THEN 0 " +
+      "ELSE cast(floor(x * (127.0 / ma) + 0.5) as bigint) END) AS codes FROM mm)"
 
   /** Quantization audit: scale, code sum, code fold. */
   private val vQuantize = QueryDef.sqlChecked("v_quantize")(

@@ -59,10 +59,12 @@ object Relational {
       "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
       "ORDER BY revenue DESC, l_orderkey LIMIT 10"
   ) { (s, d) =>
+    // orders is a fact table — shuffle-join it on the key; only the
+    // filtered customer dimension is broadcast (scale-safe)
     val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-06-01"))
     val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-06-01"))
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), 4)
@@ -263,7 +265,7 @@ object Relational {
       .filter(col("q") > 150)
       .select("l_orderkey")
     li.join(big, Seq("l_orderkey"), "left_semi")
-      .join(broadcast(Tables.orders(s, d)),
+      .join(Tables.orders(s, d), // fact side: shuffle join, not broadcast
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, d)),
         col("o_custkey") === col("c_custkey"))

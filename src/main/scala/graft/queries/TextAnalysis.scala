@@ -33,9 +33,10 @@ object TextAnalysis {
   /** Composite quality score (stopword density / length / punct). */
   private val tQuality = QueryDef.sqlChecked("t_quality_score")(
     "SELECT doc_id, n_tokens, " +
+      "CASE WHEN n_tokens = 0 OR n_chars = 0 THEN 0.0 ELSE " +
       "0.3 * least(cast(n_stop as double) / cast(n_tokens as double) * 5.0, 1.0) + " +
       "0.4 * least(cast(n_tokens as double) / 100.0, 1.0) + " +
-      "0.3 * (1.0 - cast(n_punct as double) / cast(n_chars as double)) AS quality " +
+      "0.3 * (1.0 - cast(n_punct as double) / cast(n_chars as double)) END AS quality " +
       s"FROM (SELECT doc_id, ${sql.tokenCount("text")} AS n_tokens, " +
       s"${sql.stopwordCount("text", text.EnStop)} AS n_stop, " +
       s"${sql.punctCount("text")} AS n_punct, " +
@@ -50,9 +51,12 @@ object TextAnalysis {
       length(col("text")).cast("bigint").as("n_chars"))
     base.select(
       col("doc_id"), col("n_tokens"),
-      (lit(0.3) * least(col("n_stop").cast("double") / col("n_tokens").cast("double") * 5.0, lit(1.0)) +
-        lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
-        lit(0.3) * (lit(1.0) - col("n_punct").cast("double") / col("n_chars").cast("double"))).as("quality"))
+      when(col("n_tokens") === 0 || col("n_chars") === 0, lit(0.0))
+        .otherwise(
+          lit(0.3) * least(col("n_stop").cast("double") / col("n_tokens").cast("double") * 5.0, lit(1.0)) +
+            lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - col("n_punct").cast("double") / col("n_chars").cast("double")))
+        .as("quality"))
       .orderBy("doc_id")
   }
 

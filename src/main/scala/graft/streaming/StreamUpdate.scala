@@ -36,13 +36,29 @@ object StreamUpdate {
       versionCol: String): DataFrame =
     MetadataStore.resolve(spark.read.parquet(tablePath), key, col(versionCol))
 
-  /** Rewrite the log to one row per key (bounds read amplification). */
+  /** Rewrite the log to one row per key (bounds read amplification).
+    *
+    * Writes to a sibling temp directory and swaps via rename — never
+    * overwrites the path it is reading: a cache-evicted partition
+    * recomputed mid-overwrite would otherwise read already-deleted
+    * input files and corrupt the log.
+    */
   def compact(spark: SparkSession, tablePath: String, key: String,
       versionCol: String): Unit = {
-    val resolved = readResolved(spark, tablePath, key, versionCol).cache()
-    resolved.count() // materialize before overwrite
-    resolved.write.mode("overwrite").parquet(tablePath)
-    resolved.unpersist()
+    val hadoopPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(tablePath + ".compact-tmp")
+    readResolved(spark, tablePath, key, versionCol)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(tablePath + ".compact-old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(hadoopPath, old))
+      throw new java.io.IOException(s"compact: cannot move $tablePath aside")
+    if (!fs.rename(tmp, hadoopPath)) {
+      fs.rename(old, hadoopPath) // roll back
+      throw new java.io.IOException(s"compact: cannot install $tmp")
+    }
+    fs.delete(old, true)
   }
 
   /** Watermarked tumbling-window aggregation over an event stream. */
