@@ -37,6 +37,23 @@ class StreamingSpec extends SparkTestBase {
     assert(after == resolved)
   }
 
+  test("streaming dedup drops duplicate ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    stream.addData((t, 1L), (t, 1L), (t, 2L),
+      (Timestamp.valueOf("2024-01-01 10:00:05"), 1L))
+    val deduped = stream.toDF.toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dd").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dd").select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
   test("watermarked tumbling windows aggregate event time") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Double)]
