@@ -131,6 +131,41 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
   }
 
+  /** Statistical aggregates from exact decimal power sums — stddev
+    * and correlation computed with deterministic double ops on exact
+    * sums, so they hash-match (built-in stddev/corr accumulate
+    * doubles order-dependently and would drift).
+    */
+  private val qStats = QueryDef.sqlChecked("q_stats_exact")(
+    "SELECT l_returnflag, n, " +
+      "sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty, " +
+      "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price " +
+      "FROM (SELECT l_returnflag, cast(count(*) as double) AS n, " +
+      s"${graft.Exact.sqlDsum("l_quantity", 2)} AS sx, " +
+      s"${graft.Exact.sqlDsum("l_quantity*l_quantity", 4)} AS sxx, " +
+      s"${graft.Exact.sqlDsumWide("l_extendedprice", 2)} AS sy, " +
+      s"${graft.Exact.sqlDsumWide("l_extendedprice*l_extendedprice", 4)} AS syy, " +
+      s"${graft.Exact.sqlDsumWide("l_quantity*l_extendedprice", 4)} AS sxy " +
+      "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag"
+  ) { (s, d) =>
+    import graft.Exact._
+    val base = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum(col("l_quantity"), 2).as("sx"),
+      dsum(col("l_quantity") * col("l_quantity"), 4).as("sxx"),
+      dsumWide(col("l_extendedprice"), 2).as("sy"),
+      dsumWide(col("l_extendedprice") * col("l_extendedprice"), 4).as("syy"),
+      dsumWide(col("l_quantity") * col("l_extendedprice"), 4).as("sxy"))
+    base.select(col("l_returnflag"), col("n"),
+      sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+        .as("stddev_qty"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))))
+        .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(qAsof, qSessionize, qCube,
-    qWindowAnalytics, qApproxDistinct)
+    qWindowAnalytics, qApproxDistinct, qStats)
 }

@@ -264,9 +264,11 @@ object Relational {
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
       .filter(col("q") > 150)
       .select("l_orderkey")
+    // no join hints: orders is a fact table (forced broadcast breaks
+    // at scale) but small at test SFs (forced shuffle wastes time) —
+    // AQE picks broadcast vs shuffle from runtime sizes
     li.join(big, Seq("l_orderkey"), "left_semi")
-      .join(Tables.orders(s, d), // fact side: shuffle join, not broadcast
-        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, d)),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name", "o_orderkey")
