@@ -301,7 +301,50 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** Left outer join with NULL-side aggregation semantics: every
+    * customer, zero-filled order counts (count(col) skips NULLs).
+    */
+  private val qLeftJoin = QueryDef.sqlChecked("q_left_join")(
+    "SELECT c_custkey, count(o_orderkey) AS n_orders, " +
+      "coalesce(" + sqlDsum("o_totalprice", 2) + ", 0.0) AS total " +
+      "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+      "AND o_orderstatus = 'P' " +
+      "GROUP BY c_custkey ORDER BY c_custkey"
+  ) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice"), 2), lit(0.0)).as("total"))
+      .orderBy("c_custkey")
+  }
+
+  /** Full outer join of two aggregate views (keys present on either
+    * side survive; both sides NULL-padded).
+    */
+  private val qFullOuter = QueryDef.sqlChecked("q_full_outer")(
+    "SELECT coalesce(a.k, b.k) AS k, a.n_orders, b.n_lines FROM " +
+      "(SELECT o_custkey AS k, count(*) AS n_orders FROM orders " +
+      "WHERE o_orderstatus = 'P' GROUP BY 1) a FULL OUTER JOIN " +
+      "(SELECT o_custkey AS k, count(*) AS n_lines FROM orders " +
+      "WHERE o_orderstatus = 'F' GROUP BY 1) b ON a.k = b.k " +
+      "ORDER BY k"
+  ) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val a = ord.filter(col("o_orderstatus") === "P")
+      .groupBy(col("o_custkey").as("ka"))
+      .agg(count(lit(1)).as("n_orders"))
+    val b = ord.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("kb"))
+      .agg(count(lit(1)).as("n_lines"))
+    a.join(b, col("ka") === col("kb"), "full_outer")
+      .select(coalesce(col("ka"), col("kb")).as("k"),
+        col("n_orders"), col("n_lines"))
+      .orderBy("k")
+  }
+
   val defs: Seq[QueryDef] = Seq(q1, q3, q5, qSemi, qAnti, qWindowRank,
     qWindowRunning, qRollup, qDistinct, qIntersect, qExcept, qUnionAgg,
-    q18, qSupplierShare)
+    q18, qSupplierShare, qLeftJoin, qFullOuter)
 }

@@ -54,6 +54,25 @@ class StreamingSpec extends SparkTestBase {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-static join enriches a stream with a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val stream = MemoryStream[(Long, Double)]
+    stream.addData((1L, 10.0), (2L, 20.0), (999999L, 5.0))
+    val joined = stream.toDF.toDF("user_id", "value")
+      .join(dim, Seq("user_id"), "left")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enrich").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich")
+      .select("user_id", "c_mktsegment")
+      .as[(Long, Option[String])].collect().toMap
+    assert(rows.size == 3)
+    assert(rows(1L).isDefined && rows(999999L).isEmpty)
+  }
+
   test("watermarked tumbling windows aggregate event time") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Double)]
