@@ -139,7 +139,11 @@ object AdvancedQueries {
   private val qStats = QueryDef.sqlChecked("q_stats_exact")(
     "SELECT l_returnflag, n, " +
       "sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty, " +
-      "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price " +
+      // corr is rounded to 12 digits: its wide decimal(28,4) inputs
+      // exceed 2^53 when scaled, and DuckDB's decimal->double cast
+      // double-rounds there (int128/10^s) while Java's is correctly
+      // rounded - a last-ulp input wobble the rounding absorbs
+      "round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 12) AS corr_qty_price " +
       "FROM (SELECT l_returnflag, cast(count(*) as double) AS n, " +
       s"${graft.Exact.sqlDsum("l_quantity", 2)} AS sx, " +
       s"${graft.Exact.sqlDsum("l_quantity*l_quantity", 4)} AS sxx, " +
@@ -159,9 +163,9 @@ object AdvancedQueries {
     base.select(col("l_returnflag"), col("n"),
       sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
         .as("stddev_qty"),
-      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
         sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-          (col("n") * col("syy") - col("sy") * col("sy"))))
+          (col("n") * col("syy") - col("sy") * col("sy"))), 12)
         .as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
