@@ -106,6 +106,39 @@ object Dedup {
     bits.select(col(id), sim.as("simhash"))
   }
 
+  /** Connected components over a near-dup pair set: iterative min-
+    * label propagation until fixpoint. Turns pairwise matches into
+    * duplicate CLUSTERS (the actual dedup unit — keep one doc per
+    * component, not per pair). Each iteration is one join + one
+    * groupBy; localCheckpoint truncates the growing lineage. Converges
+    * in ≤ graph-diameter iterations.
+    */
+  def connectedComponents(pairs: DataFrame, a: String = "da",
+      b: String = "db", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .unionAll(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("label"))
+      val next = labels.unionAll(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("node", a).withColumnRenamed("label", "cluster_id")
+  }
+
   /** All pairs within `maxHamming` of each other's SimHash. */
   def simhashPairs(sim: DataFrame, id: String, maxHamming: Int): DataFrame = {
     val a = sim.select(col(id).as("da"), col("simhash").as("sa"))

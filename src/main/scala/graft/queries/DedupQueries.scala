@@ -113,6 +113,27 @@ object DedupQueries {
       .orderBy("ida", "idb")
   }
 
+  /** Duplicate clusters: connected components over the LSH candidate
+    * pairs (iterative label propagation in Spark; transitive-closure
+    * recursive CTE as the oracle).
+    */
+  private val dClusters = QueryDef.sqlChecked("d_dedup_clusters")(
+    "WITH RECURSIVE " + SigCte.stripPrefix("WITH ") + ", " +
+      "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sig a " +
+      "JOIN sig b ON a.doc_id < b.doc_id AND " +
+      "((a.m1 = b.m1 AND a.m2 = b.m2) OR (a.m3 = b.m3 AND a.m4 = b.m4) OR " +
+      "(a.m5 = b.m5 AND a.m6 = b.m6) OR (a.m7 = b.m7 AND a.m8 = b.m8))), " +
+      "nodes AS (SELECT da AS n FROM pairs UNION SELECT db FROM pairs), " +
+      "edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs), " +
+      "reach(a, b) AS (SELECT n, n FROM nodes UNION " +
+      "SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) " +
+      "SELECT a AS da, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY da"
+  ) { (s, d) =>
+    val sig = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
+    val cand = Dedup.minhashCandidates(sig, "doc_id")
+    Dedup.connectedComponents(cand).orderBy("da")
+  }
+
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
-    dSimhash, dSimhashPairs, dCosinePairs)
+    dSimhash, dSimhashPairs, dCosinePairs, dClusters)
 }

@@ -35,6 +35,25 @@ class DedupSpec extends SparkTestBase {
       s"missed: ${exact.diff(cand).take(5)} of ${exact.size}")
   }
 
+  test("connected components: chain of pairs collapses to one cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("da", "db")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("every near-dup pair lands in one cluster") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val cand = Dedup.minhashCandidates(sig, "doc_id").cache()
+    val cc = Dedup.connectedComponents(cand)
+      .as[(Long, Long)].collect().toMap
+    val bad = cand.as[(Long, Long)].collect()
+      .filter { case (a, b) => cc(a) != cc(b) }
+    assert(bad.isEmpty, s"pairs split across clusters: ${bad.take(3).toSeq}")
+  }
+
   test("identical texts get identical simhash, hamming 0") {
     val sim = Dedup.simhash(
       docs.limit(2).unionAll(docs.limit(2)
