@@ -8,5 +8,6 @@ object Registry {
     TextAnalysis.defs ++ DedupQueries.defs ++ ReferencePipeline.defs ++
     EventsQueries.defs ++ MultimodalQueries.defs ++ AdvancedQueries.defs ++
     ScalarQueries.defs ++ SubqueryQueries.defs ++ GroupingQueries.defs ++
-    ChunkingQueries.defs ++ QuantizeQueries.defs ++ ExtraQueries.defs
+    ChunkingQueries.defs ++ QuantizeQueries.defs ++ ExtraQueries.defs ++
+    AnalyticsQueries.defs
 }
