@@ -114,7 +114,7 @@ object Dedup {
     * in ≤ graph-diameter iterations.
     */
   def connectedComponents(pairs: DataFrame, a: String = "da",
-      b: String = "db", maxIter: Int = 20): DataFrame = {
+      b: String = "db", maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionAll(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
@@ -136,6 +136,13 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // silent partial propagation would mis-split components — fail
+    // loudly instead (min-label needs ≤ graph-diameter iterations;
+    // a hit here means a pathological chain, raise maxIter)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing)")
     labels.withColumnRenamed("node", a).withColumnRenamed("label", "cluster_id")
   }
 

@@ -138,12 +138,16 @@ object AdvancedQueries {
     */
   private val qStats = QueryDef.sqlChecked("q_stats_exact")(
     "SELECT l_returnflag, n, " +
-      "sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty, " +
+      "CASE WHEN n <= 1 THEN NULL ELSE " +
+      "sqrt((sxx - sx * sx / n) / (n - 1)) END AS stddev_qty, " +
       // corr is rounded to 12 digits: its wide decimal(28,4) inputs
       // exceed 2^53 when scaled, and DuckDB's decimal->double cast
       // double-rounds there (int128/10^s) while Java's is correctly
-      // rounded - a last-ulp input wobble the rounding absorbs
-      "round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 12) AS corr_qty_price " +
+      // rounded - a last-ulp input wobble the rounding absorbs.
+      // n<=1 / zero-variance groups are NULL in BOTH engines (unguarded,
+      // Spark /0 -> NULL but DuckDB -> NaN/inf)
+      "CASE WHEN n <= 1 OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL ELSE " +
+      "round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 12) END AS corr_qty_price " +
       "FROM (SELECT l_returnflag, cast(count(*) as double) AS n, " +
       s"${graft.Exact.sqlDsum("l_quantity", 2)} AS sx, " +
       s"${graft.Exact.sqlDsum("l_quantity*l_quantity", 4)} AS sxx, " +
@@ -160,12 +164,16 @@ object AdvancedQueries {
       dsumWide(col("l_extendedprice"), 2).as("sy"),
       dsumWide(col("l_extendedprice") * col("l_extendedprice"), 4).as("syy"),
       dsumWide(col("l_quantity") * col("l_extendedprice"), 4).as("sxy"))
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
     base.select(col("l_returnflag"), col("n"),
-      sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+      when(col("n") <= 1, lit(null).cast("double")).otherwise(
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
         .as("stddev_qty"),
-      round((col("n") * col("sxy") - col("sx") * col("sy")) /
-        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-          (col("n") * col("syy") - col("sy") * col("sy"))), 12)
+      when(col("n") <= 1 || varX === 0 || varY === 0,
+        lit(null).cast("double")).otherwise(
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt(varX * varY), 12))
         .as("corr_qty_price"))
       .orderBy("l_returnflag")
   }

@@ -17,9 +17,8 @@ object AnalyticsQueries {
     "SELECT md5(chunk_text) AS chunk_hash, " +
       "cast(count(DISTINCT doc_id) as bigint) AS n_docs, " +
       "min(doc_id) AS first_doc " +
-      "FROM (SELECT doc_id, array_to_string(tk[s : s + 31], ' ') AS chunk_text " +
-      "FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 31, 1) + 1, 24)) AS s " +
-      s"FROM (SELECT doc_id, ${text.sql.tokensOf("text")} AS tk FROM documents))) " +
+      s"FROM (SELECT doc_id, ${ChunkingQueries.chunkTextSql} AS chunk_text " +
+      s"FROM (${ChunkingQueries.chunkStartsSql})) " +
       "GROUP BY md5(chunk_text) HAVING count(DISTINCT doc_id) > 1 " +
       "ORDER BY chunk_hash"
   ) { (s, d) =>
@@ -27,7 +26,8 @@ object AnalyticsQueries {
       .select(col("doc_id"), text.tokens(col("text")).as("tk"))
     val chunks = withToks
       .withColumn("s", explode(sequence(lit(1),
-        greatest(size(col("tk")) - 31, lit(1)), lit(ChunkingQueries.ChunkStride))))
+        greatest(size(col("tk")) - (ChunkingQueries.ChunkTokens - 1), lit(1)),
+        lit(ChunkingQueries.ChunkStride))))
       .select(col("doc_id"),
         concat_ws(" ", slice(col("tk"), col("s"), lit(ChunkingQueries.ChunkTokens)))
           .as("chunk_text"))
@@ -76,14 +76,18 @@ object AnalyticsQueries {
     */
   private val qHistogram = QueryDef.sqlChecked("q_histogram")(
     "WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders) " +
-      "SELECT least(cast(floor((o_totalprice - lo) / (hi - lo) * 10) as bigint), 9) AS bucket, " +
+      "SELECT CASE WHEN hi = lo THEN 0 ELSE " +
+      "least(cast(floor((o_totalprice - lo) / (hi - lo) * 10) as bigint), 9) END AS bucket, " +
       "count(*) AS n FROM orders, mm GROUP BY 1 ORDER BY bucket"
   ) { (s, d) =>
     val ord = Tables.orders(s, d)
     val mm = ord.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
     ord.crossJoin(broadcast(mm))
-      .select(least(floor((col("o_totalprice") - col("lo")) /
-        (col("hi") - col("lo")) * 10).cast("bigint"), lit(9L)).as("bucket"))
+      .select(when(col("hi") === col("lo"), lit(0L)) // degenerate range:
+        // Spark /0 → NULL but DuckDB 0/0 → NaN — guard both sides
+        .otherwise(least(floor((col("o_totalprice") - col("lo")) /
+          (col("hi") - col("lo")) * 10).cast("bigint"), lit(9L)))
+        .as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .orderBy("bucket")
   }

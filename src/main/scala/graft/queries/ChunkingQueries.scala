@@ -14,23 +14,34 @@ object ChunkingQueries {
   val ChunkTokens = 32
   val ChunkStride = 24
 
+  /** (doc_id, tk, s) chunk-start subquery — single source of truth
+    * for the chunk window/stride in every oracle that chunks.
+    */
+  def chunkStartsSql: String =
+    s"SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - ${ChunkTokens - 1}, 1) + 1, " +
+      s"$ChunkStride)) AS s " +
+      s"FROM (SELECT doc_id, ${text.sql.tokensOf("text")} AS tk FROM documents)"
+
+  /** chunk text expression over (tk, s). */
+  def chunkTextSql: String =
+    s"array_to_string(tk[s : s + ${ChunkTokens - 1}], ' ')"
+
   /** Overlapping token-window chunking: windows of 32 tokens with
     * stride 24. The chunk explosion is the row-multiplying Generator
     * shape (§2.10) a whole-file embedder lacks.
     */
   private val tChunk = QueryDef.sqlChecked("t_chunk")(
-    "SELECT doc_id, (s - 1) // 24 AS chunk_no, " +
-      "array_to_string(tk[s : s + 31], ' ') AS chunk_text, " +
-      "cast(len(tk[s : s + 31]) as bigint) AS n_chunk_tokens " +
-      "FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 31, 1) + 1, 24)) AS s " +
-      s"FROM (SELECT doc_id, ${text.sql.tokensOf("text")} AS tk FROM documents)) " +
+    s"SELECT doc_id, (s - 1) // $ChunkStride AS chunk_no, " +
+      s"$chunkTextSql AS chunk_text, " +
+      s"cast(len(tk[s : s + ${ChunkTokens - 1}]) as bigint) AS n_chunk_tokens " +
+      s"FROM ($chunkStartsSql) " +
       "ORDER BY doc_id, chunk_no"
   ) { (s, d) =>
     val withToks = Tables.documents(s, d)
       .select(col("doc_id"), text.tokens(col("text")).as("tk"))
     withToks
       .withColumn("s", explode(sequence(lit(1),
-        greatest(size(col("tk")) - 31, lit(1)), lit(ChunkStride))))
+        greatest(size(col("tk")) - (ChunkTokens - 1), lit(1)), lit(ChunkStride))))
       .select(col("doc_id"),
         ((col("s") - 1) / ChunkStride).cast("bigint").as("chunk_no"),
         concat_ws(" ", slice(col("tk"), col("s"), lit(ChunkTokens)))

@@ -21,6 +21,11 @@ object DedupQueries {
     s"WITH sh AS (SELECT DISTINCT doc_id, s FROM (${sql.shingleRows("doc_id")})), " +
       s"hs AS (SELECT doc_id, ${sql.polyHash("s")} AS h FROM sh), " +
       s"sig AS (SELECT doc_id, $minExprs FROM hs GROUP BY doc_id)"
+  /** Shared 4×2 band-match predicate (Scala twin: minhashCandidates). */
+  private val BandPredicate =
+    "((a.m1 = b.m1 AND a.m2 = b.m2) OR (a.m3 = b.m3 AND a.m4 = b.m4) OR " +
+      "(a.m5 = b.m5 AND a.m6 = b.m6) OR (a.m7 = b.m7 AND a.m8 = b.m8))"
+
   private val SimhashCte = {
     val bitsum = (0 until Dedup.SimhashBits).map(j =>
       s"sum(CASE WHEN (h>>$j)&1=1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
@@ -67,9 +72,7 @@ object DedupQueries {
   /** LSH candidate pairs: 4 bands × 2 rows, bucket equi-joins. */
   private val dMinhashPairs = QueryDef.sqlChecked("d_minhash_pairs")(
     s"$SigCte SELECT a.doc_id AS da, b.doc_id AS db FROM sig a " +
-      "JOIN sig b ON a.doc_id < b.doc_id AND " +
-      "((a.m1 = b.m1 AND a.m2 = b.m2) OR (a.m3 = b.m3 AND a.m4 = b.m4) OR " +
-      "(a.m5 = b.m5 AND a.m6 = b.m6) OR (a.m7 = b.m7 AND a.m8 = b.m8)) " +
+      s"JOIN sig b ON a.doc_id < b.doc_id AND $BandPredicate " +
       "ORDER BY da, db"
   ) { (s, d) =>
     val sig = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
@@ -120,9 +123,7 @@ object DedupQueries {
   private val dClusters = QueryDef.sqlChecked("d_dedup_clusters")(
     "WITH RECURSIVE " + SigCte.stripPrefix("WITH ") + ", " +
       "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sig a " +
-      "JOIN sig b ON a.doc_id < b.doc_id AND " +
-      "((a.m1 = b.m1 AND a.m2 = b.m2) OR (a.m3 = b.m3 AND a.m4 = b.m4) OR " +
-      "(a.m5 = b.m5 AND a.m6 = b.m6) OR (a.m7 = b.m7 AND a.m8 = b.m8))), " +
+      s"JOIN sig b ON a.doc_id < b.doc_id AND $BandPredicate), " +
       "nodes AS (SELECT da AS n FROM pairs UNION SELECT db FROM pairs), " +
       "edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs), " +
       "reach(a, b) AS (SELECT n, n FROM nodes UNION " +
