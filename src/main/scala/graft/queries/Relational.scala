@@ -44,9 +44,10 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** TPC-H Q3 analog: selective dim filter → broadcast join → agg → top-k.
-    * customer is tiny relative to lineitem at any SF → broadcast; the
-    * final ORDER BY + LIMIT plans as TakeOrderedAndProject (no full sort).
+  /** TPC-H Q3 analog: selective filter → join → agg → top-k. No join
+    * hints: customer/orders scale with SF, so AQE picks broadcast vs
+    * shuffle from runtime sizes; the final ORDER BY + LIMIT plans as
+    * TakeOrderedAndProject (no full sort).
     */
   private val q3 = QueryDef.sqlChecked("q3_top_revenue")(
     "SELECT l_orderkey, " +
@@ -59,13 +60,11 @@ object Relational {
       "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
       "ORDER BY revenue DESC, l_orderkey LIMIT 10"
   ) { (s, d) =>
-    // orders is a fact table — shuffle-join it on the key; only the
-    // filtered customer dimension is broadcast (scale-safe)
     val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-06-01"))
     val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-06-01"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), 4)
         .as("revenue"))
@@ -76,8 +75,9 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5 analog: 6-way join; all dims broadcast, single shuffle for
-    * the final agg. */
+  /** TPC-H Q5 analog: 6-way join; fixed-size dims (region/nation/
+    * supplier chain) broadcast, SF-scaling tables (orders/customer)
+    * join under AQE's runtime choice. */
   private val q5 = QueryDef.sqlChecked("q5_region_revenue")(
     "SELECT n_name, " +
       s"${sqlDsum("l_extendedprice*(1-l_discount)", 4)} AS revenue " +
@@ -101,8 +101,8 @@ object Relational {
     val cust = Tables.customer(s, d)
     Tables.lineitem(s, d)
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust),
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust,
         col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
@@ -269,7 +269,7 @@ object Relational {
     // AQE picks broadcast vs shuffle from runtime sizes
     li.join(big, Seq("l_orderkey"), "left_semi")
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)),
+      .join(Tables.customer(s, d),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name", "o_orderkey")
       .agg(dsum(col("l_quantity"), 2).as("total_qty"))

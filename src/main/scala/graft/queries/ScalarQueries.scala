@@ -46,7 +46,7 @@ object ScalarQueries {
   ) { (s, d) =>
     val disc = col("l_extendedprice") * (lit(1d) - col("l_discount"))
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)),
+      .join(Tables.part(s, d), // part scales with SF: AQE decides
         col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0) *
         sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0d))
