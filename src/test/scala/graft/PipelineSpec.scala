@@ -78,6 +78,26 @@ class PipelineSpec extends SparkTestBase {
     assert(full == Knn10(emb, qid, q).toSet)
   }
 
+  test("IVF sample-fit (k-means on a bounded sample) keeps recall@10") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    // maxFitRows=300 < the 500-row corpus forces the sampled-fit path
+    val (indexed, model) =
+      IvfIndex.build(emb, "vec_id", "embedding", 16, maxFitRows = 300)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    var hit = 0; var total = 0
+    queries.foreach { case (qid, q) =>
+      val exact = Knn10(emb, qid, q)
+      val approx = IvfIndex.searchDf(indexed.filter(col("vec_id") =!= qid),
+        model, q, nProbe = 4, k = 10, "vec_id", "embedding")
+        .select("vec_id").as[Long].collect().toSet
+      hit += exact.count(approx.contains); total += exact.size
+    }
+    val recall = hit.toDouble / total
+    assert(recall >= 0.4, s"sampled-fit recall@10 = $recall")
+  }
+
   private def Knn10(emb: org.apache.spark.sql.DataFrame, qid: Long,
       q: Array[Double]): Seq[Long] = {
     import graft.functions.vectors
