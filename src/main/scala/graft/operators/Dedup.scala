@@ -44,22 +44,43 @@ object Dedup {
       .select(col(id), explode(text.shinglesOfTokens(col("__tk"))).as("s"))
       .distinct()
 
-  /** Exact pairwise n-gram Jaccard ≥ threshold via inverted index. */
+  /** Every shingle with document frequency above this is dropped from
+    * the inverted index AND the set sizes (both engines apply the same
+    * cap, so the oracle still matches). The intermediate join size is
+    * Σ df(s)² — without a cap, one stop-word-like shingle at 100 TB
+    * makes a single join key quadratic in the corpus; with it, each
+    * key contributes ≤ cap² rows. On the test corpora max df is 7–25,
+    * so the cap drops nothing there; it exists for the tail.
+    */
+  val DefaultMaxShingleDf = 1000
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold via inverted index
+    * (over the df-capped shingle space — see [[DefaultMaxShingleDf]]).
+    * The shingle set is persisted for its three uses and released
+    * before returning (the small pair result is localCheckpoint-ed).
+    */
   def jaccardPairs(docs: DataFrame, id: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val ds = shingleSets(docs, id, textCol).cache()
-    val sizes = ds.groupBy(id).agg(count(lit(1)).as("n"))
-    val a = ds.select(col(id).as("da"), col("s"))
-    val b = ds.select(col(id).as("db"), col("s"))
-    val common = a.join(b, Seq("s")).filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col(id).as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col(id).as("db"), col("n").as("nb")), "db")
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard") >= threshold)
-      .select("da", "db", "jaccard")
+      threshold: Double, maxDocFreq: Int = DefaultMaxShingleDf): DataFrame = {
+    val dfW = Window.partitionBy("s")
+    val ds = shingleSets(docs, id, textCol)
+      .withColumn("__df", count(lit(1)).over(dfW))
+      .filter(col("__df") <= maxDocFreq).drop("__df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = ds.groupBy(id).agg(count(lit(1)).as("n"))
+      val a = ds.select(col(id).as("da"), col("s"))
+      val b = ds.select(col(id).as("db"), col("s"))
+      val common = a.join(b, Seq("s")).filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select(col(id).as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col(id).as("db"), col("n").as("nb")), "db")
+        .withColumn("jaccard",
+          col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .filter(col("jaccard") >= threshold)
+        .select("da", "db", "jaccard")
+        .localCheckpoint() // materialize so the shingle cache can drop
+    } finally ds.unpersist()
   }
 
   /** MinHash signatures: min over shingle hashes of (aᵢ·h+bᵢ) mod P. */
@@ -76,18 +97,22 @@ object Dedup {
 
   /** LSH candidates: equi-join per band of 2 rows, union, distinct.
     * The signature set is persisted first — its lineage (shingle +
-    * hash pipeline) would otherwise be recomputed once per band side.
+    * hash pipeline) would otherwise be recomputed once per band side —
+    * and released before returning (the candidate pairs are
+    * localCheckpoint-ed).
     */
   def minhashCandidates(sig: DataFrame, id: String): DataFrame = {
     val s = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = MinhashA.indices.grouped(2).toSeq
-    val perBand = bands.map { cols =>
-      val key = struct(cols.map(i => col(s"m${i + 1}")): _*)
-      val a = s.select(col(id).as("da"), key.as("k"))
-      val b = s.select(col(id).as("db"), key.as("k"))
-      a.join(b, Seq("k")).filter(col("da") < col("db")).select("da", "db")
-    }
-    perBand.reduce(_ unionAll _).distinct()
+    try {
+      val bands = MinhashA.indices.grouped(2).toSeq
+      val perBand = bands.map { cols =>
+        val key = struct(cols.map(i => col(s"m${i + 1}")): _*)
+        val a = s.select(col(id).as("da"), key.as("k"))
+        val b = s.select(col(id).as("db"), key.as("k"))
+        a.join(b, Seq("k")).filter(col("da") < col("db")).select("da", "db")
+      }
+      perBand.reduce(_ unionAll _).distinct().localCheckpoint()
+    } finally s.unpersist()
   }
 
   /** 32-bit SimHash over the token-hash multiset. */
@@ -109,12 +134,19 @@ object Dedup {
   /** Connected components over a near-dup pair set: iterative min-
     * label propagation until fixpoint. Turns pairwise matches into
     * duplicate CLUSTERS (the actual dedup unit — keep one doc per
-    * component, not per pair). Each iteration is one join + one
-    * groupBy; localCheckpoint truncates the growing lineage. Converges
-    * in ≤ graph-diameter iterations.
+    * component, not per pair).
+    *
+    * ONE action per round: the previous label rides along through the
+    * union+groupBy (`old`), and the changed-label count is collected
+    * by an accumulator during the localCheckpoint materialization —
+    * no convergence-check join, no second pass. (A task retry can
+    * overcount the accumulator; that only delays convergence by one
+    * cheap extra round, never ends it early.) Converges in
+    * ≤ graph-diameter rounds.
     */
   def connectedComponents(pairs: DataFrame, a: String = "da",
       b: String = "db", maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionAll(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
@@ -122,16 +154,27 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    val enc = org.apache.spark.sql.Encoders.row(labels.schema)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("label"))
-      val next = labels.unionAll(prop)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
+      // labels rows carry their current label as `old`; prop rows have
+      // old = null (min() skips nulls, each node has exactly one old)
+      val merged = labels
+        .select(col("node"), col("label"), col("label").as("old"))
+        .unionAll(prop.withColumn("old",
+          lit(null).cast(labels.schema("label").dataType)))
+        .groupBy("node").agg(min("label").as("label"), min("old").as("old"))
+      val acc = spark.sparkContext.longAccumulator(s"cc-changed-$i")
+      val next = merged.mapPartitions { it =>
+        it.map { r =>
+          if (r.get(1) != r.get(2)) acc.add(1L)
+          org.apache.spark.sql.Row(r.get(0), r.get(1))
+        }
+      }(enc).localCheckpoint() // the round's single action
+      changed = acc.value
       labels = next
       i += 1
     }
@@ -146,7 +189,10 @@ object Dedup {
     labels.withColumnRenamed("node", a).withColumnRenamed("label", "cluster_id")
   }
 
-  /** All pairs within `maxHamming` of each other's SimHash. */
+  /** All pairs within `maxHamming` of each other's SimHash —
+    * brute-force baseline (the recall oracle for the banded path;
+    * run on samples at scale).
+    */
   def simhashPairs(sim: DataFrame, id: String, maxHamming: Int): DataFrame = {
     val a = sim.select(col(id).as("da"), col("simhash").as("sa"))
     val b = sim.select(col(id).as("db"), col("simhash").as("sb"))
@@ -154,5 +200,39 @@ object Dedup {
       .withColumn("hd", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("bigint"))
       .filter(col("hd") <= maxHamming)
       .select("da", "db", "hd")
+  }
+
+  /** Sub-quadratic SimHash near-dup pairs: the 32-bit hash is split
+    * into 4 byte bands; two hashes within Hamming distance 3 differ in
+    * ≤ 3 bands, so they AGREE on at least one (pigeonhole) — per-band
+    * equi-joins therefore generate every qualifying pair, and the
+    * exact Hamming filter verifies candidates only. Same bucketed
+    * shape as [[minhashCandidates]]: 4 equi-joins, each
+    * hash-partitioned on its band byte, no cross product anywhere.
+    * A band byte has only 256 values, so at corpus scale widen the
+    * bands (e.g. 4×16-bit bands of a 64-bit SimHash) to keep bucket
+    * sizes sub-quadratic. EXACT: returns precisely the
+    * `simhashPairs(_, _, maxHamming)` set for maxHamming ≤ 3.
+    */
+  def simhashBandedPairs(sim: DataFrame, id: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 byte-bands guarantee recall only for Hamming <= 3, got $maxHamming")
+    val s = sim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perBand = (0 until 4).map { bi =>
+        val key = shiftright(col("simhash"), bi * 8).bitwiseAND(lit(255L))
+        val a = s.select(col(id).as("da"), col("simhash").as("sa"), key.as("k"))
+        val b = s.select(col(id).as("db"), col("simhash").as("sb"), key.as("k"))
+        a.join(b, Seq("k")).filter(col("da") < col("db"))
+          .select("da", "db", "sa", "sb")
+      }
+      perBand.reduce(_ unionAll _).distinct()
+        .withColumn("hd",
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("bigint"))
+        .filter(col("hd") <= maxHamming)
+        .select("da", "db", "hd")
+        .localCheckpoint()
+    } finally s.unpersist()
   }
 }

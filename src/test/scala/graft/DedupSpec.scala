@@ -54,6 +54,57 @@ class DedupSpec extends SparkTestBase {
     assert(bad.isEmpty, s"pairs split across clusters: ${bad.take(3).toSeq}")
   }
 
+  test("banded simhash pairs == brute-force pairs at hamming <= 3") {
+    val sim = Dedup.simhash(docs, "doc_id", "text").cache()
+    val brute = Dedup.simhashPairs(sim, "doc_id", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val banded = Dedup.simhashBandedPairs(sim, "doc_id", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"banded missed ${brute.diff(banded).take(3)} / extra ${banded.diff(brute).take(3)}")
+    assert(brute.nonEmpty) // the equality must not hold vacuously
+  }
+
+  test("shingle df cap bounds the inverted-index blowup") {
+    // 40 docs sharing one ultra-common shingle ("zz zz zz" in all of
+    // them) but otherwise disjoint: uncapped, the common shingle alone
+    // contributes C(40,2)=780 join rows; capped at df<=10 it is
+    // dropped and no pair survives.
+    val syn = (0 until 40).map { i =>
+      (i.toLong, s"zz zz zz unique$i word$i token$i item$i thing$i")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(syn, "doc_id", "text", 0.01, maxDocFreq = 10)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.jaccardPairs(syn, "doc_id", "text", 0.01)
+    assert(uncapped.count() == 780L)
+  }
+
+  test("connected components: no per-round convergence-count action") {
+    // The old implementation ran a join + .count() every round purely
+    // to detect convergence; the accumulator fold removed it. Assert
+    // no Dataset `count` action fires inside connectedComponents
+    // (the per-round action is the localCheckpoint itself).
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val pairs = (1L until 7L).map(i => (i, i + 1)).toDF("da", "db")
+      .localCheckpoint() // materialize input outside the listened window
+    spark.listenerManager.register(ql)
+    try {
+      val cc = Dedup.connectedComponents(pairs).collect()
+      Thread.sleep(500) // listener bus is async — drain before reading
+      assert(cc.forall(_.getLong(1) == 1L))
+      val counts = actions.toArray.count(_ == "count")
+      assert(counts == 0, s"convergence ran $counts count() actions")
+    } finally spark.listenerManager.unregister(ql)
+  }
+
   test("identical texts get identical simhash, hamming 0") {
     val sim = Dedup.simhash(
       docs.limit(2).unionAll(docs.limit(2)
