@@ -119,16 +119,30 @@ object AdvancedQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** HLL approximate distinct vs exact — algorithm-specific, so
-    * rows-only for the driver; relative error asserted in spec.
+  /** HLL approximate distinct, gate-visible ERROR BOUND: the estimate
+    * is algorithm-specific (not SQL-expressible in DuckDB), so per
+    * group the query emits the exact distinct count (hash-checked
+    * exactly) plus a within-5% flag comparing HLL to exact — an HLL
+    * regression flips the flag and the oracle mismatches. HLL++ here
+    * is deterministic (fixed hash, no RNG), so the flag is stable;
+    * rsd=0.02 keeps measured max error ≤ 0.9% across the sf dirs —
+    * ~6× margin under the bound.
     */
-  private val qApproxDistinct = QueryDef.rowsOnly("q_approx_distinct") {
-    (s, d) =>
-      Tables.orders(s, d)
-        .groupBy("o_orderpriority")
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
-          countDistinct(col("o_custkey")).as("exact_cust"))
-        .orderBy("o_orderpriority")
+  private val qApproxDistinct = QueryDef.sqlChecked("q_approx_distinct")(
+    "SELECT o_orderpriority, " +
+      "cast(count(DISTINCT o_custkey) as bigint) AS exact_cust, " +
+      "cast(1 as bigint) AS within_5pct " +
+      "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+        countDistinct(col("o_custkey")).as("exact_cust"))
+      .select(col("o_orderpriority"), col("exact_cust"),
+        when(abs(col("approx_cust") - col("exact_cust")).cast("double")
+          <= col("exact_cust").cast("double") * 0.05, 1L).otherwise(0L)
+          .as("within_5pct"))
+      .orderBy("o_orderpriority")
   }
 
   /** Statistical aggregates from exact decimal power sums — stddev

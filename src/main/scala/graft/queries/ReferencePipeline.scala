@@ -188,6 +188,68 @@ object ReferencePipeline {
       .toDF("n_queries", "recall_ok")
   }
 
+  /** The COMPOSED ANN pipeline (assignment → leaf probe → restricts →
+    * exact scoring → crowding → top-k) with FIXED, data-derived
+    * centroids (the 8 embeddings at vec_id 0,64,…,448), so leaf
+    * assignment is argmax-dot — exactly replicable in SQL and
+    * hash-checked end to end (k-means is only swapped for fixed
+    * centroids; every other stage is the production path).
+    * Assignment is a pure map-side codegen expression
+    * (IvfIndex.leafExpr); candidates are only the 2 probed leaves.
+    */
+  private val vAnnPipeline = QueryDef.sqlChecked("v_ann_pipeline")(
+    "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id = 7), " +
+      "assign AS (SELECT vec_id, leaf_id FROM (" +
+      "SELECT e.vec_id, c.cid AS leaf_id, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_inner_product(cast(e.embedding as double[]), c.cv) DESC, c.cid) AS rn " +
+      "FROM embeddings e, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(q.qv, c.cv) DESC, c.cid) AS rn FROM cent c, q) WHERE rn <= 2), " +
+      "scored AS (SELECT e.vec_id, e.label, a.leaf_id, " +
+      "list_inner_product(cast(e.embedding as double[]), q.qv) AS score " +
+      "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid, q WHERE e.vec_id <> 7 AND e.vec_id >= 10), " +
+      "crowded AS (SELECT vec_id, label, leaf_id, score FROM (" +
+      "SELECT vec_id, label, leaf_id, score, row_number() OVER (" +
+      "PARTITION BY label ORDER BY score DESC, vec_id) AS crn FROM scored) WHERE crn <= 2) " +
+      "SELECT vec_id, cast(leaf_id as bigint) AS leaf_id, label, score " +
+      "FROM crowded ORDER BY score DESC, vec_id LIMIT 8"
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+      .toSeq
+    val query = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    // probe: top-2 centroids by dot(query, c), cid-ascending tiebreak
+    val probeLeaves = cents.zipWithIndex.map { case (c, i) =>
+      var dot = 0.0; var j = 0
+      val n = math.min(c.length, query.length)
+      while (j < n) { dot += c(j) * query(j); j += 1 }
+      (dot, i)
+    }.sortBy { case (dot, i) => (-dot, i) }.take(2).map(_._2)
+    val indexed = emb.withColumn("leaf_id",
+      IvfIndex.leafExpr(col("embedding"), cents).cast("bigint"))
+    val scored = indexed
+      .filter(col("leaf_id").isin(probeLeaves.map(_.toLong): _*) &&
+        col("vec_id") =!= 7 && col("vec_id") >= 10)
+      .select(col("vec_id"), col("label"), col("leaf_id"),
+        graft.functions.vectors.dotProduct(col("embedding"),
+          typedLit(query.toSeq)).as("score"))
+    val crowded = Knn.crowd(scored.withColumn("__q", lit(0)),
+      2, "__q", "label", "vec_id", Knn.Dot)
+    Knn.topK(crowded.select("vec_id", "leaf_id", "label", "score"),
+      8, "vec_id", Knn.Dot)
+  }
+
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
-    rSearchE2e, vAnnBuild, vAnnIvf)
+    rSearchE2e, vAnnBuild, vAnnIvf, vAnnPipeline)
 }
