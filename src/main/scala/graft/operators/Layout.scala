@@ -47,9 +47,14 @@ object Layout {
       min(col(b)).cast("long"), max(col(b)).cast("long")).head()
     val (aMin, aMax) = (stats.getLong(0), stats.getLong(1))
     val (bMin, bMax) = (stats.getLong(2), stats.getLong(3))
+    // (c-lo)*65535 overflows Long once the value range nears 1.4e14
+    // (e.g. microsecond epochs) — widen to decimal(38,0) for the
+    // multiply, floor the exact rational after the divide. Identical
+    // to Long integer division on non-overflowing inputs.
     def norm(c: Column, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
-      else (c.cast("long") - lo) * 65535L / (hi - lo)
+      else floor((c.cast("long") - lo).cast("decimal(38,0)") * 65535L /
+        (hi - lo)).cast("long")
     df.withColumn("__z",
         zValue(norm(col(a), aMin, aMax), norm(col(b), bMin, bMax)))
       .repartitionByRange(numFiles, col("__z"))

@@ -22,6 +22,12 @@ object Ingest {
       extends RuntimeException(
         s"$count document(s) exceed the ${text.MaxTokens}-token cap")
 
+  /** dim <= 0 means "infer": probe the embedder with the first
+    * document and measure the returned vector — the reference's
+    * runtime dimension discovery
+    * (/root/reference/vector_store/setup_vector_search.py:35,
+    * common/config.py:31).
+    */
   final case class Config(
       indexPath: String,
       metadataPath: String,
@@ -49,22 +55,36 @@ object Ingest {
     }
     val valid = counted.filter(col("__tokens") <= text.MaxTokens)
 
-    val embedder = new FeatureHashEmbedder(dim = cfg.dim)
+    val dim =
+      if (cfg.dim > 0) cfg.dim
+      else {
+        // probe the model with the first text and measure the vector
+        // (setup_vector_search.py:35 discovers dims the same way)
+        val probe = docs.select(col(textCol)).head().getString(0)
+        new FeatureHashEmbedder().embedOne(probe).length
+      }
+    val embedder = new FeatureHashEmbedder(dim = dim)
     val embedded = embedder.transform(valid, textCol)
 
+    // id from (source id, text): md5(text) alone would collide for two
+    // distinct documents with identical text, and duplicate ids fan
+    // the top-k→metadata join out past k results
+    val dpId = md5(concat_ws("\u0000", col(idCol).cast("string"),
+      col(textCol)))
+
     val datapoints = embedded.select(
-      md5(col(textCol)).as("datapoint_id"),
+      dpId.as("datapoint_id"),
       col("embedding"),
       // categorical restricts, flattened for parquet-stat pushdown
       lit("text").as("file_type"),
       lit("documentation").as("content_type"),
       // numeric restricts
-      lit(cfg.dim.toLong).as("embedding_dimension"),
+      lit(dim.toLong).as("embedding_dimension"),
       length(col(textCol)).cast("bigint").as("content_length"),
       col(crowdingCol).as("crowding_tag"))
 
     val metadata = embedded.select(
-      md5(col(textCol)).as("datapoint_id"),
+      dpId.as("datapoint_id"),
       col(idCol),
       col(textCol).as("content"),
       col("__tokens").as("token_count"),
@@ -97,9 +117,12 @@ object Ingest {
     */
   def search(spark: SparkSession, cfg: Config, queryText: String, k: Int,
       restrict: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val embedder = new FeatureHashEmbedder(dim = cfg.dim)
-    val qVec = embedder.embedOne(queryText).map(_.toDouble).toSeq
     val index = spark.read.parquet(cfg.indexPath)
+    val dim =
+      if (cfg.dim > 0) cfg.dim
+      else index.select(size(col("embedding"))).head().getInt(0)
+    val embedder = new FeatureHashEmbedder(dim = dim)
+    val qVec = embedder.embedOne(queryText).map(_.toDouble).toSeq
     val filtered = restrict.map(index.filter).getOrElse(index)
     val hits = filtered.select(col("datapoint_id"), col("crowding_tag"),
       graft.functions.vectors.dotProduct(col("embedding"), typedLit(qVec))

@@ -99,6 +99,94 @@ object SubqueryQueries {
       .orderBy("hour", "event_type")
   }
 
+  /** Late/out-of-order data under a watermark, end to end in
+    * STRUCTURED STREAMING: the events table is split into three files
+    * (users %2=0, then %4=1, then %4=3) streamed as three ordered
+    * micro-batches (maxFilesPerTrigger=1). Spark filters late rows
+    * with the PREVIOUS batch's eviction watermark (one-batch lag since
+    * 3.4), so batch 2's late filter is max(batch-0 ts) − 1 h: %4=3
+    * rows in hourly windows already closed by it are DROPPED. Append
+    * mode emits exactly the windows passed by the final eviction
+    * watermark, max(all ts) − 1 h (a trailing empty batch runs once
+    * the watermark advances past the last data batch). The oracle
+    * replicates both rules:
+    *   kept = g0 ∪ g1 ∪ (g2 where window_end > max(g0 ts) − 1 h)
+    *   emit = kept windows with window_end ≤ max(all ts) − 1 h
+    * (cutoffs µs-truncated on the DuckDB side to match Spark's µs
+    * timestamps). A regression in the drop or eviction path changes
+    * counts and fails the hash compare.
+    */
+  private val qStreamLate = QueryDef.sqlChecked("q_stream_late")(
+    "WITH ev AS (SELECT ts, user_id, event_type, value, " +
+      "date_trunc('hour', ts) AS h FROM events), " +
+      "cut1 AS (SELECT max(date_trunc('microseconds', ts)) - INTERVAL 1 HOUR AS c " +
+      "FROM ev WHERE user_id % 2 = 0), " +
+      "cutf AS (SELECT max(date_trunc('microseconds', ts)) - INTERVAL 1 HOUR AS c FROM ev), " +
+      "kept AS (SELECT * FROM ev WHERE user_id % 2 = 0 OR user_id % 4 = 1 " +
+      "UNION ALL SELECT * FROM ev WHERE user_id % 4 = 3 " +
+      "AND h + INTERVAL 1 HOUR > (SELECT c FROM cut1)) " +
+      "SELECT strftime(h, '%Y-%m-%d %H:00:00') AS hour, event_type, " +
+      s"count(*) AS n, ${sqlDsum("value", 6)} AS sum_value " +
+      "FROM kept WHERE h + INTERVAL 1 HOUR <= (SELECT c FROM cutf) " +
+      "GROUP BY h, event_type ORDER BY hour, event_type"
+  ) { (s, d) =>
+    val ev = graft.Tables.events(s, d)
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_late_" + java.lang.Integer.toHexString(d.hashCode))
+    val streamDir = base.resolve("stream")
+    def writeOne(df: org.apache.spark.sql.DataFrame, tmpName: String,
+        fileName: String, mtimeMs: Long): Unit = {
+      val tmp = base.resolve(tmpName)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(streamDir)
+      val dest = streamDir.resolve(fileName)
+      java.nio.file.Files.copy(part, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      ()
+    }
+    // wipe any previous stream dir so reruns see exactly two files
+    if (java.nio.file.Files.exists(streamDir)) {
+      java.nio.file.Files.list(streamDir).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .foreach(p => java.nio.file.Files.delete(p))
+    }
+    val now = System.currentTimeMillis()
+    writeOne(ev.filter(col("user_id") % 2 === 0), "f1", "00-ontime.parquet",
+      now - 180000L)
+    writeOne(ev.filter(col("user_id") % 4 === 1), "f2", "01-mid.parquet",
+      now - 120000L)
+    writeOne(ev.filter(col("user_id") % 4 === 3), "f3", "02-late.parquet",
+      now - 60000L)
+    val sinkName = "graft_stream_late"
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(streamDir.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_dec"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory").queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00:00")
+        .as("hour"), col("event_type"), col("n"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(qScalarSub, qInSub, qCorrelated,
-    qStreamHourly)
+    qStreamHourly, qStreamLate)
 }

@@ -52,11 +52,12 @@ class AdvancedSpec extends SparkTestBase {
     assert(sess.agg(sum("n_events")).first().getLong(0) == e.count())
   }
 
-  test("approx distinct is within 10% of exact (default rsd = 5%)") {
+  test("approx distinct stays inside the gate's 5% bound (rsd = 2%)") {
     val rows = SparkEntry.queries("q_approx_distinct")(spark, sf)
-      .select("approx_cust", "exact_cust").as[(Long, Long)].collect()
-    rows.foreach { case (a, e) =>
-      assert(math.abs(a - e).toDouble / e < 0.10, s"approx $a vs exact $e")
+      .select("exact_cust", "within_5pct").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (e, ok) =>
+      assert(ok == 1L, s"HLL error above 5% for a group with exact=$e")
     }
   }
 }

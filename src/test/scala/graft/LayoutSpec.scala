@@ -36,6 +36,30 @@ class LayoutSpec extends SparkTestBase {
     assert(out.count() == ord.count())
   }
 
+  test("z-order normalization survives microsecond-epoch ranges") {
+    // value range ~3e13 us (a year of microsecond timestamps): the old
+    // Long math overflowed at (c-lo)*65535 and produced negative
+    // z-values / a degenerate layout
+    val base = 1700000000000000L
+    val year = 31557600000000L
+    val path = Files.createTempDirectory("graft-zwide").toString + "/wide_z"
+    val df = (0 until 2048).map { i =>
+      (i.toLong, base + (i.toLong * 15411914062L) % year,
+        (i.toLong * 7919L) % 100000L)
+    }.toDF("id", "us", "v")
+    Layout.writeZOrdered(df, path, "us", "v", numFiles = 4)
+    val out = spark.read.parquet(path).withColumn("f", input_file_name())
+    assert(out.count() == 2048)
+    // localized on the wide dimension too — overflow would leave one
+    // of the dimensions unpartitioned
+    val span = out.groupBy("f")
+      .agg((max(col("us")) - min(col("us"))).cast("double").as("s"))
+      .agg(avg("s")).first().getDouble(0)
+    val global = out.agg((max(col("us")) - min(col("us"))).cast("double"))
+      .first().getDouble(0)
+    assert(span < global * 0.8, s"us span $span vs global $global")
+  }
+
   test("z-value is a bijective interleave on 16-bit inputs") {
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
       (12345L, 54321L)).toDF("a", "b")

@@ -14,12 +14,18 @@ class StatefulSpec extends SparkTestBase {
 
     val stream = MemoryStream[Event]
     val all = Tables.events(spark, sf)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("ts").cast("timestamp").as("ts"))
       .as[Event].collect()
     // feed in two micro-batches split by time (sessions span batches)
     val (b1, b2) = all.sortBy(e => (e.us, e.event_id)).splitAt(all.length / 2)
     stream.addData(b1.toIndexedSeq)
-    val q = StatefulSessionize.sessionize(stream.toDS())
+    // watermark delay longer than the event span: nothing is dropped
+    // as late and no idle timeout fires — pure gap-split semantics,
+    // directly comparable with batch
+    val q = StatefulSessionize.sessionize(stream.toDS(),
+        watermarkDelay = "90 days")
       .writeStream.outputMode("append")
       .format("memory").queryName("sess_out").start()
     q.processAllAvailable()
@@ -48,5 +54,33 @@ class StatefulSpec extends SparkTestBase {
       assert(streamed.get(k).contains(v),
         s"session $k: stream=${streamed.get(k)} batch=$v")
     }
+  }
+
+  test("event-time timeout flushes idle trailing sessions") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, id: Long, usOffset: Long): Event = {
+      val us = 1700000000000000L + usOffset
+      Event(u, id, us, new java.sql.Timestamp(us / 1000L))
+    }
+    val stream = MemoryStream[Event]
+    val q = StatefulSessionize.sessionize(stream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_flush").start()
+    // user 1: two events, then silence forever
+    stream.addData(ev(1, 1, 0L), ev(1, 2, 1000000L))
+    q.processAllAvailable()
+    // user 2's events 2h later advance the watermark past user 1's
+    // gap; the timeout fires on the batch AFTER the watermark moves
+    stream.addData(ev(2, 3, 7200000000L))
+    q.processAllAvailable()
+    stream.addData(ev(2, 4, 7210000000L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_flush").as[Session].collect()
+      .filter(_.user_id == 1L)
+    assert(got.nonEmpty, "idle session for user 1 was never flushed")
+    assert(got.head.n_events == 2L)
+    assert(got.head.end_us == 1700000001000000L)
   }
 }
