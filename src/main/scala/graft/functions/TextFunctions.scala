@@ -21,13 +21,20 @@ object text {
   /** Whitespace token count (the reference's token_count analog). */
   def tokenCount(c: Column): Column = size(tokens(c)).cast("bigint")
 
-  /** BPE-ish sub-word count: runs of letters, runs of digits, or single
-    * other non-space chars — a deterministic stand-in for a real BPE
-    * vocabulary (zero-egress: tiktoken downloads are unavailable).
+  /** Pre-tokenizer split count: runs of letters, runs of digits, or
+    * single other non-space chars — the cheap upper-stage heuristic.
+    * For REAL merge-based BPE over the committed vocabulary see
+    * [[bpeMergeCount]].
     */
   val BpePattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit(BpePattern), lit(0))).cast("bigint")
+
+  /** Merge-based BPE token count over the committed offline merge
+    * table (graft/bpe_merges.txt) — see [[BpeCodec]] for the encoding
+    * spec and its exact DuckDB twin.
+    */
+  def bpeMergeCount(c: Column): Column = BpeTokenCount.column(c)
 
   /** Validation predicate, reference cap 2042 (common/config.py:57). */
   val MaxTokens = 2042

@@ -154,16 +154,22 @@ object Relational {
   }
 
   /** Running-total window (analytic frame), exact-decimal accumulation so
-    * the running sum is order-stable. */
+    * the running sum is order-stable. (l_orderkey, l_linenumber) is NOT
+    * unique in this synthetic lineitem, so l_quantity joins the window
+    * order: remaining ties then have equal quantity and any peer
+    * permutation yields identical running values — without it, each
+    * engine's parallel window exec breaks ties its own way and the
+    * intermediate sums flake.
+    */
   private val qWindowRunning = QueryDef.sqlChecked("q_window_running")(
     "SELECT l_suppkey, l_orderkey, l_linenumber, " +
       "cast(sum(cast(l_quantity as decimal(18,2))) OVER " +
-      "(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+      "(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_qty " +
       "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber"
   ) { (s, d) =>
     val w = Window.partitionBy("l_suppkey")
-      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, d)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),

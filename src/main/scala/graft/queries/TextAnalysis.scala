@@ -83,6 +83,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** REAL merge-based BPE token counts over the committed offline
+    * merge table — closes the semantic gap with the reference's
+    * tiktoken validation (embeddings.py:52-60): counts come from
+    * iterated pair merges, not a regex heuristic. The oracle encodes
+    * every word with the IDENTICAL framing + fold-of-replaces (rules
+    * inlined from the same fixture), so the counts hash-match. Also
+    * re-states the 2042 cap (common/config.py:57) against BPE counts.
+    */
+  private val tBpeCount = QueryDef.sqlChecked("t_bpe_count")(
+    "SELECT doc_id, cast(sum(" +
+      graft.functions.BpeCodec.sqlEncodeLen("t") +
+      ") as bigint) AS n_bpe_tokens, " +
+      s"cast(sum(${graft.functions.BpeCodec.sqlEncodeLen("t")}) as bigint) " +
+      s"<= ${text.MaxTokens} AS bpe_valid " +
+      s"FROM (SELECT doc_id, unnest(${sql.tokensOf("text")}) AS t " +
+      "FROM documents) GROUP BY doc_id ORDER BY doc_id"
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      text.bpeMergeCount(col("text")).as("n_bpe_tokens"),
+      (text.bpeMergeCount(col("text")) <= text.MaxTokens).as("bpe_valid"))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprints: md5 + polynomial rolling hash. */
   private val tFingerprint = QueryDef.sqlChecked("t_fingerprint")(
     s"SELECT doc_id, md5(text) AS fp_md5, ${sql.polyHash("text")} AS fp_poly " +
@@ -95,5 +119,6 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(tTokenCount, tQuality, tLangId, tFingerprint)
+  val defs: Seq[QueryDef] = Seq(tTokenCount, tQuality, tLangId, tBpeCount,
+    tFingerprint)
 }

@@ -37,4 +37,42 @@ class TextSpec extends SparkTestBase {
       .filter(col("quality") < 0 || col("quality") > 1)
     assert(bad.count() == 0)
   }
+
+  test("BPE merge table is well-formed (sides are chars or earlier products)") {
+    import graft.functions.BpeCodec
+    val known = scala.collection.mutable.Set.empty[String]
+    BpeCodec.merges.foreach { case (a, b) =>
+      Seq(a, b).foreach { s =>
+        assert(s.length == 1 || known.contains(s),
+          s"rule ($a, $b): '$s' is neither a base char nor an earlier product")
+      }
+      known += (a + b)
+      ()
+    }
+    assert(BpeCodec.merges.map { case (a, b) => s"$a|$b" }.distinct.size ==
+      BpeCodec.merges.size, "duplicate merge rules")
+  }
+
+  test("BPE encode merges known pairs and leaves unknowns as chars") {
+    import graft.functions.BpeCodec
+    assert(BpeCodec.encodeCount("the") == 1)   // t h -> th, th e -> the
+    assert(BpeCodec.encodeCount("thin") == 2)  // th + in
+    assert(BpeCodec.encodeCount("xyz") == 3)   // no rule applies
+    assert(BpeCodec.encodeCount("q") == 1)
+    assert(BpeCodec.encodeCount("ingesting") > 1) // partial merges still shrink
+    assert(BpeCodec.encodeCount("ingesting") < 9)
+  }
+
+  test("BPE column expression sums per-word counts") {
+    val got = Seq("the thin xyz", "", "   ").toDF("t")
+      .select(text.bpeMergeCount(col("t"))).as[Long].collect().toSeq
+    assert(got == Seq(1L + 2L + 3L, 0L, 0L))
+    // counts never exceed characters and are >= 1 per word
+    val docs = Tables.documents(spark, sf).limit(50)
+    val bad = docs.select(text.bpeMergeCount(col("t" + "ext")).as("n"),
+      text.tokenCount(col("text")).as("w"),
+      length(col("text")).as("c"))
+      .filter(col("n") < col("w") || col("n") > col("c"))
+    assert(bad.count() == 0)
+  }
 }
