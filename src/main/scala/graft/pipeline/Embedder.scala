@@ -24,17 +24,18 @@ import org.apache.spark.sql.functions._
 object SparseEmbed {
   val Dim = 32
 
-  /** token → dimension index: polyHash mod Dim. */
-  def dimIdx(tok: Column): Column = text.polyHash(tok) % Dim
+  /** token → dimension index: polyHash mod dim. */
+  def dimIdx(tok: Column, dim: Int = Dim): Column = text.polyHash(tok) % dim
 
   /** token → ±1 sign from hash bit 5. */
   def sign(tok: Column): Column =
     shiftright(text.polyHash(tok), 5).bitwiseAND(lit(1L)) * 2L - 1L
 
   /** (idCol, text) → (id, idx, w): sparse integer embedding rows. */
-  def embed(df: DataFrame, id: String, textCol: String): DataFrame =
+  def embed(df: DataFrame, id: String, textCol: String,
+      dim: Int = Dim): DataFrame =
     df.select(col(id), explode(text.tokens(col(textCol))).as("t"))
-      .select(col(id), dimIdx(col("t")).as("idx"), sign(col("t")).as("s"))
+      .select(col(id), dimIdx(col("t"), dim).as("idx"), sign(col("t")).as("s"))
       .groupBy(col(id), col("idx"))
       .agg(sum(col("s")).as("w"))
       .filter(col("w") =!= 0)
@@ -42,9 +43,10 @@ object SparseEmbed {
   /** Matching DuckDB fragments. */
   object sql {
     import graft.functions.text.{sql => tsql}
-    def embedCte(alias: String, idCol: String = "doc_id"): String =
+    def embedCte(alias: String, idCol: String = "doc_id",
+        dim: Int = Dim): String =
       s"$alias AS (SELECT $idCol, idx, cast(sum(s) as bigint) AS w FROM (" +
-        s"SELECT $idCol, ${tsql.polyHash("t")} % ${SparseEmbed.Dim} AS idx, " +
+        s"SELECT $idCol, ${tsql.polyHash("t")} % $dim AS idx, " +
         s"((${tsql.polyHash("t")} >> 5) & 1) * 2 - 1 AS s " +
         s"FROM (SELECT $idCol, unnest(${tsql.tokensOf("text")}) AS t FROM documents)) " +
         s"GROUP BY $idCol, idx HAVING sum(s) <> 0)"

@@ -128,6 +128,46 @@ object DedupQueries {
       .orderBy("da")
   }
 
+  /** Embedding-cosine near-dup via SRP-LSH (Charikar sign-random-
+    * projection): 56-bit sign signatures over 256-dim sparse INTEGER
+    * document embeddings, 7 byte-band equi-joins for candidates, and
+    * an integer-exact cosine ≥ 0.9 verify (dot>0 ∧ 100·dot² ≥
+    * 81·na·nb) — no floating point anywhere, so the oracle (which
+    * replicates signatures, banding, and verify in bigint SQL)
+    * hash-matches exactly. The brute-force d_cosine_pairs remains the
+    * recall baseline; this is the shape that runs at 100 TB.
+    */
+  private val dSrpLsh = {
+    val dim = 256
+    val stride = graft.operators.SrpLsh.Stride
+    val bandPred = (0 until 7).map(b =>
+      s"((a.srp >> ${b * 8}) & 255) = ((b.srp >> ${b * 8}) & 255)")
+      .mkString(" OR ")
+    QueryDef.sqlChecked("d_srp_lsh")(
+      s"WITH ${graft.pipeline.SparseEmbed.sql.embedCte("docvec", "doc_id", dim)}, " +
+        "sigbits AS (SELECT doc_id, j, sum(w * CASE WHEN " +
+        s"((((cast(1103515245 as bigint)*(j*$stride+idx)+12345) % 2147483647) >> 20) & 1) = 0 " +
+        "THEN 1 ELSE -1 END) AS s " +
+        "FROM docvec CROSS JOIN (SELECT unnest(range(0, 56)) AS j) GROUP BY doc_id, j), " +
+        "sig AS (SELECT doc_id, cast(sum(CASE WHEN s >= 0 " +
+        "THEN (cast(1 as bigint) << j) ELSE 0 END) as bigint) AS srp " +
+        "FROM sigbits GROUP BY doc_id), " +
+        "cand AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sig a " +
+        s"JOIN sig b ON a.doc_id < b.doc_id AND ($bandPred)), " +
+        "norms AS (SELECT doc_id, cast(sum(w*w) as bigint) AS n2 FROM docvec GROUP BY doc_id), " +
+        "dots AS (SELECT c.da, c.db, cast(sum(a.w*b.w) as bigint) AS dot " +
+        "FROM cand c JOIN docvec a ON a.doc_id = c.da " +
+        "JOIN docvec b ON b.doc_id = c.db AND b.idx = a.idx GROUP BY 1, 2) " +
+        "SELECT d.da, d.db, d.dot, x.n2 AS na, y.n2 AS nb " +
+        "FROM dots d JOIN norms x ON d.da = x.doc_id JOIN norms y ON d.db = y.doc_id " +
+        "WHERE d.dot > 0 AND 100*d.dot*d.dot >= 81*x.n2*y.n2 ORDER BY da, db"
+    ) { (s, d) =>
+      val dv = graft.pipeline.SparseEmbed.embed(
+        Tables.documents(s, d), "doc_id", "text", dim)
+      graft.operators.SrpLsh.nearDupPairs(dv, "doc_id").orderBy("da", "db")
+    }
+  }
+
   /** Embedding-cosine near-dup pairs (brute-force baseline). */
   private val dCosinePairs = QueryDef.sqlChecked("d_cosine_pairs")(
     "SELECT a.vec_id AS ida, b.vec_id AS idb, " +
@@ -166,5 +206,5 @@ object DedupQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
-    dSimhash, dSimhashPairs, dSimhashBanded, dCosinePairs, dClusters)
+    dSimhash, dSimhashPairs, dSimhashBanded, dSrpLsh, dCosinePairs, dClusters)
 }

@@ -105,6 +105,29 @@ class DedupSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(ql)
   }
 
+  test("SRP-LSH finds near-identical embedding pairs with high recall") {
+    import graft.operators.SrpLsh
+    import graft.pipeline.SparseEmbed
+    val dv = SparseEmbed.embed(docs, "doc_id", "text", dim = 256).cache()
+    // brute-force ground truth at the same integer cosine >= 0.9
+    val a = dv.select(col("doc_id").as("da"), col("idx"), col("w").as("wa"))
+    val b = dv.select(col("doc_id").as("db"), col("idx"), col("w").as("wb"))
+    val norms = dv.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val brute = a.join(b, "idx").filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("da"), col("n2").as("na")), "da")
+      .join(norms.select(col("doc_id").as("db"), col("n2").as("nb")), "db")
+      .filter(col("dot") > 0 &&
+        lit(100L) * col("dot") * col("dot") >= lit(81L) * col("na") * col("nb"))
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val banded = SrpLsh.nearDupPairs(dv, "doc_id")
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(banded.subsetOf(brute), "banded+verified must be a subset")
+    val recall = banded.size.toDouble / brute.size
+    assert(recall >= 0.7, s"SRP recall = $recall (${banded.size}/${brute.size})")
+  }
+
   test("identical texts get identical simhash, hamming 0") {
     val sim = Dedup.simhash(
       docs.limit(2).unionAll(docs.limit(2)
