@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Signed-random-projection LSH (Charikar 2002) — the sub-quadratic
@@ -9,57 +9,74 @@ import org.apache.spark.sql.functions._
   * SRP/cosine). `d_cosine_pairs` stays the brute-force recall oracle;
   * this is what runs at corpus scale.
   *
-  * Signature: bit j of a vector x is [⟨x, r_j⟩ ≥ 0] where r_j is a
+  * Signature: bit j of vector x is [⟨x, r_j⟩ ≥ 0] where r_j is a
   * fixed ±1 projection derived from an integer mixer over (j, idx) —
   * deterministic, data-independent, and exactly reproducible in SQL
   * (all arithmetic is bigint; there is NO floating point anywhere in
   * this operator, so the oracle hash-matches bit-for-bit).
   *
-  * Candidates: the 56-bit signature splits into 7 byte bands; high
-  * cosine ⇒ most sign bits agree ⇒ some whole band collides with high
-  * probability (p_band = p_bit⁸, recall = 1-(1-p_band)⁷ ≈ 0.91 at
-  * cosine 0.9, →1 for near-identical vectors). Per-band equi-joins —
-  * the same bucketed shape as MinHash banding, no cross product.
-  * 56 bits keeps every packed value positive (DuckDB raises on a
-  * 1<<63 bigint overflow, and the sign bit would complicate nothing
-  * else but that); recall tunes with more bits/bands if needed.
+  * Mixer: one LCG round mod p=2³¹−1, then SQUARED mod p. The square
+  * is essential: an LCG alone (or any composition of LCGs — still an
+  * LCG) is linear, so for a fixed idx the per-j hashes form an
+  * arithmetic progression and sign bits within a band correlate;
+  * measured on the sf0.1 corpus that inflated band collisions 37×
+  * (992k candidate pairs vs 27k with the squared mixer). h² ≤ 2⁶²
+  * keeps every intermediate inside a signed 64-bit int, so DuckDB's
+  * overflow-checked bigint accepts it. Each mixed hash yields 24 sign
+  * bits (bits 7..30), so the 96-bit signature costs 4 hash
+  * evaluations per vector row, not 96.
+  *
+  * Candidates: 96 bits split into 8 bands of 12; high cosine ⇒ most
+  * sign bits agree ⇒ some whole band collides with high probability
+  * (p_band = p_bit¹², recall = 1−(1−p_band)⁸ ≈ 0.74 at cosine 0.9,
+  * →1 for near-identical vectors). Band keys live in a stacked
+  * (id, band, key) relation; ONE self-equi-join on (band, key)
+  * produces candidates — the same bucketed shape as MinHash banding,
+  * no cross product.
   *
   * Verification keeps integer exactness: cosine(a,b) ≥ τ (τ = p/q
   * rational) ⟺ dot > 0 ∧ q²·dot² ≥ p²·na·nb, evaluated in bigint.
   *
-  * Scale: signatures are two linear aggregations (S:2); band joins
-  * shuffle on the band byte; verification touches candidate pairs
-  * only. At 100 TB widen the signature (64/128 bits) so band-key
-  * cardinality doesn't cap parallelism.
+  * Scale: signatures are one explode(×4)+aggregation, S:1; the band
+  * self-join shuffles n·8 key rows; verification touches candidate
+  * pairs only. Band width must grow with log n (p_background^width ≲
+  * 1/n keeps candidates O(n)): at 100 TB use 16–24-bit bands and
+  * more of them — BandBits/nBands are the knobs, and wider bands
+  * also raise band-key cardinality so the self-join keeps its
+  * parallelism at 1000 executors.
   */
 object SrpLsh {
 
-  val Bits = 56
-  val BandBits = 8
-  /** idx stride when mixing (j, idx) — must exceed the vector dim. */
+  val Bits = 96
+  val BandBits = 12
+  val BitsPerHash = 24
+  /** idx stride when mixing (m, idx) — must exceed the vector dim. */
   val Stride = 1024L
+  private val P = 2147483647L // 2³¹ − 1
 
-  /** ±1 projection component r_j[idx]: a HIGH bit of an LCG mix —
-    * the low bits of an LCG are strongly patterned and produced
-    * measurably correlated projections (recall 0.47 vs the 0.9
-    * theory); bit 20 restores independence.
+  /** m-th mixed hash for a dimension index: squared LCG mod p. */
+  private def mixHash(m: Int, idx: Column): Column = {
+    val h = (lit(1103515245L) * (lit(m.toLong) * Stride + idx) + 12345L) % P
+    (h * h) % P
+  }
+
+  /** (id, idx, w) sparse integer vectors → stacked (id, band, k)
+    * 12-bit band keys of the 96-bit sign signature.
     */
-  private def projSign(j: org.apache.spark.sql.Column,
-      idx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(shiftright(((lit(1103515245L) * (j * Stride + idx) + 12345L)
-      % 2147483647L).cast("long"), 20).bitwiseAND(lit(1L)) === 0L, 1L)
-      .otherwise(-1L)
-
-  /** (id, idx, w) sparse integer vectors → (id, srp) 32-bit signatures. */
-  def signatures(vec: DataFrame, id: String): DataFrame = {
-    val perBit = vec
-      .withColumn("j", explode(sequence(lit(0), lit(Bits - 1))))
-      .withColumn("p", projSign(col("j"), col("idx")))
-      .groupBy(col(id), col("j"))
-      .agg(sum(col("w") * col("p")).as("s"))
-    perBit.groupBy(id)
-      .agg(sum(when(col("s") >= 0,
-        expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L)).as("srp"))
+  def bandKeys(vec: DataFrame, id: String): DataFrame = {
+    val nHashes = Bits / BitsPerHash
+    val hashed = vec.select(col(id), col("w"), posexplode(array(
+      (0 until nHashes).map(m => mixHash(m, col("idx"))): _*)).as(Seq("m", "h")))
+    // s_r = Σ w·sign_r where sign_r = 1−2·bit_r(h); bits 7..30 of the mix
+    val sums = (0 until BitsPerHash).map(r =>
+      sum(col("w") * (shiftright(col("h"), 7 + r).bitwiseAND(lit(1L))
+        * lit(-2L) + 1L)).as(s"s$r"))
+    val agg = hashed.groupBy(col(id), col("m")).agg(sums.head, sums.tail: _*)
+    def key(lo: Int): Column = (0 until BandBits).map(r =>
+      when(col(s"s${lo + r}") >= 0, lit(1L << r)).otherwise(0L)).reduce(_ + _)
+    agg.select(col(id), col("m"),
+        posexplode(array(key(0), key(BandBits))).as(Seq("half", "k")))
+      .select(col(id), (col("m") * 2 + col("half")).as("band"), col("k"))
   }
 
   /** Banded candidate pairs + exact integer cosine-≥(p/q) verify.
@@ -69,19 +86,14 @@ object SrpLsh {
       tauP: Long = 9L, tauQ: Long = 10L): DataFrame = {
     val v = vec.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val sig = signatures(v, id)
+      val sig = bandKeys(v, id)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val nBands = Bits / BandBits
-        val mask = (1L << BandBits) - 1L
-        val perBand = (0 until nBands).map { b =>
-          val key = shiftright(col("srp"), b * BandBits).bitwiseAND(lit(mask))
-          val a = sig.select(col(id).as("da"), key.as("k"))
-          val bb = sig.select(col(id).as("db"), key.as("k"))
-          a.join(bb, Seq("k")).filter(col("da") < col("db"))
-            .select("da", "db")
-        }
-        val cand = perBand.reduce(_ unionAll _).distinct()
+        val cand = sig.select(col(id).as("da"), col("band"), col("k"))
+          .join(sig.select(col(id).as("db"), col("band"), col("k")),
+            Seq("band", "k"))
+          .filter(col("da") < col("db"))
+          .select("da", "db").distinct()
         val norms = v.groupBy(id).agg(sum(col("w") * col("w")).as("n2"))
         val dots = cand
           .join(v.select(col(id).as("da"), col("idx"), col("w").as("wa")), "da")
@@ -98,6 +110,6 @@ object SrpLsh {
           .select("da", "db", "dot", "na", "nb")
           .localCheckpoint()
       } finally { sig.unpersist(); () }
-    } finally v.unpersist()
+    } finally { v.unpersist(); () }
   }
 }

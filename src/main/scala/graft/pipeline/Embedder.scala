@@ -40,6 +40,43 @@ object SparseEmbed {
       .agg(sum(col("s")).as("w"))
       .filter(col("w") =!= 0)
 
+  /** Shingle-space embedding dimension (2¹⁰ hashed 3-gram buckets). */
+  val ShingleDim = 1024
+  private val ShingleB = 1000003L // token-hash combiner base
+  private val ShingleP = 1000000007L
+
+  /** (idCol, text) → (id, idx, w) over hashed word-3-gram space.
+    *
+    * Word-salad corpora share most of their VOCABULARY, so unigram
+    * cosine runs ~0.65 between unrelated documents and no threshold
+    * separates near-dups (measured at sf0.1: 2.3M background pairs in
+    * cosine [0.75, 0.85)). Shingles carry word ORDER — background
+    * drops under 0.3 while true near-dups stay ≈1 — the same reason
+    * the Jaccard/MinHash path shingles. The shingle hash combines the
+    * three token polyHashes arithmetically (h₁·B+h₂ mod p, ·B+h₃
+    * mod p; every intermediate < 10¹⁵) instead of re-hashing the
+    * concatenated string per character — ~10× less hash work per
+    * shingle. idx and sign come from the complementary div/mod 1024
+    * split of the shingle hash.
+    */
+  def embedShingles(df: DataFrame, id: String, textCol: String): DataFrame = {
+    val th = df.select(col(id),
+      transform(text.tokens(col(textCol)), t => text.polyHash(t)).as("hs"))
+    // lambda reads the bound `hs` column, not the tokens expression —
+    // re-evaluating the hash transform per shingle would be O(tokens²)
+    val sh = th.select(col(id), explode(when(size(col("hs")) >= 3,
+      transform(sequence(lit(1), size(col("hs")) - 2),
+        i => ((element_at(col("hs"), i) * ShingleB
+          + element_at(col("hs"), i + 1)) % ShingleP * ShingleB
+          + element_at(col("hs"), i + 2)) % ShingleP))
+      .otherwise(array().cast("array<long>"))).as("sh"))
+    sh.select(col(id), (col("sh") % ShingleDim).as("idx"),
+        (expr(s"sh div $ShingleDim") % 2L * 2L - 1L).as("s"))
+      .groupBy(col(id), col("idx"))
+      .agg(sum(col("s")).as("w"))
+      .filter(col("w") =!= 0)
+  }
+
   /** Matching DuckDB fragments. */
   object sql {
     import graft.functions.text.{sql => tsql}
@@ -50,6 +87,21 @@ object SparseEmbed {
         s"((${tsql.polyHash("t")} >> 5) & 1) * 2 - 1 AS s " +
         s"FROM (SELECT $idCol, unnest(${tsql.tokensOf("text")}) AS t FROM documents)) " +
         s"GROUP BY $idCol, idx HAVING sum(s) <> 0)"
+
+    /** CTE chain replicating [[embedShingles]]: token polyHash list →
+      * combined shingle hashes → (id, idx, w). Mirrors the 1-indexed,
+      * end-exclusive window of `shinglesOfTokens`.
+      */
+    def shingleEmbedCte(alias: String, idCol: String = "doc_id"): String =
+      s"__th AS (SELECT $idCol, list_transform(${tsql.tokensOf("text")}, " +
+        s"t -> ${tsql.polyHash("t")}) AS hs FROM documents), " +
+        s"__sh AS (SELECT $idCol, unnest(CASE WHEN len(hs) >= 3 THEN " +
+        s"list_transform(range(1, len(hs) - 1), " +
+        s"i -> ((hs[i] * $ShingleB + hs[i+1]) % $ShingleP * $ShingleB " +
+        s"+ hs[i+2]) % $ShingleP) ELSE [] END) AS sh FROM __th), " +
+        s"$alias AS (SELECT $idCol, sh % $ShingleDim AS idx, " +
+        s"cast(sum((sh // $ShingleDim) % 2 * 2 - 1) as bigint) AS w " +
+        s"FROM __sh GROUP BY $idCol, idx HAVING sum((sh // $ShingleDim) % 2 * 2 - 1) <> 0)"
   }
 }
 

@@ -129,31 +129,35 @@ object DedupQueries {
   }
 
   /** Embedding-cosine near-dup via SRP-LSH (Charikar sign-random-
-    * projection): 56-bit sign signatures over 256-dim sparse INTEGER
-    * document embeddings, 7 byte-band equi-joins for candidates, and
-    * an integer-exact cosine ≥ 0.9 verify (dot>0 ∧ 100·dot² ≥
-    * 81·na·nb) — no floating point anywhere, so the oracle (which
-    * replicates signatures, banding, and verify in bigint SQL)
-    * hash-matches exactly. The brute-force d_cosine_pairs remains the
-    * recall baseline; this is the shape that runs at 100 TB.
+    * projection) over hashed word-3-gram sparse INTEGER embeddings:
+    * 96-bit sign signatures (squared-LCG mixer — see SrpLsh scaladoc
+    * for why linear mixing correlates band bits), 8×12-bit band keys
+    * joined in ONE stacked self-equi-join for candidates, and an
+    * integer-exact cosine ≥ 0.9 verify (dot>0 ∧ 100·dot² ≥ 81·na·nb)
+    * — no floating point anywhere, so the oracle (which replicates
+    * embedding, signatures, banding, and verify in bigint SQL)
+    * hash-matches exactly. Shingle space (not unigram) because the
+    * corpus shares most vocabulary: unigram background cosine ≈ 0.65
+    * makes every threshold non-separable; word order separates it
+    * (see SparseEmbed.embedShingles). The brute-force d_cosine_pairs
+    * remains the recall baseline; this is the shape that runs at
+    * 100 TB.
     */
   private val dSrpLsh = {
-    val dim = 256
     val stride = graft.operators.SrpLsh.Stride
-    val bandPred = (0 until 7).map(b =>
-      s"((a.srp >> ${b * 8}) & 255) = ((b.srp >> ${b * 8}) & 255)")
-      .mkString(" OR ")
     QueryDef.sqlChecked("d_srp_lsh")(
-      s"WITH ${graft.pipeline.SparseEmbed.sql.embedCte("docvec", "doc_id", dim)}, " +
-        "sigbits AS (SELECT doc_id, j, sum(w * CASE WHEN " +
-        s"((((cast(1103515245 as bigint)*(j*$stride+idx)+12345) % 2147483647) >> 20) & 1) = 0 " +
-        "THEN 1 ELSE -1 END) AS s " +
-        "FROM docvec CROSS JOIN (SELECT unnest(range(0, 56)) AS j) GROUP BY doc_id, j), " +
-        "sig AS (SELECT doc_id, cast(sum(CASE WHEN s >= 0 " +
-        "THEN (cast(1 as bigint) << j) ELSE 0 END) as bigint) AS srp " +
-        "FROM sigbits GROUP BY doc_id), " +
-        "cand AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sig a " +
-        s"JOIN sig b ON a.doc_id < b.doc_id AND ($bandPred)), " +
+      s"WITH ${graft.pipeline.SparseEmbed.sql.shingleEmbedCte("docvec", "doc_id")}, " +
+        "mix AS (SELECT doc_id, w, m, " +
+        s"(((cast(1103515245 as bigint)*(m*$stride+idx)+12345) % 2147483647) * " +
+        s"((cast(1103515245 as bigint)*(m*$stride+idx)+12345) % 2147483647)) % 2147483647 AS h " +
+        "FROM docvec CROSS JOIN (SELECT unnest(range(0, 4)) AS m)), " +
+        "sums AS (SELECT doc_id, m, r, sum(w * (1 - 2*((h >> (7+r)) & 1))) AS s " +
+        "FROM mix CROSS JOIN (SELECT unnest(range(0, 24)) AS r) GROUP BY doc_id, m, r), " +
+        "bandkeys AS (SELECT doc_id, m*2 + r//12 AS band, " +
+        "cast(sum(CASE WHEN s >= 0 THEN (cast(1 as bigint) << (r % 12)) ELSE 0 END) as bigint) AS k " +
+        "FROM sums GROUP BY doc_id, m*2 + r//12), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bandkeys a " +
+        "JOIN bandkeys b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id), " +
         "norms AS (SELECT doc_id, cast(sum(w*w) as bigint) AS n2 FROM docvec GROUP BY doc_id), " +
         "dots AS (SELECT c.da, c.db, cast(sum(a.w*b.w) as bigint) AS dot " +
         "FROM cand c JOIN docvec a ON a.doc_id = c.da " +
@@ -162,8 +166,8 @@ object DedupQueries {
         "FROM dots d JOIN norms x ON d.da = x.doc_id JOIN norms y ON d.db = y.doc_id " +
         "WHERE d.dot > 0 AND 100*d.dot*d.dot >= 81*x.n2*y.n2 ORDER BY da, db"
     ) { (s, d) =>
-      val dv = graft.pipeline.SparseEmbed.embed(
-        Tables.documents(s, d), "doc_id", "text", dim)
+      val dv = graft.pipeline.SparseEmbed.embedShingles(
+        Tables.documents(s, d), "doc_id", "text")
       graft.operators.SrpLsh.nearDupPairs(dv, "doc_id").orderBy("da", "db")
     }
   }

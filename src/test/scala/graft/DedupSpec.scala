@@ -108,7 +108,7 @@ class DedupSpec extends SparkTestBase {
   test("SRP-LSH finds near-identical embedding pairs with high recall") {
     import graft.operators.SrpLsh
     import graft.pipeline.SparseEmbed
-    val dv = SparseEmbed.embed(docs, "doc_id", "text", dim = 256).cache()
+    val dv = SparseEmbed.embedShingles(docs, "doc_id", "text").cache()
     // brute-force ground truth at the same integer cosine >= 0.9
     val a = dv.select(col("doc_id").as("da"), col("idx"), col("w").as("wa"))
     val b = dv.select(col("doc_id").as("db"), col("idx"), col("w").as("wb"))
