@@ -26,7 +26,7 @@ object Dedup {
   val P = 1000000007L
   val MinhashA = Seq(131L, 137L, 139L, 149L, 151L, 157L, 163L, 167L)
   val MinhashB = Seq(17L, 29L, 41L, 53L, 67L, 79L, 97L, 113L)
-  val SimhashBits = 32
+  val SimhashBits = 60
 
   /** Keep the first row (by `order`) of every `key` group. */
   def exactFirst(df: DataFrame, key: Column, order: Column): DataFrame = {
@@ -115,20 +115,39 @@ object Dedup {
     } finally s.unpersist()
   }
 
-  /** 32-bit SimHash over the token-hash multiset. */
+  /** 60-bit SimHash over the shingle-hash multiset (Manku et al.
+    * 2007 shape: simhash of weighted features; here features are
+    * word-3-gram hashes with unit weight).
+    *
+    * Shingles, not tokens: on a shared-vocabulary corpus token-level
+    * simhash bits are dominated by the common vocabulary — measured
+    * at sf0.1, 13% of ALL pairs landed within Hamming 3 and the
+    * byte-banded candidate join degenerated to 94% of the cross
+    * product. Word order decorrelates the bits the same way it fixed
+    * the SRP embedding (SparseEmbed.embedShingles).
+    *
+    * 60 bits from a ~30-bit hash: half 0 takes bits 0..29 of the
+    * shingle hash, half 1 bits 0..29 of its square mod p (the same
+    * nonlinear mix SrpLsh uses — squaring, unlike any LCG round,
+    * breaks linear correlation; h² < 2⁶² stays bigint-safe). Wider
+    * fingerprints make 15-bit bands possible (4 bands ⇒ Hamming ≤ 3
+    * pigeonhole), 128× more selective than byte bands.
+    */
   def simhash(docs: DataFrame, id: String, textCol: String): DataFrame = {
-    val th = docs
-      .select(col(id), explode(text.tokens(col(textCol))).as("t"))
-      .select(col(id), text.polyHash(col("t")).as("h"))
-    val bitAggs = (0 until SimhashBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$j")
+    val half = SimhashBits / 2
+    val g = graft.pipeline.SparseEmbed.shingleHashes(docs, id, textCol)
+      .select(col(id), posexplode(array(col("sh"),
+        (col("sh") * col("sh")) % P)).as(Seq("half", "g")))
+    val bitAggs = (0 until half).map { j =>
+      sum(shiftright(col("g"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"b$j")
     }
-    val bits = th.groupBy(id).agg(bitAggs.head, bitAggs.tail: _*)
-    val sim = (0 until SimhashBits).map { j =>
+    val bits = g.groupBy(col(id), col("half")).agg(bitAggs.head, bitAggs.tail: _*)
+    val packed = (0 until half).map { j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
-    bits.select(col(id), sim.as("simhash"))
+    bits.select(col(id),
+        (packed * when(col("half") === 0, 1L).otherwise(1L << half)).as("ph"))
+      .groupBy(id).agg(sum("ph").as("simhash"))
   }
 
   /** Connected components over a near-dup pair set: iterative min-
@@ -217,11 +236,12 @@ object Dedup {
   def simhashBandedPairs(sim: DataFrame, id: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
-      s"4 byte-bands guarantee recall only for Hamming <= 3, got $maxHamming")
+      s"4 bands guarantee recall only for Hamming <= 3, got $maxHamming")
     val s = sim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val perBand = (0 until 4).map { bi =>
-        val key = shiftright(col("simhash"), bi * 8).bitwiseAND(lit(255L))
+        val key = shiftright(col("simhash"), bi * (SimhashBits / 4))
+          .bitwiseAND(lit((1L << (SimhashBits / 4)) - 1L))
         val a = s.select(col(id).as("da"), col("simhash").as("sa"), key.as("k"))
         val b = s.select(col(id).as("db"), col("simhash").as("sb"), key.as("k"))
         a.join(b, Seq("k")).filter(col("da") < col("db"))

@@ -59,22 +59,28 @@ object SparseEmbed {
     * shingle. idx and sign come from the complementary div/mod 1024
     * split of the shingle hash.
     */
-  def embedShingles(df: DataFrame, id: String, textCol: String): DataFrame = {
+  def embedShingles(df: DataFrame, id: String, textCol: String): DataFrame =
+    shingleHashes(df, id, textCol)
+      .select(col(id), (col("sh") % ShingleDim).as("idx"),
+        (expr(s"sh div $ShingleDim") % 2L * 2L - 1L).as("s"))
+      .groupBy(col(id), col("idx"))
+      .agg(sum(col("s")).as("w"))
+      .filter(col("w") =!= 0)
+
+  /** (idCol, text) → (id, sh) hashed word-3-gram rows (multiset —
+    * one row per shingle occurrence). Docs under 3 tokens vanish.
+    */
+  def shingleHashes(df: DataFrame, id: String, textCol: String): DataFrame = {
     val th = df.select(col(id),
       transform(text.tokens(col(textCol)), t => text.polyHash(t)).as("hs"))
     // lambda reads the bound `hs` column, not the tokens expression —
     // re-evaluating the hash transform per shingle would be O(tokens²)
-    val sh = th.select(col(id), explode(when(size(col("hs")) >= 3,
+    th.select(col(id), explode(when(size(col("hs")) >= 3,
       transform(sequence(lit(1), size(col("hs")) - 2),
         i => ((element_at(col("hs"), i) * ShingleB
           + element_at(col("hs"), i + 1)) % ShingleP * ShingleB
           + element_at(col("hs"), i + 2)) % ShingleP))
       .otherwise(array().cast("array<long>"))).as("sh"))
-    sh.select(col(id), (col("sh") % ShingleDim).as("idx"),
-        (expr(s"sh div $ShingleDim") % 2L * 2L - 1L).as("s"))
-      .groupBy(col(id), col("idx"))
-      .agg(sum(col("s")).as("w"))
-      .filter(col("w") =!= 0)
   }
 
   /** Matching DuckDB fragments. */
@@ -88,17 +94,23 @@ object SparseEmbed {
         s"FROM (SELECT $idCol, unnest(${tsql.tokensOf("text")}) AS t FROM documents)) " +
         s"GROUP BY $idCol, idx HAVING sum(s) <> 0)"
 
-    /** CTE chain replicating [[embedShingles]]: token polyHash list →
-      * combined shingle hashes → (id, idx, w). Mirrors the 1-indexed,
-      * end-exclusive window of `shinglesOfTokens`.
+    /** CTE pair replicating [[shingleHashes]]: `__sh` is (id, sh).
+      * Mirrors the 1-indexed, end-exclusive window of
+      * `shinglesOfTokens`.
       */
-    def shingleEmbedCte(alias: String, idCol: String = "doc_id"): String =
+    def shingleHashCtes(idCol: String = "doc_id"): String =
       s"__th AS (SELECT $idCol, list_transform(${tsql.tokensOf("text")}, " +
         s"t -> ${tsql.polyHash("t")}) AS hs FROM documents), " +
         s"__sh AS (SELECT $idCol, unnest(CASE WHEN len(hs) >= 3 THEN " +
         s"list_transform(range(1, len(hs) - 1), " +
         s"i -> ((hs[i] * $ShingleB + hs[i+1]) % $ShingleP * $ShingleB " +
-        s"+ hs[i+2]) % $ShingleP) ELSE [] END) AS sh FROM __th), " +
+        s"+ hs[i+2]) % $ShingleP) ELSE [] END) AS sh FROM __th)"
+
+    /** CTE chain replicating [[embedShingles]] on top of
+      * [[shingleHashCtes]]: (id, idx, w).
+      */
+    def shingleEmbedCte(alias: String, idCol: String = "doc_id"): String =
+      s"${shingleHashCtes(idCol)}, " +
         s"$alias AS (SELECT $idCol, sh % $ShingleDim AS idx, " +
         s"cast(sum((sh // $ShingleDim) % 2 * 2 - 1) as bigint) AS w " +
         s"FROM __sh GROUP BY $idCol, idx HAVING sum((sh // $ShingleDim) % 2 * 2 - 1) <> 0)"

@@ -26,15 +26,24 @@ object DedupQueries {
     "((a.m1 = b.m1 AND a.m2 = b.m2) OR (a.m3 = b.m3 AND a.m4 = b.m4) OR " +
       "(a.m5 = b.m5 AND a.m6 = b.m6) OR (a.m7 = b.m7 AND a.m8 = b.m8))"
 
+  /** 60-bit shingle simhash CTE — replicates Dedup.simhash: two mixed
+    * 30-bit halves (shingle hash, its square mod p) per shingle row.
+    */
   private val SimhashCte = {
-    val bitsum = (0 until Dedup.SimhashBits).map(j =>
-      s"sum(CASE WHEN (h>>$j)&1=1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
-    val simexpr = (0 until Dedup.SimhashBits).map(j =>
+    val half = Dedup.SimhashBits / 2
+    val bitsum = (0 until half).map(j =>
+      s"sum(2*((g>>$j)&1)-1) AS b$j").mkString(", ")
+    val packexpr = (0 until half).map(j =>
       s"(CASE WHEN b$j>0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    s"WITH th AS (SELECT doc_id, ${sql.polyHash("t")} AS h " +
-      s"FROM (SELECT doc_id, unnest(${sql.tokensOf("text")}) AS t FROM documents)), " +
-      s"bits AS (SELECT doc_id, $bitsum FROM th GROUP BY doc_id), " +
-      s"sim AS (SELECT doc_id, $simexpr AS simhash FROM bits)"
+    s"WITH ${graft.pipeline.SparseEmbed.sql.shingleHashCtes("doc_id")}, " +
+      "g AS (SELECT doc_id, half, CASE WHEN half = 0 THEN sh " +
+      s"ELSE (sh*sh) % ${Dedup.P} END AS g " +
+      "FROM __sh CROSS JOIN (SELECT unnest(range(0, 2)) AS half)), " +
+      s"bits AS (SELECT doc_id, half, $bitsum FROM g GROUP BY doc_id, half), " +
+      s"halves AS (SELECT doc_id, half, cast($packexpr as bigint) AS ph FROM bits), " +
+      "sim AS (SELECT doc_id, cast(sum(CASE WHEN half = 0 THEN ph " +
+      s"ELSE ph * ${1L << half} END) as bigint) AS simhash FROM halves " +
+      "GROUP BY doc_id)"
   }
 
   /** Exact dedup: first doc per md5 fingerprint. */
@@ -86,7 +95,7 @@ object DedupQueries {
     Dedup.minhashCandidates(sig, "doc_id").orderBy("da", "db")
   }
 
-  /** SimHash fingerprints (32-bit, token-hash multiset). */
+  /** SimHash fingerprints (60-bit, shingle-hash multiset). */
   private val dSimhash = QueryDef.sqlChecked("d_simhash")(
     s"$SimhashCte SELECT doc_id, simhash FROM sim ORDER BY doc_id"
   ) { (s, d) =>
@@ -94,23 +103,25 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs at hamming ≤ 1. */
+  /** SimHash near-dup pairs at hamming ≤ 3 (brute-force baseline —
+    * the banded query below is the production path).
+    */
   private val dSimhashPairs = QueryDef.sqlChecked("d_simhash_pairs")(
     s"$SimhashCte SELECT a.doc_id AS da, b.doc_id AS db, " +
       "cast(bit_count(xor(a.simhash, b.simhash)) as bigint) AS hd " +
       "FROM sim a JOIN sim b ON a.doc_id < b.doc_id " +
-      "WHERE bit_count(xor(a.simhash, b.simhash)) <= 1 ORDER BY da, db"
+      "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY da, db"
   ) { (s, d) =>
     val sim = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
-    Dedup.simhashPairs(sim, "doc_id", 1).orderBy("da", "db")
+    Dedup.simhashPairs(sim, "doc_id", 3).orderBy("da", "db")
   }
 
   /** Banded SimHash pairs at hamming ≤ 3 — the sub-quadratic candidate
-    * path (4 byte-band equi-joins + exact verify), proven equal to the
-    * brute-force pair set: the oracle computes all-pairs hamming ≤ 3
-    * and both sides aggregate to per-doc (count, Σdb, Σhd) checksums
-    * (the raw pair set is ~1.6M rows at sf0.1 — the checksums keep the
-    * compare exact-per-doc without dumping it).
+    * path (4 15-bit-band equi-joins + exact verify), proven equal to
+    * the brute-force pair set: the oracle computes all-pairs
+    * hamming ≤ 3 and both sides aggregate to per-doc (count, Σdb,
+    * Σhd) checksums, keeping the compare exact-per-doc without
+    * dumping the raw pair set.
     */
   private val dSimhashBanded = QueryDef.sqlChecked("d_simhash_banded")(
     s"$SimhashCte SELECT da, count(*) AS n_pairs, " +
