@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.{Exact, QueryDef, Tables}
+import graft.functions.text
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dataset-preparation operators a large-scale training pipeline needs
+  * beyond cleaning/dedup: deterministic sampling, leakage-safe splits,
+  * vocabulary heavy hitters, and the composed corpus-cleaning flow.
+  *
+  * Sampling here is HASH-based, never `df.sample()`: a hash predicate
+  * is reproducible across engines (oracle-checkable), re-runs, and
+  * retries — `sample()` draws from a per-partition RNG whose output
+  * depends on partitioning, which at 100 TB means a retry or AQE
+  * re-plan silently changes the sample. The hash predicate also pushes
+  * down to the scan, so a 1% sample reads like a filter, not a full
+  * materialize-then-drop.
+  */
+object PipelineQueries {
+
+  /** Keep-probability hash in [0, 1000): squared LCG mod p (the same
+    * nonlinear mixer as SrpLsh — key·31 LCG rounds alone correlate
+    * with sequential keys) over the row key.
+    */
+  private def bucket1000(key: org.apache.spark.sql.Column) = {
+    val h = (lit(1103515245L) * key + 12345L) % 2147483647L
+    ((h * h) % 2147483647L) % 1000L
+  }
+  private def sqlBucket1000(key: String): String =
+    s"(((1103515245 * cast($key as bigint) + 12345) % 2147483647) * " +
+      s"((1103515245 * cast($key as bigint) + 12345) % 2147483647)) % 2147483647 % 1000"
+
+  /** Deterministic 10% Bernoulli sample of orders. */
+  private val pSampleHash = QueryDef.sqlChecked("p_sample_hash")(
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+      s"WHERE ${sqlBucket1000("o_orderkey")} < 100 ORDER BY o_orderkey"
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(bucket1000(col("o_orderkey")) < 100)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Stratified sample: per-status rates (F 5%, O 10%, P 50%) from the
+    * same hash — each stratum's rate is a plan-time literal map, so
+    * the whole predicate stays a pushed-down scan filter.
+    */
+  private val pSampleStratified = QueryDef.sqlChecked("p_sample_stratified")(
+    "SELECT o_orderstatus, count(*) AS n, " +
+      s"${Exact.sqlDsum("o_totalprice", 2)} AS sum_price FROM orders " +
+      s"WHERE ${sqlBucket1000("o_orderkey")} < " +
+      "(CASE o_orderstatus WHEN 'F' THEN 50 WHEN 'O' THEN 100 ELSE 500 END) " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+  ) { (s, d) =>
+    val rate = when(col("o_orderstatus") === "F", 50L)
+      .when(col("o_orderstatus") === "O", 100L).otherwise(500L)
+    Tables.orders(s, d)
+      .filter(bucket1000(col("o_orderkey")) < rate)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Leakage-safe train/test split: the split is a function of
+    * user_id ONLY, so all of a user's events land on one side — no
+    * entity straddles the boundary (the leak a row-level split causes
+    * when the same user appears in train and eval). 80/20 by hash.
+    */
+  private val pSplitTrainTest = QueryDef.sqlChecked("p_split_train_test")(
+    s"SELECT CASE WHEN ${sqlBucket1000("user_id")} < 800 THEN 'train' ELSE 'test' END AS split, " +
+      "count(DISTINCT user_id) AS n_users, count(*) AS n_events, " +
+      s"${Exact.sqlDsum("value", 6)} AS sum_value " +
+      "FROM events GROUP BY 1 ORDER BY 1"
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("split",
+        when(bucket1000(col("user_id")) < 800, "train").otherwise("test"))
+      .groupBy("split")
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"), Exact.dsum(col("value"), 6).as("sum_value"))
+      .orderBy("split")
+  }
+
+  /** Vocabulary heavy hitters: exact top-20 tokens by frequency with a
+    * total tie-break ordering. One explode + map-side-combined count;
+    * the top-k is a TakeOrderedAndProject (per-partition heap, k rows
+    * shuffled) — no global sort.
+    */
+  private val pTopkTokens = QueryDef.sqlChecked("p_topk_tokens")(
+    s"SELECT t, count(*) AS cnt FROM (SELECT unnest(${text.sql.tokensOf("text")}) AS t " +
+      "FROM documents) GROUP BY t ORDER BY cnt DESC, t LIMIT 20"
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(text.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("t")).limit(20)
+  }
+
+  /** The composed corpus-cleaning flow every training pipeline runs:
+    * quality gate → language gate → exact dedup (keep lowest doc_id
+    * per md5 fingerprint) → per-language doc/token totals. Each stage
+    * is an already-oracle-checked operator (t_quality_score, t_lang_id,
+    * d_dedup_exact, t_token_count); this query proves the COMPOSITION
+    * stays exact end-to-end. Shape at scale: two scan-stage filters,
+    * one fingerprint shuffle, one final aggregation.
+    */
+  private val pCorpusClean = QueryDef.sqlChecked("p_corpus_clean")(
+    "WITH scored AS (SELECT doc_id, text, " +
+      s"${text.sql.tokenCount("text")} AS n_tokens, " +
+      s"${text.sql.stopwordCount("text", text.EnStop)} AS c_en, " +
+      s"${text.sql.stopwordCount("text", text.DeStop)} AS c_de, " +
+      s"${text.sql.stopwordCount("text", text.EsStop)} AS c_es, " +
+      s"${text.sql.stopwordCount("text", text.FrStop)} AS c_fr, " +
+      s"${text.sql.stopwordCount("text", text.EnStop)} AS n_stop, " +
+      s"${text.sql.punctCount("text")} AS n_punct, " +
+      "cast(length(text) as bigint) AS n_chars FROM documents), " +
+      "gated AS (SELECT doc_id, text, n_tokens, " +
+      "CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en' " +
+      "WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr THEN 'de' " +
+      "WHEN c_es > 0 AND c_es >= c_fr THEN 'es' " +
+      "WHEN c_fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred " +
+      "FROM scored WHERE (CASE WHEN n_tokens = 0 OR n_chars = 0 THEN 0.0 ELSE " +
+      "0.3 * least(cast(n_stop as double) / cast(n_tokens as double) * 5.0, 1.0) + " +
+      "0.4 * least(cast(n_tokens as double) / 100.0, 1.0) + " +
+      "0.3 * (1.0 - cast(n_punct as double) / cast(n_chars as double)) END) >= 0.5), " +
+      "deduped AS (SELECT doc_id, lang_pred, n_tokens FROM " +
+      "(SELECT doc_id, lang_pred, n_tokens, row_number() OVER " +
+      "(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM gated " +
+      "WHERE lang_pred <> 'und') WHERE rn = 1) " +
+      "SELECT lang_pred, count(*) AS n_docs, " +
+      "cast(sum(n_tokens) as bigint) AS total_tokens " +
+      "FROM deduped GROUP BY lang_pred ORDER BY lang_pred"
+  ) { (s, d) =>
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("text"),
+      text.tokenCount(col("text")).as("n_tokens"),
+      text.stopwordCount(col("text"), text.EnStop).as("n_stop"),
+      text.punctCount(col("text")).as("n_punct"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      text.langId(col("text")).as("lang_pred"))
+    val quality = when(col("n_tokens") === 0 || col("n_chars") === 0, lit(0.0))
+      .otherwise(
+        lit(0.3) * least(col("n_stop").cast("double") / col("n_tokens").cast("double") * 5.0, lit(1.0)) +
+        lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - col("n_punct").cast("double") / col("n_chars").cast("double")))
+    val gated = scored.filter(quality >= 0.5 && col("lang_pred") =!= "und")
+    Dedup.exactFirst(gated, md5(col("text")), col("doc_id"))
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("lang_pred")
+  }
+
+  /** Streaming INCREMENTAL dedup: three ordered micro-batches where
+    * batches 1 and 2 re-send documents already seen (¼ of the corpus
+    * re-sent in batch 1, ⅛ in batch 2), deduplicated by
+    * `dropDuplicates` state across batches. The memory sink receives
+    * each doc_id exactly once ⟺ the state store suppressed every
+    * cross-batch duplicate — a re-emission (state loss) duplicates
+    * rows and fails the hash compare against the batch-distinct
+    * oracle. State here is unbounded by design (ids live forever);
+    * for an unbounded stream at scale the bounded-state variant is
+    * `dropDuplicatesWithinWatermark`, which this harness can't use —
+    * documents carry no event time.
+    */
+  private val qStreamDedup = QueryDef.sqlChecked("q_stream_dedup")(
+    "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_sdedup_" + java.lang.Integer.toHexString(d.hashCode))
+    val streamDir = base.resolve("stream")
+    def writeOne(df: org.apache.spark.sql.DataFrame, tmpName: String,
+        fileName: String, mtimeMs: Long): Unit = {
+      val tmp = base.resolve(tmpName)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(streamDir)
+      val dest = streamDir.resolve(fileName)
+      java.nio.file.Files.copy(part, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      ()
+    }
+    if (java.nio.file.Files.exists(streamDir)) {
+      java.nio.file.Files.list(streamDir).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .foreach(p => java.nio.file.Files.delete(p))
+    }
+    val now = System.currentTimeMillis()
+    writeOne(docs.filter(col("doc_id") % 2 === 0), "f1",
+      "00-first.parquet", now - 180000L)
+    writeOne(docs.filter(col("doc_id") % 2 === 1)
+      .unionAll(docs.filter(col("doc_id") % 4 === 0)), "f2",
+      "01-with-dups.parquet", now - 120000L)
+    writeOne(docs.filter(col("doc_id") % 8 === 1), "f3",
+      "02-all-dups.parquet", now - 60000L)
+    val sinkName = "graft_stream_dedup"
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(streamDir.toString)
+      .dropDuplicates("doc_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName).orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(pSampleHash, pSampleStratified,
+    pSplitTrainTest, pTopkTokens, pCorpusClean, qStreamDedup)
+}

@@ -9,5 +9,5 @@ object Registry {
     EventsQueries.defs ++ MultimodalQueries.defs ++ AdvancedQueries.defs ++
     ScalarQueries.defs ++ SubqueryQueries.defs ++ GroupingQueries.defs ++
     ChunkingQueries.defs ++ QuantizeQueries.defs ++ ExtraQueries.defs ++
-    AnalyticsQueries.defs
+    AnalyticsQueries.defs ++ PipelineQueries.defs
 }
