@@ -61,10 +61,15 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, id: String, textCol: String,
       threshold: Double, maxDocFreq: Int = DefaultMaxShingleDf): DataFrame = {
-    val dfW = Window.partitionBy("s")
-    val ds = shingleSets(docs, id, textCol)
-      .withColumn("__df", count(lit(1)).over(dfW))
-      .filter(col("__df") <= maxDocFreq).drop("__df")
+    // df cap via groupBy + semi-join, not a count-over-window: the
+    // window sorts the whole (doc, shingle) relation per partition;
+    // the aggregate is map-side combined and the keep-set join
+    // shuffles only distinct shingles
+    val sets = shingleSets(docs, id, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = sets.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq).select("s")
+    val ds = sets.join(keep, Seq("s"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sizes = ds.groupBy(id).agg(count(lit(1)).as("n"))
@@ -80,7 +85,7 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("da", "db", "jaccard")
         .localCheckpoint() // materialize so the shingle cache can drop
-    } finally ds.unpersist()
+    } finally { ds.unpersist(); sets.unpersist(); () }
   }
 
   /** MinHash signatures: min over shingle hashes of (aᵢ·h+bᵢ) mod P. */
