@@ -145,6 +145,55 @@ object AdvancedQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** GK-sketch approximate percentiles, gate-visible RANK BOUND (the
+    * q_approx_distinct pattern): the oracle hash-checks the exact
+    * rank-based p50/p90 plus constant within-bound flags; the Spark
+    * side computes the actual rank of each percentile_approx value
+    * and flags |rank − q·n| ≤ 2·n/accuracy + 1 — twice the GK
+    * guarantee (ε = 1/accuracy), so the flag only flips on a sketch
+    * regression. At 100 TB this is THE percentile you run: the GK
+    * summary is a bounded-size mergeable state per group, no global
+    * sort (the exact rank form exists as q_percentiles_exact).
+    */
+  private val qApproxQuantile = {
+    val acc = 1000
+    QueryDef.sqlChecked("q_approx_quantile")(
+      "WITH r AS (SELECT o_orderpriority, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn, " +
+        "count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) " +
+        "SELECT o_orderpriority, " +
+        "max(CASE WHEN rn = cast(ceil(0.50 * n) as bigint) THEN o_totalprice END) AS p50, " +
+        "max(CASE WHEN rn = cast(ceil(0.90 * n) as bigint) THEN o_totalprice END) AS p90, " +
+        "cast(1 as bigint) AS ok50, cast(1 as bigint) AS ok90 " +
+        "FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val w = Window.partitionBy("o_orderpriority")
+      val r = orders.select(col("o_orderpriority"), col("o_totalprice"),
+        row_number().over(w.orderBy("o_totalprice", "o_orderkey")).as("rn"),
+        count(lit(1)).over(w).as("n"))
+      def pick(q: Double) =
+        max(when(col("rn") === ceil(lit(q) * col("n")).cast("bigint"),
+          col("o_totalprice")))
+      val exact = r.groupBy("o_orderpriority")
+        .agg(pick(0.50).as("p50"), pick(0.90).as("p90"), max("n").as("n"))
+      val ap = orders.groupBy("o_orderpriority").agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(acc)).as("a50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(acc)).as("a90"))
+      val ranks = orders.join(broadcast(ap), "o_orderpriority")
+        .groupBy("o_orderpriority").agg(
+          sum(when(col("o_totalprice") <= col("a50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("o_totalprice") <= col("a90"), 1L).otherwise(0L)).as("r90"))
+      def ok(rank: String, q: Double) =
+        when(abs(col(rank).cast("double") - lit(q) * col("n").cast("double"))
+          <= col("n").cast("double") * (2.0 / acc) + 1.0, 1L).otherwise(0L)
+      exact.join(ranks, "o_orderpriority")
+        .select(col("o_orderpriority"), col("p50"), col("p90"),
+          ok("r50", 0.5).as("ok50"), ok("r90", 0.9).as("ok90"))
+        .orderBy("o_orderpriority")
+    }
+  }
+
   /** Statistical aggregates from exact decimal power sums — stddev
     * and correlation computed with deterministic double ops on exact
     * sums, so they hash-match (built-in stddev/corr accumulate
@@ -193,5 +242,5 @@ object AdvancedQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(qAsof, qSessionize, qCube,
-    qWindowAnalytics, qApproxDistinct, qStats)
+    qWindowAnalytics, qApproxDistinct, qApproxQuantile, qStats)
 }
