@@ -165,8 +165,17 @@ object Dedup {
     * by an accumulator during the localCheckpoint materialization —
     * no convergence-check join, no second pass. (A task retry can
     * overcount the accumulator; that only delays convergence by one
-    * cheap extra round, never ends it early.) Converges in
-    * ≤ graph-diameter rounds.
+    * cheap extra round, never ends it early.)
+    *
+    * POINTER DOUBLING (Shiloach–Vishkin style): each round also joins
+    * the label map with itself — label(v) ← min(neighbor labels,
+    * label(label(v))). Labels are always node ids of the same
+    * component, so the jump is well-defined and monotone; it
+    * collapses chains exponentially, making rounds O(log diameter)
+    * instead of O(diameter) — a pathological 10⁴-long near-dup chain
+    * (iteratively edited document versions) converges in ~14 rounds,
+    * not 10⁴. The extra per-round join is on the node-count-sized
+    * label map, cheaper than the edge join it saves thousands of.
     */
   def connectedComponents(pairs: DataFrame, a: String = "da",
       b: String = "db", maxIter: Int = 50): DataFrame = {
@@ -184,11 +193,18 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("label"))
-      // labels rows carry their current label as `old`; prop rows have
-      // old = null (min() skips nulls, each node has exactly one old)
+      val jumped = labels.select(col("node"), col("label").as("mid"))
+        .join(labels.select(col("node").as("mid"), col("label").as("jl")),
+          "mid")
+        .select(col("node"), col("jl").as("label"))
+      // labels rows carry their current label as `old`; prop/jumped
+      // rows have old = null (min() skips nulls, each node has exactly
+      // one old)
       val merged = labels
         .select(col("node"), col("label"), col("label").as("old"))
         .unionAll(prop.withColumn("old",
+          lit(null).cast(labels.schema("label").dataType)))
+        .unionAll(jumped.withColumn("old",
           lit(null).cast(labels.schema("label").dataType)))
         .groupBy("node").agg(min("label").as("label"), min("old").as("old"))
       val acc = spark.sparkContext.longAccumulator(s"cc-changed-$i")
@@ -204,8 +220,8 @@ object Dedup {
     }
     edges.unpersist()
     // silent partial propagation would mis-split components — fail
-    // loudly instead (min-label needs ≤ graph-diameter iterations;
-    // a hit here means a pathological chain, raise maxIter)
+    // loudly instead (pointer doubling needs O(log diameter) rounds;
+    // a hit here means something is deeply wrong, not a long chain)
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations " +

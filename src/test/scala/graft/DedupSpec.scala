@@ -44,6 +44,16 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("pointer doubling collapses a 200-node chain in O(log n) rounds") {
+    // min-label propagation alone would need ~200 rounds; pointer
+    // doubling must finish well inside 12
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("da", "db")
+    val cc = Dedup.connectedComponents(chain, maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(cc.length == 200)
+    assert(cc.forall(_._2 == 0L), "whole chain must share the min label")
+  }
+
   test("every near-dup pair lands in one cluster") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
     val cand = Dedup.minhashCandidates(sig, "doc_id").cache()
