@@ -215,6 +215,95 @@ object PipelineQueries {
     s.table(sinkName).orderBy("doc_id")
   }
 
+  /** STREAM–STREAM interval join: each purchase joined to the same
+    * user's clicks in the preceding hour, both sides Structured
+    * Streams with 2-hour watermarks, fed as two TIME-ORDERED
+    * micro-batches split mid-month — so boundary purchases in batch 1
+    * must match clicks retained in join STATE from batch 0. The
+    * 2-hour delay guarantees no needed click is evicted before its
+    * purchase arrives (eviction threshold at batch 1 ≤ boundary − 3 h,
+    * needed clicks ≥ boundary − 1 h), so the streaming result equals
+    * the batch interval join the oracle runs. State-loss or premature
+    * eviction drops pairs and fails the hash compare.
+    */
+  private val qStreamJoin = QueryDef.sqlChecked("q_stream_join")(
+    "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+      "c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') " +
+      "SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS pts, " +
+      "c.event_id AS click_id, epoch_us(c.ts) AS cts " +
+      "FROM p JOIN c ON p.user_id = c.user_id " +
+      "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts " +
+      "ORDER BY purchase_id, click_id"
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"))
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_sjoin_" + java.lang.Integer.toHexString(d.hashCode))
+    val streamDir = base.resolve("stream")
+    def writeOne(df: org.apache.spark.sql.DataFrame, tmpName: String,
+        fileName: String, mtimeMs: Long): Unit = {
+      val tmp = base.resolve(tmpName)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(streamDir)
+      val dest = streamDir.resolve(fileName)
+      java.nio.file.Files.copy(part, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      ()
+    }
+    if (java.nio.file.Files.exists(streamDir)) {
+      java.nio.file.Files.list(streamDir).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .foreach(p => java.nio.file.Files.delete(p))
+    }
+    // split AT a purchase that has a strictly-earlier matching click,
+    // so at least one pair is guaranteed to span the two batches and
+    // exercise join-state retention (the cutoff changes only the
+    // batch split, never the join result, so the oracle is unaffected;
+    // single-row driver fetch, same class as the Z-order bounds read)
+    val cutoffRow = ev.filter(col("event_type") === "purchase").alias("p")
+      .join(ev.filter(col("event_type") === "click").alias("c"),
+        expr("p.user_id = c.user_id AND " +
+          "c.ts >= p.ts - interval 1 hour AND c.ts < p.ts"))
+      .agg(max(col("p.ts"))).first()
+    val cutoff =
+      if (cutoffRow.isNullAt(0)) lit("2024-01-16 00:00:00").cast("timestamp")
+      else lit(cutoffRow.getTimestamp(0))
+    val now = System.currentTimeMillis()
+    writeOne(ev.filter(col("ts") < cutoff), "f1",
+      "00-first-half.parquet", now - 120000L)
+    writeOne(ev.filter(col("ts") >= cutoff), "f2",
+      "01-second-half.parquet", now - 60000L)
+    def side(tpe: String, alias: String) =
+      s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(streamDir.toString)
+        .filter(col("event_type") === tpe)
+        .withWatermark("ts", "2 hours")
+        .alias(alias)
+    val joined = side("purchase", "p").join(side("click", "c"),
+      expr("p.user_id = c.user_id AND " +
+        "c.ts >= p.ts - interval 1 hour AND c.ts <= p.ts"))
+      .select(col("p.event_id").as("purchase_id"), col("p.user_id"),
+        unix_micros(col("p.ts")).as("pts"),
+        col("c.event_id").as("click_id"), unix_micros(col("c.ts")).as("cts"))
+    val sinkName = "graft_stream_join"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory").queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName).orderBy("purchase_id", "click_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(pSampleHash, pSampleStratified,
-    pSplitTrainTest, pTopkTokens, pCorpusClean, qStreamDedup)
+    pSplitTrainTest, pTopkTokens, pCorpusClean, qStreamDedup, qStreamJoin)
 }
