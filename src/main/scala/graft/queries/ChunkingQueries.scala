@@ -51,7 +51,7 @@ object ChunkingQueries {
       .orderBy("doc_id", "chunk_no")
   }
 
-  private val QueryTerms = Seq("spark", "join", "stream", "table",
+  private[queries] val QueryTerms = Seq("spark", "join", "stream", "table",
     "window", "group")
 
   /** TF-IDF relevance in exact integer arithmetic: score =
@@ -84,5 +84,73 @@ object ChunkingQueries {
       .limit(10)
   }
 
-  val defs: Seq[QueryDef] = Seq(tChunk, qTfidf)
+  /** HYBRID retrieval with reciprocal-rank fusion — the production
+    * RAG pattern the reference's vector-only search lacks: sparse
+    * (integer TF-IDF) and dense (integer sparse-embedding dot) top-50
+    * rank lists fused as Σ 1/(60+rank) (Cormack et al. RRF, k=60).
+    * Everything upstream of the fusion is exact integer arithmetic;
+    * ranks are row_numbers with total tie-break orders, and the
+    * per-row 1/(60+r) doubles are single deterministic IEEE ops —
+    * so the fused scores hash-match DuckDB exactly. The rank ≤ 50
+    * filters compile to partial top-k (WindowGroupLimit) before the
+    * single-partition window, so each list costs k·partitions rows
+    * of shuffle at scale, and the fusion joins two 50-row sets.
+    */
+  private val qHybridRrf = QueryDef.sqlChecked("q_hybrid_rrf")(
+    s"WITH ${graft.pipeline.SparseEmbed.sql.embedCte("docvec", "doc_id")}, " +
+      s"q AS (SELECT unnest(${QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")}) AS t), " +
+      s"qv AS (SELECT ${text.sql.polyHash("t")} % ${graft.pipeline.SparseEmbed.Dim} AS idx, " +
+      s"cast(sum(((${text.sql.polyHash("t")} >> 5) & 1) * 2 - 1) as bigint) AS qw " +
+      s"FROM q GROUP BY idx HAVING sum(((${text.sql.polyHash("t")} >> 5) & 1) * 2 - 1) <> 0), " +
+      "dense AS (SELECT doc_id, cast(sum(w * qw) as bigint) AS dot " +
+      "FROM docvec JOIN qv USING (idx) GROUP BY doc_id), " +
+      "drank AS (SELECT doc_id, row_number() OVER (ORDER BY dot DESC, doc_id) AS rd " +
+      "FROM dense WHERE dot > 0), " +
+      s"toks AS (SELECT doc_id, unnest(${text.sql.tokensOf("text")}) AS t FROM documents), " +
+      "tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t IN (SELECT t FROM q) GROUP BY doc_id, t), " +
+      "df AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks WHERE t IN (SELECT t FROM q) GROUP BY t), " +
+      "nd AS (SELECT count(*) AS n FROM documents), " +
+      "sparse AS (SELECT tf.doc_id, cast(sum(tf * ((n * 1000) // df)) as bigint) AS score " +
+      "FROM tf JOIN df ON tf.t = df.t CROSS JOIN nd GROUP BY tf.doc_id), " +
+      "srank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rs FROM sparse) " +
+      "SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, " +
+      "coalesce(1.0/(60+a.rs), 0.0) + coalesce(1.0/(60+b.rd), 0.0) AS rrf " +
+      "FROM (SELECT * FROM srank WHERE rs <= 50) a " +
+      "FULL JOIN (SELECT * FROM drank WHERE rd <= 50) b ON a.doc_id = b.doc_id " +
+      "ORDER BY rrf DESC, doc_id LIMIT 10"
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.pipeline.SparseEmbed
+    val docs = Tables.documents(s, d)
+    val dv = SparseEmbed.embed(docs, "doc_id", "text")
+    val qv = QueryTerms.toDF("t")
+      .select(SparseEmbed.dimIdx(col("t")).as("idx"),
+        SparseEmbed.sign(col("t")).as("s"))
+      .groupBy("idx").agg(sum("s").as("qw")).filter(col("qw") =!= 0)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("dot").desc, col("doc_id"))
+    val drank = dv.join(broadcast(qv), "idx")
+      .groupBy("doc_id").agg(sum(col("w") * col("qw")).as("dot"))
+      .filter(col("dot") > 0)
+      .withColumn("rd", row_number().over(wAll)).filter(col("rd") <= 50)
+    val toks = docs.select(col("doc_id"),
+      explode(text.tokens(col("text"))).as("t"))
+      .filter(col("t").isin(QueryTerms: _*))
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n"))
+    val wScore = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id"))
+    val srank = tf.join(broadcast(df), "t").crossJoin(broadcast(nd))
+      .withColumn("wt", col("tf") * expr("(n * 1000) div df"))
+      .groupBy("doc_id").agg(sum(col("wt")).cast("bigint").as("score"))
+      .withColumn("rs", row_number().over(wScore)).filter(col("rs") <= 50)
+    srank.select(col("doc_id"), col("rs"))
+      .join(drank.select(col("doc_id"), col("rd")), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (col("rs") + 60L), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rd") + 60L), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val defs: Seq[QueryDef] = Seq(tChunk, qTfidf, qHybridRrf)
 }
