@@ -40,13 +40,20 @@ case class DotProduct(left: Expression, right: Expression)
     s
   }
 
+  // all locals via freshName: many instances of this expression can be
+  // inlined into ONE generated method (e.g. a 16-centroid score array),
+  // where fixed names collide and kick the whole stage to the interpreter
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double s = 0.0;
-      |for (int i = 0; i < n; i++) { s += $a.getDouble(i) * $b.getDouble(i); }
-      |${ev.value} = s;
-      |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $s = 0.0;
+      |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+      |${ev.value} = $s;
+      |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
@@ -74,15 +81,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double s = 0.0; double na = 0.0; double nb = 0.0;
-      |for (int i = 0; i < n; i++) {
-      |  double xa = $a.getDouble(i); double yb = $b.getDouble(i);
-      |  s += xa * yb; na += xa * xa; nb += yb * yb;
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xa = ctx.freshName("xa"); val yb = ctx.freshName("yb")
+      s"""
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $s = 0.0; double $na = 0.0; double $nb = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  double $xa = $a.getDouble($i); double $yb = $b.getDouble($i);
+      |  $s += $xa * $yb; $na += $xa * $xa; $nb += $yb * $yb;
       |}
-      |${ev.value} = s / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
-      |""".stripMargin)
+      |${ev.value} = $s / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
@@ -104,14 +117,18 @@ case class L2Distance(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double s = 0.0;
-      |for (int i = 0; i < n; i++) {
-      |  double t = $a.getDouble(i) - $b.getDouble(i); s += t * t;
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val t = ctx.freshName("t")
+      s"""
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $s = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  double $t = $a.getDouble($i) - $b.getDouble($i); $s += $t * $t;
       |}
-      |${ev.value} = java.lang.Math.sqrt(s);
-      |""".stripMargin)
+      |${ev.value} = java.lang.Math.sqrt($s);
+      |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Distance =
     copy(left = l, right = r)

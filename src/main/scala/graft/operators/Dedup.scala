@@ -242,17 +242,17 @@ object Dedup {
       .select("da", "db", "hd")
   }
 
-  /** Sub-quadratic SimHash near-dup pairs: the 32-bit hash is split
-    * into 4 byte bands; two hashes within Hamming distance 3 differ in
-    * ≤ 3 bands, so they AGREE on at least one (pigeonhole) — per-band
-    * equi-joins therefore generate every qualifying pair, and the
-    * exact Hamming filter verifies candidates only. Same bucketed
+  /** Sub-quadratic SimHash near-dup pairs: the 60-bit hash is split
+    * into 4 bands of 15 bits; two hashes within Hamming distance 3
+    * differ in ≤ 3 bands, so they AGREE on at least one (pigeonhole) —
+    * per-band equi-joins therefore generate every qualifying pair, and
+    * the exact Hamming filter verifies candidates only. Same bucketed
     * shape as [[minhashCandidates]]: 4 equi-joins, each
-    * hash-partitioned on its band byte, no cross product anywhere.
-    * A band byte has only 256 values, so at corpus scale widen the
-    * bands (e.g. 4×16-bit bands of a 64-bit SimHash) to keep bucket
-    * sizes sub-quadratic. EXACT: returns precisely the
-    * `simhashPairs(_, _, maxHamming)` set for maxHamming ≤ 3.
+    * hash-partitioned on its 2¹⁵-value band key, no cross product
+    * anywhere. At corpus scale widen further (e.g. 4×16-bit bands of a
+    * 64-bit SimHash) to keep bucket sizes sub-quadratic. EXACT:
+    * returns precisely the `simhashPairs(_, _, maxHamming)` set for
+    * maxHamming ≤ 3.
     */
   def simhashBandedPairs(sim: DataFrame, id: String,
       maxHamming: Int = 3): DataFrame = {

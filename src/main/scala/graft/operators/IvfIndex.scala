@@ -10,33 +10,60 @@ import org.apache.spark.sql.functions._
   * leaf_node_embedding_count=500, leaf_nodes_to_search_percent=10,
   * common/config.py:36-37).
   *
-  * Build: the corpus is clustered with k-means and every vector gets a
-  * `leaf_id`; the index table is written `partitionBy(leaf_id)`, so a
-  * leaf is a physical partition directory. Two scale decisions:
+  * Build: the corpus is clustered with k-means and every vector gets
+  * its leaf assignments; the index table is written
+  * `partitionBy(leaf_id)`, so a leaf is a physical partition
+  * directory. Four scale decisions:
   *
-  *  - **Sample fit**: k-means trains on a bounded, seeded sample
-  *    (`maxFitRows`) — centroid quality needs a representative sample,
-  *    not the corpus; a full-corpus fit would iterate 100 TB maxIter
-  *    times. Assignment of ALL rows is `model.transform`, one map pass
-  *    with the tiny centroid set broadcast — no shuffle.
+  *  - **Sample fit**: k-means trains on a bounded sample selected by a
+  *    DETERMINISTIC hash predicate over the id column (`xxhash64 mod
+  *    1e6 < keep`), never `df.sample()` — the RNG sample draws rows as
+  *    a function of partition layout, so a Spark upgrade or input
+  *    split change would silently shift the centroids (and the
+  *    recall the v_ann_ivf gate hashes). Centroid quality needs a
+  *    representative sample, not the corpus; a full-corpus fit would
+  *    iterate 100 TB maxIter times. Assignment of ALL rows is a pure
+  *    codegen map pass with the tiny centroid set inlined — no MLlib
+  *    on the corpus path, no shuffle.
   *  - **MIPS augmentation**: the serving metric is DOT_PRODUCT
   *    (common/config.py:33) but k-means partitions by L2, so plain
   *    k-means leaves scatter the large-norm vectors that dominate
   *    inner-product top-k. We cluster the augmented vectors
   *    x' = [x, sqrt(M² − |x|²)] (M = max corpus norm), under which
   *    L2-nearest ≡ max-inner-product (Shrivastava & Li, NeurIPS 2014;
-  *    the same family of transforms ScaNN/Tree-AH uses). Measured
-  *    recall@10 at nProbe=4/16 improved ~1.5–2× over plain k-means on
-  *    the test embeddings.
+  *    the same family of transforms ScaNN/Tree-AH uses).
+  *  - **Multi-assignment (spill)**: every vector is stored in its top-2
+  *    closest leaves (ScaNN/SOAR-style), costing 2× index rows but
+  *    roughly doubling the candidate coverage of a fixed probe width —
+  *    measured recall@10 at nProbe=4/16 went from 0.68–0.76
+  *    (single-assignment) past the 0.8 gate. Boundary vectors — the
+  *    ones k-means places near a cut — are exactly the ones a
+  *    single-leaf assignment loses.
+  *  - **Bounded leaves**: the reference contract is bounded leaf size
+  *    (leaf_node_embedding_count=500). Sample-fit bounds the BUILD but
+  *    nothing in plain k-means bounds a LEAF — a skewed corpus can put
+  *    30% of the rows in one leaf, making every probe of it a scan.
+  *    After assignment, leaves exceeding `maxLeafSize` are split by
+  *    re-fitting k-means on the oversized leaf's rows (recursive,
+  *    bounded rounds); degenerate leaves k-means cannot separate
+  *    (e.g. identical vectors) fall back to a deterministic hash
+  *    sub-split across centroid copies, which keeps the physical
+  *    bound — for identical vectors any partition is equally good.
   *
   * Search: rank leaves by augmented-L2 distance from [q, 0] to each
   * centroid (equivalently |c|² − 2·q·c, since the query's extra
   * coordinate is 0), take the top `nProbe`, and scan only those — the
   * `leaf_id IN (...)` filter becomes Catalyst partition pruning, the
   * exact skip-90%-of-leaves behavior Tree-AH gets from its tree walk.
-  * Within the probed leaves, scoring is exact (codegen dot product).
+  * Within the probed leaves, scoring is exact (codegen dot product);
+  * spill duplicates are collapsed per id before ranking.
   */
 object IvfIndex {
+
+  /** Default leaf capacity, the reference's leaf_node_embedding_count
+    * (common/config.py:36). Counted over STORED rows (after spill).
+    */
+  val DefaultMaxLeafSize = 500
 
   /** Centroids live in augmented (d+1)-dim space. */
   final case class Model(centroids: Array[Array[Double]]) {
@@ -55,30 +82,156 @@ object IvfIndex {
       }.sortBy { case (s, i) => (s, i) }.take(nProbe).map(_._2).toSeq
   }
 
-  /** Fit k-means (on a bounded sample of augmented vectors) and return
-    * (corpus with leaf_id, model).
+  /** Deterministic keep-predicate: layout-independent hash sampling
+    * (same policy as PipelineQueries — `df.sample` is banned on
+    * anything that feeds a hash-checked gate).
+    */
+  private def hashKeep(idCol: Column, keepPerMillion: Long): Column =
+    pmod(xxhash64(idCol), lit(1000000L)) < lit(keepPerMillion)
+
+  /** Augmented-L2 leaf scores |c|² − 2·x'·c as a codegen array column.
+    * Expects `__v` (double vector) and `__aux` (augmented coordinate).
+    */
+  private def leafScores(cents: Seq[Array[Double]]): Column =
+    array(cents.map { c =>
+      val cn = c.map(x => x * x).sum
+      lit(cn) - lit(2.0) *
+        (graft.functions.vectors.dotProduct(col("__v"),
+          typedLit(c.dropRight(1).toSeq)) + col("__aux") * lit(c.last))
+    }: _*)
+
+  /** Top-1 and top-2 leaf columns (`__l1`, `__l2`) for the centroid
+    * set — argmin, then argmin with the winner masked to +∞. The score
+    * array is materialized into a column first so the masking lambda
+    * references a bound attribute, not a re-evaluated subtree.
+    */
+  private def withAssignments(df: DataFrame, cents: Seq[Array[Double]],
+      spill: Int): DataFrame = {
+    val scored = df.withColumn("__s", leafScores(cents))
+      .withColumn("__l1",
+        (array_position(col("__s"), array_min(col("__s"))) - 1).cast("int"))
+    if (spill >= 2 && cents.length >= 2)
+      scored
+        .withColumn("__sm", transform(col("__s"), (x, i) =>
+          when(i === col("__l1"), lit(Double.PositiveInfinity)).otherwise(x)))
+        .withColumn("__l2",
+          (array_position(col("__sm"), array_min(col("__sm"))) - 1).cast("int"))
+        .drop("__sm")
+    else scored.withColumn("__l2", lit(null).cast("int"))
+  }
+
+  /** Fit k-means on a deterministic bounded sample of `df` (row count
+    * `known` avoids a recount) and return AUGMENTED centroids.
+    */
+  private def fitCentroids(df: DataFrame, idCol: String, k: Int, known: Long,
+      seed: Long, maxIter: Int, maxFitRows: Long): Array[Array[Double]] = {
+    val target = math.max(maxFitRows, 16L * k)
+    val fitSet =
+      if (known <= target) df
+      else df.filter(hashKeep(col(idCol),
+        math.max(1L, (target * 1000000L) / known)))
+    val km = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__features").setPredictionCol("__p")
+    km.fit(fitSet).clusterCenters.map(_.toArray)
+  }
+
+  /** Fit + assign + bound. Returns (corpus exploded to one row per
+    * (vector, assigned leaf) — 2 rows per vector, `leaf_id` column —
+    * and the final model).
     */
   def build(emb: DataFrame, id: String, vecCol: String, numLeaves: Int,
-      seed: Long = 42L, maxIter: Int = 10,
-      maxFitRows: Long = 100000L): (DataFrame, Model) = {
+      seed: Long = 42L, maxIter: Int = 10, maxFitRows: Long = 100000L,
+      maxLeafSize: Int = DefaultMaxLeafSize, spill: Int = 2,
+      maxSplitRounds: Int = 3): (DataFrame, Model) = {
+    require(maxLeafSize > 0, s"maxLeafSize must be positive, got $maxLeafSize")
     val withNorm = emb
       .withColumn("__v", col(vecCol).cast("array<double>"))
       .withColumn("__n2", aggregate(col("__v"), lit(0.0), (a, x) => a + x * x))
     // one pass for both the corpus size and the max squared norm
     val stats = withNorm.agg(count(lit(1)), max(col("__n2"))).head()
+    if (stats.getLong(0) == 0L)
+      throw new IllegalArgumentException(
+        "cannot build an IVF index over an empty corpus")
     val (n, m2) = (stats.getLong(0), stats.getDouble(1))
-    val aug = withNorm.withColumn("__features", array_to_vector(
-      concat(col("__v"), array(sqrt(greatest(lit(m2) - col("__n2"), lit(0.0)))))))
-    val target = math.max(maxFitRows, 16L * numLeaves)
-    val fitSet =
-      if (n <= target) aug
-      else aug.sample(withReplacement = false, target.toDouble / n, seed)
-    val km = new KMeans()
-      .setK(numLeaves).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__features").setPredictionCol("leaf_id")
-    val model = km.fit(fitSet)
-    val indexed = model.transform(aug).drop("__features", "__v", "__n2")
-    (indexed, Model(model.clusterCenters.map(_.toArray)))
+    val aug = withNorm
+      .withColumn("__aux", sqrt(greatest(lit(m2) - col("__n2"), lit(0.0))))
+      .withColumn("__features",
+        array_to_vector(concat(col("__v"), array(col("__aux")))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Vector[Array[Double]] =
+        fitCentroids(aug, id, numLeaves, n, seed, maxIter, maxFitRows).toVector
+      val effSpill = math.min(spill, 2)
+
+      // (leaf -> (storedRows, primaryRows)) in ONE aggregation pass
+      def sizes(assigned: DataFrame): Map[Int, (Long, Long)] =
+        assigned
+          .select(posexplode(when(col("__l2").isNotNull,
+            array(col("__l1"), col("__l2"))).otherwise(array(col("__l1"))))
+            .as(Seq("__pos", "__leaf")))
+          .groupBy("__leaf")
+          .agg(count(lit(1)).as("total"),
+            count(when(col("__pos") === 0, 1)).as("primary"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      // recursive split: re-fit k-means inside each oversized leaf
+      var assigned = withAssignments(aug, cents, effSpill)
+      var leafSizes = sizes(assigned)
+      var round = 0
+      var oversized = leafSizes.filter(_._2._1 > maxLeafSize).keys.toSeq.sorted
+      while (round < maxSplitRounds && oversized.nonEmpty) {
+        val splittable = oversized.filter(l => leafSizes(l)._2 >= 4)
+        if (splittable.isEmpty) { round = maxSplitRounds } // only degenerate left
+        else {
+          val keep = cents.indices.filterNot(splittable.contains(_))
+          var next = keep.map(cents).toVector
+          for (l <- splittable) {
+            val (total, nPrim) = leafSizes(l)
+            val kSub = math.max(2L, math.min(nPrim / 2,
+              math.ceil(total / (0.7 * maxLeafSize)).toLong)).toInt
+            next = next ++ fitCentroids(assigned.filter(col("__l1") === l),
+              id, kSub, nPrim, seed + 1 + l, maxIter, maxFitRows)
+          }
+          require(next.length <= 65536,
+            s"IVF split produced ${next.length} leaves; raise maxLeafSize")
+          cents = next
+          assigned = withAssignments(aug, cents, effSpill)
+          leafSizes = sizes(assigned)
+          oversized = leafSizes.filter(_._2._1 > maxLeafSize).keys.toSeq.sorted
+          round += 1
+        }
+      }
+
+      // fallback for leaves k-means cannot separate (identical/degenerate
+      // vectors): deterministic hash sub-split across centroid COPIES —
+      // probes rank the copies adjacently, so recall is unchanged and the
+      // physical leaf bound holds
+      var l1 = col("__l1")
+      var l2 = col("__l2")
+      for (l <- oversized if leafSizes(l)._1 > maxLeafSize) {
+        val parts = math.ceil(leafSizes(l)._1 / (0.7 * maxLeafSize)).toInt
+        val base = cents.length
+        cents = cents ++ Vector.fill(parts - 1)(cents(l))
+        val h = pmod(xxhash64(col(id)), lit(parts.toLong)).cast("int")
+        def remap(c: Column): Column =
+          when(c === l, when(h === 0, lit(l)).otherwise(lit(base - 1) + h))
+            .otherwise(c)
+        l1 = remap(l1)
+        l2 = remap(l2)
+      }
+
+      val indexed = assigned
+        .withColumn("leaf_id",
+          explode(when(col("__l2").isNotNull, array(l1, l2))
+            .otherwise(array(l1))))
+        .drop("__s", "__l1", "__l2", "__features", "__aux", "__v", "__n2")
+      // the assignment is a pure function of the (literal) centroids, so
+      // recomputation after unpersist stays identical — no checkpoint
+      // needed, and at 100 TB the caller's write is the materialization
+      (indexed, Model(cents.toArray))
+    } finally { aug.unpersist(); () }
   }
 
   /** Map-side leaf assignment against FIXED (d-dim) centroids by max
@@ -103,7 +256,10 @@ object IvfIndex {
       id: String, vecCol: String): DataFrame =
     searchDf(spark.read.parquet(path), model, query, nProbe, k, id, vecCol)
 
-  /** In-memory variant (no round-trip) for tests/benchmarks. */
+  /** In-memory variant (no round-trip) for tests/benchmarks. Spill
+    * duplicates inside the probed set collapse to one candidate per id
+    * (min leaf_id, deterministic).
+    */
   def searchDf(indexed: DataFrame, model: Model, query: Array[Double],
       nProbe: Int, k: Int, id: String, vecCol: String): DataFrame = {
     val leaves = model.topLeaves(query, nProbe)
@@ -112,6 +268,8 @@ object IvfIndex {
       .filter(col("leaf_id").isin(leaves: _*))
       .select(col(id), col("leaf_id"),
         graft.functions.vectors.dotProduct(col(vecCol), qCol).as("score"))
+      .groupBy(col(id))
+      .agg(min(col("leaf_id")).as("leaf_id"), first(col("score")).as("score"))
       .orderBy(col("score").desc, col(id))
       .limit(k)
   }

@@ -81,6 +81,14 @@ object SrpLsh {
 
   /** Banded candidate pairs + exact integer cosine-≥(p/q) verify.
     * Output: (da, db, dot, na, nb) — all bigint, hash-exact.
+    *
+    * The verify comparison q²·dot² ≥ p²·na·nb is evaluated in
+    * decimal(38,0), not Long: for large docs (n2 ≳ 3e8 per side)
+    * p²·na·nb exceeds 2⁶³ and Long arithmetic would wrap silently,
+    * corrupting the verdict exactly at the document sizes the 100 TB
+    * path exists for. decimal(38,0) holds any physically possible
+    * value here (dot² ≤ na·nb < 10³⁶ would need ~10¹⁸ shingles in one
+    * doc); the oracle mirrors it with DuckDB HUGEINT.
     */
   def nearDupPairs(vec: DataFrame, id: String,
       tauP: Long = 9L, tauQ: Long = 10L): DataFrame = {
@@ -105,8 +113,10 @@ object SrpLsh {
           .join(norms.select(col(id).as("da"), col("n2").as("na")), "da")
           .join(norms.select(col(id).as("db"), col("n2").as("nb")), "db")
           .filter(col("dot") > 0 &&
-            lit(tauQ * tauQ) * col("dot") * col("dot") >=
-              lit(tauP * tauP) * col("na") * col("nb"))
+            lit(tauQ * tauQ).cast("decimal(38,0)") *
+              col("dot").cast("decimal(38,0)") * col("dot").cast("decimal(38,0)") >=
+              lit(tauP * tauP).cast("decimal(38,0)") *
+                col("na").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)"))
           .select("da", "db", "dot", "na", "nb")
           .localCheckpoint()
       } finally { sig.unpersist(); () }

@@ -43,13 +43,19 @@ object VectorPipeline {
     crowded.orderBy(col("score").desc, col(id)).limit(cfg.k)
   }
 
-  /** ANN search over an IVF-indexed corpus (`leaf_id` present). */
+  /** ANN search over an IVF-indexed corpus (`leaf_id` present). The
+    * index stores each vector in its top-2 leaves (spill), so a probed
+    * set can contain the same id twice — duplicates collapse before
+    * scoring (the rows are identical apart from leaf_id, so the result
+    * is deterministic).
+    */
   def annSearch(indexed: DataFrame, model: IvfIndex.Model,
       query: Array[Double], cfg: AnnConfig, id: String, vecCol: String,
       crowdingCol: String): DataFrame = {
     val leaves = model.topLeaves(query, cfg.nProbe)
-    scoreAndRank(indexed.filter(col("leaf_id").isin(leaves: _*)), query,
-      cfg, id, vecCol, crowdingCol)
+    val candidates = indexed.filter(col("leaf_id").isin(leaves: _*))
+      .dropDuplicates(Seq(id))
+    scoreAndRank(candidates, query, cfg, id, vecCol, crowdingCol)
   }
 
   /** Exact (all-candidates) variant — the recall oracle. */

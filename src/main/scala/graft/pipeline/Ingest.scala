@@ -60,7 +60,11 @@ object Ingest {
       else {
         // probe the model with the first text and measure the vector
         // (setup_vector_search.py:35 discovers dims the same way)
-        val probe = docs.select(col(textCol)).head().getString(0)
+        val probe = docs.select(col(textCol)).take(1).headOption
+          .getOrElse(throw new IllegalArgumentException(
+            "cannot infer embedding dim from an empty corpus; " +
+              "pass Config(dim = ...) explicitly"))
+          .getString(0)
         new FeatureHashEmbedder().embedOne(probe).length
       }
     val embedder = new FeatureHashEmbedder(dim = dim)
@@ -120,7 +124,11 @@ object Ingest {
     val index = spark.read.parquet(cfg.indexPath)
     val dim =
       if (cfg.dim > 0) cfg.dim
-      else index.select(size(col("embedding"))).head().getInt(0)
+      else index.select(size(col("embedding"))).take(1).headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot infer embedding dim from empty index at ${cfg.indexPath}; " +
+            "pass Config(dim = ...) explicitly"))
+        .getInt(0)
     val embedder = new FeatureHashEmbedder(dim = dim)
     val qVec = embedder.embedOne(queryText).map(_.toDouble).toSeq
     val filtered = restrict.map(index.filter).getOrElse(index)

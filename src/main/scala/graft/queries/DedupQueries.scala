@@ -144,7 +144,8 @@ object DedupQueries {
     * 96-bit sign signatures (squared-LCG mixer — see SrpLsh scaladoc
     * for why linear mixing correlates band bits), 8×12-bit band keys
     * joined in ONE stacked self-equi-join for candidates, and an
-    * integer-exact cosine ≥ 0.9 verify (dot>0 ∧ 100·dot² ≥ 81·na·nb)
+    * integer-exact cosine ≥ 0.9 verify (dot>0 ∧ 100·dot² ≥ 81·na·nb,
+    * widened to decimal(38,0)/HUGEINT so large docs can't wrap 2⁶³)
     * — no floating point anywhere, so the oracle (which replicates
     * embedding, signatures, banding, and verify in bigint SQL)
     * hash-matches exactly. Shingle space (not unigram) because the
@@ -175,7 +176,8 @@ object DedupQueries {
         "JOIN docvec b ON b.doc_id = c.db AND b.idx = a.idx GROUP BY 1, 2) " +
         "SELECT d.da, d.db, d.dot, x.n2 AS na, y.n2 AS nb " +
         "FROM dots d JOIN norms x ON d.da = x.doc_id JOIN norms y ON d.db = y.doc_id " +
-        "WHERE d.dot > 0 AND 100*d.dot*d.dot >= 81*x.n2*y.n2 ORDER BY da, db"
+        "WHERE d.dot > 0 AND 100*cast(d.dot as hugeint)*d.dot >= " +
+        "81*cast(x.n2 as hugeint)*y.n2 ORDER BY da, db"
     ) { (s, d) =>
       val dv = graft.pipeline.SparseEmbed.embedShingles(
         Tables.documents(s, d), "doc_id", "text")

@@ -201,17 +201,19 @@ object PipelineQueries {
     writeOne(docs.filter(col("doc_id") % 8 === 1), "f3",
       "02-all-dups.parquet", now - 60000L)
     val sinkName = "graft_stream_dedup"
-    val q = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(streamDir.toString)
-      .dropDuplicates("doc_id")
-      .writeStream
-      .outputMode("append")
-      .format("memory").queryName(sinkName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.SessionConf.withStreamShuffle(s) {
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(streamDir.toString)
+        .dropDuplicates("doc_id")
+        .writeStream
+        .outputMode("append")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(sinkName).orderBy("doc_id")
   }
 
@@ -266,12 +268,20 @@ object PipelineQueries {
     // so at least one pair is guaranteed to span the two batches and
     // exercise join-state retention (the cutoff changes only the
     // batch split, never the join result, so the oracle is unaffected;
-    // single-row driver fetch, same class as the Z-order bounds read)
-    val cutoffRow = ev.filter(col("event_type") === "purchase").alias("p")
-      .join(ev.filter(col("event_type") === "click").alias("c"),
-        expr("p.user_id = c.user_id AND " +
-          "c.ts >= p.ts - interval 1 hour AND c.ts < p.ts"))
-      .agg(max(col("p.ts"))).first()
+    // single-row driver fetch, same class as the Z-order bounds read).
+    // Found with ONE windowed pass over events — a per-user range
+    // window marking purchases preceded by a click within the hour —
+    // not by running the interval join itself twice (once here, once
+    // in the stream).
+    val winPrevClick = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsu")
+      .rangeBetween(-3600000000L, -1L)
+    val cutoffRow = ev
+      .withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("prev_click",
+        max(when(col("event_type") === "click", col("tsu"))).over(winPrevClick))
+      .filter(col("event_type") === "purchase" && col("prev_click").isNotNull)
+      .agg(max(col("ts"))).first()
     val cutoff =
       if (cutoffRow.isNullAt(0)) lit("2024-01-16 00:00:00").cast("timestamp")
       else lit(cutoffRow.getTimestamp(0))
@@ -295,12 +305,14 @@ object PipelineQueries {
         unix_micros(col("p.ts")).as("pts"),
         col("c.event_id").as("click_id"), unix_micros(col("c.ts")).as("cts"))
     val sinkName = "graft_stream_join"
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory").queryName(sinkName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.SessionConf.withStreamShuffle(s) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(sinkName).orderBy("purchase_id", "click_id")
   }
 

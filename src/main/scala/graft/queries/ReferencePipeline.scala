@@ -129,31 +129,47 @@ object ReferencePipeline {
 
   /** IVF build, timed separately from the probe (sample-fit k-means +
     * one map-side assignment pass + partitioned write). The output
-    * row is the build manifest, exact-checked against the corpus.
+    * row is the build manifest, exact-checked against the corpus:
+    * top-2 spill stores exactly 2 rows per vector, the leaf-size
+    * contract (max stored leaf ≤ 500, the reference's
+    * leaf_node_embedding_count) is emitted as a checked flag, and no
+    * split fires on this corpus so num_leaves stays the requested 16.
     */
   private val vAnnBuild = QueryDef.sqlChecked("v_ann_build")(
     "SELECT cast(16 as bigint) AS num_leaves, " +
-      "cast(count(*) as bigint) AS n_vectors FROM embeddings"
+      "cast(count(*) as bigint) AS n_vectors, " +
+      "cast(2 * count(*) as bigint) AS n_rows, " +
+      "cast(1 as bigint) AS leaf_bound_ok FROM embeddings"
   ) { (s, d) =>
     import s.implicits._
     val e = IvfCache.rebuild(s, d)
-    val n = s.read.parquet(e.path).count()
-    Seq((16L, n)).toDF("num_leaves", "n_vectors")
+    val idx = s.read.parquet(e.path)
+    val row = idx.agg(
+      countDistinct(col("vec_id")).as("n_vectors"),
+      count(lit(1)).as("n_rows")).head()
+    val maxLeaf = idx.groupBy("leaf_id").count()
+      .agg(max(col("count"))).head().getLong(0)
+    Seq((e.model.centroids.length.toLong, row.getLong(0), row.getLong(1),
+      if (maxLeaf <= IvfIndex.DefaultMaxLeafSize) 1L else 0L))
+      .toDF("num_leaves", "n_vectors", "n_rows", "leaf_bound_ok")
   }
 
   /** IVF ANN probe (Tree-AH analog), gate-visible RECALL BOUND:
     * k-means assignment isn't SQL-expressible, so the check is mean
     * recall@10 over a fixed batch of 20 query vectors vs exact kNN —
-    * seeded build ⇒ deterministic recall (measured 0.68–0.76 across
-    * the sf dirs at nProbe=4/16); a regression in build or probe
-    * drops it far below the 0.55 bound and flips `recall_ok` to 0,
-    * hash-mismatching the oracle.
+    * deterministic build (seeded k-means over a HASH-selected fit set,
+    * partition-layout-independent) ⇒ deterministic recall. Top-2 spill
+    * assignment lifted measured recall@10 at nProbe=4/16 from
+    * 0.68–0.76 to ≥0.8 across the sf dirs, so the gate bound is 0.8;
+    * a regression in build, spill, or probe flips `recall_ok` to 0
+    * and hash-mismatches the oracle.
     *
     * Scale shape: each query's probe list is exploded to
     * (qid, leaf_id) rows and equi-joined to the index on leaf_id
     * (broadcast here; shuffle-join on leaf_id at 100 TB) — candidates
     * are only the probed leaves' rows, never the full corpus per
-    * query.
+    * query. Spill duplicates (same vector in two probed leaves)
+    * collapse to one candidate row before ranking.
     */
   private val vAnnIvf = QueryDef.sqlChecked("v_ann_ivf")(
     "SELECT cast(20 as bigint) AS n_queries, cast(1 as bigint) AS recall_ok"
@@ -176,6 +192,7 @@ object ReferencePipeline {
       .select(col("qid"), col("vec_id"),
         graft.functions.vectors.dotProduct(col("embedding"), col("qv"))
           .as("score"))
+      .dropDuplicates(Seq("qid", "vec_id"))
     val ivfTop = Knn.topKPerQuery(scored, 10, "qid", "vec_id", Knn.Dot)
     val exactScored = Knn.score(emb.select("vec_id", "embedding"),
       qRows.toSeq.map { case (qid, qv) => (qid, qv) }.toDF("qid", "qv"),
@@ -184,7 +201,7 @@ object ReferencePipeline {
     val hits = ivfTop.select("qid", "vec_id")
       .join(exactTop.select("qid", "vec_id"), Seq("qid", "vec_id")).count()
     val meanRecall = hits.toDouble / (qRows.length * 10.0)
-    Seq((qRows.length.toLong, if (meanRecall >= 0.55) 1L else 0L))
+    Seq((qRows.length.toLong, if (meanRecall >= 0.8) 1L else 0L))
       .toDF("n_queries", "recall_ok")
   }
 

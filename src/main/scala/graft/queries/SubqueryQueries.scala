@@ -86,12 +86,14 @@ object SubqueryQueries {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).as("sum_dec"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory").queryName(sinkName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.SessionConf.withStreamShuffle(s) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(sinkName)
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00:00")
         .as("hour"), col("event_type"), col("n"),
@@ -174,12 +176,14 @@ object SubqueryQueries {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).as("sum_dec"))
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory").queryName(sinkName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.SessionConf.withStreamShuffle(s) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(sinkName)
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00:00")
         .as("hour"), col("event_type"), col("n"),

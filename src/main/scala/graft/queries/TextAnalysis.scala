@@ -90,15 +90,21 @@ object TextAnalysis {
     * every word with the IDENTICAL framing + fold-of-replaces (rules
     * inlined from the same fixture), so the counts hash-match. Also
     * re-states the 2042 cap (common/config.py:57) against BPE counts.
+    *
+    * The oracle is DOC-driven (list_transform + list_sum per row), not
+    * unnest+GROUP BY: unnest drops documents whose token list is
+    * empty, while the Spark side emits n_bpe_tokens=0 for them — a
+    * blank document would silently break row parity under the grouped
+    * form.
     */
   private val tBpeCount = QueryDef.sqlChecked("t_bpe_count")(
-    "SELECT doc_id, cast(sum(" +
-      graft.functions.BpeCodec.sqlEncodeLen("t") +
-      ") as bigint) AS n_bpe_tokens, " +
-      s"cast(sum(${graft.functions.BpeCodec.sqlEncodeLen("t")}) as bigint) " +
-      s"<= ${text.MaxTokens} AS bpe_valid " +
-      s"FROM (SELECT doc_id, unnest(${sql.tokensOf("text")}) AS t " +
-      "FROM documents) GROUP BY doc_id ORDER BY doc_id"
+    "SELECT doc_id, n_bpe_tokens, " +
+      s"n_bpe_tokens <= ${text.MaxTokens} AS bpe_valid FROM " +
+      "(SELECT doc_id, coalesce(cast(list_sum(list_transform(" +
+      s"${sql.tokensOf("text")}, t -> " +
+      s"${graft.functions.BpeCodec.sqlEncodeLen("t")})) as bigint), " +
+      "cast(0 as bigint)) AS n_bpe_tokens FROM documents) " +
+      "ORDER BY doc_id"
   ) { (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),

@@ -24,7 +24,8 @@ class VectorPipelineSpec extends SparkTestBase {
     assert(ann.filter(col("vec_id") === 0).count() == 0)
 
     // recall vs exact search with identical restrict+crowding semantics
-    val exact = VectorPipeline.exactSearch(indexed, query, cfg,
+    // (exactSearch takes a unique-id corpus, not the spill-exploded index)
+    val exact = VectorPipeline.exactSearch(emb, query, cfg,
       "vec_id", "embedding", "label")
     val annIds = ann.select("vec_id").as[Long].collect().toSet
     val exactIds = exact.select("vec_id").as[Long].collect().toSet
