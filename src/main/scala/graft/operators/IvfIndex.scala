@@ -122,6 +122,14 @@ object IvfIndex {
 
   /** Fit k-means on a deterministic bounded sample of `df` (row count
     * `known` avoids a recount) and return AUGMENTED centroids.
+    *
+    * The fit set is re-arranged to a CANONICAL layout (fixed hash
+    * partitioning + in-partition sort on the id) before fitting:
+    * k-means|| init draws per-partition seeded samples, so even with
+    * identical fit-set content the centroids would otherwise depend on
+    * the input's partition layout — the reproducibility hazard the
+    * hash-predicate sample exists to remove. The extra shuffle moves
+    * at most `target` rows, bounded regardless of corpus size.
     */
   private def fitCentroids(df: DataFrame, idCol: String, k: Int, known: Long,
       seed: Long, maxIter: Int, maxFitRows: Long): Array[Array[Double]] = {
@@ -130,10 +138,12 @@ object IvfIndex {
       if (known <= target) df
       else df.filter(hashKeep(col(idCol),
         math.max(1L, (target * 1000000L) / known)))
+    val canonical = fitSet.repartition(16, col(idCol))
+      .sortWithinPartitions(idCol)
     val km = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("__p")
-    km.fit(fitSet).clusterCenters.map(_.toArray)
+    km.fit(canonical).clusterCenters.map(_.toArray)
   }
 
   /** Fit + assign + bound. Returns (corpus exploded to one row per
