@@ -95,6 +95,13 @@ object ChunkingQueries {
     * filters compile to partial top-k (WindowGroupLimit) before the
     * single-partition window, so each list costs k·partitions rows
     * of shuffle at scale, and the fusion joins two 50-row sets.
+    *
+    * The corpus is scanned and tokenized ONCE: a persisted
+    * (doc_id, token) intermediate feeds both the dense (hashed
+    * embedding) and sparse (TF) paths — two independent subtrees would
+    * each re-scan and re-tokenize every document (HybridScanSpec
+    * asserts no second parquet scan survives in the plan). The final
+    * 10-row result is checkpointed while the cache is alive.
     */
   private val qHybridRrf = QueryDef.sqlChecked("q_hybrid_rrf")(
     s"WITH ${graft.pipeline.SparseEmbed.sql.embedCte("docvec", "doc_id")}, " +
@@ -119,37 +126,63 @@ object ChunkingQueries {
       "FULL JOIN (SELECT * FROM drank WHERE rd <= 50) b ON a.doc_id = b.doc_id " +
       "ORDER BY rrf DESC, doc_id LIMIT 10"
   ) { (s, d) =>
+    val toks = tokenRows(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try hybridRrf(s, d, toks).localCheckpoint()
+    finally { toks.unpersist(); () }
+  }
+
+  /** The shared (doc_id, token) relation both rank paths consume. */
+  private[graft] def tokenRows(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      explode(text.tokens(col("text"))).as("t"))
+
+  /** q_hybrid_rrf body over a (usually persisted) shared token
+    * relation, exposed un-checkpointed so HybridScanSpec can assert
+    * the single-scan plan shape.
+    */
+  private[graft] def hybridRrf(s: org.apache.spark.sql.SparkSession,
+      d: String, toks: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import graft.pipeline.SparseEmbed
     val docs = Tables.documents(s, d)
-    val dv = SparseEmbed.embed(docs, "doc_id", "text")
-    val qv = QueryTerms.toDF("t")
-      .select(SparseEmbed.dimIdx(col("t")).as("idx"),
-        SparseEmbed.sign(col("t")).as("s"))
-      .groupBy("idx").agg(sum("s").as("qw")).filter(col("qw") =!= 0)
-    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("dot").desc, col("doc_id"))
-    val drank = dv.join(broadcast(qv), "idx")
-      .groupBy("doc_id").agg(sum(col("w") * col("qw")).as("dot"))
-      .filter(col("dot") > 0)
-      .withColumn("rd", row_number().over(wAll)).filter(col("rd") <= 50)
-    val toks = docs.select(col("doc_id"),
-      explode(text.tokens(col("text"))).as("t"))
-      .filter(col("t").isin(QueryTerms: _*))
-    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
-    val nd = docs.agg(count(lit(1)).as("n"))
-    val wScore = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id"))
-    val srank = tf.join(broadcast(df), "t").crossJoin(broadcast(nd))
-      .withColumn("wt", col("tf") * expr("(n * 1000) div df"))
-      .groupBy("doc_id").agg(sum(col("wt")).cast("bigint").as("score"))
-      .withColumn("rs", row_number().over(wScore)).filter(col("rs") <= 50)
-    srank.select(col("doc_id"), col("rs"))
-      .join(drank.select(col("doc_id"), col("rd")), Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        (coalesce(lit(1.0) / (col("rs") + 60L), lit(0.0)) +
-          coalesce(lit(1.0) / (col("rd") + 60L), lit(0.0))).as("rrf"))
-      .orderBy(col("rrf").desc, col("doc_id"))
-      .limit(10)
+    locally {
+      // dense path: hashed-unigram embedding derived from the SHARED
+      // token rows (same (idx, s) mapping as SparseEmbed.embed)
+      val dv = toks
+        .select(col("doc_id"), SparseEmbed.dimIdx(col("t")).as("idx"),
+          SparseEmbed.sign(col("t")).as("s"))
+        .groupBy("doc_id", "idx").agg(sum("s").as("w"))
+        .filter(col("w") =!= 0)
+      val qv = QueryTerms.toDF("t")
+        .select(SparseEmbed.dimIdx(col("t")).as("idx"),
+          SparseEmbed.sign(col("t")).as("s"))
+        .groupBy("idx").agg(sum("s").as("qw")).filter(col("qw") =!= 0)
+      val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("dot").desc, col("doc_id"))
+      val drank = dv.join(broadcast(qv), "idx")
+        .groupBy("doc_id").agg(sum(col("w") * col("qw")).as("dot"))
+        .filter(col("dot") > 0)
+        .withColumn("rd", row_number().over(wAll)).filter(col("rd") <= 50)
+      // sparse path: query-term TF over the same shared token rows
+      val qtoks = toks.filter(col("t").isin(QueryTerms: _*))
+      val tf = qtoks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val df = qtoks.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
+      val nd = docs.agg(count(lit(1)).as("n"))
+      val wScore = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id"))
+      val srank = tf.join(broadcast(df), "t").crossJoin(broadcast(nd))
+        .withColumn("wt", col("tf") * expr("(n * 1000) div df"))
+        .groupBy("doc_id").agg(sum(col("wt")).cast("bigint").as("score"))
+        .withColumn("rs", row_number().over(wScore)).filter(col("rs") <= 50)
+      srank.select(col("doc_id"), col("rs"))
+        .join(drank.select(col("doc_id"), col("rd")), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (col("rs") + 60L), lit(0.0)) +
+            coalesce(lit(1.0) / (col("rd") + 60L), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(tChunk, qTfidf, qHybridRrf)

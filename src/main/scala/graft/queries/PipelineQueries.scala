@@ -158,54 +158,26 @@ object PipelineQueries {
     * each doc_id exactly once ⟺ the state store suppressed every
     * cross-batch duplicate — a re-emission (state loss) duplicates
     * rows and fails the hash compare against the batch-distinct
-    * oracle. State here is unbounded by design (ids live forever);
-    * for an unbounded stream at scale the bounded-state variant is
-    * `dropDuplicatesWithinWatermark`, which this harness can't use —
-    * documents carry no event time.
+    * oracle. State here is unbounded by design (ids live forever —
+    * documents carry no event time); the bounded-state production
+    * variant over event-timed data is [[qStreamDedupWm]].
     */
   private val qStreamDedup = QueryDef.sqlChecked("q_stream_dedup")(
     "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), md5(col("text")).as("fp"))
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_sdedup_" + java.lang.Integer.toHexString(d.hashCode))
-    val streamDir = base.resolve("stream")
-    def writeOne(df: org.apache.spark.sql.DataFrame, tmpName: String,
-        fileName: String, mtimeMs: Long): Unit = {
-      val tmp = base.resolve(tmpName)
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      java.nio.file.Files.createDirectories(streamDir)
-      val dest = streamDir.resolve(fileName)
-      java.nio.file.Files.copy(part, dest,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-      ()
-    }
-    if (java.nio.file.Files.exists(streamDir)) {
-      java.nio.file.Files.list(streamDir).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .foreach(p => java.nio.file.Files.delete(p))
-    }
-    val now = System.currentTimeMillis()
-    writeOne(docs.filter(col("doc_id") % 2 === 0), "f1",
-      "00-first.parquet", now - 180000L)
-    writeOne(docs.filter(col("doc_id") % 2 === 1)
-      .unionAll(docs.filter(col("doc_id") % 4 === 0)), "f2",
-      "01-with-dups.parquet", now - 120000L)
-    writeOne(docs.filter(col("doc_id") % 8 === 1), "f3",
-      "02-all-dups.parquet", now - 60000L)
+    val streamDir = graft.streaming.FileStreamFixture.write("sdedup", d, Seq(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1)
+        .unionAll(docs.filter(col("doc_id") % 4 === 0)),
+      docs.filter(col("doc_id") % 8 === 1)))
     val sinkName = "graft_stream_dedup"
     graft.SessionConf.withStreamShuffle(s) {
       val q = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
-        .parquet(streamDir.toString)
+        .parquet(streamDir)
         .dropDuplicates("doc_id")
         .writeStream
         .outputMode("append")
@@ -215,6 +187,58 @@ object PipelineQueries {
       q.awaitTermination()
     }
     s.table(sinkName).orderBy("doc_id")
+  }
+
+  /** BOUNDED-STATE streaming dedup — the production variant of
+    * [[qStreamDedup]]: events HAVE event time, so
+    * `dropDuplicatesWithinWatermark` can evict dedup state once the
+    * watermark passes an event's time + delay, keeping the store
+    * bounded by the 2-hour delay window instead of the stream length.
+    * Three time-ordered micro-batches; batches 1 and 2 RE-SEND every
+    * event from the trailing 3 hours of the previous batch (non-empty
+    * at every sf). Each duplicate is suppressed either by state (alive
+    * while t ≥ max_prev_ts − 4h: eviction needs the watermark
+    * max_prev_ts − 2h to exceed t + 2h) or, for the oldest slice, by
+    * the late-row filter — both paths suppress, so the sink equals
+    * batch DISTINCT = the raw events table (ids are unique). A
+    * state-loss re-emission or premature eviction changes the row set
+    * and fails the hash compare.
+    */
+  private val qStreamDedupWm = QueryDef.sqlChecked("q_stream_dedup_wm")(
+    "SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value " +
+      "FROM events ORDER BY event_id"
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+    val c1 = lit("2024-01-11 00:00:00").cast("timestamp")
+    val c2 = lit("2024-01-21 00:00:00").cast("timestamp")
+    val resend1 = ev.filter(col("ts") >= c1 - expr("interval 3 hours") &&
+      col("ts") < c1)
+    val resend2 = ev.filter(col("ts") >= c2 - expr("interval 3 hours") &&
+      col("ts") < c2)
+    val streamDir = graft.streaming.FileStreamFixture.write("sdedupwm", d, Seq(
+      ev.filter(col("ts") < c1),
+      ev.filter(col("ts") >= c1 && col("ts") < c2).unionAll(resend1),
+      ev.filter(col("ts") >= c2).unionAll(resend2)))
+    val sinkName = "graft_stream_dedup_wm"
+    graft.SessionConf.withStreamShuffle(s) {
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(streamDir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+        .writeStream
+        .outputMode("append")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(sinkName).orderBy("event_id")
   }
 
   /** STREAM–STREAM interval join: each purchase joined to the same
@@ -240,30 +264,6 @@ object PipelineQueries {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"),
         col("ts").cast("timestamp").as("ts"), col("event_type"))
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_sjoin_" + java.lang.Integer.toHexString(d.hashCode))
-    val streamDir = base.resolve("stream")
-    def writeOne(df: org.apache.spark.sql.DataFrame, tmpName: String,
-        fileName: String, mtimeMs: Long): Unit = {
-      val tmp = base.resolve(tmpName)
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      java.nio.file.Files.createDirectories(streamDir)
-      val dest = streamDir.resolve(fileName)
-      java.nio.file.Files.copy(part, dest,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-      ()
-    }
-    if (java.nio.file.Files.exists(streamDir)) {
-      java.nio.file.Files.list(streamDir).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .foreach(p => java.nio.file.Files.delete(p))
-    }
     // split AT a purchase that has a strictly-earlier matching click,
     // so at least one pair is guaranteed to span the two batches and
     // exercise join-state retention (the cutoff changes only the
@@ -285,16 +285,14 @@ object PipelineQueries {
     val cutoff =
       if (cutoffRow.isNullAt(0)) lit("2024-01-16 00:00:00").cast("timestamp")
       else lit(cutoffRow.getTimestamp(0))
-    val now = System.currentTimeMillis()
-    writeOne(ev.filter(col("ts") < cutoff), "f1",
-      "00-first-half.parquet", now - 120000L)
-    writeOne(ev.filter(col("ts") >= cutoff), "f2",
-      "01-second-half.parquet", now - 60000L)
+    val streamDir = graft.streaming.FileStreamFixture.write("sjoin", d, Seq(
+      ev.filter(col("ts") < cutoff),
+      ev.filter(col("ts") >= cutoff)))
     def side(tpe: String, alias: String) =
       s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
-        .parquet(streamDir.toString)
+        .parquet(streamDir)
         .filter(col("event_type") === tpe)
         .withWatermark("ts", "2 hours")
         .alias(alias)
@@ -317,5 +315,6 @@ object PipelineQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(pSampleHash, pSampleStratified,
-    pSplitTrainTest, pTopkTokens, pCorpusClean, qStreamDedup, qStreamJoin)
+    pSplitTrainTest, pTopkTokens, pCorpusClean, qStreamDedup,
+    qStreamDedupWm, qStreamJoin)
 }

@@ -267,6 +267,66 @@ object ReferencePipeline {
       8, "vec_id", Knn.Dot)
   }
 
+  /** Index MAINTENANCE lifecycle, hash-checked end to end: upsert
+    * batches append to a real parquet log (IndexMaintenance.appendBatch
+    * ×2 — every vector at version 1, then 20 vectors re-embedded as
+    * their negation at version 2), the live corpus resolves
+    * last-write-wins, and a RECLUSTER assigns every live vector to
+    * fixed data-derived centroids (the same fixed-centroid trick as
+    * v_ann_pipeline: k-means is swapped for argmax-dot so the oracle
+    * can replicate assignment exactly; append/LWW/assign/compact are
+    * the production path). Output is the per-leaf compaction summary.
+    * A stale read (version 1 surviving) flips ~20 assignments —
+    * negated vectors land in different leaves — and fails the hash.
+    */
+  private val rRecluster = QueryDef.sqlChecked("r_recluster")(
+    "WITH log AS (SELECT vec_id, cast(embedding as double[]) AS v, 1 AS version " +
+      "FROM embeddings UNION ALL " +
+      "SELECT vec_id, list_transform(cast(embedding as double[]), x -> -x), 2 " +
+      "FROM embeddings WHERE vec_id % 25 = 0), " +
+      "live AS (SELECT vec_id, v FROM (SELECT vec_id, v, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY version DESC) AS rn FROM log) WHERE rn = 1), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv " +
+      "FROM live WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT l.vec_id, c.cid, row_number() OVER (PARTITION BY l.vec_id " +
+      "ORDER BY list_inner_product(l.v, c.cv) DESC, c.cid) AS rn " +
+      "FROM live l, cent c) WHERE rn = 1) " +
+      "SELECT cast(leaf_id as bigint) AS leaf_id, count(*) AS n_vectors, " +
+      "cast(sum(vec_id) as bigint) AS sum_vec_id " +
+      "FROM assign GROUP BY leaf_id ORDER BY leaf_id"
+  ) { (s, d) =>
+    import graft.streaming.IndexMaintenance
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val v1 = emb.withColumn("version", lit(1))
+    val v2 = emb.filter(col("vec_id") % 25 === 0)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2))
+    val logPath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_reclog_" + java.lang.Integer.toHexString(d.hashCode))
+    // append-only log: wipe between runs so reruns see exactly 2 batches
+    if (java.nio.file.Files.exists(logPath)) {
+      java.nio.file.Files.walk(logPath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    IndexMaintenance.appendBatch(v1, logPath.toString)
+    IndexMaintenance.appendBatch(v2, logPath.toString)
+    val live = IndexMaintenance.liveCorpus(s, logPath.toString, "vec_id", "version")
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = live.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray).toSeq
+    live.withColumn("leaf_id",
+        IvfIndex.leafExpr(col("v"), cents).cast("bigint"))
+      .groupBy("leaf_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum("vec_id").cast("bigint").as("sum_vec_id"))
+      .orderBy("leaf_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
-    rSearchE2e, vAnnBuild, vAnnIvf, vAnnPipeline)
+    rSearchE2e, rRecluster, vAnnBuild, vAnnIvf, vAnnPipeline)
 }

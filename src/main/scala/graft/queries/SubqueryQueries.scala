@@ -135,43 +135,15 @@ object SubqueryQueries {
     val ev = graft.Tables.events(s, d)
       .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
         col("event_type"), col("value"))
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_late_" + java.lang.Integer.toHexString(d.hashCode))
-    val streamDir = base.resolve("stream")
-    def writeOne(df: org.apache.spark.sql.DataFrame, tmpName: String,
-        fileName: String, mtimeMs: Long): Unit = {
-      val tmp = base.resolve(tmpName)
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      java.nio.file.Files.createDirectories(streamDir)
-      val dest = streamDir.resolve(fileName)
-      java.nio.file.Files.copy(part, dest,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-      ()
-    }
-    // wipe any previous stream dir so reruns see exactly two files
-    if (java.nio.file.Files.exists(streamDir)) {
-      java.nio.file.Files.list(streamDir).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .foreach(p => java.nio.file.Files.delete(p))
-    }
-    val now = System.currentTimeMillis()
-    writeOne(ev.filter(col("user_id") % 2 === 0), "f1", "00-ontime.parquet",
-      now - 180000L)
-    writeOne(ev.filter(col("user_id") % 4 === 1), "f2", "01-mid.parquet",
-      now - 120000L)
-    writeOne(ev.filter(col("user_id") % 4 === 3), "f3", "02-late.parquet",
-      now - 60000L)
+    val streamDir = graft.streaming.FileStreamFixture.write("late", d, Seq(
+      ev.filter(col("user_id") % 2 === 0),
+      ev.filter(col("user_id") % 4 === 1),
+      ev.filter(col("user_id") % 4 === 3)))
     val sinkName = "graft_stream_late"
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "*.parquet")
-      .parquet(streamDir.toString)
+      .parquet(streamDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
