@@ -27,7 +27,7 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val registry = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
@@ -35,6 +35,23 @@ object Bench {
       spark.catalog.clearCache() // drop per-query persisted intermediates
       name -> dt
     }
+    // sf1-scale dedup smoke (driver testdata tops out at sf0.1): time
+    // the full MinHash signature+candidate path on the synthetic
+    // 50 000-doc corpus — the recorded evidence that the bucketed path
+    // holds its selectivity at 10× the verified size (assertions live
+    // in DedupScaleSpec)
+    val scaleRow = {
+      val t0 = System.nanoTime()
+      try {
+        val c = graft.pipeline.SyntheticCorpus.docs(spark, 50000L)
+        val sig = graft.operators.Dedup.minhashSignatures(c, "doc_id", "text")
+        graft.operators.Dedup.minhashCandidates(sig, "doc_id").count()
+        ()
+      } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      "d_scale_sf1_minhash" -> (System.nanoTime() - t0) / 1e9
+    }
+    val results = registry :+ scaleRow
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -60,23 +60,35 @@ object SrpLsh {
     (h * h) % P
   }
 
-  /** (id, idx, w) sparse integer vectors → stacked (id, band, k)
-    * 12-bit band keys of the 96-bit sign signature.
+  /** (id, idx, w) sparse integer vectors → stacked (id, band, k) band
+    * keys of the sign signature. Defaults are the 96-bit / 8×12-bit
+    * oracle-pinned configuration; `bits`/`bandBits`/`bitsPerHash` are
+    * the REAL scale knobs the scaladoc's growth rule refers to —
+    * band-bucket mass grows as nBands·n²/2^(bandBits+1), so at 50k+
+    * docs 12-bit bands already saturate (measured 2.75M candidate
+    * mass at n=50 000; 16-bit bands cut it ~16×, see DedupScaleSpec).
     */
-  def bandKeys(vec: DataFrame, id: String): DataFrame = {
-    val nHashes = Bits / BitsPerHash
+  def bandKeys(vec: DataFrame, id: String, bits: Int = Bits,
+      bandBits: Int = BandBits, bitsPerHash: Int = BitsPerHash): DataFrame = {
+    require(bits % bitsPerHash == 0, s"bits=$bits not a multiple of bitsPerHash=$bitsPerHash")
+    require(bitsPerHash % bandBits == 0, s"bitsPerHash=$bitsPerHash not a multiple of bandBits=$bandBits")
+    require(bitsPerHash <= 24, s"a mixed hash yields at most 24 usable sign bits, got $bitsPerHash")
+    val nHashes = bits / bitsPerHash
+    val bandsPerHash = bitsPerHash / bandBits
     val hashed = vec.select(col(id), col("w"), posexplode(array(
       (0 until nHashes).map(m => mixHash(m, col("idx"))): _*)).as(Seq("m", "h")))
     // s_r = Σ w·sign_r where sign_r = 1−2·bit_r(h); bits 7..30 of the mix
-    val sums = (0 until BitsPerHash).map(r =>
+    val sums = (0 until bitsPerHash).map(r =>
       sum(col("w") * (shiftright(col("h"), 7 + r).bitwiseAND(lit(1L))
         * lit(-2L) + 1L)).as(s"s$r"))
     val agg = hashed.groupBy(col(id), col("m")).agg(sums.head, sums.tail: _*)
-    def key(lo: Int): Column = (0 until BandBits).map(r =>
+    def key(lo: Int): Column = (0 until bandBits).map(r =>
       when(col(s"s${lo + r}") >= 0, lit(1L << r)).otherwise(0L)).reduce(_ + _)
     agg.select(col(id), col("m"),
-        posexplode(array(key(0), key(BandBits))).as(Seq("half", "k")))
-      .select(col(id), (col("m") * 2 + col("half")).as("band"), col("k"))
+        posexplode(array((0 until bandsPerHash).map(b => key(b * bandBits)): _*))
+          .as(Seq("half", "k")))
+      .select(col(id),
+        (col("m") * bandsPerHash + col("half")).as("band"), col("k"))
   }
 
   /** Banded candidate pairs + exact integer cosine-≥(p/q) verify.

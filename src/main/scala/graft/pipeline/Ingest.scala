@@ -27,12 +27,25 @@ object Ingest {
     * runtime dimension discovery
     * (/root/reference/vector_store/setup_vector_search.py:35,
     * common/config.py:31).
+    *
+    * `bpeCounting` switches the 2042-token cap (common/config.py:57)
+    * from the whitespace heuristic to real merge-based BPE counts
+    * (BpeCodec) — the reference validates with a BPE tokenizer
+    * (embeddings.py:52-60), and the two counters genuinely disagree
+    * at the cap boundary: BPE splits unmerged character runs into
+    * multiple tokens, so a document can pass the whitespace cap yet
+    * exceed the model's real context limit (IngestSpec pins a case).
+    * The actual cl100k_base merge table is public data but not
+    * reachable from this zero-egress build; the committed fixture
+    * vocabulary stands in, so absolute counts differ from tiktoken's
+    * while the algorithm and the cap semantics are the reference's.
     */
   final case class Config(
       indexPath: String,
       metadataPath: String,
       dim: Int = 64,
-      failFast: Boolean = true)
+      failFast: Boolean = true,
+      bpeCounting: Boolean = false)
 
   /** Validate + embed + project. Returns (datapoints, metadata). */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
@@ -46,7 +59,9 @@ object Ingest {
     */
   def prepareWithStage(docs: DataFrame, idCol: String, textCol: String,
       crowdingCol: String, cfg: Config): (DataFrame, DataFrame, DataFrame) = {
-    val counted = docs.withColumn("__tokens", text.tokenCount(col(textCol)))
+    val counter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (cfg.bpeCounting) text.bpeMergeCount else text.tokenCount
+    val counted = docs.withColumn("__tokens", counter(col(textCol)))
     if (cfg.failFast) {
       // the reference aborts the whole job on the first invalid text
       // (embeddings.py:146-149)

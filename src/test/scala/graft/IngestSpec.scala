@@ -40,6 +40,26 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("heuristic and BPE token caps disagree at the boundary") {
+    // 300 whitespace tokens — comfortably under the 2042 heuristic
+    // cap — but each word is 10 characters no merge rule touches, so
+    // real BPE counts 3000 tokens and must reject the document the
+    // way the reference's tiktoken validation would
+    val word = "z" * 10
+    val txt = Array.fill(300)(word).mkString(" ")
+    assert(graft.functions.BpeCodec.countText(
+      org.apache.spark.unsafe.types.UTF8String.fromString(txt)) == 3000L)
+    val docs = Seq((1L, txt, "s")).toDF("doc_id", "text", "source")
+    val heur = Ingest.Config(tmp("ixh") + "/i", tmp("mdh") + "/m")
+    Ingest.run(docs, "doc_id", "text", "source", heur) // heuristic accepts
+    assert(spark.read.parquet(heur.indexPath).count() == 1)
+    val bpe = Ingest.Config(tmp("ixb") + "/i", tmp("mdb") + "/m",
+      bpeCounting = true)
+    intercept[Ingest.TokenLimitExceeded] {
+      Ingest.run(docs, "doc_id", "text", "source", bpe) // real BPE rejects
+    }
+  }
+
   test("IVF persisted index search uses partition pruning") {
     val path = tmp("ivf") + "/index"
     val emb = Tables.embeddings(spark, sf)
