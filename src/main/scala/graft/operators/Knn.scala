@@ -87,4 +87,28 @@ object Knn {
       metric: Metric): DataFrame =
     if (metric.descending) scored.filter(col("score") >= threshold)
     else scored.filter(col("score") <= threshold)
+
+  /** kNN SELF-join over an IVF-indexed corpus (`leaf_id` present,
+    * possibly with spill duplicates): top-k neighbors for EVERY vector
+    * among its leaf-mates. The all-pairs form is a cross product; this
+    * is the scalable shape — one equi-join on leaf_id (co-located
+    * partitions at 100 TB, no global shuffle of pairs), candidates
+    * bounded by leaf sizes (the IvfIndex maxLeafSize contract), spill
+    * assignment widening recall across leaf boundaries exactly as it
+    * does for query-time probes. Duplicate (qid, nid) candidates from
+    * spill collapse before ranking.
+    */
+  def knnJoinPerLeaf(indexed: DataFrame, id: String, vecCol: String,
+      k: Int, metric: Metric): DataFrame = {
+    val a = indexed.select(col("leaf_id"), col(id).as("qid"),
+      col(vecCol).as("qv"))
+    val b = indexed.select(col("leaf_id"), col(id).as("nid"),
+      col(vecCol).as("nv"))
+    val scored = a.join(b, Seq("leaf_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        metric.score(col("qv"), col("nv")).as("score"))
+      .dropDuplicates("qid", "nid")
+    topKPerQuery(scored, k, "qid", "nid", metric)
+  }
 }

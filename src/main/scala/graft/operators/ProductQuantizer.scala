@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze, Schmid: "Product Quantization
+  * for Nearest Neighbor Search", PAMI 2011) — the memory-bound ANN
+  * tier the engine's int8 scalar quantization doesn't reach: the
+  * 64-dim embedding splits into 8 subspaces of 8 dims, each encoded as
+  * the nearest of 16 per-subspace codebook entries, so a vector is
+  * 8×4 bits = one 32-bit word in a packed bigint (256 B float → 4 B,
+  * 64×). Search is ADC (asymmetric distance computation): the query
+  * precomputes an 8×16 table of per-subspace partial dot products and
+  * every corpus score is 8 table lookups + 7 adds — no float vector is
+  * touched at scan time, which is what makes a 100 TB corpus scannable
+  * from codes resident in memory.
+  *
+  * Codebooks here are FIXED data-derived vectors (16 spread corpus
+  * rows, not k-means) so encode and ADC are exactly replicable in
+  * SQL — the same fixed-centroid trick as v_ann_pipeline: swap k-means
+  * for deterministic codebooks, keep every other stage the production
+  * path, and the whole operator hash-checks. Tie-break: equal
+  * subspace distances take the LOWEST code on both engines.
+  *
+  * Scale shape: encode is a pure codegen map pass (no shuffle, no
+  * MLlib on the corpus); ADC scoring is codegen lookups into literal
+  * tables; top-k is TakeOrderedAndProject. The reference's Tree-AH is
+  * itself a PQ-family index (asymmetric hashing = ADC over learned
+  * codebooks), so this is the closest analog of its scoring core.
+  */
+object ProductQuantizer {
+
+  val NumSub = 8
+  val SubDim = 8
+  val NumCodes = 16
+
+  /** Fixed codebook rows: full vectors sorted by id; code c = rank of
+    * its id among `ids` (both engines derive the same ranks).
+    */
+  def codebook(emb: DataFrame, idCol: String, vecCol: String,
+      ids: Seq[Long]): Seq[Array[Double]] = {
+    val rows = emb.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray).toSeq
+    require(rows.length == ids.length,
+      s"codebook ids missing from corpus: got ${rows.length}/${ids.length}")
+    rows
+  }
+
+  /** Packed code word: subspace s contributes its argmin-L2 code in
+    * bits [4s, 4s+4) — 128 codegen'd 8-dim distances per row, ties to
+    * the lowest code (array_position returns the FIRST minimum).
+    */
+  def encodeExpr(vec: Column, cb: Seq[Array[Double]]): Column = {
+    require(cb.length == NumCodes, s"expected $NumCodes codebook rows")
+    val subCodes = (0 until NumSub).map { s =>
+      val dists = array(cb.map { c =>
+        graft.functions.vectors.l2Distance(
+          slice(vec, s * SubDim + 1, SubDim),
+          typedLit(c.slice(s * SubDim, s * SubDim + SubDim).toSeq))
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1)
+    }
+    subCodes.zipWithIndex
+      .map { case (c, s) => c * (1L << (4 * s)) }
+      .reduce(_ + _)
+  }
+
+  /** Query-side ADC table: table(s)(c) = forward dot of the query's
+    * and code c's subspace-s slice — the identical accumulation order
+    * as DuckDB list_inner_product, so the doubles are bit-equal.
+    */
+  def adcTable(query: Array[Double], cb: Seq[Array[Double]]): Seq[Seq[Double]] =
+    (0 until NumSub).map { s =>
+      cb.map { c =>
+        var dot = 0.0
+        var j = 0
+        while (j < SubDim) {
+          dot += query(s * SubDim + j) * c(s * SubDim + j)
+          j += 1
+        }
+        dot
+      }.toSeq
+    }
+
+  /** ADC score of a packed code: 8 literal-table lookups combined in
+    * FIXED left-associative order (the oracle writes the same
+    * t0+t1+…+t7) so the float sum is deterministic.
+    */
+  def adcScoreExpr(packed: Column, table: Seq[Seq[Double]]): Column =
+    (0 until NumSub).map { s =>
+      element_at(typedLit(table(s)),
+        (shiftright(packed, 4 * s).bitwiseAND(lit(15L)) + 1L).cast("int"))
+    }.reduce(_ + _)
+
+  /** Encode + ADC top-k in one pass (codes are usually persisted once
+    * and scanned many times; fusing keeps the demo self-contained).
+    */
+  def search(emb: DataFrame, idCol: String, vecCol: String,
+      cb: Seq[Array[Double]], query: Array[Double], k: Int): DataFrame = {
+    val table = adcTable(query, cb)
+    emb.select(col(idCol),
+        encodeExpr(col(vecCol).cast("array<double>"), cb).as("pq_code"))
+      .select(col(idCol), col("pq_code"),
+        adcScoreExpr(col("pq_code"), table).as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -61,5 +61,73 @@ object QuantizeQueries {
       .limit(10)
   }
 
-  val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized)
+  /** Fixed PQ codebook rows: 16 spread corpus ids (present at every
+    * sf — the embeddings table is 500 rows at all scales).
+    */
+  private val PqIds: Seq[Long] = (0 until 16).map(c => c * 31L + 5L)
+
+  /** Shared oracle CTEs: codebook (code = id rank), per-(vec, sub)
+    * argmin-L2 code assignment with lowest-code tie-break — the exact
+    * SQL mirror of ProductQuantizer.encodeExpr.
+    */
+  private val PqCte =
+    s"WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      s"WHERE vec_id IN (${PqIds.mkString(",")})), " +
+      "sub AS (SELECT unnest(range(0, 8)) AS s), " +
+      "dist AS (SELECT e.vec_id, s.s, cb.c, " +
+      "list_distance(cast(e.embedding as double[])[s.s*8+1 : s.s*8+8], " +
+      "cv[s.s*8+1 : s.s*8+8]) AS d FROM embeddings e CROSS JOIN sub s CROSS JOIN cb), " +
+      "code AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, " +
+      "row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM dist) " +
+      "WHERE rn = 1)"
+
+  /** Product-quantization encode: 8 subspaces × 16 codes → one packed
+    * 32-bit word per vector (64× smaller than the float vector),
+    * hash-checked bit-for-bit against the SQL argmin replica.
+    */
+  private val vPqEncode = QueryDef.sqlChecked("v_pq_encode")(
+    s"$PqCte SELECT vec_id, cast(sum(c * (cast(1 as bigint) << (4*s))) as bigint) " +
+      "AS pq_code FROM code GROUP BY vec_id ORDER BY vec_id"
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cb = graft.operators.ProductQuantizer.codebook(
+      emb, "vec_id", "embedding", PqIds)
+    emb.select(col("vec_id"),
+        graft.operators.ProductQuantizer
+          .encodeExpr(col("embedding").cast("array<double>"), cb).as("pq_code"))
+      .orderBy("vec_id")
+  }
+
+  /** PQ ADC search: the query precomputes an 8×16 partial-dot table;
+    * every corpus score is 8 lookups + 7 adds over the packed code —
+    * no float vector touched at scan time. Both engines accumulate
+    * each partial dot forward and combine the 8 terms in the same
+    * left-associative order, so the float scores hash-match.
+    */
+  private val vPqSearch = QueryDef.sqlChecked("v_pq_search")(
+    s"$PqCte, q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id = 7), " +
+      "term AS (SELECT code.vec_id, code.s, " +
+      "list_inner_product(q.qv[code.s*8+1 : code.s*8+8], " +
+      "cb.cv[code.s*8+1 : code.s*8+8]) AS t " +
+      "FROM code JOIN cb ON code.c = cb.c CROSS JOIN q), " +
+      "piv AS (SELECT vec_id, " +
+      (0 until 8).map(i => s"max(CASE WHEN s = $i THEN t END) AS t$i")
+        .mkString(", ") +
+      " FROM term GROUP BY vec_id) " +
+      "SELECT vec_id, t0+t1+t2+t3+t4+t5+t6+t7 AS adc_score FROM piv " +
+      "ORDER BY adc_score DESC, vec_id LIMIT 10"
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cb = graft.operators.ProductQuantizer.codebook(
+      emb, "vec_id", "embedding", PqIds)
+    val query = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    graft.operators.ProductQuantizer
+      .search(emb, "vec_id", "embedding", cb, query, 10)
+      .select("vec_id", "adc_score")
+  }
+
+  val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch)
 }

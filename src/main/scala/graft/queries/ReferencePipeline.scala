@@ -267,6 +267,57 @@ object ReferencePipeline {
       8, "vec_id", Knn.Dot)
   }
 
+  /** kNN SELF-join (top-3 neighbors for EVERY corpus vector) via
+    * leaf-co-located joins — the scalable form of all-pairs similarity:
+    * one equi-join on leaf_id instead of a cross product, candidates
+    * bounded by leaf sizes, top-2 spill assignment widening recall
+    * across leaf cuts. Fixed data-derived centroids (v_ann_pipeline
+    * trick) make assignment argmax-dot, so candidate generation,
+    * scoring, and ranking are all SQL-replicable and the operator
+    * hash-checks end to end.
+    */
+  private val vKnnJoin = QueryDef.sqlChecked("v_knn_join")(
+    "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_inner_product(cast(e.embedding as double[]), c.cv) DESC, c.cid) AS rn " +
+      "FROM embeddings e, cent c) WHERE rn <= 2), " +
+      "pairs AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid " +
+      "FROM assign a JOIN assign b ON a.leaf_id = b.leaf_id AND a.vec_id <> b.vec_id), " +
+      "scored AS (SELECT p.qid, p.nid, " +
+      "list_inner_product(cast(x.embedding as double[]), cast(y.embedding as double[])) AS score " +
+      "FROM pairs p JOIN embeddings x ON x.vec_id = p.qid " +
+      "JOIN embeddings y ON y.vec_id = p.nid) " +
+      "SELECT qid, nid, score, rn FROM (SELECT qid, nid, score, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn " +
+      "FROM scored) WHERE rn <= 3 ORDER BY qid, rn"
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toSeq).toSeq
+    // top-2 spill assignment against the fixed centroids: argmax dot,
+    // then argmax with the winner masked out (ties to the lowest cid
+    // on both steps, matching the oracle's rank order)
+    val indexed = emb
+      .withColumn("__s", array(cents.map(c =>
+        graft.functions.vectors.dotProduct(col("embedding"), typedLit(c))): _*))
+      .withColumn("__l1",
+        (array_position(col("__s"), array_max(col("__s"))) - 1).cast("int"))
+      .withColumn("__m", transform(col("__s"), (x, i) =>
+        when(i === col("__l1"), lit(Double.NegativeInfinity)).otherwise(x)))
+      .withColumn("__l2",
+        (array_position(col("__m"), array_max(col("__m"))) - 1).cast("int"))
+      .select(col("vec_id"), col("embedding"),
+        explode(array(col("__l1"), col("__l2"))).as("leaf_id"))
+    Knn.knnJoinPerLeaf(indexed, "vec_id", "embedding", 3, Knn.Dot)
+      .select("qid", "nid", "score", "rn")
+      .orderBy("qid", "rn")
+  }
+
   /** Index MAINTENANCE lifecycle, hash-checked end to end: upsert
     * batches append to a real parquet log (IndexMaintenance.appendBatch
     * ×2 — every vector at version 1, then 20 vectors re-embedded as
@@ -328,5 +379,5 @@ object ReferencePipeline {
   }
 
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
-    rSearchE2e, rRecluster, vAnnBuild, vAnnIvf, vAnnPipeline)
+    rSearchE2e, rRecluster, vAnnBuild, vAnnIvf, vAnnPipeline, vKnnJoin)
 }

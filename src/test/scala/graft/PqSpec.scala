@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.ProductQuantizer
+import org.apache.spark.sql.functions._
+
+/** Product-quantization quality/contract checks beyond the hash gate. */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val ids = (0 until 16).map(c => c * 31L + 5L)
+
+  test("ADC top-10 approximates exact dot top-10; query ranks first") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val cb = ProductQuantizer.codebook(emb, "vec_id", "embedding", ids)
+    val query = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val adc = ProductQuantizer.search(emb, "vec_id", "embedding", cb, query, 10)
+      .select("vec_id").as[Long].collect()
+    // the query's own (exactly encodable) vector must win
+    assert(adc.head == 7L)
+    val exact = emb
+      .select(col("vec_id"),
+        graft.functions.vectors.dotProduct(col("embedding"),
+          typedLit(query.toSeq)).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val overlap = adc.toSet.intersect(exact).size
+    // 64x compression with fixed (non-learned) codebooks: measured 5/10
+    // at sf0.001 and 4/10 at sf0.1; 3 is the regression floor
+    assert(overlap >= 3, s"ADC/exact top-10 overlap fell to $overlap")
+  }
+
+  test("packed code stores 8 valid 4-bit subspace codes") {
+    val emb = Tables.embeddings(spark, sf)
+    val cb = ProductQuantizer.codebook(emb, "vec_id", "embedding", ids)
+    val packed = emb.select(ProductQuantizer
+      .encodeExpr(col("embedding").cast("array<double>"), cb).as("p"))
+    // all 32 high bits clear, every nibble < 16 by construction
+    assert(packed.filter(col("p") < 0 || col("p") >= (1L << 32)).count() == 0)
+    // codebook rows encode to themselves: nibble s = own code c
+    val self = emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), ProductQuantizer
+        .encodeExpr(col("embedding").cast("array<double>"), cb).as("p"))
+      .collect().sortBy(_.getLong(0))
+    self.zipWithIndex.foreach { case (r, c) =>
+      val expected = (0 until 8).map(s => c.toLong << (4 * s)).sum
+      assert(r.getLong(1) == expected,
+        s"codebook row ${r.getLong(0)} encoded to ${r.getLong(1)}, " +
+          s"expected $expected")
+    }
+  }
+}
