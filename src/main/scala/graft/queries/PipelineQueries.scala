@@ -151,6 +151,39 @@ object PipelineQueries {
       .orderBy("lang_pred")
   }
 
+  /** SEQUENCE PACKING for training (concat-then-chunk): documents are
+    * conceptually concatenated in deterministic (source, doc_id) order
+    * into a token stream that is cut every 512 tokens; a document's
+    * pack is the window its first token falls in (documents may span
+    * cuts, as in LLM pretraining packing). One running-sum window +
+    * one aggregation — and the window is PARTITIONED BY source, so
+    * packing parallelizes across sources instead of serializing on a
+    * global cumsum (at 100 TB you pack per shard; a single global
+    * token order would be a one-partition window).
+    */
+  private val pPackSequences = QueryDef.sqlChecked("p_pack_sequences")(
+    "WITH toks AS (SELECT doc_id, source, " +
+      s"${graft.functions.text.sql.tokenCount("text")} AS n_tokens FROM documents), " +
+      "pos AS (SELECT doc_id, source, n_tokens, " +
+      "cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens as bigint) AS pos " +
+      "FROM toks) " +
+      "SELECT source, pos // 512 AS pack_id, count(*) AS n_docs, " +
+      "cast(sum(n_tokens) as bigint) AS pack_tokens " +
+      "FROM pos GROUP BY source, pack_id ORDER BY source, pack_id"
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      graft.functions.text.tokenCount(col("text")).as("n_tokens"))
+    toks
+      .withColumn("pos", (sum("n_tokens").over(w) - col("n_tokens")).cast("bigint"))
+      .withColumn("pack_id", expr("pos div 512"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("bigint").as("pack_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
   /** Streaming INCREMENTAL dedup: three ordered micro-batches where
     * batches 1 and 2 re-send documents already seen (¼ of the corpus
     * re-sent in batch 1, ⅛ in batch 2), deduplicated by
@@ -315,6 +348,6 @@ object PipelineQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(pSampleHash, pSampleStratified,
-    pSplitTrainTest, pTopkTokens, pCorpusClean, qStreamDedup,
-    qStreamDedupWm, qStreamJoin)
+    pSplitTrainTest, pTopkTokens, pCorpusClean, pPackSequences,
+    qStreamDedup, qStreamDedupWm, qStreamJoin)
 }
