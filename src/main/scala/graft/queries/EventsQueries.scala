@@ -53,5 +53,35 @@ object EventsQueries {
       .orderBy("user_id", "event_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(qHourly, qProps, qGaps)
+  /** Weekly cohort retention — the classic product-analytics matrix:
+    * cohort = a user's first active week, age = weeks since cohort;
+    * cell = how many of the cohort's users were active at that age.
+    * Two aggregations and a broadcast-able cohort join (users ≪
+    * events); age arithmetic in integer microseconds so both engines
+    * agree exactly (DuckDB date_trunc('week') yields a DATE — cast to
+    * timestamp before epoch_us).
+    */
+  private val qRetention = QueryDef.sqlChecked("q_retention")(
+    "WITH wk AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events), " +
+      "coh AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY user_id) " +
+      "SELECT strftime(c.cw, '%Y-%m-%d') AS cohort, " +
+      "(epoch_us(cast(k.w as timestamp)) - epoch_us(cast(c.cw as timestamp))) // 604800000000 AS age_weeks, " +
+      "count(*) AS n_users " +
+      "FROM wk k JOIN coh c ON k.user_id = c.user_id " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+  ) { (s, d) =>
+    val wk = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    val coh = wk.groupBy("user_id").agg(min("w").as("cw"))
+    wk.join(broadcast(coh), "user_id")
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort"),
+        expr("(unix_micros(w) - unix_micros(cw)) div 604800000000")
+          .as("age_weeks"))
+      .groupBy("cohort", "age_weeks")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "age_weeks")
+  }
+
+  val defs: Seq[QueryDef] = Seq(qHourly, qProps, qGaps, qRetention)
 }

@@ -151,6 +151,54 @@ object PipelineQueries {
       .orderBy("lang_pred")
   }
 
+  /** Benchmark DECONTAMINATION: flag training documents sharing ≥ 20
+    * distinct word-3-gram shingles with any SINGLE held-out document —
+    * the n-gram-overlap rule LLM pipelines run before training so eval
+    * data can't leak into the train set (production uses longer
+    * n-grams; same shape). The rule is PAIRWISE deliberately: "shares
+    * n-grams with the test set as a whole" flags ~99% of this corpus
+    * on common phrases, while the pairwise ≥ 20 threshold separates
+    * true near-dups (planted pairs share ~77 shingles) from background
+    * (≤ a few). Split = deterministic hash (never `df.sample`);
+    * overlap join = the d_dedup_jaccard inverted-index shape (shingle
+    * equi-join, no cross product; at 100 TB add the same df cap);
+    * output = one-row audit summary with an id checksum so any
+    * membership change flips the hash.
+    */
+  private val pDecontaminate = QueryDef.sqlChecked("p_decontaminate")(
+    s"WITH ${graft.pipeline.SparseEmbed.sql.shingleHashCtes("doc_id")}, " +
+      "pairs AS (SELECT a.doc_id AS tr, b.doc_id AS te, " +
+      "count(DISTINCT a.sh) AS n_shared FROM __sh a JOIN __sh b ON a.sh = b.sh " +
+      s"WHERE ${sqlBucket1000("a.doc_id")} < 900 AND ${sqlBucket1000("b.doc_id")} >= 900 " +
+      "GROUP BY 1, 2 HAVING count(DISTINCT a.sh) >= 20), " +
+      "hits AS (SELECT DISTINCT tr AS doc_id FROM pairs) " +
+      "SELECT " +
+      s"(SELECT count(*) FROM documents WHERE ${sqlBucket1000("doc_id")} >= 900) AS n_test, " +
+      s"(SELECT count(*) FROM documents WHERE ${sqlBucket1000("doc_id")} < 900) AS n_train, " +
+      "(SELECT count(*) FROM pairs) AS n_pairs, " +
+      "(SELECT count(*) FROM hits) AS n_contaminated, " +
+      "(SELECT coalesce(cast(sum(doc_id) as bigint), 0) FROM hits) AS contaminated_id_sum"
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sh = graft.pipeline.SparseEmbed.shingleHashes(docs, "doc_id", "text")
+    val isTest = bucket1000(col("doc_id")) >= 900
+    val tr = sh.filter(!isTest).select(col("doc_id").as("tr"), col("sh"))
+    val te = sh.filter(isTest).select(col("doc_id").as("te"), col("sh"))
+    val pairs = tr.join(te, "sh")
+      .groupBy("tr", "te").agg(countDistinct("sh").as("n_shared"))
+      .filter(col("n_shared") >= 20)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = pairs.select(col("tr").as("doc_id")).distinct()
+    val splitCounts = docs.agg(
+      count(when(isTest, 1)).as("n_test"),
+      count(when(!isTest, 1)).as("n_train"))
+    val pairAgg = pairs.agg(count(lit(1)).as("n_pairs"))
+    val hitAgg = hits.agg(
+      count(lit(1)).as("n_contaminated"),
+      coalesce(sum("doc_id").cast("bigint"), lit(0L)).as("contaminated_id_sum"))
+    splitCounts.crossJoin(pairAgg).crossJoin(hitAgg).localCheckpoint()
+  }
+
   /** SEQUENCE PACKING for training (concat-then-chunk): documents are
     * conceptually concatenated in deterministic (source, doc_id) order
     * into a token stream that is cut every 512 tokens; a document's
@@ -349,5 +397,5 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(pSampleHash, pSampleStratified,
     pSplitTrainTest, pTopkTokens, pCorpusClean, pPackSequences,
-    qStreamDedup, qStreamDedupWm, qStreamJoin)
+    pDecontaminate, qStreamDedup, qStreamDedupWm, qStreamJoin)
 }
