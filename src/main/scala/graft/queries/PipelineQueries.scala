@@ -322,6 +322,50 @@ object PipelineQueries {
     s.table(sinkName).orderBy("event_id")
   }
 
+  /** STREAM–STATIC join (the enrichment pattern: a stream joined to a
+    * slowly-changing dimension table): purchases stream in two
+    * micro-batches and join — statelessly, per batch — to a STATIC
+    * per-user dimension (each user's first-seen timestamp), computing
+    * time-since-first-activity per purchase. The oracle is the same
+    * derivation in batch; a micro-batch losing or duplicating the
+    * static side changes rows and fails the hash compare.
+    */
+  private val qStreamStatic = QueryDef.sqlChecked("q_stream_static")(
+    "WITH first AS (SELECT user_id, min(epoch_us(ts)) AS first_us " +
+      "FROM events GROUP BY user_id) " +
+      "SELECT e.event_id, e.user_id, epoch_us(e.ts) - f.first_us AS since_first_us " +
+      "FROM events e JOIN first f ON e.user_id = f.user_id " +
+      "WHERE e.event_type = 'purchase' ORDER BY e.event_id"
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"))
+    val firstSeen = ev.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("first_us"))
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val streamDir = graft.streaming.FileStreamFixture.write("sstatic", d, Seq(
+      ev.filter(col("ts") < cutoff),
+      ev.filter(col("ts") >= cutoff)))
+    val sinkName = "graft_stream_static"
+    graft.SessionConf.withStreamShuffle(s) {
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(streamDir)
+        .filter(col("event_type") === "purchase")
+        .join(firstSeen, "user_id")
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - col("first_us")).as("since_first_us"))
+        .writeStream
+        .outputMode("append")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(sinkName).orderBy("event_id")
+  }
+
   /** STREAM–STREAM interval join: each purchase joined to the same
     * user's clicks in the preceding hour, both sides Structured
     * Streams with 2-hour watermarks, fed as two TIME-ORDERED
@@ -397,5 +441,5 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(pSampleHash, pSampleStratified,
     pSplitTrainTest, pTopkTokens, pCorpusClean, pPackSequences,
-    pDecontaminate, qStreamDedup, qStreamDedupWm, qStreamJoin)
+    pDecontaminate, qStreamDedup, qStreamDedupWm, qStreamJoin, qStreamStatic)
 }
