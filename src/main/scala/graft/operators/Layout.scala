@@ -62,4 +62,36 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetRowsPerFile`-row files. Streaming sinks and incremental
+    * appends (MetadataStore, IndexMaintenance logs) accumulate
+    * thousands of small files; at 100 TB the file-listing and
+    * per-file open overhead dominates scans long before the data
+    * does. The rewrite goes to a fresh directory first and swaps in
+    * atomically-enough for a single writer (the same
+    * write-then-replace discipline IvfIndex.write relies on);
+    * readers of the old listing see the old files until the swap.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetRowsPerFile: Long): Long = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    val tmp = path.stripSuffix("/") + ".compact-tmp"
+    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    val dst = java.nio.file.Paths.get(path)
+    val src = java.nio.file.Paths.get(tmp)
+    // remove the old contents, then move the compacted files in
+    java.nio.file.Files.walk(dst)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .filter(p => !p.equals(dst))
+      .forEach(p => { java.nio.file.Files.delete(p); () })
+    java.nio.file.Files.list(src).forEach { p =>
+      java.nio.file.Files.move(p, dst.resolve(p.getFileName)); ()
+    }
+    java.nio.file.Files.delete(src)
+    files.toLong
+  }
 }

@@ -71,4 +71,40 @@ class LayoutSpec extends SparkTestBase {
       (12345L, 54321L)).map { case (a, b) => ref(a, b) }
     assert(got.toSeq == want)
   }
+
+  test("compaction collapses small files, preserves data, swaps in place") {
+    val path = Files.createTempDirectory("graft-compact").toString + "/t"
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    // simulate an append-heavy table: many tiny files
+    ord.repartition(40).write.mode("overwrite").parquet(path)
+    def parquetFiles() = java.nio.file.Files.list(
+      java.nio.file.Paths.get(path)).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    assert(parquetFiles() == 40)
+    val before = ord.count()
+    val sumBefore = spark.read.parquet(path)
+      .agg(sum(col("o_orderkey"))).head().getLong(0)
+    val files = Layout.compact(spark, path, targetRowsPerFile = 200)
+    assert(parquetFiles() == files && files < 40,
+      s"expected $files compacted files, found ${parquetFiles()}")
+    val after = spark.read.parquet(path)
+    assert(after.count() == before)
+    assert(after.agg(sum(col("o_orderkey"))).head().getLong(0) == sumBefore)
+  }
+
+  test("schema evolution: mergeSchema reads old and new files together") {
+    val path = Files.createTempDirectory("graft-evolve").toString + "/t"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    v1.write.mode("overwrite").parquet(path)
+    // a later writer adds a column — the 100 TB reality of long-lived
+    // tables; readers must see old rows with the new column as null
+    val v2 = Seq((3L, "c", 9.5)).toDF("id", "name", "score")
+    v2.write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.toSet == Set("id", "name", "score"))
+    assert(merged.count() == 3)
+    assert(merged.filter(col("score").isNull).count() == 2)
+    assert(merged.filter(col("id") === 3L).select("score")
+      .head().getDouble(0) == 9.5)
+  }
 }
