@@ -279,7 +279,7 @@ object ReferencePipeline {
   private val vKnnJoin = QueryDef.sqlChecked("v_knn_join")(
     "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
       "cast(embedding as double[]) AS cv FROM embeddings " +
-      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "WHERE vec_id IN (0,32,64,96,128,160,192,224,256,288,320,352,384,416,448,480)), " +
       "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
       "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
       "ORDER BY list_inner_product(cast(e.embedding as double[]), c.cv) DESC, c.cid) AS rn " +
@@ -295,7 +295,9 @@ object ReferencePipeline {
       "FROM scored) WHERE rn <= 3 ORDER BY qid, rn"
   ) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    // 16 centroids (vs v_ann_pipeline's 8): smaller leaves halve the
+    // per-leaf candidate volume of the self-join
+    val centIds = (0 until 16).map(_ * 32L)
     val cents = emb.filter(col("vec_id").isin(centIds: _*))
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toSeq).toSeq
