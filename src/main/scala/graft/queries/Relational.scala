@@ -393,7 +393,34 @@ object Relational {
       .limit(20)
   }
 
+  /** RANGE-frame window: per customer, each order with the sum of
+    * that customer's order totals over the trailing 30 days — the
+    * value-based frame (`RANGE 30 PRECEDING` over epoch days) no ROWS
+    * frame can express. Range frames include ALL value-peers, so
+    * same-day ties contribute identically on both engines regardless
+    * of row order — deterministic by construction, no tie-break
+    * gymnastics needed in the frame itself.
+    */
+  private val qWindowRange = QueryDef.sqlChecked("q_window_range")(
+    "SELECT o_custkey, o_orderkey, d, " +
+      "cast(sum(cast(o_totalprice as decimal(18,2))) OVER (" +
+      "PARTITION BY o_custkey ORDER BY d " +
+      "RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) as double) AS trailing_30d " +
+      "FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+      "epoch_us(cast(o_orderdate as timestamp)) // 86400000000 AS d FROM orders) " +
+      "ORDER BY o_custkey, o_orderkey"
+  ) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("d")
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("d", expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+      .withColumn("trailing_30d",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "d", "trailing_30d")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(q1, q3, q5, qSemi, qAnti, qWindowRank,
     qWindowRunning, qRollup, qDistinct, qIntersect, qExcept, qUnionAgg,
-    q18, qSupplierShare, qLeftJoin, qFullOuter, q7NationTrade)
+    q18, qSupplierShare, qLeftJoin, qFullOuter, q7NationTrade, qWindowRange)
 }
