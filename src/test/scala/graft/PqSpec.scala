@@ -31,6 +31,34 @@ class PqSpec extends SparkTestBase {
     assert(overlap >= 3, s"ADC/exact top-10 overlap fell to $overlap")
   }
 
+  test("ADC score of a codebook row equals the exact dot product") {
+    // a codebook row encodes to itself per subspace, so its ADC score
+    // reconstructs the true dot(query, row) EXACTLY — the identity
+    // that anchors ADC's approximation error at zero for code points
+    val emb = Tables.embeddings(spark, sf)
+    val cb = ProductQuantizer.codebook(emb, "vec_id", "embedding", ids)
+    val query = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val adc = ProductQuantizer
+      .search(emb.filter(col("vec_id").isin(ids: _*)), "vec_id", "embedding",
+        cb, query, ids.length)
+      .select("vec_id", "adc_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ids.zipWithIndex.foreach { case (id, c) =>
+      // same blockwise order as ADC: per-subspace forward dots combined
+      // left-associatively (a flat 64-term accumulation differs in the
+      // last ulp — summation order matters in IEEE)
+      val dot = (0 until 8).map { sb =>
+        var t = 0.0
+        var j = 0
+        while (j < 8) { t += query(sb * 8 + j) * cb(c)(sb * 8 + j); j += 1 }
+        t
+      }.reduce(_ + _)
+      assert(adc(id) == dot, s"ADC(${id}) = ${adc(id)}, blockwise dot = $dot")
+    }
+  }
+
   test("packed code stores 8 valid 4-bit subspace codes") {
     val emb = Tables.embeddings(spark, sf)
     val cb = ProductQuantizer.codebook(emb, "vec_id", "embedding", ids)

@@ -54,6 +54,36 @@ class StreamingSpec extends SparkTestBase {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("dedup-within-watermark EVICTS state once the watermark passes") {
+    // the bounded-state claim of q_stream_dedup_wm: keys whose event
+    // time falls behind watermark − delay leave the store, so state
+    // tracks the delay window, not the stream length
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val deduped = stream.toDF.toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("ddev").start()
+    // batch 0: 50 keys at 10:00
+    stream.addData((0 until 50).map(i =>
+      (Timestamp.valueOf("2024-01-01 10:00:00"), i.toLong)): _*)
+    q.processAllAvailable()
+    // batch 1: 50 new keys three hours later — watermark jumps far
+    // past 10:00 + 10 min, so batch-0 state must be evicted
+    stream.addData((0 until 50).map(i =>
+      (Timestamp.valueOf("2024-01-01 13:00:00"), 100L + i)): _*)
+    q.processAllAvailable()
+    // one more empty-ish batch so eviction metrics settle
+    stream.addData((Timestamp.valueOf("2024-01-01 13:00:01"), 999L))
+    q.processAllAvailable()
+    val lastState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators.head
+    q.stop()
+    assert(lastState.numRowsTotal < 100,
+      s"state holds ${lastState.numRowsTotal} rows — nothing was evicted")
+  }
+
   test("stream-static join enriches a stream with a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Tables.customer(spark, sf)
