@@ -93,17 +93,30 @@ object ProductQuantizer {
         (shiftright(packed, 4 * s).bitwiseAND(lit(15L)) + 1L).cast("int"))
     }.reduce(_ + _)
 
-  /** Encode + ADC top-k in one pass (codes are usually persisted once
-    * and scanned many times; fusing keeps the demo self-contained).
+  /** Corpus → (id, pq_code) — the table you persist; at 100 TB the
+    * code table is what lives in memory (4 B/vector) while the float
+    * vectors stay on cold storage.
     */
-  def search(emb: DataFrame, idCol: String, vecCol: String,
-      cb: Seq[Array[Double]], query: Array[Double], k: Int): DataFrame = {
-    val table = adcTable(query, cb)
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+      cb: Seq[Array[Double]]): DataFrame =
     emb.select(col(idCol),
-        encodeExpr(col(vecCol).cast("array<double>"), cb).as("pq_code"))
-      .select(col(idCol), col("pq_code"),
-        adcScoreExpr(col("pq_code"), table).as("adc_score"))
+      encodeExpr(col(vecCol).cast("array<double>"), cb).as("pq_code"))
+
+  /** ADC top-k over a persisted code table: 8 lookups + 7 adds per
+    * row, TakeOrderedAndProject, no shuffle, no float vectors.
+    */
+  def searchCodes(codes: DataFrame, idCol: String,
+      cb: Seq[Array[Double]], query: Array[Double], k: Int): DataFrame =
+    codes.select(col(idCol), col("pq_code"),
+        adcScoreExpr(col("pq_code"), adcTable(query, cb)).as("adc_score"))
       .orderBy(col("adc_score").desc, col(idCol))
       .limit(k)
-  }
+
+  /** Encode + ADC top-k in one pass (self-contained form; production
+    * persists [[encode]]'s output and serves many queries from it via
+    * [[searchCodes]]).
+    */
+  def search(emb: DataFrame, idCol: String, vecCol: String,
+      cb: Seq[Array[Double]], query: Array[Double], k: Int): DataFrame =
+    searchCodes(encode(emb, idCol, vecCol, cb), idCol, cb, query, k)
 }
