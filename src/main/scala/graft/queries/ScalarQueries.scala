@@ -161,6 +161,45 @@ object ScalarQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Map functions (the reference's dict-merge firestore_ops.py:51,79
+    * ≈ map_concat): per-event maps built, merged, and read back.
+    * DuckDB's MAP type hashes differently, so the outputs are the
+    * EXTRACTED scalars — the oracle recomputes them relationally while
+    * the Spark side must thread the values through map_concat /
+    * element_at / map_keys correctly to match.
+    */
+  private val qMapFuncs = QueryDef.sqlChecked("q_map_funcs")(
+    "SELECT event_id, cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) as bigint) AS k_val, " +
+      "event_type AS t_val, cast(2 as bigint) AS n_entries, 'k,t' AS keys " +
+      "FROM events ORDER BY event_id"
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .withColumn("m1", map(lit("k"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)))
+      .withColumn("m2", map(lit("t"), col("event_type")))
+      .withColumn("m", map_concat(col("m1"), col("m2")))
+    ev.select(col("event_id"),
+        element_at(col("m"), "k").cast("bigint").as("k_val"),
+        element_at(col("m"), "t").as("t_val"),
+        size(col("m")).cast("bigint").as("n_entries"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys"))
+      .orderBy("event_id")
+  }
+
+  /** Real JSON parsing (get_json_object vs DuckDB's JSON extension) —
+    * the q_events_props regex variant exists for regex coverage; this
+    * one runs both engines' actual JSON parsers over the props column.
+    */
+  private val qJsonFuncs = QueryDef.sqlChecked("q_json_funcs")(
+    "SELECT event_id, cast(json_extract_string(props, '$.k') as bigint) AS k, " +
+      "json_valid(props) AS is_valid FROM events ORDER BY event_id"
+  ) { (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+        get_json_object(col("props"), "$").isNotNull.as("is_valid"))
+      .orderBy("event_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(qString, qPromo, qDate, qArray, qMath,
-    qSalted, qZorder)
+    qSalted, qZorder, qMapFuncs, qJsonFuncs)
 }
