@@ -165,6 +165,28 @@ object VectorSearch {
       .limit(20)
   }
 
+  /** Per-group top-k via the bounded-heap UDAF (TopKByScore,
+    * TypedImperativeAggregate): one aggregation pass with k-element
+    * partial heaps instead of a per-partition sort + rank filter —
+    * hash-checked against the identically tie-broken window form.
+    */
+  private val vTopkAgg = QueryDef.sqlChecked("v_topk_agg")(
+    "SELECT label, vec_id, nrm FROM (SELECT label, vec_id, nrm, " +
+      "row_number() OVER (PARTITION BY label ORDER BY nrm DESC, vec_id) AS rn " +
+      "FROM (SELECT label, vec_id, sqrt(list_inner_product(" +
+      "cast(embedding as double[]), cast(embedding as double[]))) AS nrm " +
+      "FROM embeddings)) WHERE rn <= 3 ORDER BY label, vec_id"
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d).select(col("label"), col("vec_id"),
+      graft.functions.vectors.l2Norm(col("embedding")).as("nrm"))
+    e.groupBy("label")
+      .agg(graft.functions.TopKByScore
+        .column(col("nrm"), col("vec_id"), 3).as("top"))
+      .select(col("label"), explode(col("top")).as("t"))
+      .select(col("label"), col("t.id").as("vec_id"), col("t.score").as("nrm"))
+      .orderBy("label", "vec_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(vKnnDot, vKnnCosine, vKnnL2, vKnnBatch,
-    vKnnFiltered, vCrowding, vRangeCosine, vNormTop)
+    vKnnFiltered, vCrowding, vRangeCosine, vNormTop, vTopkAgg)
 }

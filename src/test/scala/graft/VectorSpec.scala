@@ -63,4 +63,19 @@ class VectorSpec extends SparkTestBase {
     val df = SparkEntry.queries("v_knn_filtered")(spark, sf)
     assert(df.filter(col("label") =!= 3 || col("vec_id") < 100).count() == 0)
   }
+
+  test("top-k heap aggregate is partition-independent") {
+    // the heap's total (score desc, id asc) order makes the kept set
+    // and its emission order pure functions of the data
+    val e = Tables.embeddings(spark, sf).select(col("label"), col("vec_id"),
+      graft.functions.vectors.l2Norm(col("embedding")).as("nrm"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("label")
+        .agg(graft.functions.TopKByScore
+          .column(col("nrm"), col("vec_id"), 3).as("top"))
+        .select(col("label"), explode(col("top")).as("t"))
+        .select(col("label"), col("t.id"), col("t.score"))
+        .orderBy("label", "t.id").collect().toSeq
+    assert(run(e) == run(e.repartition(17)))
+  }
 }
