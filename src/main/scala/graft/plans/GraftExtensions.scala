@@ -46,7 +46,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => L2Norm(d(args(0)))),
     ("graft_polyhash",
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
-      (args: Seq[Expression]) => PolyHash(args(0))))
+      (args: Seq[Expression]) => PolyHash(args(0))),
+    ("graft_bpe_count",
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "graft_bpe_count"),
+      (args: Seq[Expression]) => BpeTokenCount(args(0))))
 
   /** Idempotent registration on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

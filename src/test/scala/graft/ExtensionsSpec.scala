@@ -15,7 +15,8 @@ class ExtensionsSpec extends SparkTestBase {
         |       graft_cosine(a.embedding, b.embedding) AS cos,
         |       graft_l2(a.embedding, b.embedding) AS l2,
         |       graft_norm(a.embedding) AS nrm,
-        |       graft_polyhash('abc') AS ph
+        |       graft_polyhash('abc') AS ph,
+        |       graft_bpe_count('the then there') AS bpe
         |FROM emb a JOIN emb b ON a.vec_id = 0 AND b.vec_id = 1
         |""".stripMargin).head()
     // cross-check against the Column API
@@ -33,6 +34,8 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getDouble(2) == expect.getDouble(2))
     assert(row.getDouble(3) == expect.getDouble(3))
     assert(row.getLong(4) == 96354L) // 'abc' rolling hash
+    assert(row.getLong(5) == graft.functions.BpeCodec.countText(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the then there")))
   }
 
   test("salted join equals plain join") {
