@@ -33,4 +33,29 @@ object SessionConf {
   /** Streaming-query default: small fixed state partitioning. */
   def withStreamShuffle[T](s: SparkSession)(body: => T): T =
     withShufflePartitions(s, StreamShufflePartitions)(body)
+
+  /** Release everything a finished query can leave pinned in the JVM,
+    * so a long single-session harness run (Bench times 111+ queries
+    * back to back) measures each query, not accumulated memory decay:
+    *
+    *  - cached DataFrames (`clearCache`) — persisted LSH signatures,
+    *    shingle sets, IVF assignments;
+    *  - temp views — each streaming query's memory SINK registers one,
+    *    and its buffered rows live exactly as long as the view;
+    *  - `localCheckpoint` RDD blocks — checkpoint blocks are NOT cache
+    *    entries, so `clearCache` never frees them; unpersist every
+    *    still-persistent RDD directly.
+    *
+    * Only call AFTER the query's result has been fully consumed
+    * (counted/written): dropping the sink view or checkpoint blocks
+    * under a live consumer would fail the read.
+    */
+  def releaseQueryResources(s: SparkSession): Unit = {
+    s.catalog.clearCache()
+    s.catalog.listTables().collect()
+      .filter(_.isTemporary)
+      .foreach(t => s.catalog.dropTempView(t.name))
+    s.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

@@ -31,9 +31,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators may persist intermediates (LSH signatures, shingle
-      // sets); clear between queries so one query's cache can't
+      // sets), register memory-sink views, or pin localCheckpoint
+      // blocks; release between queries so one query's leftovers can't
       // squeeze the next one's memory
-      spark.catalog.clearCache()
+      SessionConf.releaseQueryResources(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -65,8 +65,16 @@ object IvfIndex {
     */
   val DefaultMaxLeafSize = 500
 
+  /** Build-time corpus stats, captured from aggregation passes the
+    * build already runs — so a manifest/verification query can report
+    * them without re-reading the written index (one countDistinct +
+    * one groupBy-max over 2n rows, saved per build).
+    */
+  final case class BuildStats(nVectors: Long, nRows: Long, maxLeafRows: Long)
+
   /** Centroids live in augmented (d+1)-dim space. */
-  final case class Model(centroids: Array[Array[Double]]) {
+  final case class Model(centroids: Array[Array[Double]],
+      stats: BuildStats) {
     /** Top leaves for a d-dim query: ascending |c|² − 2·q·c. */
     def topLeaves(query: Array[Double], nProbe: Int): Seq[Int] =
       centroids.zipWithIndex.map { case (c, i) =>
@@ -233,6 +241,7 @@ object IvfIndex {
       // physical leaf bound holds
       var l1 = col("__l1")
       var l2 = col("__l2")
+      var remapped = false
       for (l <- oversized if leafSizes(l)._1 > maxLeafSize) {
         val parts = math.ceil(leafSizes(l)._1 / (0.7 * maxLeafSize)).toInt
         val base = cents.length
@@ -243,6 +252,7 @@ object IvfIndex {
             .otherwise(c)
         l1 = remap(l1)
         l2 = remap(l2)
+        remapped = true
       }
 
       val indexed = assigned
@@ -250,11 +260,20 @@ object IvfIndex {
           explode(when(col("__l2").isNotNull, array(l1, l2))
             .otherwise(array(l1))))
         .drop("__s", "__l1", "__l2", "__features", "__aux", "__v", "__n2")
+      // build manifest stats fall out of passes already run: n from the
+      // initial stats scan, row/leaf totals from the final sizes() map.
+      // Only the rare degenerate hash-remap invalidates the per-leaf
+      // max, and only then is one extra aggregation spent recomputing it
+      val nRows = leafSizes.values.map(_._1).sum
+      val maxLeafRows =
+        if (!remapped) leafSizes.values.map(_._1).max
+        else indexed.groupBy("leaf_id").count()
+          .agg(max(col("count"))).head().getLong(0)
       // the assignment is a pure function of the (literal) centroids, so
       // recomputation after unpersist stays identical — no checkpoint
       // needed, and at 100 TB the caller's write is the materialization
       assigned.unpersist()
-      (indexed, Model(cents.toArray))
+      (indexed, Model(cents.toArray, BuildStats(n, nRows, maxLeafRows)))
     } finally { aug.unpersist(); () }
   }
 

@@ -95,8 +95,19 @@ object Knn {
     * partitions at 100 TB, no global shuffle of pairs), candidates
     * bounded by leaf sizes (the IvfIndex maxLeafSize contract), spill
     * assignment widening recall across leaf boundaries exactly as it
-    * does for query-time probes. Duplicate (qid, nid) candidates from
-    * spill collapse before ranking.
+    * does for query-time probes.
+    *
+    * Score symmetry is exploited: each unordered pair is generated
+    * once (qid < nid — candidate generation is symmetric, so nothing
+    * is lost), scored, deduplicated, and mirrored back — half the
+    * join output and half the dot products of the naive both-ways
+    * join, and spill duplicates of a pair (same pair co-located in
+    * two shared leaves, ≤2 copies) collapse on 24-byte (qid, nid,
+    * score) rows. Deduplicating BEFORE scoring would instead shuffle
+    * both vectors (≈16·dim bytes/row) to save a dim-length fused
+    * multiply — at embedding dims the dot product is cheaper than the
+    * extra shuffle bytes, so the ≤2 spill copies are scored and the
+    * tiny scored rows deduplicated.
     */
   def knnJoinPerLeaf(indexed: DataFrame, id: String, vecCol: String,
       k: Int, metric: Metric): DataFrame = {
@@ -104,11 +115,13 @@ object Knn {
       col(vecCol).as("qv"))
     val b = indexed.select(col("leaf_id"), col(id).as("nid"),
       col(vecCol).as("nv"))
-    val scored = a.join(b, Seq("leaf_id"))
-      .filter(col("qid") =!= col("nid"))
+    val half = a.join(b, Seq("leaf_id"))
+      .filter(col("qid") < col("nid"))
       .select(col("qid"), col("nid"),
         metric.score(col("qv"), col("nv")).as("score"))
       .dropDuplicates("qid", "nid")
+    val scored = half.unionByName(half.select(col("nid").as("qid"),
+      col("qid").as("nid"), col("score")))
     topKPerQuery(scored, k, "qid", "nid", metric)
   }
 }

@@ -74,7 +74,10 @@ object EventsQueries {
       .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
       .distinct()
     val coh = wk.groupBy("user_id").agg(min("w").as("cw"))
-    wk.join(broadcast(coh), "user_id")
+    // coh is one row PER USER — it scales with the data, so no
+    // broadcast hint (SCALE.md §3: true dimensions only); AQE picks
+    // the strategy from runtime stats at whatever the actual size is
+    wk.join(coh, "user_id")
       .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort"),
         expr("(unix_micros(w) - unix_micros(cw)) div 604800000000")
           .as("age_weeks"))

@@ -248,7 +248,8 @@ object PipelineQueries {
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), md5(col("text")).as("fp"))
-    val streamDir = graft.streaming.FileStreamFixture.write("sdedup", d, Seq(
+    val streamDir = graft.streaming.FileStreamFixture.write("sdedup", d,
+      "docs fp; b0 even, b1 odd + resend %4==0, b2 resend %8==1", Seq(
       docs.filter(col("doc_id") % 2 === 0),
       docs.filter(col("doc_id") % 2 === 1)
         .unionAll(docs.filter(col("doc_id") % 4 === 0)),
@@ -298,7 +299,8 @@ object PipelineQueries {
       col("ts") < c1)
     val resend2 = ev.filter(col("ts") >= c2 - expr("interval 3 hours") &&
       col("ts") < c2)
-    val streamDir = graft.streaming.FileStreamFixture.write("sdedupwm", d, Seq(
+    val streamDir = graft.streaming.FileStreamFixture.write("sdedupwm", d,
+      "events tertiles by ts; b1/b2 resend trailing 3h of prior batch", Seq(
       ev.filter(col("ts") < c1),
       ev.filter(col("ts") >= c1 && col("ts") < c2).unionAll(resend1),
       ev.filter(col("ts") >= c2).unionAll(resend2)))
@@ -343,7 +345,8 @@ object PipelineQueries {
     val firstSeen = ev.groupBy("user_id")
       .agg(min(unix_micros(col("ts"))).as("first_us"))
     val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
-    val streamDir = graft.streaming.FileStreamFixture.write("sstatic", d, Seq(
+    val streamDir = graft.streaming.FileStreamFixture.write("sstatic", d,
+      "events split at median ts cutoff", Seq(
       ev.filter(col("ts") < cutoff),
       ev.filter(col("ts") >= cutoff)))
     val sinkName = "graft_stream_static"
@@ -410,7 +413,8 @@ object PipelineQueries {
     val cutoff =
       if (cutoffRow.isNullAt(0)) lit("2024-01-16 00:00:00").cast("timestamp")
       else lit(cutoffRow.getTimestamp(0))
-    val streamDir = graft.streaming.FileStreamFixture.write("sjoin", d, Seq(
+    val streamDir = graft.streaming.FileStreamFixture.write("sjoin", d,
+      "events split at median ts cutoff (join sides)", Seq(
       ev.filter(col("ts") < cutoff),
       ev.filter(col("ts") >= cutoff)))
     def side(tpe: String, alias: String) =

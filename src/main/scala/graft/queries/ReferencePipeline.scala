@@ -134,6 +134,12 @@ object ReferencePipeline {
     * contract (max stored leaf ≤ 500, the reference's
     * leaf_node_embedding_count) is emitted as a checked flag, and no
     * split fires on this corpus so num_leaves stays the requested 16.
+    *
+    * The manifest comes from `model.stats` — the corpus-size and
+    * per-leaf aggregation passes the build ALREADY runs — instead of
+    * re-reading the written parquet for two more full passes (the
+    * round-3 `v_ann_build` regression was half verification overhead
+    * billed to the build).
     */
   private val vAnnBuild = QueryDef.sqlChecked("v_ann_build")(
     "SELECT cast(16 as bigint) AS num_leaves, " +
@@ -143,14 +149,9 @@ object ReferencePipeline {
   ) { (s, d) =>
     import s.implicits._
     val e = IvfCache.rebuild(s, d)
-    val idx = s.read.parquet(e.path)
-    val row = idx.agg(
-      countDistinct(col("vec_id")).as("n_vectors"),
-      count(lit(1)).as("n_rows")).head()
-    val maxLeaf = idx.groupBy("leaf_id").count()
-      .agg(max(col("count"))).head().getLong(0)
-    Seq((e.model.centroids.length.toLong, row.getLong(0), row.getLong(1),
-      if (maxLeaf <= IvfIndex.DefaultMaxLeafSize) 1L else 0L))
+    val st = e.model.stats
+    Seq((e.model.centroids.length.toLong, st.nVectors, st.nRows,
+      if (st.maxLeafRows <= IvfIndex.DefaultMaxLeafSize) 1L else 0L))
       .toDF("num_leaves", "n_vectors", "n_rows", "leaf_bound_ok")
   }
 

@@ -99,8 +99,10 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1996-01-01") &&
         col("o_orderdate") < lit("1998-01-01"))
     val cust = Tables.customer(s, d)
+    // sup scales with SF (TPC-H supplier = 10k rows/SF) — not a true
+    // dimension, so no broadcast hint; AQE decides from runtime size
     Tables.lineitem(s, d)
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust,
         col("o_custkey") === col("c_custkey") &&
@@ -294,7 +296,8 @@ object Relational {
   ) { (s, d) =>
     val w = Window.partitionBy("n_name")
     val agg = Tables.lineitem(s, d)
-      .join(broadcast(Tables.supplier(s, d)),
+      // supplier scales with SF — no broadcast hint (AQE decides)
+      .join(Tables.supplier(s, d),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, d)),
         col("s_nationkey") === col("n_nationkey"))

@@ -135,7 +135,8 @@ object SubqueryQueries {
     val ev = graft.Tables.events(s, d)
       .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
         col("event_type"), col("value"))
-    val streamDir = graft.streaming.FileStreamFixture.write("late", d, Seq(
+    val streamDir = graft.streaming.FileStreamFixture.write("late", d,
+      "events: b0 user%2==0, b1 user%4==1, b2 user%4==3", Seq(
       ev.filter(col("user_id") % 2 === 0),
       ev.filter(col("user_id") % 4 === 1),
       ev.filter(col("user_id") % 4 === 3)))

@@ -6,19 +6,51 @@ import org.apache.spark.sql.DataFrame
   * for a file-source Structured Stream: each batch becomes exactly one
   * parquet file, named and mtime-stamped in order so
   * `maxFilesPerTrigger=1` replays them as deterministic, time-ordered
-  * micro-batches. The stream dir is wiped first so reruns see exactly
-  * the intended batch sequence.
+  * micro-batches.
+  *
+  * Fixtures are REUSED across runs when nothing changed: the batch
+  * content is a pure function of the (immutable) sf-dir tables and the
+  * caller's batch-construction code, so the fixture key is
+  * sha256(caller `spec` + source-dir file fingerprint + batch count).
+  * A matching on-disk key skips the per-batch write jobs entirely —
+  * the fixed cost every streaming query was re-paying each bench and
+  * verify run. A changed `spec` (batch definition edited), a
+  * regenerated sf dir (name/size/mtime drift), or a missing/partial
+  * stream dir rewrites from scratch.
   */
 object FileStreamFixture {
 
-  /** Create (or reset) `tag`'s fixture for sf dir `d`; returns the
-    * stream directory to `readStream` from.
+  private def fixtureKey(spec: String, d: String, nBatches: Int): String = {
+    val src = Option(new java.io.File(d).listFiles())
+      .getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
+    val sig = spec + "|" + nBatches + "|" +
+      src.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString(",")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Create (or reuse, or reset) `tag`'s fixture for sf dir `d`;
+    * returns the stream directory to `readStream` from. `spec` must
+    * describe the batch construction — change it when the batch
+    * definitions change, or the stale fixture will be replayed.
     */
-  def write(tag: String, d: String, batches: Seq[DataFrame]): String = {
+  def write(tag: String, d: String, spec: String,
+      batches: Seq[DataFrame]): String = {
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       s"graft_${tag}_" + java.lang.Integer.toHexString(d.hashCode))
     val streamDir = base.resolve("stream")
+    val key = fixtureKey(spec, d, batches.length)
+    val keyFile = base.resolve("fixture.key")
+    val reusable = java.nio.file.Files.exists(keyFile) &&
+      java.nio.file.Files.readString(keyFile) == key &&
+      java.nio.file.Files.exists(streamDir) &&
+      java.nio.file.Files.list(streamDir).count() == batches.length
+    if (reusable) return streamDir.toString
+
+    java.nio.file.Files.deleteIfExists(keyFile)
     if (java.nio.file.Files.exists(streamDir)) {
       java.nio.file.Files.list(streamDir).toArray
         .map(_.asInstanceOf[java.nio.file.Path])
@@ -40,6 +72,7 @@ object FileStreamFixture {
           now - 60000L * (batches.length - i)))
       ()
     }
+    java.nio.file.Files.writeString(keyFile, key)
     streamDir.toString
   }
 }
