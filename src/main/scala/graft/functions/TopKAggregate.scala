@@ -42,21 +42,58 @@ case class TopKByScore(score: Expression, id: Expression, k: Int,
   private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
+  /** a strictly weaker than b (loses the keep-order). */
+  private def weaker(a: (Double, Long), b: (Double, Long)): Boolean =
+    beats(b, a)
+
   override def createAggregationBuffer(): Buf =
     new scala.collection.mutable.ArrayBuffer[(Double, Long)](k + 1)
 
-  private def insert(buf: Buf, item: (Double, Long)): Buf = {
-    if (buf.length < k) { buf += item; () }
-    else {
-      // replace the weakest kept element if the new item beats it
-      var weakest = 0
-      var i = 1
-      while (i < buf.length) {
-        if (beats(buf(weakest), buf(i))) weakest = i
-        i += 1
-      }
-      if (beats(item, buf(weakest))) buf(weakest) = item
+  // The buffer is maintained as a binary min-heap with the WEAKEST
+  // kept element at index 0: the eviction test on a full buffer is
+  // O(1) and a replacement O(log k), so a group costs O(n log k) —
+  // not the O(n·k) of a linear weakest-scan — which is what makes
+  // k=1000 per-group shortlists viable, not just the k=3 gate query.
+
+  private def swap(buf: Buf, i: Int, j: Int): Unit = {
+    val t = buf(i); buf(i) = buf(j); buf(j) = t
+  }
+
+  private def siftUp(buf: Buf, start: Int): Unit = {
+    var i = start
+    var continue = i > 0
+    while (continue) {
+      val p = (i - 1) >> 1
+      if (weaker(buf(i), buf(p))) { swap(buf, i, p); i = p }
+      else continue = false
+      if (i == 0) continue = false
     }
+  }
+
+  private def siftDown(buf: Buf, start: Int): Unit = {
+    val n = buf.length
+    var i = start
+    var continue = true
+    while (continue) {
+      val l = 2 * i + 1
+      var m = i
+      if (l < n && weaker(buf(l), buf(m))) m = l
+      if (l + 1 < n && weaker(buf(l + 1), buf(m))) m = l + 1
+      if (m == i) continue = false
+      else { swap(buf, i, m); i = m }
+    }
+  }
+
+  /** Restore the heap invariant over an arbitrarily-ordered buffer. */
+  private def heapify(buf: Buf): Buf = {
+    var i = (buf.length >> 1) - 1
+    while (i >= 0) { siftDown(buf, i); i -= 1 }
+    buf
+  }
+
+  private def insert(buf: Buf, item: (Double, Long)): Buf = {
+    if (buf.length < k) { buf += item; siftUp(buf, buf.length - 1) }
+    else if (beats(item, buf(0))) { buf(0) = item; siftDown(buf, 0) }
     buf
   }
 
@@ -92,7 +129,9 @@ case class TopKByScore(score: Expression, id: Expression, k: Int,
     val buf = createAggregationBuffer()
     var i = 0
     while (i < n) { buf += ((bb.getDouble, bb.getLong)); i += 1 }
-    buf
+    // a deserialized buffer may become a merge TARGET — restore the
+    // heap invariant the serialized byte order doesn't carry
+    heapify(buf)
   }
 
   override def withNewMutableAggBufferOffset(o: Int): TopKByScore =

@@ -71,10 +71,17 @@ object IvfIndex {
     * one groupBy-max over 2n rows, saved per build).
     */
   final case class BuildStats(nVectors: Long, nRows: Long, maxLeafRows: Long)
+  object BuildStats {
+    /** For models registered from fixed centroids, not a build. */
+    val Unknown: BuildStats = BuildStats(-1L, -1L, -1L)
+  }
 
-  /** Centroids live in augmented (d+1)-dim space. */
+  /** Centroids live in augmented (d+1)-dim space (a model made of
+    * FIXED d-dim centroids works too: the missing coordinate simply
+    * contributes nothing to the ranking terms).
+    */
   final case class Model(centroids: Array[Array[Double]],
-      stats: BuildStats) {
+      stats: BuildStats = BuildStats.Unknown) {
     /** Top leaves for a d-dim query: ascending |c|² − 2·q·c. */
     def topLeaves(query: Array[Double], nProbe: Int): Seq[Int] =
       centroids.zipWithIndex.map { case (c, i) =>

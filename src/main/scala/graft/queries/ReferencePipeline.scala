@@ -268,6 +268,71 @@ object ReferencePipeline {
       8, "vec_id", Knn.Dot)
   }
 
+  /** SQL-TRANSPARENT ANN (SURVEY §4-3): the probe is not an API call
+    * but a marker predicate — `AnnPruning.probe(...)` /
+    * `graft_ann_probe(...)` in SQL text — that
+    * [[graft.plans.AnnLeafPruningRule]] rewrites at plan time into
+    * `leaf_id IN (top-nProbe leaves)` from the registered model, which
+    * partition-prunes a `partitionBy(leaf_id)` index layout. Fixed
+    * data-derived centroids (the v_ann_pipeline trick) make both the
+    * assignment and the probe ranking — augmented-L2, |c|² − 2·q·c —
+    * exactly SQL-replicable, so the whole rewrite path is hash-checked:
+    * a wrong In-list (rule regression, ranking drift) changes the
+    * candidate set and fails the oracle compare.
+    */
+  private val vAnnSql = QueryDef.sqlChecked("v_ann_sql")(
+    "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id = 7), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(cast(e.embedding as double[]), c.cv), c.cid) AS rn " +
+      "FROM embeddings e, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) WHERE rn <= 2), " +
+      "scored AS (SELECT e.vec_id, a.leaf_id, " +
+      "list_inner_product(cast(e.embedding as double[]), q.qv) AS score " +
+      "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid, q WHERE e.vec_id <> 7) " +
+      "SELECT vec_id, cast(leaf_id as bigint) AS leaf_id, score " +
+      "FROM scored ORDER BY score DESC, vec_id LIMIT 8"
+  ) { (s, d) =>
+    graft.plans.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val query = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    graft.plans.IndexCatalog.register("v_ann_sql",
+      IvfIndex.Model(cents.toArray))
+    // assignment by the model's own geometry (min |c|²−2·x·c,
+    // first-min tie) so assignment and probe agree with the oracle
+    val leafScores = array(cents.map { c =>
+      val cn = c.map(x => x * x).sum
+      lit(cn) - lit(2.0) * graft.functions.vectors.dotProduct(
+        col("embedding"), typedLit(c.toSeq))
+    }: _*)
+    val indexed = emb.withColumn("__s", leafScores)
+      .withColumn("leaf_id",
+        (array_position(col("__s"), array_min(col("__s"))) - 1).cast("bigint"))
+    indexed
+      .filter(graft.plans.AnnPruning.probe("v_ann_sql", col("leaf_id"),
+        query.toSeq, 2))
+      .filter(col("vec_id") =!= 7)
+      .select(col("vec_id"), col("leaf_id"),
+        graft.functions.vectors.dotProduct(col("embedding"),
+          typedLit(query.toSeq)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(8)
+  }
+
   /** kNN SELF-join (top-3 neighbors for EVERY corpus vector) via
     * leaf-co-located joins — the scalable form of all-pairs similarity:
     * one equi-join on leaf_id instead of a cross product, candidates
@@ -382,5 +447,6 @@ object ReferencePipeline {
   }
 
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
-    rSearchE2e, rRecluster, vAnnBuild, vAnnIvf, vAnnPipeline, vKnnJoin)
+    rSearchE2e, rRecluster, vAnnBuild, vAnnIvf, vAnnPipeline, vAnnSql,
+    vKnnJoin)
 }

@@ -38,6 +38,40 @@ class ExtensionsSpec extends SparkTestBase {
       org.apache.spark.unsafe.types.UTF8String.fromString("the then there")))
   }
 
+  test("graft_top_k from SQL matches window ranking at k=1000") {
+    GraftExtensions.register(spark)
+    // 5 groups × 3000 rows, scores drawn from only 97 distinct values
+    // so the heap's tie-breaking (score desc, id asc) is exercised
+    // hard at a k where the old linear-scan insert would be O(n·k)
+    val df = spark.range(15000).select(
+      (col("id") % 5).as("g"), col("id"),
+      (pmod(xxhash64(col("id")), lit(97L)).cast("double") / 7.0).as("score"))
+    df.createOrReplaceTempView("topk_in")
+    val got = spark.sql(
+      """SELECT g, posexplode(graft_top_k(score, id, 1000)) AS (pos, t)
+        |FROM topk_in GROUP BY g""".stripMargin)
+      .select(col("g"), col("pos"), col("t.score"), col("t.id"))
+      .orderBy("g", "pos").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("score").desc, col("id"))
+    val expect = df
+      .withColumn("pos", row_number().over(w) - 1)
+      .filter(col("pos") < 1000)
+      .select(col("g"), col("pos"), col("score"), col("id"))
+      .orderBy("g", "pos").collect().toSeq
+    assert(got.size == 5000)
+    assert(got == expect) // kept set AND emission order match the rank
+    // partition-independence at k=1000 (the heap's total order), via
+    // a layout that forces different partial-buffer merge shapes
+    val byCol = { (frame: org.apache.spark.sql.DataFrame) =>
+      frame.groupBy("g")
+        .agg(graft.functions.TopKByScore.column(col("score"), col("id"), 1000)
+          .as("top"))
+        .select(col("g"), col("top")).orderBy("g").collect().toSeq
+    }
+    assert(byCol(df) == byCol(df.repartition(17)))
+  }
+
   test("salted join equals plain join") {
     val li = Tables.lineitem(spark, sf)
     val small = Tables.supplier(spark, sf)
