@@ -60,7 +60,33 @@ object Bench {
       SessionConf.releaseQueryResources(spark)
       "d_scale_sf1_minhash" -> (System.nanoTime() - t0) / 1e9
     }
-    val results = registry :+ scaleRow
+    // kNN self-join at 50k vectors (25× the largest driver embeddings
+    // table): top-3 neighbors for every vector over a bounded-leaf
+    // layout — candidate volume ∝ n·maxLeaf (Σ leaf-size², asserted
+    // analytically in AnnScaleSpec, which also runs the real IVF
+    // build at this size). The row times the JOIN operator, so leaf
+    // assignment here is the deterministic bounded layout (25 planted
+    // clusters × 8 hash sub-leaves ≈ 200 leaves of ~500 rows, 2
+    // spill rows per vector) rather than re-paying the k-means build
+    // the spec already covers.
+    val knnScaleRow = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      try {
+        val v = graft.pipeline.SyntheticCorpus.vectors(spark, 50000L, 32, 25)
+        val sub = pmod(xxhash64(col("vec_id")), lit(8L)).cast("int")
+        val indexed = v
+          .withColumn("leaf_id", explode(array(
+            (col("vec_id") % 25).cast("int") * 8 + sub,
+            (col("vec_id") % 25).cast("int") * 8 + (sub + 1) % 8)))
+        graft.operators.Knn.knnJoinPerLeaf(indexed, "vec_id", "embedding",
+          3, graft.operators.Knn.Dot).count()
+        ()
+      } catch { case _: Throwable => () }
+      SessionConf.releaseQueryResources(spark)
+      "v_scale_sf1_knn_join" -> (System.nanoTime() - t0) / 1e9
+    }
+    val results = registry :+ scaleRow :+ knnScaleRow
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -1,0 +1,48 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc scale probe: `runMain graft.ScaleProbe <n> <leaves> <maxLeaf>`
+  * times the IVF build and the kNN self-join on the synthetic corpus;
+  * `runMain graft.ScaleProbe expr <n> <k>` times only a k-wide
+  * fixed-centroid assignment expression (codegen-width probe).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (args(0) == "expr") {
+      val n = args(1).toLong; val k = args(2).toInt
+      val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, 32, 25)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      v.count()
+      val rnd = new scala.util.Random(7)
+      val cents = Seq.fill(k)(Array.fill(32)(rnd.nextDouble() * 100))
+      var t0 = System.nanoTime()
+      val assigned = v.withColumn("leaf_id",
+        graft.operators.IvfIndex.leafExpr(col("embedding"), cents))
+      val c = assigned.groupBy("leaf_id").count().count()
+      println(f"EXPR k=$k ${(System.nanoTime()-t0)/1e9}%.1f s, leaves=$c")
+    } else {
+      val n = args(0).toLong; val leaves = args(1).toInt; val maxLeaf = args(2).toInt
+      val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, 32, 25)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      v.count()
+      var t0 = System.nanoTime()
+      val (indexed, m) = graft.operators.IvfIndex.build(v, "vec_id", "embedding",
+        numLeaves = leaves, maxLeafSize = maxLeaf, maxFitRows = 20000L)
+      val idx = indexed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stored = idx.count()
+      println(f"BUILD ${(System.nanoTime()-t0)/1e9}%.1f s, leaves=${m.centroids.length}, stored=$stored")
+      val cand = idx.groupBy("leaf_id").count().agg(sum(col("count")*col("count"))).head().getLong(0)
+      println(s"CAND_ORDERED $cand")
+      t0 = System.nanoTime()
+      val c = graft.operators.Knn.knnJoinPerLeaf(idx, "vec_id", "embedding", 3, graft.operators.Knn.Dot).count()
+      println(f"JOIN ${(System.nanoTime()-t0)/1e9}%.1f s, out=$c")
+    }
+    spark.stop()
+  }
+}

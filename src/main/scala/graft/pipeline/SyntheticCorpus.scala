@@ -42,4 +42,21 @@ object SyntheticCorpus {
 
   /** Number of planted near-dup pairs in [[docs]](n). */
   def plantedPairs(n: Long): Long = (n + 99) / 100
+
+  /** n deterministic synthetic embeddings as (vec_id, embedding):
+    * `clusters` well-separated integer lattice centers, vector v =
+    * center(v mod clusters) + small hash noise — the ANN-path analog
+    * of [[docs]] (planted cluster structure so IVF leaves are
+    * meaningful, expression-built so generation distributes).
+    */
+  def vectors(spark: SparkSession, n: Long, dim: Int,
+      clusters: Int): DataFrame = {
+    val center = col("vec_id") % clusters
+    spark.range(n).select(col("id").as("vec_id"))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(dim - 1)), j =>
+        // centers live on a coarse integer lattice; noise is ±0.4
+        (pmod(xxhash64(center, j), lit(20L)).cast("double") * 10.0) +
+          (pmod(xxhash64(col("vec_id"), j), lit(800L)).cast("double") / 1000.0)
+      ).as("embedding"))
+  }
 }

@@ -17,17 +17,11 @@ class AnnScaleSpec extends SparkTestBase {
   private val Clusters = 25
 
   /** Deterministic synthetic embeddings: 25 well-separated integer
-    * cluster centers; vector v = center(v mod 25) + small hash noise.
-    * Expression-built (distributes, no driver data).
+    * cluster centers + hash noise (graft.pipeline.SyntheticCorpus;
+    * expression-built, distributes, no driver data).
     */
   private lazy val emb = {
-    val center = col("vec_id") % Clusters
-    val e = spark.range(N).select(col("id").as("vec_id"))
-      .select(col("vec_id"), transform(sequence(lit(0), lit(Dim - 1)), j =>
-        // centers live on a coarse integer lattice; noise is ±0.4
-        (pmod(xxhash64(center, j), lit(20L)).cast("double") * 10.0) +
-          (pmod(xxhash64(col("vec_id"), j), lit(800L)).cast("double") / 1000.0)
-      ).as("embedding"))
+    val e = graft.pipeline.SyntheticCorpus.vectors(spark, N, Dim, Clusters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count()
     e
@@ -83,6 +77,42 @@ class AnnScaleSpec extends SparkTestBase {
       val scanned = idx.filter(col("leaf_id").isin(probed: _*)).count()
       assert(scanned.toDouble / (2 * N) < 0.5,
         s"probe scans $scanned of ${2 * N} rows — pruning is not pruning")
+    } finally { idx.unpersist(); () }
+  }
+
+  test("sf1 kNN self-join: candidate volume linear in n under the leaf bound") {
+    val maxLeaf = 1000
+    val (indexed, _) = IvfIndex.build(emb, "vec_id", "embedding",
+      numLeaves = 128, maxLeafSize = maxLeaf, maxFitRows = 20000L)
+    val idx = indexed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stored = idx.count() // 2n with top-2 spill
+      assert(stored == 2 * N)
+      // candidate volume of the leaf equi-join, ANALYTICALLY (Σ size²
+      // over leaves) — the same selectivity evidence the LSH paths
+      // record, no join materialization needed
+      val candOrdered = idx.groupBy("leaf_id").count()
+        .agg(sum(col("count") * col("count"))).head().getLong(0)
+      // bounded leaves ⇒ Σ size² ≤ maxLeaf · Σ size: linear in n with
+      // the leaf bound (× spill factor 2) as the constant
+      assert(candOrdered <= maxLeaf.toLong * stored,
+        s"candidate volume $candOrdered exceeds maxLeaf×rows " +
+          s"${maxLeaf.toLong * stored}")
+      // and a small fraction of the quadratic cross product
+      assert(candOrdered < stored * stored / 20,
+        s"candidate volume $candOrdered is not sub-quadratic " +
+          s"(n²=${stored * stored})")
+      // the operator end to end at 50k: every vector ranked, ≤ k rows
+      val out = graft.operators.Knn
+        .knnJoinPerLeaf(idx, "vec_id", "embedding", 3,
+          graft.operators.Knn.Dot)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        assert(out.count() <= 3L * N)
+        assert(out.select("qid").distinct().count() == N,
+          "some vector got no neighbors despite 2-leaf spill")
+      } finally { out.unpersist(); () }
     } finally { idx.unpersist(); () }
   }
 }
