@@ -5,7 +5,11 @@ import org.apache.spark.sql.functions._
 /** Ad-hoc scale probe: `runMain graft.ScaleProbe <n> <leaves> <maxLeaf>`
   * times the IVF build and the kNN self-join on the synthetic corpus;
   * `runMain graft.ScaleProbe expr <n> <k>` times only a k-wide
-  * fixed-centroid assignment expression (codegen-width probe).
+  * fixed-centroid assignment expression (codegen-width probe);
+  * `runMain graft.ScaleProbe route <L> <dim> <nProbe> <queries>`
+  * times flat vs two-level routing over L synthetic leaf centroids
+  * (the 65 536-leaf flat-router ceiling evidence — routing cost must
+  * go sublinear in L).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -14,7 +18,40 @@ object ScaleProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args(0) == "expr") {
+    if (args(0) == "route") {
+      val L = args(1).toInt; val dim = args(2).toInt
+      val nProbe = args(3).toInt; val nQ = args(4).toInt
+      val rnd = new scala.util.Random(7)
+      val nCl = math.max(1, L / 64) // clustered, like real centroids
+      val centers = Array.fill(nCl)(Array.fill(dim)(rnd.nextGaussian() * 10))
+      val cents = Array.tabulate(L) { i =>
+        val c = centers(i % nCl)
+        Array.tabulate(dim)(j => c(j) + rnd.nextGaussian())
+      }
+      var t0 = System.nanoTime()
+      val router = graft.operators.IvfIndex.Router.build(cents)
+      println(f"ROUTER_BUILD ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        s"groups=${router.superCentroids.length}")
+      val flat = graft.operators.IvfIndex.Model(cents)
+      val routed = graft.operators.IvfIndex.Model(cents, router = Some(router))
+      val queries = Array.fill(nQ) {
+        val c = centers(rnd.nextInt(nCl))
+        Array.tabulate(dim)(j => c(j) + rnd.nextGaussian())
+      }
+      t0 = System.nanoTime()
+      var agree = 0
+      val flatRes = queries.map(q => flat.topLeaves(q, nProbe))
+      val tFlat = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val routedRes = queries.map(q => routed.topLeaves(q, nProbe))
+      val tRouted = (System.nanoTime() - t0) / 1e9
+      queries.indices.foreach { i =>
+        agree += flatRes(i).toSet.intersect(routedRes(i).toSet).size
+      }
+      val parity = agree.toDouble / (nQ * nProbe)
+      println(f"ROUTE L=$L flat=$tFlat%.3f s routed=$tRouted%.3f s " +
+        f"speedup=${tFlat / tRouted}%.1fx parity=$parity%.3f")
+    } else if (args(0) == "expr") {
       val n = args(1).toLong; val k = args(2).toInt
       val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, 32, 25)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

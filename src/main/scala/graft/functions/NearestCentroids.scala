@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
-/** Top-1/top-2 centroid assignment against a FIXED centroid matrix —
+/** Top-n centroid assignment against a FIXED centroid matrix —
   * the IVF build's hot loop as ONE compact expression.
   *
   * The composed form (an `array()` of k dot-product expressions +
@@ -24,17 +24,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * |c|² over the full augmented centroid — ARITHMETIC-IDENTICAL
   * (same IEEE op order) to the composed expression it replaces, and
   * ties resolve to the FIRST minimal index exactly like
-  * `array_position(s, array_min(s))`, so models, assignments, and the
-  * hash-checked recall gates are bit-for-bit unchanged.
+  * `array_position(s, array_min(s))` (the bounded insertion uses
+  * strict `<`, so an equal later score never displaces an earlier
+  * one), so models, assignments, and the hash-checked recall gates
+  * are bit-for-bit unchanged.
   *
-  * Returns array<int> of the best leaf, plus the second-best when
-  * `spill ≥ 2` (and a second centroid exists).
+  * Returns array<int> of the best min(take, k) centroid indices in
+  * rank order (score ascending). `take=2` is the build's top-2 spill
+  * assignment; larger `take` is the query-side router — the same
+  * expression computes a batch of queries' nProbe probe lists
+  * DISTRIBUTED over the query DataFrame, with no driver-side loop.
   */
 case class NearestCentroids(left: Expression, right: Expression,
-    centroids: Array[Array[Double]], spill: Int)
+    centroids: Array[Array[Double]], take: Int)
     extends BinaryExpression with ExpectsInputTypes {
 
   require(centroids.nonEmpty, "centroid set must be non-empty")
+  require(take >= 1, s"take must be >= 1, got $take")
 
   /** |c|² over the full augmented centroid — same as the composed
     * form's driver-side `c.map(x => x*x).sum` literal.
@@ -53,7 +59,7 @@ case class NearestCentroids(left: Expression, right: Expression,
 
   override def nullSafeEval(v: Any, a: Any): Any =
     NearestCentroids.assign(v.asInstanceOf[ArrayData],
-      a.asInstanceOf[Double], centroids, norms, spill)
+      a.asInstanceOf[Double], centroids, norms, take)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
@@ -61,24 +67,42 @@ case class NearestCentroids(left: Expression, right: Expression,
     val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
     nullSafeCodeGen(ctx, ev, (v, a) =>
       s"${ev.value} = graft.functions.NearestCentroids.assign(" +
-        s"$v, $a, $centsRef, $normsRef, $spill);")
+        s"$v, $a, $centsRef, $normsRef, $take);")
   }
+
+  // the Array[Array[Double]] field compares by reference under the
+  // synthesized case-class equals, which silently defeats expression
+  // canonicalization / subexpression elimination (false negatives
+  // only, but they cost plan quality) — compare contents instead
+  override def equals(other: Any): Boolean = other match {
+    case nc: NearestCentroids =>
+      left == nc.left && right == nc.right && take == nc.take &&
+        java.util.Arrays.deepEquals(
+          centroids.asInstanceOf[Array[AnyRef]],
+          nc.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right, Integer.valueOf(take),
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        centroids.asInstanceOf[Array[AnyRef]])))
 
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): NearestCentroids = copy(left = l, right = r)
 }
 
 object NearestCentroids {
-  /** Called from both interpreted eval and generated code. The
-    * strict-< update keeps the FIRST index among equal minima for both
-    * best and second-best — identical to argmin-then-masked-argmin.
+  /** Called from both interpreted eval and generated code. Bounded
+    * insertion with strict `<` keeps the FIRST index among equal
+    * scores at every rank — identical to argmin-then-masked-argmin
+    * for take ≤ 2, and its natural top-n extension beyond.
     */
   def assign(v: ArrayData, aux: Double, cents: Array[Array[Double]],
-      norms: Array[Double], spill: Int): ArrayData = {
-    var best = -1
-    var second = -1
-    var bs = Double.PositiveInfinity
-    var ss = Double.PositiveInfinity
+      norms: Array[Double], take: Int): ArrayData = {
+    val t = math.min(take, cents.length)
+    val idx = new Array[Int](t)
+    val sc = new Array[Double](t)
+    var filled = 0
     val vn = v.numElements()
     var c = 0
     while (c < cents.length) {
@@ -88,12 +112,24 @@ object NearestCentroids {
       var j = 0
       while (j < d) { dot += cent(j) * v.getDouble(j); j += 1 }
       val s = norms(c) - 2.0 * (dot + aux * cent(cent.length - 1))
-      if (s < bs) { second = best; ss = bs; best = c; bs = s }
-      else if (s < ss) { second = c; ss = s }
+      if (filled < t) {
+        var p = filled
+        while (p > 0 && s < sc(p - 1)) {
+          sc(p) = sc(p - 1); idx(p) = idx(p - 1); p -= 1
+        }
+        sc(p) = s; idx(p) = c; filled += 1
+      } else if (s < sc(t - 1)) {
+        var p = t - 1
+        while (p > 0 && s < sc(p - 1)) {
+          sc(p) = sc(p - 1); idx(p) = idx(p - 1); p -= 1
+        }
+        sc(p) = s; idx(p) = c
+      }
       c += 1
     }
-    if (spill >= 2 && second >= 0)
-      new GenericArrayData(Array[Any](best, second))
-    else new GenericArrayData(Array[Any](best))
+    val out = new Array[Any](filled)
+    var i = 0
+    while (i < filled) { out(i) = idx(i); i += 1 }
+    new GenericArrayData(out)
   }
 }

@@ -76,25 +76,209 @@ object IvfIndex {
     val Unknown: BuildStats = BuildStats(-1L, -1L, -1L)
   }
 
+  /** Two-level centroid router — the Tree-AH TREE-WALK analog
+    * (/root/reference/common/config.py:36-37 prunes leaves via a tree
+    * walk, not a flat scan). The leaf centroids are clustered into
+    * ~√L super-groups; a probe ranks the √L super-centroids, walks
+    * groups best-first until it has collected an oversampled candidate
+    * pool, and exact-ranks only that pool — routing cost
+    * O(√L + candidates) per query instead of the flat O(L) scan,
+    * which is what keeps per-query routing flat as leaf counts grow
+    * with the corpus (10⁵ leaves: ~400 scored centroids per probe vs
+    * 100 000).
+    *
+    * `groupOf(l)` is leaf l's super-group; persisted with the model
+    * (NOT recomputed on load — the final Lloyd's update moves the
+    * super-centroids after the last assignment, so a nearest-super
+    * recompute could disagree with the grouping the router was built
+    * with).
+    */
+  final case class Router(superCentroids: Array[Array[Double]],
+      groupOf: Array[Int], oversample: Int = 4) {
+    /** Inverse of groupOf: the leaf ids in each super-group. */
+    @transient lazy val groups: Array[Array[Int]] = {
+      val bs = Array.fill(superCentroids.length)(
+        new scala.collection.mutable.ArrayBuilder.ofInt)
+      var i = 0
+      while (i < groupOf.length) { bs(groupOf(i)) += i; i += 1 }
+      bs.map(_.result())
+    }
+  }
+
+  object Router {
+    /** Below this leaf count no router is built: a flat scan of the
+      * centroid array is already microseconds, and the production
+      * hash gates (≤ a few hundred leaves) stay byte-identical.
+      */
+    val MinLeaves = 1024
+
+    private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var j = 0
+      while (j < n) { val d = a(j) - b(j); s += d * d; j += 1 }
+      s
+    }
+
+    private def nearest(x: Array[Double],
+        supers: Array[Array[Double]]): Int = {
+      var best = 0
+      var bs = Double.PositiveInfinity
+      var s = 0
+      while (s < supers.length) {
+        val d2 = sqDist(x, supers(s))
+        if (d2 < bs) { bs = d2; best = s }
+        s += 1
+      }
+      best
+    }
+
+    /** Deterministic driver-side Lloyd's over the (bounded) centroid
+      * array: seeds are evenly-spaced centroids in index order (no
+      * RNG — the router must be a pure function of the centroids, or
+      * reopening an index would re-route differently), iterations fit
+      * on a strided subsample, and one final parallel pass assigns
+      * every leaf. O(fitN·√L·d·iters + L·√L·d) — seconds at 10⁵
+      * leaves, amortized over the build.
+      */
+    def build(centroids: Array[Array[Double]], numGroups: Int = 0,
+        maxIter: Int = 8, oversample: Int = 4): Router = {
+      val L = centroids.length
+      val g = math.max(1, math.min(L,
+        if (numGroups > 0) numGroups
+        else math.ceil(math.sqrt(L.toDouble)).toInt))
+      val dim = centroids(0).length
+      // strided fit subsample: deterministic, order-independent spread
+      val fitN = math.min(L, math.max(16 * g, 4096))
+      val stride = math.max(1, L / fitN)
+      val fit = Array.range(0, L, stride).map(centroids)
+      // farthest-point (k-center) seeding over the fit sample:
+      // deterministic AND spread out regardless of centroid order
+      // (index-strided seeds can all land in one cluster when the
+      // centroid array's order correlates with cluster membership)
+      val minD = Array.fill(fit.length)(Double.PositiveInfinity)
+      val seeds = new Array[Array[Double]](g)
+      var nextSeed = 0
+      var si = 0
+      while (si < g) {
+        seeds(si) = fit(nextSeed).clone()
+        var i = 0
+        var far = 0
+        var fd = -1.0
+        while (i < fit.length) {
+          val d2 = sqDist(fit(i), seeds(si))
+          if (d2 < minD(i)) minD(i) = d2
+          if (minD(i) > fd) { fd = minD(i); far = i }
+          i += 1
+        }
+        nextSeed = far
+        si += 1
+      }
+      var supers = seeds
+      var iter = 0
+      val changed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val fitAssign = new Array[Int](fit.length)
+      while (iter < maxIter && changed.get()) {
+        changed.set(false)
+        java.util.stream.IntStream.range(0, fit.length).parallel()
+          .forEach { i =>
+            val a = nearest(fit(i), supers)
+            if (fitAssign(i) != a) { fitAssign(i) = a; changed.set(true) }
+          }
+        val sums = Array.fill(g)(new Array[Double](dim))
+        val counts = new Array[Long](g)
+        var i = 0
+        while (i < fit.length) {
+          val a = fitAssign(i)
+          val v = fit(i)
+          val acc = sums(a)
+          var j = 0
+          while (j < dim) { acc(j) += v(j); j += 1 }
+          counts(a) += 1
+          i += 1
+        }
+        supers = Array.tabulate(g)(s =>
+          if (counts(s) == 0) supers(s)
+          else sums(s).map(_ / counts(s)))
+        iter += 1
+      }
+      val groupOf = new Array[Int](L)
+      java.util.stream.IntStream.range(0, L).parallel()
+        .forEach(i => groupOf(i) = nearest(centroids(i), supers))
+      Router(supers, groupOf, oversample)
+    }
+  }
+
   /** Centroids live in augmented (d+1)-dim space (a model made of
     * FIXED d-dim centroids works too: the missing coordinate simply
     * contributes nothing to the ranking terms).
     */
   final case class Model(centroids: Array[Array[Double]],
-      stats: BuildStats = BuildStats.Unknown) {
-    /** Top leaves for a d-dim query: ascending |c|² − 2·q·c. */
+      stats: BuildStats = BuildStats.Unknown,
+      router: Option[Router] = None) {
+
+    /** The probe ranking term |c|² − 2·q·c, with the cn/dot loop
+      * fused exactly as the original flat scan computed it (same IEEE
+      * op order — routed and flat ranking must agree bit-for-bit on
+      * any leaf both of them score).
+      */
+    private def probeScore(c: Array[Double], query: Array[Double]): Double = {
+      var dot = 0.0
+      var cn = 0.0
+      var j = 0
+      while (j < c.length) {
+        cn += c(j) * c(j)
+        if (j < query.length) dot += c(j) * query(j)
+        j += 1
+      }
+      cn - 2.0 * dot
+    }
+
+    /** Top leaves for a d-dim query: ascending |c|² − 2·q·c. Routed
+      * through the super-groups when a router is present and the
+      * candidate pool it would collect is actually smaller than L;
+      * flat exact scan otherwise.
+      */
     def topLeaves(query: Array[Double], nProbe: Int): Seq[Int] =
-      centroids.zipWithIndex.map { case (c, i) =>
-        var dot = 0.0
-        var cn = 0.0
-        var j = 0
-        while (j < c.length) {
-          cn += c(j) * c(j)
-          if (j < query.length) dot += c(j) * query(j)
-          j += 1
-        }
-        (cn - 2.0 * dot, i)
-      }.sortBy { case (s, i) => (s, i) }.take(nProbe).map(_._2).toSeq
+      router match {
+        case Some(r) if r.superCentroids.length > 1 &&
+            candidateTarget(r, nProbe) < centroids.length =>
+          rankLeaves(routedCandidates(r, query, nProbe), query, nProbe)
+        case _ =>
+          rankLeaves(Array.range(0, centroids.length), query, nProbe)
+      }
+
+    private def candidateTarget(r: Router, nProbe: Int): Int =
+      math.max(nProbe * r.oversample, 32)
+
+    /** Walk super-groups best-first, collecting leaves until the
+      * oversampled target is reached. Exposed to the parity spec so
+      * it can assert the visited pool is ≪ L.
+      */
+    private[graft] def routedCandidates(r: Router, query: Array[Double],
+        nProbe: Int): Array[Int] = {
+      val target = candidateTarget(r, nProbe)
+      val ranked = r.superCentroids.zipWithIndex
+        .map { case (c, i) => (probeScore(c, query), i) }
+        .sortBy { case (s, i) => (s, i) }
+      val out = new scala.collection.mutable.ArrayBuilder.ofInt
+      var count = 0
+      var gi = 0
+      // always at least 2 groups: a query near a group boundary has
+      // its true nearest leaves split across the two best supers
+      while (gi < ranked.length && (count < target || gi < 2)) {
+        val leaves = r.groups(ranked(gi)._2)
+        out ++= leaves
+        count += leaves.length
+        gi += 1
+      }
+      out.result()
+    }
+
+    private def rankLeaves(leaves: Array[Int], query: Array[Double],
+        nProbe: Int): Seq[Int] =
+      leaves.map(l => (probeScore(centroids(l), query), l))
+        .sortBy { case (s, l) => (s, l) }.take(nProbe).map(_._2).toSeq
   }
 
   /** Deterministic keep-predicate: layout-independent hash sampling
@@ -228,8 +412,13 @@ object IvfIndex {
           val next = keep.map(cents).toVector ++
             Await.result(Future.sequence(subFits),
               scala.concurrent.duration.Duration.Inf).flatten
-          require(next.length <= 65536,
-            s"IVF split produced ${next.length} leaves; raise maxLeafSize")
+          // loud guard on the DRIVER-MEMORY bound for the centroid
+          // matrix itself (~1 GB at the cap for 768-d augmented
+          // doubles); probe-time routing is already sublinear past
+          // Router.MinLeaves via the two-level router
+          require(next.length <= (1 << 22),
+            s"IVF split produced ${next.length} leaves (cap ${1 << 22}); " +
+              "raise maxLeafSize")
           cents = next
           val nextAssigned = withAssignments(aug, cents, effSpill)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -279,7 +468,13 @@ object IvfIndex {
       // recomputation after unpersist stays identical — no checkpoint
       // needed, and at 100 TB the caller's write is the materialization
       assigned.unpersist()
-      (indexed, Model(cents.toArray, BuildStats(n, nRows, maxLeafRows)))
+      // past Router.MinLeaves, attach the two-level router so probe
+      // routing stays sublinear in the leaf count; below it the flat
+      // scan is microseconds and the router would only add moving parts
+      val router =
+        if (cents.length >= Router.MinLeaves) Some(Router.build(cents.toArray))
+        else None
+      (indexed, Model(cents.toArray, BuildStats(n, nRows, maxLeafRows), router))
     } finally { aug.unpersist(); () }
   }
 
@@ -295,9 +490,95 @@ object IvfIndex {
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
-  /** Persist the index clustered by leaf — leaf scan = partition scan. */
+  /** Persist the index clustered by leaf — leaf scan = partition scan.
+    * Data rows only; prefer the (indexed, path, model) overload, which
+    * also persists the model sidecar so the index is a DURABLE
+    * resource a fresh session can reopen (the reference's index
+    * outlives its builder process —
+    * /root/reference/vector_store/utils/index_manager.py:36-68 creates
+    * it, rag/search.py queries it from a separate process).
+    */
   def write(indexed: DataFrame, path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("leaf_id").parquet(path)
+
+  /** Persist index data + model sidecar: the complete reopenable index. */
+  def write(indexed: DataFrame, path: String, model: Model): Unit = {
+    write(indexed, path)
+    writeModel(indexed.sparkSession, path, model)
+  }
+
+  /** Sidecar format version — load refuses a version it doesn't know
+    * rather than misreading it.
+    */
+  val ModelFormatVersion = 1
+
+  /** The sidecar lives UNDER the index path with a `_`-prefixed name,
+    * which Spark's file listing treats as hidden: `spark.read.parquet`
+    * of the index keeps seeing only data rows, with or without the
+    * sidecar.
+    */
+  private def modelDir(path: String): String = path + "/_graft_model"
+
+  /** Write the model (centroids + router + BuildStats + format
+    * version) as a small parquet sidecar. Written through Spark so it
+    * lands on the same filesystem as the data (HDFS/S3 at scale, not
+    * driver-local disk); one file, driver-sized content.
+    */
+  def writeModel(spark: SparkSession, path: String, model: Model): Unit = {
+    import spark.implicits._
+    val centRows = model.centroids.zipWithIndex.toSeq.map { case (c, i) =>
+      ("centroid", i, c.toSeq,
+        model.router.map(_.groupOf(i)).getOrElse(-1),
+        -1L, -1L, -1L, ModelFormatVersion)
+    }
+    val superRows = model.router.toSeq.flatMap { r =>
+      r.superCentroids.zipWithIndex.toSeq.map { case (c, i) =>
+        ("super", i, c.toSeq, r.oversample, -1L, -1L, -1L, ModelFormatVersion)
+      }
+    }
+    val st = model.stats
+    val statsRow = ("stats", -1, Seq.empty[Double], -1,
+      st.nVectors, st.nRows, st.maxLeafRows, ModelFormatVersion)
+    (centRows ++ superRows :+ statsRow)
+      .toDF("kind", "id", "vec", "grp",
+        "n_vectors", "n_rows", "max_leaf_rows", "format_version")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(modelDir(path))
+  }
+
+  /** Reopen a written index's model — the serving-side entry point: a
+    * FRESH session (separate process in production) loads the sidecar
+    * and can probe, search, and register the index without access to
+    * the builder. Probe results are identical to the build-time model:
+    * centroid doubles round-trip exactly through parquet, and the
+    * router's grouping is persisted rather than recomputed.
+    */
+  def load(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(modelDir(path)).collect()
+    val byKind = rows.groupBy(_.getString(0))
+    val centRows = byKind.getOrElse("centroid",
+      throw new IllegalStateException(
+        s"no centroids in model sidecar at ${modelDir(path)}"))
+      .sortBy(_.getInt(1))
+    require(centRows.zipWithIndex.forall { case (r, i) => r.getInt(1) == i },
+      s"model sidecar at ${modelDir(path)} has non-contiguous centroid ids")
+    val statsRow = byKind.getOrElse("stats",
+      throw new IllegalStateException(
+        s"no stats row in model sidecar at ${modelDir(path)}")).head
+    val version = statsRow.getInt(7)
+    require(version == ModelFormatVersion,
+      s"model sidecar format v$version at ${modelDir(path)}; " +
+        s"this build reads v$ModelFormatVersion")
+    val cents = centRows.map(_.getSeq[Double](2).toArray)
+    val stats = BuildStats(statsRow.getLong(4), statsRow.getLong(5),
+      statsRow.getLong(6))
+    val router = byKind.get("super").map { srs =>
+      val sorted = srs.sortBy(_.getInt(1))
+      Router(sorted.map(_.getSeq[Double](2).toArray),
+        centRows.map(_.getInt(3)), sorted.head.getInt(3))
+    }
+    Model(cents, stats, router)
+  }
 
   /** Leaf-pruned exact search over the persisted index. */
   def search(spark: SparkSession, path: String, model: Model,

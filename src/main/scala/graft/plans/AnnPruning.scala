@@ -42,6 +42,19 @@ object IndexCatalog {
   def register(name: String, model: IvfIndex.Model): Unit = {
     models.put(name, model); ()
   }
+
+  /** Open a WRITTEN index from disk: load its model sidecar
+    * ([[IvfIndex.load]]) and register it under `name` — the
+    * serving-side "open the index" step, so a session that did not
+    * build the index can still drive `graft_ann_probe` over it.
+    */
+  def open(spark: org.apache.spark.sql.SparkSession, name: String,
+      path: String): IvfIndex.Model = {
+    val model = IvfIndex.load(spark, path)
+    register(name, model)
+    model
+  }
+
   def get(name: String): Option[IvfIndex.Model] = models.get(name)
   def drop(name: String): Unit = { models.remove(name); () }
 }

@@ -118,7 +118,9 @@ object ReferencePipeline {
       val (indexed, model) = IvfIndex.build(emb, "vec_id", "embedding", 16)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
         java.lang.Integer.toHexString(d.hashCode)
-      IvfIndex.write(indexed, path)
+      // data + model sidecar: every verify/bench run exercises the
+      // durable-index path a fresh serving session would reopen
+      IvfIndex.write(indexed, path, model)
       val e = Entry(path, model)
       cache.put(d, e)
       e

@@ -36,7 +36,12 @@ object IndexMaintenance {
       seed: Long = 42L): IvfIndex.Model = {
     val live = liveCorpus(spark, logPath, id, versionCol)
     val (indexed, model) = IvfIndex.build(live, id, vecCol, numLeaves, seed)
-    IvfIndex.write(indexed, servePath)
+    // the full reopenable index (data + model sidecar): a recluster
+    // rebuilds BOTH router levels — build() re-fits the leaves and
+    // re-derives the super-group router whenever the leaf count
+    // warrants one — and a serving session picks the new model up by
+    // reloading the sidecar
+    IvfIndex.write(indexed, servePath, model)
     model
   }
 }
