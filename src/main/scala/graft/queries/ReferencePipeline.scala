@@ -173,6 +173,16 @@ object ReferencePipeline {
     * are only the probed leaves' rows, never the full corpus per
     * query. Spill duplicates (same vector in two probed leaves)
     * collapse to one candidate row before ranking.
+    *
+    * ROUTING IS DISTRIBUTED: the probe list is the same
+    * [[graft.functions.NearestCentroids]] expression the build's
+    * assignment pass uses — top-nProbe over the query DataFrame, the
+    * centroid matrix riding along as a codegen reference object — so
+    * query vectors are never collected to the driver and the batch
+    * path holds for 10⁶ queries exactly as for 20. Rank order
+    * (ascending |c|² − 2·q·c, first-index ties) matches
+    * Model.topLeaves, so probe lists — and the recall this query
+    * gates on — are unchanged.
     */
   private val vAnnIvf = QueryDef.sqlChecked("v_ann_ivf")(
     "SELECT cast(20 as bigint) AS n_queries, cast(1 as bigint) AS recall_ok"
@@ -180,16 +190,15 @@ object ReferencePipeline {
     import s.implicits._
     val entry = IvfCache.get(s, d)
     val emb = Tables.embeddings(s, d)
-    val qRows = emb.filter(col("vec_id") < 20)
+    val q = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qv"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-    val qdf = qRows.toSeq
-      .flatMap { case (qid, qv) =>
-        entry.model.topLeaves(qv.toArray, 4).map(l => (qid, qv, l))
-      }
-      .toDF("qid", "qv", "leaf_id")
+    val probe = org.apache.spark.sql.graftshim.Shims.column(
+      graft.functions.NearestCentroids(
+        org.apache.spark.sql.graftshim.Shims.expression(col("qv")),
+        org.apache.spark.sql.graftshim.Shims.expression(lit(0.0)),
+        entry.model.centroids, 4))
+    val qdf = q.withColumn("leaf_id", explode(probe))
     val index = s.read.parquet(entry.path)
     val scored = index.join(broadcast(qdf), "leaf_id")
       .select(col("qid"), col("vec_id"),
@@ -198,13 +207,13 @@ object ReferencePipeline {
       .dropDuplicates(Seq("qid", "vec_id"))
     val ivfTop = Knn.topKPerQuery(scored, 10, "qid", "vec_id", Knn.Dot)
     val exactScored = Knn.score(emb.select("vec_id", "embedding"),
-      qRows.toSeq.map { case (qid, qv) => (qid, qv) }.toDF("qid", "qv"),
-      "embedding", "qv", Knn.Dot)
+      q, "embedding", "qv", Knn.Dot)
     val exactTop = Knn.topKPerQuery(exactScored, 10, "qid", "vec_id", Knn.Dot)
     val hits = ivfTop.select("qid", "vec_id")
       .join(exactTop.select("qid", "vec_id"), Seq("qid", "vec_id")).count()
-    val meanRecall = hits.toDouble / (qRows.length * 10.0)
-    Seq((qRows.length.toLong, if (meanRecall >= 0.8) 1L else 0L))
+    val nQ = q.count()
+    val meanRecall = hits.toDouble / (nQ * 10.0)
+    Seq((nQ, if (meanRecall >= 0.8) 1L else 0L))
       .toDF("n_queries", "recall_ok")
   }
 
@@ -335,6 +344,95 @@ object ReferencePipeline {
       .limit(8)
   }
 
+  /** The WHOLE reference search (E3) as ONE SQL text — the reference's
+    * implied serving query end to end
+    * (/root/reference/vector_store/setup_vector_search.py:45-76
+    * restricts + crowding; common/config.py:32-33 top-k + dot
+    * product): `graft_ann_probe` leaf pruning → restrict filters →
+    * crowding window (≤2 per label) → `graft_top_k` bounded-heap
+    * shortlist → metadata join — every graft extension point
+    * (optimizer rule + SQL aggregate + codegen scalar fn) exercised
+    * together from plain SQL, full-hash-checked. Fixed data-derived
+    * centroids (the v_ann_sql trick) keep assignment and probe
+    * exactly SQL-replicable; the query vector is inlined via
+    * round-trip-exact `Double.toString` casts.
+    */
+  private val vAnnSqlE2e = QueryDef.sqlChecked("v_ann_sql_e2e")(
+    "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id = 7), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(cast(e.embedding as double[]), c.cv), c.cid) AS rn " +
+      "FROM embeddings e, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) WHERE rn <= 2), " +
+      "cand AS (SELECT e.vec_id, e.label, " +
+      "list_inner_product(cast(e.embedding as double[]), q.qv) AS score " +
+      "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid, q WHERE e.vec_id <> 7 AND e.vec_id >= 10), " +
+      "crowded AS (SELECT vec_id, label, score FROM (" +
+      "SELECT vec_id, label, score, row_number() OVER (" +
+      "PARTITION BY label ORDER BY score DESC, vec_id) AS crn FROM cand) WHERE crn <= 2), " +
+      "ranked AS (SELECT vec_id, label, score, row_number() OVER (" +
+      "ORDER BY score DESC, vec_id) AS rank FROM crowded) " +
+      "SELECT vec_id, label, score, cast(rank as bigint) AS rank " +
+      "FROM ranked WHERE rank <= 8 ORDER BY rank"
+  ) { (s, d) =>
+    graft.plans.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val query = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    graft.plans.IndexCatalog.register("v_ann_sql_e2e",
+      IvfIndex.Model(cents.toArray))
+    // same model-geometry assignment as v_ann_sql (min |c|²−2·x·c)
+    val leafScores = array(cents.map { c =>
+      val cn = c.map(x => x * x).sum
+      lit(cn) - lit(2.0) * graft.functions.vectors.dotProduct(
+        col("embedding"), typedLit(c.toSeq))
+    }: _*)
+    emb.withColumn("__s", leafScores)
+      .withColumn("leaf_id",
+        (array_position(col("__s"), array_min(col("__s"))) - 1).cast("bigint"))
+      .drop("__s")
+      .createOrReplaceTempView("graft_e2e_idx")
+    emb.select(col("vec_id"), col("label"))
+      .createOrReplaceTempView("graft_e2e_meta")
+    // Double.toString round-trips exactly through cast('…' as double)
+    val qArr = query.map(v => s"cast('$v' as double)")
+      .mkString("array(", ",", ")")
+    s.sql(
+      s"""WITH cand AS (
+         |  SELECT vec_id, label, graft_dot(embedding, $qArr) AS score
+         |  FROM graft_e2e_idx
+         |  WHERE graft_ann_probe('v_ann_sql_e2e', leaf_id, $qArr, 2)
+         |    AND vec_id <> 7 AND vec_id >= 10
+         |), crowded AS (
+         |  SELECT vec_id, label, score FROM (
+         |    SELECT vec_id, label, score, row_number() OVER (
+         |      PARTITION BY label ORDER BY score DESC, vec_id) AS crn
+         |    FROM cand) WHERE crn <= 2
+         |), shortlist AS (
+         |  SELECT graft_top_k(score, vec_id, 8) AS topk FROM crowded
+         |), ranked AS (
+         |  SELECT t.col.id AS vec_id, t.col.score AS score,
+         |         cast(t.pos + 1 AS bigint) AS rank
+         |  FROM shortlist LATERAL VIEW posexplode(topk) t AS pos, col
+         |)
+         |SELECT r.vec_id, m.label, r.score, r.rank
+         |FROM ranked r JOIN graft_e2e_meta m ON r.vec_id = m.vec_id
+         |ORDER BY r.rank""".stripMargin)
+  }
+
   /** kNN SELF-join (top-3 neighbors for EVERY corpus vector) via
     * leaf-co-located joins — the scalable form of all-pairs similarity:
     * one equi-join on leaf_id instead of a cross product, candidates
@@ -450,5 +548,5 @@ object ReferencePipeline {
 
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, vAnnBuild, vAnnIvf, vAnnPipeline, vAnnSql,
-    vKnnJoin)
+    vAnnSqlE2e, vKnnJoin)
 }
