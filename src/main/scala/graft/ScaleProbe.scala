@@ -51,6 +51,49 @@ object ScaleProbe {
       val parity = agree.toDouble / (nQ * nProbe)
       println(f"ROUTE L=$L flat=$tFlat%.3f s routed=$tRouted%.3f s " +
         f"speedup=${tFlat / tRouted}%.1fx parity=$parity%.3f")
+    } else if (args(0) == "joincmp") {
+      // window-rank vs heap-aggregate ranking for the kNN self-join,
+      // on the same deterministic bounded layout as the bench row
+      import org.apache.spark.sql.functions._
+      val n = args(1).toLong
+      val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, 32, 25)
+      val sub = pmod(xxhash64(col("vec_id")), lit(8L)).cast("int")
+      val indexed = v
+        .withColumn("leaf_id", explode(array(
+          (col("vec_id") % 25).cast("int") * 8 + sub,
+          (col("vec_id") % 25).cast("int") * 8 + (sub + 1) % 8)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      indexed.count()
+      def time(tag: String)(body: => Long): Unit = {
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val c = body
+          (System.nanoTime() - t0) / 1e9 -> c
+        }.sortBy(_._1).apply(1) match {
+          case (dt, c) => println(f"JOINCMP $tag n=$n median=$dt%.2f s out=$c")
+        }
+      }
+      time("window") {
+        graft.operators.Knn.knnJoinPerLeafWindow(indexed, "vec_id",
+          "embedding", 3, graft.operators.Knn.Dot).count()
+      }
+      time("heap") {
+        graft.operators.Knn.knnJoinPerLeaf(indexed, "vec_id",
+          "embedding", 3, graft.operators.Knn.Dot).count()
+      }
+      // parity: identical rows between the two ranking forms
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("qid") < 2000)
+        .select(col("qid").cast("long"), col("nid").cast("long"),
+          col("score"), col("rn").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val w = rows(graft.operators.Knn.knnJoinPerLeafWindow(indexed, "vec_id",
+        "embedding", 3, graft.operators.Knn.Dot))
+      val h = rows(graft.operators.Knn.knnJoinPerLeaf(indexed, "vec_id",
+        "embedding", 3, graft.operators.Knn.Dot))
+      println(s"JOINCMP diff=${(w.diff(h) ++ h.diff(w)).size} of ${w.size}")
     } else if (args(0) == "expr") {
       val n = args(1).toLong; val k = args(2).toInt
       val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, 32, 25)

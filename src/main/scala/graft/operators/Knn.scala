@@ -109,8 +109,13 @@ object Knn {
     * extra shuffle bytes, so the ≤2 spill copies are scored and the
     * tiny scored rows deduplicated.
     */
-  def knnJoinPerLeaf(indexed: DataFrame, id: String, vecCol: String,
-      k: Int, metric: Metric): DataFrame = {
+  /** Symmetric candidate scoring shared by both ranking forms: each
+    * unordered leaf-mate pair generated once (qid < nid), scored,
+    * spill-deduplicated on the small (qid, nid, score) rows, then
+    * mirrored back.
+    */
+  private def leafPairScores(indexed: DataFrame, id: String,
+      vecCol: String, metric: Metric): DataFrame = {
     val a = indexed.select(col("leaf_id"), col(id).as("qid"),
       col(vecCol).as("qv"))
     val b = indexed.select(col("leaf_id"), col(id).as("nid"),
@@ -120,8 +125,44 @@ object Knn {
       .select(col("qid"), col("nid"),
         metric.score(col("qv"), col("nv")).as("score"))
       .dropDuplicates("qid", "nid")
-    val scored = half.unionByName(half.select(col("nid").as("qid"),
+    half.unionByName(half.select(col("nid").as("qid"),
       col("qid").as("nid"), col("score")))
-    topKPerQuery(scored, k, "qid", "nid", metric)
   }
+
+  /** Production form: ranking via the bounded top-k HEAP aggregate
+    * ([[graft.functions.TopKByScore]], `graft_top_k` in SQL). Per-qid
+    * shortlists build in O(n log k) heaps with MAP-SIDE partial
+    * aggregation — only k rows per (qid, partition) reach the
+    * shuffle, where the window form must move every candidate row and
+    * sort each qid's full list. Measured on the 50k bench layout
+    * (median of 3, two separate JVMs): heap 6.8-7.3 s vs window
+    * 16.4-18.0 s, rows identical — see PERF.md (round 6). `nid` is
+    * surfaced as bigint (the aggregate's id slot); ids must be
+    * integral.
+    */
+  def knnJoinPerLeaf(indexed: DataFrame, id: String, vecCol: String,
+      k: Int, metric: Metric): DataFrame = {
+    val scored = leafPairScores(indexed, id, vecCol, metric)
+    // the heap keeps (score desc, id asc) — for ascending metrics the
+    // score is negated into the heap and restored on the way out
+    val heapScore = if (metric.descending) col("score") else -col("score")
+    scored
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore.column(heapScore,
+        col("nid").cast("long"), k).as("__topk"))
+      .select(col("qid"), posexplode(col("__topk")).as(Seq("__pos", "__t")))
+      .select(col("qid"), col("__t.id").as("nid"),
+        (if (metric.descending) col("__t.score")
+         else -col("__t.score")).as("score"),
+        (col("__pos") + 1).cast("bigint").as("rn"))
+  }
+
+  /** Window-rank form of [[knnJoinPerLeaf]] (row-identical output):
+    * kept as the measured-against baseline and for callers whose ids
+    * are not integral.
+    */
+  def knnJoinPerLeafWindow(indexed: DataFrame, id: String, vecCol: String,
+      k: Int, metric: Metric): DataFrame =
+    topKPerQuery(leafPairScores(indexed, id, vecCol, metric),
+      k, "qid", "nid", metric)
 }

@@ -141,20 +141,29 @@ object ReferencePipeline {
     * per-leaf aggregation passes the build ALREADY runs — instead of
     * re-reading the written parquet for two more full passes (the
     * round-3 `v_ann_build` regression was half verification overhead
-    * billed to the build).
+    * billed to the build). One cheap ARTIFACT-side check remains:
+    * the written parquet's row count must equal `stats.nRows` — a
+    * column-less count-star over the artifact (parquet footers, no
+    * data decode), so a row-losing bug in `IvfIndex.write` or in the
+    * explode that builds `indexed` still fails this gate even though
+    * the other manifest fields are build-time numbers.
     */
   private val vAnnBuild = QueryDef.sqlChecked("v_ann_build")(
     "SELECT cast(16 as bigint) AS num_leaves, " +
       "cast(count(*) as bigint) AS n_vectors, " +
       "cast(2 * count(*) as bigint) AS n_rows, " +
-      "cast(1 as bigint) AS leaf_bound_ok FROM embeddings"
+      "cast(1 as bigint) AS leaf_bound_ok, " +
+      "cast(1 as bigint) AS artifact_rows_ok FROM embeddings"
   ) { (s, d) =>
     import s.implicits._
     val e = IvfCache.rebuild(s, d)
     val st = e.model.stats
+    val artifactRows = s.read.parquet(e.path).count()
     Seq((e.model.centroids.length.toLong, st.nVectors, st.nRows,
-      if (st.maxLeafRows <= IvfIndex.DefaultMaxLeafSize) 1L else 0L))
-      .toDF("num_leaves", "n_vectors", "n_rows", "leaf_bound_ok")
+      if (st.maxLeafRows <= IvfIndex.DefaultMaxLeafSize) 1L else 0L,
+      if (artifactRows == st.nRows) 1L else 0L))
+      .toDF("num_leaves", "n_vectors", "n_rows", "leaf_bound_ok",
+        "artifact_rows_ok")
   }
 
   /** IVF ANN probe (Tree-AH analog), gate-visible RECALL BOUND:
