@@ -39,5 +39,18 @@ class IndexMaintenanceSpec extends SparkTestBase {
     // the clone (and the updated vec 1) must surface at the top
     assert(hits.take(3).toSet.intersect(Set(0L, 1L, 9999L)).size == 3,
       s"top-3 was ${hits.toSeq}")
+
+    // lifecycle: the recluster wrote the FULL reopenable index — a
+    // serving session that only knows the serve path loads the
+    // POST-recluster model (both router levels rebuilt by build())
+    // and probes identically to the returned one
+    val reopened = graft.operators.IvfIndex.load(spark.newSession(), serve)
+    assert(reopened.stats == model.stats)
+    assert(reopened.centroids.zip(model.centroids).forall {
+      case (a, b) => java.util.Arrays.equals(a, b)
+    })
+    assert(reopened.router.isEmpty == model.router.isEmpty)
+    assert(reopened.topLeaves(v0.map(_.toDouble).toArray, 2) ==
+      model.topLeaves(v0.map(_.toDouble).toArray, 2))
   }
 }
