@@ -353,6 +353,80 @@ object ReferencePipeline {
       .limit(8)
   }
 
+  /** The TWO-LEVEL ROUTED probe, gate-visible: 48 fixed data-derived
+    * leaf centroids in 4 fixed super-groups of 12 (router constructed
+    * directly — Lloyd's is swapped for fixed supers exactly as
+    * k-means is swapped for fixed centroids in v_ann_pipeline, so the
+    * walk is SQL-replicable; everything else is the production routed
+    * path). nProbe=2 → candidate target 32 < 48 leaves, so
+    * Model.topLeaves takes the ROUTED branch: rank the 4 supers, walk
+    * groups best-first until ≥32 candidates (= exactly 3 groups of
+    * 12), exact-rank the 36 survivors, probe the top 2. The oracle
+    * replicates that walk (top-3 super-groups is a static fact of the
+    * constant group size); a routed-walk regression — wrong group
+    * order, wrong stop condition, wrong leaf ranking — changes the
+    * probed leaves and fails the hash.
+    */
+  private val vAnnRouted = QueryDef.sqlChecked("v_ann_routed")(
+    "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id % 10 = 0 AND vec_id < 480), " +
+      "sup AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid, " +
+      "cast(embedding as double[]) AS sv FROM embeddings " +
+      "WHERE vec_id IN (5,155,305,455)), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id = 7), " +
+      "selg AS (SELECT sid FROM (SELECT s.sid, row_number() OVER (" +
+      "ORDER BY list_inner_product(s.sv, s.sv) - " +
+      "2 * list_inner_product(q.qv, s.sv), s.sid) AS rn FROM sup s, q) WHERE rn <= 3), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn " +
+      "FROM cent c JOIN selg g ON c.cid // 12 = g.sid, q) WHERE rn <= 2), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(cast(e.embedding as double[]), c.cv), c.cid) AS rn " +
+      "FROM embeddings e, cent c) WHERE rn = 1) " +
+      "SELECT e.vec_id, cast(a.leaf_id as bigint) AS leaf_id, " +
+      "list_inner_product(cast(e.embedding as double[]), q.qv) AS score " +
+      "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid, q WHERE e.vec_id <> 7 " +
+      "ORDER BY score DESC, e.vec_id LIMIT 8"
+  ) { (s, d) =>
+    graft.plans.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 480)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val supers = emb.filter(col("vec_id").isin(5L, 155L, 305L, 455L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val query = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    graft.plans.IndexCatalog.register("v_ann_routed",
+      IvfIndex.Model(cents.toArray, IvfIndex.BuildStats.Unknown,
+        Some(IvfIndex.Router(supers, Array.tabulate(cents.length)(_ / 12)))))
+    val leafScores = array(cents.map { c =>
+      val cn = c.map(x => x * x).sum
+      lit(cn) - lit(2.0) * graft.functions.vectors.dotProduct(
+        col("embedding"), typedLit(c.toSeq))
+    }: _*)
+    emb.withColumn("__s", leafScores)
+      .withColumn("leaf_id",
+        (array_position(col("__s"), array_min(col("__s"))) - 1).cast("bigint"))
+      .filter(graft.plans.AnnPruning.probe("v_ann_routed", col("leaf_id"),
+        query.toSeq, 2))
+      .filter(col("vec_id") =!= 7)
+      .select(col("vec_id"), col("leaf_id"),
+        graft.functions.vectors.dotProduct(col("embedding"),
+          typedLit(query.toSeq)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(8)
+  }
+
   /** The WHOLE reference search (E3) as ONE SQL text — the reference's
     * implied serving query end to end
     * (/root/reference/vector_store/setup_vector_search.py:45-76
@@ -557,5 +631,5 @@ object ReferencePipeline {
 
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, vAnnBuild, vAnnIvf, vAnnPipeline, vAnnSql,
-    vAnnSqlE2e, vKnnJoin)
+    vAnnSqlE2e, vAnnRouted, vKnnJoin)
 }
