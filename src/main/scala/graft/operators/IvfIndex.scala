@@ -372,17 +372,33 @@ object IvfIndex {
         fitCentroids(aug, id, numLeaves, n, seed, maxIter, maxFitRows).toVector
       val effSpill = math.min(spill, 2)
 
-      // (leaf -> (storedRows, primaryRows)) in ONE aggregation pass
-      def sizes(assigned: DataFrame): Map[Int, (Long, Long)] =
-        assigned
+      // Per-leaf size summary in ONE aggregation pass, with the
+      // per-leaf map kept DISTRIBUTED: the driver only ever needs the
+      // OVERSIZED leaves (split/remap targets — a handful by
+      // construction) plus two global aggregates, so collecting the
+      // full leaf→size map would be an O(#leaves) driver structure
+      // (#leaves grows with the corpus) used for nothing.
+      final case class LeafSummary(oversized: Map[Int, (Long, Long)],
+          nRows: Long, maxLeafRows: Long)
+      def sizes(assigned: DataFrame): LeafSummary = {
+        val row = assigned
           .select(posexplode(when(col("__l2").isNotNull,
             array(col("__l1"), col("__l2"))).otherwise(array(col("__l1"))))
             .as(Seq("__pos", "__leaf")))
           .groupBy("__leaf")
           .agg(count(lit(1)).as("total"),
             count(when(col("__pos") === 0, 1)).as("primary"))
-          .collect()
-          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+          .agg(sum(col("total")).as("n_rows"),
+            max(col("total")).as("max_leaf"),
+            collect_list(when(col("total") > maxLeafSize,
+              struct(col("__leaf"), col("total"), col("primary"))))
+              .as("over"))
+          .head()
+        LeafSummary(
+          row.getSeq[org.apache.spark.sql.Row](2)
+            .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap,
+          row.getLong(0), row.getLong(1))
+      }
 
       // recursive split: re-fit k-means inside each oversized leaf.
       // The round's assignment is PERSISTED before the refits — each
@@ -392,18 +408,18 @@ object IvfIndex {
       // are independent bounded-sample fits, so they run concurrently.
       var assigned = withAssignments(aug, cents, effSpill)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var leafSizes = sizes(assigned)
+      var summary = sizes(assigned)
       var round = 0
-      var oversized = leafSizes.filter(_._2._1 > maxLeafSize).keys.toSeq.sorted
+      var oversized = summary.oversized.keys.toSeq.sorted
       while (round < maxSplitRounds && oversized.nonEmpty) {
-        val splittable = oversized.filter(l => leafSizes(l)._2 >= 4)
+        val splittable = oversized.filter(l => summary.oversized(l)._2 >= 4)
         if (splittable.isEmpty) { round = maxSplitRounds } // only degenerate left
         else {
           val keep = cents.indices.filterNot(splittable.contains(_))
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
           val subFits = splittable.map { l =>
-            val (total, nPrim) = leafSizes(l)
+            val (total, nPrim) = summary.oversized(l)
             val kSub = math.max(2L, math.min(nPrim / 2,
               math.ceil(total / (0.7 * maxLeafSize)).toLong)).toInt
             Future(fitCentroids(assigned.filter(col("__l1") === l),
@@ -424,8 +440,8 @@ object IvfIndex {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           assigned.unpersist()
           assigned = nextAssigned
-          leafSizes = sizes(assigned)
-          oversized = leafSizes.filter(_._2._1 > maxLeafSize).keys.toSeq.sorted
+          summary = sizes(assigned)
+          oversized = summary.oversized.keys.toSeq.sorted
           round += 1
         }
       }
@@ -437,8 +453,8 @@ object IvfIndex {
       var l1 = col("__l1")
       var l2 = col("__l2")
       var remapped = false
-      for (l <- oversized if leafSizes(l)._1 > maxLeafSize) {
-        val parts = math.ceil(leafSizes(l)._1 / (0.7 * maxLeafSize)).toInt
+      for (l <- oversized) {
+        val parts = math.ceil(summary.oversized(l)._1 / (0.7 * maxLeafSize)).toInt
         val base = cents.length
         cents = cents ++ Vector.fill(parts - 1)(cents(l))
         val h = pmod(xxhash64(col(id)), lit(parts.toLong)).cast("int")
@@ -456,12 +472,12 @@ object IvfIndex {
             .otherwise(array(l1))))
         .drop("__s", "__l1", "__l2", "__features", "__aux", "__v", "__n2")
       // build manifest stats fall out of passes already run: n from the
-      // initial stats scan, row/leaf totals from the final sizes() map.
+      // initial stats scan, row/leaf totals from the final summary.
       // Only the rare degenerate hash-remap invalidates the per-leaf
       // max, and only then is one extra aggregation spent recomputing it
-      val nRows = leafSizes.values.map(_._1).sum
+      val nRows = summary.nRows
       val maxLeafRows =
-        if (!remapped) leafSizes.values.map(_._1).max
+        if (!remapped) summary.maxLeafRows
         else indexed.groupBy("leaf_id").count()
           .agg(max(col("count"))).head().getLong(0)
       // the assignment is a pure function of the (literal) centroids, so
