@@ -107,11 +107,16 @@ object NearestCentroids {
     var c = 0
     while (c < cents.length) {
       val cent = cents(c)
-      val d = math.min(cent.length - 1, vn)
+      // the aux slot is the centroid coordinate BEYOND the vector's
+      // dims (the MIPS augmentation); a centroid no longer than the
+      // vector has no aux slot — every coordinate is data (matches
+      // Model.topLeaves, which dots min(|c|, |q|) coordinates)
+      val d = math.min(cent.length, vn)
       var dot = 0.0
       var j = 0
       while (j < d) { dot += cent(j) * v.getDouble(j); j += 1 }
-      val s = norms(c) - 2.0 * (dot + aux * cent(cent.length - 1))
+      val auxTerm = if (cent.length > vn) aux * cent(cent.length - 1) else 0.0
+      val s = norms(c) - 2.0 * (dot + auxTerm)
       if (filled < t) {
         var p = filled
         while (p > 0 && s < sc(p - 1)) {

@@ -241,12 +241,15 @@ object IvfIndex {
       */
     def topLeaves(query: Array[Double], nProbe: Int): Seq[Int] =
       router match {
-        case Some(r) if r.superCentroids.length > 1 &&
-            candidateTarget(r, nProbe) < centroids.length =>
+        case Some(r) if routed(r, nProbe) =>
           rankLeaves(routedCandidates(r, query, nProbe), query, nProbe)
         case _ =>
           rankLeaves(Array.range(0, centroids.length), query, nProbe)
       }
+
+    private[graft] def routed(r: Router, nProbe: Int): Boolean =
+      r.superCentroids.length > 1 &&
+        candidateTarget(r, nProbe) < centroids.length
 
     private def candidateTarget(r: Router, nProbe: Int): Int =
       math.max(nProbe * r.oversample, 32)
@@ -594,6 +597,29 @@ object IvfIndex {
         centRows.map(_.getInt(3)), sorted.head.getInt(3))
     }
     Model(cents, stats, router)
+  }
+
+  /** Distributed probe-list expression for a BATCH of query rows:
+    * array<int> of `model.topLeaves(vec, nProbe)` per row, computed on
+    * the executors with the centroid matrix (and router) riding along
+    * as codegen reference objects — the million-query batch path. The
+    * branch choice mirrors `topLeaves` exactly: the two-level routed
+    * expression when the router engages (sublinear in leaf count),
+    * the flat top-n expression otherwise, identical probe lists
+    * either way (RoutedProbeSpec asserts row-for-row equality).
+    */
+  def probeExpr(model: Model, vec: Column, nProbe: Int): Column = {
+    import org.apache.spark.sql.graftshim.Shims
+    val v = Shims.expression(vec)
+    val aux = Shims.expression(lit(0.0))
+    model.router match {
+      case Some(r) if model.routed(r, nProbe) =>
+        Shims.column(graft.functions.RoutedNearestCentroids(v, aux,
+          model.centroids, r.superCentroids, r.groups, r.oversample, nProbe))
+      case _ =>
+        Shims.column(graft.functions.NearestCentroids(v, aux,
+          model.centroids, nProbe))
+    }
   }
 
   /** Leaf-pruned exact search over the persisted index. */

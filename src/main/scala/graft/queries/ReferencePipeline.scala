@@ -202,12 +202,8 @@ object ReferencePipeline {
     val q = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qv"))
-    val probe = org.apache.spark.sql.graftshim.Shims.column(
-      graft.functions.NearestCentroids(
-        org.apache.spark.sql.graftshim.Shims.expression(col("qv")),
-        org.apache.spark.sql.graftshim.Shims.expression(lit(0.0)),
-        entry.model.centroids, 4))
-    val qdf = q.withColumn("leaf_id", explode(probe))
+    val qdf = q.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(entry.model, col("qv"), 4)))
     val index = s.read.parquet(entry.path)
     val scored = index.join(broadcast(qdf), "leaf_id")
       .select(col("qid"), col("vec_id"),

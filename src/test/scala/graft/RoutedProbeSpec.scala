@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.IvfIndex
+import org.apache.spark.sql.functions._
+
+/** `IvfIndex.probeExpr` — the distributed batch probe — must produce
+  * EXACTLY `Model.topLeaves` per query row, through both branches:
+  * the flat top-n expression and the two-level routed expression.
+  */
+class RoutedProbeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def planted(nGroups: Int, perGroup: Int, dim: Int,
+      seed: Long): (Array[Array[Double]], Array[Array[Double]]) = {
+    val rnd = new scala.util.Random(seed)
+    val centers =
+      Array.fill(nGroups)(Array.fill(dim)(rnd.nextGaussian() * 10.0))
+    val cents = Array.tabulate(nGroups * perGroup) { i =>
+      val c = centers(i % nGroups)
+      Array.tabulate(dim)(j => c(j) + rnd.nextGaussian())
+    }
+    (centers, cents)
+  }
+
+  private def check(model: IvfIndex.Model, dim: Int, nProbe: Int,
+      queries: Seq[Array[Double]]): Unit = {
+    val got = queries.map(_.toSeq).toDF("qv")
+      .withColumn("probe", IvfIndex.probeExpr(model, col("qv"), nProbe))
+      .select("probe").as[Seq[Int]].collect()
+    queries.zip(got).foreach { case (q, p) =>
+      assert(p == model.topLeaves(q, nProbe),
+        s"probeExpr ${p} != topLeaves ${model.topLeaves(q, nProbe)}")
+    }
+  }
+
+  test("routed expression == Model.topLeaves, row for row") {
+    val (centers, cents) = planted(40, 52, 12, 17L) // 2080 leaves
+    val router = IvfIndex.Router.build(cents)
+    val model = IvfIndex.Model(cents, router = Some(router))
+    assert(model.routed(router, 4), "router must engage for this test")
+    val rnd = new scala.util.Random(23)
+    val queries = Seq.fill(40) {
+      val c = centers(rnd.nextInt(40))
+      Array.tabulate(12)(j => c(j) + rnd.nextGaussian())
+    } ++ Seq.fill(10)(Array.fill(12)(rnd.nextGaussian() * 10.0))
+    check(model, 12, 4, queries)
+    check(model, 12, 9, queries) // non-default target, odd take
+  }
+
+  test("flat expression == Model.topLeaves (no router)") {
+    val (_, cents) = planted(6, 8, 12, 29L) // 48 leaves, flat
+    val model = IvfIndex.Model(cents)
+    val rnd = new scala.util.Random(31)
+    val queries = Seq.fill(25)(Array.fill(12)(rnd.nextGaussian() * 5.0))
+    check(model, 12, 3, queries)
+  }
+
+  test("a non-engaging router falls back to the flat expression") {
+    val (_, cents) = planted(4, 8, 12, 37L) // 32 leaves < target
+    val router = IvfIndex.Router(Array(cents(0), cents(1)),
+      Array.tabulate(32)(_ % 2))
+    val model = IvfIndex.Model(cents, router = Some(router))
+    assert(!model.routed(router, 4))
+    val rnd = new scala.util.Random(41)
+    check(model, 12, 4, Seq.fill(10)(Array.fill(12)(rnd.nextGaussian()))
+      .map(identity))
+  }
+}
