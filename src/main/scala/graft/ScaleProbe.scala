@@ -51,6 +51,20 @@ object ScaleProbe {
       val parity = agree.toDouble / (nQ * nProbe)
       println(f"ROUTE L=$L flat=$tFlat%.3f s routed=$tRouted%.3f s " +
         f"speedup=${tFlat / tRouted}%.1fx parity=$parity%.3f")
+      // the DISTRIBUTED batch path: same routing as an expression over
+      // a query DataFrame (IvfIndex.probeExpr), flat vs routed
+      import spark.implicits._
+      val qdf = queries.map(_.toSeq).toSeq.toDF("qv")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      qdf.count()
+      def timeExpr(tag: String, m: graft.operators.IvfIndex.Model): Unit = {
+        val t0 = System.nanoTime()
+        qdf.select(graft.operators.IvfIndex.probeExpr(m, col("qv"), nProbe)
+          .as("p")).agg(sum(size(col("p")))).head()
+        println(f"ROUTE_EXPR $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      timeExpr("flat", flat)
+      timeExpr("routed", routed)
     } else if (args(0) == "joincmp") {
       // window-rank vs heap-aggregate ranking for the kNN self-join,
       // on the same deterministic bounded layout as the bench row
