@@ -129,5 +129,81 @@ object QuantizeQueries {
       .select("vec_id", "adc_score")
   }
 
-  val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch)
+  /** IVF-PQ — the ScaNN/FAISS serving composition and the closest
+    * analog of the reference's whole Tree-AH index (tree walk +
+    * asymmetric-hashing scoring core): route the query to nProbe
+    * leaves (via the SQL-transparent `graft_ann_probe` rewrite, so at
+    * scale the leaf filter is partition pruning on a
+    * `partitionBy(leaf_id)` CODE table), then ADC-score ONLY the
+    * probed leaves' packed 32-bit codes — a query touches
+    * nProbe/numLeaves of a 4 B/vector representation and never reads
+    * a float vector. Fixed centroids + fixed codebooks make routing,
+    * encoding, and scoring all SQL-replicable, so the composed
+    * operator hash-checks end to end.
+    */
+  private val vIvfPqSearch = QueryDef.sqlChecked("v_ivfpq_search")(
+    s"$PqCte, cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "qq AS (SELECT cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id = 7), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(cast(e.embedding as double[]), c.cv), c.cid) AS rn " +
+      "FROM embeddings e, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(qq.qv, c.cv), c.cid) AS rn FROM cent c, qq) WHERE rn <= 2), " +
+      "term AS (SELECT code.vec_id, code.s, " +
+      "list_inner_product(qq.qv[code.s*8+1 : code.s*8+8], " +
+      "cb.cv[code.s*8+1 : code.s*8+8]) AS t " +
+      "FROM code JOIN cb ON code.c = cb.c " +
+      "JOIN assign a ON code.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid CROSS JOIN qq), " +
+      "piv AS (SELECT vec_id, " +
+      (0 until 8).map(i => s"max(CASE WHEN s = $i THEN t END) AS t$i")
+        .mkString(", ") +
+      " FROM term GROUP BY vec_id) " +
+      "SELECT vec_id, t0+t1+t2+t3+t4+t5+t6+t7 AS adc_score FROM piv " +
+      "ORDER BY adc_score DESC, vec_id LIMIT 10"
+  ) { (s, d) =>
+    import graft.operators.{IvfIndex, ProductQuantizer}
+    graft.plans.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val cb = ProductQuantizer.codebook(emb, "vec_id", "embedding", PqIds)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val query = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    graft.plans.IndexCatalog.register("v_ivfpq",
+      IvfIndex.Model(cents.toArray))
+    // model-geometry assignment (min |c|²−2·x·c, first-min ties) —
+    // identical to v_ann_sql so probe and assignment agree with SQL
+    val leafScores = array(cents.map { c =>
+      val cn = c.map(x => x * x).sum
+      lit(cn) - lit(2.0) * graft.functions.vectors.dotProduct(
+        col("embedding"), typedLit(c.toSeq))
+    }: _*)
+    val coded = emb.withColumn("__s", leafScores)
+      .withColumn("leaf_id",
+        (array_position(col("__s"), array_min(col("__s"))) - 1).cast("bigint"))
+      .select(col("vec_id"), col("leaf_id"),
+        ProductQuantizer.encodeExpr(
+          col("embedding").cast("array<double>"), cb).as("pq_code"))
+    coded
+      .filter(graft.plans.AnnPruning.probe("v_ivfpq", col("leaf_id"),
+        query.toSeq, 2))
+      .select(col("vec_id"),
+        ProductQuantizer.adcScoreExpr(col("pq_code"),
+          ProductQuantizer.adcTable(query, cb)).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
+    vIvfPqSearch)
 }
