@@ -153,17 +153,28 @@ object ReferencePipeline {
       "cast(count(*) as bigint) AS n_vectors, " +
       "cast(2 * count(*) as bigint) AS n_rows, " +
       "cast(1 as bigint) AS leaf_bound_ok, " +
-      "cast(1 as bigint) AS artifact_rows_ok FROM embeddings"
+      "cast(1 as bigint) AS artifact_rows_ok, " +
+      "cast(1 as bigint) AS sidecar_ok FROM embeddings"
   ) { (s, d) =>
     import s.implicits._
     val e = IvfCache.rebuild(s, d)
     val st = e.model.stats
     val artifactRows = s.read.parquet(e.path).count()
+    // durability gate: the model sidecar written alongside the data
+    // must reopen to the exact build-time model (what a fresh serving
+    // session would load)
+    val reopened = IvfIndex.load(s, e.path)
+    val sidecarOk = reopened.stats == st &&
+      reopened.centroids.length == e.model.centroids.length &&
+      reopened.centroids.zip(e.model.centroids).forall {
+        case (a, b) => java.util.Arrays.equals(a, b)
+      }
     Seq((e.model.centroids.length.toLong, st.nVectors, st.nRows,
       if (st.maxLeafRows <= IvfIndex.DefaultMaxLeafSize) 1L else 0L,
-      if (artifactRows == st.nRows) 1L else 0L))
+      if (artifactRows == st.nRows) 1L else 0L,
+      if (sidecarOk) 1L else 0L))
       .toDF("num_leaves", "n_vectors", "n_rows", "leaf_bound_ok",
-        "artifact_rows_ok")
+        "artifact_rows_ok", "sidecar_ok")
   }
 
   /** IVF ANN probe (Tree-AH analog), gate-visible RECALL BOUND:
