@@ -416,14 +416,18 @@ object ReferencePipeline {
     graft.plans.IndexCatalog.register("v_ann_routed",
       IvfIndex.Model(cents.toArray, IvfIndex.BuildStats.Unknown,
         Some(IvfIndex.Router(supers, Array.tabulate(cents.length)(_ / 12)))))
-    val leafScores = array(cents.map { c =>
-      val cn = c.map(x => x * x).sum
-      lit(cn) - lit(2.0) * graft.functions.vectors.dotProduct(
-        col("embedding"), typedLit(c.toSeq))
-    }: _*)
-    emb.withColumn("__s", leafScores)
-      .withColumn("leaf_id",
-        (array_position(col("__s"), array_min(col("__s"))) - 1).cast("bigint"))
+    // flat-in-k assignment (NearestCentroids, take=1): at 48 centroids
+    // the composed array() form is already codegen-hostile; the
+    // expression computes the identical |c|²−2·x·c ranking with the
+    // identical first-min tie-break (non-augmented centroids use every
+    // coordinate), so the oracle compare is unchanged
+    val assign = org.apache.spark.sql.graftshim.Shims.column(
+      graft.functions.NearestCentroids(
+        org.apache.spark.sql.graftshim.Shims.expression(
+          col("embedding").cast("array<double>")),
+        org.apache.spark.sql.graftshim.Shims.expression(lit(0.0)),
+        cents.toArray, 1))
+    emb.withColumn("leaf_id", assign.getItem(0).cast("bigint"))
       .filter(graft.plans.AnnPruning.probe("v_ann_routed", col("leaf_id"),
         query.toSeq, 2))
       .filter(col("vec_id") =!= 7)
