@@ -360,6 +360,34 @@ object ReferencePipeline {
       .limit(8)
   }
 
+  /** Written fixed-centroid index for the SQL-text E2E gate: the
+    * 8-leaf assignment written `partitionBy(leaf_id)` once per JVM
+    * per sf dir, so probe queries over the view partition-prune a
+    * real on-disk layout.
+    */
+  private[queries] object E2eIdxCache {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def get(s: org.apache.spark.sql.SparkSession, d: String,
+        cents: Seq[Array[Double]]): String =
+      cache.getOrElseUpdate(d, {
+        val emb = Tables.embeddings(s, d)
+        val leafScores = array(cents.map { c =>
+          val cn = c.map(x => x * x).sum
+          lit(cn) - lit(2.0) * graft.functions.vectors.dotProduct(
+            col("embedding"), typedLit(c.toSeq))
+        }: _*)
+        val indexed = emb.withColumn("__s", leafScores)
+          .withColumn("leaf_id",
+            (array_position(col("__s"), array_min(col("__s"))) - 1)
+              .cast("bigint"))
+          .drop("__s")
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_e2e_" +
+          java.lang.Integer.toHexString(d.hashCode)
+        IvfIndex.write(indexed, path)
+        path
+      })
+  }
+
   /** The TWO-LEVEL ROUTED probe, gate-visible: 48 fixed data-derived
     * leaf centroids in 4 fixed super-groups of 12 (router constructed
     * directly — Lloyd's is swapped for fixed supers exactly as
@@ -450,6 +478,12 @@ object ReferencePipeline {
     * centroids (the v_ann_sql trick) keep assignment and probe
     * exactly SQL-replicable; the query vector is inlined via
     * round-trip-exact `Double.toString` casts.
+    *
+    * The index the SQL sees is a WRITTEN `partitionBy(leaf_id)`
+    * parquet table (built+written once per JVM per sf dir), so the
+    * probe's In-list lands in `partitionFilters` and unprobed leaves
+    * are never listed or read — the gate runs the full serving story:
+    * durable partitioned layout + SQL text + partition pruning.
     */
   private val vAnnSqlE2e = QueryDef.sqlChecked("v_ann_sql_e2e")(
     "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
@@ -488,17 +522,11 @@ object ReferencePipeline {
       .head().getSeq[Double](0).toArray
     graft.plans.IndexCatalog.register("v_ann_sql_e2e",
       IvfIndex.Model(cents.toArray))
-    // same model-geometry assignment as v_ann_sql (min |c|²−2·x·c)
-    val leafScores = array(cents.map { c =>
-      val cn = c.map(x => x * x).sum
-      lit(cn) - lit(2.0) * graft.functions.vectors.dotProduct(
-        col("embedding"), typedLit(c.toSeq))
-    }: _*)
-    emb.withColumn("__s", leafScores)
-      .withColumn("leaf_id",
-        (array_position(col("__s"), array_min(col("__s"))) - 1).cast("bigint"))
-      .drop("__s")
-      .createOrReplaceTempView("graft_e2e_idx")
+    // same model-geometry assignment as v_ann_sql (min |c|²−2·x·c);
+    // the assigned table is WRITTEN partitionBy(leaf_id) once per JVM
+    // per sf dir, and the SQL below reads the written layout
+    val idxPath = E2eIdxCache.get(s, d, cents)
+    s.read.parquet(idxPath).createOrReplaceTempView("graft_e2e_idx")
     emb.select(col("vec_id"), col("label"))
       .createOrReplaceTempView("graft_e2e_meta")
     // Double.toString round-trips exactly through cast('…' as double)

@@ -71,6 +71,18 @@ class AnnPruningSpec extends SparkTestBase {
       .contains("graft_ann_probe"))
   }
 
+  test("the SQL-text E2E gate partition-prunes its written index") {
+    val df = graft.SparkEntry.queries("v_ann_sql_e2e")(spark, sf)
+    // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec has no
+    // children to collect through, and partition filters are fixed at
+    // planning anyway
+    val pruned = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }.exists(_.partitionFilters.exists(_.toString.contains("leaf_id")))
+    assert(pruned,
+      "v_ann_sql_e2e must partition-prune the written leaf_id layout")
+  }
+
   test("an unregistered index name fails loudly, never full-scans") {
     val (path, _) = setup
     val err = intercept[Exception] {
