@@ -53,6 +53,8 @@ class RoutedProbeSpec extends SparkTestBase {
     val rnd = new scala.util.Random(31)
     val queries = Seq.fill(25)(Array.fill(12)(rnd.nextGaussian() * 5.0))
     check(model, 12, 3, queries)
+    // nProbe past the leaf count: both sides return all leaves ranked
+    check(model, 12, 60, queries.take(5))
   }
 
   test("a non-engaging router falls back to the flat expression") {
