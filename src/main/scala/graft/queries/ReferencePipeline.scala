@@ -668,7 +668,87 @@ object ReferencePipeline {
       .orderBy("leaf_id")
   }
 
+  /** S4 STREAM_UPDATE end to end with a REAL Structured Stream
+    * (index_manager.py:53 — the reference's index update mode):
+    * three time-ordered micro-batches of vector upserts flow through
+    * `StreamUpdate.startUpsertStream` (foreachBatch parquet appends)
+    * into the index log — every vector at version 1, then ~4% of ids
+    * re-embedded as their negation (v2), then half of those
+    * re-embedded again at 3× (v3) — the live corpus resolves
+    * last-write-wins, and a fixed-centroid recluster summarizes per
+    * leaf. Versions 2 and 3 MOVE vectors between leaves (negation
+    * flips every dot product; 3× rescale shifts the argmax field), so
+    * a dropped micro-batch, stale LWW read, or duplicated append
+    * changes assignments and fails the full-hash oracle compare.
+    */
+  private val rStreamUpsert = QueryDef.sqlChecked("r_stream_upsert")(
+    "WITH log AS (SELECT vec_id, cast(embedding as double[]) AS v, 1 AS version " +
+      "FROM embeddings UNION ALL " +
+      "SELECT vec_id, list_transform(cast(embedding as double[]), x -> -x), 2 " +
+      "FROM embeddings WHERE vec_id % 25 = 0 UNION ALL " +
+      "SELECT vec_id, list_transform(cast(embedding as double[]), x -> 3*x), 3 " +
+      "FROM embeddings WHERE vec_id % 50 = 0), " +
+      "live AS (SELECT vec_id, v FROM (SELECT vec_id, v, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY version DESC) AS rn FROM log) WHERE rn = 1), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv " +
+      "FROM live WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT l.vec_id, c.cid, row_number() OVER (PARTITION BY l.vec_id " +
+      "ORDER BY list_inner_product(l.v, c.cv) DESC, c.cid) AS rn " +
+      "FROM live l, cent c) WHERE rn = 1) " +
+      "SELECT cast(leaf_id as bigint) AS leaf_id, count(*) AS n_vectors, " +
+      "cast(sum(vec_id) as bigint) AS sum_vec_id " +
+      "FROM assign GROUP BY leaf_id ORDER BY leaf_id"
+  ) { (s, d) =>
+    import graft.streaming.{FileStreamFixture, StreamUpdate}
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val b0 = emb.withColumn("version", lit(1))
+    val b1 = emb.filter(col("vec_id") % 25 === 0)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2))
+    val b2 = emb.filter(col("vec_id") % 50 === 0)
+      .withColumn("v", transform(col("v"), x => x * 3))
+      .withColumn("version", lit(3))
+    val streamDir = FileStreamFixture.write("supsert", d,
+      "vector upserts; b0 all v1, b1 %25 negated v2, b2 %50 3x v3",
+      Seq(b0, b1, b2))
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_supsert_log_" + java.lang.Integer.toHexString(d.hashCode))
+    // fresh log + checkpoint per run: the stream must replay exactly
+    // 3 micro-batches (a reused checkpoint would skip them; a reused
+    // log would double-append)
+    if (java.nio.file.Files.exists(base)) {
+      java.nio.file.Files.walk(base).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val logPath = base.resolve("log").toString
+    val ckpt = base.resolve("ckpt").toString
+    graft.SessionConf.withStreamShuffle(s) {
+      val q = StreamUpdate.startUpsertStream(
+        s.readStream.schema(b0.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(streamDir),
+        logPath, ckpt)
+      q.awaitTermination()
+    }
+    val live = StreamUpdate.readResolved(s, logPath, "vec_id", "version")
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = live.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray).toSeq
+    live.withColumn("leaf_id",
+        IvfIndex.leafExpr(col("v"), cents).cast("bigint"))
+      .groupBy("leaf_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum("vec_id").cast("bigint").as("sum_vec_id"))
+      .orderBy("leaf_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
-    rSearchE2e, rRecluster, vAnnBuild, vAnnIvf, vAnnPipeline, vAnnSql,
-    vAnnSqlE2e, vAnnRouted, vKnnJoin)
+    rSearchE2e, rRecluster, rStreamUpsert, vAnnBuild, vAnnIvf, vAnnPipeline,
+    vAnnSql, vAnnSqlE2e, vAnnRouted, vKnnJoin)
 }
