@@ -58,13 +58,24 @@ object Bench {
       df.write.mode("overwrite").parquet(p)
       p
     }
-    def timedMedian(body: () => Unit): Double =
-      (1 to 3).map { _ =>
+    // a failing run must NOT time as a fast success: the median of
+    // three millisecond failures reads like a great number. Any
+    // failure makes the row's value negative — unmissable in the
+    // bench JSON — with the error on stderr.
+    def timedMedian(body: () => Unit): Double = {
+      var failed = false
+      val med = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try body() catch { case _: Throwable => () }
+        try body() catch {
+          case t: Throwable =>
+            failed = true
+            System.err.println(s"[bench] scale row failed: $t")
+        }
         SessionConf.releaseQueryResources(spark)
         (System.nanoTime() - t0) / 1e9
       }.sorted.apply(1)
+      if (failed) -med else med
+    }
     // sf1-scale dedup smoke (driver testdata tops out at sf0.1): the
     // full MinHash signature+candidate path on the synthetic
     // 50 000-doc corpus — the recorded evidence that the bucketed path

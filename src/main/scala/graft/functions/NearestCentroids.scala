@@ -48,6 +48,13 @@ case class NearestCentroids(left: Expression, right: Expression,
   @transient private lazy val norms: Array[Double] =
     centroids.map(_.map(x => x * x).sum)
 
+  // the deep hash walks the whole matrix — cache it, or every
+  // analyzer/optimizer hash lookup over this expression is O(L·d)
+  @transient private lazy val contentHash: Int =
+    java.util.Objects.hash(Integer.valueOf(take),
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        centroids.asInstanceOf[Array[AnyRef]])))
+
   private def vec: Expression = left
   private def aux: Expression = right
 
@@ -83,9 +90,7 @@ case class NearestCentroids(left: Expression, right: Expression,
     case _ => false
   }
   override def hashCode(): Int =
-    java.util.Objects.hash(left, right, Integer.valueOf(take),
-      Integer.valueOf(java.util.Arrays.deepHashCode(
-        centroids.asInstanceOf[Array[AnyRef]])))
+    java.util.Objects.hash(left, right, Integer.valueOf(contentHash))
 
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): NearestCentroids = copy(left = l, right = r)
@@ -117,7 +122,10 @@ object NearestCentroids {
       while (j < d) { dot += cent(j) * v.getDouble(j); j += 1 }
       val auxTerm = if (cent.length > vn) aux * cent(cent.length - 1) else 0.0
       val s = norms(c) - 2.0 * (dot + auxTerm)
-      if (filled < t) {
+      // NaN skipped: admitted while filling it would occupy an
+      // unevictable slot (every comparison against NaN is false)
+      if (java.lang.Double.isNaN(s)) {}
+      else if (filled < t) {
         var p = filled
         while (p > 0 && s < sc(p - 1)) {
           sc(p) = sc(p - 1); idx(p) = idx(p - 1); p -= 1

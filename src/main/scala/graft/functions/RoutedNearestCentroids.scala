@@ -37,6 +37,16 @@ case class RoutedNearestCentroids(left: Expression, right: Expression,
   @transient private lazy val superNorms: Array[Double] =
     supers.map(_.map(x => x * x).sum)
 
+  // the deep hash walks the whole matrix — cache it, or every
+  // analyzer/optimizer hash lookup over this expression is O(L·d)
+  @transient private lazy val contentHash: Int =
+    java.util.Objects.hash(Integer.valueOf(take),
+      Integer.valueOf(oversample),
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        centroids.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        supers.asInstanceOf[Array[AnyRef]])))
+
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(DoubleType), DoubleType)
   override def dataType: DataType =
@@ -76,10 +86,7 @@ case class RoutedNearestCentroids(left: Expression, right: Expression,
     case _ => false
   }
   override def hashCode(): Int =
-    java.util.Objects.hash(left, right, Integer.valueOf(take),
-      Integer.valueOf(oversample),
-      Integer.valueOf(java.util.Arrays.deepHashCode(
-        centroids.asInstanceOf[Array[AnyRef]])))
+    java.util.Objects.hash(left, right, Integer.valueOf(contentHash))
 
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): RoutedNearestCentroids = copy(left = l, right = r)
@@ -110,7 +117,11 @@ object RoutedNearestCentroids {
     val sScore = new Array[Double](g)
     var s = 0
     while (s < g) {
-      sScore(s) = score(v, aux, supers(s), superNorms(s))
+      val sc = score(v, aux, supers(s), superNorms(s))
+      // NaN compares false against everything; map it to +Inf so a
+      // partly-corrupt row still routes by its finite super scores
+      sScore(s) = if (java.lang.Double.isNaN(sc)) Double.PositiveInfinity
+        else sc
       s += 1
     }
     val used = new Array[Boolean](g)
@@ -123,12 +134,16 @@ object RoutedNearestCentroids {
     while (gi < g && (count < target || gi < 2)) {
       // next super by ascending (score, index): strict < on an
       // ascending scan keeps the first index among ties, matching the
-      // driver sort's tie-break
+      // driver sort's tie-break. The best == -1 arm covers the
+      // all-+Inf row (every score NaN-mapped): degrade to first
+      // unused instead of indexing used(-1)
       var best = -1
       var bs = Double.PositiveInfinity
       s = 0
       while (s < g) {
-        if (!used(s) && sScore(s) < bs) { bs = sScore(s); best = s }
+        if (!used(s) && (best == -1 || sScore(s) < bs)) {
+          bs = sScore(s); best = s
+        }
         s += 1
       }
       used(best) = true
@@ -138,10 +153,13 @@ object RoutedNearestCentroids {
         val c = leaves(li)
         val cs = score(v, aux, cents(c), centNorms(c))
         // bounded insertion by (score, leaf id) — walked leaves are
-        // NOT in id order, so ties need the explicit id comparison
+        // NOT in id order, so ties need the explicit id comparison.
+        // NaN scores are skipped: admitted once, a NaN slot would be
+        // unevictable (every comparison against NaN is false)
         def before(i: Int): Boolean =
           cs < sc(i) || (cs == sc(i) && c < idx(i))
-        if (filled < t) {
+        if (java.lang.Double.isNaN(cs)) {}
+        else if (filled < t) {
           var p = filled
           while (p > 0 && before(p - 1)) {
             sc(p) = sc(p - 1); idx(p) = idx(p - 1); p -= 1

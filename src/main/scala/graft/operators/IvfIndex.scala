@@ -432,11 +432,13 @@ object IvfIndex {
             Await.result(Future.sequence(subFits),
               scala.concurrent.duration.Duration.Inf).flatten
           // loud guard on the DRIVER-MEMORY bound for the centroid
-          // matrix itself (~1 GB at the cap for 768-d augmented
-          // doubles); probe-time routing is already sublinear past
-          // Router.MinLeaves via the two-level router
-          require(next.length <= (1 << 22),
-            s"IVF split produced ${next.length} leaves (cap ${1 << 22}); " +
+          // matrix itself (~6.5 GB at the cap for 768-d augmented
+          // doubles, plus Router.build's O(L·√L·d) final assignment —
+          // ~1 min at the cap); probe-time routing is already
+          // sublinear past Router.MinLeaves via the two-level router,
+          // so the cap is the driver's matrix, not routing cost
+          require(next.length <= (1 << 20),
+            s"IVF split produced ${next.length} leaves (cap ${1 << 20}); " +
               "raise maxLeafSize")
           cents = next
           val nextAssigned = withAssignments(aug, cents, effSpill)
@@ -509,6 +511,23 @@ object IvfIndex {
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
+  /** Map-side leaf assignment against FIXED centroids by the minimal
+    * model-geometry ranking term |c|² − 2·x·c (first-min tie via
+    * array_position) — the min-L2 sibling of [[leafExpr]], shared by
+    * the fixed-centroid SQL gates (v_ann_sql, the E2E index cache,
+    * v_ivfpq_search) so assignment and probe provably use ONE
+    * geometry: a tie-break or cast fix lands in all of them at once.
+    * Returns the 0-based centroid index as a long.
+    */
+  def leafExprMinL2(vec: Column, centroids: Seq[Array[Double]]): Column = {
+    val scores = array(centroids.map { c =>
+      val cn = c.map(x => x * x).sum
+      lit(cn) - lit(2.0) * graft.functions.vectors.dotProduct(
+        vec, typedLit(c.toSeq))
+    }: _*)
+    array_position(scores, array_min(scores)) - 1
+  }
+
   /** Persist the index clustered by leaf — leaf scan = partition scan.
     * Data rows only; prefer the (indexed, path, model) overload, which
     * also persists the model sidecar so the index is a DURABLE
@@ -545,24 +564,30 @@ object IvfIndex {
     */
   def writeModel(spark: SparkSession, path: String, model: Model): Unit = {
     import spark.implicits._
-    val centRows = model.centroids.zipWithIndex.toSeq.map { case (c, i) =>
-      ("centroid", i, c.toSeq,
-        model.router.map(_.groupOf(i)).getOrElse(-1),
-        -1L, -1L, -1L, ModelFormatVersion)
-    }
+    val st = model.stats
+    val statsRow = ("stats", -1, Seq.empty[Double], -1,
+      st.nVectors, st.nRows, st.maxLeafRows, ModelFormatVersion)
     val superRows = model.router.toSeq.flatMap { r =>
       r.superCentroids.zipWithIndex.toSeq.map { case (c, i) =>
         ("super", i, c.toSeq, r.oversample, -1L, -1L, -1L, ModelFormatVersion)
       }
     }
-    val st = model.stats
-    val statsRow = ("stats", -1, Seq.empty[Double], -1,
-      st.nVectors, st.nRows, st.maxLeafRows, ModelFormatVersion)
-    (centRows ++ superRows :+ statsRow)
-      .toDF("kind", "id", "vec", "grp",
-        "n_vectors", "n_rows", "max_leaf_rows", "format_version")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(modelDir(path))
+    // centroid rows are written in bounded CHUNKS: the boxed tuple
+    // rows cost several times the raw matrix, so materializing all L
+    // at once multiplies the driver's peak footprint near the leaf cap
+    val chunks = model.centroids.indices.grouped(1 << 16).toSeq
+    chunks.zipWithIndex.foreach { case (ids, ci) =>
+      val rows = ids.map { i =>
+        ("centroid", i, model.centroids(i).toSeq,
+          model.router.map(_.groupOf(i)).getOrElse(-1),
+          -1L, -1L, -1L, ModelFormatVersion)
+      } ++ (if (ci == 0) superRows :+ statsRow else Nil)
+      rows.toDF("kind", "id", "vec", "grp",
+          "n_vectors", "n_rows", "max_leaf_rows", "format_version")
+        .coalesce(1)
+        .write.mode(if (ci == 0) "overwrite" else "append")
+        .parquet(modelDir(path))
+    }
   }
 
   /** Reopen a written index's model — the serving-side entry point: a

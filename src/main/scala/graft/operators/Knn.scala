@@ -142,6 +142,19 @@ object Knn {
     */
   def knnJoinPerLeaf(indexed: DataFrame, id: String, vecCol: String,
       k: Int, metric: Metric): DataFrame = {
+    // the heap aggregate's id slot is a long: a non-integral id would
+    // cast to null and be silently DROPPED by the aggregate (zero
+    // rows out, no error) — dispatch those callers to the
+    // row-identical window form instead
+    val idIntegral = indexed.schema(id).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (!idIntegral)
+      return knnJoinPerLeafWindow(indexed, id, vecCol, k, metric)
     val scored = leafPairScores(indexed, id, vecCol, metric)
     // the heap keeps (score desc, id asc) — for ascending metrics the
     // score is negated into the heap and restored on the way out

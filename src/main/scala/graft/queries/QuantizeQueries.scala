@@ -182,15 +182,10 @@ object QuantizeQueries {
     graft.plans.IndexCatalog.register("v_ivfpq",
       IvfIndex.Model(cents.toArray))
     // model-geometry assignment (min |c|²−2·x·c, first-min ties) —
-    // identical to v_ann_sql so probe and assignment agree with SQL
-    val leafScores = array(cents.map { c =>
-      val cn = c.map(x => x * x).sum
-      lit(cn) - lit(2.0) * graft.functions.vectors.dotProduct(
-        col("embedding"), typedLit(c.toSeq))
-    }: _*)
-    val coded = emb.withColumn("__s", leafScores)
-      .withColumn("leaf_id",
-        (array_position(col("__s"), array_min(col("__s"))) - 1).cast("bigint"))
+    // the same shared expression as v_ann_sql, so probe and
+    // assignment agree with SQL by construction
+    val coded = emb.withColumn("leaf_id",
+        IvfIndex.leafExprMinL2(col("embedding"), cents).cast("bigint"))
       .select(col("vec_id"), col("leaf_id"),
         ProductQuantizer.encodeExpr(
           col("embedding").cast("array<double>"), cb).as("pq_code"))

@@ -341,14 +341,8 @@ object ReferencePipeline {
       IvfIndex.Model(cents.toArray))
     // assignment by the model's own geometry (min |c|²−2·x·c,
     // first-min tie) so assignment and probe agree with the oracle
-    val leafScores = array(cents.map { c =>
-      val cn = c.map(x => x * x).sum
-      lit(cn) - lit(2.0) * graft.functions.vectors.dotProduct(
-        col("embedding"), typedLit(c.toSeq))
-    }: _*)
-    val indexed = emb.withColumn("__s", leafScores)
-      .withColumn("leaf_id",
-        (array_position(col("__s"), array_min(col("__s"))) - 1).cast("bigint"))
+    val indexed = emb.withColumn("leaf_id",
+      IvfIndex.leafExprMinL2(col("embedding"), cents).cast("bigint"))
     indexed
       .filter(graft.plans.AnnPruning.probe("v_ann_sql", col("leaf_id"),
         query.toSeq, 2))
@@ -371,16 +365,8 @@ object ReferencePipeline {
         cents: Seq[Array[Double]]): String =
       cache.getOrElseUpdate(d, {
         val emb = Tables.embeddings(s, d)
-        val leafScores = array(cents.map { c =>
-          val cn = c.map(x => x * x).sum
-          lit(cn) - lit(2.0) * graft.functions.vectors.dotProduct(
-            col("embedding"), typedLit(c.toSeq))
-        }: _*)
-        val indexed = emb.withColumn("__s", leafScores)
-          .withColumn("leaf_id",
-            (array_position(col("__s"), array_min(col("__s"))) - 1)
-              .cast("bigint"))
-          .drop("__s")
+        val indexed = emb.withColumn("leaf_id",
+          IvfIndex.leafExprMinL2(col("embedding"), cents).cast("bigint"))
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_e2e_" +
           java.lang.Integer.toHexString(d.hashCode)
         IvfIndex.write(indexed, path)

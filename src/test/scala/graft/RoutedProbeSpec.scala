@@ -10,19 +10,9 @@ import org.apache.spark.sql.functions._
 class RoutedProbeSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def planted(nGroups: Int, perGroup: Int, dim: Int,
-      seed: Long): (Array[Array[Double]], Array[Array[Double]]) = {
-    val rnd = new scala.util.Random(seed)
-    val centers =
-      Array.fill(nGroups)(Array.fill(dim)(rnd.nextGaussian() * 10.0))
-    val cents = Array.tabulate(nGroups * perGroup) { i =>
-      val c = centers(i % nGroups)
-      Array.tabulate(dim)(j => c(j) + rnd.nextGaussian())
-    }
-    (centers, cents)
-  }
+  import PlantedVectors.planted
 
-  private def check(model: IvfIndex.Model, dim: Int, nProbe: Int,
+  private def check(model: IvfIndex.Model, nProbe: Int,
       queries: Seq[Array[Double]]): Unit = {
     val got = queries.map(_.toSeq).toDF("qv")
       .withColumn("probe", IvfIndex.probeExpr(model, col("qv"), nProbe))
@@ -43,8 +33,8 @@ class RoutedProbeSpec extends SparkTestBase {
       val c = centers(rnd.nextInt(40))
       Array.tabulate(12)(j => c(j) + rnd.nextGaussian())
     } ++ Seq.fill(10)(Array.fill(12)(rnd.nextGaussian() * 10.0))
-    check(model, 12, 4, queries)
-    check(model, 12, 9, queries) // non-default target, odd take
+    check(model, 4, queries)
+    check(model, 9, queries) // non-default target, odd take
   }
 
   test("flat expression == Model.topLeaves (no router)") {
@@ -52,9 +42,9 @@ class RoutedProbeSpec extends SparkTestBase {
     val model = IvfIndex.Model(cents)
     val rnd = new scala.util.Random(31)
     val queries = Seq.fill(25)(Array.fill(12)(rnd.nextGaussian() * 5.0))
-    check(model, 12, 3, queries)
+    check(model, 3, queries)
     // nProbe past the leaf count: both sides return all leaves ranked
-    check(model, 12, 60, queries.take(5))
+    check(model, 60, queries.take(5))
   }
 
   test("a non-engaging router falls back to the flat expression") {
@@ -64,7 +54,7 @@ class RoutedProbeSpec extends SparkTestBase {
     val model = IvfIndex.Model(cents, router = Some(router))
     assert(!model.routed(router, 4))
     val rnd = new scala.util.Random(41)
-    check(model, 12, 4, Seq.fill(10)(Array.fill(12)(rnd.nextGaussian()))
+    check(model, 4, Seq.fill(10)(Array.fill(12)(rnd.nextGaussian()))
       .map(identity))
   }
 }

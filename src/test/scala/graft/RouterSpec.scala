@@ -9,20 +9,7 @@ import graft.operators.IvfIndex
   */
 class RouterSpec extends SparkTestBase {
 
-  /** Clustered centroid sets — the realistic shape: k-means centroids
-    * of clustered data inherit the data's cluster structure.
-    */
-  private def planted(nGroups: Int, perGroup: Int, dim: Int,
-      seed: Long): (Array[Array[Double]], Array[Array[Double]]) = {
-    val rnd = new scala.util.Random(seed)
-    val centers =
-      Array.fill(nGroups)(Array.fill(dim)(rnd.nextGaussian() * 10.0))
-    val cents = Array.tabulate(nGroups * perGroup) { i =>
-      val c = centers(i % nGroups)
-      Array.tabulate(dim)(j => c(j) + rnd.nextGaussian())
-    }
-    (centers, cents)
-  }
+  import PlantedVectors.planted
 
   private def plantedCentroids(nGroups: Int, perGroup: Int, dim: Int,
       seed: Long): Array[Array[Double]] =
