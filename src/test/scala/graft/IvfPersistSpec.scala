@@ -79,6 +79,22 @@ class IvfPersistSpec extends SparkTestBase {
     assert(loaded.topLeaves(q, 4) == m.topLeaves(q, 4))
   }
 
+  test("sidecar chunked write round-trips past the chunk boundary") {
+    val rnd = new scala.util.Random(13)
+    val n = (1 << 16) + 500 // forces the append chunk
+    val cents = Array.fill(n)(Array.fill(4)(rnd.nextGaussian()))
+    val m = IvfIndex.Model(cents, IvfIndex.BuildStats(1L, 2L, 3L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_persist_c").toString + "/idx"
+    IvfIndex.writeModel(spark, dir, m)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.centroids.length == n)
+    assert(loaded.centroids.zip(cents).forall {
+      case (a, b) => java.util.Arrays.equals(a, b)
+    })
+    assert(loaded.stats == m.stats)
+  }
+
   test("load fails loudly on a data-only index (no sidecar)") {
     val emb = Tables.embeddings(spark, sf)
     val (indexed, _) = IvfIndex.build(emb, "vec_id", "embedding", 4)
