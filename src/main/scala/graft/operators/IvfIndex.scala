@@ -238,6 +238,15 @@ object IvfIndex {
       * through the super-groups when a router is present and the
       * candidate pool it would collect is actually smaller than L;
       * flat exact scan otherwise.
+      *
+      * NaN convention (one rule, driver and executors alike): a leaf
+      * whose score is NaN is SKIPPED (never ranked — an admitted NaN
+      * slot would be unevictable since every comparison against NaN
+      * is false), and a NaN SUPER score ranks that group last (+Inf)
+      * so a partly-corrupt query still routes by its finite scores.
+      * An all-NaN query therefore probes nothing. Build-time vectors
+      * are required finite (see the build's norm check), so this only
+      * concerns query-side inputs.
       */
     def topLeaves(query: Array[Double], nProbe: Int): Seq[Int] =
       router match {
@@ -262,7 +271,11 @@ object IvfIndex {
         nProbe: Int): Array[Int] = {
       val target = candidateTarget(r, nProbe)
       val ranked = r.superCentroids.zipWithIndex
-        .map { case (c, i) => (probeScore(c, query), i) }
+        .map { case (c, i) =>
+          val s = probeScore(c, query)
+          // NaN → +Inf: same mapping as RoutedNearestCentroids.route
+          (if (java.lang.Double.isNaN(s)) Double.PositiveInfinity else s, i)
+        }
         .sortBy { case (s, i) => (s, i) }
       val out = new scala.collection.mutable.ArrayBuilder.ofInt
       var count = 0
@@ -281,6 +294,7 @@ object IvfIndex {
     private def rankLeaves(leaves: Array[Int], query: Array[Double],
         nProbe: Int): Seq[Int] =
       leaves.map(l => (probeScore(centroids(l), query), l))
+        .filter { case (s, _) => !java.lang.Double.isNaN(s) }
         .sortBy { case (s, l) => (s, l) }.take(nProbe).map(_._2).toSeq
   }
 
@@ -365,6 +379,16 @@ object IvfIndex {
       throw new IllegalArgumentException(
         "cannot build an IVF index over an empty corpus")
     val (n, m2) = (stats.getLong(0), stats.getDouble(1))
+    // free finiteness gate on the pass already run: any NaN/±Inf
+    // component makes that row's squared norm NaN/+Inf, and Spark's
+    // max treats NaN as greatest — so a single non-finite vector
+    // anywhere in the corpus surfaces here. Failing fast beats
+    // silently skipping rows at assignment (the NaN-skip convention
+    // in NearestCentroids would drop them without a trace).
+    if (!java.lang.Double.isFinite(m2))
+      throw new IllegalArgumentException(
+        "corpus contains non-finite vector components (NaN or Infinity); " +
+          "clean or filter them before building an IVF index")
     val aug = withNorm
       .withColumn("__aux", sqrt(greatest(lit(m2) - col("__n2"), lit(0.0))))
       .withColumn("__features",
@@ -546,9 +570,12 @@ object IvfIndex {
   }
 
   /** Sidecar format version — load refuses a version it doesn't know
-    * rather than misreading it.
+    * rather than misreading it. v2 added `n_centroids` to the stats
+    * row so a partially-written chunked sidecar (crash between chunk
+    * appends leaves a contiguous PREFIX that id-contiguity alone would
+    * accept) fails loudly at load instead of serving truncated probes.
     */
-  val ModelFormatVersion = 1
+  val ModelFormatVersion = 2
 
   /** The sidecar lives UNDER the index path with a `_`-prefixed name,
     * which Spark's file listing treats as hidden: `spark.read.parquet`
@@ -566,10 +593,12 @@ object IvfIndex {
     import spark.implicits._
     val st = model.stats
     val statsRow = ("stats", -1, Seq.empty[Double], -1,
-      st.nVectors, st.nRows, st.maxLeafRows, ModelFormatVersion)
+      st.nVectors, st.nRows, st.maxLeafRows, ModelFormatVersion,
+      model.centroids.length)
     val superRows = model.router.toSeq.flatMap { r =>
       r.superCentroids.zipWithIndex.toSeq.map { case (c, i) =>
-        ("super", i, c.toSeq, r.oversample, -1L, -1L, -1L, ModelFormatVersion)
+        ("super", i, c.toSeq, r.oversample, -1L, -1L, -1L,
+          ModelFormatVersion, -1)
       }
     }
     // centroid rows are written in bounded CHUNKS: the boxed tuple
@@ -580,10 +609,11 @@ object IvfIndex {
       val rows = ids.map { i =>
         ("centroid", i, model.centroids(i).toSeq,
           model.router.map(_.groupOf(i)).getOrElse(-1),
-          -1L, -1L, -1L, ModelFormatVersion)
+          -1L, -1L, -1L, ModelFormatVersion, -1)
       } ++ (if (ci == 0) superRows :+ statsRow else Nil)
       rows.toDF("kind", "id", "vec", "grp",
-          "n_vectors", "n_rows", "max_leaf_rows", "format_version")
+          "n_vectors", "n_rows", "max_leaf_rows", "format_version",
+          "n_centroids")
         .coalesce(1)
         .write.mode(if (ci == 0) "overwrite" else "append")
         .parquet(modelDir(path))
@@ -613,6 +643,14 @@ object IvfIndex {
     require(version == ModelFormatVersion,
       s"model sidecar format v$version at ${modelDir(path)}; " +
         s"this build reads v$ModelFormatVersion")
+    // the chunked write is not atomic: a crash between chunk appends
+    // leaves a CONTIGUOUS centroid prefix that the id check alone
+    // accepts. The stats row (always in chunk 0) carries the total.
+    val nCentroids = statsRow.getInt(8)
+    require(centRows.length == nCentroids,
+      s"model sidecar at ${modelDir(path)} is truncated: " +
+        s"${centRows.length} of $nCentroids centroid rows present " +
+        "(crash during chunked write?) — rebuild or rewrite the sidecar")
     val cents = centRows.map(_.getSeq[Double](2).toArray)
     val stats = BuildStats(statsRow.getLong(4), statsRow.getLong(5),
       statsRow.getLong(6))

@@ -136,25 +136,36 @@ object Knn {
     * shuffle, where the window form must move every candidate row and
     * sort each qid's full list. Measured on the 50k bench layout
     * (median of 3, two separate JVMs): heap 6.8-7.3 s vs window
-    * 16.4-18.0 s, rows identical — see PERF.md (round 6). `nid` is
-    * surfaced as bigint (the aggregate's id slot); ids must be
-    * integral.
+    * 16.4-18.0 s, rows identical — see PERF.md (round 6).
+    *
+    * Schema contract (both dispatch branches): `(qid, nid)` keep the
+    * source id column's type, `score` double, `rn` bigint. Ids must
+    * be integral for the heap path; other id types dispatch to the
+    * row-identical window form — correct, but window-shuffle
+    * economics, so the dispatch is logged.
     */
   def knnJoinPerLeaf(indexed: DataFrame, id: String, vecCol: String,
       k: Int, metric: Metric): DataFrame = {
+    val idType = indexed.schema(id).dataType
     // the heap aggregate's id slot is a long: a non-integral id would
     // cast to null and be silently DROPPED by the aggregate (zero
     // rows out, no error) — dispatch those callers to the
     // row-identical window form instead
-    val idIntegral = indexed.schema(id).dataType match {
+    val idIntegral = idType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
-    if (!idIntegral)
+    if (!idIntegral) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"knnJoinPerLeaf: id column '$id' is ${idType.simpleString}, not " +
+          "integral — using the window-ranked form (row-identical, but " +
+          "every candidate row reaches the shuffle; the heap form ships " +
+          "only k rows per (qid, partition))")
       return knnJoinPerLeafWindow(indexed, id, vecCol, k, metric)
+    }
     val scored = leafPairScores(indexed, id, vecCol, metric)
     // the heap keeps (score desc, id asc) — for ascending metrics the
     // score is negated into the heap and restored on the way out
@@ -164,7 +175,10 @@ object Knn {
       .agg(graft.functions.TopKByScore.column(heapScore,
         col("nid").cast("long"), k).as("__topk"))
       .select(col("qid"), posexplode(col("__topk")).as(Seq("__pos", "__t")))
-      .select(col("qid"), col("__t.id").as("nid"),
+      // cast the aggregate's long id slot back to the SOURCE id type:
+      // both branches then share one output schema (values are
+      // unchanged — they came from this column)
+      .select(col("qid"), col("__t.id").cast(idType).as("nid"),
         (if (metric.descending) col("__t.score")
          else -col("__t.score")).as("score"),
         (col("__pos") + 1).cast("bigint").as("rn"))

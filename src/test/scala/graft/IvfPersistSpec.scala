@@ -95,6 +95,35 @@ class IvfPersistSpec extends SparkTestBase {
     assert(loaded.stats == m.stats)
   }
 
+  test("a truncated chunked sidecar fails loudly at load") {
+    // the chunked write is not atomic: a crash between chunk appends
+    // leaves a CONTIGUOUS centroid prefix. Simulate it by writing a
+    // 2-chunk sidecar, then deleting the appended chunk's files — the
+    // stats row's n_centroids total must make load refuse the prefix.
+    val rnd = new scala.util.Random(17)
+    val n = (1 << 16) + 300
+    val cents = Array.fill(n)(Array.fill(4)(rnd.nextGaussian()))
+    val m = IvfIndex.Model(cents, IvfIndex.BuildStats(1L, 2L, 3L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_persist_t").toString + "/idx"
+    IvfIndex.writeModel(spark, dir, m)
+    val modelDir = new java.io.File(dir, "_graft_model")
+    val parts = modelDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length >= 2, "expected a multi-file chunked sidecar")
+    // keep the file holding the stats row (chunk 0 — part names carry
+    // UUIDs, so identify it by content); drop the appended chunk(s)
+    val statsFile = spark.read.parquet(modelDir.toString)
+      .filter(col("kind") === "stats")
+      .select(input_file_name()).head().getString(0)
+    parts.filterNot(f => statsFile.endsWith(f.getName))
+      .foreach(f => assert(f.delete()))
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.load(spark, dir)
+    }
+    assert(ex.getMessage.contains("truncated"))
+  }
+
   test("load fails loudly on a data-only index (no sidecar)") {
     val emb = Tables.embeddings(spark, sf)
     val (indexed, _) = IvfIndex.build(emb, "vec_id", "embedding", 4)

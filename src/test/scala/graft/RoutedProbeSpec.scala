@@ -47,6 +47,33 @@ class RoutedProbeSpec extends SparkTestBase {
     check(model, 60, queries.take(5))
   }
 
+  test("NaN query rows: driver and executor paths agree (skip-NaN rule)") {
+    // one convention everywhere: NaN-scored leaves are skipped, NaN
+    // super scores rank last, an all-NaN query probes NOTHING — and
+    // probeExpr stays row-for-row equal to topLeaves through both the
+    // routed and the flat branch even on such rows
+    val rnd = new scala.util.Random(47)
+    def mixed(dim: Int): Seq[Array[Double]] = Seq(
+      Array.fill(dim)(Double.NaN), // all-NaN
+      Array.tabulate(dim)(j => if (j == 0) Double.NaN
+        else rnd.nextGaussian()), // partly-NaN
+      Array.fill(dim)(rnd.nextGaussian())) // finite control
+
+    val (_, flatCents) = planted(6, 8, 12, 29L)
+    val flat = IvfIndex.Model(flatCents)
+    check(flat, 3, mixed(12))
+    assert(flat.topLeaves(Array.fill(12)(Double.NaN), 3).isEmpty,
+      "an all-NaN query must probe nothing")
+
+    val (_, cents) = planted(40, 52, 12, 17L)
+    val router = IvfIndex.Router.build(cents)
+    val routed = IvfIndex.Model(cents, router = Some(router))
+    assert(routed.routed(router, 4))
+    check(routed, 4, mixed(12))
+    assert(routed.topLeaves(Array.fill(12)(Double.NaN), 4).isEmpty,
+      "an all-NaN query must probe nothing (routed)")
+  }
+
   test("a non-engaging router falls back to the flat expression") {
     val (_, cents) = planted(4, 8, 12, 37L) // 32 leaves < target
     val router = IvfIndex.Router(Array(cents(0), cents(1)),

@@ -64,6 +64,29 @@ class VectorSpec extends SparkTestBase {
     assert(df.filter(col("label") =!= 3 || col("vec_id") < 100).count() == 0)
   }
 
+  test("knnJoinPerLeaf: heap and window branches share one schema and rows") {
+    // the heap path ranks through a long id slot; its output must
+    // still surface (qid, nid) in the SOURCE id type, identical to
+    // the window branch a non-integral id dispatches to
+    val (indexed, _) = graft.operators.IvfIndex.build(
+      emb.filter(col("vec_id") < 300), "vec_id", "embedding", 4)
+    val intIdx = indexed.withColumn("vec_id", col("vec_id").cast("int"))
+    val heap = graft.operators.Knn.knnJoinPerLeaf(
+      intIdx, "vec_id", "embedding", 3, graft.operators.Knn.Dot)
+    val window = graft.operators.Knn.knnJoinPerLeafWindow(
+      intIdx, "vec_id", "embedding", 3, graft.operators.Knn.Dot)
+    assert(heap.schema("qid").dataType == window.schema("qid").dataType)
+    assert(heap.schema("nid").dataType == window.schema("nid").dataType)
+    assert(heap.schema("nid").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      "nid must keep the source id type, not the heap's long slot")
+    assert(heap.schema("rn").dataType == window.schema("rn").dataType)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "score", "rn")
+        .orderBy("qid", "rn", "nid").collect().toSeq
+    assert(rows(heap) == rows(window))
+  }
+
   test("top-k heap aggregate is partition-independent") {
     // the heap's total (score desc, id asc) order makes the kept set
     // and its emission order pure functions of the data
