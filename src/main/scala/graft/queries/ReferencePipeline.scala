@@ -734,7 +734,119 @@ object ReferencePipeline {
       .orderBy("leaf_id")
   }
 
+  /** Incremental upsert into the SERVED index — the reference's
+    * no-rebuild STREAM_UPDATE promise (`upsert_datapoints`,
+    * setup_vector_search.py:149-153: new points searchable
+    * immediately) as a full-hash gate. A fixed-centroid index is
+    * WRITTEN (data + sidecar); two upsert batches then flow through
+    * `IndexMaintenance.appendToServing` — each reloads the model from
+    * the sidecar, assigns to the EXISTING leaves (top-2 spill, the
+    * build's convention) and appends into the `partitionBy(leaf_id)`
+    * layout — and a `graft_ann_probe` search over the served path
+    * returns the upserted vectors with NO recluster: the top hit is
+    * vec_id 0's version-3 vector (3·v0 against query v0), which did
+    * not exist at build time. LWW rides the delta registry: id 0 has
+    * v1, v2 AND v3 rows in probed leaf 0, so a stale read (any
+    * superseded version surviving) adds rows and fails the hash.
+    */
+  private val rStreamServe = QueryDef.sqlChecked("r_stream_serve")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v, 1 AS version " +
+      "FROM embeddings), " +
+      "up AS (SELECT vec_id, list_transform(v, x -> -x) AS v, 2 AS version " +
+      "FROM base WHERE vec_id % 25 = 0 " +
+      "UNION ALL SELECT vec_id, list_transform(v, x -> 3*x), 3 " +
+      "FROM base WHERE vec_id % 50 = 0 " +
+      "UNION ALL SELECT vec_id + 100000, list_transform(v, x -> 2*x), 1 " +
+      "FROM base WHERE vec_id % 40 = 7), " +
+      "log AS (SELECT * FROM base UNION ALL SELECT * FROM up), " +
+      "delta AS (SELECT vec_id, max(version) AS latest FROM up GROUP BY vec_id), " +
+      "live AS (SELECT l.vec_id, l.v, l.version FROM log l " +
+      "LEFT JOIN delta d ON l.vec_id = d.vec_id " +
+      "WHERE d.latest IS NULL OR l.version = d.latest), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id = 0), " +
+      "assign AS (SELECT vec_id, version, v, cid AS leaf_id FROM (" +
+      "SELECT l.vec_id, l.version, l.v, c.cid, row_number() OVER (" +
+      "PARTITION BY l.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(l.v, c.cv), c.cid) AS rn " +
+      "FROM live l, cent c) WHERE rn <= 2), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) WHERE rn <= 3), " +
+      "cand AS (SELECT a.vec_id, a.version, a.leaf_id, " +
+      "list_inner_product(a.v, q.qv) AS score " +
+      "FROM assign a JOIN probe p ON a.leaf_id = p.cid, q) " +
+      "SELECT vec_id, cast(max(version) as bigint) AS version, " +
+      "cast(min(leaf_id) as bigint) AS leaf_id, max(score) AS score " +
+      "FROM cand GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 15"
+  ) { (s, d) =>
+    import graft.streaming.IndexMaintenance
+    graft.plans.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val query = base.filter(col("vec_id") === 0)
+      .select(col("v")).head().getSeq[Double](0)
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_serve_" + java.lang.Integer.toHexString(d.hashCode))
+    // fresh layout per run: appends are cumulative, and the gate must
+    // see exactly build + 2 batches
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    // build-time write: assignment by the index's own serving
+    // geometry (probeExpr take=2 — identical to what appendToServing
+    // uses, so build rows and upsert rows are one population)
+    val indexed = base.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, servePath.toString, model)
+
+    // two upsert batches AFTER the build, each through the serving
+    // path (model reloaded from the sidecar both times)
+    val b1 = base.filter(col("vec_id") % 25 === 0)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2))
+    val b2 = base.filter(col("vec_id") % 50 === 0)
+      .withColumn("v", transform(col("v"), x => x * 3))
+      .withColumn("version", lit(3))
+      .unionByName(base.filter(col("vec_id") % 40 === 7)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("v", transform(col("v"), x => x * 2)))
+    IndexMaintenance.appendToServing(s, servePath.toString, b1,
+      "vec_id", "v", "version")
+    IndexMaintenance.appendToServing(s, servePath.toString, b2,
+      "vec_id", "v", "version")
+
+    // serve: open from disk, probe in SQL-rewrite form, LWW via the
+    // delta registry, exact rank inside the probed leaves
+    graft.plans.IndexCatalog.drop("r_stream_serve")
+    graft.plans.IndexCatalog.open(s, "r_stream_serve", servePath.toString)
+    IndexMaintenance.readServing(s, servePath.toString, "vec_id", "version")
+      .filter(graft.plans.AnnPruning.probe("r_stream_serve",
+        col("leaf_id"), query, 3))
+      .select(col("vec_id"), col("version"), col("leaf_id"),
+        graft.functions.vectors.dotProduct(col("v"),
+          typedLit(query)).as("score"))
+      .groupBy("vec_id")
+      .agg(max(col("version")).cast("bigint").as("version"),
+        min(col("leaf_id")).cast("bigint").as("leaf_id"),
+        max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(15)
+  }
+
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
-    rSearchE2e, rRecluster, rStreamUpsert, vAnnBuild, vAnnIvf, vAnnPipeline,
-    vAnnSql, vAnnSqlE2e, vAnnRouted, vKnnJoin)
+    rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, vAnnBuild, vAnnIvf,
+    vAnnPipeline, vAnnSql, vAnnSqlE2e, vAnnRouted, vKnnJoin)
 }

@@ -11,16 +11,105 @@ import org.apache.spark.sql.functions._
   * leaves and rewrites the partitioned index so query-time leaf
   * pruning stays balanced as the corpus drifts.
   *
-  * At 100 TB: appends are cheap (new files), the recluster is a
-  * scheduled batch job (sample-fit + full assign), and readers always
-  * see a consistent snapshot (parquet file listing is atomic enough
-  * per job; swap directories for stronger guarantees).
+  * Freshness has TWO tiers, mirroring the reference's
+  * `upsert_datapoints` (new points searchable immediately, no index
+  * rebuild — /root/reference/vector_store/setup_vector_search.py:149-153):
+  * [[appendToServing]] assigns an upsert batch to the EXISTING leaves
+  * with the index's own persisted model and appends straight into the
+  * `partitionBy(leaf_id)` serving layout — new vectors are visible to
+  * the next `graft_ann_probe` query with no rebuild; [[recluster]] is
+  * the periodic rebalance that re-fits leaves and compacts superseded
+  * versions away.
+  *
+  * At 100 TB: appends are cheap (new files under existing leaf
+  * directories), the recluster is a scheduled batch job (sample-fit +
+  * full assign), and readers always see a consistent snapshot
+  * (parquet file listing is atomic enough per job; swap directories
+  * for stronger guarantees).
   */
 object IndexMaintenance {
 
   /** Append a micro-batch of (id, vector, version) upserts. */
   def appendBatch(batch: DataFrame, logPath: String): Unit =
     batch.write.mode("append").parquet(logPath)
+
+  /** The delta registry: (id, version) of every upsert accepted into
+    * the serving layout since the last recluster. Underscore-prefixed
+    * so `spark.read.parquet(servePath)` keeps seeing only data rows;
+    * wiped with the layout when [[recluster]] overwrites it.
+    */
+  private def deltaDir(servePath: String): String =
+    servePath + "/_graft_delta"
+
+  /** Upsert a batch into the SERVED index — no rebuild. The batch is
+    * assigned to the index's EXISTING leaves with the model loaded
+    * from the layout's own sidecar (top-`spill` ranked leaves, same
+    * spill-copy convention as the build, via the distributed
+    * [[IvfIndex.probeExpr]] — sublinear in leaf count past the router
+    * threshold), appended under the matching `leaf_id=` partition
+    * directories, and recorded in the delta registry that
+    * [[readServing]] resolves last-write-wins against. Query-side
+    * geometry (aux = 0) is deliberate: an appended vector lands
+    * exactly in the leaves a probe for it would rank first.
+    *
+    * The batch must carry the layout's own data columns — parquet
+    * `append` would otherwise silently interleave two schemas and
+    * poison every later read.
+    */
+  def appendToServing(spark: SparkSession, servePath: String,
+      batch: DataFrame, id: String, vecCol: String, versionCol: String,
+      spill: Int = 2): Unit = {
+    val model = IvfIndex.load(spark, servePath)
+    val layoutCols = spark.read.parquet(servePath).columns.sorted.toSeq
+    val assigned = batch
+      .withColumn("leaf_id",
+        explode(IvfIndex.probeExpr(model,
+          col(vecCol).cast("array<double>"), math.max(1, spill))))
+    require(assigned.columns.sorted.toSeq == layoutCols,
+      s"appendToServing: batch columns ${batch.columns.sorted.mkString(",")} " +
+        s"+ leaf_id do not match the serving layout's " +
+        s"${layoutCols.mkString(",")}")
+    assigned.write.mode("append").partitionBy("leaf_id").parquet(servePath)
+    batch.select(col(id), col(versionCol).cast("long").as("version"))
+      .write.mode("append").parquet(deltaDir(servePath))
+  }
+
+  /** Serving-time read of the layout: data rows with superseded
+    * versions resolved away, last-write-wins against the delta
+    * registry. The LWW authority is the DELTA (small by construction
+    * — only upserts since the last recluster; the join stays
+    * broadcast-sized), not a full-corpus aggregate, so a
+    * `graft_ann_probe` filter on top still partition-prunes: the
+    * leaf In-list pushes through the left join to the parquet scan.
+    * A stale copy is never served, even when the superseding row
+    * lives in an unprobed leaf.
+    */
+  def readServing(spark: SparkSession, servePath: String, id: String,
+      versionCol: String): DataFrame = {
+    val data = spark.read.parquet(servePath)
+    val delta = new org.apache.hadoop.fs.Path(deltaDir(servePath))
+    val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(delta)) data
+    else {
+      val latest = spark.read.parquet(delta.toString)
+        .groupBy(col(id).as("__id"))
+        .agg(max(col("version")).as("__latest"))
+      data.join(latest, data(id) === col("__id"), "left")
+        .filter(col("__latest").isNull ||
+          col(versionCol).cast("long") === col("__latest"))
+        .drop("__id", "__latest")
+    }
+  }
+
+  /** Leaves past the row bound after appends — the rebalance signal:
+    * non-empty means schedule a [[recluster]]. One footer-cheap
+    * aggregation over the layout.
+    */
+  def oversizedLeaves(spark: SparkSession, servePath: String,
+      maxLeafSize: Int): DataFrame =
+    spark.read.parquet(servePath)
+      .groupBy("leaf_id").count()
+      .filter(col("count") > maxLeafSize)
 
   /** Resolve the live corpus (LWW per id). */
   def liveCorpus(spark: SparkSession, logPath: String, id: String,
@@ -29,7 +118,10 @@ object IndexMaintenance {
       spark.read.parquet(logPath), id, col(versionCol))
 
   /** Recluster: fit fresh leaves over the live corpus and rewrite the
-    * serving index partitioned by leaf.
+    * serving index partitioned by leaf. The overwrite also clears the
+    * delta registry — every version it tracked is compacted into the
+    * fresh layout, so [[readServing]] after a recluster is a plain
+    * pruned scan again.
     */
   def recluster(spark: SparkSession, logPath: String, servePath: String,
       id: String, vecCol: String, versionCol: String, numLeaves: Int,

@@ -53,4 +53,92 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(reopened.topLeaves(v0.map(_.toDouble).toArray, 2) ==
       model.topLeaves(v0.map(_.toDouble).toArray, 2))
   }
+
+  test("appendToServing: upserts are searchable with NO recluster; " +
+      "stale versions are never served") {
+    val serve = Files.createTempDirectory("ivf-srv2").toString + "/serve"
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val (indexed, model) = graft.operators.IvfIndex.build(
+      base, "vec_id", "v", 8)
+    graft.operators.IvfIndex.write(indexed, serve, model)
+
+    val v0 = base.filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0)
+    // upsert AFTER the build: a brand-new id cloned from v0, and a
+    // REPLACEMENT of vec 1 with v0's vector (its old rows go stale)
+    val batch = Seq((99990L, v0, 2), (1L, v0, 2))
+      .toDF("vec_id", "v", "version")
+    IndexMaintenance.appendToServing(spark, serve, batch,
+      "vec_id", "v", "version")
+
+    // a fresh session serves from the path alone: the sidecar model
+    // reopens, and a probe for v0 returns BOTH upserted rows at the
+    // top with no recluster having run
+    val s2 = spark.newSession()
+    val m2 = graft.operators.IvfIndex.load(s2, serve)
+    val probed = m2.topLeaves(v0.toArray, 2)
+    val hits = IndexMaintenance.readServing(s2, serve, "vec_id", "version")
+      .filter(col("leaf_id").isin(probed: _*))
+      .select(col("vec_id"), col("version"),
+        graft.functions.vectors.dotProduct(col("v"),
+          typedLit(v0)).as("score"))
+      .groupBy("vec_id").agg(max("version").as("version"),
+        max("score").as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(5).collect()
+    val topIds = hits.map(_.getLong(0)).toSeq
+    assert(topIds.take(3).toSet == Set(0L, 1L, 99990L),
+      s"expected the clone pair + v0 on top, got $topIds")
+    // LWW: vec 1 is served ONLY at version 2 — its version-1 rows are
+    // in the layout (append-only) but the delta registry supersedes them
+    val v1Rows = IndexMaintenance.readServing(s2, serve, "vec_id", "version")
+      .filter(col("vec_id") === 1).select("version").distinct().collect()
+    assert(v1Rows.map(_.getInt(0)).toSeq == Seq(2),
+      "stale version 1 of an upserted id must never be served")
+  }
+
+  test("appendToServing: leaf bound is observable — balanced appends " +
+      "stay under it, an overstuffed leaf is flagged for rebalance") {
+    val serve = Files.createTempDirectory("ivf-srv3").toString + "/serve"
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val (indexed, model) = graft.operators.IvfIndex.build(
+      base, "vec_id", "v", 8)
+    graft.operators.IvfIndex.write(indexed, serve, model)
+    // threshold = the build's own fullest leaf: nothing exceeds it yet
+    val bound = model.stats.maxLeafRows.toInt
+    assert(IndexMaintenance.oversizedLeaves(spark, serve, bound)
+      .count() == 0, "the build itself must respect the bound")
+
+    // overstuff ONE leaf deterministically: clones of a single vector
+    // all route to the same top-2 leaves, so `bound + 1` of them push
+    // that leaf past any prior count
+    val v0 = base.filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0)
+    val clones = (1 to bound + 1)
+      .map(i => (500000L + i, v0, 2)).toDF("vec_id", "v", "version")
+    IndexMaintenance.appendToServing(spark, serve, clones,
+      "vec_id", "v", "version")
+    val over = IndexMaintenance.oversizedLeaves(spark, serve, bound)
+    assert(over.count() > 0,
+      "flooding one leaf must trip the rebalance signal")
+    // ...and the signal's remedy: recluster rebuilds a bounded layout
+    // (exercised in the recluster test above)
+  }
+
+  test("appendToServing rejects a batch whose schema differs from the layout") {
+    val serve = Files.createTempDirectory("ivf-srv4").toString + "/serve"
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val (indexed, model) = graft.operators.IvfIndex.build(
+      base, "vec_id", "v", 4)
+    graft.operators.IvfIndex.write(indexed, serve, model)
+    val bad = base.withColumn("extra", lit(1))
+    val ex = intercept[IllegalArgumentException] {
+      IndexMaintenance.appendToServing(spark, serve, bad,
+        "vec_id", "v", "version")
+    }
+    assert(ex.getMessage.contains("do not match the serving layout"))
+  }
 }
