@@ -61,10 +61,13 @@ object Bench {
     // a failing run must NOT time as a fast success: the median of
     // three millisecond failures reads like a great number. Any
     // failure makes the row's value negative — unmissable in the
-    // bench JSON — with the error on stderr.
-    def timedMedian(body: () => Unit): Double = {
+    // bench JSON — with the error on stderr. The full (min, med, max)
+    // triplet is kept and emitted as scale_detail so a contended run
+    // is self-diagnosing: a wide spread says "noise on this box", no
+    // external adjudication needed.
+    def timedTriplet(body: () => Unit): (Double, Double, Double) = {
       var failed = false
-      val med = (1 to 3).map { _ =>
+      val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try body() catch {
           case t: Throwable =>
@@ -73,8 +76,8 @@ object Bench {
         }
         SessionConf.releaseQueryResources(spark)
         (System.nanoTime() - t0) / 1e9
-      }.sorted.apply(1)
-      if (failed) -med else med
+      }.sorted
+      if (failed) (-ts(0), -ts(1), -ts(2)) else (ts(0), ts(1), ts(2))
     }
     // sf1-scale dedup smoke (driver testdata tops out at sf0.1): the
     // full MinHash signature+candidate path on the synthetic
@@ -84,7 +87,7 @@ object Bench {
     val scaleRow = {
       val docsPath = materialize("docs50k")(
         graft.pipeline.SyntheticCorpus.docs(spark, 50000L))
-      "d_scale_sf1_minhash" -> timedMedian { () =>
+      "d_scale_sf1_minhash" -> timedTriplet { () =>
         val c = spark.read.parquet(docsPath)
         val sig = graft.operators.Dedup.minhashSignatures(c, "doc_id", "text")
         graft.operators.Dedup.minhashCandidates(sig, "doc_id").count()
@@ -109,17 +112,21 @@ object Bench {
           (col("vec_id") % 25).cast("int") * 8 + sub,
           (col("vec_id") % 25).cast("int") * 8 + (sub + 1) % 8)))
       }
-      "v_scale_sf1_knn_join" -> timedMedian { () =>
+      "v_scale_sf1_knn_join" -> timedTriplet { () =>
         graft.operators.Knn.knnJoinPerLeaf(spark.read.parquet(idxPath),
           "vec_id", "embedding", 3, graft.operators.Knn.Dot).count()
         ()
       }
     }
-    val results = registry :+ scaleRow :+ knnScaleRow
+    val scaleRows = Seq(scaleRow, knnScaleRow)
+    val results = registry ++ scaleRows.map { case (k, t) => k -> t._2 }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val detail = scaleRows.map { case (k, (mn, md, mx)) =>
+      "\"" + k + "\":{\"min\":" + mn + ",\"med\":" + md + ",\"max\":" + mx + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scale_detail":$detail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

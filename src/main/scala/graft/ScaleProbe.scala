@@ -57,14 +57,102 @@ object ScaleProbe {
       val qdf = queries.map(_.toSeq).toSeq.toDF("qv")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       qdf.count()
-      def timeExpr(tag: String, m: graft.operators.IvfIndex.Model): Unit = {
+      def timeExpr(tag: String, m: graft.operators.IvfIndex.Model,
+          f32: Boolean = false): Unit = {
+        val expr = if (f32)
+          graft.operators.IvfIndex.probeExprF32(m, col("qv"), nProbe)
+        else graft.operators.IvfIndex.probeExpr(m, col("qv"), nProbe)
         val t0 = System.nanoTime()
-        qdf.select(graft.operators.IvfIndex.probeExpr(m, col("qv"), nProbe)
-          .as("p")).agg(sum(size(col("p")))).head()
+        qdf.select(expr.as("p")).agg(sum(size(col("p")))).head()
         println(f"ROUTE_EXPR $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
-      timeExpr("flat", flat)
-      timeExpr("routed", routed)
+      // the reference-object expressions re-deserialize the full
+      // double matrix PER TASK (~0.5 GB task binary at 10⁶ leaves ×
+      // 32 slots = OOM on the default 8 GB heap — the measured
+      // failure the broadcast f32 path exists to fix); only time them
+      // where the per-task copies fit
+      if (L <= 200000) {
+        timeExpr("flat", flat)
+        timeExpr("routed", routed)
+      } else println(s"ROUTE_EXPR flat/routed skipped at L=$L " +
+        "(per-task matrix copies exceed the 8g default heap)")
+      timeExpr("routed_f32", routed, f32 = true)
+      // f32 routing: resident footprint per executor, and probe-list
+      // parity vs the exact double router (driver reference)
+      val bytesF64 = L.toLong * (dim * 8 + 16 + 8) // arrays + headers + ptrs
+      val bytesF32 = L.toLong * dim * 4 + 16       // one flat array
+      val f32Res = queries.indices.map(i => (i, queries(i).toSeq)).toDF("i", "qv")
+        .select(col("i"),
+          graft.operators.IvfIndex.probeExprF32(routed, col("qv"), nProbe)
+            .as("b"))
+        .as[(Int, Seq[Int])].collect().toMap
+      var hit = 0L
+      var tot = 0L
+      queries.indices.foreach { i =>
+        val ref = routed.topLeaves(queries(i), nProbe)
+        hit += ref.toSet.intersect(f32Res(i).toSet).size
+        tot += ref.size
+      }
+      val parityF32 = hit.toDouble / tot
+      println(f"ROUTE_F32 L=$L bytes_f64=$bytesF64 bytes_f32=$bytesF32 " +
+        f"(${bytesF64.toDouble / bytesF32}%.1fx smaller) parity=$parityF32%.4f")
+    } else if (args(0) == "serve") {
+      // durability × routing × pruning in ONE artifact: a REAL build
+      // big enough to engage the two-level router (≥10⁴ leaves from
+      // vectors, not synthetic centroids), written with its sidecar,
+      // REOPENED from disk by a fresh session, and served a routed
+      // graft_ann_probe query end to end.
+      // usage: serve <n> <numLeaves> <maxLeaf>  e.g. serve 300000 256 50
+      val n = args(1).toLong; val leaves0 = args(2).toInt
+      val maxLeaf = args(3).toInt
+      val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, 32, 200)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      v.count()
+      var t0 = System.nanoTime()
+      val (indexed, model) = graft.operators.IvfIndex.build(v, "vec_id",
+        "embedding", numLeaves = leaves0, maxLeafSize = maxLeaf,
+        maxFitRows = 20000L)
+      val L = model.centroids.length
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      require(model.router.nonEmpty && L >= 10000,
+        s"serve probe needs >=10^4 leaves with a router, got $L")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_serve_probe").toString + "/idx"
+      t0 = System.nanoTime()
+      graft.operators.IvfIndex.write(indexed, path, model)
+      val tWrite = (System.nanoTime() - t0) / 1e9
+      v.unpersist()
+
+      // fresh session = the serving process: open from the path alone
+      val s2 = spark.newSession()
+      graft.plans.GraftExtensions.register(s2)
+      t0 = System.nanoTime()
+      val served = graft.plans.IndexCatalog.open(s2, "serve_probe", path)
+      val tOpen = (System.nanoTime() - t0) / 1e9
+      require(served.routed(served.router.get, 8), "router must engage")
+      val q = Array.tabulate(32)(j => (j % 7).toDouble)
+      def servedQuery(): Long = {
+        val hits = s2.read.parquet(path)
+          .filter(graft.plans.AnnPruning.probe("serve_probe",
+            col("leaf_id"), q.toSeq, 8))
+          .select(col("vec_id"),
+            graft.functions.vectors.dotProduct(col("embedding"),
+              typedLit(q.toSeq)).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(10).collect()
+        hits.length.toLong
+      }
+      servedQuery() // warm the listing/codegen once
+      t0 = System.nanoTime()
+      val got = servedQuery()
+      val tQuery = (System.nanoTime() - t0) / 1e9
+      val probed = served.topLeaves(q, 8)
+      val scanned = s2.read.parquet(path)
+        .filter(col("leaf_id").isin(probed: _*)).count()
+      val total = s2.read.parquet(path).count()
+      println(f"SERVE n=$n leaves=$L groups=${served.router.get.superCentroids.length} " +
+        f"build=$tBuild%.1f s write=$tWrite%.1f s open=$tOpen%.2f s " +
+        f"routed_query=$tQuery%.2f s hits=$got " +
+        f"scanned=$scanned/$total (${100.0 * scanned / total}%.2f%%)")
     } else if (args(0) == "joincmp") {
       // window-rank vs heap-aggregate ranking for the kNN self-join,
       // on the same deterministic bounded layout as the bench row

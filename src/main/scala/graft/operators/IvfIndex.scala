@@ -217,6 +217,35 @@ object IvfIndex {
       stats: BuildStats = BuildStats.Unknown,
       router: Option[Router] = None) {
 
+    /** Routing-precision payload, BROADCAST once per model (cached on
+      * the model — repeated [[IvfIndex.probeExprF32]] calls reuse it):
+      * flat-packed float32 centroids + float32 supers + groups,
+      * fetched once per executor and shared by its tasks. NOT
+      * persisted — the sidecar keeps doubles so build-time models
+      * round-trip bit-exactly; this is derived at first use via the
+      * active session. Requires a router (the f32 path exists for
+      * leaf counts where the router always engages).
+      */
+    @transient lazy val routerDataBc
+        : org.apache.spark.broadcast.Broadcast[graft.functions.RouterData] = {
+      val r = router.getOrElse(throw new IllegalStateException(
+        "routerDataBc needs a routed model"))
+      val dim = centroids(0).length
+      val flat = new Array[Float](centroids.length * dim)
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        require(cent.length == dim,
+          s"centroid $c has dim ${cent.length}, expected $dim")
+        var j = 0
+        while (j < dim) { flat(c * dim + j) = cent(j).toFloat; j += 1 }
+        c += 1
+      }
+      org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(
+        new graft.functions.RouterData(flat, dim,
+          r.superCentroids.map(_.map(_.toFloat)), r.groups))
+    }
+
     /** The probe ranking term |c|² − 2·q·c, with the cn/dot loop
       * fused exactly as the original flat scan computed it (same IEEE
       * op order — routed and flat ranking must agree bit-for-bit on
@@ -685,6 +714,34 @@ object IvfIndex {
     }
   }
 
+  /** [[probeExpr]] restructured for very large leaf counts: the
+    * centroid matrix ships as a BROADCAST of flat-packed float32
+    * ([[graft.functions.RouterData]]) — fetched once per executor and
+    * shared across tasks, where [[probeExpr]]'s reference object is
+    * re-deserialized by EVERY task (at 10⁶ leaves that is a ~0.5 GB
+    * task binary × task slots: measured OOM on an 8 GB executor at
+    * 32 slots). Probe lists are NOT bit-identical to [[probeExpr]]:
+    * float32 quantization can flip near-tied centroid rankings
+    * (parity ≥0.99 measured — RoutedProbeSpec, ScaleProbe `route`),
+    * so hash-gated paths keep using [[probeExpr]]; this is the
+    * serving path past ~10⁵ leaves. Falls back to the exact flat
+    * expression when the router doesn't engage — below that size the
+    * double matrix is small and exactness is free.
+    */
+  def probeExprF32(model: Model, vec: Column, nProbe: Int): Column = {
+    import org.apache.spark.sql.graftshim.Shims
+    val v = Shims.expression(vec)
+    val aux = Shims.expression(lit(0.0))
+    model.router match {
+      case Some(r) if model.routed(r, nProbe) =>
+        Shims.column(graft.functions.RoutedNearestCentroidsF32(v, aux,
+          model.routerDataBc, r.oversample, nProbe))
+      case _ =>
+        Shims.column(graft.functions.NearestCentroids(v, aux,
+          model.centroids, nProbe))
+    }
+  }
+
   /** Leaf-pruned exact search over the persisted index. */
   def search(spark: SparkSession, path: String, model: Model,
       query: Array[Double], nProbe: Int, k: Int,
@@ -707,5 +764,87 @@ object IvfIndex {
       .agg(min(col("leaf_id")).as("leaf_id"), first(col("score")).as("score"))
       .orderBy(col("score").desc, col(id))
       .limit(k)
+  }
+
+  /** The FULL serving shape as a Scala API — everything the SQL E2E
+    * gate (`v_ann_sql_e2e`) expresses in text, row-for-row
+    * (ServingApiSpec): leaf-pruned candidates → restrict predicates
+    * (the reference's categorical/numeric filters,
+    * setup_vector_search.py:45-62 — plain `Column` predicates here,
+    * sitting directly on the scan so parquet pushes them to
+    * row-group granularity) → crowding cap per attribute value
+    * (CrowdingTag, setup_vector_search.py:65-67) → bounded-heap
+    * top-k → metadata join (the Firestore-lookup analog,
+    * firestore_ops.py:69).
+    *
+    * @param restricts predicates over the index table's own columns;
+    *        ANDed. Keep them on top-level columns so they reach
+    *        `PushedFilters`.
+    * @param crowding (attribute column, max results per value).
+    * @param metadata (metadata table, join key) — appended columns.
+    * Output: (id, metadata columns…, score, rank), rank 1-based by
+    * (score desc, id). Integral ids rank through the heap aggregate
+    * (k rows per partition reach the final reduce); other id types
+    * use the row-identical window form.
+    */
+  def searchDf(indexed: DataFrame, model: Model, query: Array[Double],
+      nProbe: Int, k: Int, id: String, vecCol: String,
+      restricts: Seq[Column], crowding: Option[(String, Int)],
+      metadata: Option[(DataFrame, String)]): DataFrame = {
+    val leaves = model.topLeaves(query, nProbe)
+    val qCol = typedLit(query.toSeq)
+    val idType = indexed.schema(id).dataType
+    val candidates = restricts.foldLeft(
+      indexed.filter(col("leaf_id").isin(leaves: _*)))(_.filter(_))
+    val crowdAttr = crowding.map(_._1).toSeq
+    val scored = candidates.select(
+      Seq(col(id), col("leaf_id"),
+        graft.functions.vectors.dotProduct(col(vecCol), qCol).as("score")) ++
+        crowdAttr.map(col): _*)
+    // collapse spill copies before crowding — a vector stored in two
+    // probed leaves is ONE candidate (same convention as the 7-arg form)
+    val aggs = Seq(first(col("score")).as("score")) ++
+      crowdAttr.map(a => first(col(a)).as(a))
+    val unique = scored.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    val crowded = crowding match {
+      case Some((attr, cap)) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(attr)).orderBy(col("score").desc, col(id))
+        unique.withColumn("__crn", row_number().over(w))
+          .filter(col("__crn") <= cap).drop("__crn")
+      case None => unique
+    }
+    val integral = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val ranked =
+      if (integral)
+        crowded.agg(graft.functions.TopKByScore.column(col("score"),
+            col(id).cast("long"), k).as("__topk"))
+          .select(posexplode(col("__topk")).as(Seq("__pos", "__t")))
+          .select(col("__t.id").cast(idType).as(id),
+            col("__t.score").as("score"),
+            (col("__pos") + 1).cast("bigint").as("rank"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col(id))
+        crowded.withColumn("rank", row_number().over(w).cast("bigint"))
+          .filter(col("rank") <= k)
+          .select(col(id), col("score"), col("rank"))
+      }
+    metadata match {
+      case Some((meta, key)) =>
+        val metaCols = meta.columns.filterNot(_ == key).toSeq
+        ranked.as("__r").join(meta.as("__m"),
+            col(s"__r.$id") === col(s"__m.$key"))
+          .select(col(s"__r.$id") +: metaCols.map(c => col(s"__m.$c")) ++:
+            Seq(col("__r.score"), col("__r.rank")): _*)
+          .orderBy("rank")
+      case None => ranked.orderBy("rank")
+    }
   }
 }

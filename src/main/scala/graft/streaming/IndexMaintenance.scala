@@ -61,9 +61,13 @@ object IndexMaintenance {
       spill: Int = 2): Unit = {
     val model = IvfIndex.load(spark, servePath)
     val layoutCols = spark.read.parquet(servePath).columns.sorted.toSeq
+    // probeExprF32: identical to probeExpr below the router threshold
+    // (exact flat branch); past it the assignment matrix is broadcast
+    // float32 — an upsert batch against a 10⁶-leaf index must not
+    // ship per-task double-matrix copies
     val assigned = batch
       .withColumn("leaf_id",
-        explode(IvfIndex.probeExpr(model,
+        explode(IvfIndex.probeExprF32(model,
           col(vecCol).cast("array<double>"), math.max(1, spill))))
     require(assigned.columns.sorted.toSeq == layoutCols,
       s"appendToServing: batch columns ${batch.columns.sorted.mkString(",")} " +

@@ -74,6 +74,44 @@ class RoutedProbeSpec extends SparkTestBase {
       "an all-NaN query must probe nothing (routed)")
   }
 
+  test("f32 routing expression: parity >= 0.99 with the double router, " +
+      "exact fallback when the router doesn't engage") {
+    val (centers, cents) = planted(40, 52, 12, 17L) // 2080 leaves
+    val router = IvfIndex.Router.build(cents)
+    val model = IvfIndex.Model(cents, router = Some(router))
+    assert(model.routed(router, 4))
+    val rnd = new scala.util.Random(53)
+    val queries = Seq.fill(60) {
+      val c = centers(rnd.nextInt(40))
+      Array.tabulate(12)(j => c(j) + rnd.nextGaussian())
+    } ++ Seq.fill(15)(Array.fill(12)(rnd.nextGaussian() * 10.0))
+    val df = queries.map(_.toSeq).toDF("qv")
+      .withColumn("a", IvfIndex.probeExpr(model, col("qv"), 4))
+      .withColumn("b", IvfIndex.probeExprF32(model, col("qv"), 4))
+    val (hit, n) = df
+      .selectExpr("size(array_intersect(a, b)) as hit", "size(a) as n")
+      .agg(sum(col("hit")), sum(col("n"))).head() match {
+        case r => (r.getLong(0), r.getLong(1))
+      }
+    assert(n == 4L * queries.length)
+    val parity = hit.toDouble / n
+    assert(parity >= 0.99, s"f32 routing parity $parity < 0.99")
+
+    // non-engaging router: probeExprF32 must dispatch to the EXACT
+    // flat expression — bit-identical lists, not just parity
+    val (_, smallCents) = planted(4, 8, 12, 37L)
+    val smallRouter = IvfIndex.Router(Array(smallCents(0), smallCents(1)),
+      Array.tabulate(32)(_ % 2))
+    val small = IvfIndex.Model(smallCents, router = Some(smallRouter))
+    assert(!small.routed(smallRouter, 4))
+    val exact = queries.take(10).map(_.toSeq).toDF("qv")
+      .withColumn("a", IvfIndex.probeExpr(small, col("qv"), 4))
+      .withColumn("b", IvfIndex.probeExprF32(small, col("qv"), 4))
+      .selectExpr("a = b as same").as[Boolean].collect()
+    assert(exact.forall(identity),
+      "fallback branch must be the exact flat expression")
+  }
+
   test("a non-engaging router falls back to the flat expression") {
     val (_, cents) = planted(4, 8, 12, 37L) // 32 leaves < target
     val router = IvfIndex.Router(Array(cents(0), cents(1)),

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.IvfIndex
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The Scala serving API must express everything the SQL E2E gate
+  * proves in text — same restricts, same crowding, same heap ranking,
+  * same metadata join, row-for-row — and restrict predicates must
+  * reach the parquet scan as pushed filters, not post-scan residuals
+  * (the reference's filtered-ANN semantics,
+  * setup_vector_search.py:45-62, at row-group granularity).
+  */
+class ServingApiSpec extends SparkTestBase {
+
+  test("searchDf with restricts/crowding/metadata == v_ann_sql_e2e, " +
+      "row for row") {
+    val emb = Tables.embeddings(spark, sf)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val query = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val model = IvfIndex.Model(cents.toArray)
+    // the same model-geometry assignment the E2E gate's written
+    // layout uses
+    val indexed = emb.withColumn("leaf_id",
+      IvfIndex.leafExprMinL2(col("embedding"), cents).cast("bigint"))
+
+    val api = IvfIndex.searchDf(indexed, model, query, nProbe = 2, k = 8,
+      id = "vec_id", vecCol = "embedding",
+      restricts = Seq(col("vec_id") =!= 7, col("vec_id") >= 10),
+      crowding = Some(("label", 2)),
+      metadata = Some((emb.select("vec_id", "label"), "vec_id")))
+      .collect().toSeq
+
+    val e2e = SparkEntry.queries("v_ann_sql_e2e")(spark, sf)
+      .collect().toSeq
+    assert(api == e2e,
+      s"API and SQL E2E diverge:\napi=$api\ne2e=$e2e")
+  }
+
+  test("restrict predicates land in the probed scan's PushedFilters") {
+    // the E2E gate reads the WRITTEN partitionBy(leaf_id) layout with
+    // restricts on a top-level column; those predicates must reach
+    // the parquet scan (row-group skipping), not survive only as a
+    // post-scan Filter
+    val df = SparkEntry.queries("v_ann_sql_e2e")(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    val idxScan = scans.find(
+      _.partitionFilters.exists(_.toString.contains("leaf_id")))
+      .getOrElse(fail("no partition-pruned index scan in the E2E plan"))
+    val pushed = idxScan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(vec_id,10)"),
+      s"restrict vec_id >= 10 not pushed: $pushed")
+    assert(pushed.contains("Not(EqualTo(vec_id,7))"),
+      s"restrict vec_id <> 7 not pushed: $pushed")
+  }
+
+  test("searchDf restricts reach PushedFilters over a written layout") {
+    // same assertion for the API path: filters composed by searchDf
+    // sit directly on the scan
+    val emb = Tables.embeddings(spark, sf)
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "embedding", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srvapi").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val q = (0 until 64).map(i => (i % 7).toDouble).toArray
+    val df = IvfIndex.searchDf(spark.read.parquet(dir), model, q,
+      nProbe = 3, k = 5, id = "vec_id", vecCol = "embedding",
+      restricts = Seq(col("label") === 3), crowding = None,
+      metadata = None)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }.headOption.getOrElse(fail("no file scan in the API plan"))
+    assert(scan.metadata.getOrElse("PushedFilters", "")
+      .contains("EqualTo(label,3)"),
+      s"restrict not pushed: ${scan.metadata.get("PushedFilters")}")
+    assert(scan.partitionFilters.exists(_.toString.contains("leaf_id")),
+      "probe In-list must stay a partition filter alongside restricts")
+  }
+}
