@@ -846,7 +846,59 @@ object ReferencePipeline {
       .limit(15)
   }
 
+  /** The Scala serving API (`IvfIndex.searchDf` with restricts +
+    * crowding + metadata join) driver-gated against the SAME oracle
+    * as `v_ann_sql_e2e`: one semantics, two surfaces. The API runs
+    * over the WRITTEN partitionBy(leaf_id) layout, so its restricts
+    * hit the scan as pushed filters and the probe list partition-
+    * prunes (plan-asserted in ServingApiSpec) — this gate pins the
+    * VALUES to the DuckDB oracle as well.
+    */
+  private val rServeApi = QueryDef.sqlChecked("r_serve_api")(
+    "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id = 7), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(cast(e.embedding as double[]), c.cv), c.cid) AS rn " +
+      "FROM embeddings e, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) WHERE rn <= 2), " +
+      "cand AS (SELECT e.vec_id, e.label, " +
+      "list_inner_product(cast(e.embedding as double[]), q.qv) AS score " +
+      "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid, q WHERE e.vec_id <> 7 AND e.vec_id >= 10), " +
+      "crowded AS (SELECT vec_id, label, score FROM (" +
+      "SELECT vec_id, label, score, row_number() OVER (" +
+      "PARTITION BY label ORDER BY score DESC, vec_id) AS crn FROM cand) WHERE crn <= 2), " +
+      "ranked AS (SELECT vec_id, label, score, row_number() OVER (" +
+      "ORDER BY score DESC, vec_id) AS rank FROM crowded) " +
+      "SELECT vec_id, label, score, cast(rank as bigint) AS rank " +
+      "FROM ranked WHERE rank <= 8 ORDER BY rank"
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val query = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val idxPath = E2eIdxCache.get(s, d, cents)
+    IvfIndex.searchDf(s.read.parquet(idxPath),
+      IvfIndex.Model(cents.toArray), query, nProbe = 2, k = 8,
+      id = "vec_id", vecCol = "embedding",
+      restricts = Seq(col("vec_id") =!= 7, col("vec_id") >= 10),
+      crowding = Some(("label", 2)),
+      metadata = Some((emb.select("vec_id", "label"), "vec_id")))
+  }
+
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
-    rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, vAnnBuild, vAnnIvf,
-    vAnnPipeline, vAnnSql, vAnnSqlE2e, vAnnRouted, vKnnJoin)
+    rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
+    vAnnBuild, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e, vAnnRouted,
+    vKnnJoin)
 }

@@ -115,6 +115,42 @@ object IndexMaintenance {
       .groupBy("leaf_id").count()
       .filter(col("count") > maxLeafSize)
 
+  /** Compact the serving layout IN PLACE: materialize the LWW resolve
+    * (superseded versions dropped), rewrite the same `partitionBy`
+    * layout with the SAME model, clear the delta registry. The cheap
+    * middle tier between appends and [[recluster]]: no re-fit, no
+    * re-assignment — leaves keep their centroids, reads go back to a
+    * plain pruned scan, and the delta's growth (the broadcast-size
+    * assumption in [[readServing]]) resets. Run it when the delta
+    * grows large but the leaf balance is still fine; [[recluster]]
+    * remains the answer when [[oversizedLeaves]] fires.
+    *
+    * Writes to a sibling directory and swaps via rename — never
+    * overwrites the path it is reading (the [[StreamUpdate.compact]]
+    * rationale: a cache-evicted partition recomputed mid-overwrite
+    * would read deleted files).
+    */
+  def compactServing(spark: SparkSession, servePath: String, id: String,
+      versionCol: String): Unit = {
+    val model = IvfIndex.load(spark, servePath)
+    val hadoopPath = new org.apache.hadoop.fs.Path(servePath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(servePath + ".compact-tmp")
+    readServing(spark, servePath, id, versionCol)
+      .write.mode("overwrite").partitionBy("leaf_id").parquet(tmp.toString)
+    IvfIndex.writeModel(spark, tmp.toString, model)
+    val old = new org.apache.hadoop.fs.Path(servePath + ".compact-old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(hadoopPath, old))
+      throw new java.io.IOException(
+        s"compactServing: cannot move $servePath aside")
+    if (!fs.rename(tmp, hadoopPath)) {
+      fs.rename(old, hadoopPath) // roll back
+      throw new java.io.IOException(s"compactServing: cannot install $tmp")
+    }
+    fs.delete(old, true)
+  }
+
   /** Resolve the live corpus (LWW per id). */
   def liveCorpus(spark: SparkSession, logPath: String, id: String,
       versionCol: String): DataFrame =

@@ -127,6 +127,45 @@ class IndexMaintenanceSpec extends SparkTestBase {
     // (exercised in the recluster test above)
   }
 
+  test("compactServing drops superseded versions and clears the delta; " +
+      "serving continues from the compacted layout") {
+    val serve = Files.createTempDirectory("ivf-srv5").toString + "/serve"
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val (indexed, model) = graft.operators.IvfIndex.build(
+      base, "vec_id", "v", 8)
+    graft.operators.IvfIndex.write(indexed, serve, model)
+    val v0 = base.filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0)
+    IndexMaintenance.appendToServing(spark, serve,
+      Seq((77770L, v0, 2), (1L, v0, 2)).toDF("vec_id", "v", "version"),
+      "vec_id", "v", "version")
+    val before = IndexMaintenance
+      .readServing(spark, serve, "vec_id", "version")
+      .select("vec_id", "version").collect().toSet
+
+    IndexMaintenance.compactServing(spark, serve, "vec_id", "version")
+
+    // delta gone: the layout itself IS the resolved state now
+    assert(!new java.io.File(serve, "_graft_delta").exists())
+    val plain = spark.read.parquet(serve)
+    assert(plain.filter(col("vec_id") === 1)
+      .select("version").distinct().collect().map(_.getInt(0)).toSeq
+      == Seq(2), "stale rows must be physically gone after compaction")
+    assert(IndexMaintenance.readServing(spark, serve, "vec_id", "version")
+      .select("vec_id", "version").collect().toSet == before,
+      "compaction must not change the served state")
+    // the sidecar survived the swap: the index still opens and serves,
+    // and further appends keep working
+    val reopened = graft.operators.IvfIndex.load(spark, serve)
+    assert(reopened.centroids.length == model.centroids.length)
+    IndexMaintenance.appendToServing(spark, serve,
+      Seq((77771L, v0, 3)).toDF("vec_id", "v", "version"),
+      "vec_id", "v", "version")
+    assert(IndexMaintenance.readServing(spark, serve, "vec_id", "version")
+      .filter(col("vec_id") === 77771L).count() > 0)
+  }
+
   test("appendToServing rejects a batch whose schema differs from the layout") {
     val serve = Files.createTempDirectory("ivf-srv4").toString + "/serve"
     val base = Tables.embeddings(spark, sf).select(col("vec_id"),
