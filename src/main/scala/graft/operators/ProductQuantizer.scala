@@ -119,4 +119,54 @@ object ProductQuantizer {
   def search(emb: DataFrame, idCol: String, vecCol: String,
       cb: Seq[Array[Double]], query: Array[Double], k: Int): DataFrame =
     searchCodes(encode(emb, idCol, vecCol, cb), idCol, cb, query, k)
+
+  /** Codebook sidecar format version — [[loadCodebook]] refuses a
+    * version it doesn't know rather than misreading it (same contract
+    * as the IVF model sidecar).
+    */
+  val CodebookFormatVersion = 1
+
+  /** The codebook sidecar lives UNDER the coded layout with a
+    * `_`-prefixed name (hidden from Spark's file listing, like the
+    * IVF `_graft_model` sidecar): a code table without its codebook
+    * is unreadable — codes are indices into it — so the two must
+    * travel together. 16 rows; no chunking needed.
+    */
+  def codebookDir(path: String): String = path + "/_graft_pq"
+
+  /** Persist the codebook next to the code table it encodes, so a
+    * fresh serving session can open the layout path alone and both
+    * ENCODE upserts and ADC-score queries ([[loadCodebook]]).
+    */
+  def writeCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String, cb: Seq[Array[Double]]): Unit = {
+    require(cb.length == NumCodes,
+      s"expected $NumCodes codebook rows, got ${cb.length}")
+    import spark.implicits._
+    cb.zipWithIndex.map { case (v, c) => (c, v.toSeq, CodebookFormatVersion) }
+      .toDF("code", "vec", "format_version")
+      .coalesce(1).write.mode("overwrite").parquet(codebookDir(path))
+  }
+
+  /** Reopen the codebook from a coded layout's own sidecar. Loud on a
+    * data-only path or an unknown format version.
+    */
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Array[Double]] = {
+    val dir = new org.apache.hadoop.fs.Path(codebookDir(path))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir),
+      s"no codebook sidecar at $dir — this layout's codes cannot be " +
+        "decoded or extended; write one with writeCodebook at build time")
+    val rows = spark.read.parquet(dir.toString).collect().sortBy(_.getInt(0))
+    val version = rows.head.getInt(2)
+    require(version == CodebookFormatVersion,
+      s"codebook sidecar format v$version at $dir; " +
+        s"this build reads v$CodebookFormatVersion")
+    require(rows.length == NumCodes &&
+        rows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      s"codebook sidecar at $dir is malformed: expected codes 0 until " +
+        s"$NumCodes, got ${rows.map(_.getInt(0)).mkString(",")}")
+    rows.map(_.getSeq[Double](1).toArray).toSeq
+  }
 }

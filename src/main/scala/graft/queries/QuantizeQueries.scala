@@ -199,6 +199,127 @@ object QuantizeQueries {
       .limit(10)
   }
 
+  /** The PQ-coded serving tier made DURABLE and INCREMENTAL — the
+    * code-resident index (`v_ivfpq_search`'s shape) as something a
+    * serving deployment can actually run: the coded layout is written
+    * with BOTH its sidecars (`_graft_model` centroids + `_graft_pq`
+    * codebook), reopened from the path alone, and upserts flow
+    * through `IndexMaintenance.appendCodedToServing` — assigned to
+    * existing leaves with the reloaded model and ENCODED with the
+    * reloaded codebook, no corpus access, no refit. The gate's top
+    * hit (id 90000, 2·v7 against query v7) did not exist at build
+    * time, and the build-time row of id 7 is superseded by a
+    * version-2 upsert (−v7): a stale read or a mis-encoded append
+    * changes the hash.
+    */
+  private val rServePq = QueryDef.sqlChecked("r_serve_pq")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v, 1 AS version " +
+      "FROM embeddings), " +
+      "up AS (SELECT 90000 AS vec_id, list_transform(v, x -> 2*x) AS v, 1 AS version " +
+      "FROM base WHERE vec_id = 7 " +
+      "UNION ALL SELECT 7, list_transform(v, x -> -x), 2 FROM base WHERE vec_id = 7), " +
+      "log AS (SELECT * FROM base UNION ALL SELECT * FROM up), " +
+      "delta AS (SELECT vec_id, max(version) AS latest FROM up GROUP BY vec_id), " +
+      "live AS (SELECT l.vec_id, l.v FROM log l " +
+      "LEFT JOIN delta d ON l.vec_id = d.vec_id " +
+      "WHERE d.latest IS NULL OR l.version = d.latest), " +
+      s"cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      s"WHERE vec_id IN (${PqIds.mkString(",")})), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id = 7), " +
+      "sub AS (SELECT unnest(range(0, 8)) AS s), " +
+      "dist AS (SELECT l.vec_id, s.s, cb.c, " +
+      "list_distance(l.v[s.s*8+1 : s.s*8+8], cv[s.s*8+1 : s.s*8+8]) AS d " +
+      "FROM live l CROSS JOIN sub s CROSS JOIN cb), " +
+      "code AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, " +
+      "row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM dist) " +
+      "WHERE rn = 1), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT l.vec_id, c.cid, row_number() OVER (PARTITION BY l.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(l.v, c.cv), c.cid) AS rn " +
+      "FROM live l, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) WHERE rn <= 2), " +
+      "term AS (SELECT code.vec_id, code.s, " +
+      "list_inner_product(q.qv[code.s*8+1 : code.s*8+8], " +
+      "cb.cv[code.s*8+1 : code.s*8+8]) AS t " +
+      "FROM code JOIN cb ON code.c = cb.c " +
+      "JOIN assign a ON code.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid CROSS JOIN q), " +
+      "piv AS (SELECT vec_id, " +
+      (0 until 8).map(i => s"max(CASE WHEN s = $i THEN t END) AS t$i")
+        .mkString(", ") +
+      " FROM term GROUP BY vec_id) " +
+      "SELECT vec_id, t0+t1+t2+t3+t4+t5+t6+t7 AS adc_score FROM piv " +
+      "ORDER BY adc_score DESC, vec_id LIMIT 10"
+  ) { (s, d) =>
+    import graft.operators.{IvfIndex, ProductQuantizer}
+    import graft.streaming.IndexMaintenance
+    graft.plans.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val cb = ProductQuantizer.codebook(emb, "vec_id", "embedding", PqIds)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val query = base.filter(col("vec_id") === 7)
+      .select(col("v")).head().getSeq[Double](0).toArray
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servepq_" + java.lang.Integer.toHexString(d.hashCode))
+    // fresh layout per run: appends are cumulative, and the gate must
+    // see exactly build + 1 upsert batch
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    // build-time write: top-1 assignment by the serving geometry
+    // (probeExpr take=1 — what appendCodedToServing's spill=1 uses),
+    // raw vectors dropped, codes + BOTH sidecars persisted
+    val coded = base
+      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 1)))
+      .withColumn("pq_code", ProductQuantizer.encodeExpr(col("v"), cb))
+      .drop("v")
+    IvfIndex.write(coded, servePath.toString, model)
+    ProductQuantizer.writeCodebook(s, servePath.toString, cb)
+
+    // upserts AFTER the build, through the coded serving path: model
+    // AND codebook are reloaded from the layout's own sidecars
+    val b1 = base.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(90000L))
+      .withColumn("v", transform(col("v"), x => x * 2))
+      .unionByName(base.filter(col("vec_id") === 7)
+        .withColumn("v", transform(col("v"), x => -x))
+        .withColumn("version", lit(2)))
+    IndexMaintenance.appendCodedToServing(s, servePath.toString, b1,
+      "vec_id", "v", "version")
+
+    // serve: open from disk, probe 2 leaves in SQL-rewrite form, LWW
+    // via the delta, ADC-score the STORED codes with the RELOADED
+    // codebook — no float corpus vector touched
+    val cb2 = ProductQuantizer.loadCodebook(s, servePath.toString)
+    graft.plans.IndexCatalog.drop("r_serve_pq")
+    graft.plans.IndexCatalog.open(s, "r_serve_pq", servePath.toString)
+    IndexMaintenance.readServing(s, servePath.toString, "vec_id", "version")
+      .filter(graft.plans.AnnPruning.probe("r_serve_pq",
+        col("leaf_id"), query.toSeq, 2))
+      .select(col("vec_id"),
+        ProductQuantizer.adcScoreExpr(col("pq_code"),
+          ProductQuantizer.adcTable(query, cb2)).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
-    vIvfPqSearch)
+    vIvfPqSearch, rServePq)
 }

@@ -78,6 +78,43 @@ object IndexMaintenance {
       .write.mode("append").parquet(deltaDir(servePath))
   }
 
+  /** [[appendToServing]] for a PQ-CODED layout (the memory-resident
+    * serving tier — `v_ivfpq_search`'s shape made durable): the batch
+    * arrives as raw vectors, is assigned to the EXISTING leaves with
+    * the model from the layout's `_graft_model` sidecar AND encoded
+    * to packed PQ codes with the codebook from its `_graft_pq`
+    * sidecar, then appended WITHOUT the raw vector — the layout stays
+    * 4 B/vector. Both sidecars reopen from the path alone, so a
+    * fresh serving session can take upserts with no corpus access and
+    * no refit; LWW rides the same delta registry as the raw layout.
+    *
+    * The frozen-codebook convention is PQ-standard (FAISS
+    * IndexIVFPQ.add encodes with the trained codebook): drift is
+    * handled by the periodic recluster/re-fit, not per batch.
+    */
+  def appendCodedToServing(spark: SparkSession, servePath: String,
+      batch: DataFrame, id: String, vecCol: String, versionCol: String,
+      spill: Int = 1): Unit = {
+    val model = IvfIndex.load(spark, servePath)
+    val cb = graft.operators.ProductQuantizer.loadCodebook(spark, servePath)
+    val layoutCols = spark.read.parquet(servePath).columns.sorted.toSeq
+    val v = col(vecCol).cast("array<double>")
+    val assigned = batch
+      .withColumn("leaf_id",
+        explode(IvfIndex.probeExprF32(model, v, math.max(1, spill))))
+      .withColumn("pq_code",
+        graft.operators.ProductQuantizer.encodeExpr(v, cb))
+      .drop(vecCol)
+    require(assigned.columns.sorted.toSeq == layoutCols,
+      s"appendCodedToServing: batch columns " +
+        s"${batch.columns.sorted.mkString(",")} encoded to " +
+        s"${assigned.columns.sorted.mkString(",")} do not match the " +
+        s"coded layout's ${layoutCols.mkString(",")}")
+    assigned.write.mode("append").partitionBy("leaf_id").parquet(servePath)
+    batch.select(col(id), col(versionCol).cast("long").as("version"))
+      .write.mode("append").parquet(deltaDir(servePath))
+  }
+
   /** Serving-time read of the layout: data rows with superseded
     * versions resolved away, last-write-wins against the delta
     * registry. The LWW authority is the DELTA (small by construction

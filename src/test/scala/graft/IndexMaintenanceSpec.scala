@@ -166,6 +166,71 @@ class IndexMaintenanceSpec extends SparkTestBase {
       .filter(col("vec_id") === 77771L).count() > 0)
   }
 
+  test("appendCodedToServing: a fresh session encodes upserts with the " +
+      "reloaded codebook; both sidecars reopen from the path alone") {
+    import graft.operators.{IvfIndex, ProductQuantizer}
+    val serve = Files.createTempDirectory("ivf-srvpq").toString + "/serve"
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val pqIds = (0 until 16).map(c => c * 31L + 5L)
+    val cb = ProductQuantizer.codebook(emb, "vec_id", "embedding", pqIds)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val coded = base
+      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 1)))
+      .withColumn("pq_code", ProductQuantizer.encodeExpr(col("v"), cb))
+      .drop("v")
+    IvfIndex.write(coded, serve, model)
+    ProductQuantizer.writeCodebook(spark, serve, cb)
+
+    // the codebook sidecar is invisible to data reads
+    assert(spark.read.parquet(serve).columns.sorted.toSeq ==
+      Seq("leaf_id", "pq_code", "vec_id", "version"))
+
+    // FRESH session: append through the coded path — model and
+    // codebook must come from the sidecars, not this session's state
+    val s2 = spark.newSession()
+    val q = base.filter(col("vec_id") === 3)
+      .select("v").head().getSeq[Double](0)
+    val batch = Seq((88880L, q.map(_ * 2), 1)).toDF("vec_id", "v", "version")
+    IndexMaintenance.appendCodedToServing(s2, serve, batch,
+      "vec_id", "v", "version")
+
+    // the appended code equals what the build-time codebook encodes
+    val expectCode = Seq((0L, q.map(_ * 2))).toDF("vec_id", "v")
+      .select(ProductQuantizer.encodeExpr(col("v"), cb).as("c"))
+      .head().getLong(0)
+    val gotRow = s2.read.parquet(serve).filter(col("vec_id") === 88880L)
+      .select("pq_code", "leaf_id").head()
+    assert(gotRow.getLong(0) == expectCode,
+      "append must encode with the PERSISTED codebook")
+    // and the leaf is the model's own top-1 for that vector
+    val loaded = IvfIndex.load(s2, serve)
+    assert(gotRow.getInt(1) == loaded.topLeaves(q.map(_ * 2).toArray, 1).head)
+
+    // ADC search over the served codes finds the upsert
+    val cb2 = ProductQuantizer.loadCodebook(s2, serve)
+    assert(cb2.zip(cb).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    val hits = ProductQuantizer.searchCodes(
+      IndexMaintenance.readServing(s2, serve, "vec_id", "version"),
+      "vec_id", cb2, q.toArray, 1000)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hits.contains(88880L), "upserted coded vector must be servable")
+
+    // a data-only path (no _graft_pq) fails loudly
+    val bare = Files.createTempDirectory("ivf-srvpq2").toString + "/bare"
+    IvfIndex.write(coded, bare, model)
+    val ex = intercept[IllegalArgumentException] {
+      IndexMaintenance.appendCodedToServing(spark, bare, batch,
+        "vec_id", "v", "version")
+    }
+    assert(ex.getMessage.contains("codebook sidecar"))
+  }
+
   test("appendToServing rejects a batch whose schema differs from the layout") {
     val serve = Files.createTempDirectory("ivf-srv4").toString + "/serve"
     val base = Tables.embeddings(spark, sf).select(col("vec_id"),
