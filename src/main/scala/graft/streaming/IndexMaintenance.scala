@@ -176,6 +176,13 @@ object IndexMaintenance {
     readServing(spark, servePath, id, versionCol)
       .write.mode("overwrite").partitionBy("leaf_id").parquet(tmp.toString)
     IvfIndex.writeModel(spark, tmp.toString, model)
+    // a CODED layout carries a second sidecar — the codebook travels
+    // with the codes or the compacted layout is unreadable
+    val pq = new org.apache.hadoop.fs.Path(
+      graft.operators.ProductQuantizer.codebookDir(servePath))
+    if (fs.exists(pq))
+      graft.operators.ProductQuantizer.writeCodebook(spark, tmp.toString,
+        graft.operators.ProductQuantizer.loadCodebook(spark, servePath))
     val old = new org.apache.hadoop.fs.Path(servePath + ".compact-old")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(hadoopPath, old))

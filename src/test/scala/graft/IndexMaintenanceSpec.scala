@@ -229,6 +229,21 @@ class IndexMaintenanceSpec extends SparkTestBase {
         "vec_id", "v", "version")
     }
     assert(ex.getMessage.contains("codebook sidecar"))
+
+    // compaction of a CODED layout: the codebook sidecar must travel
+    // with the codes through the rename swap, and the coded serving
+    // path must keep working afterwards
+    IndexMaintenance.compactServing(s2, serve, "vec_id", "version")
+    assert(!new java.io.File(serve, "_graft_delta").exists())
+    val cbAfter = ProductQuantizer.loadCodebook(s2, serve)
+    assert(cbAfter.zip(cb).forall {
+      case (a, b) => java.util.Arrays.equals(a, b)
+    }, "codebook must survive compaction")
+    IndexMaintenance.appendCodedToServing(s2, serve,
+      Seq((88881L, q.map(_ * 3), 1)).toDF("vec_id", "v", "version"),
+      "vec_id", "v", "version")
+    assert(IndexMaintenance.readServing(s2, serve, "vec_id", "version")
+      .filter(col("vec_id") === 88881L).count() == 1)
   }
 
   test("appendToServing rejects a batch whose schema differs from the layout") {
