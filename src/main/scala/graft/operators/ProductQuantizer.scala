@@ -120,6 +120,150 @@ object ProductQuantizer {
       cb: Seq[Array[Double]], query: Array[Double], k: Int): DataFrame =
     searchCodes(encode(emb, idCol, vecCol, cb), idCol, cb, query, k)
 
+  /** TRAINED codebooks: per-subspace Lloyd's over a bounded
+    * deterministic sample — the actual PQ objective (minimize
+    * per-subspace reconstruction error, Jégou §II) instead of the 16
+    * fixed corpus rows the hash gates use for SQL replicability. The
+    * result is assembled back into the SAME representation (16
+    * full-dim rows, row c = the concatenation of each subspace's
+    * entry c), so [[encodeExpr]], [[adcTable]], [[writeCodebook]] and
+    * the serving tier are untouched; fixed vs trained is purely a
+    * quality choice at build time.
+    *
+    * Deterministic end to end: hash-sampled rows (same predicate
+    * family as the index build's fit sample), id-sorted, seeded
+    * farthest-point init, fixed iteration count — two trains over the
+    * same data are bit-identical (spec'd), which is what makes a
+    * trained codebook safe to persist beside a reproducible index.
+    *
+    * Scale shape: ONE bounded collect (≤ `maxSample` rows); Lloyd's
+    * runs on the driver over ≤ maxSample×dim doubles (k=16 per
+    * subspace — trivial); encode stays a distributed codegen map.
+    */
+  def trainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      maxSample: Int = 20000, iters: Int = 10): Seq[Array[Double]] = {
+    val n = emb.count()
+    val sampled =
+      if (n <= maxSample) emb
+      else emb.filter(
+        pmod(xxhash64(col(idCol)), lit(1000000L)) <
+          lit((maxSample.toLong * 1000000L) / n))
+    val rows = sampled
+      .select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
+      .collect().sortBy(_.getString(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(rows.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val dim = rows.head.length
+    require(dim == NumSub * SubDim,
+      s"expected ${NumSub * SubDim}-dim vectors, got $dim")
+    val out = Array.fill(NumCodes)(new Array[Double](dim))
+    var s = 0
+    while (s < NumSub) {
+      val slices = rows.map(_.slice(s * SubDim, s * SubDim + SubDim))
+      val cents = lloyd(slices, NumCodes, iters)
+      var c = 0
+      while (c < NumCodes) {
+        System.arraycopy(cents(c), 0, out(c), s * SubDim, SubDim)
+        c += 1
+      }
+      s += 1
+    }
+    out.toSeq
+  }
+
+  /** Deterministic k-means for one subspace: farthest-point init
+    * (same scheme as the router's super-centroid fit) + fixed Lloyd
+    * rounds; empty clusters re-seed from the farthest point, ties
+    * break on the lowest index.
+    */
+  private def lloyd(xs: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val d = xs.head.length
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < d) { val t = a(j) - b(j); s += t * t; j += 1 }
+      s
+    }
+    val kk = math.min(k, xs.length)
+    val cents = new Array[Array[Double]](kk)
+    cents(0) = xs(0).clone()
+    val best = Array.fill(xs.length)(Double.PositiveInfinity)
+    var c = 1
+    while (c < kk) {
+      var i = 0
+      while (i < xs.length) {
+        val dd = dist2(xs(i), cents(c - 1))
+        if (dd < best(i)) best(i) = dd
+        i += 1
+      }
+      var far = 0; var fd = -1.0; i = 0
+      while (i < xs.length) {
+        if (best(i) > fd) { fd = best(i); far = i }
+        i += 1
+      }
+      cents(c) = xs(far).clone()
+      c += 1
+    }
+    val assign = new Array[Int](xs.length)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < xs.length) {
+        var bc = 0; var bd = Double.PositiveInfinity; var cc = 0
+        while (cc < kk) {
+          val dd = dist2(xs(i), cents(cc))
+          if (dd < bd) { bd = dd; bc = cc }
+          cc += 1
+        }
+        assign(i) = bc
+        i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](d))
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < xs.length) {
+        val a = assign(i); counts(a) += 1
+        var j = 0
+        while (j < d) { sums(a)(j) += xs(i)(j); j += 1 }
+        i += 1
+      }
+      var cc = 0
+      while (cc < kk) {
+        if (counts(cc) > 0) {
+          var j = 0
+          while (j < d) { cents(cc)(j) = sums(cc)(j) / counts(cc); j += 1 }
+        }
+        cc += 1
+      }
+      it += 1
+    }
+    // pad degenerate k with copies of the last centroid (encode's
+    // lowest-code tie-break keeps duplicates harmless)
+    if (kk < k) cents.take(kk) ++ Array.fill(k - kk)(cents(kk - 1).clone())
+    else cents
+  }
+
+  /** Mean PQ reconstruction error (the training objective): per row,
+    * Σ over subspaces of the CHOSEN entry's squared distance — the
+    * same per-subspace argmin [[encodeExpr]] takes, summed instead of
+    * packed. One aggregate, no shuffle beyond it.
+    */
+  def reconstructionError(emb: DataFrame, vecCol: String,
+      cb: Seq[Array[Double]]): Double = {
+    require(cb.length == NumCodes, s"expected $NumCodes codebook rows")
+    val v = col(vecCol).cast("array<double>")
+    val err = (0 until NumSub).map { s =>
+      val dists = array(cb.map { c =>
+        val e = graft.functions.vectors.l2Distance(
+          slice(v, s * SubDim + 1, SubDim),
+          typedLit(c.slice(s * SubDim, s * SubDim + SubDim).toSeq))
+        e * e
+      }: _*)
+      array_min(dists)
+    }.reduce(_ + _)
+    emb.agg(avg(err)).head().getDouble(0)
+  }
+
   /** Codebook sidecar format version — [[loadCodebook]] refuses a
     * version it doesn't know rather than misreading it (same contract
     * as the IVF model sidecar).

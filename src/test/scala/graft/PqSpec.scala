@@ -31,6 +31,46 @@ class PqSpec extends SparkTestBase {
     assert(overlap >= 3, s"ADC/exact top-10 overlap fell to $overlap")
   }
 
+  test("trained codebooks beat fixed rows on the PQ objective and are " +
+      "deterministic, drop-in replacements") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val fixed = ProductQuantizer.codebook(emb, "vec_id", "embedding", ids)
+    val trained = ProductQuantizer.trainCodebooks(emb, "vec_id", "embedding")
+    // Lloyd's minimizes exactly what reconstructionError measures; 16
+    // arbitrary corpus rows don't — trained must be strictly better
+    val errFixed = ProductQuantizer.reconstructionError(emb, "embedding", fixed)
+    val errTrained = ProductQuantizer
+      .reconstructionError(emb, "embedding", trained)
+    assert(errTrained < errFixed,
+      s"trained $errTrained should beat fixed $errFixed")
+    info(f"mean reconstruction error: fixed $errFixed%.4f, " +
+      f"trained $errTrained%.4f (${errFixed / errTrained}%.2fx)")
+    // deterministic: a re-train over the same data is bit-identical
+    // (what makes a trained codebook safe to persist beside a
+    // reproducible index)
+    val again = ProductQuantizer.trainCodebooks(emb, "vec_id", "embedding")
+    assert(trained.zip(again).forall {
+      case (a, b) => java.util.Arrays.equals(a, b)
+    })
+    // drop-in: same representation → encode, ADC search, and the
+    // sidecar round-trip all work unchanged
+    val query = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val adc = ProductQuantizer
+      .search(emb, "vec_id", "embedding", trained, query, 10)
+      .select("vec_id").as[Long].collect()
+    assert(adc.nonEmpty)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_train").toString + "/idx"
+    emb.limit(1).select("vec_id").write.parquet(dir) // a data stub to anchor the path
+    ProductQuantizer.writeCodebook(spark, dir, trained)
+    val loaded = ProductQuantizer.loadCodebook(spark, dir)
+    assert(loaded.zip(trained).forall {
+      case (a, b) => java.util.Arrays.equals(a, b)
+    })
+  }
+
   test("ADC score of a codebook row equals the exact dot product") {
     // a codebook row encodes to itself per subspace, so its ADC score
     // reconstructs the true dot(query, row) EXACTLY — the identity
