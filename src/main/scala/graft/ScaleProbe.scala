@@ -109,8 +109,12 @@ object ScaleProbe {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       v.count()
       var t0 = System.nanoTime()
-      val (indexed, model) = graft.operators.IvfIndex.build(v, "vec_id",
-        "embedding", numLeaves = leaves0, maxLeafSize = maxLeaf,
+      // the hierarchical fit IS the large-build path: one-shot k-means
+      // at k >= ~10^4 grinds in MLlib's driver-local init (measured
+      // >30 min at k=12288 before being killed), ~sqrt(L) supers then
+      // per-super leaf fits take minutes
+      val (indexed, model) = graft.operators.IvfIndex.buildTwoLevel(v,
+        "vec_id", "embedding", numLeaves = leaves0, maxLeafSize = maxLeaf,
         maxFitRows = 20000L)
       val L = model.centroids.length
       val tBuild = (System.nanoTime() - t0) / 1e9

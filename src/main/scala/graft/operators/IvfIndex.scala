@@ -399,6 +399,78 @@ object IvfIndex {
       maxLeafSize: Int = DefaultMaxLeafSize, spill: Int = 2,
       maxSplitRounds: Int = 3): (DataFrame, Model) = {
     require(maxLeafSize > 0, s"maxLeafSize must be positive, got $maxLeafSize")
+    val (aug, n) = augmented(emb, vecCol)
+    try {
+      val cents0: Vector[Array[Double]] =
+        fitCentroids(aug, id, numLeaves, n, seed, maxIter, maxFitRows).toVector
+      finishBuild(aug, id, cents0, n, seed, maxIter, maxFitRows,
+        maxLeafSize, spill, maxSplitRounds)
+    } finally { aug.unpersist(); () }
+  }
+
+  /** Hierarchical fit for LARGE leaf counts — the scale sibling of
+    * [[build]]. A single k-means at k ≥ ~10⁴ is not viable: MLlib's
+    * k-means|| init runs a driver-LOCAL k-means over ~2k·steps
+    * candidate points at full k (measured: a 250k-vector, k=12288
+    * one-shot fit ground >30 min on 32 cores before being killed,
+    * while this path fits the same corpus in minutes), and the fit
+    * cost grows with k even when the sample doesn't. So fit the way
+    * the index ROUTES: ~√L super-centroids first (small k, cheap),
+    * partition the corpus by super, then fit each super's share of
+    * the leaves independently — g concurrent small fits of k ≈ √L
+    * each, every one over a bounded sample. Everything downstream
+    * (assignment, leaf bound + splits, router, stats, sidecar) is the
+    * SAME code as [[build]] via [[finishBuild]].
+    *
+    * `numLeaves` is a target: each super gets round(share · L)
+    * leaves, so the total can differ by rounding. Deterministic like
+    * [[build]] (hash samples, canonical fit layout, per-super seeds).
+    */
+  def buildTwoLevel(emb: DataFrame, id: String, vecCol: String,
+      numLeaves: Int, seed: Long = 42L, maxIter: Int = 10,
+      maxFitRows: Long = 100000L, maxLeafSize: Int = DefaultMaxLeafSize,
+      spill: Int = 2, maxSplitRounds: Int = 3,
+      numGroups: Int = 0): (DataFrame, Model) = {
+    require(maxLeafSize > 0, s"maxLeafSize must be positive, got $maxLeafSize")
+    require(numLeaves >= 4, s"buildTwoLevel needs numLeaves >= 4, got " +
+      s"$numLeaves — use build() for tiny indexes")
+    val (aug, n) = augmented(emb, vecCol)
+    try {
+      val g = if (numGroups > 0) numGroups
+        else math.max(2, math.ceil(math.sqrt(numLeaves.toDouble)).toInt)
+      val supers = fitCentroids(aug, id, g, n, seed, maxIter, maxFitRows)
+      val grouped = withAssignments(aug, supers, 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // per-super row counts: g ≈ √L keys — a bounded driver map
+        val counts = grouped.groupBy("__l1").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val subFits = counts.keys.toSeq.sorted.map { s =>
+          val ns = counts(s)
+          val ks = math.max(1L,
+            math.min(ns, math.round(numLeaves.toDouble * ns / n))).toInt
+          // a share that rounds to ONE leaf needs no fit: the super
+          // centroid (already the region's fitted center, and
+          // deterministic) IS that leaf. MLlib also refuses k=1.
+          if (ks <= 1) Future.successful(Array(supers(s)))
+          else Future(fitCentroids(grouped.filter(col("__l1") === s), id, ks,
+            ns, seed + 1000003L * (s + 1), maxIter, maxFitRows))
+        }
+        val cents0 = Await.result(Future.sequence(subFits),
+          scala.concurrent.duration.Duration.Inf).flatten.toVector
+        finishBuild(aug, id, cents0, n, seed, maxIter, maxFitRows,
+          maxLeafSize, spill, maxSplitRounds)
+      } finally { grouped.unpersist(); () }
+    } finally { aug.unpersist(); () }
+  }
+
+  /** Shared build prep: cast + norm pass, empty/finiteness gates, the
+    * MIPS augmentation, one persisted DataFrame. Returns (augmented
+    * corpus, row count); the CALLER unpersists.
+    */
+  private def augmented(emb: DataFrame, vecCol: String): (DataFrame, Long) = {
     val withNorm = emb
       .withColumn("__v", col(vecCol).cast("array<double>"))
       .withColumn("__n2", aggregate(col("__v"), lit(0.0), (a, x) => a + x * x))
@@ -423,9 +495,19 @@ object IvfIndex {
       .withColumn("__features",
         array_to_vector(concat(col("__v"), array(col("__aux")))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var cents: Vector[Array[Double]] =
-        fitCentroids(aug, id, numLeaves, n, seed, maxIter, maxFitRows).toVector
+    (aug, n)
+  }
+
+  /** Everything after the initial centroid fit, shared verbatim by
+    * [[build]] and [[buildTwoLevel]]: assignment, leaf-bound split
+    * rounds, degenerate hash sub-split, stats, router attach.
+    */
+  private def finishBuild(aug: DataFrame, id: String,
+      cents0: Vector[Array[Double]], n: Long, seed: Long, maxIter: Int,
+      maxFitRows: Long, maxLeafSize: Int, spill: Int,
+      maxSplitRounds: Int): (DataFrame, Model) = {
+    {
+      var cents: Vector[Array[Double]] = cents0
       val effSpill = math.min(spill, 2)
 
       // Per-leaf size summary in ONE aggregation pass, with the
@@ -549,7 +631,7 @@ object IvfIndex {
         if (cents.length >= Router.MinLeaves) Some(Router.build(cents.toArray))
         else None
       (indexed, Model(cents.toArray, BuildStats(n, nRows, maxLeafRows), router))
-    } finally { aug.unpersist(); () }
+    }
   }
 
   /** Map-side leaf assignment against FIXED (d-dim) centroids by max

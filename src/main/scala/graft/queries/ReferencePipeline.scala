@@ -177,6 +177,56 @@ object ReferencePipeline {
         "artifact_rows_ok", "sidecar_ok")
   }
 
+  /** Hierarchical (two-level-fit) IVF build — the LARGE-leaf-count
+    * build path, correctness-gated on the same invariants as
+    * `v_ann_build`. [[IvfIndex.buildTwoLevel]] fits ~√L super-centroids
+    * first, partitions the corpus by super, then fits each super's
+    * share of the leaves independently; a one-shot k-means at
+    * k ≥ ~10⁴ is not viable (MLlib's k-means|| init runs a
+    * driver-local k-means at full k — measured >30 min at k=12 288
+    * where the hierarchical fit takes minutes, PERF §round-7).
+    * Gate invariants, all emitted as checked flags so a regression
+    * hash-mismatches the oracle:
+    * leaf count lands within 2× of the target (per-super share
+    * rounding makes `numLeaves` a target, not an exact count), the
+    * leaf-size bound holds exactly, top-2 spill stores exactly 2 rows
+    * per vector, every vector is reachable (distinct-id coverage),
+    * and an all-leaf probe ranks the query's own vector first
+    * (searchability through the SAME assignment the one-level build
+    * uses — buildTwoLevel shares finishBuild verbatim).
+    */
+  private val vAnnBuild2 = QueryDef.sqlChecked("v_ann_build2")(
+    "SELECT cast(count(*) as bigint) AS n_vectors, " +
+      "cast(2 * count(*) as bigint) AS n_rows, " +
+      "cast(1 as bigint) AS leaf_count_ok, " +
+      "cast(1 as bigint) AS leaf_bound_ok, " +
+      "cast(1 as bigint) AS coverage_ok, " +
+      "cast(1 as bigint) AS self_hit_ok FROM embeddings"
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val (indexed, model) = IvfIndex.buildTwoLevel(emb, "vec_id",
+      "embedding", numLeaves = 16, maxLeafSize = 500)
+    val idx = indexed.cache()
+    try {
+      val st = model.stats
+      val l = model.centroids.length
+      val coverage = idx.select("vec_id").distinct().count()
+      val q = emb.filter(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val selfHit = IvfIndex.searchDf(idx, model, q, nProbe = l, k = 1,
+        "vec_id", "embedding").select("vec_id").as[Long].head() == 7L
+      Seq((st.nVectors, st.nRows,
+        if (l >= 8 && l <= 32) 1L else 0L,
+        if (st.maxLeafRows <= 500) 1L else 0L,
+        if (coverage == st.nVectors) 1L else 0L,
+        if (selfHit) 1L else 0L))
+        .toDF("n_vectors", "n_rows", "leaf_count_ok", "leaf_bound_ok",
+          "coverage_ok", "self_hit_ok")
+    } finally { idx.unpersist(); () }
+  }
+
   /** IVF ANN probe (Tree-AH analog), gate-visible RECALL BOUND:
     * k-means assignment isn't SQL-expressible, so the check is mean
     * recall@10 over a fixed batch of 20 query vectors vs exact kNN —
@@ -899,6 +949,6 @@ object ReferencePipeline {
 
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
-    vAnnBuild, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e, vAnnRouted,
-    vKnnJoin)
+    vAnnBuild, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
+    vAnnRouted, vKnnJoin)
 }

@@ -78,4 +78,42 @@ class IvfBoundSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("empty corpus"))
   }
+
+  test("buildTwoLevel: hierarchical fit honors the same contract as " +
+      "build — bound, spill, determinism, searchable") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val bound = 40
+    val (indexed, model) = IvfIndex.buildTwoLevel(emb, "vec_id",
+      "embedding", numLeaves = 24, maxLeafSize = bound)
+    val idx = indexed.cache()
+    try {
+      // numLeaves is a target under per-super rounding; the leaf
+      // count must land near it and the bound must hold exactly
+      assert(model.centroids.length >= 12 &&
+        model.centroids.length <= 64,
+        s"got ${model.centroids.length} leaves for a 24-leaf target")
+      assert(maxLeafSize(idx) <= bound)
+      assert(idx.select("vec_id").distinct().count() == n)
+      assert(idx.count() == 2 * n) // spill=2 stores each vector twice
+      assert(model.stats.nVectors == n)
+      // deterministic: a rebuild over a different partition layout is
+      // bit-identical (same hash samples, canonical fit layout,
+      // per-super seeds)
+      val (_, m2) = IvfIndex.buildTwoLevel(emb.repartition(13), "vec_id",
+        "embedding", numLeaves = 24, maxLeafSize = bound)
+      assert(model.centroids.map(_.toSeq).toSeq ==
+        m2.centroids.map(_.toSeq).toSeq)
+      // the index it produces serves: exact-in-probed-leaves search
+      // over ALL leaves reaches every vector (same contract the
+      // degenerate-build test pins for build())
+      val q = emb.filter(col("vec_id") === 7)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val probed = IvfIndex.searchDf(idx, model, q,
+        nProbe = model.centroids.length, k = 10, "vec_id", "embedding")
+        .select("vec_id").as[Long].collect()
+      assert(probed.head == 7L, "the query's own vector must rank first")
+    } finally { idx.unpersist(); () }
+  }
 }
