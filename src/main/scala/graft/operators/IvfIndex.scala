@@ -390,15 +390,33 @@ object IvfIndex {
     km.fit(canonical).clusterCenters.map(_.toArray)
   }
 
+  /** Past this leaf count [[build]] dispatches to the hierarchical
+    * fit: MLlib's one-shot k-means grinds in its driver-local init
+    * well before this k (>30 min at k=12 288, minutes hierarchically)
+    * and only gets worse, while at/below it the one-shot fit is both
+    * fast and the long-standing hash-gated behavior (every registry
+    * build uses k ≤ 48, far under the threshold by construction).
+    */
+  val TwoLevelFitThreshold = 4096
+
   /** Fit + assign + bound. Returns (corpus exploded to one row per
     * (vector, assigned leaf) — 2 rows per vector, `leaf_id` column —
     * and the final model).
+    *
+    * Leaf counts at or past [[TwoLevelFitThreshold]] dispatch to
+    * [[buildTwoLevel]] — the one-shot fit is a measured scale wall
+    * there, and a caller asking for 10⁵ leaves should get the path
+    * that can build them. `numLeaves` becomes a rounding target under
+    * that dispatch (see [[buildTwoLevel]]).
     */
   def build(emb: DataFrame, id: String, vecCol: String, numLeaves: Int,
       seed: Long = 42L, maxIter: Int = 10, maxFitRows: Long = 100000L,
       maxLeafSize: Int = DefaultMaxLeafSize, spill: Int = 2,
       maxSplitRounds: Int = 3): (DataFrame, Model) = {
     require(maxLeafSize > 0, s"maxLeafSize must be positive, got $maxLeafSize")
+    if (numLeaves >= TwoLevelFitThreshold)
+      return buildTwoLevel(emb, id, vecCol, numLeaves, seed, maxIter,
+        maxFitRows, maxLeafSize, spill, maxSplitRounds)
     val (aug, n) = augmented(emb, vecCol)
     try {
       val cents0: Vector[Array[Double]] =
@@ -422,9 +440,11 @@ object IvfIndex {
     * (assignment, leaf bound + splits, router, stats, sidecar) is the
     * SAME code as [[build]] via [[finishBuild]].
     *
-    * `numLeaves` is a target: each super gets round(share · L)
-    * leaves, so the total can differ by rounding. Deterministic like
-    * [[build]] (hash samples, canonical fit layout, per-super seeds).
+    * `numLeaves` is a target: it is clamped to the corpus size (more
+    * leaves than vectors is degenerate), and each super gets
+    * round(share · L) leaves, so the total can differ by rounding.
+    * Deterministic like [[build]] (hash samples, canonical fit
+    * layout, per-super seeds).
     */
   def buildTwoLevel(emb: DataFrame, id: String, vecCol: String,
       numLeaves: Int, seed: Long = 42L, maxIter: Int = 10,
@@ -436,10 +456,15 @@ object IvfIndex {
       s"$numLeaves — use build() for tiny indexes")
     val (aug, n) = augmented(emb, vecCol)
     try {
+      // more leaves than vectors is degenerate (empty leaves carry
+      // routing cost for nothing); clamp the target so sub-fit k
+      // never exceeds its group's row count
+      val targetL = math.min(numLeaves.toLong, n).toInt
       val g = if (numGroups > 0) numGroups
-        else math.max(2, math.ceil(math.sqrt(numLeaves.toDouble)).toInt)
+        else math.max(2, math.ceil(math.sqrt(targetL.toDouble)).toInt)
       val supers = fitCentroids(aug, id, g, n, seed, maxIter, maxFitRows)
-      val grouped = withAssignments(aug, supers, 1)
+      val grouped = withAssignments(aug,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(supers), 1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // per-super row counts: g ≈ √L keys — a bounded driver map
@@ -450,7 +475,7 @@ object IvfIndex {
         val subFits = counts.keys.toSeq.sorted.map { s =>
           val ns = counts(s)
           val ks = math.max(1L,
-            math.min(ns, math.round(numLeaves.toDouble * ns / n))).toInt
+            math.min(ns, math.round(targetL.toDouble * ns / n))).toInt
           // a share that rounds to ONE leaf needs no fit: the super
           // centroid (already the region's fitted center, and
           // deterministic) IS that leaf. MLlib also refuses k=1.
@@ -661,6 +686,33 @@ object IvfIndex {
         vec, typedLit(c.toSeq))
     }: _*)
     array_position(scores, array_min(scores)) - 1
+  }
+
+  /** Fit k sub-centroids INSIDE one leaf for an incremental split
+    * ([[graft.streaming.IndexMaintenance.rebalanceOverflow]]): a
+    * bounded-sample k-means over the leaf's raw vectors, each fitted
+    * centroid re-augmented with the PARENT's aux component. Subs
+    * therefore differ only in the data dimensions — the region keeps
+    * the parent's external ranking position (which queries reach it)
+    * while subdividing internally with exact d-dim geometry — and no
+    * build-time max-norm is needed (the layout does not store one).
+    * Nearest-sub assignment over raw vectors via [[leafExprMinL2]] is
+    * EXACT under this convention: the shared aux component adds the
+    * same constant to every sub's score. The periodic
+    * [[graft.streaming.IndexMaintenance.recluster]] re-fits the
+    * augmentation exactly; this is the localized approximation in
+    * between, same trade as the build's degenerate hash sub-split
+    * (centroid copies rank adjacently).
+    */
+  private[graft] def splitLeafCentroids(leafRows: DataFrame, id: String,
+      vecCol: String, parent: Array[Double], k: Int, n: Long, seed: Long,
+      maxFitRows: Long = 100000L): Array[Array[Double]] = {
+    val feat = leafRows
+      .withColumn("__v", col(vecCol).cast("array<double>"))
+      .withColumn("__features",
+        array_to_vector(concat(col("__v"), array(lit(0.0)))))
+    fitCentroids(feat, id, k, n, seed, maxIter = 5, maxFitRows)
+      .map { c => c(c.length - 1) = parent(parent.length - 1); c }
   }
 
   /** Persist the index clustered by leaf — leaf scan = partition scan.

@@ -227,6 +227,92 @@ object ReferencePipeline {
     } finally { idx.unpersist(); () }
   }
 
+  /** Incremental leaf rebalance of a SERVED index, gate-visible —
+    * the maintenance tier between the `oversizedLeaves` signal and a
+    * full recluster ([[graft.streaming.IndexMaintenance
+    * .rebalanceOverflow]]): build a small served layout, push 40
+    * naturally-spread upserts through `appendToServing` (sidecar
+    * model, no rebuild), then split ONLY the overflowed leaves in
+    * place — localized sub-fits, dynamic partition overwrite of the
+    * affected directories, sidecar rewritten with the split model.
+    * The k-means sub-fits aren't SQL-expressible, so the oracle
+    * checks INVARIANTS as flags (a regression in any flips the hash):
+    * overflow existed before, the bound holds after, no rows were
+    * created or lost, id coverage is intact, and a fresh session
+    * reopening the path finds both an original vector and its
+    * appended-then-rebalanced near-copy. Fixed 250-vector subset so
+    * the gate costs the same at every sf.
+    */
+  private val rRebalance = QueryDef.sqlChecked("r_rebalance")(
+    "SELECT cast(count(*) as bigint) AS n_base, " +
+      "cast(40 as bigint) AS n_appended, " +
+      "cast(1 as bigint) AS overflow_before_ok, " +
+      "cast(1 as bigint) AS bound_after_ok, " +
+      "cast(1 as bigint) AS rows_ok, " +
+      "cast(1 as bigint) AS coverage_ok, " +
+      "cast(1 as bigint) AS search_ok " +
+      "FROM embeddings WHERE vec_id < 250"
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.IndexMaintenance
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 250)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_rebal_" + java.lang.Integer.toHexString(d.hashCode))
+    // fresh layout per run: appends are cumulative, and the gate must
+    // see exactly build + one appended batch
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val (indexed, model) = IvfIndex.build(base, "vec_id", "v", 4)
+    IvfIndex.write(indexed, servePath.toString, model)
+
+    val donors = base.filter(col("vec_id") < 40)
+      .select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val appends = Seq.tabulate(40) { i =>
+      (900000L + i,
+        donors(i.toLong).zipWithIndex.map { case (x, j) =>
+          x + 0.01 * (((i + j) % 3) - 1)
+        },
+        1)
+    }.toDF("vec_id", "v", "version")
+    IndexMaintenance.appendToServing(s, servePath.toString, appends,
+      "vec_id", "v", "version")
+
+    val bound = 100
+    val overBefore = IndexMaintenance
+      .oversizedLeaves(s, servePath.toString, bound).count()
+    val rowsBefore = s.read.parquet(servePath.toString).count()
+    val idsBefore = s.read.parquet(servePath.toString)
+      .select("vec_id").distinct().count()
+
+    val (_, maxAfter) = IndexMaintenance.rebalanceOverflow(
+      s, servePath.toString, "vec_id", "v", maxLeafSize = bound)
+
+    val after = s.read.parquet(servePath.toString)
+    val s2 = s.newSession()
+    val m2 = IvfIndex.load(s2, servePath.toString)
+    val hits = IvfIndex.search(s2, servePath.toString, m2,
+      donors(3L).toArray, nProbe = math.min(8, m2.centroids.length),
+      k = 5, "vec_id", "v")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    Seq((emb.count(), 40L,
+      if (overBefore >= 1) 1L else 0L,
+      if (maxAfter <= bound) 1L else 0L,
+      if (after.count() == rowsBefore) 1L else 0L,
+      if (after.select("vec_id").distinct().count() == idsBefore) 1L
+      else 0L,
+      if (hits.contains(3L) && hits.exists(_ >= 900000L)) 1L else 0L))
+      .toDF("n_base", "n_appended", "overflow_before_ok",
+        "bound_after_ok", "rows_ok", "coverage_ok", "search_ok")
+  }
+
   /** IVF ANN probe (Tree-AH analog), gate-visible RECALL BOUND:
     * k-means assignment isn't SQL-expressible, so the check is mean
     * recall@10 over a fixed batch of 20 query vectors vs exact kNN —
@@ -949,6 +1035,6 @@ object ReferencePipeline {
 
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
-    vAnnBuild, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
-    vAnnRouted, vKnnJoin)
+    rRebalance, vAnnBuild, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql,
+    vAnnSqlE2e, vAnnRouted, vKnnJoin)
 }

@@ -152,6 +152,154 @@ object IndexMaintenance {
       .groupBy("leaf_id").count()
       .filter(col("count") > maxLeafSize)
 
+  /** Split ONLY the overflowed leaves of a served index, in place —
+    * the incremental middle tier between the [[oversizedLeaves]]
+    * signal and a full [[recluster]]. Each leaf past the bound gets a
+    * localized sub-fit ([[IvfIndex.splitLeafCentroids]]: bounded-
+    * sample k-means over THAT leaf's rows only — the scan is one
+    * pruned partition), its slot in the centroid array is replaced by
+    * the first sub and the rest append at the end (leaf ids stay
+    * dense and positional), and only the affected `leaf_id=`
+    * partition directories are rewritten (dynamic partition
+    * overwrite) — untouched leaves keep their files byte-for-byte.
+    * The sidecar is rewritten with the new centroids, refreshed
+    * row/leaf stats, and a re-derived router, so the next serving
+    * session — or the next `graft_ann_probe` in THIS one — routes
+    * into the split. The delta registry is untouched: row content
+    * and versions don't change, so LWW semantics are unaffected.
+    *
+    * Rows are re-homed with [[IvfIndex.leafExprMinL2]] against the
+    * subs — exact d-dim geometry (the subs share the parent's aux
+    * component, a constant across the argmin; see
+    * [[IvfIndex.splitLeafCentroids]]). A spill copy is re-homed
+    * within its own split independently of its sibling copy
+    * elsewhere, the same localization the build's split rounds use.
+    *
+    * A DEGENERATE leaf (near-identical vectors k-means cannot
+    * separate) can come back still oversized: it stays visible to
+    * [[oversizedLeaves]] and is the recluster's job — this function
+    * returns the per-leaf post-split maxima so a caller can see it
+    * immediately. Raw-vector layouts only: a PQ-coded layout stores
+    * no vectors to re-fit, so it rebalances via [[recluster]].
+    *
+    * At 100 TB: cost is proportional to the OVERFLOWED data only —
+    * k pruned partition scans, k bounded-sample fits (concurrent,
+    * like the build's split rounds), one write of the re-homed rows.
+    * The corpus-wide scan, fit, and rewrite of a recluster never
+    * happen.
+    *
+    * @return (number of leaf splits performed, max stored leaf size
+    *         after)
+    */
+  def rebalanceOverflow(spark: SparkSession, servePath: String,
+      id: String, vecCol: String, maxLeafSize: Int, seed: Long = 42L,
+      maxRounds: Int = 3): (Int, Long) = {
+    // rounds, like the build's split loop: a first split of a badly
+    // overflowed leaf can leave a child still past the bound; each
+    // round touches ONLY the leaves currently past it. Stop on
+    // convergence, on round budget, or on NO PROGRESS (a degenerate
+    // pile k-means cannot separate — the recluster's job, flagged by
+    // the returned max and by oversizedLeaves)
+    var total = 0
+    var round = 0
+    var prevMax = Long.MaxValue
+    var res = rebalanceOnce(spark, servePath, id, vecCol, maxLeafSize, seed)
+    total += res._1
+    while (res._1 > 0 && res._2 > maxLeafSize && round < maxRounds - 1 &&
+        res._2 < prevMax) {
+      prevMax = res._2
+      round += 1
+      res = rebalanceOnce(spark, servePath, id, vecCol, maxLeafSize,
+        seed + 7919L * round)
+      total += res._1
+    }
+    (total, res._2)
+  }
+
+  private def rebalanceOnce(spark: SparkSession, servePath: String,
+      id: String, vecCol: String, maxLeafSize: Int,
+      seed: Long): (Int, Long) = {
+    val model = IvfIndex.load(spark, servePath)
+    val data = spark.read.parquet(servePath)
+    require(data.columns.contains(vecCol),
+      s"rebalanceOverflow needs raw vectors ('$vecCol' column); a " +
+        "PQ-coded layout rebalances via recluster")
+    // bounded driver structure: the OVERFLOWED leaves only
+    val over = oversizedLeaves(spark, servePath, maxLeafSize)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (over.isEmpty)
+      return (0, model.stats.maxLeafRows)
+    val leaves = over.keys.toSeq.sorted
+    var cents = model.centroids.toVector
+
+    // localized sub-fits, concurrent like the build's split rounds
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val subFits = leaves.map { l =>
+      val kSub = math.max(2,
+        math.ceil(over(l) / (0.7 * maxLeafSize)).toInt)
+      Future(l -> IvfIndex.splitLeafCentroids(
+        data.filter(col("leaf_id") === l), id, vecCol,
+        cents(l), kSub, over(l), seed + 1 + l))
+    }
+    val subs = Await.result(Future.sequence(subFits),
+      scala.concurrent.duration.Duration.Inf)
+
+    // slot assignment: first sub replaces the parent's slot, the rest
+    // append — ascending parent order keeps the layout deterministic
+    val rehomed = subs.map { case (l, sc) =>
+      val slots = l +: sc.indices.tail.map(i => cents.length + i - 1)
+      cents = cents.updated(l, sc.head) ++ sc.tail
+      // exact d-dim re-home among the subs, mapped to their slots
+      val sub = IvfIndex.leafExprMinL2(col(vecCol).cast("array<double>"),
+        sc.toSeq).cast("int")
+      data.filter(col("leaf_id") === l)
+        .withColumn("leaf_id",
+          element_at(typedLit(slots), sub + 1))
+    }.reduce(_.union(_))
+
+    // materialize OUTSIDE the layout first: Spark (rightly) refuses a
+    // write that overwrites partitions it is concurrently reading
+    val tmp = servePath + ".rebalance-tmp"
+    rehomed.write.mode("overwrite").parquet(tmp)
+    val prevMode = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // rewrites ONLY the partitions present in the written frame:
+      // the split parents (now holding their slot-0 subset) and the
+      // appended slots; every other leaf directory is untouched
+      spark.read.parquet(tmp)
+        .write.mode("overwrite").partitionBy("leaf_id").parquet(servePath)
+    } finally {
+      prevMode match {
+        case Some(m) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+
+    // refreshed stats from footer-cheap aggregates over the new
+    // layout; nVectors stays the last full build's corpus count
+    // (appends don't maintain it — the recluster re-derives it)
+    val after = spark.read.parquet(servePath)
+    val Array(nRows, maxLeaf) = after.groupBy("leaf_id").count()
+      .agg(sum("count"), max("count")).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val router =
+      if (cents.length >= IvfIndex.Router.MinLeaves)
+        Some(IvfIndex.Router.build(cents.toArray))
+      else None
+    IvfIndex.writeModel(spark, servePath, IvfIndex.Model(cents.toArray,
+      IvfIndex.BuildStats(model.stats.nVectors, nRows, maxLeaf), router))
+    (leaves.size, maxLeaf)
+  }
+
   /** Compact the serving layout IN PLACE: materialize the LWW resolve
     * (superseded versions dropped), rewrite the same `partitionBy`
     * layout with the SAME model, clear the delta registry. The cheap

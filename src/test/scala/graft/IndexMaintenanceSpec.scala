@@ -246,6 +246,94 @@ class IndexMaintenanceSpec extends SparkTestBase {
       .filter(col("vec_id") === 88881L).count() == 1)
   }
 
+  test("rebalanceOverflow splits ONLY the overflowed leaves in place: " +
+      "bound restored, untouched partitions byte-identical, sidecar " +
+      "routes a fresh session into the split") {
+    val serve = Files.createTempDirectory("ivf-srv5").toString + "/serve"
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val (indexed, model) = graft.operators.IvfIndex.build(
+      base, "vec_id", "v", 8)
+    graft.operators.IvfIndex.write(indexed, serve, model)
+    val lBefore = model.centroids.length
+
+    // append NATURALLY-SPREAD new vectors (jittered copies of real
+    // corpus rows under fresh ids): they scatter across the existing
+    // leaves like organic growth, so the overflowed leaves carry
+    // splittable structure — a single identical-vector pile is
+    // k-means-unsplittable by nature and stays flagged for recluster,
+    // which is the documented contract
+    val donors = base.filter(col("vec_id") < 60)
+      .select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val appends = Seq.tabulate(60) { i =>
+      (10000L + i,
+        donors(i.toLong).zipWithIndex.map { case (x, j) =>
+          x + 0.01 * (((i + j) % 3) - 1)
+        },
+        1)
+    }.toDF("vec_id", "v", "version")
+    IndexMaintenance.appendToServing(spark, serve, appends,
+      "vec_id", "v", "version")
+
+    // the base corpus packs ~140 rows into each of the 8 leaves;
+    // a 100-row bound makes most leaves overflow while the sparse
+    // outlier leaf stays under it (the untouched-partition witness)
+    val bound = 100
+    val overBefore = IndexMaintenance
+      .oversizedLeaves(spark, serve, bound)
+      .collect().map(_.getInt(0)).toSet
+    assert(overBefore.nonEmpty, "the clone pile must overflow a leaf")
+    val rowsBefore = spark.read.parquet(serve).count()
+    val idsBefore = spark.read.parquet(serve)
+      .select("vec_id").distinct().count()
+    // snapshot an UNTOUCHED leaf's files (name, length, mtime)
+    val untouchedLeaf = model.centroids.indices
+      .filterNot(overBefore.contains).head
+    def leafFiles(l: Int): Seq[(String, Long, Long)] = {
+      val dir = new java.io.File(serve.stripPrefix("file:"),
+        s"leaf_id=$l")
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1)
+    }
+    val filesBefore = leafFiles(untouchedLeaf)
+    assert(filesBefore.nonEmpty)
+
+    val (nSplit, maxAfter) = IndexMaintenance.rebalanceOverflow(
+      spark, serve, "vec_id", "v", maxLeafSize = bound)
+    assert(nSplit >= overBefore.size,
+      s"every overflowed leaf splits at least once, got $nSplit for " +
+        s"${overBefore.size}")
+    assert(maxAfter <= bound, s"max leaf still $maxAfter after rebalance")
+    assert(IndexMaintenance.oversizedLeaves(spark, serve, bound).count() == 0)
+    // no data motion outside the splits: rows and coverage unchanged,
+    // the untouched leaf's files byte-for-byte identical
+    assert(spark.read.parquet(serve).count() == rowsBefore)
+    assert(spark.read.parquet(serve)
+      .select("vec_id").distinct().count() == idsBefore)
+    assert(leafFiles(untouchedLeaf) == filesBefore)
+
+    // the sidecar reopens to the SPLIT model: more leaves, refreshed
+    // stats, and a fresh session's probe for vec 0 reaches both the
+    // original and its re-homed near-copy (id 10000)
+    val s2 = spark.newSession()
+    val m2 = graft.operators.IvfIndex.load(s2, serve)
+    assert(m2.centroids.length > lBefore)
+    assert(m2.stats.maxLeafRows == maxAfter)
+    val hits = graft.operators.IvfIndex.search(s2, serve, m2,
+      donors(0L).toArray, nProbe = 4, k = 5, "vec_id", "v")
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(hits.contains(0L), s"vec 0 must remain findable, got ${hits.toSeq}")
+    assert(hits.exists(_ >= 10000L),
+      s"an appended-then-rebalanced vector must be findable, " +
+        s"got ${hits.toSeq}")
+
+    // idempotent when nothing overflows
+    val (zero, _) = IndexMaintenance.rebalanceOverflow(
+      spark, serve, "vec_id", "v", maxLeafSize = bound)
+    assert(zero == 0)
+  }
+
   test("appendToServing rejects a batch whose schema differs from the layout") {
     val serve = Files.createTempDirectory("ivf-srv4").toString + "/serve"
     val base = Tables.embeddings(spark, sf).select(col("vec_id"),

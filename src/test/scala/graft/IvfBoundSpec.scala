@@ -116,4 +116,25 @@ class IvfBoundSpec extends SparkTestBase {
       assert(probed.head == 7L, "the query's own vector must rank first")
     } finally { idx.unpersist(); () }
   }
+
+  test("build dispatches to the hierarchical fit past the threshold " +
+      "and clamps a leaf target larger than the corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    // a leaf ask past TwoLevelFitThreshold on a corpus smaller than
+    // the ask: the one-shot fit could never serve this (k > n); the
+    // dispatched hierarchical path clamps the target to n
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "embedding",
+      numLeaves = IvfIndex.TwoLevelFitThreshold, maxLeafSize = 40)
+    val idx = indexed.cache()
+    try {
+      assert(model.centroids.length <= n,
+        s"clamp: ${model.centroids.length} leaves for an $n-row corpus")
+      assert(model.centroids.length >= n / 2,
+        "a per-vector-scale ask should land near one leaf per vector")
+      assert(maxLeafSize(idx) <= 40)
+      assert(idx.select("vec_id").distinct().count() == n)
+      assert(model.stats.nVectors == n)
+    } finally { idx.unpersist(); () }
+  }
 }
