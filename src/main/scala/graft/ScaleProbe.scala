@@ -157,6 +157,48 @@ object ScaleProbe {
         f"build=$tBuild%.1f s write=$tWrite%.1f s open=$tOpen%.2f s " +
         f"routed_query=$tQuery%.2f s hits=$got " +
         f"scanned=$scanned/$total (${100.0 * scanned / total}%.2f%%)")
+    } else if (args(0) == "serveopen") {
+      // serving-process shape over an EXISTING serve artifact: open
+      // the index ONCE (sidecar + one file-index listing), then run
+      // many routed queries against the held DataFrame. Separates the
+      // per-QUERY cost (router walk + partition-pruned scan of a few
+      // hundred rows) from the per-OPEN cost (listing ~L directories
+      // — paid once per serving process, or delegated to a
+      // catalog/metastore at 100 TB). `serve`'s routed_query number
+      // re-lists per call; this is the number a serving session sees.
+      // usage: serveopen <servePath> [nProbe] [nQueries]
+      val path = args(1)
+      val nProbe = if (args.length > 2) args(2).toInt else 8
+      val nQ = if (args.length > 3) args(3).toInt else 20
+      graft.plans.GraftExtensions.register(spark)
+      var t0 = System.nanoTime()
+      val served = graft.plans.IndexCatalog.open(spark, "serve_probe", path)
+      val tOpen = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val df = spark.read.parquet(path)
+      df.queryExecution.logical // force relation resolution + listing
+      val tList = (System.nanoTime() - t0) / 1e9
+      def query(q: Array[Double]): Long = {
+        df.filter(graft.plans.AnnPruning.probe("serve_probe",
+            col("leaf_id"), q.toSeq, nProbe))
+          .select(col("vec_id"),
+            graft.functions.vectors.dotProduct(col("embedding"),
+              typedLit(q.toSeq)).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(10).count()
+      }
+      val dim = served.centroids(0).length - 1
+      query(Array.tabulate(dim)(j => (j % 7).toDouble)) // warm codegen
+      val times = (0 until nQ).map { i =>
+        val q = Array.tabulate(dim)(j => ((i * 13 + j) % 9 - 4).toDouble)
+        val t = System.nanoTime()
+        val h = query(q)
+        require(h > 0, s"query $i returned no rows")
+        (System.nanoTime() - t) / 1e9
+      }.sorted
+      println(f"SERVEOPEN leaves=${served.centroids.length} " +
+        f"open=$tOpen%.2f s list=$tList%.2f s nq=$nQ " +
+        f"query_min=${times.head}%.3f s med=${times(nQ / 2)}%.3f s " +
+        f"max=${times.last}%.3f s")
     } else if (args(0) == "joincmp") {
       // window-rank vs heap-aggregate ranking for the kNN self-join,
       // on the same deterministic bounded layout as the bench row
