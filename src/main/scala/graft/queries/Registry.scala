@@ -4,7 +4,8 @@ import graft.QueryDef
 
 /** Single place that decides which query modules are live. */
 object Registry {
-  def all: Seq[QueryDef] = Relational.defs ++ VectorSearch.defs ++
+  def all: Seq[QueryDef] = Relational.defs ++ RelationalDeep.defs ++
+    VectorSearch.defs ++
     TextAnalysis.defs ++ DedupQueries.defs ++ ReferencePipeline.defs ++
     EventsQueries.defs ++ MultimodalQueries.defs ++ AdvancedQueries.defs ++
     ScalarQueries.defs ++ SubqueryQueries.defs ++ GroupingQueries.defs ++

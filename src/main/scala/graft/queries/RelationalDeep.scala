@@ -1,0 +1,259 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.Exact._
+import org.apache.spark.sql.functions._
+
+/** The deeper TPC-H plan shapes not yet covered by [[Relational]]:
+  * EXISTS-driven aggregation (Q4), top-k over a 4-way join (Q10),
+  * conditional CASE aggregation (Q12), agg-max-equality (Q15),
+  * NOT-IN + distinct count (Q16), a decorrelated per-group scalar
+  * threshold (Q17), a disjunctive multi-bracket join predicate (Q19),
+  * and anti-join + global scalar subquery (Q22). Adapted to the
+  * reduced synthetic schema (no commitdate/receiptdate/shipmode/
+  * partsupp/phone), keeping each query's characteristic plan shape.
+  *
+  * Scale notes: every query here either aggregates to a bounded
+  * result or ends in ORDER BY+LIMIT (TakeOrderedAndProject — no full
+  * sort); dims (part, supplier, nation) are fixed-size or
+  * SF-sublinear so AQE broadcasts them; the only SF-linear shuffles
+  * are the groupBy keys the semantics require.
+  */
+object RelationalDeep {
+
+  /** Q4 shape: per-priority count of orders that HAVE a qualifying
+    * lineitem (EXISTS → left-semi with a non-equi conjunct). The
+    * correlated comparison l_shipdate > o_orderdate rides the join
+    * condition, so Spark plans a semi hash join with the date
+    * predicate as a join filter, not a post-join filter.
+    */
+  private val q4 = QueryDef.sqlChecked("q4_priority_exists")(
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+      "WHERE o_orderdate >= timestamp '1996-01-01' " +
+      "AND o_orderdate < timestamp '1996-07-01' " +
+      "AND EXISTS (SELECT 1 FROM lineitem " +
+      "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+  ) { (s, d) =>
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-07-01"))
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q10 shape: revenue lost to returns per customer — 4-way join
+    * (SF-linear lineitem/orders against SF-sublinear customer and
+    * fixed nation), hash agg on the customer key, top-20 via
+    * TakeOrderedAndProject.
+    */
+  private val q10 = QueryDef.sqlChecked("q10_returned_revenue")(
+    "SELECT c_custkey, c_name, " +
+      s"${sqlDsum("l_extendedprice*(1-l_discount)", 4)} AS revenue, " +
+      "n_name FROM customer, orders, lineitem, nation " +
+      "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+      "AND o_orderdate >= timestamp '1996-01-01' " +
+      "AND o_orderdate < timestamp '1996-04-01' " +
+      "AND l_returnflag = 'R' AND c_nationkey = n_nationkey " +
+      "GROUP BY c_custkey, c_name, n_name " +
+      "ORDER BY revenue DESC, c_custkey LIMIT 20"
+  ) { (s, d) =>
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), 4)
+        .as("revenue"))
+      .select("c_custkey", "c_name", "revenue", "n_name")
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q12 shape: conditional CASE aggregation — one pass splits line
+    * counts into high/low priority classes (shipmode is absent from
+    * the synthetic schema; l_linestatus is the grouping analog).
+    * Integer sums cast to bigint on both engines (DuckDB widens
+    * sum(int) to hugeint otherwise).
+    */
+  private val q12 = QueryDef.sqlChecked("q12_priority_class")(
+    "SELECT l_linestatus, " +
+      "cast(sum(case when o_orderpriority in ('1-URGENT','2-HIGH') " +
+      "then 1 else 0 end) as bigint) AS high_line_count, " +
+      "cast(sum(case when o_orderpriority not in ('1-URGENT','2-HIGH') " +
+      "then 1 else 0 end) as bigint) AS low_line_count " +
+      "FROM orders, lineitem WHERE o_orderkey = l_orderkey " +
+      "AND l_shipdate >= timestamp '1997-01-01' " +
+      "AND l_shipdate < timestamp '1998-01-01' " +
+      "GROUP BY l_linestatus ORDER BY l_linestatus"
+  ) { (s, d) =>
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(hi, 1).otherwise(0)).cast("long").as("high_line_count"),
+        sum(when(!hi, 1).otherwise(0)).cast("long").as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Q15 shape: agg → global max → equality select (the "top
+    * supplier" view). The max is one broadcast scalar row, so the
+    * equality filter costs no second shuffle of the aggregate.
+    */
+  private val q15 = QueryDef.sqlChecked("q15_top_supplier")(
+    "WITH rev AS (SELECT l_suppkey, " +
+      s"${sqlDsum("l_extendedprice*(1-l_discount)", 4)} AS total_revenue " +
+      "FROM lineitem WHERE l_shipdate >= timestamp '1997-01-01' " +
+      "AND l_shipdate < timestamp '1997-04-01' GROUP BY l_suppkey) " +
+      "SELECT s_suppkey, s_name, total_revenue FROM supplier, rev " +
+      "WHERE s_suppkey = l_suppkey " +
+      "AND total_revenue = (SELECT max(total_revenue) FROM rev) " +
+      "ORDER BY s_suppkey"
+  ) { (s, d) =>
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy("l_suppkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), 4)
+        .as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("__top"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("__top"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** Q16 shape: NOT IN (≡ anti join on a non-null key) + per-group
+    * DISTINCT count. The excluded-supplier set is fixed-size →
+    * broadcast anti join; countDistinct expands to the two-phase
+    * distinct aggregate.
+    */
+  private val q16 = QueryDef.sqlChecked("q16_part_suppliers")(
+    "SELECT p_brand, p_type, p_size, " +
+      "count(distinct l_suppkey) AS supplier_cnt " +
+      "FROM part, lineitem WHERE p_partkey = l_partkey " +
+      "AND p_brand <> 'Brand#13' AND p_type <> 'PROMO' " +
+      "AND p_size in (1, 7, 14, 23, 36, 45) " +
+      "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier " +
+      "WHERE s_acctbal < 0) " +
+      "GROUP BY p_brand, p_type, p_size " +
+      "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+  ) { (s, d) =>
+    val badSupp = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("l_suppkey"))
+    val parts = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 7, 14, 23, 36, 45))
+    Tables.lineitem(s, d)
+      .join(broadcast(badSupp), Seq("l_suppkey"), "left_anti")
+      .join(parts, col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** Q17 shape: per-part scalar threshold (0.2 × that part's own mean
+    * quantity), decorrelated into a grouped aggregate + equi join.
+    * The threshold is derived from an EXACT decimal sum on both
+    * engines and combined in the same operation order, so the
+    * borderline l_quantity < threshold comparisons cannot flip
+    * between engines.
+    */
+  private val q17 = QueryDef.sqlChecked("q17_small_quantity")(
+    "SELECT " +
+      s"${sqlDsum("l_extendedprice", 2)} / 7.0 AS avg_yearly " +
+      "FROM lineitem, part WHERE p_partkey = l_partkey " +
+      "AND p_brand = 'Brand#13' AND l_quantity < " +
+      "(SELECT 0.2 * cast(sum(cast(l_quantity as decimal(18,2))) as double)" +
+      " / count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val thr = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(0.2) * dsum(col("l_quantity"), 2) / count(lit(1)))
+        .as("__thr"))
+    val brand = Tables.part(s, d).filter(col("p_brand") === "Brand#13")
+    li.join(brand, col("p_partkey") === col("l_partkey"))
+      .join(thr, col("t_partkey") === col("l_partkey"))
+      .filter(col("l_quantity") < col("__thr"))
+      .agg((dsum(col("l_extendedprice"), 2) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** Q19 shape: disjunctive bracket predicates riding the join — the
+    * OR of three (brand, size-range, quantity-range) brackets must
+    * stay a single join condition so Catalyst can extract the common
+    * p_partkey equi-conjunct and push the bracket residual into the
+    * join filter.
+    */
+  private val q19 = QueryDef.sqlChecked("q19_disjunction")(
+    "SELECT " +
+      s"${sqlDsum("l_extendedprice*(1-l_discount)", 4)} AS revenue " +
+      "FROM lineitem, part WHERE p_partkey = l_partkey AND (" +
+      "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 " +
+      "AND l_quantity BETWEEN 1 AND 11) OR " +
+      "(p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 " +
+      "AND l_quantity BETWEEN 10 AND 20) OR " +
+      "(p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 " +
+      "AND l_quantity BETWEEN 20 AND 30))"
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val pt = Tables.part(s, d)
+    val bracket =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(pt, col("p_partkey") === col("l_partkey") && bracket)
+      .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), 4)
+        .as("revenue"))
+  }
+
+  /** Q22 shape: global scalar subquery (mean positive balance) +
+    * NOT EXISTS (anti join against recent orders) + per-nation
+    * aggregate (nationkey replaces the absent phone country code;
+    * "idle" means no order since 1999 — the synthetic corpus gives
+    * every customer SOME order, so the classic no-orders-ever form
+    * would be vacuously empty). The scalar is one broadcast row; the
+    * anti join's right side is just the recent orders' customer keys.
+    */
+  private val q22 = QueryDef.sqlChecked("q22_idle_customers")(
+    "SELECT c_nationkey, count(*) AS numcust, " +
+      s"${sqlDsum("c_acctbal", 2)} AS totacctbal FROM customer " +
+      "WHERE c_acctbal > (SELECT " +
+      "cast(sum(cast(c_acctbal as decimal(18,2))) as double) / count(*) " +
+      "FROM customer WHERE c_acctbal > 0) " +
+      "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+      "AND o_orderdate >= timestamp '1999-01-01') " +
+      "GROUP BY c_nationkey ORDER BY c_nationkey"
+  ) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val thr = cust.filter(col("c_acctbal") > 0)
+      .agg((dsum(col("c_acctbal"), 2) / count(lit(1))).as("__thr"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("__thr"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-01-01"))
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal"), 2)
+        .as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q4, q10, q12, q15, q16, q17, q19, q22)
+}
