@@ -178,6 +178,26 @@ object ScaleProbe {
       val df = spark.read.parquet(path)
       df.queryExecution.logical // force relation resolution + listing
       val tList = (System.nanoTime() - t0) / 1e9
+      // manifest-backed open over the same artifact: one small
+      // sidecar read + explicit file paths instead of the recursive
+      // leaf-directory listing above (build it first if the artifact
+      // predates manifests — that one-time cost is itself the
+      // listing, so it is timed too)
+      val tManifestBuild =
+        if (graft.operators.ServingManifest.exists(spark, path)) -1.0
+        else {
+          t0 = System.nanoTime()
+          graft.operators.ServingManifest.rebuild(spark, path)
+          (System.nanoTime() - t0) / 1e9
+        }
+      t0 = System.nanoTime()
+      val mdf = graft.operators.ServingManifest.open(spark, path).get
+      mdf.queryExecution.logical
+      val tManifest = (System.nanoTime() - t0) / 1e9
+      // untimed: prove the manifest file set is the listed file set
+      val (nManifest, nListed) = (mdf.count(), df.count())
+      require(nManifest == nListed,
+        s"manifest open sees $nManifest rows, listing open $nListed")
       def query(q: Array[Double]): Long = {
         df.filter(graft.plans.AnnPruning.probe("serve_probe",
             col("leaf_id"), q.toSeq, nProbe))
@@ -196,7 +216,9 @@ object ScaleProbe {
         (System.nanoTime() - t) / 1e9
       }.sorted
       println(f"SERVEOPEN leaves=${served.centroids.length} " +
-        f"open=$tOpen%.2f s list=$tList%.2f s nq=$nQ " +
+        f"open=$tOpen%.2f s list=$tList%.2f s " +
+        f"manifest_build=$tManifestBuild%.2f s " +
+        f"manifest_open=$tManifest%.2f s rows=$nManifest nq=$nQ " +
         f"query_min=${times.head}%.3f s med=${times(nQ / 2)}%.3f s " +
         f"max=${times.last}%.3f s")
     } else if (args(0) == "joincmp") {

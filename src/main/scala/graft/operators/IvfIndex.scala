@@ -726,10 +726,16 @@ object IvfIndex {
   def write(indexed: DataFrame, path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("leaf_id").parquet(path)
 
-  /** Persist index data + model sidecar: the complete reopenable index. */
+  /** Persist index data + model sidecar + file manifest: the complete
+    * reopenable index. The manifest ([[ServingManifest]]) lets a
+    * serving session open the layout without listing its leaf
+    * directories; rebuilding it here is one listing pass over a
+    * layout this call just wrote.
+    */
   def write(indexed: DataFrame, path: String, model: Model): Unit = {
     write(indexed, path)
     writeModel(indexed.sparkSession, path, model)
+    ServingManifest.rebuild(indexed.sparkSession, path)
   }
 
   /** Sidecar format version — load refuses a version it doesn't know

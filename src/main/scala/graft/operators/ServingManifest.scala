@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** File manifest for a served `partitionBy(leaf_id)` index layout —
+  * the table-format trick (Iceberg/Delta manifests) applied to the
+  * index: a `_graft_manifest` sidecar records every data file
+  * (relative path, leaf id, byte size), so a serving session opens
+  * the index from the manifest alone instead of recursively listing
+  * the layout.
+  *
+  * Why it matters at scale: a 100 TB index holds ~10⁵-10⁶ leaf
+  * directories; `spark.read.parquet(path)` lists every one of them
+  * on EVERY fresh open (measured 21.6 s at 12 270 leaves on a local
+  * fs — object-store LIST latency makes it minutes, and eventual
+  * listing consistency makes it wrong after concurrent writes). The
+  * manifest is one small parquet read; the file set it names is
+  * exact, not discovered.
+  *
+  * Writer contract: every mutation of the serving layout maintains
+  * the manifest — [[IvfIndex.write]] (full build / recluster)
+  * rebuilds it, [[graft.streaming.IndexMaintenance.appendToServing]]
+  * and `appendCodedToServing` reconcile the appended leaves,
+  * `rebalanceOverflow` reconciles the split/appended leaves,
+  * `compactServing` rebuilds on the compacted copy before the swap.
+  * A layout written by an older build has no manifest; every reader
+  * falls back to listing ([[openOrRead]]), so the manifest is a pure
+  * optimization with a loud failure mode: a listed-but-deleted file
+  * fails the scan, and [[verify]] detects drift in either direction.
+  *
+  * Paths are stored RELATIVE to the index root, so the manifest
+  * survives `compactServing`'s directory rename swap and the layout
+  * can be relocated wholesale.
+  */
+object ServingManifest {
+
+  /** `_`-prefix keeps the manifest invisible to Spark's data-file
+    * discovery, like the model sidecar. */
+  def manifestDir(path: String): String = path + "/_graft_manifest"
+
+  private def fsFor(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fsFor(spark, path).exists(new Path(manifestDir(path)))
+
+  /** Data files of one leaf directory, as (relativePath, leafId,
+    * bytes). Committer droppings (`_SUCCESS`, `.crc`) are skipped the
+    * same way Spark's own listing skips them.
+    */
+  private def listLeafDir(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, dir: Path): Seq[(String, Int, Long, Long)] = {
+    val leaf = dir.getName.stripPrefix("leaf_id=").toInt
+    fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && {
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(f => (dir.getName + "/" + f.getPath.getName, leaf, f.getLen,
+        f.getModificationTime))
+  }
+
+  /** One full listing of the layout's leaf directories → entry rows.
+    * Directory fan-out goes through a Spark job past a small
+    * threshold (the same shape as Spark's parallel partition
+    * discovery), so a 10⁵-directory rebuild is a cluster listing, not
+    * a driver loop. Used where a layout-scale pass just happened
+    * anyway (build, recluster, compact) — steady-state maintenance is
+    * [[reconcile]], which touches only the written leaves.
+    */
+  private def listAll(spark: SparkSession, path: String)
+      : Seq[(String, Int, Long, Long)] = {
+    val fs = fsFor(spark, path)
+    val root = new Path(path)
+    val dirs = fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("leaf_id="))
+      .map(_.getPath.toString)
+    if (dirs.length <= 64)
+      dirs.flatMap(d => listLeafDir(fs, root, new Path(d)))
+    else {
+      val rootStr = path
+      spark.sparkContext
+        .parallelize(dirs, math.min(dirs.length, 256))
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.flatMap { d =>
+            val p = new Path(d)
+            listLeafDir(p.getFileSystem(conf), new Path(rootStr), p)
+          }
+        }
+        .collect().toSeq
+    }
+  }
+
+  private def writeEntries(spark: SparkSession, path: String,
+      entries: Seq[(String, Int, Long, Long)]): Unit = {
+    import spark.implicits._
+    writeEntriesDf(spark, path,
+      entries.toDF("file", "leaf_id", "bytes", "mtime"))
+  }
+
+  private def writeEntriesDf(spark: SparkSession, path: String,
+      entries: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = new Path(manifestDir(path) + ".tmp")
+    val dst = new Path(manifestDir(path))
+    val fs = fsFor(spark, path)
+    entries
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap, never overwrite-in-place: a reader racing the rewrite
+    // sees either the old manifest or none (→ listing fallback),
+    // never a half-written one
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"ServingManifest: cannot install ${tmp}")
+  }
+
+  /** (Re)build the manifest from a full listing of the layout. */
+  def rebuild(spark: SparkSession, path: String): Unit =
+    writeEntries(spark, path, listAll(spark, path))
+
+  /** Replace the manifest rows of the given leaves with a fresh
+    * listing of exactly those directories — the steady-state update
+    * after an append or rebalance touched a bounded leaf set. Cost is
+    * proportional to the TOUCHED leaves, never the layout.
+    */
+  def reconcile(spark: SparkSession, path: String,
+      leaves: Seq[Int]): Unit = {
+    if (!exists(spark, path)) return // pre-manifest layout: stay consistent
+    import spark.implicits._
+    val fs = fsFor(spark, path)
+    val root = new Path(path)
+    val touched = leaves.distinct
+    val fresh = touched.flatMap { l =>
+      val dir = new Path(root, s"leaf_id=$l")
+      if (fs.exists(dir)) listLeafDir(fs, root, dir) else Nil
+    }
+    // kept rows stay distributed: the manifest can hold ~10⁶ file
+    // entries at 100 TB, so the rewrite is a DataFrame union (old
+    // minus touched leaves, plus the fresh listing), never a driver
+    // materialization. The tmp-write + rename swap in writeEntriesDf
+    // also means we never overwrite the manifest we are reading.
+    val keep = spark.read.parquet(manifestDir(path))
+      .filter(!col("leaf_id").isin(touched: _*))
+      .select("file", "leaf_id", "bytes", "mtime")
+    writeEntriesDf(spark, path,
+      keep.unionByName(fresh.toDF("file", "leaf_id", "bytes", "mtime")))
+  }
+
+  /** Open the layout through the manifest: the scan's file statuses
+    * come straight from the manifest via a [[ManifestFileIndex]] —
+    * ZERO filesystem metadata calls at open time (no directory
+    * listing, no per-file status probes; this is the Delta/Iceberg
+    * architecture, a snapshot-backed FileIndex). `leaf_id` stays a
+    * partition column served by the index, so `graft_ann_probe`
+    * partition pruning works unchanged — the In-list lands in
+    * `partitionFilters` and [[ManifestFileIndex.listFiles]] evaluates
+    * it against the manifest rows. The only per-open I/O beyond the
+    * manifest read is ONE parquet footer (data schema). None when the
+    * layout has no manifest.
+    *
+    * (An explicit-file-paths `spark.read.parquet(files…)` open was
+    * measured FIRST and rejected: Spark re-validates and re-stats
+    * every listed path on the driver — 32 s at 24.6k files vs 23.9 s
+    * for the recursive listing it was meant to replace. The FileIndex
+    * hands Spark the statuses it already trusts.)
+    */
+  def open(spark: SparkSession, path: String): Option[DataFrame] = {
+    if (!exists(spark, path)) return None
+    val mf = spark.read.parquet(manifestDir(path))
+    // manifests written before the mtime column read as mtime=0 —
+    // harmless: modification time is informational for a scan
+    val withM = if (mf.columns.contains("mtime")) mf
+      else mf.withColumn("mtime", lit(0L))
+    val entries = withM.select("file", "leaf_id", "bytes", "mtime")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    require(entries.nonEmpty,
+      s"ServingManifest at $path lists no data files")
+    // one footer read for the data schema (files carry no leaf_id —
+    // it lives in the directory name, served by the index)
+    val dataSchema = spark.read
+      .parquet(path + "/" + entries.head._1).schema
+    val index = new ManifestFileIndex(spark, new Path(path), entries)
+    val relation = HadoopFsRelation(index, index.partitionSchema,
+      dataSchema, None, new ParquetFileFormat,
+      Map.empty[String, String])(spark)
+    Some(spark.baseRelationToDataFrame(relation))
+  }
+
+  /** Manifest-backed open when available, plain listing read
+    * otherwise — the reader entry point.
+    */
+  def openOrRead(spark: SparkSession, path: String): DataFrame =
+    open(spark, path).getOrElse(spark.read.parquet(path))
+
+  /** Drift check for specs and operators: files in the manifest but
+    * not on disk (would fail a scan loudly) and files on disk but not
+    * in the manifest (would be silently invisible — the dangerous
+    * direction). Byte sizes must match too: a rewritten-in-place file
+    * is drift even when the name survives.
+    *
+    * @return (missingOnDisk, unlistedOnDisk) — (0, 0) is consistent
+    */
+  def verify(spark: SparkSession, path: String): (Long, Long) = {
+    val listed = listAll(spark, path).map(e => (e._1, e._3)).toSet
+    val manifest = spark.read.parquet(manifestDir(path))
+      .select("file", "bytes").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    ((manifest -- listed).size.toLong, (listed -- manifest).size.toLong)
+  }
+}
+
+/** A [[FileIndex]] whose file statuses ARE the manifest rows — the
+  * scan plans against the snapshot, the filesystem is only touched to
+  * read data bytes. Partition pruning happens here: `listFiles`
+  * receives the partition filters Catalyst extracted (e.g. the
+  * `graft_ann_probe` In-list over `leaf_id`) and evaluates them per
+  * leaf against the manifest, so a pruned query materializes statuses
+  * for ONLY the probed leaves' files.
+  *
+  * Driver footprint is the manifest itself (one (path, leaf, bytes,
+  * mtime) row per data file — the same class of driver-sized state as
+  * the model sidecar, and exactly what a Delta/Iceberg snapshot holds
+  * for planning).
+  */
+private[graft] final class ManifestFileIndex(
+    spark: SparkSession, root: Path,
+    entries: Array[(String, Int, Long, Long)]) extends FileIndex {
+
+  private val qualifiedRoot =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(root)
+
+  override val partitionSchema: StructType =
+    StructType(Seq(StructField("leaf_id", IntegerType, nullable = true)))
+
+  // grouped once; a FileStatus per manifest row, no fs involved
+  private lazy val byLeaf: Array[(Int, Array[FileStatus])] =
+    entries.groupBy(_._2).toArray.sortBy(_._1).map { case (l, es) =>
+      (l, es.map { e =>
+        new FileStatus(e._3, false, 1, 128L * 1024 * 1024, e._4,
+          new Path(qualifiedRoot, e._1))
+      })
+    }
+
+  override def rootPaths: Seq[Path] = Seq(qualifiedRoot)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val pred = partitionFilters.reduceOption(And).map { f =>
+      Predicate.createInterpreted(f.transform {
+        case a: AttributeReference =>
+          BoundReference(partitionSchema.fieldIndex(a.name),
+            a.dataType, a.nullable)
+      })
+    }
+    byLeaf.iterator
+      .filter { case (l, _) => pred.forall(_.eval(InternalRow(l))) }
+      .map { case (l, fss) => PartitionDirectory(InternalRow(l), fss) }
+      .toSeq
+  }
+
+  override def inputFiles: Array[String] =
+    entries.map(e => new Path(qualifiedRoot, e._1).toString)
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = entries.map(_._3).sum
+}

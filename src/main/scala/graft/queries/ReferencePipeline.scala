@@ -1033,8 +1033,116 @@ object ReferencePipeline {
       metadata = Some((emb.select("vec_id", "label"), "vec_id")))
   }
 
+  /** The serving layout opened through its FILE MANIFEST instead of a
+    * directory listing (`ServingManifest` — the Iceberg/Delta trick
+    * applied to the index): build writes the manifest, an upsert
+    * through `appendToServing` reconciles it, the gate REQUIRES
+    * zero drift between manifest and disk, and the search's data
+    * frame comes from `ServingManifest.open` — explicit file set, no
+    * recursive listing, pruning and LWW unchanged. The oracle
+    * recomputes the same serve-then-search from the source table, so
+    * a manifest that hid or duplicated a file fails the hash, not
+    * just the drift check.
+    */
+  private val rServeManifest = QueryDef.sqlChecked("r_serve_manifest")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v, 1 AS version " +
+      "FROM embeddings), " +
+      "up AS (SELECT vec_id, list_transform(v, x -> -2*x) AS v, 2 AS version " +
+      "FROM base WHERE vec_id % 31 = 3 " +
+      "UNION ALL SELECT vec_id + 200000, list_transform(v, x -> 1.5*x), 1 " +
+      "FROM base WHERE vec_id % 45 = 11), " +
+      "log AS (SELECT * FROM base UNION ALL SELECT * FROM up), " +
+      "delta AS (SELECT vec_id, max(version) AS latest FROM up GROUP BY vec_id), " +
+      "live AS (SELECT l.vec_id, l.v, l.version FROM log l " +
+      "LEFT JOIN delta d ON l.vec_id = d.vec_id " +
+      "WHERE d.latest IS NULL OR l.version = d.latest), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id = 7), " +
+      "assign AS (SELECT vec_id, version, v, cid AS leaf_id FROM (" +
+      "SELECT l.vec_id, l.version, l.v, c.cid, row_number() OVER (" +
+      "PARTITION BY l.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(l.v, c.cv), c.cid) AS rn " +
+      "FROM live l, cent c) WHERE rn <= 2), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) WHERE rn <= 3), " +
+      "cand AS (SELECT a.vec_id, a.version, a.leaf_id, " +
+      "list_inner_product(a.v, q.qv) AS score " +
+      "FROM assign a JOIN probe p ON a.leaf_id = p.cid, q) " +
+      "SELECT vec_id, cast(max(version) as bigint) AS version, " +
+      "cast(min(leaf_id) as bigint) AS leaf_id, max(score) AS score " +
+      "FROM cand GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 12"
+  ) { (s, d) =>
+    import graft.streaming.IndexMaintenance
+    import graft.operators.ServingManifest
+    graft.plans.GraftExtensions.register(s)
+    val base = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val query = base.filter(col("vec_id") === 7)
+      .select(col("v")).head().getSeq[Double](0)
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servem_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val indexed = base.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, servePath.toString, model)
+
+    // one serving upsert AFTER the build: changed vectors + brand-new
+    // ids, appended into existing leaves; the manifest reconciles
+    val b1 = base.filter(col("vec_id") % 31 === 3)
+      .withColumn("v", transform(col("v"), x => x * -2))
+      .withColumn("version", lit(2))
+      .unionByName(base.filter(col("vec_id") % 45 === 11)
+        .withColumn("vec_id", col("vec_id") + 200000)
+        .withColumn("v", transform(col("v"), x => x * 1.5)))
+    IndexMaintenance.appendToServing(s, servePath.toString, b1,
+      "vec_id", "v", "version")
+
+    val drift = ServingManifest.verify(s, servePath.toString)
+    require(drift == ((0L, 0L)),
+      s"manifest drift after serving append: $drift")
+
+    // data opened THROUGH the manifest — explicit file set, no
+    // directory listing; LWW inlined over the manifest-opened frame
+    val data = ServingManifest.open(s, servePath.toString).get
+    val latest = s.read.parquet(servePath.toString + "/_graft_delta")
+      .groupBy(col("vec_id").as("__id"))
+      .agg(max(col("version")).as("__latest"))
+    val live = data.join(latest, data("vec_id") === col("__id"), "left")
+      .filter(col("__latest").isNull ||
+        col("version").cast("long") === col("__latest"))
+      .drop("__id", "__latest")
+
+    graft.plans.IndexCatalog.drop("r_serve_manifest")
+    graft.plans.IndexCatalog.open(s, "r_serve_manifest", servePath.toString)
+    live.filter(graft.plans.AnnPruning.probe("r_serve_manifest",
+        col("leaf_id"), query, 3))
+      .select(col("vec_id"), col("version"), col("leaf_id"),
+        graft.functions.vectors.dotProduct(col("v"),
+          typedLit(query)).as("score"))
+      .groupBy("vec_id")
+      .agg(max(col("version")).cast("bigint").as("version"),
+        min(col("leaf_id")).cast("bigint").as("leaf_id"),
+        max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(12)
+  }
+
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
-    rRebalance, vAnnBuild, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql,
-    vAnnSqlE2e, vAnnRouted, vKnnJoin)
+    rServeManifest, rRebalance, vAnnBuild, vAnnBuild2, vAnnIvf,
+    vAnnPipeline, vAnnSql, vAnnSqlE2e, vAnnRouted, vKnnJoin)
 }

@@ -76,6 +76,10 @@ object IndexMaintenance {
     assigned.write.mode("append").partitionBy("leaf_id").parquet(servePath)
     batch.select(col(id), col(versionCol).cast("long").as("version"))
       .write.mode("append").parquet(deltaDir(servePath))
+    // manifest upkeep proportional to the TOUCHED leaves (≤ batch ×
+    // spill), never the layout — no-op on a pre-manifest layout
+    graft.operators.ServingManifest.reconcile(spark, servePath,
+      assigned.select("leaf_id").distinct().collect().map(_.getInt(0)).toSeq)
   }
 
   /** [[appendToServing]] for a PQ-CODED layout (the memory-resident
@@ -113,6 +117,8 @@ object IndexMaintenance {
     assigned.write.mode("append").partitionBy("leaf_id").parquet(servePath)
     batch.select(col(id), col(versionCol).cast("long").as("version"))
       .write.mode("append").parquet(deltaDir(servePath))
+    graft.operators.ServingManifest.reconcile(spark, servePath,
+      assigned.select("leaf_id").distinct().collect().map(_.getInt(0)).toSeq)
   }
 
   /** Serving-time read of the layout: data rows with superseded
@@ -127,7 +133,9 @@ object IndexMaintenance {
     */
   def readServing(spark: SparkSession, servePath: String, id: String,
       versionCol: String): DataFrame = {
-    val data = spark.read.parquet(servePath)
+    // manifest-backed open when the layout carries one (no directory
+    // listing; same rows, same pruning), plain listing read otherwise
+    val data = graft.operators.ServingManifest.openOrRead(spark, servePath)
     val delta = new org.apache.hadoop.fs.Path(deltaDir(servePath))
     val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(delta)) data
@@ -247,8 +255,10 @@ object IndexMaintenance {
 
     // slot assignment: first sub replaces the parent's slot, the rest
     // append — ascending parent order keeps the layout deterministic
+    val touchedSlots = scala.collection.mutable.ArrayBuffer.empty[Int]
     val rehomed = subs.map { case (l, sc) =>
       val slots = l +: sc.indices.tail.map(i => cents.length + i - 1)
+      touchedSlots ++= slots
       cents = cents.updated(l, sc.head) ++ sc.tail
       // exact d-dim re-home among the subs, mapped to their slots
       val sub = IvfIndex.leafExprMinL2(col(vecCol).cast("array<double>"),
@@ -282,6 +292,11 @@ object IndexMaintenance {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true)
     }
+
+    // manifest rows of exactly the rewritten directories: the split
+    // parents (new file set) and the appended slots
+    graft.operators.ServingManifest.reconcile(spark, servePath,
+      touchedSlots.toSeq)
 
     // refreshed stats from footer-cheap aggregates over the new
     // layout; nVectors stays the last full build's corpus count
@@ -331,6 +346,9 @@ object IndexMaintenance {
     if (fs.exists(pq))
       graft.operators.ProductQuantizer.writeCodebook(spark, tmp.toString,
         graft.operators.ProductQuantizer.loadCodebook(spark, servePath))
+    // manifest over the compacted copy, relative paths → survives the
+    // rename below
+    graft.operators.ServingManifest.rebuild(spark, tmp.toString)
     val old = new org.apache.hadoop.fs.Path(servePath + ".compact-old")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(hadoopPath, old))
