@@ -292,6 +292,69 @@ object AdvancedQueries {
       .orderBy("l_returnflag")
   }
 
+  /** MERGEABLE distinct-count sketches — the re-aggregation story
+    * behind every 100 TB incremental rollup: per-group HLL sketches
+    * (DataSketches, binary-mergeable) are built ONCE, then the global
+    * distinct estimate comes from `hll_union_agg` over the five group
+    * sketches — the raw data is touched once, and the union would
+    * work the same over sketches persisted per partition/day (the
+    * incremental-MV form of q_approx_distinct). Groups OVERLAP in
+    * customers, so the union is a genuine set union, not a sum.
+    * Gate in the q_approx_distinct pattern: exact values hash-checked,
+    * sketch estimate asserted within 5% (deterministic: fixed
+    * lgConfigK, hashing without RNG, register-max merge is
+    * order-independent).
+    */
+  private val qHllUnion = QueryDef.sqlChecked("q_hll_union")(
+    "SELECT cast(count(distinct o_custkey) as bigint) AS exact_total, " +
+      "cast(count(distinct o_orderpriority) as bigint) AS n_groups, " +
+      "cast(1 as bigint) AS union_within_5pct FROM orders"
+  ) { (s, d) =>
+    val perGroup = Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey"), 14).as("sk"))
+    val exact = Tables.orders(s, d)
+      .agg(countDistinct(col("o_custkey")).as("exact_total"))
+    perGroup
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+        count(lit(1)).as("n_groups"))
+      .crossJoin(broadcast(exact))
+      .select(col("exact_total"), col("n_groups"),
+        when(abs(col("est") - col("exact_total")).cast("double")
+          <= col("exact_total").cast("double") * 0.05, 1L).otherwise(0L)
+          .as("union_within_5pct"))
+  }
+
+  /** Count-min-sketch heavy hitters over the document vocabulary —
+    * the streaming-friendly frequency sketch (fixed memory, mergeable
+    * counters) next to `p_topk_tokens`' exact heap. The exact top-20
+    * counts are hash-checked; per token a flag asserts the CMS
+    * estimate respects its guarantee (overestimate only, excess
+    * ≤ eps × total token count). Deterministic: fixed seed, counter
+    * adds commute across partitions.
+    */
+  private val qCmsTopk = QueryDef.sqlChecked("q_cms_topk")(
+    s"SELECT t, cnt, cast(1 as bigint) AS cms_ok FROM (" +
+      s"SELECT t, count(*) AS cnt FROM (" +
+      s"SELECT unnest(${graft.functions.text.sql.tokensOf("text")}) AS t " +
+      "FROM documents) GROUP BY t ORDER BY cnt DESC, t LIMIT 20)"
+  ) { (s, d) =>
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(graft.functions.text.tokens(col("text"))).as("t"))
+    val total = toks.count()
+    val eps = 0.0005
+    val cms = toks.stat.countMinSketch("t", eps, 0.99, 42)
+    val top = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("t")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    top.map { case (t, cnt) =>
+      val est = cms.estimateCount(t)
+      (t, cnt, if (est >= cnt && est - cnt <= eps * total) 1L else 0L)
+    }.toSeq.toDF("t", "cnt", "cms_ok")
+  }
+
   val defs: Seq[QueryDef] = Seq(qAsof, qSessionize, qCube,
-    qWindowAnalytics, qApproxDistinct, qBloomJoin, qApproxQuantile, qStats)
+    qWindowAnalytics, qApproxDistinct, qBloomJoin, qApproxQuantile,
+    qStats, qHllUnion, qCmsTopk)
 }
