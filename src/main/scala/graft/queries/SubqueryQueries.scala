@@ -164,6 +164,68 @@ object SubqueryQueries {
       .orderBy("hour", "event_type")
   }
 
+  /** NATIVE session windows, EXECUTED by Structured Streaming:
+    * `session_window(ts, gap)` — Spark's built-in dynamic-gap session
+    * operator (merging state store windows) — in append mode under a
+    * watermark, against the same events table. Complements
+    * `q_sessionize` (batch window-function sessionization) and
+    * `StatefulSessionize` (custom flatMapGroupsWithState state): this
+    * is the declarative form a user would reach for first.
+    *
+    * One data batch (whole file), so no cross-batch late-drop rule
+    * applies; append emits exactly the sessions whose END (last event
+    * + 8 h gap) the final eviction watermark (max ts − 24 h) passed —
+    * the trailing AvailableNow batch flushes them. The oracle
+    * replicates sessionization (gap ≥ 8 h splits, µs-truncated
+    * timestamps to match Spark's) and the eviction cutoff. A
+    * regression in session merge, gap comparison, or eviction changes
+    * rows and fails the hash.
+    */
+  private val qStreamSession = QueryDef.sqlChecked("q_stream_session")(
+    "WITH ev AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, " +
+      "value FROM events), " +
+      "s AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL " +
+      "OR ts - lag(ts) OVER w >= INTERVAL 8 HOUR THEN 1 ELSE 0 END AS brk " +
+      "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+      "g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+      "ROWS UNBOUNDED PRECEDING) AS sid FROM s), " +
+      "agg AS (SELECT user_id, sid, min(ts) AS st, " +
+      "max(ts) + INTERVAL 8 HOUR AS en, count(*) AS n, " +
+      s"${sqlDsum("value", 6)} AS sum_value FROM g GROUP BY 1, 2), " +
+      "cutf AS (SELECT max(ts) - INTERVAL 24 HOUR AS c FROM ev) " +
+      "SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start, " +
+      "strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end, n, sum_value " +
+      "FROM agg WHERE en <= (SELECT c FROM cutf) " +
+      "ORDER BY user_id, session_start"
+  ) { (s, d) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.apply(s, d, "events").schema
+    val sinkName = "graft_stream_session"
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "24 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "8 hours"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_dec"))
+    graft.SessionConf.withStreamShuffle(s) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(sinkName)
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n"), col("sum_dec").cast("double").as("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   val defs: Seq[QueryDef] = Seq(qScalarSub, qInSub, qCorrelated,
-    qStreamHourly, qStreamLate)
+    qStreamHourly, qStreamLate, qStreamSession)
 }
