@@ -172,14 +172,18 @@ object SubqueryQueries {
     * `StatefulSessionize` (custom flatMapGroupsWithState state): this
     * is the declarative form a user would reach for first.
     *
-    * One data batch (whole file), so no cross-batch late-drop rule
-    * applies; append emits exactly the sessions whose END (last event
-    * + 8 h gap) the final eviction watermark (max ts − 24 h) passed —
-    * the trailing AvailableNow batch flushes them. The oracle
-    * replicates sessionization (gap ≥ 8 h splits, µs-truncated
-    * timestamps to match Spark's) and the eviction cutoff. A
-    * regression in session merge, gap comparison, or eviction changes
-    * rows and fails the hash.
+    * The events stream as TWO TIME-ORDERED micro-batches (ts before /
+    * after Jan 21), so sessions spanning the boundary are built by
+    * MERGING state-store session windows across batches — the hard
+    * stateful path. A time-ordered split means no row is late (batch
+    * 1's oldest row ≥ batch 0's newest), so the late-drop rule never
+    * fires and the final emitted set is exactly the sessions whose
+    * END (last event + 8 h gap) the final eviction watermark
+    * (max ts − 24 h) passed — the trailing AvailableNow batch flushes
+    * them. The oracle replicates sessionization over the whole table
+    * (gap ≥ 8 h splits, µs-truncated timestamps to match Spark's) and
+    * the eviction cutoff. A regression in cross-batch merge, gap
+    * comparison, or eviction changes rows and fails the hash.
     */
   private val qStreamSession = QueryDef.sqlChecked("q_stream_session")(
     "WITH ev AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, " +
@@ -198,12 +202,19 @@ object SubqueryQueries {
       "FROM agg WHERE en <= (SELECT c FROM cutf) " +
       "ORDER BY user_id, session_start"
   ) { (s, d) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.apply(s, d, "events").schema
+    val ev = graft.Tables.events(s, d)
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val cut = "2024-01-21 00:00:00"
+    val streamDir = graft.streaming.FileStreamFixture.write("session", d,
+      s"events time-split at $cut: b0 ts<cut, b1 ts>=cut", Seq(
+        ev.filter(col("ts") < lit(cut)),
+        ev.filter(col("ts") >= lit(cut))))
     val sinkName = "graft_stream_session"
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(streamDir)
       .withWatermark("ts", "24 hours")
       .groupBy(col("user_id"), session_window(col("ts"), "8 hours"))
       .agg(count(lit(1)).as("n"),
