@@ -221,6 +221,85 @@ object ScaleProbe {
         f"manifest_open=$tManifest%.2f s rows=$nManifest nq=$nQ " +
         f"query_min=${times.head}%.3f s med=${times(nQ / 2)}%.3f s " +
         f"max=${times.last}%.3f s")
+    } else if (args(0) == "pqaniso") {
+      // plain vs anisotropic PQ codebooks, measured as MIPS recall@10
+      // of ADC ranking vs exact dot ranking — three combinations:
+      // (train=plain, encode=plain), (train=aniso, encode=plain),
+      // (train=aniso, encode=aniso). Driver-side scoring: this probe
+      // measures QUALITY; throughput is the serving tier's story.
+      // usage: pqaniso <corpus: synth:<n> | parquet dir> [eta...]
+      import graft.operators.ProductQuantizer
+      val etas = if (args.length > 2) args.drop(2).map(_.toDouble).toSeq
+        else Seq(2.0, 4.0, 8.0)
+      val (name, df) =
+        if (args(1).startsWith("synth:")) {
+          val n = args(1).stripPrefix("synth:").toLong
+          ("synth" + n,
+            graft.pipeline.SyntheticCorpus.vectors(spark, n, 64, 25))
+        } else ("embeddings", spark.read.parquet(args(1) + "/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")))
+      val rows = df
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val vecs = rows.map(_._2)
+      val dim = vecs.head.length
+      require(dim == ProductQuantizer.NumSub * ProductQuantizer.SubDim)
+      val nSub = ProductQuantizer.NumSub
+      val sd = ProductQuantizer.SubDim
+      val queries = rows.indices.by(math.max(1, rows.length / 50))
+        .take(50).map(i => vecs(i)).toArray
+      def encode(cb: Seq[Array[Double]], eta: Double): Array[Array[Int]] =
+        vecs.map { x =>
+          Array.tabulate(nSub) { s =>
+            var bc = 0; var bd = Double.PositiveInfinity
+            var c = 0
+            while (c < cb.length) {
+              var l2 = 0.0; var par = 0.0; var xx = 0.0
+              var j = 0
+              while (j < sd) {
+                val xi = x(s * sd + j); val r = xi - cb(c)(s * sd + j)
+                l2 += r * r; par += xi * r; xx += xi * xi; j += 1
+              }
+              val dd = if (eta == 1.0 || xx == 0.0) l2
+                else l2 + (eta - 1.0) * par * par / xx
+              if (dd < bd) { bd = dd; bc = c }
+              c += 1
+            }
+            bc
+          }
+        }
+      def recall(codes: Array[Array[Int]], cb: Seq[Array[Double]]): Double = {
+        val hits = queries.map { q =>
+          val exact = vecs.zipWithIndex.map { case (v, i) =>
+            var s = 0.0; var j = 0
+            while (j < dim) { s += q(j) * v(j); j += 1 }
+            (-s, i)
+          }.sorted.take(10).map(_._2).toSet
+          val tab = ProductQuantizer.adcTable(q, cb)
+          val est = codes.zipWithIndex.map { case (cs, i) =>
+            var s = 0.0; var k = 0
+            while (k < nSub) { s += tab(k)(cs(k)); k += 1 }
+            (-s, i)
+          }.sorted.take(10).map(_._2).toSet
+          (exact intersect est).size / 10.0
+        }
+        hits.sum / hits.length
+      }
+      val sampleDf = df.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val plain = ProductQuantizer.trainCodebooks(sampleDf, "vec_id", "v")
+      val rPlain = recall(encode(plain, 1.0), plain)
+      println(f"PQANISO $name n=${vecs.length} plain/plain recall@10=$rPlain%.4f")
+      etas.foreach { eta =>
+        val aniso = ProductQuantizer.trainCodebooksAniso(
+          sampleDf, "vec_id", "v", eta)
+        val rA = recall(encode(aniso, 1.0), aniso)
+        val rAA = recall(encode(aniso, eta), aniso)
+        println(f"PQANISO $name eta=$eta%.1f aniso/plain=$rA%.4f " +
+          f"aniso/aniso=$rAA%.4f (plain/plain $rPlain%.4f)")
+      }
     } else if (args(0) == "joincmp") {
       // window-rank vs heap-aggregate ranking for the kNN self-join,
       // on the same deterministic bounded layout as the bench row

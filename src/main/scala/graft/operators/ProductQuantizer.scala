@@ -171,6 +171,215 @@ object ProductQuantizer {
     out.toSeq
   }
 
+  /** ANISOTROPIC codebooks — the reference's actual quantization
+    * objective (Vertex AI vector search is ScaNN; Guo et al. 2020,
+    * "Accelerating Large-Scale Inference with Anisotropic Vector
+    * Quantization"): for MIPS serving, quantization error PARALLEL to
+    * the datapoint costs inner-product accuracy on exactly the
+    * high-scoring pairs, so the loss weights the parallel residual
+    * `eta` times the orthogonal one instead of minimizing plain L2.
+    * Assignment minimizes ‖x−c‖² + (η−1)·(uᵀ(x−c))² with u = x/‖x‖;
+    * the centroid update is the closed-form weighted least squares:
+    * solve (n·I + (η−1)·Σᵢ uᵢuᵢᵀ)·c = η·Σᵢ xᵢ per cluster (the
+    * cross term uᵢuᵢᵀxᵢ = xᵢ collapses the RHS). η = 1 reduces to
+    * exact Lloyd's.
+    *
+    * Applied PER SUBSPACE (u is the subvector's own direction) — a
+    * documented simplification of the paper, which decomposes the
+    * FULL residual and couples subspaces via coordinate descent;
+    * measured on this engine's corpora it still buys recall (PERF
+    * round-7). Deterministic like [[trainCodebooks]]: same sampling,
+    * same farthest-point init, fixed iterations, driver-local.
+    */
+  def trainCodebooksAniso(emb: DataFrame, idCol: String, vecCol: String,
+      eta: Double, maxSample: Int = 20000, iters: Int = 10)
+      : Seq[Array[Double]] = {
+    require(eta >= 1.0, s"eta must be >= 1 (got $eta); 1 = plain Lloyd's")
+    val n = emb.count()
+    val sampled =
+      if (n <= maxSample) emb
+      else emb.filter(
+        pmod(xxhash64(col(idCol)), lit(1000000L)) <
+          lit((maxSample.toLong * 1000000L) / n))
+    val rows = sampled
+      .select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
+      .collect().sortBy(_.getString(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(rows.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val dim = rows.head.length
+    require(dim == NumSub * SubDim,
+      s"expected ${NumSub * SubDim}-dim vectors, got $dim")
+    val out = Array.fill(NumCodes)(new Array[Double](dim))
+    var s = 0
+    while (s < NumSub) {
+      val slices = rows.map(_.slice(s * SubDim, s * SubDim + SubDim))
+      val cents = lloydAniso(slices, NumCodes, iters, eta)
+      var c = 0
+      while (c < NumCodes) {
+        System.arraycopy(cents(c), 0, out(c), s * SubDim, SubDim)
+        c += 1
+      }
+      s += 1
+    }
+    out.toSeq
+  }
+
+  /** The anisotropic assignment distance (see [[trainCodebooksAniso]]).
+    * Zero-norm subvectors have no direction → plain L2 for them.
+    */
+  private def anisoDist(x: Array[Double], c: Array[Double],
+      eta: Double): Double = {
+    val d = x.length
+    var l2 = 0.0; var par = 0.0; var xx = 0.0
+    var j = 0
+    while (j < d) {
+      val r = x(j) - c(j)
+      l2 += r * r; par += x(j) * r; xx += x(j) * x(j)
+      j += 1
+    }
+    if (xx == 0.0) l2 else l2 + (eta - 1.0) * par * par / xx
+  }
+
+  /** Lloyd's under the anisotropic loss: weighted assignment +
+    * linear-solve update (8×8 SPD system per cluster per round,
+    * Gaussian elimination with partial pivoting). Same deterministic
+    * skeleton as [[lloyd]] — farthest-point init (by the SAME plain-L2
+    * geometry so η only shapes refinement, not seeding), fixed
+    * iteration count, degenerate-k padding.
+    */
+  private def lloydAniso(xs: Array[Array[Double]], k: Int, iters: Int,
+      eta: Double): Array[Array[Double]] = {
+    val d = xs.head.length
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < d) { val t = a(j) - b(j); s += t * t; j += 1 }
+      s
+    }
+    val kk = math.min(k, xs.length)
+    val cents = new Array[Array[Double]](kk)
+    cents(0) = xs(0).clone()
+    val best = Array.fill(xs.length)(Double.PositiveInfinity)
+    var c = 1
+    while (c < kk) {
+      var i = 0
+      while (i < xs.length) {
+        val dd = dist2(xs(i), cents(c - 1))
+        if (dd < best(i)) best(i) = dd
+        i += 1
+      }
+      var far = 0; var fd = -1.0; i = 0
+      while (i < xs.length) {
+        if (best(i) > fd) { fd = best(i); far = i }
+        i += 1
+      }
+      cents(c) = xs(far).clone()
+      c += 1
+    }
+    val assign = new Array[Int](xs.length)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < xs.length) {
+        var bc = 0; var bd = Double.PositiveInfinity; var cc = 0
+        while (cc < kk) {
+          val dd = anisoDist(xs(i), cents(cc), eta)
+          if (dd < bd) { bd = dd; bc = cc }
+          cc += 1
+        }
+        assign(i) = bc
+        i += 1
+      }
+      // per-cluster weighted-least-squares update:
+      // A = n·I + (η−1)·Σ uuᵀ,  b = η·Σ x  (isotropic rows: A += I,
+      // b += x — a zero-norm subvector has no parallel direction)
+      val mats = Array.fill(kk)(new Array[Double](d * d))
+      val rhs = Array.fill(kk)(new Array[Double](d))
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < xs.length) {
+        val a = assign(i); counts(a) += 1
+        val x = xs(i)
+        var xx = 0.0
+        var j = 0
+        while (j < d) { xx += x(j) * x(j); j += 1 }
+        val m = mats(a); val b = rhs(a)
+        if (xx == 0.0) {
+          j = 0
+          while (j < d) { m(j * d + j) += 1.0; b(j) += x(j); j += 1 }
+        } else {
+          val w = (eta - 1.0) / xx
+          j = 0
+          while (j < d) {
+            m(j * d + j) += 1.0
+            var l = 0
+            while (l < d) { m(j * d + l) += w * x(j) * x(l); l += 1 }
+            b(j) += eta * x(j)
+            j += 1
+          }
+        }
+        i += 1
+      }
+      var cc = 0
+      while (cc < kk) {
+        if (counts(cc) > 0) {
+          val sol = solveSpd(mats(cc), rhs(cc), d)
+          System.arraycopy(sol, 0, cents(cc), 0, d)
+        }
+        cc += 1
+      }
+      it += 1
+    }
+    if (kk < k) cents.take(kk) ++ Array.fill(k - kk)(cents(kk - 1).clone())
+    else cents
+  }
+
+  /** Dense d×d solve (Gaussian elimination, partial pivoting) —
+    * deterministic, d = 8 here so cost is trivial.
+    */
+  private def solveSpd(aIn: Array[Double], bIn: Array[Double],
+      d: Int): Array[Double] = {
+    val a = aIn.clone(); val b = bIn.clone()
+    var col = 0
+    while (col < d) {
+      var piv = col; var pv = math.abs(a(col * d + col))
+      var r = col + 1
+      while (r < d) {
+        val v = math.abs(a(r * d + col))
+        if (v > pv) { pv = v; piv = r }
+        r += 1
+      }
+      if (pv > 0.0) {
+        if (piv != col) {
+          var j = 0
+          while (j < d) {
+            val t = a(col * d + j); a(col * d + j) = a(piv * d + j)
+            a(piv * d + j) = t; j += 1
+          }
+          val t = b(col); b(col) = b(piv); b(piv) = t
+        }
+        r = col + 1
+        while (r < d) {
+          val f = a(r * d + col) / a(col * d + col)
+          var j = col
+          while (j < d) { a(r * d + j) -= f * a(col * d + j); j += 1 }
+          b(r) -= f * b(col)
+          r += 1
+        }
+      }
+      col += 1
+    }
+    val x = new Array[Double](d)
+    var r = d - 1
+    while (r >= 0) {
+      var s = b(r)
+      var j = r + 1
+      while (j < d) { s -= a(r * d + j) * x(j); j += 1 }
+      x(r) = if (a(r * d + r) != 0.0) s / a(r * d + r) else 0.0
+      r -= 1
+    }
+    x
+  }
+
   /** Deterministic k-means for one subspace: farthest-point init
     * (same scheme as the router's super-centroid fit) + fixed Lloyd
     * rounds; empty clusters re-seed from the farthest point, ties

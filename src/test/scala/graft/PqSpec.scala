@@ -118,4 +118,35 @@ class PqSpec extends SparkTestBase {
           s"expected $expected")
     }
   }
+
+  test("anisotropic training at eta=1 IS Lloyd's, bit-identical") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val plain = ProductQuantizer.trainCodebooks(emb, "vec_id", "v")
+    val iso = ProductQuantizer.trainCodebooksAniso(emb, "vec_id", "v", 1.0)
+    assert(plain.length == iso.length)
+    plain.zip(iso).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b),
+        "eta=1 must reduce the weighted update to the exact mean")
+    }
+  }
+
+  test("anisotropic training is deterministic and eta>1 moves the " +
+      "codebook toward score-aware placement") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a1 = ProductQuantizer.trainCodebooksAniso(emb, "vec_id", "v", 4.0)
+    val a2 = ProductQuantizer.trainCodebooksAniso(emb, "vec_id", "v", 4.0)
+    a1.zip(a2).foreach { case (x, y) =>
+      assert(java.util.Arrays.equals(x, y), "two trains must be identical")
+    }
+    val plain = ProductQuantizer.trainCodebooks(emb, "vec_id", "v")
+    assert(a1.zip(plain).exists { case (x, y) =>
+      !java.util.Arrays.equals(x, y)
+    }, "eta=4 must actually change the placement")
+    // the weighted objective is finite and the codebook is usable by
+    // the unchanged encode/ADC machinery
+    val err = ProductQuantizer.reconstructionError(emb, "v", a1)
+    assert(err.isFinite && err >= 0)
+  }
 }
