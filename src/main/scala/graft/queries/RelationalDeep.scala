@@ -255,5 +255,84 @@ object RelationalDeep {
       .orderBy("c_nationkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(q4, q10, q12, q15, q16, q17, q19, q22)
+  /** Q8 shape: national market share — the widest join in the suite
+    * (8 relations: part, supplier, lineitem, orders, customer, nation
+    * ×2, region) feeding a conditional-ratio aggregate per year. Both
+    * the numerator (one nation's volume) and denominator (all volume)
+    * are exact-decimal sums, so the ratio is one deterministic double
+    * division. Dims are fixed-size → broadcast; the only SF-linear
+    * shuffle is lineitem⋈orders.
+    */
+  private val q8 = QueryDef.sqlChecked("q8_market_share")(
+    "SELECT o_year, " +
+      "cast(sum(cast(case when nation = 'NATION_3' then volume else 0 end " +
+      "as decimal(18,4))) as double) / " +
+      "cast(sum(cast(volume as decimal(18,4))) as double) AS mkt_share " +
+      "FROM (SELECT cast(extract(year from o_orderdate) as bigint) AS o_year, " +
+      "l_extendedprice*(1-l_discount) AS volume, n2.n_name AS nation " +
+      "FROM part, supplier, lineitem, orders, customer, " +
+      "nation n1, nation n2, region " +
+      "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey " +
+      "AND l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+      "AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey " +
+      "AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey " +
+      "AND p_type = 'ECONOMY') GROUP BY o_year ORDER BY o_year"
+  ) { (s, d) =>
+    val custNation = Tables.nation(s, d)
+      .select(col("n_nationkey").as("__cnk"), col("n_regionkey"))
+    val suppNation = Tables.nation(s, d)
+      .select(col("n_nationkey").as("__snk"), col("n_name").as("nation"))
+    val america = Tables.region(s, d).filter(col("r_name") === "AMERICA")
+    val vol = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === "ECONOMY"),
+        col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("c_nationkey") === col("__cnk"))
+      .join(america, col("n_regionkey") === col("r_regionkey"))
+      .join(suppNation, col("s_nationkey") === col("__snk"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        (col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("volume"),
+        col("nation"))
+    vol.groupBy("o_year")
+      .agg((dsum(when(col("nation") === "NATION_3", col("volume"))
+          .otherwise(lit(0d)), 4) / dsum(col("volume"), 4))
+        .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q9 shape: profit by supplier nation and year. The synthetic
+    * schema has no partsupp, so supply cost is proxied as
+    * 0.1 × p_retailprice × quantity — the PLAN is the point: a
+    * 5-way join with a LIKE filter on the part dimension, re-grouped
+    * on (nation, year).
+    */
+  private val q9 = QueryDef.sqlChecked("q9_profit")(
+    "SELECT n_name AS nation, " +
+      "cast(extract(year from o_orderdate) as bigint) AS o_year, " +
+      s"${sqlDsum("l_extendedprice*(1-l_discount) - 0.1*p_retailprice*l_quantity", 4)} " +
+      "AS sum_profit FROM part, supplier, lineitem, orders, nation " +
+      "WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey " +
+      "AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey " +
+      "AND p_name LIKE '%red%' " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_name").like("%red%")),
+        col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")) -
+          lit(0.1) * col("p_retailprice") * col("l_quantity"), 4)
+        .as("sum_profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  val defs: Seq[QueryDef] = Seq(q4, q8, q9, q10, q12, q15, q16, q17,
+    q19, q22)
 }

@@ -60,7 +60,8 @@ object IndexMaintenance {
       batch: DataFrame, id: String, vecCol: String, versionCol: String,
       spill: Int = 2): Unit = {
     val model = IvfIndex.load(spark, servePath)
-    val layoutCols = spark.read.parquet(servePath).columns.sorted.toSeq
+    val layoutCols = graft.operators.ServingManifest.openOrRead(spark, servePath)
+      .columns.sorted.toSeq
     // probeExprF32: identical to probeExpr below the router threshold
     // (exact flat branch); past it the assignment matrix is broadcast
     // float32 — an upsert batch against a 10⁶-leaf index must not
@@ -101,7 +102,8 @@ object IndexMaintenance {
       spill: Int = 1): Unit = {
     val model = IvfIndex.load(spark, servePath)
     val cb = graft.operators.ProductQuantizer.loadCodebook(spark, servePath)
-    val layoutCols = spark.read.parquet(servePath).columns.sorted.toSeq
+    val layoutCols = graft.operators.ServingManifest.openOrRead(spark, servePath)
+      .columns.sorted.toSeq
     val v = col(vecCol).cast("array<double>")
     val assigned = batch
       .withColumn("leaf_id",
@@ -156,7 +158,7 @@ object IndexMaintenance {
     */
   def oversizedLeaves(spark: SparkSession, servePath: String,
       maxLeafSize: Int): DataFrame =
-    spark.read.parquet(servePath)
+    graft.operators.ServingManifest.openOrRead(spark, servePath)
       .groupBy("leaf_id").count()
       .filter(col("count") > maxLeafSize)
 
@@ -228,7 +230,9 @@ object IndexMaintenance {
       id: String, vecCol: String, maxLeafSize: Int,
       seed: Long): (Int, Long) = {
     val model = IvfIndex.load(spark, servePath)
-    val data = spark.read.parquet(servePath)
+    // manifest-backed like readServing: maintenance on a 10⁵-leaf
+    // layout must not pay (or trust) a recursive listing either
+    val data = graft.operators.ServingManifest.openOrRead(spark, servePath)
     require(data.columns.contains(vecCol),
       s"rebalanceOverflow needs raw vectors ('$vecCol' column); a " +
         "PQ-coded layout rebalances via recluster")
@@ -301,7 +305,9 @@ object IndexMaintenance {
     // refreshed stats from footer-cheap aggregates over the new
     // layout; nVectors stays the last full build's corpus count
     // (appends don't maintain it — the recluster re-derives it)
-    val after = spark.read.parquet(servePath)
+    // the manifest was reconciled above, so this read sees the
+    // post-split file set without a listing
+    val after = graft.operators.ServingManifest.openOrRead(spark, servePath)
     val Array(nRows, maxLeaf) = after.groupBy("leaf_id").count()
       .agg(sum("count"), max("count")).head() match {
       case r => Array(r.getLong(0), r.getLong(1))
