@@ -221,6 +221,44 @@ object ScaleProbe {
         f"manifest_open=$tManifest%.2f s rows=$nManifest nq=$nQ " +
         f"query_min=${times.head}%.3f s med=${times(nQ / 2)}%.3f s " +
         f"max=${times.last}%.3f s")
+    } else if (args(0) == "manifestscale") {
+      // driver-side planning cost of ManifestFileIndex at 100 TB file
+      // counts: listFiles with and without a pruning predicate over
+      // synthetic manifest entries (no fs involved — that is the
+      // point of the index; the one real-fs cost of an open is a
+      // single footer read). usage: manifestscale <nLeaves> <filesPerLeaf>
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.types.IntegerType
+      val nLeaves = args(1).toInt
+      val fpl = if (args.length > 2) args(2).toInt else 2
+      val entries = Array.tabulate(nLeaves * fpl) { i =>
+        val l = i / fpl
+        (s"leaf_id=$l/part-$i.parquet", l, 4L << 20, 0L)
+      }
+      var t0 = System.nanoTime()
+      val idx = new graft.operators.ManifestFileIndex(spark,
+        new org.apache.hadoop.fs.Path("/tmp/graft_manifest_scale"), entries)
+      val nAll = idx.listFiles(Nil, Nil).map(_.files.length).sum
+      val tAll = (System.nanoTime() - t0) / 1e9
+      // a 16-leaf In-list, the graft_ann_probe shape after rewrite
+      val attr = AttributeReference("leaf_id", IntegerType)()
+      val probe = In(attr, (0 until 16).map(l =>
+        Literal(l * (nLeaves / 16))))
+      t0 = System.nanoTime()
+      val pruned = idx.listFiles(Seq(probe), Nil)
+      val nPruned = pruned.map(_.files.length).sum
+      val tPruned = (System.nanoTime() - t0) / 1e9
+      // second probe = steady state (the first pays the one-time
+      // leaf-lookup build, amortized over the serving process)
+      val probe2 = In(attr, (0 until 16).map(l =>
+        Literal(l * (nLeaves / 16) + 1)))
+      t0 = System.nanoTime()
+      val n2 = idx.listFiles(Seq(probe2), Nil).map(_.files.length).sum
+      val tSteady = (System.nanoTime() - t0) / 1e9
+      println(f"MANIFESTSCALE leaves=$nLeaves files=${entries.length} " +
+        f"group+list_all=$tAll%.2f s ($nAll files) " +
+        f"pruned_16_first=$tPruned%.3f s ($nPruned files) " +
+        f"pruned_16_steady=$tSteady%.5f s ($n2 files)")
     } else if (args(0) == "pqaniso") {
       // plain vs anisotropic PQ codebooks, measured as MIPS recall@10
       // of ADC ranking vs exact dot ranking — three combinations:

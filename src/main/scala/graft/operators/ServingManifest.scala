@@ -252,10 +252,51 @@ private[graft] final class ManifestFileIndex(
       })
     }
 
+  private lazy val leafLookup: Map[Int, Array[FileStatus]] = byLeaf.toMap
+
   override def rootPaths: Seq[Path] = Seq(qualifiedRoot)
+
+  /** The `graft_ann_probe` rewrite always prunes with a literal
+    * In-list on `leaf_id`; serve it by LOOKUP instead of evaluating
+    * the predicate against every leaf — at 10⁶ leaves that is the
+    * difference between O(nProbe) and an 0.2 s full pass per query.
+    * Any other predicate shape falls back to the general evaluation.
+    */
+  private def inListLeaves(f: Expression): Option[Seq[Int]] = f match {
+    case org.apache.spark.sql.catalyst.expressions.In(
+        _: AttributeReference, vs)
+        if vs.forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Literal]) =>
+      Some(vs.map(_.eval(InternalRow.empty) match {
+        case i: Int => i
+        case other => return None
+      }))
+    case org.apache.spark.sql.catalyst.expressions.InSet(
+        _: AttributeReference, hs)
+        if hs.forall(_.isInstanceOf[Int]) =>
+      Some(hs.toSeq.map(_.asInstanceOf[Int]).sorted)
+    case org.apache.spark.sql.catalyst.expressions.EqualTo(
+        _: AttributeReference,
+        org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _)) =>
+      Some(Seq(i))
+    case _ => None
+  }
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    partitionFilters match {
+      case Seq(single) =>
+        inListLeaves(single) match {
+          case Some(leaves) =>
+            // sorted: same partition order as the general path
+            return leaves.distinct.sorted.flatMap { l =>
+              leafLookup.get(l).map(fss =>
+                PartitionDirectory(InternalRow(l), fss))
+            }
+          case None => ()
+        }
+      case _ => ()
+    }
     val pred = partitionFilters.reduceOption(And).map { f =>
       Predicate.createInterpreted(f.transform {
         case a: AttributeReference =>

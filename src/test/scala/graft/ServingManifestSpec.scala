@@ -47,6 +47,17 @@ class ServingManifestSpec extends SparkTestBase {
     assert(pruned.count() ==
       spark.read.parquet(dir).filter(col("leaf_id").isin(0, 1)).count())
     assert(model.centroids.length == 8)
+
+    // range predicates prune through the manifest's listFiles too —
+    // the bound-reference evaluation is not In-list-specific
+    val ranged = viaManifest.filter(col("leaf_id") >= 3 &&
+      col("leaf_id") < 6)
+    val rScan = ranged.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(rScan.partitionFilters.nonEmpty)
+    assert(ranged.count() == spark.read.parquet(dir)
+      .filter(col("leaf_id") >= 3 && col("leaf_id") < 6).count())
   }
 
   test("appendToServing reconciles the touched leaves") {
