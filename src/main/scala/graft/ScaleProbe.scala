@@ -286,8 +286,9 @@ object ScaleProbe {
       require(dim == ProductQuantizer.NumSub * ProductQuantizer.SubDim)
       val nSub = ProductQuantizer.NumSub
       val sd = ProductQuantizer.SubDim
-      val queries = rows.indices.by(math.max(1, rows.length / 50))
-        .take(50).map(i => vecs(i)).toArray
+      val nQueries = 200
+      val queries = rows.indices.by(math.max(1, rows.length / nQueries))
+        .take(nQueries).map(i => vecs(i)).toArray
       def encode(cb: Seq[Array[Double]], eta: Double): Array[Array[Int]] =
         vecs.map { x =>
           Array.tabulate(nSub) { s =>
@@ -337,6 +338,24 @@ object ScaleProbe {
         val rAA = recall(encode(aniso, eta), aniso)
         println(f"PQANISO $name eta=$eta%.1f aniso/plain=$rA%.4f " +
           f"aniso/aniso=$rAA%.4f (plain/plain $rPlain%.4f)")
+      }
+      // the FULL-vector objective (coordinate-descent codes + coupled
+      // codebook solves) — encode must be CD too, same loss
+      val us = vecs.map { x =>
+        var nn = 0.0; var j = 0
+        while (j < dim) { nn += x(j) * x(j); j += 1 }
+        val inv = if (nn == 0.0) 0.0 else 1.0 / math.sqrt(nn)
+        Array.tabulate(dim)(j => x(j) * inv)
+      }
+      etas.foreach { eta =>
+        val full = ProductQuantizer.trainCodebooksAnisoFull(
+          sampleDf, "vec_id", "v", eta).toArray
+        val cdCodes = ProductQuantizer.cdAssign(
+          vecs, us, full, eta, 2, null)
+        val rF = recall(cdCodes, full.toSeq)
+        val rFp = recall(encode(full.toSeq, 1.0), full.toSeq)
+        println(f"PQANISO $name eta=$eta%.1f FULL cd/cd=$rF%.4f " +
+          f"plainenc=$rFp%.4f (plain/plain $rPlain%.4f)")
       }
     } else if (args(0) == "joincmp") {
       // window-rank vs heap-aggregate ranking for the kNN self-join,

@@ -224,6 +224,191 @@ object ProductQuantizer {
     out.toSeq
   }
 
+  /** FULL-VECTOR anisotropic PQ — the paper's actual objective
+    * (Guo et al. 2020 §3-4), not the per-subspace simplification of
+    * [[trainCodebooksAniso]]: the residual r = x − q(x) is decomposed
+    * against the WHOLE datapoint's direction u = x/‖x‖, loss =
+    * η·(uᵀr)² + (‖r‖² − (uᵀr)²), and because uᵀr couples every
+    * subspace, codes are assigned by COORDINATE DESCENT (each
+    * subspace's code re-chosen given the others — the candidate cost
+    * needs only the running cross-subspace sums, O(codes·subdim) per
+    * step) and each codebook entry solves the coupled weighted least
+    * squares  A·c = b  with A = Σ(I + (η−1)·u_s u_sᵀ) and
+    * b = Σ(x_s + (η−1)·(uᵀr̄_other + u_sᵀx_s)·u_s) over its assigned
+    * rows (r̄_other = the residual contribution of the OTHER
+    * subspaces, held fixed). Deterministic: plain-PQ init, fixed
+    * alternation count, driver-local like both trainers.
+    *
+    * Measured next to plain and per-subspace training by
+    * `ScaleProbe pqaniso` — the encode used at serving time must
+    * match the training-time assignment rule (coordinate descent,
+    * exposed as [[encodeCdCodes]]) or the codebook's placement is
+    * wasted.
+    */
+  def trainCodebooksAnisoFull(emb: DataFrame, idCol: String,
+      vecCol: String, eta: Double, maxSample: Int = 20000,
+      alternations: Int = 6, cdRounds: Int = 2): Seq[Array[Double]] = {
+    require(eta >= 1.0, s"eta must be >= 1 (got $eta)")
+    val n = emb.count()
+    val sampled =
+      if (n <= maxSample) emb
+      else emb.filter(
+        pmod(xxhash64(col(idCol)), lit(1000000L)) <
+          lit((maxSample.toLong * 1000000L) / n))
+    val rows = sampled
+      .select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
+      .collect().sortBy(_.getString(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(rows.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val dim = rows.head.length
+    require(dim == NumSub * SubDim,
+      s"expected ${NumSub * SubDim}-dim vectors, got $dim")
+    // init from the plain per-subspace objective
+    var cb = trainCodebooks(sampled, idCol, vecCol, maxSample).toArray
+    val us = rows.map { x =>
+      var nn = 0.0; var j = 0
+      while (j < dim) { nn += x(j) * x(j); j += 1 }
+      val inv = if (nn == 0.0) 0.0 else 1.0 / math.sqrt(nn)
+      Array.tabulate(dim)(j => x(j) * inv)
+    }
+    var codes = cdAssign(rows, us, cb, eta, cdRounds, null)
+    var alt = 0
+    while (alt < alternations) {
+      // --- codebook update, one coupled WLS solve per (s, c) ---
+      val next = cb.map(_.clone())
+      var s = 0
+      while (s < NumSub) {
+        val o = s * SubDim
+        // per-row cross-subspace parallel sum EXCLUDING subspace s
+        val parOther = new Array[Double](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          val x = rows(i); val u = us(i); var p = 0.0
+          var k = 0
+          while (k < NumSub) {
+            if (k != s) {
+              val ok = k * SubDim; val ck = cb(codes(i)(k))
+              var j = 0
+              while (j < SubDim) {
+                p += u(ok + j) * (x(ok + j) - ck(ok + j)); j += 1
+              }
+            }
+            k += 1
+          }
+          parOther(i) = p
+          i += 1
+        }
+        var c = 0
+        while (c < NumCodes) {
+          val mat = new Array[Double](SubDim * SubDim)
+          val rhs = new Array[Double](SubDim)
+          var cnt = 0
+          i = 0
+          while (i < rows.length) {
+            if (codes(i)(s) == c) {
+              cnt += 1
+              val x = rows(i); val u = us(i)
+              val w = eta - 1.0
+              var j = 0
+              while (j < SubDim) {
+                mat(j * SubDim + j) += 1.0
+                var l = 0
+                while (l < SubDim) {
+                  mat(j * SubDim + l) += w * u(o + j) * u(o + l); l += 1
+                }
+                var uxs = 0.0
+                var jj = 0
+                while (jj < SubDim) { uxs += u(o + jj) * x(o + jj); jj += 1 }
+                rhs(j) += x(o + j) + w * (parOther(i) + uxs) * u(o + j)
+                j += 1
+              }
+            }
+            i += 1
+          }
+          if (cnt > 0) {
+            val sol = solveSpd(mat, rhs, SubDim)
+            System.arraycopy(sol, 0, next(c), o, SubDim)
+          }
+          c += 1
+        }
+        s += 1
+      }
+      cb = next
+      codes = cdAssign(rows, us, cb, eta, cdRounds, codes)
+      alt += 1
+    }
+    cb.toSeq
+  }
+
+  /** Coordinate-descent code assignment under the full-vector
+    * anisotropic loss: init = per-subspace L2 argmin (or the previous
+    * codes), then `rounds` sweeps re-choosing each subspace's code
+    * given the others. Exposed for serving-side encoding next to the
+    * trained codebook.
+    */
+  private[graft] def cdAssign(rows: Array[Array[Double]],
+      us: Array[Array[Double]], cb: Array[Array[Double]], eta: Double,
+      rounds: Int, prev: Array[Array[Int]]): Array[Array[Int]] = {
+    val dim = NumSub * SubDim
+    rows.indices.toArray.map { i =>
+      val x = rows(i); val u = us(i)
+      val code = if (prev != null) prev(i).clone()
+        else Array.tabulate(NumSub) { s =>
+          val o = s * SubDim
+          var bc = 0; var bd = Double.PositiveInfinity
+          var c = 0
+          while (c < cb.length) {
+            var l2 = 0.0; var j = 0
+            while (j < SubDim) {
+              val r = x(o + j) - cb(c)(o + j); l2 += r * r; j += 1
+            }
+            if (l2 < bd) { bd = l2; bc = c }
+            c += 1
+          }
+          bc
+        }
+      var round = 0
+      while (round < rounds) {
+        var s = 0
+        while (s < NumSub) {
+          val o = s * SubDim
+          // residual sums over the OTHER subspaces (fixed this step)
+          var l2o = 0.0; var paro = 0.0
+          var k = 0
+          while (k < NumSub) {
+            if (k != s) {
+              val ok = k * SubDim; val ck = cb(code(k))
+              var j = 0
+              while (j < SubDim) {
+                val r = x(ok + j) - ck(ok + j)
+                l2o += r * r; paro += u(ok + j) * r; j += 1
+              }
+            }
+            k += 1
+          }
+          var bc = code(s); var bd = Double.PositiveInfinity
+          var c = 0
+          while (c < cb.length) {
+            var l2s = 0.0; var pars = 0.0
+            var j = 0
+            while (j < SubDim) {
+              val r = x(o + j) - cb(c)(o + j)
+              l2s += r * r; pars += u(o + j) * r; j += 1
+            }
+            val par = paro + pars
+            val cost = (l2o + l2s) + (eta - 1.0) * par * par
+            if (cost < bd) { bd = cost; bc = c }
+            c += 1
+          }
+          code(s) = bc
+          s += 1
+        }
+        round += 1
+      }
+      code
+    }
+  }
+
   /** The anisotropic assignment distance (see [[trainCodebooksAniso]]).
     * Zero-norm subvectors have no direction → plain L2 for them.
     */
