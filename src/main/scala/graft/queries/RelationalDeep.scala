@@ -333,6 +333,51 @@ object RelationalDeep {
       .orderBy("nation", "o_year")
   }
 
-  val defs: Seq[QueryDef] = Seq(q4, q8, q9, q10, q12, q15, q16, q17,
-    q19, q22)
+  /** Q6 shape: the forecasting-revenue-change scan — a single-table
+    * multi-predicate filter into one global sum, the purest
+    * pushdown-then-aggregate plan (every predicate reaches the
+    * parquet scan; no shuffle except the final partial-sum merge).
+    */
+  private val q6 = QueryDef.sqlChecked("q6_forecast_revenue")(
+    "SELECT " +
+      s"${sqlDsum("l_extendedprice*l_discount", 4)} AS revenue " +
+      "FROM lineitem WHERE l_shipdate >= timestamp '1997-01-01' " +
+      "AND l_shipdate < timestamp '1998-01-01' " +
+      "AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24"
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4)
+        .as("revenue"))
+  }
+
+  /** Q13 shape: customer order-count distribution — a LEFT join with
+    * a filter in the JOIN CONDITION (customers with zero qualifying
+    * orders must survive with count 0), then an aggregate OVER an
+    * aggregate. count(o_orderkey) counts non-null rows only, so the
+    * null-extended rows of orderless customers land in the c_count=0
+    * bucket on both engines.
+    */
+  private val q13 = QueryDef.sqlChecked("q13_order_distribution")(
+    "SELECT c_count, count(*) AS custdist FROM (" +
+      "SELECT c_custkey, count(o_orderkey) AS c_count FROM customer " +
+      "LEFT JOIN orders ON c_custkey = o_custkey " +
+      "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) " +
+      "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+  ) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val defs: Seq[QueryDef] = Seq(q4, q6, q8, q9, q10, q12, q13, q15,
+    q16, q17, q19, q22)
 }
