@@ -320,6 +320,88 @@ object QuantizeQueries {
       .limit(10)
   }
 
+  /** IVF-PQ with an exact re-rank — the full two-stage serving shape
+    * (ScaNN's "score-then-rescore", FAISS's IndexRefineFlat): the ADC
+    * pass over the probed leaves picks a deterministic top-30
+    * shortlist (adc_score DESC, vec_id — a total order), and ONLY
+    * those 30 rows are re-scored with the exact float dot product for
+    * the final top-10. At scale this is the shape that buys PQ's 64×
+    * compression without paying its quantization error in the final
+    * ranking: the scan stage touches 4 B/vector codes in nProbe
+    * leaves, and the expensive exact arithmetic runs on a
+    * constant-size (shortlist × d) set — the shortlist join is a
+    * broadcast, never a shuffle of the corpus. Hash-gated end to end:
+    * the ADC stage reuses `v_ivfpq_search`'s replica and the rescore
+    * reuses the bit-exact forward-accumulating dot (`v_knn_dot`), so
+    * the composed result hash-matches too.
+    */
+  private val vIvfPqRerank = QueryDef.sqlChecked("v_ivfpq_rerank")(
+    s"$PqCte, cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "qq AS (SELECT cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id = 7), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(cast(e.embedding as double[]), c.cv), c.cid) AS rn " +
+      "FROM embeddings e, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(qq.qv, c.cv), c.cid) AS rn FROM cent c, qq) WHERE rn <= 2), " +
+      "term AS (SELECT code.vec_id, code.s, " +
+      "list_inner_product(qq.qv[code.s*8+1 : code.s*8+8], " +
+      "cb.cv[code.s*8+1 : code.s*8+8]) AS t " +
+      "FROM code JOIN cb ON code.c = cb.c " +
+      "JOIN assign a ON code.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid CROSS JOIN qq), " +
+      "piv AS (SELECT vec_id, " +
+      (0 until 8).map(i => s"max(CASE WHEN s = $i THEN t END) AS t$i")
+        .mkString(", ") +
+      " FROM term GROUP BY vec_id), " +
+      "short AS (SELECT vec_id FROM (SELECT vec_id, " +
+      "t0+t1+t2+t3+t4+t5+t6+t7 AS adc_score FROM piv) " +
+      "ORDER BY adc_score DESC, vec_id LIMIT 30) " +
+      "SELECT e.vec_id AS vec_id, " +
+      "list_inner_product(cast(e.embedding as double[]), qq.qv) AS score " +
+      "FROM embeddings e JOIN short ON e.vec_id = short.vec_id CROSS JOIN qq " +
+      "ORDER BY score DESC, vec_id LIMIT 10"
+  ) { (s, d) =>
+    import graft.operators.{IvfIndex, ProductQuantizer}
+    graft.plans.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val cb = ProductQuantizer.codebook(emb, "vec_id", "embedding", PqIds)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val query = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    graft.plans.IndexCatalog.register("v_ivfpq_rr",
+      IvfIndex.Model(cents.toArray))
+    val coded = emb.withColumn("leaf_id",
+        IvfIndex.leafExprMinL2(col("embedding"), cents).cast("bigint"))
+      .select(col("vec_id"), col("leaf_id"),
+        ProductQuantizer.encodeExpr(
+          col("embedding").cast("array<double>"), cb).as("pq_code"))
+    val shortlist = coded
+      .filter(graft.plans.AnnPruning.probe("v_ivfpq_rr", col("leaf_id"),
+        query.toSeq, 2))
+      .select(col("vec_id"),
+        ProductQuantizer.adcScoreExpr(col("pq_code"),
+          ProductQuantizer.adcTable(query, cb)).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(30)
+      .select("vec_id")
+    emb.join(broadcast(shortlist), Seq("vec_id"))
+      .select(col("vec_id"),
+        vectors.dotProduct(col("embedding").cast("array<double>"),
+          array(query.map(lit): _*)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
-    vIvfPqSearch, rServePq)
+    vIvfPqSearch, vIvfPqRerank, rServePq)
 }

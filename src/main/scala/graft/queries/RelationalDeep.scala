@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * conditional CASE aggregation (Q12), agg-max-equality (Q15),
   * NOT-IN + distinct count (Q16), a decorrelated per-group scalar
   * threshold (Q17), a disjunctive multi-bracket join predicate (Q19),
+  * a semi + anti self-reference on the fact table (Q21),
   * and anti-join + global scalar subquery (Q22). Adapted to the
   * reduced synthetic schema (no commitdate/receiptdate/shipmode/
   * partsupp/phone), keeping each query's characteristic plan shape.
@@ -378,6 +379,64 @@ object RelationalDeep {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** Q21 shape: suppliers who kept orders waiting — the only TPC-H
+    * query with BOTH a semi and an anti self-reference on the fact
+    * table. A line is "late" when it shipped more than 60 days after
+    * the order date (proxy for receiptdate > commitdate, which the
+    * synthetic schema does not carry — same adaptation class as q9's
+    * supply-cost proxy). For each late line of a finished order by a
+    * NATION_3 supplier: EXISTS another supplier's line on the same
+    * order (left-semi with the inequality conjunct riding the join
+    * condition) and NOT EXISTS another supplier's LATE line on the
+    * same order (left-anti over the same derived relation) — i.e. the
+    * supplier is the sole cause of the wait. The `late` relation is
+    * built once and reused on both sides of the anti join; both
+    * probes are equi-joins on l_orderkey with the supplier
+    * inequality as a join filter, so at scale each is one hash
+    * shuffle on the order key, and the final ORDER BY+LIMIT is a
+    * TakeOrderedAndProject (no full sort).
+    */
+  private val q21 = QueryDef.sqlChecked("q21_waiting_suppliers")(
+    "WITH late AS (SELECT l_orderkey, l_suppkey FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE o_orderstatus = 'F' " +
+      "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
+      "SELECT s_name, count(*) AS numwait FROM late l1 " +
+      "JOIN supplier ON s_suppkey = l1.l_suppkey " +
+      "JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3' " +
+      "WHERE EXISTS (SELECT 1 FROM lineitem l2 " +
+      "WHERE l2.l_orderkey = l1.l_orderkey " +
+      "AND l2.l_suppkey <> l1.l_suppkey) " +
+      "AND NOT EXISTS (SELECT 1 FROM late l3 " +
+      "WHERE l3.l_orderkey = l1.l_orderkey " +
+      "AND l3.l_suppkey <> l1.l_suppkey) " +
+      "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
+  ) { (s, d) =>
+    val late = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val l1 = late
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.nation(s, d).filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("l_orderkey", "l_suppkey", "s_name")
+    val otherLine = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2"))
+    val otherLate = late
+      .select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3"))
+    l1.join(otherLine, col("l_orderkey") === col("__ok2") &&
+        col("l_suppkey") =!= col("__sk2"), "left_semi")
+      .join(otherLate, col("l_orderkey") === col("__ok3") &&
+        col("l_suppkey") =!= col("__sk3"), "left_anti")
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   val defs: Seq[QueryDef] = Seq(q4, q6, q8, q9, q10, q12, q13, q15,
-    q16, q17, q19, q22)
+    q16, q17, q19, q21, q22)
 }

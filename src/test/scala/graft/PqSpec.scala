@@ -172,4 +172,26 @@ class PqSpec extends SparkTestBase {
       ProductQuantizer.encodeExpr(col("v"), f1))
     assert(coded.filter(col("pq_code").isNull).count() == 0)
   }
+
+  test("ivfpq rerank: final scores are the exact dot products and the " +
+    "shortlist join is a broadcast") {
+    val res = SparkEntry.queries("v_ivfpq_rerank")(spark, sf)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "shortlist join must broadcast the constant-size shortlist")
+    val emb = Tables.embeddings(spark, sf)
+    val query = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val exact = emb
+      .select(col("vec_id"),
+        graft.functions.vectors.dotProduct(
+          col("embedding").cast("array<double>"),
+          typedLit(query.toSeq)).as("s"))
+      .as[(Long, Double)].collect().toMap
+    res.as[(Long, Double)].collect().foreach { case (id, score) =>
+      assert(exact(id) == score,
+        s"rerank score for $id is not the exact dot: $score vs ${exact(id)}")
+    }
+  }
 }

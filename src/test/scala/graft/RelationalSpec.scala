@@ -45,4 +45,14 @@ class RelationalSpec extends SparkTestBase {
       .select("o_custkey").distinct().count()
     assert(inter + except == y96)
   }
+
+  test("q21 plans the semi AND anti self-probes as hash joins, " +
+    "no cartesian product") {
+    val df = SparkEntry.queries("q21_waiting_suppliers")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "EXISTS probe must plan as a semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS probe must plan as an anti join")
+    assert(!plan.contains("Cartesian"),
+      "the supplier inequality must ride the equi-join as a filter")
+  }
 }
