@@ -221,6 +221,124 @@ object ScaleProbe {
         f"manifest_open=$tManifest%.2f s rows=$nManifest nq=$nQ " +
         f"query_min=${times.head}%.3f s med=${times(nQ / 2)}%.3f s " +
         f"max=${times.last}%.3f s")
+    } else if (args(0) == "upsertscale") {
+      // The incremental-upsert serving path, MEASURED at a leaf count
+      // that engages the router: build + write a real index, then N
+      // timed appendToServing batches (new ids AND version-2
+      // overwrites of build-time ids), then reopen + routed queries
+      // from a fresh session. What it prices: the per-batch append
+      // cost (assign + append write + delta + manifest reconcile of
+      // only the touched leaves), the post-append reopen, the
+      // post-append query, and LWW visibility (an overwritten row
+      // must serve its new version, an appended id must be found).
+      // usage: upsertscale <n> <numLeaves> <maxLeaf> <batchRows> <nBatches>
+      val n = args(1).toLong; val leaves0 = args(2).toInt
+      val maxLeaf = args(3).toInt
+      val batchRows = args(4).toLong; val nBatches = args(5).toInt
+      val dim = 32
+      val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, dim, 200)
+        .withColumn("version", lit(1L))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      v.count()
+      var t0 = System.nanoTime()
+      val (indexed, model) = graft.operators.IvfIndex.build(v,
+        "vec_id", "embedding", numLeaves = leaves0, maxLeafSize = maxLeaf,
+        maxFitRows = 20000L)
+      val L = model.centroids.length
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      require(model.router.nonEmpty,
+        s"upsertscale wants the routed regime, got $L leaves")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_upsert_probe").toString + "/idx"
+      t0 = System.nanoTime()
+      graft.operators.IvfIndex.write(indexed, path, model)
+      val tWrite = (System.nanoTime() - t0) / 1e9
+      v.unpersist()
+
+      // the serving process: a fresh session that only knows the path
+      val s2 = spark.newSession()
+      graft.plans.GraftExtensions.register(s2)
+      graft.plans.IndexCatalog.drop("upsert_probe")
+      graft.plans.IndexCatalog.open(s2, "upsert_probe", path)
+      import org.apache.spark.sql.DataFrame
+      def batch(i: Int): DataFrame = {
+        // half brand-new ids past the corpus, half version-2
+        // overwrites of existing ids (negated vectors, so serving the
+        // stale build-time row is detectable by value, not just count)
+        val fresh = graft.pipeline.SyntheticCorpus
+          .vectors(s2, batchRows / 2, dim, 200)
+          .select((col("vec_id") + lit(n + i * batchRows)).as("vec_id"),
+            col("embedding"), lit(1L).as("version"))
+        val over = graft.pipeline.SyntheticCorpus
+          .vectors(s2, batchRows / 2, dim, 200)
+          .select((col("vec_id") * 7 + i) % n as "vec_id",
+            transform(col("embedding"), x => -x).as("embedding"),
+            // versions must strictly increase per id: an id overwritten
+            // in two batches gets 2 then 3, never 2 twice
+            lit(2L + i).as("version"))
+        fresh.unionAll(over)
+      }
+      val tAppend = (0 until nBatches).map { i =>
+        val b = batch(i).persist()
+        b.count() // materialize outside the timed region
+        val t = System.nanoTime()
+        graft.streaming.IndexMaintenance.appendToServing(
+          s2, path, b, "vec_id", "embedding", "version")
+        val dt = (System.nanoTime() - t) / 1e9
+        b.unpersist()
+        dt
+      }.sorted
+      // post-append serving state: reopen (manifest-backed), query
+      t0 = System.nanoTime()
+      val servingDf = graft.streaming.IndexMaintenance.readServing(
+        s2, path, "vec_id", "version").persist()
+      servingDf.queryExecution.logical
+      val tReopen = (System.nanoTime() - t0) / 1e9
+      def query(q: Array[Double]): Array[(Long, Double)] = {
+        servingDf.filter(graft.plans.AnnPruning.probe("upsert_probe",
+            col("leaf_id"), q.toSeq, 8))
+          .select(col("vec_id"),
+            graft.functions.vectors.dotProduct(
+              col("embedding").cast("array<double>"),
+              typedLit(q.toSeq)).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      }
+      query(Array.tabulate(dim)(j => (j % 7).toDouble)) // warm codegen
+      val qTimes = (0 until 10).map { i =>
+        val q = Array.tabulate(dim)(j => ((i * 13 + j) % 9 - 4).toDouble)
+        val t = System.nanoTime()
+        require(query(q).nonEmpty, s"query $i returned no rows")
+        (System.nanoTime() - t) / 1e9
+      }.sorted
+      // visibility: an appended id must be served, and an overwritten
+      // id must serve version 2 (the negated vector)
+      val newId = n + 0L * batchRows // first fresh id of batch 0
+      val newVec = batch(0).filter(col("vec_id") === newId)
+        .select(col("embedding")).head().getSeq[Double](0).toArray
+      // MIPS self-hit is not guaranteed on this corpus (a larger-norm
+      // neighbor can out-score dot(x,x)); the serving property to
+      // prove is probe-REACHABILITY: the appended row lives in a leaf
+      // that routing for its own vector probes, with no recluster
+      val found = servingDf
+        .filter(graft.plans.AnnPruning.probe("upsert_probe",
+          col("leaf_id"), newVec.toSeq, 8))
+        .filter(col("vec_id") === newId).count()
+      require(found > 0,
+        s"appended id $newId not reachable through its own probe")
+      val overwritten = servingDf.filter(col("version") === 2L).count()
+      val stale = servingDf.groupBy("vec_id")
+        .agg(countDistinct("version").as("nv"))
+        .filter(col("nv") > 1).count()
+      require(stale == 0, s"$stale ids serve more than one version")
+      val rowsPerS = batchRows / tAppend(tAppend.length / 2)
+      println(f"UPSERTSCALE leaves=$L build=$tBuild%.1f s " +
+        f"write=$tWrite%.1f s batches=$nBatches x$batchRows " +
+        f"append_min=${tAppend.head}%.2f s med=${tAppend(tAppend.length / 2)}%.2f s " +
+        f"max=${tAppend.last}%.2f s (${rowsPerS}%.0f rows/s med) " +
+        f"reopen=$tReopen%.2f s query_med=${qTimes(5)}%.3f s " +
+        f"overwritten_live=$overwritten stale=$stale")
+      servingDf.unpersist()
     } else if (args(0) == "manifestscale") {
       // driver-side planning cost of ManifestFileIndex at 100 TB file
       // counts: listFiles with and without a pruning predicate over
