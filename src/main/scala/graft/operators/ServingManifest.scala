@@ -45,6 +45,20 @@ object ServingManifest {
     * discovery, like the model sidecar. */
   def manifestDir(path: String): String = path + "/_graft_manifest"
 
+  /** Retained manifest SNAPSHOTS, one `v=N` parquet dir per manifest
+    * install — the Delta/Iceberg version-log trick. Every mutation
+    * that rewrites `_graft_manifest` also archives the new file-set
+    * here, so a reader can pin the layout AS OF a version:
+    * build = v1, each append/rebalance reconcile = +1. Because
+    * appends only ADD data files, every older snapshot's file-set
+    * stays fully readable under append-only mutation — a serving
+    * process can hold one consistent snapshot while upserts race.
+    * Mutations that REWRITE data files (compact, recluster — both
+    * rebuild on a fresh copy) start a fresh log; a snapshot that
+    * names a deleted file fails its scan loudly, never silently.
+    */
+  def logDir(path: String): String = path + "/_graft_manifest_log"
+
   private def fsFor(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -121,6 +135,32 @@ object ServingManifest {
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(
         s"ServingManifest: cannot install ${tmp}")
+    // archive the installed file-set as the next snapshot version —
+    // same tmp-write + rename discipline, so the log never holds a
+    // half-written version. One extra small parquet write per
+    // mutation; the data files themselves are never duplicated.
+    val next = versions(spark, path).lastOption.getOrElse(0) + 1
+    val vTmp = new Path(logDir(path) + s"/.v=$next.tmp")
+    val vDst = new Path(logDir(path) + s"/v=$next")
+    spark.read.parquet(dst.toString)
+      .coalesce(1).write.mode("overwrite").parquet(vTmp.toString)
+    if (!fs.rename(vTmp, vDst))
+      throw new java.io.IOException(
+        s"ServingManifest: cannot archive snapshot ${vDst}")
+  }
+
+  /** Snapshot versions present in the log, ascending (empty for a
+    * layout written before the log existed).
+    */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val fs = fsFor(spark, path)
+    val dir = new Path(logDir(path))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt)
+      .sorted
   }
 
   /** (Re)build the manifest from a full listing of the layout. */
@@ -175,7 +215,26 @@ object ServingManifest {
     */
   def open(spark: SparkSession, path: String): Option[DataFrame] = {
     if (!exists(spark, path)) return None
-    val mf = spark.read.parquet(manifestDir(path))
+    Some(openEntriesDir(spark, path, manifestDir(path)))
+  }
+
+  /** Open the layout AS OF a logged snapshot version — the file-set
+    * the manifest named when that version was installed. Readable in
+    * full as long as no rewriting mutation (compact/recluster) has
+    * replaced the data files since; appends never invalidate it. A
+    * reader that holds a snapshot sees the same rows query after
+    * query, however many upserts land next to it.
+    */
+  def openAt(spark: SparkSession, path: String,
+      version: Int): Option[DataFrame] = {
+    val vDir = logDir(path) + s"/v=$version"
+    if (!fsFor(spark, path).exists(new Path(vDir))) None
+    else Some(openEntriesDir(spark, path, vDir))
+  }
+
+  private def openEntriesDir(spark: SparkSession, path: String,
+      mDir: String): DataFrame = {
+    val mf = spark.read.parquet(mDir)
     // manifests written before the mtime column read as mtime=0 —
     // harmless: modification time is informational for a scan
     val withM = if (mf.columns.contains("mtime")) mf
