@@ -252,7 +252,7 @@ object ServingManifest {
     val relation = HadoopFsRelation(index, index.partitionSchema,
       dataSchema, None, new ParquetFileFormat,
       Map.empty[String, String])(spark)
-    Some(spark.baseRelationToDataFrame(relation))
+    spark.baseRelationToDataFrame(relation)
   }
 
   /** Manifest-backed open when available, plain listing read
