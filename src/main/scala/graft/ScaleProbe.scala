@@ -377,6 +377,100 @@ object ScaleProbe {
         f"group+list_all=$tAll%.2f s ($nAll files) " +
         f"pruned_16_first=$tPruned%.3f s ($nPruned files) " +
         f"pruned_16_steady=$tSteady%.5f s ($n2 files)")
+    } else if (args(0) == "logscale") {
+      // per-append MANIFEST + SNAPSHOT-LOG maintenance cost vs total
+      // file count: a synthetic manifest at each requested size, one
+      // real leaf directory, then timed reconciles of that single
+      // leaf. What must hold for the Delta-log shape: the LOG entry
+      // per append stays ~constant bytes (only the changed files are
+      // logged) while the pre-delta format archived the FULL file-set
+      // every append — at 10⁶ files that is the difference between a
+      // few KB and tens of MB of log growth per upsert batch.
+      // usage: logscale <nFiles> [nFiles...]
+      import graft.operators.ServingManifest
+      import spark.implicits._
+      args.drop(1).map(_.toInt).foreach { nFiles =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_logscale_$nFiles").toString + "/idx"
+        // one REAL leaf (reconcile lists it); the rest synthetic
+        spark.range(64).select(col("id").as("vec_id"))
+          .coalesce(1).write.parquet(dir + "/leaf_id=0")
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val real = fs.listStatus(new org.apache.hadoop.fs.Path(dir + "/leaf_id=0"))
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(f => ("leaf_id=0/" + f.getPath.getName, 0, f.getLen,
+            f.getModificationTime)).toSeq
+        val synth = (0 until nFiles).map { i =>
+          val l = 1 + i / 2
+          (s"leaf_id=$l/part-$i.parquet", l, 4L << 20, 0L)
+        }
+        (real ++ synth).toDF("file", "leaf_id", "bytes", "mtime")
+          .coalesce(1).write.parquet(ServingManifest.manifestDir(dir))
+        spark.read.parquet(ServingManifest.manifestDir(dir)).coalesce(1)
+          .write.parquet(ServingManifest.logDir(dir) + "/v=1.full")
+        def dirBytes(p: String): Long = {
+          val path = new org.apache.hadoop.fs.Path(p)
+          if (!fs.exists(path)) 0L
+          else fs.listStatus(path).filter(_.isFile).map(_.getLen).sum
+        }
+        val manifestBytes = dirBytes(ServingManifest.manifestDir(dir))
+        // append shape: a new data file lands in leaf 0, reconcile
+        val src = real.head._1
+        var t0 = System.nanoTime()
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(dir + "/" + src), fs,
+          new org.apache.hadoop.fs.Path(dir + "/leaf_id=0/part-new0.parquet"),
+          false, spark.sparkContext.hadoopConfiguration)
+        ServingManifest.reconcile(spark, dir, Seq(0))
+        val tRec1 = (System.nanoTime() - t0) / 1e9
+        val deltaBytes = dirBytes(ServingManifest.logDir(dir) + "/v=2")
+        // steady-state repeat (no cold parquet-read costs)
+        t0 = System.nanoTime()
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(dir + "/" + src), fs,
+          new org.apache.hadoop.fs.Path(dir + "/leaf_id=0/part-new1.parquet"),
+          false, spark.sparkContext.hadoopConfiguration)
+        ServingManifest.reconcile(spark, dir, Seq(0))
+        val tRec2 = (System.nanoTime() - t0) / 1e9
+        val delta2Bytes = dirBytes(ServingManifest.logDir(dir) + "/v=3")
+        val at2 = ServingManifest.openAt(spark, dir, 2)
+        require(at2.isDefined, "logged version must reconstruct")
+        println(f"LOGSCALE files=${nFiles + real.length} " +
+          f"manifest=${manifestBytes / 1024}%d KB " +
+          f"reconcile1=$tRec1%.2f s delta_v2=${deltaBytes}%d B " +
+          f"reconcile2=$tRec2%.2f s delta_v3=${delta2Bytes}%d B " +
+          f"full_archive_would_be=${manifestBytes / 1024}%d KB/append")
+      }
+    } else if (args(0) == "servesession") {
+      // the resident Serving handle over an existing artifact: open
+      // ONCE, then ≥100 routed queries against the held frame —
+      // p50/p95 per query is the serving session's real latency
+      // number (serveopen measured open-vs-list; this measures the
+      // process-shaped API). usage: servesession <servePath> [nProbe] [nQ]
+      val path = args(1)
+      val nProbe = if (args.length > 2) args(2).toInt else 8
+      val nQ = if (args.length > 3) args(3).toInt else 100
+      var t0 = System.nanoTime()
+      val serving = graft.operators.Serving.open(spark, path)
+      serving.data.queryExecution.logical // force resolution at open
+      val tOpen = (System.nanoTime() - t0) / 1e9
+      val dim = serving.model.centroids(0).length - 1
+      // warm codegen + shuffle machinery once
+      serving.search(Array.tabulate(dim)(j => (j % 7).toDouble),
+        nProbe, 10).count()
+      val times = (0 until nQ).map { i =>
+        val q = Array.tabulate(dim)(j => ((i * 13 + j) % 9 - 4).toDouble)
+        val t = System.nanoTime()
+        val h = serving.search(q, nProbe, 10).count()
+        require(h > 0, s"query $i returned no rows")
+        (System.nanoTime() - t) / 1e9
+      }.sorted
+      println(f"SERVESESSION leaves=${serving.numLeaves} nq=$nQ " +
+        f"open=$tOpen%.2f s p50=${times(nQ / 2)}%.3f s " +
+        f"p95=${times(nQ * 95 / 100)}%.3f s " +
+        f"min=${times.head}%.3f s max=${times.last}%.3f s")
     } else if (args(0) == "pqaniso") {
       // plain vs anisotropic PQ codebooks, measured as MIPS recall@10
       // of ADC ranking vs exact dot ranking — three combinations:

@@ -20,15 +20,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-    * natively (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and convert
-    * with integer division (a double `/` would lose precision on
-    * ~1.7e18 nanosecond epochs).
+  /** events.ts has shipped as BOTH INT64 TIMESTAMP(NANOS) parquet
+    * (which Spark 4 refuses natively — PARQUET_TYPE_ILLEGAL, so it
+    * reads as raw nanos under `nanosAsLong` and converts with integer
+    * division; a double `/` would lose precision on ~1.7e18
+    * nanosecond epochs) and plain TIMESTAMP(MICROS) (reads as
+    * TIMESTAMP_NTZ). Dispatch on the read type so either vintage of
+    * the driver's testdata serves the same TIMESTAMP column.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

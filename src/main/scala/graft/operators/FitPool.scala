@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.util.concurrent.{Executors, ThreadFactory}
+import java.util.concurrent.atomic.AtomicInteger
+import scala.concurrent.ExecutionContext
+
+/** The ONE bounded driver-side pool for concurrent k-means sub-fits —
+  * shared by [[IvfIndex.buildTwoLevel]], the build's oversized-leaf
+  * split rounds, and
+  * [[graft.streaming.IndexMaintenance.rebalanceOverflow]].
+  *
+  * Why bounded and shared: each sub-fit is a BLOCKING Spark action
+  * (sample-collect + Lloyd's iterations), so a Future per leaf on the
+  * global ForkJoinPool turns a mass-overflow round — 10³+ overflowed
+  * leaves after a hot-keyed ingest — into 10³ simultaneous Spark jobs
+  * from one driver: scheduler contention, task-set starvation, and an
+  * unbounded queue of managed-blocker threads. A fixed pool of
+  * ≤ 2 × cores (capped at 64) keeps exactly that many jobs in flight
+  * and turns the rest into a FIFO queue — the round degrades to a
+  * queue, never a driver flood. One pool across both build and
+  * maintenance paths means a build racing a rebalance shares the same
+  * bound instead of doubling it.
+  *
+  * Threads are daemons: an exiting driver never hangs on the pool.
+  */
+private[graft] object FitPool {
+
+  /** ≤ 2× cores, capped: past ~64 concurrent Spark jobs the driver
+    * scheduler is the bottleneck regardless of core count.
+    */
+  val Size: Int =
+    math.min(64, math.max(2, 2 * Runtime.getRuntime.availableProcessors()))
+
+  private val counter = new AtomicInteger(0)
+
+  implicit lazy val ec: ExecutionContext =
+    ExecutionContext.fromExecutorService(
+      Executors.newFixedThreadPool(Size, new ThreadFactory {
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-fit-${counter.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      }))
+}

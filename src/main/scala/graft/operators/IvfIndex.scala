@@ -471,7 +471,7 @@ object IvfIndex {
         val counts = grouped.groupBy("__l1").count().collect()
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
         import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import FitPool.ec
         val subFits = counts.keys.toSeq.sorted.map { s =>
           val ns = counts(s)
           val ks = math.max(1L,
@@ -580,7 +580,7 @@ object IvfIndex {
         else {
           val keep = cents.indices.filterNot(splittable.contains(_))
           import scala.concurrent.{Await, Future}
-          import scala.concurrent.ExecutionContext.Implicits.global
+          import FitPool.ec
           val subFits = splittable.map { l =>
             val (total, nPrim) = summary.oversized(l)
             val kSub = math.max(2L, math.min(nPrim / 2,

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** A resident SERVING SESSION over a persisted index — the
+  * process-shaped entry point the deploy step produces (the
+  * reference deploys an index to an endpoint once and queries it
+  * many times — /root/reference/vector_store/utils/index_manager.py
+  * deploy vs rag/search.py query): open ONCE (model sidecar read +
+  * manifest-backed file index, zero directory listing), then
+  * [[search]] repeatedly against the HELD DataFrame. Per-query cost
+  * is the router walk (driver, sub-millisecond past the router
+  * threshold) plus a partition-pruned scan of the probed leaves —
+  * the open cost (sidecar + manifest) is paid once per process, the
+  * shape `ScaleProbe serveopen` measured at 12 270 leaves.
+  *
+  * The held frame is LWW-RESOLVED against the delta registry as of
+  * open time ([[graft.streaming.IndexMaintenance.readServing]]):
+  * a stale copy is never served, and the file-set is pinned — an
+  * upsert landing AFTER open is invisible until the next [[Serving$.open]],
+  * which is exactly snapshot-consistent serving. [[Serving$.openAt]]
+  * pins a LOGGED manifest version instead (time travel): the raw
+  * file-set as installed then, readable as long as no rewriting
+  * mutation has replaced the files.
+  */
+final class Serving private[operators] (
+    val spark: SparkSession,
+    val path: String,
+    val model: IvfIndex.Model,
+    val data: DataFrame,
+    val id: String,
+    val vecCol: String) {
+
+  /** Leaf-pruned exact top-k: (id, leaf_id, score) by score desc. */
+  def search(query: Array[Double], nProbe: Int, k: Int): DataFrame =
+    IvfIndex.searchDf(data, model, query, nProbe, k, id, vecCol)
+
+  /** The full serving shape — restricts, crowding cap, metadata
+    * join — over the held frame; see the 10-arg
+    * [[IvfIndex.searchDf]] for the contract.
+    */
+  def search(query: Array[Double], nProbe: Int, k: Int,
+      restricts: Seq[Column], crowding: Option[(String, Int)],
+      metadata: Option[(DataFrame, String)]): DataFrame =
+    IvfIndex.searchDf(data, model, query, nProbe, k, id, vecCol,
+      restricts, crowding, metadata)
+
+  def numLeaves: Int = model.centroids.length
+}
+
+object Serving {
+
+  /** Open a serving session on the LIVE layout: model from the
+    * `_graft_model` sidecar, data through the file manifest when the
+    * layout carries one (no recursive listing), superseded versions
+    * resolved away against the delta registry. One sidecar read + one
+    * manifest read; the returned handle is cheap to query repeatedly.
+    */
+  def open(spark: SparkSession, path: String,
+      id: String = "vec_id", vecCol: String = "embedding",
+      versionCol: String = "version"): Serving = {
+    val model = IvfIndex.load(spark, path)
+    val data = graft.streaming.IndexMaintenance
+      .readServing(spark, path, id, versionCol)
+    new Serving(spark, path, model, data, id, vecCol)
+  }
+
+  /** Open a serving session pinned to a LOGGED manifest version
+    * ([[ServingManifest.openAt]] — time travel): the exact file-set
+    * that version installed, unaffected by appends landing next to
+    * it. Raw rows as stored THEN — the delta registry is live state
+    * and does not apply to a historical snapshot. None if the
+    * version is not in the log.
+    */
+  def openAt(spark: SparkSession, path: String, version: Int,
+      id: String = "vec_id",
+      vecCol: String = "embedding"): Option[Serving] = {
+    ServingManifest.openAt(spark, path, version).map { data =>
+      new Serving(spark, path, IvfIndex.load(spark, path), data, id, vecCol)
+    }
+  }
+}

@@ -45,19 +45,39 @@ object ServingManifest {
     * discovery, like the model sidecar. */
   def manifestDir(path: String): String = path + "/_graft_manifest"
 
-  /** Retained manifest SNAPSHOTS, one `v=N` parquet dir per manifest
+  /** Retained manifest SNAPSHOT LOG, one parquet dir per manifest
     * install — the Delta/Iceberg version-log trick. Every mutation
-    * that rewrites `_graft_manifest` also archives the new file-set
-    * here, so a reader can pin the layout AS OF a version:
-    * build = v1, each append/rebalance reconcile = +1. Because
-    * appends only ADD data files, every older snapshot's file-set
-    * stays fully readable under append-only mutation — a serving
-    * process can hold one consistent snapshot while upserts race.
-    * Mutations that REWRITE data files (compact, recluster — both
-    * rebuild on a fresh copy) start a fresh log; a snapshot that
-    * names a deleted file fails its scan loudly, never silently.
+    * that rewrites `_graft_manifest` also logs the change here, so a
+    * reader can pin the layout AS OF a version: build = v1, each
+    * append/rebalance reconcile = +1. Because appends only ADD data
+    * files, every older snapshot's file-set stays fully readable
+    * under append-only mutation — a serving process can hold one
+    * consistent snapshot while upserts race. Mutations that REWRITE
+    * data files (compact, recluster — both rebuild on a fresh copy)
+    * start a fresh log; a snapshot that names a deleted file fails
+    * its scan loudly, never silently.
+    *
+    * Log format (the Delta-log shape, so the log grows O(changes),
+    * never O(total files) per mutation): full-listing installs
+    * (build, recluster, compact) write a CHECKPOINT `v=N.full`
+    * holding the complete file-set; steady-state [[reconcile]]
+    * writes a DELTA `v=N` holding only (file…, action add|remove)
+    * rows for the touched leaves' changes, with a checkpoint forced
+    * every [[CheckpointInterval]] versions to bound the fold depth.
+    * [[openAt]] reconstructs a version by folding deltas onto the
+    * nearest checkpoint at-or-below it. Logs written by the older
+    * full-snapshot format (no `action` column) read back as
+    * checkpoints — fully compatible.
     */
   def logDir(path: String): String = path + "/_graft_manifest_log"
+
+  /** Every Nth version is a checkpoint even on the delta path: caps
+    * `openAt` fold depth at N-1 reads and gives retention something
+    * to truncate to. 16 balances fold cost (a handful of small
+    * parquet reads) against log growth (one full file-set copy per
+    * 16 mutations).
+    */
+  val CheckpointInterval = 16
 
   private def fsFor(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -117,11 +137,20 @@ object ServingManifest {
       entries: Seq[(String, Int, Long, Long)]): Unit = {
     import spark.implicits._
     writeEntriesDf(spark, path,
-      entries.toDF("file", "leaf_id", "bytes", "mtime"))
+      entries.toDF("file", "leaf_id", "bytes", "mtime"), None)
   }
 
+  /** Install `entries` as the live manifest and log the mutation.
+    * `delta` is the exact change this install applies (add/remove
+    * rows): when present AND the version is not a forced checkpoint,
+    * the log records ONLY the delta — per-append log cost stays
+    * proportional to the touched leaves, independent of layout size.
+    * `None` (full-listing installs) always checkpoints.
+    */
   private def writeEntriesDf(spark: SparkSession, path: String,
-      entries: org.apache.spark.sql.DataFrame): Unit = {
+      entries: org.apache.spark.sql.DataFrame,
+      delta: Option[Seq[(String, Int, Long, Long, String)]]): Unit = {
+    import spark.implicits._
     val tmp = new Path(manifestDir(path) + ".tmp")
     val dst = new Path(manifestDir(path))
     val fs = fsFor(spark, path)
@@ -135,22 +164,28 @@ object ServingManifest {
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(
         s"ServingManifest: cannot install ${tmp}")
-    // archive the installed file-set as the next snapshot version —
-    // same tmp-write + rename discipline, so the log never holds a
-    // half-written version. One extra small parquet write per
-    // mutation; the data files themselves are never duplicated.
+    // log the mutation — same tmp-write + rename discipline, so the
+    // log never holds a half-written version. The data files
+    // themselves are never duplicated.
     val next = versions(spark, path).lastOption.getOrElse(0) + 1
-    val vTmp = new Path(logDir(path) + s"/.v=$next.tmp")
-    val vDst = new Path(logDir(path) + s"/v=$next")
-    spark.read.parquet(dst.toString)
-      .coalesce(1).write.mode("overwrite").parquet(vTmp.toString)
+    val full = delta.isEmpty || next % CheckpointInterval == 0
+    val name = if (full) s"v=$next.full" else s"v=$next"
+    val vTmp = new Path(logDir(path) + s"/.$name.tmp")
+    val vDst = new Path(logDir(path) + s"/$name")
+    if (full)
+      spark.read.parquet(dst.toString)
+        .coalesce(1).write.mode("overwrite").parquet(vTmp.toString)
+    else
+      delta.get.toDF("file", "leaf_id", "bytes", "mtime", "action")
+        .coalesce(1).write.mode("overwrite").parquet(vTmp.toString)
     if (!fs.rename(vTmp, vDst))
       throw new java.io.IOException(
         s"ServingManifest: cannot archive snapshot ${vDst}")
   }
 
   /** Snapshot versions present in the log, ascending (empty for a
-    * layout written before the log existed).
+    * layout written before the log existed). Checkpoint (`v=N.full`)
+    * and delta (`v=N`) versions alike.
     */
   def versions(spark: SparkSession, path: String): Seq[Int] = {
     val fs = fsFor(spark, path)
@@ -158,8 +193,8 @@ object ServingManifest {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toInt)
+      .filter(n => n.startsWith("v=") && !n.endsWith(".tmp"))
+      .map(_.stripPrefix("v=").stripSuffix(".full").toInt)
       .sorted
   }
 
@@ -188,11 +223,30 @@ object ServingManifest {
     // minus touched leaves, plus the fresh listing), never a driver
     // materialization. The tmp-write + rename swap in writeEntriesDf
     // also means we never overwrite the manifest we are reading.
-    val keep = spark.read.parquet(manifestDir(path))
+    val old = spark.read.parquet(manifestDir(path))
+    val withM = if (old.columns.contains("mtime")) old
+      else old.withColumn("mtime", lit(0L))
+    val keep = withM
       .filter(!col("leaf_id").isin(touched: _*))
       .select("file", "leaf_id", "bytes", "mtime")
+    // the log entry for this install is the EXACT change: old rows of
+    // the touched leaves that are gone-or-changed (remove) plus fresh
+    // rows that are new-or-changed (add). Collecting only the touched
+    // leaves' rows is driver-safe — that set is bounded by the batch,
+    // not the layout.
+    val oldTouched = withM.filter(col("leaf_id").isin(touched: _*))
+      .select("file", "leaf_id", "bytes", "mtime").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val oldByFile = oldTouched.map(e => e._1 -> e).toMap
+    val freshByFile = fresh.map(e => e._1 -> e).toMap
+    val delta =
+      oldTouched.filter(e => !freshByFile.get(e._1).contains(e))
+        .map(e => (e._1, e._2, e._3, e._4, "remove")).toSeq ++
+      fresh.filter(e => !oldByFile.get(e._1).contains(e))
+        .map(e => (e._1, e._2, e._3, e._4, "add"))
     writeEntriesDf(spark, path,
-      keep.unionByName(fresh.toDF("file", "leaf_id", "bytes", "mtime")))
+      keep.unionByName(fresh.toDF("file", "leaf_id", "bytes", "mtime")),
+      Some(delta))
   }
 
   /** Open the layout through the manifest: the scan's file statuses
@@ -224,12 +278,66 @@ object ServingManifest {
     * replaced the data files since; appends never invalidate it. A
     * reader that holds a snapshot sees the same rows query after
     * query, however many upserts land next to it.
+    *
+    * Reconstruction folds delta versions onto the nearest checkpoint
+    * at-or-below `version` (≤ [[CheckpointInterval]]-1 small reads);
+    * a log whose checkpoint is unreachable (manually truncated)
+    * fails loudly rather than serving a partial file-set.
     */
   def openAt(spark: SparkSession, path: String,
       version: Int): Option[DataFrame] = {
-    val vDir = logDir(path) + s"/v=$version"
-    if (!fsFor(spark, path).exists(new Path(vDir))) None
-    else Some(openEntriesDir(spark, path, vDir))
+    entriesAt(spark, path, version).map(openEntries(spark, path, _))
+  }
+
+  /** The file-set of a logged version: walk down from `version` to
+    * the nearest checkpoint, then fold the deltas back up. A `v=N`
+    * dir WITHOUT an `action` column is a full snapshot from the
+    * pre-delta log format and folds as a checkpoint.
+    */
+  private def entriesAt(spark: SparkSession, path: String,
+      version: Int): Option[Array[(String, Int, Long, Long)]] = {
+    val fs = fsFor(spark, path)
+    if (!fs.exists(new Path(logDir(path) + s"/v=$version")) &&
+        !fs.exists(new Path(logDir(path) + s"/v=$version.full")))
+      return None
+    def readVersion(v: Int): (Array[(String, Int, Long, Long, String)], Boolean) = {
+      val fullP = logDir(path) + s"/v=$v.full"
+      val dir = if (fs.exists(new Path(fullP))) fullP
+        else logDir(path) + s"/v=$v"
+      require(fs.exists(new Path(dir)),
+        s"ServingManifest log at $path: version $v missing below " +
+          s"$version with no checkpoint in between — cannot fold")
+      val df = spark.read.parquet(dir)
+      val isDelta = df.columns.contains("action")
+      val withM = if (df.columns.contains("mtime")) df
+        else df.withColumn("mtime", lit(0L))
+      val withA = if (isDelta) withM else withM.withColumn("action", lit("add"))
+      val rows = withA.select("file", "leaf_id", "bytes", "mtime", "action")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getString(4)))
+      (rows, !isDelta)
+    }
+    // walk down to the checkpoint, stacking deltas
+    var deltas = List.empty[Array[(String, Int, Long, Long, String)]]
+    var base: Array[(String, Int, Long, Long, String)] = null
+    var v = version
+    while (base == null) {
+      require(v >= 1,
+        s"ServingManifest log at $path has no checkpoint at or below " +
+          s"version $version")
+      val (rows, isFull) = readVersion(v)
+      if (isFull) base = rows else { deltas ::= rows; v -= 1 }
+    }
+    // fold ascending: removes first, then adds, per version — a file
+    // replaced in place (same name, new bytes) logs as remove+add
+    val set = scala.collection.mutable.LinkedHashMap[String, (String, Int, Long, Long)]()
+    base.foreach(e => set(e._1) = (e._1, e._2, e._3, e._4))
+    deltas.foreach { d =>
+      d.foreach { e => if (e._5 == "remove") set.remove(e._1) }
+      d.foreach { e => if (e._5 == "add") set(e._1) = (e._1, e._2, e._3, e._4) }
+    }
+    Some(set.values.toArray)
   }
 
   private def openEntriesDir(spark: SparkSession, path: String,
@@ -242,6 +350,11 @@ object ServingManifest {
     val entries = withM.select("file", "leaf_id", "bytes", "mtime")
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    openEntries(spark, path, entries)
+  }
+
+  private def openEntries(spark: SparkSession, path: String,
+      entries: Array[(String, Int, Long, Long)]): DataFrame = {
     require(entries.nonEmpty,
       s"ServingManifest at $path lists no data files")
     // one footer read for the data schema (files carry no leaf_id —

@@ -1141,8 +1141,110 @@ object ReferencePipeline {
       .limit(12)
   }
 
+  /** Time travel over the SERVED index through the manifest snapshot
+    * log (`ServingManifest.openAt` — the Delta/Iceberg version-log
+    * trick): build = v1, each serving append = +1, and a reader can
+    * pin the file-set AS OF any logged version while later upserts
+    * land next to it. The gate appends TWICE and searches the layout
+    * at the intermediate version — the first append must be visible
+    * in full, the second completely invisible; the oracle recomputes
+    * exactly that row set from the source table, so a fold that
+    * leaked or dropped a file fails the hash. The log itself is
+    * O(delta) per append (only changed file entries are logged,
+    * checkpointed every [[ServingManifest.CheckpointInterval]]
+    * installs), which is what makes versioning affordable at 10⁶
+    * files — asserted structurally here via the delta form.
+    */
+  private val rServeSnapshot = QueryDef.sqlChecked("r_serve_snapshot")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "up1 AS (SELECT vec_id + 200000 AS vec_id, " +
+      "list_transform(v, x -> 1.5*x) AS v FROM base WHERE vec_id % 31 = 3), " +
+      "live AS (SELECT * FROM base UNION ALL SELECT * FROM up1), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id = 7), " +
+      "assign AS (SELECT vec_id, v, cid AS leaf_id FROM (" +
+      "SELECT l.vec_id, l.v, c.cid, row_number() OVER (" +
+      "PARTITION BY l.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(l.v, c.cv), c.cid) AS rn " +
+      "FROM live l, cent c) WHERE rn <= 2), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) WHERE rn <= 3), " +
+      "cand AS (SELECT a.vec_id, a.leaf_id, " +
+      "list_inner_product(a.v, q.qv) AS score " +
+      "FROM assign a JOIN probe p ON a.leaf_id = p.cid, q) " +
+      "SELECT vec_id, cast(min(leaf_id) as bigint) AS leaf_id, " +
+      "max(score) AS score FROM cand GROUP BY vec_id " +
+      "ORDER BY score DESC, vec_id LIMIT 12"
+  ) { (s, d) =>
+    import graft.streaming.IndexMaintenance
+    import graft.operators.ServingManifest
+    graft.plans.GraftExtensions.register(s)
+    val base = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val query = base.filter(col("vec_id") === 7)
+      .select(col("v")).head().getSeq[Double](0)
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servesnap_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val indexed = base.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, servePath.toString, model)
+
+    // two serving appends AFTER the build, new ids only: the snapshot
+    // at v2 must hold the first in full and none of the second
+    val up1 = base.filter(col("vec_id") % 31 === 3)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => x * 1.5))
+    IndexMaintenance.appendToServing(s, servePath.toString, up1,
+      "vec_id", "v", "version")
+    val up2 = base.filter(col("vec_id") % 45 === 11)
+      .withColumn("vec_id", col("vec_id") + 400000)
+      .withColumn("v", transform(col("v"), x => x * 0.5))
+    IndexMaintenance.appendToServing(s, servePath.toString, up2,
+      "vec_id", "v", "version")
+
+    val vs = ServingManifest.versions(s, servePath.toString)
+    require(vs == Seq(1, 2, 3),
+      s"expected snapshot versions 1,2,3 after build + two appends, got $vs")
+    // the steady-state log entry is a DELTA (O(changed files)), not a
+    // full manifest copy — the property that keeps the log affordable
+    val v2log = s.read.parquet(
+      ServingManifest.logDir(servePath.toString) + "/v=2")
+    require(v2log.columns.contains("action"),
+      "append versions must log as deltas")
+
+    val data = ServingManifest.openAt(s, servePath.toString, 2).get
+    graft.plans.IndexCatalog.drop("r_serve_snapshot")
+    graft.plans.IndexCatalog.open(s, "r_serve_snapshot", servePath.toString)
+    data.filter(graft.plans.AnnPruning.probe("r_serve_snapshot",
+        col("leaf_id"), query, 3))
+      .select(col("vec_id"), col("leaf_id"),
+        graft.functions.vectors.dotProduct(col("v"),
+          typedLit(query)).as("score"))
+      .groupBy("vec_id")
+      .agg(min(col("leaf_id")).cast("bigint").as("leaf_id"),
+        max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(12)
+  }
+
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
-    rServeManifest, rRebalance, vAnnBuild, vAnnBuild2, vAnnIvf,
-    vAnnPipeline, vAnnSql, vAnnSqlE2e, vAnnRouted, vKnnJoin)
+    rServeManifest, rServeSnapshot, rRebalance, vAnnBuild, vAnnBuild2,
+    vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e, vAnnRouted, vKnnJoin)
 }

@@ -79,9 +79,15 @@ object SubqueryQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.apply(s, d, "events").schema
     val sinkName = "graft_stream_hourly"
-    val stream = s.readStream.schema(schema)
+    val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same either-vintage ts dispatch as Tables.events (nanos-as-long
+    // vs native micros)
+    val stream = (schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    })
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),

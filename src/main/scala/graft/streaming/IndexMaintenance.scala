@@ -244,9 +244,12 @@ object IndexMaintenance {
     val leaves = over.keys.toSeq.sorted
     var cents = model.centroids.toVector
 
-    // localized sub-fits, concurrent like the build's split rounds
+    // localized sub-fits, concurrent like the build's split rounds —
+    // on the SHARED bounded pool: a mass-overflow round (10³+ leaves)
+    // queues behind FitPool.Size in-flight Spark jobs instead of
+    // flooding the driver scheduler
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.operators.FitPool.ec
     val subFits = leaves.map { l =>
       val kSub = math.max(2,
         math.ceil(over(l) / (0.7 * maxLeafSize)).toInt)

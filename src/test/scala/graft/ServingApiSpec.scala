@@ -84,4 +84,51 @@ class ServingApiSpec extends SparkTestBase {
     assert(scan.partitionFilters.exists(_.toString.contains("leaf_id")),
       "probe In-list must stay a partition filter alongside restricts")
   }
+
+  test("Serving handle: open-once session is LWW-live, openAt pins a version") {
+    import graft.operators.Serving
+    import graft.streaming.IndexMaintenance
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srvhandle").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    // one upsert: overwrite some build-time ids (version 2) and add
+    // brand-new ids
+    val b1 = emb.filter(col("vec_id") % 29 === 1)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2L))
+      .unionByName(emb.filter(col("vec_id") % 31 === 4)
+        .withColumn("vec_id", col("vec_id") + 500000))
+    IndexMaintenance.appendToServing(spark, dir, b1, "vec_id", "v", "version")
+
+    val live = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+    assert(live.numLeaves == 8)
+    // LWW at open: an overwritten id serves ONLY its version-2 row
+    val overwritten = live.data.filter(col("vec_id") % 29 === 1 &&
+      col("vec_id") < 500000)
+    assert(overwritten.filter(col("version") =!= 2).count() == 0,
+      "a superseded copy must never be served by the handle")
+    // repeated searches on the held frame match the one-shot path
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val viaHandle = live.search(q, 3, 10).collect().toSeq
+    val oneShot = IvfIndex.searchDf(
+      IndexMaintenance.readServing(spark, dir, "vec_id", "version"),
+      model, q, 3, 10, "vec_id", "v").collect().toSeq
+    assert(viaHandle == oneShot,
+      "handle search must equal the one-shot serving read")
+
+    // time travel: the v1 session sees no appended rows at all
+    val pinned = Serving.openAt(spark, dir, 1, id = "vec_id",
+      vecCol = "v").get
+    assert(pinned.data.filter(col("version") === 2).count() == 0,
+      "openAt(1) must not see the upsert's overwrites")
+    assert(pinned.data.filter(col("vec_id") >= 500000).count() == 0,
+      "openAt(1) must not see the upsert's new ids")
+    assert(pinned.search(q, 3, 10).count() == 10)
+    assert(Serving.openAt(spark, dir, 42).isEmpty,
+      "an unlogged version pins nothing")
+  }
 }

@@ -133,6 +133,135 @@ class ServingManifestSpec extends SparkTestBase {
     intercept[Exception] { ServingManifest.open(spark, dir).get.count() }
   }
 
+  test("snapshot log: versions, time travel, and O(delta) versions") {
+    val (dir, _) = freshServe("snap")
+    assert(ServingManifest.versions(spark, dir) == Seq(1),
+      "the build installs snapshot v1")
+    val builtRows = ServingManifest.open(spark, dir).get.count()
+
+    val b1 = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 41 === 2)
+      .select((col("vec_id") + 500000).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"), lit(2L).as("version"))
+    IndexMaintenance.appendToServing(spark, dir, b1, "vec_id", "v", "version")
+    val b2 = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 47 === 5)
+      .select((col("vec_id") + 700000).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"), lit(3L).as("version"))
+    IndexMaintenance.appendToServing(spark, dir, b2, "vec_id", "v", "version")
+    assert(ServingManifest.versions(spark, dir) == Seq(1, 2, 3),
+      "every install bumps the version by one")
+
+    // v2 is a DELTA, not a full copy: only the appended files, all
+    // action=add (an append removes nothing), far smaller than the
+    // layout's manifest — the O(delta) log property
+    val v2 = spark.read.parquet(ServingManifest.logDir(dir) + "/v=2")
+    assert(v2.columns.contains("action"), "steady-state versions are deltas")
+    val acts = v2.select("action").distinct().collect().map(_.getString(0))
+    assert(acts.sameElements(Array("add")),
+      s"an append logs only adds, got ${acts.mkString(",")}")
+    val manifestRows = spark.read
+      .parquet(ServingManifest.manifestDir(dir)).count()
+    assert(v2.count() < manifestRows,
+      "a delta version must be smaller than the full manifest")
+
+    // time travel: v1 = the build alone, v2 sees b1 but not b2,
+    // v3 = the live manifest
+    val at1 = ServingManifest.openAt(spark, dir, 1).get
+    assert(at1.count() == builtRows,
+      "openAt(1) must pin the pre-append row count")
+    assert(at1.filter(col("vec_id") >= 500000).count() == 0,
+      "openAt(1) must not see either append")
+    val at2 = ServingManifest.openAt(spark, dir, 2).get
+    assert(at2.filter(col("vec_id") >= 500000 && col("vec_id") < 700000)
+      .select("vec_id").distinct().count() == b1.count(),
+      "openAt(2) must see the first append in full")
+    assert(at2.filter(col("vec_id") >= 700000).count() == 0,
+      "openAt(2) must not see the second append")
+    assert(ServingManifest.openAt(spark, dir, 3).get.count() ==
+      ServingManifest.open(spark, dir).get.count(),
+      "the latest snapshot is the live manifest")
+    assert(ServingManifest.openAt(spark, dir, 99).isEmpty,
+      "an unlogged version opens as None")
+  }
+
+  test("snapshot log: checkpoint interval, old-format fold, truncation is loud") {
+    val (dir, _) = freshServe("ckpt")
+    val b1 = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 41 === 2)
+      .select((col("vec_id") + 500000).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"), lit(2L).as("version"))
+    IndexMaintenance.appendToServing(spark, dir, b1, "vec_id", "v", "version")
+    val live = ServingManifest.open(spark, dir).get.count()
+    // no-op reconciles still version the log (empty deltas) — walk to
+    // the forced checkpoint at v = CheckpointInterval
+    (3 to ServingManifest.CheckpointInterval).foreach { _ =>
+      ServingManifest.reconcile(spark, dir, Seq(0))
+    }
+    val vs = ServingManifest.versions(spark, dir)
+    assert(vs.last == ServingManifest.CheckpointInterval)
+    val names = new java.io.File(ServingManifest.logDir(dir)).list().toSeq
+    assert(names.contains(s"v=${ServingManifest.CheckpointInterval}.full"),
+      s"version ${ServingManifest.CheckpointInterval} must be a forced " +
+        s"checkpoint, log holds ${names.sorted.mkString(",")}")
+    assert(ServingManifest
+      .openAt(spark, dir, ServingManifest.CheckpointInterval).get
+      .count() == live)
+    // a mid-log version folds deltas onto the v1 checkpoint
+    assert(ServingManifest.openAt(spark, dir, 10).get.count() == live)
+
+    // old-format compatibility: a full snapshot named plain `v=N`
+    // (the pre-delta log format) is detected by schema and folds as
+    // a checkpoint
+    val logD = ServingManifest.logDir(dir)
+    assert(new java.io.File(logD + "/v=1.full")
+      .renameTo(new java.io.File(logD + "/v=1")))
+    assert(ServingManifest.openAt(spark, dir, 2).get.count() == live,
+      "an old-format full snapshot must fold as a checkpoint")
+
+    // truncated log (checkpoint removed): reconstruction below the
+    // remaining checkpoint fails LOUDLY, never serves a partial set
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(new java.io.File(logD + "/v=1"))
+    intercept[IllegalArgumentException] {
+      ServingManifest.openAt(spark, dir, 10)
+    }
+    // versions at or above the surviving checkpoint stay readable
+    assert(ServingManifest
+      .openAt(spark, dir, ServingManifest.CheckpointInterval).get
+      .count() == live)
+  }
+
+  test("snapshot log: compact starts a fresh log; a deleted file is loud") {
+    val (dir, _) = freshServe("snapcompact")
+    val b1 = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 53 === 0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), lit(9L).as("version"))
+    IndexMaintenance.appendToServing(spark, dir, b1, "vec_id", "v", "version")
+    assert(ServingManifest.versions(spark, dir) == Seq(1, 2))
+    IndexMaintenance.compactServing(spark, dir, "vec_id", "version")
+    // the rewrite replaced the data files: the old log is gone with
+    // them, the compacted layout starts at v1
+    assert(ServingManifest.versions(spark, dir) == Seq(1),
+      "a rewriting mutation must start a fresh snapshot log")
+    assert(ServingManifest.openAt(spark, dir, 1).get.count() ==
+      ServingManifest.open(spark, dir).get.count())
+
+    // a snapshot naming a deleted data file fails its scan loudly
+    val leafDir = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("leaf_id=")).head
+    val dataFile = leafDir.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).head
+    assert(dataFile.delete())
+    intercept[Exception] {
+      ServingManifest.openAt(spark, dir, 1).get.count()
+    }
+  }
+
   test("pre-manifest layouts fall back to a listing read") {
     val (dir, _) = freshServe("fallback")
     // simulate an old layout: drop the manifest
