@@ -26,6 +26,18 @@ object Bench {
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // MLlib k-means JIT/codegen warmup: the first registry query to
+    // fit an index (alphabetically r_rebalance) otherwise absorbs
+    // ~15 s of cold-path cost that belongs to the JVM, not the
+    // operator (profiled: the identical build/rebalance runs 3-5×
+    // faster warm)
+    try {
+      import spark.implicits._
+      val warm = (0 until 64).map(i =>
+        (i.toLong, Seq.tabulate(8)(j => ((i * j) % 5).toDouble))).toDF("vec_id", "v")
+      graft.operators.IvfIndex.build(warm, "vec_id", "v", 2, maxIter = 2)
+      ()
+    } catch { case _: Throwable => () }
 
     // release caches, memory-sink views and localCheckpoint blocks
     // after every query — 111 queries share one JVM, and anything a

@@ -377,6 +377,74 @@ object ScaleProbe {
         f"group+list_all=$tAll%.2f s ($nAll files) " +
         f"pruned_16_first=$tPruned%.3f s ($nPruned files) " +
         f"pruned_16_steady=$tSteady%.5f s ($n2 files)")
+    } else if (args(0) == "query") {
+      // time one registered query in isolation (bench triage):
+      // usage: query <name> <sfDir> [repeats]
+      val name = args(1); val d = args(2)
+      val n = if (args.length > 3) args(3).toInt else 3
+      (1 to n).foreach { i =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, d).count()
+        SessionConf.releaseQueryResources(spark)
+        println(f"QUERY $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    } else if (args(0) == "rebalprofile") {
+      // phase timing of the r_rebalance gate shape (bench triage):
+      // usage: rebalprofile <sfDir>
+      import graft.streaming.IndexMaintenance
+      import graft.operators.IvfIndex
+      import spark.implicits._
+      val d = args(1)
+      def t[A](tag: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"REBALPROF $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val emb = Tables.embeddings(spark, d).filter(col("vec_id") < 250)
+      val base = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+      val servePath = java.nio.file.Files
+        .createTempDirectory("graft_rebalprof").toString + "/idx"
+      val (indexed, model) = t("build") {
+        IvfIndex.build(base, "vec_id", "v", 4)
+      }
+      t("write") { IvfIndex.write(indexed, servePath, model) }
+      val donors = base.filter(col("vec_id") < 40)
+        .select("vec_id", "v").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val appends = Seq.tabulate(40) { i =>
+        (900000L + i,
+          donors(i.toLong).zipWithIndex.map { case (x, j) =>
+            x + 0.01 * (((i + j) % 3) - 1)
+          }, 1)
+      }.toDF("vec_id", "v", "version")
+      t("append") {
+        IndexMaintenance.appendToServing(spark, servePath, appends,
+          "vec_id", "v", "version")
+      }
+      t("oversized") {
+        IndexMaintenance.oversizedLeaves(spark, servePath, 100).count()
+      }
+      t("counts") {
+        spark.read.parquet(servePath).count()
+        spark.read.parquet(servePath).select("vec_id").distinct().count()
+      }
+      t("rebalance") {
+        IndexMaintenance.rebalanceOverflow(spark, servePath,
+          "vec_id", "v", maxLeafSize = 100)
+      }
+      t("aftercounts") {
+        val a = spark.read.parquet(servePath)
+        a.count(); a.select("vec_id").distinct().count()
+      }
+      t("search_new_session") {
+        val s2 = spark.newSession()
+        val m2 = IvfIndex.load(s2, servePath)
+        IvfIndex.search(s2, servePath, m2, donors(3L).toArray,
+          nProbe = math.min(8, m2.centroids.length), k = 5,
+          "vec_id", "v").collect()
+      }
     } else if (args(0) == "logscale") {
       // per-append MANIFEST + SNAPSHOT-LOG maintenance cost vs total
       // file count: a synthetic manifest at each requested size, one

@@ -25,11 +25,17 @@ import scala.concurrent.ExecutionContext
   */
 private[graft] object FitPool {
 
-  /** ≤ 2× cores, capped: past ~64 concurrent Spark jobs the driver
-    * scheduler is the bottleneck regardless of core count.
+  /** One in-flight fit per core, capped at 64. MEASURED, not guessed:
+    * at 2× cores (64 threads on the local[32] box) the 12 288-leaf
+    * two-level build's ~111 sub-fits interleave 64 concurrent
+    * multi-stage jobs on 32 task slots — per-stage task-binary
+    * rebroadcast (3.4 MB each, 18k+ broadcasts observed) and
+    * scheduler churn stretched a 399 s build past 25 min. At 1× cores
+    * the same build runs in minutes: enough jobs to keep every slot
+    * busy, no oversubscription.
     */
   val Size: Int =
-    math.min(64, math.max(2, 2 * Runtime.getRuntime.availableProcessors()))
+    math.min(64, math.max(2, Runtime.getRuntime.availableProcessors()))
 
   private val counter = new AtomicInteger(0)
 

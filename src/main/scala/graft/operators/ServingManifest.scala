@@ -374,6 +374,46 @@ object ServingManifest {
   def openOrRead(spark: SparkSession, path: String): DataFrame =
     open(spark, path).getOrElse(spark.read.parquet(path))
 
+  /** Log retention (the Delta VACUUM analog, for the LOG only — data
+    * files belong to the layout and are never touched): drop log
+    * versions that no longer serve reconstruction of the most recent
+    * `keep` versions. The cut point is the newest CHECKPOINT at or
+    * below (latest − keep + 1): everything strictly below it is
+    * deleted — those versions stop being reconstructable and
+    * [[openAt]] returns None for them — while every kept version
+    * still folds from a retained checkpoint. Without retention the
+    * log grows forever (O(delta) per append, but appends never stop);
+    * with it, steady state is ≤ keep + [[CheckpointInterval]] small
+    * dirs. Returns the number of versions removed.
+    */
+  def truncate(spark: SparkSession, path: String, keep: Int): Int = {
+    require(keep >= 1, s"truncate needs keep >= 1, got $keep")
+    val fs = fsFor(spark, path)
+    val vs = versions(spark, path)
+    if (vs.length <= keep) return 0
+    val cutoff = vs(vs.length - keep)
+    def isCheckpoint(v: Int): Boolean = {
+      if (fs.exists(new Path(logDir(path) + s"/v=$v.full"))) true
+      else {
+        val p = logDir(path) + s"/v=$v"
+        fs.exists(new Path(p)) &&
+          !spark.read.parquet(p).columns.contains("action")
+      }
+    }
+    (cutoff to 1 by -1).find(isCheckpoint) match {
+      case None => 0 // no checkpoint at or below: nothing safely deletable
+      case Some(base) =>
+        val drop = vs.filter(_ < base)
+        drop.foreach { v =>
+          val full = new Path(logDir(path) + s"/v=$v.full")
+          val plain = new Path(logDir(path) + s"/v=$v")
+          if (fs.exists(full)) fs.delete(full, true)
+          if (fs.exists(plain)) fs.delete(plain, true)
+        }
+        drop.length
+    }
+  }
+
   /** Drift check for specs and operators: files in the manifest but
     * not on disk (would fail a scan loudly) and files on disk but not
     * in the manifest (would be silently invisible — the dangerous

@@ -262,6 +262,46 @@ class ServingManifestSpec extends SparkTestBase {
     }
   }
 
+  test("snapshot log retention: truncate drops only safely-dead versions") {
+    import spark.implicits._
+    // a synthetic layout — retention touches only the LOG, so no
+    // index build is needed: one real leaf, a manifest naming it,
+    // a v=1 checkpoint, then version churn via no-op reconciles
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_trunc").toString + "/idx"
+    spark.range(4).select(col("id").as("vec_id"))
+      .coalesce(1).write.parquet(dir + "/leaf_id=0")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(
+        new org.apache.hadoop.fs.Path(dir + "/leaf_id=0"))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map(f => ("leaf_id=0/" + f.getPath.getName, 0, f.getLen,
+        f.getModificationTime)).toSeq
+    entries.toDF("file", "leaf_id", "bytes", "mtime")
+      .coalesce(1).write.parquet(ServingManifest.manifestDir(dir))
+    spark.read.parquet(ServingManifest.manifestDir(dir)).coalesce(1)
+      .write.parquet(ServingManifest.logDir(dir) + "/v=1.full")
+
+    (2 to 19).foreach(_ => ServingManifest.reconcile(spark, dir, Seq(0)))
+    assert(ServingManifest.versions(spark, dir) == (1 to 19),
+      "18 reconciles after the checkpoint must log versions 2-19")
+
+    // keep=3 → cutoff v17, newest checkpoint at-or-below is v16:
+    // v1-v15 die, v16-v19 survive
+    assert(ServingManifest.truncate(spark, dir, keep = 3) == 15)
+    assert(ServingManifest.versions(spark, dir) == (16 to 19))
+    assert(ServingManifest.openAt(spark, dir, 15).isEmpty,
+      "a truncated version must open as None, not fail")
+    (16 to 19).foreach { v =>
+      assert(ServingManifest.openAt(spark, dir, v).get.count() == 4,
+        s"kept version $v must still reconstruct")
+    }
+    // idempotent: nothing further is safely deletable
+    assert(ServingManifest.truncate(spark, dir, keep = 3) == 0)
+  }
+
   test("pre-manifest layouts fall back to a listing read") {
     val (dir, _) = freshServe("fallback")
     // simulate an old layout: drop the manifest
