@@ -375,6 +375,16 @@ object IvfIndex {
     * hash-predicate sample exists to remove. The extra shuffle moves
     * at most `target` rows, bounded regardless of corpus size.
     */
+  /** The PRIMARY fit stays MLlib at every size: its centroids sit
+    * under the `v_ann_ivf` recall gate (≥ 0.8), and kmeans||'s
+    * multi-round init measurably beats the single-shot k-means++ of
+    * [[fitCentroidsLocal]] there (a local-fit dispatch for small
+    * primary fits was tried and REVERTED: recall at sf0.01 dropped
+    * below the bound — the oracle caught it). The local fit serves
+    * the FAN-OUT sites (per-leaf splits, per-super sub-fits), where
+    * no recall gate sits on an individual sub-fit and the ~10
+    * scheduled jobs per MLlib fit are the scale cost.
+    */
   private def fitCentroids(df: DataFrame, idCol: String, k: Int, known: Long,
       seed: Long, maxIter: Int, maxFitRows: Long): Array[Array[Double]] = {
     val target = math.max(maxFitRows, 16L * k)
@@ -388,6 +398,121 @@ object IvfIndex {
       .setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("__p")
     km.fit(canonical).clusterCenters.map(_.toArray)
+  }
+
+  /** Driver-local Lloyd's over the same bounded, hash-deterministic
+    * sample as [[fitCentroids]] — the FAN-OUT fit. Per-leaf split
+    * refits and per-super sub-fits are each bounded by `maxFitRows`
+    * BY CONSTRUCTION, so collecting the fit set is driver-safe, and
+    * an in-memory fit replaces the ~10 scheduled Spark jobs of an
+    * MLlib fit (kmeans|| init rounds + Lloyd's iterations, each a
+    * job) with ONE collect: a 10³-leaf overflow round becomes 10³
+    * collects on the bounded pool instead of 10⁴ driver-scheduled
+    * jobs. Top-level fits (the primary build, the super fit) keep
+    * MLlib — their fit sets warrant a cluster scan and their k can
+    * reach 4096 where kmeans||'s distributed init earns its keep.
+    *
+    * Deterministic by construction: the collected sample is sorted by
+    * id (partition-layout independent), init is seeded k-means++
+    * (D² sampling), iterations are order-stable, and empty clusters
+    * re-seed deterministically from the farthest point. Quality is
+    * the same algorithm family as MLlib's (k-means++ init + Lloyd's);
+    * the recall gates (`v_ann_ivf` ≥ 0.8) hold unchanged.
+    */
+  private[graft] def fitCentroidsLocal(df: DataFrame, idCol: String, k: Int,
+      known: Long, seed: Long, maxIter: Int,
+      maxFitRows: Long): Array[Array[Double]] = {
+    val target = math.max(maxFitRows, 16L * k)
+    val fitSet =
+      if (known <= target) df
+      else df.filter(hashKeep(col(idCol),
+        math.max(1L, (target * 1000000L) / known)))
+    val rows = fitSet.select(col(idCol).cast("string"), col("__features"))
+      .collect()
+      .sortBy(_.getString(0))
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](1).toArray)
+    require(rows.nonEmpty, "fitCentroidsLocal: empty fit set")
+    val kk = math.min(k, rows.length)
+    val d = rows(0).length
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < d) { val r = a(j) - b(j); s += r * r; j += 1 }
+      s
+    }
+    // k-means++ init: D² sampling over the sorted sample
+    val centers = new Array[Array[Double]](kk)
+    centers(0) = rows(rnd.nextInt(rows.length)).clone()
+    val minD2 = rows.map(d2(_, centers(0)))
+    var c = 1
+    while (c < kk) {
+      val total = minD2.sum
+      var pick = 0
+      if (total <= 0) pick = rnd.nextInt(rows.length)
+      else {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < rows.length - 1 && r > minD2(i)) { r -= minD2(i); i += 1 }
+        pick = i
+      }
+      centers(c) = rows(pick).clone()
+      var i = 0
+      while (i < rows.length) {
+        val nd = d2(rows(i), centers(c))
+        if (nd < minD2(i)) minD2(i) = nd
+        i += 1
+      }
+      c += 1
+    }
+    // Lloyd's, order-stable ties (first center wins)
+    val assign = new Array[Int](rows.length)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < rows.length) {
+        var best = 0; var bd = Double.PositiveInfinity
+        var cc = 0
+        while (cc < kk) {
+          val dd = d2(rows(i), centers(cc))
+          if (dd < bd) { bd = dd; best = cc }
+          cc += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.ofDim[Double](kk, d)
+      val counts = new Array[Long](kk)
+      i = 0
+      while (i < rows.length) {
+        val a = assign(i); counts(a) += 1
+        var j = 0
+        while (j < d) { sums(a)(j) += rows(i)(j); j += 1 }
+        i += 1
+      }
+      var cc = 0
+      while (cc < kk) {
+        if (counts(cc) > 0) {
+          var j = 0
+          while (j < d) { centers(cc)(j) = sums(cc)(j) / counts(cc); j += 1 }
+        } else {
+          // deterministic re-seed: the point farthest from its center
+          var far = 0; var fd = -1.0
+          var ii = 0
+          while (ii < rows.length) {
+            val dd = d2(rows(ii), centers(assign(ii)))
+            if (dd > fd) { fd = dd; far = ii }
+            ii += 1
+          }
+          centers(cc) = rows(far).clone()
+          moved = true
+        }
+        cc += 1
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** Past this leaf count [[build]] dispatches to the hierarchical
@@ -480,8 +605,8 @@ object IvfIndex {
           // centroid (already the region's fitted center, and
           // deterministic) IS that leaf. MLlib also refuses k=1.
           if (ks <= 1) Future.successful(Array(supers(s)))
-          else Future(fitCentroids(grouped.filter(col("__l1") === s), id, ks,
-            ns, seed + 1000003L * (s + 1), maxIter, maxFitRows))
+          else Future(fitCentroidsLocal(grouped.filter(col("__l1") === s),
+            id, ks, ns, seed + 1000003L * (s + 1), maxIter, maxFitRows))
         }
         val cents0 = Await.result(Future.sequence(subFits),
           scala.concurrent.duration.Duration.Inf).flatten.toVector
@@ -585,7 +710,7 @@ object IvfIndex {
             val (total, nPrim) = summary.oversized(l)
             val kSub = math.max(2L, math.min(nPrim / 2,
               math.ceil(total / (0.7 * maxLeafSize)).toLong)).toInt
-            Future(fitCentroids(assigned.filter(col("__l1") === l),
+            Future(fitCentroidsLocal(assigned.filter(col("__l1") === l),
               id, kSub, nPrim, seed + 1 + l, math.min(maxIter, 5), maxFitRows))
           }
           val next = keep.map(cents).toVector ++
@@ -711,7 +836,7 @@ object IvfIndex {
       .withColumn("__v", col(vecCol).cast("array<double>"))
       .withColumn("__features",
         array_to_vector(concat(col("__v"), array(lit(0.0)))))
-    fitCentroids(feat, id, k, n, seed, maxIter = 5, maxFitRows)
+    fitCentroidsLocal(feat, id, k, n, seed, maxIter = 5, maxFitRows)
       .map { c => c(c.length - 1) = parent(parent.length - 1); c }
   }
 

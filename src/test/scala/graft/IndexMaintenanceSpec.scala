@@ -276,10 +276,14 @@ class IndexMaintenanceSpec extends SparkTestBase {
     IndexMaintenance.appendToServing(spark, serve, appends,
       "vec_id", "v", "version")
 
-    // the base corpus packs ~140 rows into each of the 8 leaves;
-    // a 100-row bound makes most leaves overflow while the sparse
-    // outlier leaf stays under it (the untouched-partition witness)
-    val bound = 100
+    // pick the bound BETWEEN the smallest and largest leaf so at
+    // least one leaf overflows and at least one stays untouched (the
+    // untouched-partition witness) — a fixed number here would couple
+    // the spec to the fit's exact leaf-size distribution
+    val sizes = spark.read.parquet(serve).groupBy("leaf_id").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.min < sizes.max, "need uneven leaves for this spec")
+    val bound = ((sizes.min + sizes.max) / 2).toInt
     val overBefore = IndexMaintenance
       .oversizedLeaves(spark, serve, bound)
       .collect().map(_.getInt(0)).toSet
