@@ -849,7 +849,16 @@ object IvfIndex {
     * it, rag/search.py queries it from a separate process).
     */
   def write(indexed: DataFrame, path: String): Unit =
-    indexed.write.mode("overwrite").partitionBy("leaf_id").parquet(path)
+    // co-partition by leaf before the partitioned write: without it,
+    // EVERY task holding rows of a leaf emits its own file — up to
+    // tasks × leaves small files (measured ~25k files for 12k leaves;
+    // the object-store death spiral at 100 TB). Hashed on leaf_id,
+    // each leaf lands wholly in one task → exactly one file per leaf,
+    // and tasks still parallelize across the leaf set. The one
+    // shuffle this adds is the standard price of a compact layout
+    // (what Delta OPTIMIZE / repartition-before-write does).
+    indexed.repartition(col("leaf_id"))
+      .write.mode("overwrite").partitionBy("leaf_id").parquet(path)
 
   /** Persist index data + model sidecar + file manifest: the complete
     * reopenable index. The manifest ([[ServingManifest]]) lets a

@@ -285,8 +285,10 @@ object IndexMaintenance {
     try {
       // rewrites ONLY the partitions present in the written frame:
       // the split parents (now holding their slot-0 subset) and the
-      // appended slots; every other leaf directory is untouched
+      // appended slots; every other leaf directory is untouched.
+      // Co-partitioned so each rewritten leaf is one file.
       spark.read.parquet(tmp)
+        .repartition(col("leaf_id"))
         .write.mode("overwrite").partitionBy("leaf_id").parquet(servePath)
     } finally {
       prevMode match {
@@ -345,7 +347,10 @@ object IndexMaintenance {
     val hadoopPath = new org.apache.hadoop.fs.Path(servePath)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(servePath + ".compact-tmp")
+    // co-partitioned like IvfIndex.write: compaction EXISTS to fix
+    // file sprawl, so the compacted copy must be one file per leaf
     readServing(spark, servePath, id, versionCol)
+      .repartition(col("leaf_id"))
       .write.mode("overwrite").partitionBy("leaf_id").parquet(tmp.toString)
     IvfIndex.writeModel(spark, tmp.toString, model)
     // a CODED layout carries a second sidecar — the codebook travels
