@@ -45,6 +45,46 @@ final class Serving private[operators] (
     IvfIndex.searchDf(data, model, query, nProbe, k, id, vecCol,
       restricts, crowding, metadata)
 
+  /** Distributed BATCH search — the reference's batched
+    * find_neighbors: top-k for EVERY query row in one plan. Routing
+    * runs as the broadcast-f32 probe expression over the query frame
+    * (sublinear in leaf count past the router threshold, executor-
+    * resident matrix), candidates come from joining the held layout
+    * on `leaf_id`, spill copies collapse per (query, id), and
+    * per-query ranking is the window top-k. When the batch's probed
+    * leaf set is small (≤ 1024 distinct leaves) the layout side is
+    * additionally pre-filtered with a literal In-list so partition
+    * pruning reaches the scan — a small batch reads only its leaves,
+    * a huge batch degrades gracefully to the full shuffle join it
+    * genuinely needs.
+    *
+    * Output: (`qid`, id, score, rn), rn 1-based per query by
+    * (score desc, id).
+    */
+  def searchBatch(queries: DataFrame, qid: String, qvecCol: String,
+      nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val probes = queries.select(col(qid).as("__qid"),
+        col(qvecCol).cast("array<double>").as("__qv"))
+      .withColumn("leaf_id",
+        explode(IvfIndex.probeExprF32(model, col("__qv"),
+          math.max(1, nProbe))))
+    val leaves = probes.select("leaf_id").distinct()
+      .limit(1025).collect().map(_.getInt(0))
+    val side = if (leaves.length <= 1024)
+      data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
+    val scored = side.join(probes, Seq("leaf_id"))
+      .select(col("__qid"), col(id),
+        graft.functions.vectors.dotProduct(col(vecCol),
+          col("__qv")).as("score"))
+      // a vector stored in two probed leaves is ONE candidate
+      .groupBy(col("__qid"), col(id))
+      .agg(max(col("score")).as("score"))
+    Knn.topKPerQuery(scored, k, "__qid", id, Knn.Dot)
+      .withColumnRenamed("__qid", qid)
+      .select(col(qid), col(id), col("score"), col("rn"))
+  }
+
   def numLeaves: Int = model.centroids.length
 }
 

@@ -131,4 +131,35 @@ class ServingApiSpec extends SparkTestBase {
     assert(Serving.openAt(spark, dir, 42).isEmpty,
       "an unlogged version pins nothing")
   }
+
+  test("Serving.searchBatch matches per-query search, query by query") {
+    import graft.operators.Serving
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srvbatch").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val live = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+
+    val qids = Seq(3L, 7L, 11L, 42L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val batch = live.searchBatch(queries, "qid", "qv", nProbe = 3, k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    assert(batch.keySet == qids.toSet, "every query must get results")
+
+    qids.foreach { q =>
+      val qv = emb.filter(col("vec_id") === q)
+        .select(col("v")).head().getSeq[Double](0).toArray
+      val per = live.search(qv, 3, 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(batch(q) == per,
+        s"batch and per-query results diverge for query $q:\n" +
+          s"batch=${batch(q)}\nper=$per")
+    }
+  }
 }
