@@ -14,12 +14,21 @@ import scala.concurrent.ExecutionContext
   * global ForkJoinPool turns a mass-overflow round — 10³+ overflowed
   * leaves after a hot-keyed ingest — into 10³ simultaneous Spark jobs
   * from one driver: scheduler contention, task-set starvation, and an
-  * unbounded queue of managed-blocker threads. A fixed pool of
-  * ≤ 2 × cores (capped at 64) keeps exactly that many jobs in flight
-  * and turns the rest into a FIFO queue — the round degrades to a
-  * queue, never a driver flood. One pool across both build and
-  * maintenance paths means a build racing a rebalance shares the same
-  * bound instead of doubling it.
+  * unbounded queue of managed-blocker threads. A fixed pool of one
+  * thread per core (capped at 64 — see [[Size]] for the measured
+  * sizing) keeps exactly that many jobs in flight and turns the rest
+  * into a FIFO queue — the round degrades to a queue, never a driver
+  * flood. One pool across both build and maintenance paths means a
+  * build racing a rebalance shares the same bound instead of
+  * doubling it.
+  *
+  * The thread bound alone does not bound MEMORY: each local fit
+  * collects its sample to the driver, so Size concurrent fits of
+  * 100k high-dim vectors could hold tens of GB of samples at once.
+  * [[withSampleBudget]] adds the aggregate-bytes bound: a fit
+  * acquires its estimated sample footprint from a shared budget
+  * (driver heap / 4) before collecting and releases it after, so
+  * mass-overflow rounds degrade to a (memory-)queue too.
   *
   * Threads are daemons: an exiting driver never hangs on the pool.
   */
@@ -36,6 +45,30 @@ private[graft] object FitPool {
     */
   val Size: Int =
     math.min(64, math.max(2, Runtime.getRuntime.availableProcessors()))
+
+  /** Aggregate in-flight fit-sample budget: a quarter of the driver
+    * heap (floored at 256 MB so tiny test JVMs still make progress).
+    * Granularity is MB — a java Semaphore holds int permits.
+    */
+  private[graft] val SampleBudgetMb: Int =
+    math.max(256L, (Runtime.getRuntime.maxMemory() / 4) >> 20)
+      .min(Int.MaxValue.toLong).toInt
+
+  private val sampleBudget =
+    new java.util.concurrent.Semaphore(SampleBudgetMb, true)
+
+  /** Run `body` (a sample-collect + fit) holding `estBytes` of the
+    * shared sample budget. A single fit larger than the whole budget
+    * clamps to it (it runs alone rather than deadlocking); fits that
+    * would overflow the aggregate bound WAIT — the 'driver-safe'
+    * per-fit bound becomes a driver-safe aggregate bound.
+    */
+  def withSampleBudget[T](estBytes: Long)(body: => T): T = {
+    val mb = math.min(SampleBudgetMb.toLong,
+      math.max(1L, estBytes >> 20)).toInt
+    sampleBudget.acquire(mb)
+    try body finally sampleBudget.release(mb)
+  }
 
   private val counter = new AtomicInteger(0)
 

@@ -418,11 +418,32 @@ object IvfIndex {
     * re-seed deterministically from the farthest point. Quality is
     * the same algorithm family as MLlib's (k-means++ init + Lloyd's);
     * the recall gates (`v_ann_ivf` ≥ 0.8) hold unchanged.
+    *
+    * Driver-safe in AGGREGATE, not just per fit: [[FitPool.Size]]
+    * concurrent fits each collecting 100k high-dim vectors would hold
+    * tens of GB of samples on the driver at once, so the collect+fit
+    * runs under [[FitPool.withSampleBudget]] — the estimated sample
+    * footprint (`dimHint` doubles per component, ×3 for the boxed Row
+    * form the collect materializes first) is acquired from the shared
+    * heap-quarter budget before the collect and released after the
+    * fit. `dimHint` comes from the caller's centroid (always at hand
+    * at the fan-out sites); 0 falls back to a conservative 1024.
     */
   private[graft] def fitCentroidsLocal(df: DataFrame, idCol: String, k: Int,
       known: Long, seed: Long, maxIter: Int,
-      maxFitRows: Long): Array[Array[Double]] = {
+      maxFitRows: Long, dimHint: Int = 0): Array[Array[Double]] = {
     val target = math.max(maxFitRows, 16L * k)
+    val sampleRows = math.min(math.max(known, 1L), target)
+    val estBytes = sampleRows *
+      (if (dimHint > 0) dimHint else 1024).toLong * 8L * 3L
+    FitPool.withSampleBudget(estBytes) {
+      fitCentroidsLocalUngated(df, idCol, k, known, seed, maxIter, target)
+    }
+  }
+
+  private def fitCentroidsLocalUngated(df: DataFrame, idCol: String, k: Int,
+      known: Long, seed: Long, maxIter: Int,
+      target: Long): Array[Array[Double]] = {
     val fitSet =
       if (known <= target) df
       else df.filter(hashKeep(col(idCol),
@@ -606,7 +627,8 @@ object IvfIndex {
           // deterministic) IS that leaf. MLlib also refuses k=1.
           if (ks <= 1) Future.successful(Array(supers(s)))
           else Future(fitCentroidsLocal(grouped.filter(col("__l1") === s),
-            id, ks, ns, seed + 1000003L * (s + 1), maxIter, maxFitRows))
+            id, ks, ns, seed + 1000003L * (s + 1), maxIter, maxFitRows,
+            dimHint = supers(s).length))
         }
         val cents0 = Await.result(Future.sequence(subFits),
           scala.concurrent.duration.Duration.Inf).flatten.toVector
@@ -711,7 +733,8 @@ object IvfIndex {
             val kSub = math.max(2L, math.min(nPrim / 2,
               math.ceil(total / (0.7 * maxLeafSize)).toLong)).toInt
             Future(fitCentroidsLocal(assigned.filter(col("__l1") === l),
-              id, kSub, nPrim, seed + 1 + l, math.min(maxIter, 5), maxFitRows))
+              id, kSub, nPrim, seed + 1 + l, math.min(maxIter, 5), maxFitRows,
+              dimHint = cents(l).length))
           }
           val next = keep.map(cents).toVector ++
             Await.result(Future.sequence(subFits),
@@ -836,7 +859,8 @@ object IvfIndex {
       .withColumn("__v", col(vecCol).cast("array<double>"))
       .withColumn("__features",
         array_to_vector(concat(col("__v"), array(lit(0.0)))))
-    fitCentroidsLocal(feat, id, k, n, seed, maxIter = 5, maxFitRows)
+    fitCentroidsLocal(feat, id, k, n, seed, maxIter = 5, maxFitRows,
+        dimHint = parent.length)
       .map { c => c(c.length - 1) = parent(parent.length - 1); c }
   }
 

@@ -154,7 +154,21 @@ object ServingManifest {
     val tmp = new Path(manifestDir(path) + ".tmp")
     val dst = new Path(manifestDir(path))
     val fs = fsFor(spark, path)
+    val loggedLatest = versions(spark, path).lastOption
+    val next = loggedLatest.getOrElse(0) + 1
+    // crash-window drift check: the manifest records the log version
+    // it was installed as (`mver`). If the live manifest's version is
+    // NOT the latest logged one, a previous install died between the
+    // manifest rename and the log-archive rename — its change was
+    // never logged, so folding deltas over the log would silently
+    // omit it. Re-synchronize by forcing THIS install to checkpoint.
+    val unlogged = fs.exists(dst) && {
+      val old = spark.read.parquet(dst.toString)
+      old.columns.contains("mver") &&
+        !loggedLatest.contains(old.select("mver").head().getInt(0))
+    }
     entries
+      .withColumn("mver", lit(next))
       .coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     // swap, never overwrite-in-place: a reader racing the rewrite
@@ -166,9 +180,11 @@ object ServingManifest {
         s"ServingManifest: cannot install ${tmp}")
     // log the mutation — same tmp-write + rename discipline, so the
     // log never holds a half-written version. The data files
-    // themselves are never duplicated.
-    val next = versions(spark, path).lastOption.getOrElse(0) + 1
-    val full = delta.isEmpty || next % CheckpointInterval == 0
+    // themselves are never duplicated. v=1 ALWAYS checkpoints: a
+    // pre-log layout's first mutation logs as a delta otherwise,
+    // and a delta with no checkpoint beneath can never be folded.
+    val full = delta.isEmpty || next == 1 || unlogged ||
+      next % CheckpointInterval == 0
     val name = if (full) s"v=$next.full" else s"v=$next"
     val vTmp = new Path(logDir(path) + s"/.$name.tmp")
     val vDst = new Path(logDir(path) + s"/$name")

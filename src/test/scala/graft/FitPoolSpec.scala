@@ -40,4 +40,40 @@ class FitPoolSpec extends AnyFunSuite {
     assert(highWater.get() >= math.min(2, FitPool.Size),
       "the pool must actually run tasks concurrently")
   }
+
+  test("sample budget bounds AGGREGATE in-flight fit memory") {
+    import graft.operators.FitPool
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import java.util.concurrent.atomic.AtomicInteger
+    import FitPool.ec
+
+    // each claim takes just over half the budget: the thread pool
+    // alone would run Size of these at once, the memory gate must
+    // serialize them to exactly one holder at a time
+    val overHalf = ((FitPool.SampleBudgetMb.toLong / 2) + 1) << 20
+    val holding = new AtomicInteger(0)
+    val highWater = new AtomicInteger(0)
+    val fs = (1 to 8).map { _ =>
+      Future {
+        FitPool.withSampleBudget(overHalf) {
+          val n = holding.incrementAndGet()
+          highWater.accumulateAndGet(n, math.max _)
+          Thread.sleep(5)
+          holding.decrementAndGet()
+        }
+      }
+    }
+    Await.result(Future.sequence(fs), 60.seconds)
+    assert(highWater.get() == 1,
+      s"two over-half-budget fits held samples concurrently " +
+        s"(high water ${highWater.get()}) — the aggregate bound leaks")
+
+    // a single fit larger than the whole budget clamps instead of
+    // deadlocking: it runs (alone), it does not wait forever
+    val out = Await.result(
+      Future(FitPool.withSampleBudget(
+        FitPool.SampleBudgetMb.toLong << 22)(42)), 60.seconds)
+    assert(out == 42)
+  }
 }

@@ -302,6 +302,59 @@ class ServingManifestSpec extends SparkTestBase {
     assert(ServingManifest.truncate(spark, dir, keep = 3) == 0)
   }
 
+  test("pre-log layout: the first logged mutation is a checkpoint") {
+    val (dir, _) = freshServe("prelog")
+    // simulate a layout written before the snapshot log existed:
+    // manifest present, log absent
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(new java.io.File(ServingManifest.logDir(dir)))
+    assert(ServingManifest.versions(spark, dir).isEmpty)
+    val live = ServingManifest.open(spark, dir).get.count()
+    // the steady-state DELTA path is the dangerous one: v=1 written
+    // as a delta has no checkpoint beneath it and can never fold
+    ServingManifest.reconcile(spark, dir, Seq(0))
+    assert(ServingManifest.versions(spark, dir) == Seq(1))
+    assert(new java.io.File(ServingManifest.logDir(dir) + "/v=1.full")
+      .exists(), "the first logged version must be a forced checkpoint")
+    assert(ServingManifest.openAt(spark, dir, 1).get.count() == live,
+      "openAt(1) must reconstruct on a freshly-logged layout")
+  }
+
+  test("crashed install (manifest renamed, log rename lost) re-syncs") {
+    val (dir, _) = freshServe("crashlog")
+    val b1 = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 41 === 2)
+      .select((col("vec_id") + 500000).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"), lit(2L).as("version"))
+    IndexMaintenance.appendToServing(spark, dir, b1, "vec_id", "v", "version")
+    assert(ServingManifest.versions(spark, dir) == Seq(1, 2))
+    // simulate the crash window: the manifest for v2 was installed
+    // but the process died before the log-archive rename
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(new java.io.File(ServingManifest.logDir(dir) + "/v=2"))
+    assert(ServingManifest.versions(spark, dir) == Seq(1))
+    // the next install sees manifest mver=2 vs logged latest 1 —
+    // an unlogged change — and must checkpoint rather than write a
+    // delta that silently omits it
+    val b2 = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 47 === 5)
+      .select((col("vec_id") + 700000).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"), lit(3L).as("version"))
+    IndexMaintenance.appendToServing(spark, dir, b2, "vec_id", "v", "version")
+    assert(ServingManifest.versions(spark, dir) == Seq(1, 2))
+    assert(new java.io.File(ServingManifest.logDir(dir) + "/v=2.full")
+      .exists(), "the recovery install must be a forced checkpoint")
+    assert(ServingManifest.openAt(spark, dir, 2).get.count() ==
+      ServingManifest.open(spark, dir).get.count(),
+      "the recovered snapshot must hold the full live file-set — " +
+        "including the change the crash left unlogged")
+    assert(ServingManifest.verify(spark, dir) == ((0L, 0L)))
+  }
+
   test("pre-manifest layouts fall back to a listing read") {
     val (dir, _) = freshServe("fallback")
     // simulate an old layout: drop the manifest
