@@ -539,6 +539,32 @@ object ScaleProbe {
         f"open=$tOpen%.2f s p50=${times(nQ / 2)}%.3f s " +
         f"p95=${times(nQ * 95 / 100)}%.3f s " +
         f"min=${times.head}%.3f s max=${times.last}%.3f s")
+    } else if (args(0) == "servebatch") {
+      // distributed BATCH search against an existing artifact: ONE
+      // plan answers every query — the number that matters is
+      // amortized sec/query vs the per-query p50 (servesession), and
+      // how it moves with batch size. usage:
+      //   servebatch <servePath> [nProbe] [nQ] [k]
+      import spark.implicits._
+      val path = args(1)
+      val nProbe = if (args.length > 2) args(2).toInt else 8
+      val nQ = if (args.length > 3) args(3).toInt else 1000
+      val k = if (args.length > 4) args(4).toInt else 10
+      val serving = graft.operators.Serving.open(spark, path)
+      val dim = serving.model.centroids(0).length - 1
+      val queries = (0 until nQ).map { i =>
+        (i.toLong, Seq.tabulate(dim)(j => ((i * 13 + j) % 9 - 4).toDouble))
+      }.toDF("qid", "qv").persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      queries.count()
+      // warm the plan once at a tiny batch, then time the real one
+      serving.searchBatch(queries.limit(4), "qid", "qv", nProbe, k).count()
+      val t0 = System.nanoTime()
+      val n = serving.searchBatch(queries, "qid", "qv", nProbe, k).count()
+      val tBatch = (System.nanoTime() - t0) / 1e9
+      println(f"SERVEBATCH leaves=${serving.numLeaves} nq=$nQ " +
+        f"k=$k rows=$n total=$tBatch%.2f s " +
+        f"per_query=${tBatch / nQ * 1000}%.2f ms")
     } else if (args(0) == "pqaniso") {
       // plain vs anisotropic PQ codebooks, measured as MIPS recall@10
       // of ADC ranking vs exact dot ranking — three combinations:

@@ -58,31 +58,90 @@ final class Serving private[operators] (
     * a huge batch degrades gracefully to the full shuffle join it
     * genuinely needs.
     *
+    * The routing pass runs ONCE: the probed frame is materialized
+    * (eager local checkpoint) before the distinct-leaf collect, and
+    * the candidate join reads the same blocks — at a 10⁶-query batch
+    * the routing pass is the cost, and an unmaterialized plan would
+    * silently pay it twice.
+    *
+    * ROUTING PARITY CAVEAT: this path routes with the float32
+    * broadcast matrix ([[IvfIndex.probeExprF32]]); [[search]] routes
+    * the driver-side exact double walk. Below the router threshold
+    * both are exact and identical; on a ROUTER-ENGAGED model (large
+    * leaf counts) float32 quantization can flip near-tied centroid
+    * rankings, so batch and per-query probe lists — and therefore
+    * tail results — can diverge on boundary queries (parity ≥0.99
+    * measured, RoutedProbeSpec; recall-bound parity spec'd in
+    * ServingApiSpec). This is the same trade every serving read past
+    * ~10⁵ leaves makes.
+    *
     * Output: (`qid`, id, score, rn), rn 1-based per query by
     * (score desc, id).
     */
   def searchBatch(queries: DataFrame, qid: String, qvecCol: String,
-      nProbe: Int, k: Int): DataFrame = {
+      nProbe: Int, k: Int): DataFrame =
+    searchBatch(queries, qid, qvecCol, nProbe, k, Nil, None, None)
+
+  /** The FULL batched serving shape — what the reference provisions
+    * per-datapoint for its batched find_neighbors
+    * (setup_vector_search.py:45-76): the 5-arg routing/join/top-k
+    * above, plus `restricts` (ANDed predicates over the layout's own
+    * columns, applied ON the pruned scan so parquet pushes them to
+    * row-group granularity), a per-(query, attribute-value) crowding
+    * cap, and the metadata join appended to the ranked rows — the
+    * batched mirror of the 10-arg [[IvfIndex.searchDf]], same
+    * conventions per query.
+    *
+    * Output: (`qid`, id, metadata columns…, score, rn), rn 1-based
+    * per query by (score desc, id), rows ordered (`qid`, rn).
+    */
+  def searchBatch(queries: DataFrame, qid: String, qvecCol: String,
+      nProbe: Int, k: Int, restricts: Seq[Column],
+      crowding: Option[(String, Int)],
+      metadata: Option[(DataFrame, String)]): DataFrame = {
     import org.apache.spark.sql.functions._
     val probes = queries.select(col(qid).as("__qid"),
         col(qvecCol).cast("array<double>").as("__qv"))
       .withColumn("leaf_id",
         explode(IvfIndex.probeExprF32(model, col("__qv"),
           math.max(1, nProbe))))
+      .localCheckpoint(true)
     val leaves = probes.select("leaf_id").distinct()
       .limit(1025).collect().map(_.getInt(0))
-    val side = if (leaves.length <= 1024)
+    val pruned = if (leaves.length <= 1024)
       data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
+    val side = restricts.foldLeft(pruned)(_.filter(_))
+    val crowdAttr = crowding.map(_._1).toSeq
     val scored = side.join(probes, Seq("leaf_id"))
-      .select(col("__qid"), col(id),
+      .select(Seq(col("__qid"), col(id),
         graft.functions.vectors.dotProduct(col(vecCol),
-          col("__qv")).as("score"))
-      // a vector stored in two probed leaves is ONE candidate
-      .groupBy(col("__qid"), col(id))
-      .agg(max(col("score")).as("score"))
-    Knn.topKPerQuery(scored, k, "__qid", id, Knn.Dot)
-      .withColumnRenamed("__qid", qid)
-      .select(col(qid), col(id), col("score"), col("rn"))
+          col("__qv")).as("score")) ++ crowdAttr.map(col): _*)
+    // a vector stored in two probed leaves is ONE candidate
+    val aggs = Seq(max(col("score")).as("score")) ++
+      crowdAttr.map(a => first(col(a)).as(a))
+    val unique = scored.groupBy(col("__qid"), col(id))
+      .agg(aggs.head, aggs.tail: _*)
+    val crowded = crowding match {
+      case Some((attr, cap)) =>
+        Knn.crowd(unique, cap, "__qid", attr, id, Knn.Dot).drop(attr)
+      case None => unique
+    }
+    val ranked = Knn.topKPerQuery(
+      crowded.select(col("__qid"), col(id), col("score")),
+      k, "__qid", id, Knn.Dot)
+    metadata match {
+      case Some((meta, key)) =>
+        val metaCols = meta.columns.filterNot(_ == key).toSeq
+        ranked.as("__r").join(meta.as("__m"),
+            col(s"__r.$id") === col(s"__m.$key"))
+          .select(col("__r.__qid").as(qid) +: col(s"__r.$id") +:
+            metaCols.map(c => col(s"__m.$c")) ++:
+            Seq(col("__r.score"), col("__r.rn")): _*)
+          .orderBy(col(qid), col("rn"))
+      case None =>
+        ranked.withColumnRenamed("__qid", qid)
+          .select(col(qid), col(id), col("score"), col("rn"))
+    }
   }
 
   def numLeaves: Int = model.centroids.length

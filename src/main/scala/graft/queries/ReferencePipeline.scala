@@ -1243,8 +1243,93 @@ object ReferencePipeline {
       .limit(12)
   }
 
+  /** Serving-layout cache for the BATCH gate: the full reopenable
+    * index (data + model sidecar + manifest) built once per JVM per
+    * sf dir — `r_serve_batch` gates the batched QUERY path; the
+    * build/append lifecycles have their own gates (`r_serve_manifest`,
+    * `r_serve_snapshot`), so rebuilding per invocation would re-time
+    * what is already covered.
+    */
+  private[queries] object ServeBatchCache {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def get(s: org.apache.spark.sql.SparkSession, d: String,
+        cents: Seq[Array[Double]]): String =
+      cache.getOrElseUpdate(d, {
+        val emb = Tables.embeddings(s, d)
+        val model = IvfIndex.Model(cents.toArray)
+        val indexed = emb.withColumn("leaf_id",
+          explode(IvfIndex.probeExpr(model,
+            col("embedding").cast("array<double>"), 1)))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_servebatch_" +
+          java.lang.Integer.toHexString(d.hashCode)
+        IvfIndex.write(indexed, path, model)
+        path
+      })
+  }
+
+  /** The FULL batched serving shape, driver-gated: a resident
+    * [[graft.operators.Serving]] session over a written layout runs
+    * `searchBatch` for THREE queries at once with restricts + a
+    * crowding cap + the metadata join — the reference's batched
+    * find_neighbors over per-datapoint restricts/crowding
+    * (setup_vector_search.py:45-76). One distributed plan: f32-exact
+    * routing (8 leaves — below the router threshold both routing
+    * paths are exact, see the Serving scaladoc), In-list pre-pruned
+    * candidate join, per-(query, label) crowding, per-query top-k,
+    * metadata re-attach. The oracle replicates route → restrict →
+    * crowd → rank → join per query and the driver hash-compares every
+    * row — the batched path has the SAME semantics as the single-query
+    * `r_serve_api`, not merely the same row counts.
+    */
+  private val rServeBatch = QueryDef.sqlChecked("r_serve_batch")(
+    "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (7,21,33)), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(cast(e.embedding as double[]), c.cv), c.cid) AS rn " +
+      "FROM embeddings e, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT qid, cid FROM (SELECT q.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2), " +
+      "cand AS (SELECT p.qid, e.vec_id, e.label, " +
+      "list_inner_product(cast(e.embedding as double[]), q.qv) AS score " +
+      "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid JOIN q ON q.qid = p.qid " +
+      "WHERE e.vec_id >= 10), " +
+      "crowded AS (SELECT qid, vec_id, label, score FROM (" +
+      "SELECT qid, vec_id, label, score, row_number() OVER (" +
+      "PARTITION BY qid, label ORDER BY score DESC, vec_id) AS crn " +
+      "FROM cand) WHERE crn <= 2), " +
+      "ranked AS (SELECT qid, vec_id, label, score, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM crowded) " +
+      "SELECT qid, vec_id, label, score, cast(rn as bigint) AS rn " +
+      "FROM ranked WHERE rn <= 5 ORDER BY qid, rn"
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val path = ServeBatchCache.get(s, d, cents)
+    val serving = graft.operators.Serving.open(s, path)
+    val queries = emb.filter(col("vec_id").isin(7L, 21L, 33L))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    serving.searchBatch(queries, "qid", "embedding", nProbe = 2, k = 5,
+      restricts = Seq(col("vec_id") >= 10),
+      crowding = Some(("label", 2)),
+      metadata = Some((emb.select("vec_id", "label"), "vec_id")))
+  }
+
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
-    rServeManifest, rServeSnapshot, rRebalance, vAnnBuild, vAnnBuild2,
-    vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e, vAnnRouted, vKnnJoin)
+    rServeManifest, rServeSnapshot, rServeBatch, rRebalance, vAnnBuild,
+    vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e, vAnnRouted,
+    vKnnJoin)
 }

@@ -162,4 +162,91 @@ class ServingApiSpec extends SparkTestBase {
           s"batch=${batch(q)}\nper=$per")
     }
   }
+
+  test("searchBatch FULL shape (restricts+crowding+metadata) matches " +
+      "the per-query 10-arg searchDf, query by query") {
+    import graft.operators.Serving
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srvbatchfull").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val live = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+
+    val qids = Seq(3L, 7L, 42L)
+    val restricts = Seq(col("vec_id") >= 10, col("label") =!= 1)
+    val crowding = Some(("label", 2))
+    val meta = emb.select("vec_id", "label")
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+
+    val batch = live.searchBatch(queries, "qid", "qv", nProbe = 3, k = 5,
+        restricts, crowding, Some((meta, "vec_id")))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(4))
+        .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq).toMap
+    assert(batch.keySet == qids.toSet, "every query must get results")
+
+    qids.foreach { q =>
+      val qv = emb.filter(col("vec_id") === q)
+        .select(col("v")).head().getSeq[Double](0).toArray
+      // the single-query FULL serving shape over the same held frame
+      val per = IvfIndex.searchDf(live.data, model, qv, 3, 5,
+          "vec_id", "v", restricts, crowding, Some((meta, "vec_id")))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(batch(q) == per,
+        s"full-shape batch and per-query diverge for query $q:\n" +
+          s"batch=${batch(q)}\nper=$per")
+    }
+  }
+
+  test("searchBatch parity bound on a ROUTER-ENGAGED model") {
+    // the batch path routes with the broadcast float32 matrix while
+    // per-query search routes the exact double walk; below the router
+    // threshold they are identical (asserted above), past it float32
+    // can flip near-tied centroid rankings. This pins the divergence
+    // to a measured bound instead of leaving it anecdotal: ≥90% of
+    // every query's per-query top-k must survive in the batch result.
+    import graft.operators.Serving
+    val base = graft.pipeline.SyntheticCorpus.vectors(spark, 20000L, 8, 256)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // 256 centroids = the planted cluster centers (vec_ids 0-255 hit
+    // every cluster once); hand-attach a router so the routed branch
+    // engages at a spec-sized leaf count (build() only routes ≥1024)
+    val cents = base.filter(col("vec_id") < 256)
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val router = IvfIndex.Router.build(cents)
+    val model = IvfIndex.Model(cents,
+      IvfIndex.BuildStats(20000L, 20000L, 0L), Some(router))
+    assert(model.routed(router, 2),
+      "the router must engage for this spec to test anything")
+    val indexed = base.withColumn("leaf_id",
+      IvfIndex.leafExprMinL2(col("v"), cents.toSeq).cast("int"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srvrouted").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val live = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+
+    val qids = (1000L to 1015L).toSeq
+    val queries = base.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val batch = live.searchBatch(queries, "qid", "qv", nProbe = 2, k = 10)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val qvs = base.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    qids.foreach { q =>
+      val per = live.search(qvs(q), 2, 10).collect()
+        .map(_.getLong(0)).toSet
+      val overlap = (batch(q) & per).size.toDouble / per.size
+      assert(overlap >= 0.9,
+        s"router-engaged batch/per-query overlap $overlap < 0.9 for " +
+          s"query $q: batch=${batch(q)}, per=$per")
+    }
+  }
 }
