@@ -408,15 +408,21 @@ object ServingManifest {
     val vs = versions(spark, path)
     if (vs.length <= keep) return 0
     val cutoff = vs(vs.length - keep)
-    def isCheckpoint(v: Int): Boolean = {
-      if (fs.exists(new Path(logDir(path) + s"/v=$v.full"))) true
-      else {
-        val p = logDir(path) + s"/v=$v"
-        fs.exists(new Path(p)) &&
-          !spark.read.parquet(p).columns.contains("action")
-      }
+    // modern checkpoints are `v=N.full` — existence probes only, no
+    // parquet reads: truncate runs on EVERY retained append
+    // (IndexMaintenance keepVersions), so the common path must cost
+    // file-status calls, not footer reads. Legacy full snapshots
+    // named plain `v=N` (pre-delta format) need the schema probe;
+    // only consulted when no modern checkpoint is at-or-below cutoff.
+    def isCheckpoint(v: Int): Boolean =
+      fs.exists(new Path(logDir(path) + s"/v=$v.full"))
+    def isLegacyCheckpoint(v: Int): Boolean = {
+      val p = logDir(path) + s"/v=$v"
+      fs.exists(new Path(p)) &&
+        !spark.read.parquet(p).columns.contains("action")
     }
-    (cutoff to 1 by -1).find(isCheckpoint) match {
+    (cutoff to 1 by -1).find(isCheckpoint)
+      .orElse((cutoff to 1 by -1).find(isLegacyCheckpoint)) match {
       case None => 0 // no checkpoint at or below: nothing safely deletable
       case Some(base) =>
         val drop = vs.filter(_ < base)

@@ -55,10 +55,19 @@ object IndexMaintenance {
     * The batch must carry the layout's own data columns — parquet
     * `append` would otherwise silently interleave two schemas and
     * poison every later read.
+    *
+    * `keepVersions` is the snapshot-log RETENTION policy (the Delta
+    * VACUUM analog, wired into the write path so an always-on serving
+    * layout never grows its log unboundedly waiting for an operator
+    * to remember): after the manifest reconcile, log versions no
+    * longer needed to reconstruct the most recent `keepVersions`
+    * snapshots are dropped ([[graft.operators.ServingManifest.truncate]]
+    * — steady state ≤ keepVersions + CheckpointInterval small dirs).
+    * ≤ 0 disables retention (keep every version forever).
     */
   def appendToServing(spark: SparkSession, servePath: String,
       batch: DataFrame, id: String, vecCol: String, versionCol: String,
-      spill: Int = 2): Unit = {
+      spill: Int = 2, keepVersions: Int = 64): Unit = {
     val model = IvfIndex.load(spark, servePath)
     val layoutCols = graft.operators.ServingManifest.openOrRead(spark, servePath)
       .columns.sorted.toSeq
@@ -81,6 +90,11 @@ object IndexMaintenance {
     // spill), never the layout — no-op on a pre-manifest layout
     graft.operators.ServingManifest.reconcile(spark, servePath,
       assigned.select("leaf_id").distinct().collect().map(_.getInt(0)).toSeq)
+    if (keepVersions > 0) {
+      graft.operators.ServingManifest.truncate(spark, servePath,
+        keepVersions)
+      ()
+    }
   }
 
   /** [[appendToServing]] for a PQ-CODED layout (the memory-resident
@@ -99,7 +113,7 @@ object IndexMaintenance {
     */
   def appendCodedToServing(spark: SparkSession, servePath: String,
       batch: DataFrame, id: String, vecCol: String, versionCol: String,
-      spill: Int = 1): Unit = {
+      spill: Int = 1, keepVersions: Int = 64): Unit = {
     val model = IvfIndex.load(spark, servePath)
     val cb = graft.operators.ProductQuantizer.loadCodebook(spark, servePath)
     val layoutCols = graft.operators.ServingManifest.openOrRead(spark, servePath)
@@ -121,6 +135,11 @@ object IndexMaintenance {
       .write.mode("append").parquet(deltaDir(servePath))
     graft.operators.ServingManifest.reconcile(spark, servePath,
       assigned.select("leaf_id").distinct().collect().map(_.getInt(0)).toSeq)
+    if (keepVersions > 0) {
+      graft.operators.ServingManifest.truncate(spark, servePath,
+        keepVersions)
+      ()
+    }
   }
 
   /** Serving-time read of the layout: data rows with superseded
@@ -340,6 +359,12 @@ object IndexMaintenance {
     * overwrites the path it is reading (the [[StreamUpdate.compact]]
     * rationale: a cache-evicted partition recomputed mid-overwrite
     * would read deleted files).
+    *
+    * Log retention at this boundary is STRUCTURAL: the compacted copy
+    * gets a fresh manifest (one v=1 checkpoint) and the old log dies
+    * with the replaced directory — compaction is the hard reset the
+    * per-append [[graft.operators.ServingManifest.truncate]] policy
+    * (`keepVersions` on the append paths) only approximates.
     */
   def compactServing(spark: SparkSession, servePath: String, id: String,
       versionCol: String): Unit = {

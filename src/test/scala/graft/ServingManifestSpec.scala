@@ -302,6 +302,73 @@ class ServingManifestSpec extends SparkTestBase {
     assert(ServingManifest.truncate(spark, dir, keep = 3) == 0)
   }
 
+  test("retention wired into appends: the log stays bounded under churn") {
+    import spark.implicits._
+    // 120-install churn on a synthetic 1-leaf layout (retention is a
+    // LOG property; the data files are irrelevant): reconcile+truncate
+    // after every install — exactly what appendToServing(keepVersions)
+    // runs — must hold the steady-state version count at
+    // ≤ keep + CheckpointInterval however long the churn continues
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_churn").toString + "/idx"
+    spark.range(4).select(col("id").as("vec_id"))
+      .coalesce(1).write.parquet(dir + "/leaf_id=0")
+    ServingManifest.rebuild(spark, dir)
+    val keep = 16
+    val bound = keep + ServingManifest.CheckpointInterval
+    var worst = 0
+    (1 to 120).foreach { i =>
+      ServingManifest.reconcile(spark, dir, Seq(0))
+      ServingManifest.truncate(spark, dir, keep)
+      worst = math.max(worst, ServingManifest.versions(spark, dir).length)
+    }
+    assert(worst <= bound,
+      s"log grew to $worst versions under churn — retention must hold " +
+        s"it at ≤ $bound (keep=$keep + interval)")
+    // every retained version still reconstructs; dropped ones are None
+    val vs = ServingManifest.versions(spark, dir)
+    assert(vs.length >= keep, "the most recent keep versions survive")
+    vs.foreach { v =>
+      assert(ServingManifest.openAt(spark, dir, v).isDefined,
+        s"retained version $v must reconstruct")
+    }
+    assert(ServingManifest.openAt(spark, dir, vs.head - 1).isEmpty)
+  }
+
+  test("appendToServing keepVersions: real append path truncates the log") {
+    val (dir, _) = freshServe("retained")
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    // 24 single-batch upserts with keep=4: build(1) + 24 appends = 25
+    // installs; unbounded the log would hold 25 versions, retained it
+    // must stay ≤ keep + CheckpointInterval
+    (1 to 24).foreach { i =>
+      val b = emb.filter(col("vec_id") === (i * 7L) % 500)
+        .withColumn("vec_id", col("vec_id") + 900000L + i * 1000L)
+      IndexMaintenance.appendToServing(spark, dir, b, "vec_id", "v",
+        "version", keepVersions = 4)
+    }
+    val vs = ServingManifest.versions(spark, dir)
+    assert(vs.last == 25, s"24 appends after the build must reach v25, $vs")
+    assert(vs.length <= 4 + ServingManifest.CheckpointInterval,
+      s"retained append path must bound the log, held ${vs.length}: $vs")
+    // the newest 4 versions reconstruct; the layout itself is intact
+    vs.takeRight(4).foreach { v =>
+      assert(ServingManifest.openAt(spark, dir, v).isDefined)
+    }
+    assert(ServingManifest.verify(spark, dir) == ((0L, 0L)))
+    // keepVersions <= 0 disables retention: the next append drops
+    // nothing
+    val before = ServingManifest.versions(spark, dir).length
+    val b = emb.filter(col("vec_id") === 3)
+      .withColumn("vec_id", col("vec_id") + 990000L)
+    IndexMaintenance.appendToServing(spark, dir, b, "vec_id", "v",
+      "version", keepVersions = 0)
+    assert(ServingManifest.versions(spark, dir).length == before + 1,
+      "keepVersions=0 must keep every version")
+  }
+
   test("pre-log layout: the first logged mutation is a checkpoint") {
     val (dir, _) = freshServe("prelog")
     // simulate a layout written before the snapshot log existed:
