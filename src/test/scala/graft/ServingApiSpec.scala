@@ -203,6 +203,87 @@ class ServingApiSpec extends SparkTestBase {
     }
   }
 
+  test("a pinned snapshot serves bit-identical results while a live " +
+      "upsert stream races it") {
+    // the SCALE.md claim under ACTUAL concurrency: a serving process
+    // holding one logged snapshot keeps answering from exactly that
+    // file-set while a Structured Stream of upserts lands next to it —
+    // appends only ADD files, so the pinned version's set stays fully
+    // readable and every result is bit-identical for the whole run
+    import graft.operators.Serving
+    import graft.streaming.IndexMaintenance
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srvconc").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+
+    val pinned = Serving.openAt(spark, dir, 1, id = "vec_id",
+      vecCol = "v").get
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val baseline = pinned.search(q, 3, 10).collect().toSeq
+    assert(baseline.size == 10)
+
+    // the r_stream_serve machinery as a REAL stream: each micro-batch
+    // is one serving upsert (new ids, near the query so they WOULD
+    // displace results if the pin leaked)
+    val stream = MemoryStream[(Long, Seq[Double], Long)]
+    val writerError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val sq = stream.toDF.toDF("vec_id", "v", "version")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", dir + ".ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+        IndexMaintenance.appendToServing(spark, dir, batch,
+          "vec_id", "v", "version")
+      }
+      .start()
+    val writer = new Thread(() => {
+      try {
+        (1 to 6).foreach { i =>
+          val rows = (0 until 25).map { j =>
+            (2000000L + i * 1000L + j,
+              q.toSeq.map(x => x * (1.0 + 0.001 * j)), 1L)
+          }
+          stream.addData(rows: _*)
+          sq.processAllAvailable()
+        }
+      } catch { case t: Throwable => writerError.set(t) }
+    })
+    writer.start()
+    val latencies = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var racedReads = 0
+    while (writer.isAlive) {
+      val t0 = System.nanoTime()
+      val r = pinned.search(q, 3, 10).collect().toSeq
+      latencies += (System.nanoTime() - t0) / 1e9
+      assert(r == baseline,
+        s"pinned snapshot drifted mid-stream after ${racedReads + 1} " +
+          s"reads:\ngot=$r\nexpected=$baseline")
+      racedReads += 1
+    }
+    writer.join()
+    sq.stop()
+    assert(writerError.get() == null,
+      s"upsert stream failed: ${writerError.get()}")
+    assert(racedReads >= 1, "at least one read must race the stream")
+    // after the race: the pin still serves the original set, a fresh
+    // LIVE open sees every streamed id
+    assert(pinned.search(q, 3, 10).collect().toSeq == baseline)
+    val live = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+    assert(live.data.filter(col("vec_id") >= 2000000L)
+      .select("vec_id").distinct().count() == 150)
+    val sorted = latencies.sorted
+    info(f"pinned-read latency under write load: " +
+      f"p50=${sorted(sorted.size / 2)}%.3f s over $racedReads raced reads")
+  }
+
   test("searchBatch parity bound on a ROUTER-ENGAGED model") {
     // the batch path routes with the broadcast float32 matrix while
     // per-query search routes the exact double walk; below the router
