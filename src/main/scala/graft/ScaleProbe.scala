@@ -351,7 +351,7 @@ object ScaleProbe {
       val fpl = if (args.length > 2) args(2).toInt else 2
       val entries = Array.tabulate(nLeaves * fpl) { i =>
         val l = i / fpl
-        (s"leaf_id=$l/part-$i.parquet", l, 4L << 20, 0L)
+        (s"leaf_id=$l/part-$i.parquet", l, 4L << 20, 0L, "")
       }
       var t0 = System.nanoTime()
       val idx = new graft.operators.ManifestFileIndex(spark,
@@ -565,6 +565,57 @@ object ScaleProbe {
       println(f"SERVEBATCH leaves=${serving.numLeaves} nq=$nQ " +
         f"k=$k rows=$n total=$tBatch%.2f s " +
         f"per_query=${tBatch / nQ * 1000}%.2f ms")
+    } else if (args(0) == "statskip") {
+      // manifest file skipping under a restrict (the Delta
+      // data-skipping analog): nLeaves × filesPerLeaf files, each
+      // holding a disjoint content_length range; a restricted query
+      // through the promoted manifest must scan only the satisfiable
+      // files. usage: statskip [nLeaves] [filesPerLeaf] [rowsPerFile]
+      import spark.implicits._
+      import graft.operators.ServingManifest
+      val nL = if (args.length > 1) args(1).toInt else 32
+      val fpl = if (args.length > 2) args(2).toInt else 8
+      val rpf = if (args.length > 3) args(3).toInt else 2000
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_statskip").toString + "/idx"
+      (0 until nL).foreach { l =>
+        (0 until fpl).foreach { f =>
+          val base = (l * fpl + f) * rpf
+          (0 until rpf).map(i => (base.toLong + i, base + i))
+            .toDF("vec_id", "content_length")
+            .coalesce(1).write.mode("append").parquet(dir + s"/leaf_id=$l")
+        }
+      }
+      ServingManifest.rebuild(spark, dir)
+      def timedScan(df: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = df.collect().length.toLong
+        val t = (System.nanoTime() - t0) / 1e9
+        val files = df.queryExecution.executedPlan.collect {
+          case fs: org.apache.spark.sql.execution.FileSourceScanExec => fs
+        }.head.metrics("numFiles").value
+        (n, files, t)
+      }
+      // one file's range, restricted — before promotion every file is
+      // a candidate
+      val lo = (nL * fpl / 2) * rpf
+      def restricted(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("content_length") >= lo &&
+          col("content_length") < lo + rpf)
+      val before = timedScan(restricted(
+        ServingManifest.open(spark, dir).get))
+      var t0 = System.nanoTime()
+      ServingManifest.promote(spark, dir, Seq("content_length"))
+      val tPromote = (System.nanoTime() - t0) / 1e9
+      val after = timedScan(restricted(
+        ServingManifest.open(spark, dir).get))
+      require(after._1 == before._1,
+        s"skipping changed the result: ${after._1} vs ${before._1}")
+      println(f"STATSKIP files=${nL * fpl} rows=${nL * fpl * rpf} " +
+        f"promote=$tPromote%.1f s " +
+        f"before: scanned=${before._2} in ${before._3}%.2f s; " +
+        f"after: scanned=${after._2} in ${after._3}%.2f s " +
+        f"(${before._2.toDouble / math.max(1, after._2)}%.0fx fewer files)")
     } else if (args(0) == "pqaniso") {
       // plain vs anisotropic PQ codebooks, measured as MIPS recall@10
       // of ADC ranking vs exact dot ranking — three combinations:

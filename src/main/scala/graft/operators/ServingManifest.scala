@@ -79,6 +79,136 @@ object ServingManifest {
     */
   val CheckpointInterval = 16
 
+  /** Marker listing the PROMOTED restrict columns (one name per
+    * line): numeric columns whose per-file (min, max) the manifest
+    * carries so a restricted query can skip whole FILES at plan time
+    * — the Delta data-skipping analog, one level above parquet's
+    * row-group stats. Lives beside the manifest dir (not inside it)
+    * so it survives the manifest's rename swaps; [[promote]] writes
+    * it, [[rebuild]] and [[reconcile]] maintain stats while it
+    * exists.
+    */
+  def promotedFile(path: String): String =
+    path + "/_graft_manifest_promoted"
+
+  /** Promoted column names, empty when promotion was never enabled. */
+  def promotedCols(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsFor(spark, path)
+    val p = new Path(promotedFile(path))
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  /** Per-file stats string: `col:min:max` joined by `;`, columns in
+    * [[promotedCols]] order, a column silently absent when any row
+    * group lacks usable numeric statistics for it (absent = the file
+    * can never be skipped on that column — conservative). Doubles
+    * round-trip through `Double.toString`.
+    */
+  private[operators] def encodeStats(
+      stats: Seq[(String, Double, Double)]): String =
+    stats.map { case (c, lo, hi) => s"$c:$lo:$hi" }.mkString(";")
+
+  private[graft] def decodeStats(s: String): Map[String, (Double, Double)] =
+    if (s == null || s.isEmpty) Map.empty
+    else s.split(';').iterator.map { part =>
+      val Array(c, lo, hi) = part.split(':')
+      c -> (lo.toDouble, hi.toDouble)
+    }.toMap
+
+  /** (min, max) per promoted column of ONE parquet file, from its
+    * FOOTER — metadata-only, no data pages read: this is what keeps
+    * stats maintenance affordable at any scale (an append's cost is
+    * one footer read per new file; [[promote]]'s is one per existing
+    * file, distributed).
+    */
+  private[operators] def footerStats(
+      conf: org.apache.hadoop.conf.Configuration, file: Path,
+      cols: Seq[String]): String = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+      val bad = scala.collection.mutable.Set.empty[String]
+      def num(v: Any): Option[Double] = v match {
+        case i: java.lang.Integer => Some(i.toDouble)
+        case l: java.lang.Long => Some(l.toDouble)
+        case f: java.lang.Float => Some(f.toDouble)
+        case d: java.lang.Double => Some(d)
+        case _ => None // binary/string/logical types: not skippable here
+      }
+      reader.getFooter.getBlocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          val name = c.getPath.toDotString
+          if (cols.contains(name) && !bad.contains(name)) {
+            val st = c.getStatistics
+            val lohi = for {
+              s <- Option(st) if s.hasNonNullValue
+              lo <- num(s.genericGetMin)
+              hi <- num(s.genericGetMax)
+            } yield (lo, hi)
+            lohi match {
+              case Some((lo, hi)) =>
+                val cur = acc.getOrElse(name, (lo, hi))
+                acc(name) = (math.min(cur._1, lo), math.max(cur._2, hi))
+              case None =>
+                bad += name; acc.remove(name); ()
+            }
+          }
+        }
+      }
+      encodeStats(cols.flatMap(c =>
+        acc.get(c).map { case (lo, hi) => (c, lo, hi) }))
+    } finally reader.close()
+  }
+
+  /** Enable file skipping for `cols` (numeric, top-level): records
+    * them in [[promotedFile]] and rewrites the manifest with a
+    * per-file stats column computed from parquet footers — a
+    * distributed metadata pass (one footer per file, no data pages),
+    * the one-time cost of turning restricts into plan-time file
+    * pruning. Maintenance is automatic from here: [[reconcile]]
+    * computes stats for its touched files, [[rebuild]] for the full
+    * listing. Stats are LIVE-manifest state only — time-travel opens
+    * ([[openAt]]) carry none and skip nothing (conservative).
+    */
+  def promote(spark: SparkSession, path: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "promote needs at least one column")
+    val fs = fsFor(spark, path)
+    val out = fs.create(new Path(promotedFile(path)), true)
+    try out.write((cols.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    rebuild(spark, path)
+  }
+
+  /** Distributed footer-stats pass over `files` (relative paths). */
+  private def statsFor(spark: SparkSession, path: String,
+      files: Seq[String], cols: Seq[String]): Map[String, String] = {
+    if (cols.isEmpty || files.isEmpty) return Map.empty
+    val rootStr = path
+    if (files.length <= 64) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.map(f =>
+        f -> footerStats(conf, new Path(rootStr + "/" + f), cols)).toMap
+    } else {
+      spark.sparkContext
+        .parallelize(files, math.min(files.length, 256))
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.map(f =>
+            f -> footerStats(conf, new Path(rootStr + "/" + f), cols))
+        }
+        .collect().toMap
+    }
+  }
+
   private def fsFor(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -136,8 +266,17 @@ object ServingManifest {
   private def writeEntries(spark: SparkSession, path: String,
       entries: Seq[(String, Int, Long, Long)]): Unit = {
     import spark.implicits._
-    writeEntriesDf(spark, path,
-      entries.toDF("file", "leaf_id", "bytes", "mtime"), None)
+    val cols = promotedCols(spark, path)
+    val df =
+      if (cols.isEmpty) entries.toDF("file", "leaf_id", "bytes", "mtime")
+      else {
+        // full-listing install on a promoted layout: the stats pass
+        // rides the layout-scale pass that just happened anyway
+        val st = statsFor(spark, path, entries.map(_._1), cols)
+        entries.map(e => (e._1, e._2, e._3, e._4, st.getOrElse(e._1, "")))
+          .toDF("file", "leaf_id", "bytes", "mtime", "stats")
+      }
+    writeEntriesDf(spark, path, df, None)
   }
 
   /** Install `entries` as the live manifest and log the mutation.
@@ -242,14 +381,31 @@ object ServingManifest {
     val old = spark.read.parquet(manifestDir(path))
     val withM = if (old.columns.contains("mtime")) old
       else old.withColumn("mtime", lit(0L))
-    val keep = withM
+    // promoted layouts carry per-file stats: kept rows keep theirs,
+    // fresh (touched) files get a footer read each — cost bounded by
+    // the batch, like the listing above
+    val statCols = promotedCols(spark, path)
+    val useStats = statCols.nonEmpty || withM.columns.contains("stats")
+    val withS = if (!useStats) withM
+      else if (withM.columns.contains("stats")) withM
+      else withM.withColumn("stats", lit(""))
+    val entryCols = if (useStats)
+      Seq("file", "leaf_id", "bytes", "mtime", "stats")
+    else Seq("file", "leaf_id", "bytes", "mtime")
+    val keep = withS
       .filter(!col("leaf_id").isin(touched: _*))
-      .select("file", "leaf_id", "bytes", "mtime")
+      .select(entryCols.map(col): _*)
+    val freshDf = if (useStats) {
+      val st = statsFor(spark, path, fresh.map(_._1), statCols)
+      fresh.map(e => (e._1, e._2, e._3, e._4, st.getOrElse(e._1, "")))
+        .toDF("file", "leaf_id", "bytes", "mtime", "stats")
+    } else fresh.toDF("file", "leaf_id", "bytes", "mtime")
     // the log entry for this install is the EXACT change: old rows of
     // the touched leaves that are gone-or-changed (remove) plus fresh
     // rows that are new-or-changed (add). Collecting only the touched
     // leaves' rows is driver-safe — that set is bounded by the batch,
-    // not the layout.
+    // not the layout. (Deltas log the 4-field identity only — stats
+    // are LIVE-manifest state; time-travel folds skip nothing.)
     val oldTouched = withM.filter(col("leaf_id").isin(touched: _*))
       .select("file", "leaf_id", "bytes", "mtime").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
@@ -260,9 +416,7 @@ object ServingManifest {
         .map(e => (e._1, e._2, e._3, e._4, "remove")).toSeq ++
       fresh.filter(e => !oldByFile.get(e._1).contains(e))
         .map(e => (e._1, e._2, e._3, e._4, "add"))
-    writeEntriesDf(spark, path,
-      keep.unionByName(fresh.toDF("file", "leaf_id", "bytes", "mtime")),
-      Some(delta))
+    writeEntriesDf(spark, path, keep.unionByName(freshDf), Some(delta))
   }
 
   /** Open the layout through the manifest: the scan's file statuses
@@ -363,14 +517,23 @@ object ServingManifest {
     // harmless: modification time is informational for a scan
     val withM = if (mf.columns.contains("mtime")) mf
       else mf.withColumn("mtime", lit(0L))
-    val entries = withM.select("file", "leaf_id", "bytes", "mtime")
+    // stats column (promoted layouts): per-file skip ranges for
+    // listFiles' dataFilters; absent/empty = no skipping
+    val withS = if (withM.columns.contains("stats")) withM
+      else withM.withColumn("stats", lit(""))
+    val entries = withS.select("file", "leaf_id", "bytes", "mtime", "stats")
       .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-    openEntries(spark, path, entries)
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)).getOrElse("")))
+    openEntries5(spark, path, entries)
   }
 
   private def openEntries(spark: SparkSession, path: String,
-      entries: Array[(String, Int, Long, Long)]): DataFrame = {
+      entries: Array[(String, Int, Long, Long)]): DataFrame =
+    openEntries5(spark, path, entries.map(e => (e._1, e._2, e._3, e._4, "")))
+
+  private def openEntries5(spark: SparkSession, path: String,
+      entries: Array[(String, Int, Long, Long, String)]): DataFrame = {
     require(entries.nonEmpty,
       s"ServingManifest at $path lists no data files")
     // one footer read for the data schema (files carry no leaf_id —
@@ -468,7 +631,7 @@ object ServingManifest {
   */
 private[graft] final class ManifestFileIndex(
     spark: SparkSession, root: Path,
-    entries: Array[(String, Int, Long, Long)]) extends FileIndex {
+    entries: Array[(String, Int, Long, Long, String)]) extends FileIndex {
 
   private val qualifiedRoot =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -477,16 +640,102 @@ private[graft] final class ManifestFileIndex(
   override val partitionSchema: StructType =
     StructType(Seq(StructField("leaf_id", IntegerType, nullable = true)))
 
-  // grouped once; a FileStatus per manifest row, no fs involved
-  private lazy val byLeaf: Array[(Int, Array[FileStatus])] =
+  // grouped once; a FileStatus per manifest row, no fs involved. The
+  // per-file skip ranges (promoted-column stats) ride alongside.
+  private lazy val byLeaf: Array[(Int, Array[(FileStatus, Map[String, (Double, Double)])])] =
     entries.groupBy(_._2).toArray.sortBy(_._1).map { case (l, es) =>
       (l, es.map { e =>
-        new FileStatus(e._3, false, 1, 128L * 1024 * 1024, e._4,
-          new Path(qualifiedRoot, e._1))
+        (new FileStatus(e._3, false, 1, 128L * 1024 * 1024, e._4,
+          new Path(qualifiedRoot, e._1)),
+          ServingManifest.decodeStats(e._5))
       })
     }
 
-  private lazy val leafLookup: Map[Int, Array[FileStatus]] = byLeaf.toMap
+  private lazy val leafLookup
+      : Map[Int, Array[(FileStatus, Map[String, (Double, Double)])]] =
+    byLeaf.toMap
+
+  /** FILE skipping from `dataFilters` (the Delta data-skipping
+    * analog): a conjunct anchored on a promoted column with a numeric
+    * literal proves a file irrelevant when the file's (min, max)
+    * range cannot satisfy it. Files without stats for the column are
+    * always kept (conservative); any filter shape not recognized
+    * here simply doesn't prune. Null semantics are safe by
+    * construction: these comparisons are null-rejecting, so a file
+    * whose non-null range is disjoint cannot hold a qualifying row.
+    */
+  private def fileKeep(dataFilters: Seq[Expression])
+      : Option[Map[String, (Double, Double)] => Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def attr(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      // numeric up-casts are monotonic: the range check is unchanged
+      case c: Cast => attr(c.child)
+      case _ => None
+    }
+    def num(v: Any): Option[Double] = v match {
+      case i: java.lang.Integer => Some(i.toDouble)
+      case l: java.lang.Long => Some(l.toDouble)
+      case s: java.lang.Short => Some(s.toDouble)
+      case b: java.lang.Byte => Some(b.toDouble)
+      case f: java.lang.Float => Some(f.toDouble)
+      case d: java.lang.Double => Some(d)
+      case dec: org.apache.spark.sql.types.Decimal => Some(dec.toDouble)
+      case _ => None
+    }
+    val checks = dataFilters.flatMap {
+      case GreaterThanOrEqual(a, Literal(v, _)) =>
+        for (c <- attr(a); d <- num(v))
+          yield (c, (lo: Double, hi: Double) => hi >= d)
+      case GreaterThan(a, Literal(v, _)) =>
+        for (c <- attr(a); d <- num(v))
+          yield (c, (lo: Double, hi: Double) => hi > d)
+      case LessThanOrEqual(a, Literal(v, _)) =>
+        for (c <- attr(a); d <- num(v))
+          yield (c, (lo: Double, hi: Double) => lo <= d)
+      case LessThan(a, Literal(v, _)) =>
+        for (c <- attr(a); d <- num(v))
+          yield (c, (lo: Double, hi: Double) => lo < d)
+      case EqualTo(a, Literal(v, _)) =>
+        for (c <- attr(a); d <- num(v))
+          yield (c, (lo: Double, hi: Double) => lo <= d && d <= hi)
+      // literal-first spellings
+      case GreaterThanOrEqual(Literal(v, _), a) =>
+        for (c <- attr(a); d <- num(v))
+          yield (c, (lo: Double, hi: Double) => lo <= d)
+      case GreaterThan(Literal(v, _), a) =>
+        for (c <- attr(a); d <- num(v))
+          yield (c, (lo: Double, hi: Double) => lo < d)
+      case LessThanOrEqual(Literal(v, _), a) =>
+        for (c <- attr(a); d <- num(v))
+          yield (c, (lo: Double, hi: Double) => hi >= d)
+      case LessThan(Literal(v, _), a) =>
+        for (c <- attr(a); d <- num(v))
+          yield (c, (lo: Double, hi: Double) => hi > d)
+      case EqualTo(Literal(v, _), a) =>
+        for (c <- attr(a); d <- num(v))
+          yield (c, (lo: Double, hi: Double) => lo <= d && d <= hi)
+      case _ => None
+    }
+    if (checks.isEmpty) None
+    else Some { stats =>
+      checks.forall { case (c, ok) =>
+        stats.get(c).forall { case (lo, hi) => ok(lo, hi) }
+      }
+    }
+  }
+
+  private def toDir(l: Int,
+      fss: Array[(FileStatus, Map[String, (Double, Double)])],
+      keep: Option[Map[String, (Double, Double)] => Boolean])
+      : Option[PartitionDirectory] = {
+    val kept = keep match {
+      case Some(k) => fss.filter(f => k(f._2))
+      case None => fss
+    }
+    if (kept.isEmpty && fss.nonEmpty) None
+    else Some(PartitionDirectory(InternalRow(l), kept.map(_._1)))
+  }
 
   override def rootPaths: Seq[Path] = Seq(qualifiedRoot)
 
@@ -518,14 +767,14 @@ private[graft] final class ManifestFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val keep = fileKeep(dataFilters)
     partitionFilters match {
       case Seq(single) =>
         inListLeaves(single) match {
           case Some(leaves) =>
             // sorted: same partition order as the general path
             return leaves.distinct.sorted.flatMap { l =>
-              leafLookup.get(l).map(fss =>
-                PartitionDirectory(InternalRow(l), fss))
+              leafLookup.get(l).flatMap(fss => toDir(l, fss, keep))
             }
           case None => ()
         }
@@ -540,7 +789,7 @@ private[graft] final class ManifestFileIndex(
     }
     byLeaf.iterator
       .filter { case (l, _) => pred.forall(_.eval(InternalRow(l))) }
-      .map { case (l, fss) => PartitionDirectory(InternalRow(l), fss) }
+      .flatMap { case (l, fss) => toDir(l, fss, keep) }
       .toSeq
   }
 

@@ -385,6 +385,15 @@ object IndexMaintenance {
     if (fs.exists(pq))
       graft.operators.ProductQuantizer.writeCodebook(spark, tmp.toString,
         graft.operators.ProductQuantizer.loadCodebook(spark, servePath))
+    // promoted-column marker travels first: the rebuild below then
+    // recomputes per-file skip stats for the compacted files
+    val promoted = new org.apache.hadoop.fs.Path(
+      graft.operators.ServingManifest.promotedFile(servePath))
+    if (fs.exists(promoted))
+      org.apache.hadoop.fs.FileUtil.copy(fs, promoted, fs,
+        new org.apache.hadoop.fs.Path(
+          graft.operators.ServingManifest.promotedFile(tmp.toString)),
+        false, spark.sparkContext.hadoopConfiguration)
     // manifest over the compacted copy, relative paths → survives the
     // rename below
     graft.operators.ServingManifest.rebuild(spark, tmp.toString)

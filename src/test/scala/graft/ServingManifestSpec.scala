@@ -422,6 +422,73 @@ class ServingManifestSpec extends SparkTestBase {
     assert(ServingManifest.verify(spark, dir) == ((0L, 0L)))
   }
 
+  test("promoted stats skip FILES under a restrict, plan-time") {
+    import spark.implicits._
+    // a layout whose leaves hold MULTIPLE files with disjoint ranges
+    // of a promoted column — the Delta data-skipping shape: a
+    // restricted query must scan only the files whose (min, max) can
+    // satisfy the predicate, and the manifest is what knows that
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_skip").toString + "/idx"
+    def part(leaf: Int, lo: Int, n: Int): Unit =
+      (0 until n).map(i => (leaf * 10000L + lo + i, lo + i))
+        .toDF("vec_id", "label")
+        .coalesce(1).write.mode("append").parquet(dir + s"/leaf_id=$leaf")
+    part(0, 0, 5); part(0, 100, 5)     // leaf 0: [0,4] and [100,104]
+    part(1, 200, 5); part(1, 300, 5)   // leaf 1: [200,204] and [300,304]
+    ServingManifest.rebuild(spark, dir)
+    ServingManifest.promote(spark, dir, Seq("label"))
+    assert(ServingManifest.promotedCols(spark, dir) == Seq("label"))
+    val mf = spark.read.parquet(ServingManifest.manifestDir(dir))
+    assert(mf.columns.contains("stats"))
+    assert(mf.filter(col("stats") === "").count() == 0,
+      "every file must carry footer stats after promote")
+
+    def scanned(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      // execute THIS dataframe (count() would plan a separate query
+      // whose metrics never touch this plan instance)
+      val n = df.collect().length.toLong
+      val scan = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      (n, scan.metrics("numFiles").value)
+    }
+
+    val opened = ServingManifest.open(spark, dir).get
+    assert(scanned(opened) == ((20L, 4L)), "unfiltered: all 4 files")
+    // a restrict on the promoted column prunes to the ONE file whose
+    // range can satisfy it — across leaves, before any data read
+    assert(scanned(opened.filter(col("label") >= 300)) == ((5L, 1L)))
+    assert(scanned(opened.filter(col("label") === 102)) == ((1L, 1L)))
+    assert(scanned(opened.filter(col("label") < 5)) == ((5L, 1L)))
+    // combined with leaf pruning: partition filter picks leaf 0, the
+    // stats drop leaf 0's low file
+    assert(scanned(opened.filter(col("leaf_id") === 0 &&
+      col("label") >= 100)) == ((5L, 1L)))
+    // an unsatisfiable restrict scans NOTHING
+    assert(scanned(opened.filter(col("label") > 1000)) == ((0L, 0L)))
+    // a non-promoted column never skips (conservative)
+    assert(scanned(opened.filter(col("vec_id") >= 0))._2 == 4L)
+    // correctness against a plain listing read, same predicate
+    val expected = spark.read.parquet(dir)
+      .filter(col("label") >= 100 && col("label") <= 204)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = ServingManifest.open(spark, dir).get
+      .filter(col("label") >= 100 && col("label") <= 204)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected)
+
+    // maintenance keeps stats: a new file lands in leaf 0, reconcile
+    // gives it footer stats and skipping stays exact
+    part(0, 500, 5)
+    ServingManifest.reconcile(spark, dir, Seq(0))
+    val opened2 = ServingManifest.open(spark, dir).get
+    assert(scanned(opened2) == ((25L, 5L)))
+    assert(scanned(opened2.filter(col("label") >= 500)) == ((5L, 1L)),
+      "reconcile must stat the fresh file so it skips alone")
+    assert(scanned(opened2.filter(col("label") >= 300)) == ((10L, 2L)))
+  }
+
   test("pre-manifest layouts fall back to a listing read") {
     val (dir, _) = freshServe("fallback")
     // simulate an old layout: drop the manifest
