@@ -1090,10 +1090,29 @@ object IvfIndex {
       restricts: Seq[Column], crowding: Option[(String, Int)],
       metadata: Option[(DataFrame, String)]): DataFrame = {
     val leaves = model.topLeaves(query, nProbe)
+    searchExactDf(indexed.filter(col("leaf_id").isin(leaves: _*)),
+      query, k, id, vecCol, restricts, crowding, metadata)
+  }
+
+  /** The 10-arg serving pipeline WITHOUT the probe: exact filtered
+    * search over every row of `indexed` — restricts → spill-copy
+    * collapse → crowding → top-k → metadata join, same output schema
+    * and ordering as [[searchDf]]. This is the PRE-FILTER plan of
+    * adaptive filtered search ([[Serving.searchAdaptive]]): when the
+    * restricts are selective enough that the manifest's file stats
+    * skip most of the layout, scanning the few surviving files
+    * exactly is both cheaper and fully-recalled — probing `nProbe`
+    * leaves under a selective restrict can return FEWER than the
+    * matching top-k (the qualifying rows may all live in unprobed
+    * leaves), which is the classic filtered-ANN recall failure.
+    */
+  def searchExactDf(indexed: DataFrame, query: Array[Double],
+      k: Int, id: String, vecCol: String,
+      restricts: Seq[Column], crowding: Option[(String, Int)],
+      metadata: Option[(DataFrame, String)]): DataFrame = {
     val qCol = typedLit(query.toSeq)
     val idType = indexed.schema(id).dataType
-    val candidates = restricts.foldLeft(
-      indexed.filter(col("leaf_id").isin(leaves: _*)))(_.filter(_))
+    val candidates = restricts.foldLeft(indexed)(_.filter(_))
     val crowdAttr = crowding.map(_._1).toSeq
     val scored = candidates.select(
       Seq(col(id), col("leaf_id"),

@@ -45,6 +45,53 @@ final class Serving private[operators] (
     IvfIndex.searchDf(data, model, query, nProbe, k, id, vecCol,
       restricts, crowding, metadata)
 
+  /** File-level selectivity of a restrict conjunction against THIS
+    * layout's manifest stats (bytes a restricted scan cannot skip /
+    * total bytes). None = no evidence (no manifest, no promoted
+    * stats, or no stats-testable conjunct) — treat as unselective.
+    */
+  def restrictSelectivity(restricts: Seq[Column]): Option[Double] =
+    ServingManifest.estimateRestrict(spark, path, restricts)
+      .map(_.byteFraction)
+
+  /** SELECTIVITY-ADAPTIVE filtered search — the pre-filter /
+    * post-filter decision every production filtered-ANN serve makes,
+    * driven by the manifest's file stats:
+    *
+    *  - restricts proven SELECTIVE (the stats-skipped scan reads
+    *    ≤ `maxExactFraction` of layout bytes): run the EXACT plan
+    *    ([[IvfIndex.searchExactDf]]) over the few surviving files —
+    *    full recall, no probe. Under a selective restrict the probed
+    *    plan is both slower per useful row AND wrong-ish: the
+    *    qualifying rows may all live outside the `nProbe` probed
+    *    leaves, returning fewer (or worse) than the true filtered
+    *    top-k.
+    *  - otherwise: the standard probed plan ([[search]]) — scanning
+    *    everything that satisfies an unselective restrict would read
+    *    the whole layout.
+    *
+    * The decision inputs are driver-resident manifest rows (no data
+    * scan), deterministic for a given layout state. Same output
+    * schema/ordering either way. [[searchAdaptivePlan]] exposes the
+    * choice for specs and operators.
+    */
+  def searchAdaptive(query: Array[Double], nProbe: Int, k: Int,
+      restricts: Seq[Column], crowding: Option[(String, Int)] = None,
+      metadata: Option[(DataFrame, String)] = None,
+      maxExactFraction: Double = 0.05): DataFrame =
+    if (searchAdaptivePlan(restricts, maxExactFraction))
+      IvfIndex.searchExactDf(data, query, k, id, vecCol, restricts,
+        crowding, metadata)
+    else
+      search(query, nProbe, k, restricts, crowding, metadata)
+
+  /** True = [[searchAdaptive]] would take the exact pre-filter plan
+    * for these restricts. */
+  def searchAdaptivePlan(restricts: Seq[Column],
+      maxExactFraction: Double = 0.05): Boolean =
+    restricts.nonEmpty &&
+      restrictSelectivity(restricts).exists(_ <= maxExactFraction)
+
   /** Distributed BATCH search — the reference's batched
     * find_neighbors: top-k for EVERY query row in one plan. Routing
     * runs as the broadcast-f32 probe expression over the query frame

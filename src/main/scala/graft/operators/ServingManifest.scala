@@ -614,6 +614,143 @@ object ServingManifest {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     ((manifest -- listed).size.toLong, (listed -- manifest).size.toLong)
   }
+
+  /** Compile restrict conjuncts into a per-file keep test over the
+    * manifest's promoted-column (min, max) ranges — the ONE skipping
+    * semantics, used both by [[ManifestFileIndex.listFiles]] at scan
+    * time (resolved `AttributeReference`s) and by
+    * [[estimateRestrict]] at plan time (unresolved `Column.expr`
+    * attributes): a conjunct anchored on a promoted column with a
+    * numeric literal proves a file irrelevant when the file's range
+    * cannot satisfy it. Files without stats for the column are
+    * always kept (conservative); any filter shape not recognized
+    * here simply doesn't prune. Null semantics are safe by
+    * construction: these comparisons are null-rejecting, so a file
+    * whose non-null range is disjoint cannot hold a qualifying row.
+    * None when NO conjunct is recognizable (caller skips the pass).
+    */
+  private[graft] def statsKeep(dataFilters: Seq[Expression])
+      : Option[Map[String, (Double, Double)] => Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def attr(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(u.name)
+      // numeric up-casts are monotonic: the range check is unchanged
+      case c: Cast => attr(c.child)
+      case _ => None
+    }
+    def num(v: Any): Option[Double] = v match {
+      case i: java.lang.Integer => Some(i.toDouble)
+      case l: java.lang.Long => Some(l.toDouble)
+      case s: java.lang.Short => Some(s.toDouble)
+      case b: java.lang.Byte => Some(b.toDouble)
+      case f: java.lang.Float => Some(f.toDouble)
+      case d: java.lang.Double => Some(d)
+      case dec: org.apache.spark.sql.types.Decimal => Some(dec.toDouble)
+      case _ => None
+    }
+    // normalize to (left, right, op): catalyst comparison nodes at
+    // scan time, UnresolvedFunction spellings from the Column API at
+    // plan time (Spark 4's Column builds `col >= lit` as
+    // UnresolvedFunction(">=") until the analyzer runs)
+    def binOp(e: Expression): Option[(Expression, Expression, String)] =
+      e match {
+        case GreaterThanOrEqual(l, r) => Some((l, r, ">="))
+        case GreaterThan(l, r) => Some((l, r, ">"))
+        case LessThanOrEqual(l, r) => Some((l, r, "<="))
+        case LessThan(l, r) => Some((l, r, "<"))
+        case EqualTo(l, r) => Some((l, r, "="))
+        case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if uf.arguments.size == 2 && uf.nameParts.size == 1 =>
+          uf.nameParts.head match {
+            case op @ (">=" | ">" | "<=" | "<") =>
+              Some((uf.arguments(0), uf.arguments(1), op))
+            case "=" | "==" =>
+              Some((uf.arguments(0), uf.arguments(1), "="))
+            case _ => None
+          }
+        case _ => None
+      }
+    // range test for `column <op> d` — literal-first spellings mirror
+    def test(op: String, d: Double): (Double, Double) => Boolean =
+      op match {
+        case ">=" => (_, hi) => hi >= d
+        case ">"  => (_, hi) => hi > d
+        case "<=" => (lo, _) => lo <= d
+        case "<"  => (lo, _) => lo < d
+        case "="  => (lo, hi) => lo <= d && d <= hi
+      }
+    def mirror(op: String): String = op match {
+      case ">=" => "<="
+      case ">"  => "<"
+      case "<=" => ">="
+      case "<"  => ">"
+      case "="  => "="
+    }
+    val checks = dataFilters.flatMap { f =>
+      binOp(f).flatMap {
+        case (a, Literal(v, _), op) =>
+          for (c <- attr(a); d <- num(v)) yield (c, test(op, d))
+        case (Literal(v, _), a, op) =>
+          for (c <- attr(a); d <- num(v)) yield (c, test(mirror(op), d))
+        case _ => None
+      }
+    }
+    if (checks.isEmpty) None
+    else Some { stats =>
+      checks.forall { case (c, ok) =>
+        stats.get(c).forall { case (lo, hi) => ok(lo, hi) }
+      }
+    }
+  }
+
+  /** File-level selectivity of a restrict conjunction, from the LIVE
+    * manifest's promoted-column stats — the planner input for
+    * [[Serving.searchAdaptive]]'s pre-filter/post-filter decision.
+    * Counts the exact files [[ManifestFileIndex.listFiles]] would
+    * scan under these restricts (same [[statsKeep]] test), so the
+    * estimate is an upper bound on bytes actually read, at the cost
+    * of one in-memory pass over the manifest rows the session
+    * already holds for planning. None when the layout carries no
+    * manifest or no conjunct is stats-testable (no evidence — the
+    * caller must assume unselective).
+    */
+  def estimateRestrict(spark: SparkSession, path: String,
+      restricts: Seq[org.apache.spark.sql.Column])
+      : Option[RestrictEstimate] = {
+    if (!exists(spark, path)) return None
+    statsKeep(restricts.map(
+        org.apache.spark.sql.graftshim.Shims.catalystExpression))
+        .flatMap { keep =>
+      val mf = spark.read.parquet(manifestDir(path))
+      if (!mf.columns.contains("stats")) None
+      else {
+        val rows = mf.select("bytes", "stats").collect()
+        var keptFiles = 0L; var keptBytes = 0L; var totalBytes = 0L
+        rows.foreach { r =>
+          val b = r.getLong(0); totalBytes += b
+          if (keep(decodeStats(Option(r.getString(1)).getOrElse("")))) {
+            keptFiles += 1; keptBytes += b
+          }
+        }
+        Some(RestrictEstimate(keptFiles, keptBytes, rows.length.toLong,
+          totalBytes))
+      }
+    }
+  }
+}
+
+/** File-level restrict selectivity from manifest stats: the files a
+  * restricted scan cannot skip, and their bytes — see
+  * [[ServingManifest.estimateRestrict]].
+  */
+final case class RestrictEstimate(keptFiles: Long, keptBytes: Long,
+    totalFiles: Long, totalBytes: Long) {
+  /** Fraction of layout bytes a restricted scan must read (1.0 on an
+    * empty layout — no evidence of selectivity). */
+  def byteFraction: Double =
+    if (totalBytes == 0L) 1.0 else keptBytes.toDouble / totalBytes
 }
 
 /** A [[FileIndex]] whose file statuses ARE the manifest rows — the
@@ -656,74 +793,13 @@ private[graft] final class ManifestFileIndex(
     byLeaf.toMap
 
   /** FILE skipping from `dataFilters` (the Delta data-skipping
-    * analog): a conjunct anchored on a promoted column with a numeric
-    * literal proves a file irrelevant when the file's (min, max)
-    * range cannot satisfy it. Files without stats for the column are
-    * always kept (conservative); any filter shape not recognized
-    * here simply doesn't prune. Null semantics are safe by
-    * construction: these comparisons are null-rejecting, so a file
-    * whose non-null range is disjoint cannot hold a qualifying row.
+    * analog): delegates to [[ServingManifest.statsKeep]] — shared
+    * with the plan-time selectivity estimator so the estimate and
+    * the scan skip the SAME files.
     */
   private def fileKeep(dataFilters: Seq[Expression])
-      : Option[Map[String, (Double, Double)] => Boolean] = {
-    import org.apache.spark.sql.catalyst.expressions._
-    def attr(e: Expression): Option[String] = e match {
-      case a: AttributeReference => Some(a.name)
-      // numeric up-casts are monotonic: the range check is unchanged
-      case c: Cast => attr(c.child)
-      case _ => None
-    }
-    def num(v: Any): Option[Double] = v match {
-      case i: java.lang.Integer => Some(i.toDouble)
-      case l: java.lang.Long => Some(l.toDouble)
-      case s: java.lang.Short => Some(s.toDouble)
-      case b: java.lang.Byte => Some(b.toDouble)
-      case f: java.lang.Float => Some(f.toDouble)
-      case d: java.lang.Double => Some(d)
-      case dec: org.apache.spark.sql.types.Decimal => Some(dec.toDouble)
-      case _ => None
-    }
-    val checks = dataFilters.flatMap {
-      case GreaterThanOrEqual(a, Literal(v, _)) =>
-        for (c <- attr(a); d <- num(v))
-          yield (c, (lo: Double, hi: Double) => hi >= d)
-      case GreaterThan(a, Literal(v, _)) =>
-        for (c <- attr(a); d <- num(v))
-          yield (c, (lo: Double, hi: Double) => hi > d)
-      case LessThanOrEqual(a, Literal(v, _)) =>
-        for (c <- attr(a); d <- num(v))
-          yield (c, (lo: Double, hi: Double) => lo <= d)
-      case LessThan(a, Literal(v, _)) =>
-        for (c <- attr(a); d <- num(v))
-          yield (c, (lo: Double, hi: Double) => lo < d)
-      case EqualTo(a, Literal(v, _)) =>
-        for (c <- attr(a); d <- num(v))
-          yield (c, (lo: Double, hi: Double) => lo <= d && d <= hi)
-      // literal-first spellings
-      case GreaterThanOrEqual(Literal(v, _), a) =>
-        for (c <- attr(a); d <- num(v))
-          yield (c, (lo: Double, hi: Double) => lo <= d)
-      case GreaterThan(Literal(v, _), a) =>
-        for (c <- attr(a); d <- num(v))
-          yield (c, (lo: Double, hi: Double) => lo < d)
-      case LessThanOrEqual(Literal(v, _), a) =>
-        for (c <- attr(a); d <- num(v))
-          yield (c, (lo: Double, hi: Double) => hi >= d)
-      case LessThan(Literal(v, _), a) =>
-        for (c <- attr(a); d <- num(v))
-          yield (c, (lo: Double, hi: Double) => hi > d)
-      case EqualTo(Literal(v, _), a) =>
-        for (c <- attr(a); d <- num(v))
-          yield (c, (lo: Double, hi: Double) => lo <= d && d <= hi)
-      case _ => None
-    }
-    if (checks.isEmpty) None
-    else Some { stats =>
-      checks.forall { case (c, ok) =>
-        stats.get(c).forall { case (lo, hi) => ok(lo, hi) }
-      }
-    }
-  }
+      : Option[Map[String, (Double, Double)] => Boolean] =
+    ServingManifest.statsKeep(dataFilters)
 
   private def toDir(l: Int,
       fss: Array[(FileStatus, Map[String, (Double, Double)])],

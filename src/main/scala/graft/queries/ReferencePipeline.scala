@@ -1243,6 +1243,195 @@ object ReferencePipeline {
       .limit(12)
   }
 
+  /** The DELETE half of the serving lifecycle, driver-gated: build →
+    * upsert batch → [[graft.streaming.IndexMaintenance.removeFromServing]]
+    * tombstones → a LATER upsert RESURRECTING a subset of the deleted
+    * ids → search. The tombstones include the query vector's own id
+    * (its self-hit is rank 1 in every other serving gate), so the
+    * result is maximally sensitive to delete semantics: the id comes
+    * back only through the higher-version resurrection batch, with a
+    * doubled vector — the oracle replicates the (version, tombstone)
+    * LWW fold and the driver hash-compares the ranked rows.
+    *
+    * A delete writes ONE registry row and touches no data file — the
+    * physical removal is [[graft.streaming.IndexMaintenance.compactServing]]'s
+    * job (spec'd in ServingApiSpec), which is the right split at
+    * scale: deletes land at streaming rates, rewrites happen at
+    * maintenance cadence.
+    */
+  private val rServeDelete = QueryDef.sqlChecked("r_serve_delete")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v, 1 AS version " +
+      "FROM embeddings), " +
+      "up1 AS (SELECT vec_id, list_transform(v, x -> -x) AS v, 2 AS version " +
+      "FROM base WHERE vec_id % 25 = 0), " +
+      "up2 AS (SELECT vec_id, list_transform(v, x -> 2*x) AS v, 4 AS version " +
+      "FROM base WHERE vec_id % 60 = 0), " +
+      "log AS (SELECT * FROM base UNION ALL SELECT * FROM up1 " +
+      "UNION ALL SELECT * FROM up2), " +
+      "delta AS (SELECT vec_id, 2 AS version, false AS tomb FROM base " +
+      "WHERE vec_id % 25 = 0 " +
+      "UNION ALL SELECT vec_id, 3, true FROM base WHERE vec_id % 20 = 0 " +
+      "UNION ALL SELECT vec_id, 4, false FROM base WHERE vec_id % 60 = 0), " +
+      "lat AS (SELECT vec_id, max(version) AS lv FROM delta GROUP BY vec_id), " +
+      "latt AS (SELECT l.vec_id, l.lv, d.tomb FROM lat l JOIN delta d " +
+      "ON d.vec_id = l.vec_id AND d.version = l.lv), " +
+      "live AS (SELECT lg.vec_id, lg.v, lg.version FROM log lg " +
+      "LEFT JOIN latt t ON lg.vec_id = t.vec_id " +
+      "WHERE t.lv IS NULL OR (lg.version = t.lv AND NOT t.tomb)), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings " +
+      "WHERE vec_id = 0), " +
+      "assign AS (SELECT vec_id, version, v, cid AS leaf_id FROM (" +
+      "SELECT l.vec_id, l.version, l.v, c.cid, row_number() OVER (" +
+      "PARTITION BY l.vec_id, l.version ORDER BY " +
+      "list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(l.v, c.cv), c.cid) AS rn " +
+      "FROM live l, cent c) WHERE rn <= 2), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 3), " +
+      "cand AS (SELECT a.vec_id, a.version, a.leaf_id, " +
+      "list_inner_product(a.v, q.qv) AS score " +
+      "FROM assign a JOIN probe p ON a.leaf_id = p.cid, q) " +
+      "SELECT vec_id, cast(max(version) as bigint) AS version, " +
+      "cast(min(leaf_id) as bigint) AS leaf_id, max(score) AS score " +
+      "FROM cand GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 15"
+  ) { (s, d) =>
+    import graft.streaming.IndexMaintenance
+    graft.plans.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val query = base.filter(col("vec_id") === 0)
+      .select(col("v")).head().getSeq[Double](0)
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servedel_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val indexed = base.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, servePath.toString, model)
+
+    // upsert, DELETE (incl. the query id 0), resurrect a subset with
+    // a higher version — the full add/remove/re-add LWW exercise
+    val b1 = base.filter(col("vec_id") % 25 === 0)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2))
+    IndexMaintenance.appendToServing(s, servePath.toString, b1,
+      "vec_id", "v", "version")
+    val dels = base.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), lit(3).as("version"))
+    IndexMaintenance.removeFromServing(s, servePath.toString, dels,
+      "vec_id", "version")
+    val b2 = base.filter(col("vec_id") % 60 === 0)
+      .withColumn("v", transform(col("v"), x => x * 2))
+      .withColumn("version", lit(4))
+    IndexMaintenance.appendToServing(s, servePath.toString, b2,
+      "vec_id", "v", "version")
+
+    graft.plans.IndexCatalog.drop("r_serve_delete")
+    graft.plans.IndexCatalog.open(s, "r_serve_delete", servePath.toString)
+    IndexMaintenance.readServing(s, servePath.toString, "vec_id", "version")
+      .filter(graft.plans.AnnPruning.probe("r_serve_delete",
+        col("leaf_id"), query, 3))
+      .select(col("vec_id"), col("version"), col("leaf_id"),
+        graft.functions.vectors.dotProduct(col("v"),
+          typedLit(query)).as("score"))
+      .groupBy("vec_id")
+      .agg(max(col("version")).cast("bigint").as("version"),
+        min(col("leaf_id")).cast("bigint").as("leaf_id"),
+        max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(15)
+  }
+
+  /** SELECTIVITY-ADAPTIVE filtered search, driver-gated: a serving
+    * layout whose manifest carries promoted `version` stats takes an
+    * upsert batch (new ids, version 2), then answers a
+    * `version >= 2` restricted query through
+    * [[graft.operators.Serving.searchAdaptive]]. The restrict is
+    * provably selective (file stats skip every build-time file), so
+    * the adaptive plan is the EXACT pre-filter scan — full recall
+    * over the qualifying rows, where the probed plan can return
+    * fewer than the true filtered top-k (the appended vectors are
+    * negated, i.e. they live in leaves a probe for the query would
+    * not rank first — the classic filtered-ANN recall failure this
+    * plan exists to avoid). The gate REQUIREs both plan decisions
+    * (selective → exact, unselective → probed) and hash-checks the
+    * exact filtered top-k against the oracle.
+    */
+  private val rServePrefilter = QueryDef.sqlChecked("r_serve_prefilter")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v, 1 AS version " +
+      "FROM embeddings), " +
+      "b1 AS (SELECT vec_id + 200000 AS vec_id, " +
+      "list_transform(v, x -> -x) AS v, 2 AS version FROM base " +
+      "WHERE vec_id % 30 = 7), " +
+      "live AS (SELECT * FROM base UNION ALL SELECT * FROM b1), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings " +
+      "WHERE vec_id = 0), " +
+      "flt AS (SELECT vec_id, list_inner_product(v, q.qv) AS score " +
+      "FROM live, q WHERE version >= 2), " +
+      "ranked AS (SELECT vec_id, score, row_number() OVER (" +
+      "ORDER BY score DESC, vec_id) AS rank FROM flt) " +
+      "SELECT vec_id, score, cast(rank as bigint) AS rank FROM ranked " +
+      "WHERE rank <= 10 ORDER BY rank"
+  ) { (s, d) =>
+    import graft.streaming.IndexMaintenance
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val query = base.filter(col("vec_id") === 0)
+      .select(col("v")).head().getSeq[Double](0)
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servepre_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val indexed = base.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, servePath.toString, model)
+    graft.operators.ServingManifest.promote(s, servePath.toString,
+      Seq("version"))
+    val b1 = base.filter(col("vec_id") % 30 === 7)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2))
+    IndexMaintenance.appendToServing(s, servePath.toString, b1,
+      "vec_id", "v", "version")
+
+    val serving = graft.operators.Serving.open(s, servePath.toString,
+      id = "vec_id", vecCol = "v")
+    val sel = Seq(col("version") >= 2)
+    require(serving.searchAdaptivePlan(sel, 0.35),
+      "r_serve_prefilter: the selective restrict must pick the exact plan")
+    require(!serving.searchAdaptivePlan(Seq(col("version") >= 1), 0.35),
+      "r_serve_prefilter: an unselective restrict must pick the probed plan")
+    serving.searchAdaptive(query.toArray, nProbe = 2, k = 10,
+      restricts = sel, maxExactFraction = 0.35)
+  }
+
   /** Serving-layout cache for the BATCH gate: the full reopenable
     * index (data + model sidecar + manifest) built once per JVM per
     * sf dir — `r_serve_batch` gates the batched QUERY path; the
@@ -1329,7 +1518,8 @@ object ReferencePipeline {
 
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
-    rServeManifest, rServeSnapshot, rServeBatch, rRebalance, vAnnBuild,
+    rServeManifest, rServeSnapshot, rServeBatch, rServeDelete,
+    rServePrefilter, rRebalance, vAnnBuild,
     vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e, vAnnRouted,
     vKnnJoin)
 }

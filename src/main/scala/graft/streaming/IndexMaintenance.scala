@@ -84,7 +84,8 @@ object IndexMaintenance {
         s"+ leaf_id do not match the serving layout's " +
         s"${layoutCols.mkString(",")}")
     assigned.write.mode("append").partitionBy("leaf_id").parquet(servePath)
-    batch.select(col(id), col(versionCol).cast("long").as("version"))
+    batch.select(col(id), col(versionCol).cast("long").as("version"),
+        lit(false).as("tombstone"))
       .write.mode("append").parquet(deltaDir(servePath))
     // manifest upkeep proportional to the TOUCHED leaves (≤ batch ×
     // spill), never the layout — no-op on a pre-manifest layout
@@ -95,6 +96,35 @@ object IndexMaintenance {
         keepVersions)
       ()
     }
+  }
+
+  /** DELETE ids from the SERVED index — the removal half of the
+    * STREAM_UPDATE lifecycle (the reference's index type also takes
+    * datapoint removals through the same streaming surface its
+    * upserts use): a TOMBSTONE row (id, version, tombstone=true) is
+    * appended to the delta registry, and [[readServing]]'s LWW
+    * resolution drops every data row whose id's latest delta entry
+    * is a tombstone. No data file is touched and no manifest changes
+    * — a delete is one tiny registry append regardless of corpus
+    * size, exactly the economics an always-on index needs. The
+    * deleted rows disappear PHYSICALLY at the next [[compactServing]]
+    * or [[recluster]] (both materialize the resolved view), which
+    * also clears the registry.
+    *
+    * LWW semantics are symmetric with upserts: a later upsert
+    * (higher version) RESURRECTS the id; on a version TIE the
+    * tombstone wins (deterministic — see [[readServing]]). Works
+    * unchanged on raw and PQ-coded layouts (the registry is shared).
+    *
+    * `tombstones` carries (id, version) — the version is the delete
+    * operation's own LWW stamp, same monotonic clock the upsert
+    * stream uses.
+    */
+  def removeFromServing(spark: SparkSession, servePath: String,
+      tombstones: DataFrame, id: String, versionCol: String): Unit = {
+    tombstones.select(col(id), col(versionCol).cast("long").as("version"),
+        lit(true).as("tombstone"))
+      .write.mode("append").parquet(deltaDir(servePath))
   }
 
   /** [[appendToServing]] for a PQ-CODED layout (the memory-resident
@@ -131,7 +161,8 @@ object IndexMaintenance {
         s"${assigned.columns.sorted.mkString(",")} do not match the " +
         s"coded layout's ${layoutCols.mkString(",")}")
     assigned.write.mode("append").partitionBy("leaf_id").parquet(servePath)
-    batch.select(col(id), col(versionCol).cast("long").as("version"))
+    batch.select(col(id), col(versionCol).cast("long").as("version"),
+        lit(false).as("tombstone"))
       .write.mode("append").parquet(deltaDir(servePath))
     graft.operators.ServingManifest.reconcile(spark, servePath,
       assigned.select("leaf_id").distinct().collect().map(_.getInt(0)).toSeq)
@@ -143,8 +174,10 @@ object IndexMaintenance {
   }
 
   /** Serving-time read of the layout: data rows with superseded
-    * versions resolved away, last-write-wins against the delta
-    * registry. The LWW authority is the DELTA (small by construction
+    * versions resolved away and TOMBSTONED ids dropped,
+    * last-write-wins against the delta registry
+    * ([[removeFromServing]] for delete semantics). The LWW authority
+    * is the DELTA (small by construction
     * — only upserts since the last recluster; the join stays
     * broadcast-sized), not a full-corpus aggregate, so a
     * `graft_ann_probe` filter on top still partition-prunes: the
@@ -161,13 +194,29 @@ object IndexMaintenance {
     val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(delta)) data
     else {
-      val latest = spark.read.parquet(delta.toString)
-        .groupBy(col(id).as("__id"))
-        .agg(max(col("version")).as("__latest"))
+      // mergeSchema: the registry may mix pre-tombstone (id, version)
+      // files with (id, version, tombstone) ones — the delta is small
+      // by construction, so the per-file footer merge is cheap
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(delta.toString)
+      val entries =
+        if (raw.columns.contains("tombstone"))
+          raw.withColumn("tombstone",
+            coalesce(col("tombstone"), lit(false)))
+        else raw.withColumn("tombstone", lit(false))
+      // LWW winner per id = max (version, tombstone) struct: highest
+      // version wins; on a version TIE the tombstone wins (true >
+      // false) — deterministic, and the conservative reading of a
+      // simultaneous write/delete
+      val latest = entries.groupBy(col(id).as("__id"))
+        .agg(max(struct(col("version"), col("tombstone"))).as("__w"))
+        .select(col("__id"), col("__w.version").as("__latest"),
+          col("__w.tombstone").as("__tomb"))
       data.join(latest, data(id) === col("__id"), "left")
         .filter(col("__latest").isNull ||
-          col(versionCol).cast("long") === col("__latest"))
-        .drop("__id", "__latest")
+          (col(versionCol).cast("long") === col("__latest") &&
+            !col("__tomb")))
+        .drop("__id", "__latest", "__tomb")
     }
   }
 
@@ -409,11 +458,24 @@ object IndexMaintenance {
     fs.delete(old, true)
   }
 
-  /** Resolve the live corpus (LWW per id). */
+  /** Resolve the live corpus (LWW per id). Tombstone-aware when the
+    * log carries a `tombstone` column (a delete stream appends
+    * (id, version, tombstone=true) rows through [[appendBatch]] like
+    * any other upsert): ids whose LWW winner is a tombstone are
+    * dropped, so a [[recluster]] from the log does NOT resurrect
+    * deleted datapoints. A log without the column resolves exactly
+    * as before.
+    */
   def liveCorpus(spark: SparkSession, logPath: String, id: String,
-      versionCol: String): DataFrame =
-    graft.sources.MetadataStore.resolve(
-      spark.read.parquet(logPath), id, col(versionCol))
+      versionCol: String): DataFrame = {
+    val log = spark.read.option("mergeSchema", "true").parquet(logPath)
+    val resolved = graft.sources.MetadataStore.resolve(
+      log, id, col(versionCol))
+    if (log.columns.contains("tombstone"))
+      resolved.filter(!coalesce(col("tombstone"), lit(false)))
+        .drop("tombstone")
+    else resolved
+  }
 
   /** Recluster: fit fresh leaves over the live corpus and rewrite the
     * serving index partitioned by leaf. The overwrite also clears the

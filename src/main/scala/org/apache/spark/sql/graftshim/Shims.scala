@@ -13,6 +13,14 @@ object Shims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGER Column → catalyst conversion (the converter the classic
+    * session applies at analysis): unlike [[expression]]'s lazy
+    * wrapper, the returned tree is pattern-matchable immediately —
+    * needed for plan-time predicate inspection outside any query.
+    */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Spark's own runtime-filter bloom aggregate (the expression
     * InjectRuntimeFilter builds), exposed as a Column: aggregates
     * xxhash64 of `c` into a serialized BloomFilter binary.

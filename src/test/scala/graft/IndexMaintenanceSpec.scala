@@ -166,6 +166,85 @@ class IndexMaintenanceSpec extends SparkTestBase {
       .filter(col("vec_id") === 77771L).count() > 0)
   }
 
+  test("removeFromServing: tombstones hide ids at read, a higher-version " +
+      "upsert resurrects, a version tie deletes, compaction removes " +
+      "physically") {
+    val serve = Files.createTempDirectory("ivf-del").toString + "/serve"
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val (indexed, model) = graft.operators.IvfIndex.build(
+      base, "vec_id", "v", 8)
+    graft.operators.IvfIndex.write(indexed, serve, model)
+    val v0 = base.filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0)
+
+    // delete ids 0..4 (version 2): gone from the served view, data
+    // files untouched
+    val filesBefore = spark.read.parquet(serve).count()
+    IndexMaintenance.removeFromServing(spark, serve,
+      Seq((0L, 2), (1L, 2), (2L, 2), (3L, 2), (4L, 2))
+        .toDF("vec_id", "version"), "vec_id", "version")
+    val served = IndexMaintenance.readServing(spark, serve,
+      "vec_id", "version")
+    assert(served.filter(col("vec_id") < 5).count() == 0,
+      "tombstoned ids must not be served")
+    assert(spark.read.parquet(serve).count() == filesBefore,
+      "a delete must not rewrite data files")
+
+    // resurrection: id 0 re-upserted at version 3 serves again (the
+    // new row only); id 1 upserted at version 2 TIES the tombstone —
+    // the tombstone wins deterministically
+    IndexMaintenance.appendToServing(spark, serve,
+      Seq((0L, v0, 3), (1L, v0, 2)).toDF("vec_id", "v", "version"),
+      "vec_id", "v", "version")
+    val after = IndexMaintenance.readServing(spark, serve,
+      "vec_id", "version")
+    assert(after.filter(col("vec_id") === 0)
+      .select("version").distinct().collect().map(_.getInt(0)).toSeq
+      == Seq(3), "a higher-version upsert must resurrect a deleted id")
+    assert(after.filter(col("vec_id") === 1).count() == 0,
+      "on a version tie the tombstone must win")
+
+    // the resident handle serves the same resolved state
+    val handle = graft.operators.Serving.open(spark, serve,
+      id = "vec_id", vecCol = "v")
+    assert(handle.data.filter(col("vec_id").isin(1L, 2L, 3L, 4L))
+      .count() == 0, "Serving.open must resolve tombstones")
+
+    // compaction materializes the deletes: rows physically gone,
+    // registry cleared, serving continues
+    val beforeCompact = after.select("vec_id", "version")
+      .collect().toSet
+    IndexMaintenance.compactServing(spark, serve, "vec_id", "version")
+    assert(!new java.io.File(serve, "_graft_delta").exists())
+    val plain = spark.read.parquet(serve)
+    assert(plain.filter(col("vec_id").isin(1L, 2L, 3L, 4L)).count() == 0,
+      "deleted rows must be physically gone after compaction")
+    assert(IndexMaintenance.readServing(spark, serve, "vec_id", "version")
+      .select("vec_id", "version").collect().toSet == beforeCompact,
+      "compaction must not change the served state")
+  }
+
+  test("liveCorpus drops log-tombstoned ids so a recluster does not " +
+      "resurrect them") {
+    val log = Files.createTempDirectory("ivf-dellog").toString + "/log"
+    val base = Tables.embeddings(spark, sf).limit(200).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    IndexMaintenance.appendBatch(base.toDF(), log)
+    // tombstone rows ride the SAME log: null vector, higher version
+    IndexMaintenance.appendBatch(
+      base.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), lit(null).cast("array<double>").as("v"),
+          lit(2L).as("version"), lit(true).as("tombstone")),
+      log)
+    val live = IndexMaintenance.liveCorpus(spark, log, "vec_id", "version")
+    assert(live.filter(col("vec_id") % 7 === 0).count() == 0,
+      "log tombstones must drop ids from the recluster source")
+    assert(live.count() == base.filter(col("vec_id") % 7 =!= 0).count())
+    assert(!live.columns.contains("tombstone"),
+      "liveCorpus must return the data schema")
+  }
+
   test("appendCodedToServing: a fresh session encodes upserts with the " +
       "reloaded codebook; both sidecars reopen from the path alone") {
     import graft.operators.{IvfIndex, ProductQuantizer}

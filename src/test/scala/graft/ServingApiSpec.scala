@@ -284,6 +284,99 @@ class ServingApiSpec extends SparkTestBase {
       f"p50=${sorted(sorted.size / 2)}%.3f s over $racedReads raced reads")
   }
 
+  test("searchAdaptive: selective restricts take the exact pre-filter " +
+      "plan (stats-skipped scan, full recall); unselective ones probe") {
+    import graft.operators.{Serving, ServingManifest}
+    import graft.streaming.IndexMaintenance
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = graft.operators.IvfIndex.Model(cents)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_adaptive").toString + "/idx"
+    val indexed = emb.withColumn("leaf_id",
+      explode(graft.operators.IvfIndex.probeExpr(model, col("v"), 2)))
+    graft.operators.IvfIndex.write(indexed, dir, model)
+    ServingManifest.promote(spark, dir, Seq("version"))
+    // the append: NEGATED vectors (they cluster far from the query's
+    // probed leaves), new ids, version 2 — the rows a selective
+    // freshness restrict wants and a probe would miss
+    val b1 = emb.filter(col("vec_id") % 30 === 7)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2))
+    // spill=1: each appended id lives in exactly ONE leaf — the
+    // negated vectors concentrate opposite the query, so a probe
+    // near the query demonstrably misses them below
+    IndexMaintenance.appendToServing(spark, dir, b1, "vec_id", "v",
+      "version", spill = 1)
+
+    val serving = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+    val sel = Seq(col("version") >= 2)
+
+    // the estimator sees what the scan will skip: only appended bytes
+    val est = ServingManifest.estimateRestrict(spark, dir, sel).get
+    assert(est.keptFiles < est.totalFiles && est.keptBytes > 0,
+      s"estimate must prove selectivity, got $est")
+    assert(serving.searchAdaptivePlan(sel, 0.5))
+    assert(!serving.searchAdaptivePlan(Seq(col("version") >= 1), 0.5),
+      "a restrict satisfied by every file must go down the probed plan")
+    assert(!serving.searchAdaptivePlan(Nil, 0.5))
+
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val adaptive = serving.searchAdaptive(query, nProbe = 2, k = 10,
+      restricts = sel, maxExactFraction = 0.5)
+    val n = adaptive.collect().length
+    // the exact plan's scan reads ONLY the stats-surviving files —
+    // asserted on the restricted scan itself (the same scan child the
+    // adaptive plan executes; the aggregate on top hides it behind
+    // AQE query stages)
+    val restrictedScan = serving.data.filter(col("version") >= 2)
+    restrictedScan.collect()
+    // the LWW join wraps the plan in AQE query stages — walk into them
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(restrictedScan.queryExecution.executedPlan)
+      .find(_.relation.location.isInstanceOf[
+        graft.operators.ManifestFileIndex])
+      .getOrElse(fail("no manifest-backed scan in the restricted plan"))
+    assert(scan.metrics("numFiles").value == est.keptFiles,
+      "the restricted scan must read exactly the estimated files")
+    // full recall: ground truth is the brute-force filtered top-k
+    val truth = serving.data.filter(col("version") >= 2)
+      .select(col("vec_id"),
+        graft.functions.vectors.dotProduct(col("v"),
+          typedLit(query.toSeq)).as("score"))
+      // collapse spill copies — one candidate per id, like the engine
+      .groupBy(col("vec_id")).agg(max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = adaptive.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == truth, "exact plan must return the true filtered top-k")
+    assert(n == truth.length)
+    // and the probed plan genuinely misses here — the reason the
+    // adaptive decision exists (negated vectors live outside the
+    // query's probed leaves)
+    val probed = serving.search(query, 1, 10, sel, None, None)
+      .collect().map(_.getLong(0)).toSet
+    val missed = truth.map(_._1).toSet -- probed
+    assert(missed.nonEmpty,
+      s"construction check: the probed plan should miss filtered rows " +
+        s"(probed found ${probed.size} of ${truth.size})")
+  }
+
   test("searchBatch parity bound on a ROUTER-ENGAGED model") {
     // the batch path routes with the broadcast float32 matrix while
     // per-query search routes the exact double walk; below the router
