@@ -565,6 +565,63 @@ object ScaleProbe {
       println(f"SERVEBATCH leaves=${serving.numLeaves} nq=$nQ " +
         f"k=$k rows=$n total=$tBatch%.2f s " +
         f"per_query=${tBatch / nQ * 1000}%.2f ms")
+    } else if (args(0) == "certified") {
+      // certified exact top-k (CertifiedSearch ball bounds): radii
+      // build cost, probe-count distribution, and wall time vs the
+      // brute-force exact scan it provably equals. usage:
+      //   certified [n] [dim] [clusters] [nQ]
+      val n = if (args.length > 1) args(1).toLong else 200000L
+      val dim = if (args.length > 2) args(2).toInt else 32
+      val clusters = if (args.length > 3) args(3).toInt else 256
+      val nQ = if (args.length > 4) args(4).toInt else 20
+      val vecs = graft.pipeline.SyntheticCorpus
+        .vectors(spark, n, dim, clusters)
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vecs.count()
+      var t0 = System.nanoTime()
+      val (indexed, model) = graft.operators.IvfIndex.build(
+        vecs, "vec_id", "embedding", clusters)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_certprobe").toString + "/idx"
+      graft.operators.IvfIndex.write(indexed, dir, model)
+      println(f"CERTIFIED_BUILD n=$n leaves=${model.centroids.length} " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      t0 = System.nanoTime()
+      graft.operators.CertifiedSearch.buildRadii(spark, dir)
+      println(f"CERTIFIED_RADII ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val serving = graft.operators.Serving.open(spark, dir)
+      val qs = vecs.filter(col("vec_id") % (n / nQ) === 3)
+        .limit(nQ).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      serving.searchCertified(qs.head._2, 10)._1.count() // warm
+      val certTimes = new Array[Double](qs.length)
+      val probes = new Array[Int](qs.length)
+      qs.zipWithIndex.foreach { case ((_, q), i) =>
+        val t = System.nanoTime()
+        val (res, probed) = serving.searchCertified(q, 10,
+          initialProbe = 4)
+        require(res.count() == 10)
+        certTimes(i) = (System.nanoTime() - t) / 1e9
+        probes(i) = probed
+      }
+      // brute force on the same held frame, same queries
+      val bruteTimes = qs.map { case (_, q) =>
+        val t = System.nanoTime()
+        serving.data.select(col("vec_id"),
+            graft.functions.vectors.dotProduct(col("embedding"),
+              typedLit(q.toSeq)).as("score"))
+          .groupBy("vec_id").agg(max("score").as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(10).count()
+        (System.nanoTime() - t) / 1e9
+      }
+      val ct = certTimes.sorted; val bt = bruteTimes.sorted
+      val ps = probes.sorted
+      println(f"CERTIFIED leaves=${serving.numLeaves} nq=${qs.length} " +
+        f"probed_p50=${ps(ps.length / 2)} probed_max=${ps.last} " +
+        f"cert_p50=${ct(ct.length / 2)}%.3f s " +
+        f"brute_p50=${bt(bt.length / 2)}%.3f s " +
+        f"speedup=${bt(bt.length / 2) / ct(ct.length / 2)}%.1fx")
     } else if (args(0) == "statskip") {
       // manifest file skipping under a restrict (the Delta
       // data-skipping analog): nLeaves × filesPerLeaf files, each

@@ -92,6 +92,113 @@ final class Serving private[operators] (
     restricts.nonEmpty &&
       restrictSelectivity(restricts).exists(_ <= maxExactFraction)
 
+  /** CERTIFIED exact top-k — leaf pruning with a PROOF instead of a
+    * recall target (see [[CertifiedSearch]] for the ball bound).
+    * Probes leaves in upper-bound order, doubling the probe set until
+    * every unprobed leaf's bound falls strictly below the running
+    * kth-best score; the returned frame is then the EXACT top-k, and
+    * the certificate is independent of how the data is distributed —
+    * clustered corpora close it after a handful of leaves, while an
+    * adversarial corpus degrades to the full scan a true exact
+    * answer genuinely requires. The driver loop runs ≤ log₂(L)
+    * pruned-scan rounds, each collecting only k scores.
+    *
+    * `restricts` (optional, ANDed) certify the RESTRICTED top-k: the
+    * bound dominates unrestricted scores, so it remains admissible
+    * for any filtered subset.
+    *
+    * Requires the `_graft_radii` sidecar
+    * ([[CertifiedSearch.buildRadii]]); raw-vector layouts only.
+    *
+    * @return (exact top-k as (id, leaf_id, score) by score desc, and
+    *         the number of leaves probed — the certificate's cost)
+    */
+  def searchCertified(query: Array[Double], k: Int,
+      restricts: Seq[Column] = Nil,
+      initialProbe: Int = 8): (DataFrame, Int) = {
+    import org.apache.spark.sql.functions._
+    require(CertifiedSearch.radiiExist(spark, path),
+      s"searchCertified needs the _graft_radii sidecar — run " +
+        s"CertifiedSearch.buildRadii over $path first")
+    val radii = CertifiedSearch.loadRadii(spark, path)
+    val ubs = CertifiedSearch.upperBounds(model, radii, query)
+    val total = ubs.length
+    val qCol = typedLit(query.toSeq)
+    val source = restricts.foldLeft(data)(_.filter(_))
+    def topScores(leaves: Seq[Int]): Array[Double] =
+      source.filter(col("leaf_id").isin(leaves: _*))
+        .select(col(id),
+          graft.functions.vectors.dotProduct(col(vecCol), qCol)
+            .as("score"))
+        .groupBy(col(id)).agg(max(col("score")).as("score"))
+        .orderBy(col("score").desc).limit(k)
+        .collect().map(_.getDouble(1))
+    var m = math.min(math.max(initialProbe, 1), total)
+    var closed = false
+    while (!closed) {
+      val scores = topScores(ubs.take(m).map(_._1).toSeq)
+      val kth =
+        if (scores.length >= k) scores.last else Double.NegativeInfinity
+      // leaves whose bound reaches the running kth can still hold a
+      // better-or-tying row; ubs is sorted desc, so they are exactly
+      // a prefix — jump m straight to that boundary (no doubling
+      // overshoot; kth only rises with m, so the boundary only
+      // shrinks and the loop closes in a couple of rounds)
+      val needed =
+        if (kth == Double.NegativeInfinity) total
+        else ubs.count(_._2 >= kth)
+      if (needed <= m) closed = true
+      else m = math.min(total, math.max(needed, m + 1))
+    }
+    val certified = ubs.take(m).map(_._1).toSeq
+    val res = source.filter(col("leaf_id").isin(certified: _*))
+      .select(col(id), col("leaf_id"),
+        graft.functions.vectors.dotProduct(col(vecCol), qCol)
+          .as("score"))
+      .groupBy(col(id))
+      .agg(min(col("leaf_id")).as("leaf_id"),
+        first(col("score")).as("score"))
+      .orderBy(col("score").desc, col(id))
+      .limit(k)
+    (res, m)
+  }
+
+  /** [[searchBatch]] with the SAME selectivity-adaptive pre-filter
+    * decision as [[searchAdaptive]] — the restricts are shared by the
+    * whole batch, so one manifest-stats estimate governs every query:
+    * when they are proven selective, the candidate side is the
+    * stats-skipped restricted scan joined to EVERY query (no routing
+    * pass at all — full recall per query, and the scan is the few
+    * surviving files), otherwise the standard routed batch. Same
+    * output schema/ordering either way.
+    */
+  def searchBatchAdaptive(queries: DataFrame, qid: String,
+      qvecCol: String, nProbe: Int, k: Int, restricts: Seq[Column],
+      crowding: Option[(String, Int)] = None,
+      metadata: Option[(DataFrame, String)] = None,
+      maxExactFraction: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (!searchAdaptivePlan(restricts, maxExactFraction))
+      searchBatch(queries, qid, qvecCol, nProbe, k, restricts, crowding,
+        metadata)
+    else {
+      val qs = queries.select(col(qid).as("__qid"),
+        col(qvecCol).cast("array<double>").as("__qv"))
+      val side = restricts.foldLeft(data)(_.filter(_))
+      val crowdAttr = crowding.map(_._1).toSeq
+      val scored = side.crossJoin(broadcast(qs))
+        .select(Seq(col("__qid"), col(id),
+          graft.functions.vectors.dotProduct(col(vecCol),
+            col("__qv")).as("score")) ++ crowdAttr.map(col): _*)
+      // spill copies: one candidate per (query, id), like searchBatch
+      val aggs = Seq(max(col("score")).as("score")) ++
+        crowdAttr.map(a => first(col(a)).as(a))
+      val unique = scored.groupBy(col("__qid"), col(id))
+        .agg(aggs.head, aggs.tail: _*)
+      batchTail(unique, qid, k, crowding, metadata)
+    }
+  }
+
   /** Distributed BATCH search — the reference's batched
     * find_neighbors: top-k for EVERY query row in one plan. Routing
     * runs as the broadcast-f32 probe expression over the query frame
@@ -168,6 +275,18 @@ final class Serving private[operators] (
       crowdAttr.map(a => first(col(a)).as(a))
     val unique = scored.groupBy(col("__qid"), col(id))
       .agg(aggs.head, aggs.tail: _*)
+    batchTail(unique, qid, k, crowding, metadata)
+  }
+
+  /** Crowding → per-query top-k → metadata attach, shared by the
+    * routed ([[searchBatch]]) and exact ([[searchBatchAdaptive]])
+    * batch plans: `unique` carries (__qid, id, score[, crowdAttr])
+    * with ONE row per (query, id).
+    */
+  private def batchTail(unique: DataFrame, qid: String, k: Int,
+      crowding: Option[(String, Int)],
+      metadata: Option[(DataFrame, String)]): DataFrame = {
+    import org.apache.spark.sql.functions._
     val crowded = crowding match {
       case Some((attr, cap)) =>
         Knn.crowd(unique, cap, "__qid", attr, id, Knn.Dot).drop(attr)

@@ -1432,6 +1432,54 @@ object ReferencePipeline {
       restricts = sel, maxExactFraction = 0.35)
   }
 
+  /** CERTIFIED exact top-k over the served layout, driver-gated: the
+    * oracle is the plain BRUTE-FORCE exact top-10 — that equality is
+    * the entire point ([[graft.operators.CertifiedSearch]]'s ball
+    * bound proves the unprobed leaves empty of better rows, so the
+    * pruned search must return exactly what a full scan returns,
+    * regardless of how the probe loop unfolded). The gate REQUIREs
+    * the certificate engaged (radii sidecar present, probe count
+    * recorded) and hash-checks the rows.
+    */
+  private val vAnnCertified = QueryDef.sqlChecked("v_ann_certified")(
+    "SELECT vec_id, list_inner_product(cast(embedding as double[]), " +
+      "(SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0)" +
+      ") AS score FROM embeddings ORDER BY score DESC, vec_id LIMIT 10"
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val query = base.filter(col("vec_id") === 0)
+      .select(col("v")).head().getSeq[Double](0).toArray
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servecert_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val indexed = base.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, servePath.toString, model)
+    graft.operators.CertifiedSearch.buildRadii(s, servePath.toString,
+      vecCol = "v")
+
+    val serving = graft.operators.Serving.open(s, servePath.toString,
+      id = "vec_id", vecCol = "v")
+    val (res, probed) = serving.searchCertified(query, k = 10,
+      initialProbe = 2)
+    require(probed >= 1 && probed <= model.centroids.length,
+      s"v_ann_certified: certificate probe count out of range: $probed")
+    res.select(col("vec_id"), col("score"))
+  }
+
   /** Serving-layout cache for the BATCH gate: the full reopenable
     * index (data + model sidecar + manifest) built once per JVM per
     * sf dir — `r_serve_batch` gates the batched QUERY path; the
@@ -1519,7 +1567,7 @@ object ReferencePipeline {
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
     rServeManifest, rServeSnapshot, rServeBatch, rServeDelete,
-    rServePrefilter, rRebalance, vAnnBuild,
+    rServePrefilter, rRebalance, vAnnBuild, vAnnCertified,
     vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e, vAnnRouted,
     vKnnJoin)
 }

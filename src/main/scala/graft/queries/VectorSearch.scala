@@ -187,6 +187,42 @@ object VectorSearch {
       .orderBy("label", "vec_id")
   }
 
+  /** Multi-vector LATE-INTERACTION retrieval (the ColBERT MaxSim
+    * operator): a query is a SET of vectors, a document is its set of
+    * vectors (here: a `label`'s embedding rows), and
+    * score(doc) = Σ_q max_{v∈doc} ⟨q, v⟩ — each query vector finds
+    * its best-matching document vector, the per-vector bests sum.
+    *
+    * Spark-first shape, and the scalable one: broadcast the (small)
+    * query vector set, one map-side pass scores every (row, qvec)
+    * pair, partial max aggregates per (doc, qvec) collapse BEFORE the
+    * shuffle (|docs|×|qvecs| rows reach it, not |rows|×|qvecs|),
+    * then the per-doc sum is exact-decimal (order-independent, so
+    * AQE/retries can't flip last bits; Exact.dsum). At 100 TB the
+    * per-vector max can additionally pre-prune with the IVF probe
+    * (route each query vector, score only its probed leaves) — the
+    * same composition `v_ann_sql` gates for single-vector search.
+    */
+  private val vMaxsim = QueryDef.sqlChecked("v_maxsim")(
+    "WITH q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (0,1,2)), " +
+      "per AS (SELECT e.label, q.qid, " +
+      "max(list_inner_product(cast(e.embedding as double[]), q.qv)) AS best " +
+      "FROM embeddings e, q GROUP BY e.label, q.qid) " +
+      "SELECT label, " + graft.Exact.sqlDsum("best", 12) + " AS score " +
+      "FROM per GROUP BY label ORDER BY score DESC, label LIMIT 5"
+  ) { (s, d) =>
+    val q = corpus(s, d).filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val per = corpus(s, d).crossJoin(broadcast(q))
+      .groupBy(col("label"), col("qid"))
+      .agg(max(vectors.dotProduct(col("embedding"), col("qv"))).as("best"))
+    per.groupBy(col("label"))
+      .agg(graft.Exact.dsum(col("best"), 12).as("score"))
+      .orderBy(col("score").desc, col("label"))
+      .limit(5)
+  }
+
   val defs: Seq[QueryDef] = Seq(vKnnDot, vKnnCosine, vKnnL2, vKnnBatch,
-    vKnnFiltered, vCrowding, vRangeCosine, vNormTop, vTopkAgg)
+    vKnnFiltered, vCrowding, vRangeCosine, vNormTop, vTopkAgg, vMaxsim)
 }

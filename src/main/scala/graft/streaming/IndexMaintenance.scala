@@ -91,6 +91,10 @@ object IndexMaintenance {
     // spill), never the layout — no-op on a pre-manifest layout
     graft.operators.ServingManifest.reconcile(spark, servePath,
       assigned.select("leaf_id").distinct().collect().map(_.getInt(0)).toSeq)
+    // certified-search radii (if opted in): max-merge the touched
+    // leaves so the ball bounds stay admissible through the append
+    graft.operators.CertifiedSearch.mergeAppend(spark, servePath,
+      assigned, vecCol)
     if (keepVersions > 0) {
       graft.operators.ServingManifest.truncate(spark, servePath,
         keepVersions)
@@ -443,6 +447,9 @@ object IndexMaintenance {
         new org.apache.hadoop.fs.Path(
           graft.operators.ServingManifest.promotedFile(tmp.toString)),
         false, spark.sparkContext.hadoopConfiguration)
+    // certified-search radii travel too: compaction only removes
+    // rows, so the copied radii stay admissible over-estimates
+    graft.operators.CertifiedSearch.copyTo(spark, servePath, tmp.toString)
     // manifest over the compacted copy, relative paths → survives the
     // rename below
     graft.operators.ServingManifest.rebuild(spark, tmp.toString)

@@ -375,6 +375,32 @@ class ServingApiSpec extends SparkTestBase {
     assert(missed.nonEmpty,
       s"construction check: the probed plan should miss filtered rows " +
         s"(probed found ${probed.size} of ${truth.size})")
+
+    // batch surface: one shared decision, each query identical to the
+    // single-query exact plan
+    val qdf = emb.filter(col("vec_id").isin(0L, 5L))
+      .select(col("vec_id").as("qid"), col("v"))
+    val batch = serving.searchBatchAdaptive(qdf, "qid", "v",
+        nProbe = 2, k = 10, restricts = sel, maxExactFraction = 0.5)
+      .collect().groupBy(_.getLong(0))
+    for (q <- Seq(0L, 5L)) {
+      val qv = emb.filter(col("vec_id") === q)
+        .select(col("v")).head().getSeq[Double](0).toArray
+      val single = serving.searchAdaptive(qv, 2, 10, sel,
+          maxExactFraction = 0.5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch(q).sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == single,
+        s"batch-adaptive must equal single-query exact for query $q")
+    }
+    // unselective: the batch decision degrades to the routed plan
+    val loose = Seq(col("version") >= 1)
+    val viaAdaptive = serving.searchBatchAdaptive(qdf, "qid", "v",
+      2, 10, loose, maxExactFraction = 0.5).collect().toSeq
+    val viaRouted = serving.searchBatch(qdf, "qid", "v",
+      2, 10, loose, None, None).collect().toSeq
+    assert(viaAdaptive == viaRouted)
   }
 
   test("searchBatch parity bound on a ROUTER-ENGAGED model") {
