@@ -222,7 +222,22 @@ object ServingManifest {
   private def listLeafDir(fs: org.apache.hadoop.fs.FileSystem,
       root: Path, dir: Path): Seq[(String, Int, Long, Long)] = {
     val leaf = dir.getName.stripPrefix("leaf_id=").toInt
-    fs.listStatus(dir).toSeq
+    val entries = fs.listStatus(dir).toSeq
+    // the manifest models EXACTLY one partition level (leaf_id) —
+    // a nested non-hidden directory means a second partition column
+    // whose files this listing would silently never see; fail loudly
+    // instead of serving a partial layout
+    val nested = entries.filter(e => e.isDirectory && {
+      val n = e.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
+    require(nested.isEmpty,
+      s"ServingManifest: unexpected sub-director${
+        if (nested.size == 1) "y" else "ies"} ${
+        nested.map(_.getPath.getName).mkString(", ")} under $dir — " +
+        "the manifest supports exactly one partition level (leaf_id); " +
+        "a nested partition layout would be silently invisible")
+    entries
       .filter(f => f.isFile && {
         val n = f.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")

@@ -489,6 +489,24 @@ class ServingManifestSpec extends SparkTestBase {
     assert(scanned(opened2.filter(col("label") >= 300)) == ((10L, 2L)))
   }
 
+  test("a nested partition directory under a leaf fails the listing " +
+      "loudly (one partition level is the contract)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_nested").toString + "/idx"
+    Seq((1L, 1)).toDF("vec_id", "x").coalesce(1)
+      .write.mode("append").parquet(dir + "/leaf_id=0")
+    // a second partition level appears — rebuild must refuse, not
+    // silently index a layout it can only half-see
+    Seq((2L, 2)).toDF("vec_id", "x").coalesce(1)
+      .write.mode("append").parquet(dir + "/leaf_id=0/day=1")
+    val e = intercept[IllegalArgumentException] {
+      ServingManifest.rebuild(spark, dir)
+    }
+    assert(e.getMessage.contains("partition level"),
+      s"unexpected message: ${e.getMessage}")
+  }
+
   test("pre-manifest layouts fall back to a listing read") {
     val (dir, _) = freshServe("fallback")
     // simulate an old layout: drop the manifest
