@@ -170,6 +170,59 @@ object SubqueryQueries {
       .orderBy("hour", "event_type")
   }
 
+  /** A continuous LEADERBOARD, executed by Structured Streaming:
+    * global top-10 users by event count with the SORT + LIMIT inside
+    * the streaming query (complete mode re-ranks the full aggregate
+    * state every micro-batch — the only output mode where streaming
+    * sort is legal, and the natural shape for a live "top sources /
+    * heaviest keys" panel over an ingest stream). Three ordered
+    * micro-batches force cross-batch count accumulation; the final
+    * emitted table must equal the batch leaderboard over all events,
+    * which is what the oracle computes. Counts tie-break on user_id
+    * so the hash compare is engine-independent; the value sum rides
+    * along exact-decimal.
+    *
+    * At scale: complete-mode re-emission costs O(distinct keys) per
+    * batch — fine for leaderboard-sized aggregates (the use case);
+    * unbounded key spaces belong to the append/update sinks the
+    * other q_stream_* gates cover.
+    */
+  private val qStreamTopk = QueryDef.sqlChecked("q_stream_topk")(
+    "SELECT user_id, count(*) AS n, " +
+      s"${sqlDsum("value", 6)} AS sum_value " +
+      "FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10"
+  ) { (s, d) =>
+    val ev = graft.Tables.events(s, d)
+      .select(col("user_id"), col("value"))
+    val streamDir = graft.streaming.FileStreamFixture.write("topk", d,
+      "events: b0 user%3==0, b1 user%3==1, b2 user%3==2", Seq(
+      ev.filter(col("user_id") % 3 === 0),
+      ev.filter(col("user_id") % 3 === 1),
+      ev.filter(col("user_id") % 3 === 2)))
+    val sinkName = "graft_stream_topk"
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(streamDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_dec"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(10)
+    graft.SessionConf.withStreamShuffle(s) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(sinkName)
+      .select(col("user_id"), col("n"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy(col("n").desc, col("user_id"))
+  }
+
   /** NATIVE session windows, EXECUTED by Structured Streaming:
     * `session_window(ts, gap)` — Spark's built-in dynamic-gap session
     * operator (merging state store windows) — in append mode under a
@@ -244,5 +297,5 @@ object SubqueryQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(qScalarSub, qInSub, qCorrelated,
-    qStreamHourly, qStreamLate, qStreamSession)
+    qStreamHourly, qStreamLate, qStreamTopk, qStreamSession)
 }

@@ -225,6 +225,64 @@ class IndexMaintenanceSpec extends SparkTestBase {
       "compaction must not change the served state")
   }
 
+  test("a stream of MIXED upserts and deletes maintains the served " +
+      "set: foreachBatch routes tombstones at streaming rates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val (indexed, model) = graft.operators.IvfIndex.build(
+      base, "vec_id", "v", 8)
+    val dir = Files.createTempDirectory("ivf-streamdel").toString + "/idx"
+    graft.operators.IvfIndex.write(indexed, dir, model)
+    val v0 = base.filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0)
+
+    val stream = MemoryStream[(Long, Seq[Double], Long, Boolean)]
+    val sq = stream.toDF.toDF("vec_id", "v", "version", "tombstone")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", dir + ".ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+        val ups = batch.filter(!col("tombstone")).drop("tombstone")
+        val dels = batch.filter(col("tombstone"))
+          .select("vec_id", "version")
+        if (!ups.isEmpty)
+          IndexMaintenance.appendToServing(spark, dir, ups,
+            "vec_id", "v", "version")
+        if (!dels.isEmpty)
+          IndexMaintenance.removeFromServing(spark, dir, dels,
+            "vec_id", "version")
+      }
+      .start()
+    def send(rows: (Long, Seq[Double], Long, Boolean)*): Unit = {
+      stream.addData(rows: _*); sq.processAllAvailable()
+    }
+    // b1: ten new ids; b2: delete five of them plus five base ids;
+    // b3: resurrect one deleted id at a higher version
+    send((0 until 10).map(j =>
+      (100000L + j, v0.map(_ * (1 + 0.01 * j)), 2L, false)): _*)
+    send(((0 until 5).map(j => (100000L + j, Seq.empty[Double], 3L, true))
+      ++ (0 until 5).map(j => (j.toLong, Seq.empty[Double], 3L, true))): _*)
+    send((100000L, v0.map(_ * 2), 4L, false))
+    sq.stop()
+
+    val served = graft.operators.Serving.open(spark, dir,
+      id = "vec_id", vecCol = "v").data
+    assert(served.filter(col("vec_id").isin(
+      100001L, 100002L, 100003L, 100004L, 1L, 2L, 3L, 4L)).count() == 0,
+      "stream-deleted ids must not be served")
+    assert(served.filter(col("vec_id") === 100000L)
+      .select("version").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(4L), "the resurrected id must serve only its v4 row")
+    assert(served.filter(col("vec_id") === 0L).count() == 0,
+      "base id 0 was deleted in b2")
+    assert(served.filter(col("vec_id").isin(100005L, 100009L))
+      .select("vec_id").distinct().count() == 2,
+      "untouched streamed upserts keep serving")
+  }
+
   test("liveCorpus drops log-tombstoned ids so a recluster does not " +
       "resurrect them") {
     val log = Files.createTempDirectory("ivf-dellog").toString + "/log"
