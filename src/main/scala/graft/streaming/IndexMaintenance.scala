@@ -465,6 +465,79 @@ object IndexMaintenance {
     fs.delete(old, true)
   }
 
+  /** Policy knobs for [[maintain]] — the numbers an operator tunes
+    * per deployment instead of hand-scheduling each action.
+    *
+    * @param maxLeafSize   rebalance trigger: any stored leaf past
+    *                      this row count gets a localized split
+    * @param maxDeltaRows  compaction trigger: once the LWW registry
+    *                      accumulates this many entries, superseded
+    *                      and tombstoned rows get materialized away
+    * @param keepVersions  snapshot-log retention handed to the
+    *                      truncate pass (≤ 0 = keep forever)
+    */
+  final case class MaintenancePolicy(
+      maxLeafSize: Int,
+      maxDeltaRows: Long = 100000L,
+      keepVersions: Int = 64)
+
+  /** What one [[maintain]] sweep did — the operator's audit record. */
+  final case class MaintenanceReport(
+      splits: Int, maxLeafAfter: Long, compacted: Boolean,
+      deltaRows: Long, logVersionsDropped: Int)
+
+  /** ONE policy-driven maintenance sweep over a serving layout — the
+    * autopilot tick an always-on index schedules after upsert/delete
+    * traffic instead of hand-wiring each action:
+    *
+    *  1. leaves past `policy.maxLeafSize` → [[rebalanceOverflow]]
+    *     (localized splits; cost ∝ overflowed data). Skipped on a
+    *     PQ-coded layout — no raw vectors to re-fit; the report's
+    *     `maxLeafAfter` still flags the overflow so the operator
+    *     schedules the [[recluster]] it actually needs.
+    *  2. LWW registry past `policy.maxDeltaRows` entries →
+    *     [[compactServing]] (one rewrite materializes upserts AND
+    *     deletes, clears the registry, resets the snapshot log).
+    *  3. snapshot-log retention ([[graft.operators.ServingManifest.truncate]]
+    *     with `policy.keepVersions`) — a no-op right after a compact
+    *     (fresh log), the bound that matters between compacts.
+    *
+    * Each decision reads one cheap aggregate (a footer-count per
+    * leaf, a registry count); every action is the same incremental
+    * operator the lifecycle gates already prove. Idempotent: a sweep
+    * over a healthy layout does nothing and says so.
+    */
+  def maintain(spark: SparkSession, servePath: String, id: String,
+      vecCol: String, versionCol: String,
+      policy: MaintenancePolicy): MaintenanceReport = {
+    val fs = new org.apache.hadoop.fs.Path(servePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val coded = fs.exists(new org.apache.hadoop.fs.Path(
+      graft.operators.ProductQuantizer.codebookDir(servePath)))
+    val overflowed = oversizedLeaves(spark, servePath,
+      policy.maxLeafSize).count()
+    val (splits, maxAfter) =
+      if (overflowed > 0 && !coded)
+        rebalanceOverflow(spark, servePath, id, vecCol,
+          policy.maxLeafSize)
+      else if (overflowed > 0)
+        (0, graft.operators.ServingManifest.openOrRead(spark, servePath)
+          .groupBy("leaf_id").count().agg(max("count")).head().getLong(0))
+      else (0, 0L)
+    val delta = new org.apache.hadoop.fs.Path(deltaDir(servePath))
+    val deltaRows =
+      if (fs.exists(delta)) spark.read.parquet(delta.toString).count()
+      else 0L
+    val compact = deltaRows > policy.maxDeltaRows
+    if (compact) compactServing(spark, servePath, id, versionCol)
+    val dropped =
+      if (!compact && policy.keepVersions > 0)
+        graft.operators.ServingManifest.truncate(spark, servePath,
+          policy.keepVersions)
+      else 0
+    MaintenanceReport(splits, maxAfter, compact, deltaRows, dropped)
+  }
+
   /** Resolve the live corpus (LWW per id). Tombstone-aware when the
     * log carries a `tombstone` column (a delete stream appends
     * (id, version, tombstone=true) rows through [[appendBatch]] like

@@ -475,6 +475,57 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(zero == 0)
   }
 
+  test("maintain: one policy sweep rebalances overflow, compacts a " +
+      "swollen registry, and is idempotent on a healthy layout") {
+    import IndexMaintenance.{MaintenancePolicy, maintain}
+    val dir = Files.createTempDirectory("ivf-maint").toString + "/idx"
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val (indexed, model) = graft.operators.IvfIndex.build(
+      base, "vec_id", "v", 8)
+    graft.operators.IvfIndex.write(indexed, dir, model)
+    val v0 = base.filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0)
+    val maxLeaf = spark.read.parquet(dir)
+      .groupBy("leaf_id").count().agg(max("count")).head().getLong(0)
+
+    // overstuff ONE region: 150 jittered copies of v0, spill=1
+    val stuff = spark.range(150).select(
+      (col("id") + 500000L).as("vec_id"),
+      transform(typedLit(v0), x => x * 1.0001).as("v"),
+      lit(2L).as("version"))
+    IndexMaintenance.appendToServing(spark, dir, stuff,
+      "vec_id", "v", "version", spill = 1)
+    val bound = (maxLeaf + 60).toInt
+    val policy = MaintenancePolicy(maxLeafSize = bound,
+      maxDeltaRows = 1000L)
+    val r1 = maintain(spark, dir, "vec_id", "v", "version", policy)
+    assert(r1.splits > 0, s"sweep must split the overstuffed leaf: $r1")
+    assert(!r1.compacted && r1.deltaRows == 150L)
+    assert(IndexMaintenance.oversizedLeaves(spark, dir, bound)
+      .count() == 0, "no leaf may remain past the bound")
+
+    // swell the registry past the policy: deletes are registry rows too
+    IndexMaintenance.removeFromServing(spark, dir,
+      spark.range(100).select((col("id") + 500000L).as("vec_id"),
+        lit(3L).as("version")), "vec_id", "version")
+    val policy2 = policy.copy(maxDeltaRows = 200L)
+    val r2 = maintain(spark, dir, "vec_id", "v", "version", policy2)
+    assert(r2.compacted && r2.deltaRows == 250L, s"sweep must compact: $r2")
+    assert(!new java.io.File(dir, "_graft_delta").exists())
+    assert(spark.read.parquet(dir)
+      .filter(col("vec_id") === 500000L).count() == 0,
+      "compaction must materialize the deletes")
+
+    // healthy layout: the sweep is a no-op and says so
+    val r3 = maintain(spark, dir, "vec_id", "v", "version", policy2)
+    assert(r3 == IndexMaintenance.MaintenanceReport(0, 0L, false, 0L, 0),
+      s"sweep over a healthy layout must do nothing: $r3")
+    // and the layout still serves
+    assert(IndexMaintenance.readServing(spark, dir, "vec_id", "version")
+      .filter(col("vec_id") === 500100L).count() > 0)
+  }
+
   test("appendToServing rejects a batch whose schema differs from the layout") {
     val serve = Files.createTempDirectory("ivf-srv4").toString + "/serve"
     val base = Tables.embeddings(spark, sf).select(col("vec_id"),
