@@ -92,6 +92,40 @@ final class Serving private[operators] (
     restricts.nonEmpty &&
       restrictSelectivity(restricts).exists(_ <= maxExactFraction)
 
+  /** Multi-vector LATE-INTERACTION search against the held layout —
+    * the serving-side MaxSim (`v_maxsim` is the exact batch form):
+    * one query = a SET of vectors, one document = the layout rows
+    * sharing `docCol`, score(doc) = Σ_q max over the doc's rows of
+    * ⟨q, row⟩. IVF-pruned: the scan covers the UNION of every query
+    * vector's `nProbe` probed leaves (one pruned pass — each query
+    * vector then scores all union rows, which only ADDS candidates
+    * vs per-vector probing and keeps the plan a single scan).
+    * Per-(doc, qvec) partial MAX collapses map-side; the per-doc sum
+    * is exact-decimal. Approximate like all probed serving: a doc
+    * vector outside every probed leaf contributes nothing.
+    *
+    * Output: (docCol, score) top-k by score desc, docCol asc.
+    */
+  def searchMaxSim(queryVecs: Seq[Array[Double]], nProbe: Int, k: Int,
+      docCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(queryVecs.nonEmpty, "searchMaxSim needs ≥ 1 query vector")
+    val leaves = queryVecs.flatMap(q => model.topLeaves(q, nProbe))
+      .distinct
+    val qdf = spark.createDataFrame(
+      queryVecs.zipWithIndex.map { case (q, i) => (i, q.toSeq) })
+      .toDF("__qidx", "__qv")
+    data.filter(col("leaf_id").isin(leaves: _*))
+      .crossJoin(broadcast(qdf))
+      .groupBy(col(docCol), col("__qidx"))
+      .agg(max(graft.functions.vectors.dotProduct(col(vecCol),
+        col("__qv"))).as("__best"))
+      .groupBy(col(docCol))
+      .agg(graft.Exact.dsum(col("__best"), 12).as("score"))
+      .orderBy(col("score").desc, col(docCol))
+      .limit(k)
+  }
+
   /** CERTIFIED exact top-k — leaf pruning with a PROOF instead of a
     * recall target (see [[CertifiedSearch]] for the ball bound).
     * Probes leaves in upper-bound order, doubling the probe set until
