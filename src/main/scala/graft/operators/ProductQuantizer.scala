@@ -637,6 +637,190 @@ object ProductQuantizer {
     else cents
   }
 
+  /** Orthonormal-basis ROTATION as a (fully codegen) expression:
+    * rotated(j) = ⟨v, basis(j)⟩ — d existing `DotProduct` expressions
+    * assembled into an array, no new Catalyst node needed. With
+    * orthonormal rows, inner products are preserved
+    * (⟨Bx, Bq⟩ = ⟨x, q⟩), which is what lets a rotated PQ tier serve
+    * the same dot-product ranking.
+    */
+  def rotateExpr(vec: Column, basis: Array[Array[Double]]): Column =
+    array(basis.map(b => graft.functions.vectors.dotProduct(
+      vec, typedLit(b.toSeq))): _*)
+
+  /** Driver-side mirror of [[rotateExpr]] (forward accumulation, same
+    * IEEE order as the DotProduct codegen).
+    */
+  def rotate(x: Array[Double], basis: Array[Array[Double]]): Array[Double] =
+    basis.map { b =>
+      var s = 0.0; var j = 0
+      while (j < b.length) { s += x(j) * b(j); j += 1 }
+      s
+    }
+
+  /** The d×d identity basis (OPQ's starting rotation). */
+  def identityBasis(d: Int): Array[Array[Double]] =
+    Array.tabulate(d)(j => Array.tabulate(d)(i => if (i == j) 1.0 else 0.0))
+
+  /** Per-subspace recon of one ROTATED row under `cb` — the chosen
+    * (argmin-L2, lowest-code tie) entry per subspace, concatenated;
+    * the training-time mirror of what [[encodeExpr]]+ADC serve.
+    */
+  private def reconOf(r: Array[Double], cb: Seq[Array[Double]])
+      : Array[Double] = {
+    val out = new Array[Double](r.length)
+    var s = 0
+    while (s < NumSub) {
+      var bestC = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < NumCodes) {
+        var dd = 0.0; var j = 0
+        while (j < SubDim) {
+          val t = r(s * SubDim + j) - cb(c)(s * SubDim + j)
+          dd += t * t; j += 1
+        }
+        if (dd < bestD) { bestD = dd; bestC = c }
+        c += 1
+      }
+      System.arraycopy(cb(bestC), s * SubDim, out, s * SubDim, SubDim)
+      s += 1
+    }
+    out
+  }
+
+  /** Per-subspace Lloyd fit over already-materialized rows — the
+    * shared core of [[trainCodebooks]] and [[trainOpq]].
+    */
+  private def fitSubspaces(rows: Array[Array[Double]],
+      iters: Int): Seq[Array[Double]] = {
+    val dim = rows.head.length
+    val out = Array.fill(NumCodes)(new Array[Double](dim))
+    var s = 0
+    while (s < NumSub) {
+      val slices = rows.map(_.slice(s * SubDim, s * SubDim + SubDim))
+      val cents = lloyd(slices, NumCodes, iters)
+      var c = 0
+      while (c < NumCodes) {
+        System.arraycopy(cents(c), 0, out(c), s * SubDim, SubDim)
+        c += 1
+      }
+      s += 1
+    }
+    out.toSeq
+  }
+
+  /** OPTIMIZED product quantization (OPQ, Ge et al. CVPR 2013 /
+    * ScaNN & FAISS `OPQMatrix`): learn an ORTHOGONAL rotation B and
+    * codebooks cb jointly so the subspace split falls along the
+    * data's own axes — plain PQ quantizes fixed 8-dim slices, which
+    * wastes precision when variance is spread across correlated
+    * dimensions; rotating first concentrates it. Alternating
+    * minimization of ‖B·x − recon(B·x)‖²:
+    *
+    *  1. fix B → fit per-subspace codebooks on the rotated sample
+    *     (exact [[trainCodebooks]] objective);
+    *  2. fix codebooks → the best orthogonal B is the orthogonal
+    *     Procrustes solution: with N = Σᵢ xᵢ·qᵢᵀ (qᵢ = the rotated
+    *     row's recon), SVD N = U·S·Vᵀ gives B = V·Uᵀ.
+    *
+    * Deterministic like every fit in this engine: hash-sampled
+    * id-sorted rows, farthest-point Lloyd init, fixed iteration
+    * counts, driver-local (d×d SVD of a 64×64 matrix — Breeze, the
+    * linear-algebra dependency Spark itself ships). Returns (basis
+    * rows, codebooks IN ROTATED SPACE); encode with
+    * `encodeExpr(rotateExpr(v, basis), cb)` and serve ADC with the
+    * ROTATED query — inner products are preserved by orthonormality,
+    * so scores rank identically to the unrotated metric.
+    */
+  def trainOpq(emb: DataFrame, idCol: String, vecCol: String,
+      maxSample: Int = 20000, outer: Int = 8, iters: Int = 4)
+      : (Array[Array[Double]], Seq[Array[Double]]) = {
+    val n = emb.count()
+    val sampled =
+      if (n <= maxSample) emb
+      else emb.filter(
+        pmod(xxhash64(col(idCol)), lit(1000000L)) <
+          lit((maxSample.toLong * 1000000L) / n))
+    val rows = sampled
+      .select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
+      .collect().sortBy(_.getString(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(rows.nonEmpty, "cannot train OPQ on an empty corpus")
+    val d = rows.head.length
+    require(d == NumSub * SubDim,
+      s"expected ${NumSub * SubDim}-dim vectors, got $d")
+    // PARAMETRIC init (Ge et al. §4): identity is a fixed point of
+    // the alternation (N = Σ x·reconᵀ is near-symmetric-PSD there, so
+    // Procrustes returns ≈I and nothing ever moves). Start instead
+    // from PCA with BALANCED EIGENVALUE ALLOCATION: eigen-decompose
+    // the sample covariance, then deal eigenvectors (variance
+    // descending) to the subspace with the smallest current
+    // log-variance product — each 8-dim slice gets comparable energy,
+    // which is the whole point of rotating before splitting.
+    var basis = {
+      val mean = new Array[Double](d)
+      rows.foreach { x =>
+        var j = 0; while (j < d) { mean(j) += x(j); j += 1 }
+      }
+      var j = 0
+      while (j < d) { mean(j) /= rows.length; j += 1 }
+      val cov = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+      rows.foreach { x =>
+        var a = 0
+        while (a < d) {
+          val xa = x(a) - mean(a)
+          var b = 0
+          while (b < d) { cov(a, b) += xa * (x(b) - mean(b)); b += 1 }
+          a += 1
+        }
+      }
+      cov :/= rows.length.toDouble
+      val es = breeze.linalg.eigSym(cov)
+      // descending variance; guard against tiny negatives from fp
+      val order = (0 until d).sortBy(i => -es.eigenvalues(i))
+      val logs = new Array[Double](NumSub)
+      val slots = Array.fill(NumSub)(0)
+      val rowsOut = Array.ofDim[Double](d, d)
+      order.foreach { ei =>
+        val s = (0 until NumSub)
+          .filter(slots(_) < SubDim)
+          .minBy(s => (logs(s), s))
+        val row = s * SubDim + slots(s)
+        var k = 0
+        while (k < d) { rowsOut(row)(k) = es.eigenvectors(k, ei); k += 1 }
+        logs(s) += math.log(math.max(es.eigenvalues(ei), 1e-12))
+        slots(s) += 1
+      }
+      rowsOut
+    }
+    var cb: Seq[Array[Double]] = null
+    var t = 0
+    while (t < outer) {
+      val rot = rows.map(rotate(_, basis))
+      cb = fitSubspaces(rot, iters)
+      // Procrustes step: N = Σ x·reconᵀ, B = V·Uᵀ from N = U·S·Vᵀ
+      val nMat = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+      var i = 0
+      while (i < rows.length) {
+        val x = rows(i); val q = reconOf(rot(i), cb)
+        var a = 0
+        while (a < d) {
+          var b = 0
+          while (b < d) { nMat(a, b) += x(a) * q(b); b += 1 }
+          a += 1
+        }
+        i += 1
+      }
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(nMat)
+      val bMat = vt.t * u.t
+      basis = Array.tabulate(d)(r => Array.tabulate(d)(c => bMat(r, c)))
+      t += 1
+    }
+    // codebooks must match the FINAL rotation
+    cb = fitSubspaces(rows.map(rotate(_, basis)), iters)
+    (basis, cb)
+  }
+
   /** Mean PQ reconstruction error (the training objective): per row,
     * Σ over subspaces of the CHOSEN entry's squared distance — the
     * same per-subspace argmin [[encodeExpr]] takes, summed instead of

@@ -402,6 +402,62 @@ object QuantizeQueries {
       .limit(10)
   }
 
+  /** ROTATED PQ (the OPQ serving shape with a FIXED rotation so the
+    * whole pipeline stays SQL-replicable): rotate → encode → ADC,
+    * where the rotation is the reversal permutation — orthogonal,
+    * exactly `list_reverse` in the oracle, and bit-exact through the
+    * engine's `rotateExpr` (one-hot dot products select components
+    * exactly). Codebook rows and the query rotate with the data, so
+    * this gate pins every joint the LEARNED rotation
+    * ([[graft.operators.ProductQuantizer.trainOpq]], OpqSpec) plugs
+    * into: a wrong basis orientation, a codebook in the wrong space,
+    * or an unrotated query all change the codes and fail the hash.
+    */
+  private val vPqRotated = QueryDef.sqlChecked("v_pq_rotated")(
+    s"WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, " +
+      "list_reverse(cast(embedding as double[])) AS cv FROM embeddings " +
+      s"WHERE vec_id IN (${PqIds.mkString(",")})), " +
+      "sub AS (SELECT unnest(range(0, 8)) AS s), " +
+      "dist AS (SELECT e.vec_id, s.s, cb.c, " +
+      "list_distance(list_reverse(cast(e.embedding as double[]))[s.s*8+1 : s.s*8+8], " +
+      "cv[s.s*8+1 : s.s*8+8]) AS d FROM embeddings e CROSS JOIN sub s CROSS JOIN cb), " +
+      "code AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, " +
+      "row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM dist) " +
+      "WHERE rn = 1), " +
+      "q AS (SELECT list_reverse(cast(embedding as double[])) AS qv " +
+      "FROM embeddings WHERE vec_id = 7), " +
+      "term AS (SELECT code.vec_id, code.s, " +
+      "list_inner_product(q.qv[code.s*8+1 : code.s*8+8], " +
+      "cb.cv[code.s*8+1 : code.s*8+8]) AS t " +
+      "FROM code JOIN cb ON code.c = cb.c CROSS JOIN q), " +
+      "piv AS (SELECT vec_id, " +
+      (0 until 8).map(i => s"max(CASE WHEN s = $i THEN t END) AS t$i")
+        .mkString(", ") +
+      " FROM term GROUP BY vec_id) " +
+      "SELECT vec_id, t0+t1+t2+t3+t4+t5+t6+t7 AS adc_score FROM piv " +
+      "ORDER BY adc_score DESC, vec_id LIMIT 10"
+  ) { (s, d) =>
+    import graft.operators.ProductQuantizer
+    val emb = Tables.embeddings(s, d)
+    val dim = ProductQuantizer.NumSub * ProductQuantizer.SubDim
+    // reversal permutation as an orthonormal basis
+    val basis = Array.tabulate(dim)(j =>
+      Array.tabulate(dim)(i => if (i == dim - 1 - j) 1.0 else 0.0))
+    val cbRot = ProductQuantizer.codebook(emb, "vec_id", "embedding", PqIds)
+      .map(ProductQuantizer.rotate(_, basis))
+    val codes = emb.select(col("vec_id"),
+      ProductQuantizer.encodeExpr(
+        ProductQuantizer.rotateExpr(
+          col("embedding").cast("array<double>"), basis), cbRot)
+        .as("pq_code"))
+    val query = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    ProductQuantizer.searchCodes(codes, "vec_id", cbRot,
+        ProductQuantizer.rotate(query, basis), 10)
+      .select("vec_id", "adc_score")
+  }
+
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
-    vIvfPqSearch, vIvfPqRerank, rServePq)
+    vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq)
 }
