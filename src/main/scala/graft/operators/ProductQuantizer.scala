@@ -860,6 +860,40 @@ object ProductQuantizer {
     * fresh serving session can open the layout path alone and both
     * ENCODE upserts and ADC-score queries ([[loadCodebook]]).
     */
+  /** OPQ rotation sidecar of a coded serving layout: the orthonormal
+    * basis rows [[trainOpq]] learned, persisted beside the codebook
+    * so a fresh serving session can encode upserts and rotate
+    * queries with no re-train. Optional — a layout without one is a
+    * plain-PQ tier.
+    */
+  def rotationDir(path: String): String = path + "/_graft_opq"
+
+  def writeRotation(spark: org.apache.spark.sql.SparkSession,
+      path: String, basis: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    basis.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+      .toDF("row", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(rotationDir(path))
+  }
+
+  def loadRotation(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Array[Array[Double]]] = {
+    val dir = new org.apache.hadoop.fs.Path(rotationDir(path))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else {
+      val rows = spark.read.parquet(dir.toString)
+        .collect().sortBy(_.getInt(0))
+      val basis = rows.map(_.getSeq[Double](1).toArray)
+      require(basis.nonEmpty && basis.zipWithIndex.forall {
+          case (r, i) => rows(i).getInt(0) == i && r.length == basis.length
+        },
+        s"OPQ rotation sidecar at $dir is malformed " +
+          s"(${basis.length} rows)")
+      Some(basis)
+    }
+  }
+
   def writeCodebook(spark: org.apache.spark.sql.SparkSession,
       path: String, cb: Seq[Array[Double]]): Unit = {
     require(cb.length == NumCodes,

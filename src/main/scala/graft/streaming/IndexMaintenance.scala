@@ -153,11 +153,18 @@ object IndexMaintenance {
     val layoutCols = graft.operators.ServingManifest.openOrRead(spark, servePath)
       .columns.sorted.toSeq
     val v = col(vecCol).cast("array<double>")
+    // an OPQ layout rotates before encoding (codebooks live in the
+    // rotated space); leaf ASSIGNMENT stays in raw space — the model
+    // centroids are unrotated, like the build that wrote them
+    val encIn = graft.operators.ProductQuantizer.loadRotation(spark,
+        servePath)
+      .map(r => graft.operators.ProductQuantizer.rotateExpr(v, r))
+      .getOrElse(v)
     val assigned = batch
       .withColumn("leaf_id",
         explode(IvfIndex.probeExprF32(model, v, math.max(1, spill))))
       .withColumn("pq_code",
-        graft.operators.ProductQuantizer.encodeExpr(v, cb))
+        graft.operators.ProductQuantizer.encodeExpr(encIn, cb))
       .drop(vecCol)
     require(assigned.columns.sorted.toSeq == layoutCols,
       s"appendCodedToServing: batch columns " +
@@ -438,6 +445,10 @@ object IndexMaintenance {
     if (fs.exists(pq))
       graft.operators.ProductQuantizer.writeCodebook(spark, tmp.toString,
         graft.operators.ProductQuantizer.loadCodebook(spark, servePath))
+    // an OPQ layout's rotation travels with its codebook
+    graft.operators.ProductQuantizer.loadRotation(spark, servePath)
+      .foreach(graft.operators.ProductQuantizer.writeRotation(spark,
+        tmp.toString, _))
     // promoted-column marker travels first: the rebuild below then
     // recomputes per-file skip stats for the compacted files
     val promoted = new org.apache.hadoop.fs.Path(

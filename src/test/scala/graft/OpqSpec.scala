@@ -98,6 +98,68 @@ class OpqSpec extends SparkTestBase {
     vecs.unpersist()
   }
 
+  test("durable OPQ serving tier: rotation sidecar reopens for " +
+      "appends, queries, and survives compaction") {
+    import graft.operators.IvfIndex
+    import graft.streaming.IndexMaintenance
+    val d = ProductQuantizer.NumSub * ProductQuantizer.SubDim
+    val mix = scrambleBasis(d, 4242L)
+    val vecs = anisotropic(1200L, d, mix)
+      .withColumn("version", lit(1L)).persist()
+    vecs.count()
+    val (basis, cb) = ProductQuantizer.trainOpq(vecs, "vec_id", "v",
+      maxSample = 1200, outer = 4, iters = 5)
+    val cents = vecs.filter(col("vec_id") % 150 === 0).limit(8)
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_opqserve").toString + "/idx"
+    val coded = vecs
+      .withColumn("leaf_id",
+        explode(IvfIndex.probeExpr(model, col("v"), 1)))
+      .withColumn("pq_code", ProductQuantizer.encodeExpr(
+        ProductQuantizer.rotateExpr(col("v"), basis), cb))
+      .drop("v")
+    IvfIndex.write(coded, dir, model)
+    ProductQuantizer.writeCodebook(spark, dir, cb)
+    ProductQuantizer.writeRotation(spark, dir, basis)
+
+    // a FRESH session appends through the sidecars alone: the upsert
+    // must be encoded via the reloaded rotation or its ADC score is
+    // garbage in the rotated codebook space
+    val query = vecs.filter(col("vec_id") === 5)
+      .select("v").head().getSeq[Double](0).toArray
+    val up = spark.range(1).select(lit(900000L).as("vec_id"),
+      typedLit(query.toSeq).as("v"), lit(2L).as("version"))
+    IndexMaintenance.appendCodedToServing(spark, dir, up,
+      "vec_id", "v", "version")
+
+    def searchAll(): Seq[Long] = {
+      val cb2 = ProductQuantizer.loadCodebook(spark, dir)
+      val rot = ProductQuantizer.loadRotation(spark, dir).get
+      IndexMaintenance.readServing(spark, dir, "vec_id", "version")
+        .select(col("vec_id"),
+          ProductQuantizer.adcScoreExpr(col("pq_code"),
+            ProductQuantizer.adcTable(
+              ProductQuantizer.rotate(query, rot), cb2)).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(5)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val top = searchAll()
+    assert(top.contains(900000L) && top.contains(5L),
+      s"the appended copy of the query and the query row itself must " +
+        s"rank in the ADC top-5, got $top")
+
+    // compaction carries BOTH sidecars; the tier keeps serving
+    IndexMaintenance.compactServing(spark, dir, "vec_id", "version")
+    assert(ProductQuantizer.loadRotation(spark, dir).isDefined,
+      "the rotation sidecar must survive compaction")
+    assert(searchAll() == top,
+      "compaction must not change the served ADC ranking")
+    vecs.unpersist()
+  }
+
   test("rotated encode/ADC pipeline serves through the learned basis") {
     val d = ProductQuantizer.NumSub * ProductQuantizer.SubDim
     val mix = scrambleBasis(d, 777L)
