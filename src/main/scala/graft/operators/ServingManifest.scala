@@ -372,6 +372,25 @@ object ServingManifest {
   def rebuild(spark: SparkSession, path: String): Unit =
     writeEntries(spark, path, listAll(spark, path))
 
+  /** Relative data-file paths of the LIVE manifest (None when the
+    * layout carries no manifest). Driver-materialized like every
+    * other manifest consumer ([[ManifestFileIndex]] holds the same
+    * rows): ~10⁶ short strings at 100 TB, tens of MB.
+    */
+  private[graft] def liveFiles(spark: SparkSession,
+      path: String): Option[Seq[String]] =
+    if (!exists(spark, path)) None
+    else Some(spark.read.parquet(manifestDir(path))
+      .select("file").collect().map(_.getString(0)).toSeq)
+
+  /** Relative data-file paths AS OF a logged snapshot version (the
+    * same fold [[openAt]] performs); None when the version is not in
+    * the log.
+    */
+  private[graft] def filesAt(spark: SparkSession, path: String,
+      version: Int): Option[Seq[String]] =
+    entriesAt(spark, path, version).map(_.map(_._1).toSeq)
+
   /** Replace the manifest rows of the given leaves with a fresh
     * listing of exactly those directories — the steady-state update
     * after an append or rebalance touched a bounded leaf set. Cost is

@@ -1243,6 +1243,111 @@ object ReferencePipeline {
       .limit(12)
   }
 
+  /** Serving-layout CLONE at a pinned snapshot version
+    * ([[graft.streaming.IndexMaintenance.cloneServing]]) — the
+    * backup / blue-green half of the deployment lifecycle the
+    * reference delegates to its managed service (index + endpoint
+    * provisioning, index_manager.py:49-75). The gate builds, appends
+    * twice, clones AS OF the intermediate version into a fresh
+    * directory, and searches the CLONE through its own (fresh, v=1)
+    * manifest: the first append must be visible in full, the second
+    * completely invisible, and the copied file-set must match its
+    * manifest byte for byte — a clone that leaked a newer file, lost
+    * one, or mis-wrote its manifest fails the hash or a require().
+    * The data-file copy itself is a distributed job (one task per
+    * file), which is what makes the operation a cluster-scale backup
+    * rather than a driver loop.
+    */
+  private val rServeClone = QueryDef.sqlChecked("r_serve_clone")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "up1 AS (SELECT vec_id + 200000 AS vec_id, " +
+      "list_transform(v, x -> 1.5*x) AS v FROM base WHERE vec_id % 31 = 3), " +
+      "live AS (SELECT * FROM base UNION ALL SELECT * FROM up1), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id = 7), " +
+      "assign AS (SELECT vec_id, v, cid AS leaf_id FROM (" +
+      "SELECT l.vec_id, l.v, c.cid, row_number() OVER (" +
+      "PARTITION BY l.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(l.v, c.cv), c.cid) AS rn " +
+      "FROM live l, cent c) WHERE rn <= 2), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) WHERE rn <= 3), " +
+      "cand AS (SELECT a.vec_id, a.leaf_id, " +
+      "list_inner_product(a.v, q.qv) AS score " +
+      "FROM assign a JOIN probe p ON a.leaf_id = p.cid, q) " +
+      "SELECT vec_id, cast(min(leaf_id) as bigint) AS leaf_id, " +
+      "max(score) AS score FROM cand GROUP BY vec_id " +
+      "ORDER BY score DESC, vec_id LIMIT 12"
+  ) { (s, d) =>
+    import graft.streaming.IndexMaintenance
+    import graft.operators.ServingManifest
+    graft.plans.GraftExtensions.register(s)
+    val base = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val query = base.filter(col("vec_id") === 7)
+      .select(col("v")).head().getSeq[Double](0)
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servecl_" + java.lang.Integer.toHexString(d.hashCode))
+    val clonePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servecl2_" + java.lang.Integer.toHexString(d.hashCode))
+    Seq(servePath, clonePath).foreach { p =>
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => { java.nio.file.Files.delete(q); () })
+      }
+    }
+    val indexed = base.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, servePath.toString, model)
+
+    val up1 = base.filter(col("vec_id") % 31 === 3)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => x * 1.5))
+    IndexMaintenance.appendToServing(s, servePath.toString, up1,
+      "vec_id", "v", "version")
+    val up2 = base.filter(col("vec_id") % 45 === 11)
+      .withColumn("vec_id", col("vec_id") + 400000)
+      .withColumn("v", transform(col("v"), x => x * 0.5))
+    IndexMaintenance.appendToServing(s, servePath.toString, up2,
+      "vec_id", "v", "version")
+
+    val copied = IndexMaintenance.cloneServing(s, servePath.toString,
+      clonePath.toString, Some(2))
+    require(copied > 0, "clone copied no files")
+    require(ServingManifest.versions(s, clonePath.toString) == Seq(1),
+      "a clone must start a fresh manifest history at v=1")
+    val drift = ServingManifest.verify(s, clonePath.toString)
+    require(drift == ((0L, 0L)),
+      s"clone manifest drift: $drift")
+
+    val data = ServingManifest.open(s, clonePath.toString).get
+    graft.plans.IndexCatalog.drop("r_serve_clone")
+    graft.plans.IndexCatalog.open(s, "r_serve_clone", clonePath.toString)
+    data.filter(graft.plans.AnnPruning.probe("r_serve_clone",
+        col("leaf_id"), query, 3))
+      .select(col("vec_id"), col("leaf_id"),
+        graft.functions.vectors.dotProduct(col("v"),
+          typedLit(query)).as("score"))
+      .groupBy("vec_id")
+      .agg(min(col("leaf_id")).cast("bigint").as("leaf_id"),
+        max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(12)
+  }
+
   /** The DELETE half of the serving lifecycle, driver-gated: build →
     * upsert batch → [[graft.streaming.IndexMaintenance.removeFromServing]]
     * tombstones → a LATER upsert RESURRECTING a subset of the deleted
@@ -1630,7 +1735,7 @@ object ReferencePipeline {
 
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
-    rServeManifest, rServeSnapshot, rServeBatch, rServeDelete,
+    rServeManifest, rServeSnapshot, rServeClone, rServeBatch, rServeDelete,
     rServePrefilter, rRebalance, vAnnBuild, vAnnCertified, vMaxsimPruned,
     vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e, vAnnRouted,
     vKnnJoin)

@@ -587,4 +587,109 @@ object IndexMaintenance {
     IvfIndex.write(indexed, servePath, model)
     model
   }
+
+  /** Sidecars a clone must carry for the copy to serve standalone:
+    * the IVF model (required — a layout is unsearchable without it),
+    * then optional tiers/metadata that travel with the data they
+    * describe: PQ codebook + OPQ rotation (codes are indices into the
+    * codebook), certified-search radii (over-estimates for ANY subset
+    * of the layout — appends only grow a radius and compaction only
+    * removes rows, so a pinned clone inherits them safely), and the
+    * promoted-column marker (so the fresh manifest re-derives
+    * per-file stats).
+    */
+  private val CloneSidecars = Seq(
+    "_graft_model", "_graft_pq", "_graft_opq", "_graft_radii",
+    "_graft_manifest_promoted")
+
+  /** Clone a serving layout to `dstPath` — the backup / environment-
+    * promotion / blue-green half of the deployment lifecycle the
+    * reference delegates to its managed service (index + endpoint
+    * provisioning, /root/reference/vector_store/utils/index_manager.py:49-75).
+    *
+    * `version = None` clones the LIVE layout: the current manifest's
+    * file-set plus the delta registry, so a fresh `Serving.open` on
+    * the clone answers exactly like one on the source (LWW and
+    * tombstones included). `Some(v)` clones the file-set AS OF logged
+    * snapshot `v` ([[graft.operators.ServingManifest.openAt]]
+    * semantics: raw rows as stored then, no registry) — a consistent
+    * historical copy even while upserts keep landing on the source.
+    *
+    * The copy is DISTRIBUTED (one task per data file, ~256-way) —
+    * at 10⁶ files / 100 TB this is a cluster job, not a driver loop;
+    * sidecars (model, codebook, rotation, radii — KBs to MBs) copy on
+    * the driver. The clone starts a FRESH manifest history: one v=1
+    * checkpoint install of exactly the copied file-set, so its
+    * retention and time travel are independent of the source's.
+    * A pinned version whose files a rewriting mutation (compact /
+    * recluster) has since replaced fails the copy loudly, matching
+    * the snapshot log's contract.
+    *
+    * @return number of data files copied
+    */
+  def cloneServing(spark: SparkSession, srcPath: String, dstPath: String,
+      version: Option[Int] = None): Long = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    import graft.operators.ServingManifest
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcRoot = new Path(srcPath)
+    val dstRoot = new Path(dstPath)
+    val srcFs = srcRoot.getFileSystem(conf)
+    val dstFs = dstRoot.getFileSystem(conf)
+    require(!dstFs.exists(dstRoot) ||
+      dstFs.listStatus(dstRoot).isEmpty,
+      s"cloneServing: destination $dstPath exists and is not empty — " +
+        "refusing to interleave two layouts")
+    val files: Seq[String] = version match {
+      case Some(v) =>
+        ServingManifest.filesAt(spark, srcPath, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"cloneServing: version $v is not in the snapshot log of " +
+              s"$srcPath (have ${ServingManifest.versions(spark, srcPath)})"))
+      case None =>
+        ServingManifest.liveFiles(spark, srcPath).getOrElse(
+          throw new IllegalArgumentException(
+            s"cloneServing: $srcPath carries no manifest — a live clone " +
+              "needs one (ServingManifest.rebuild first)"))
+    }
+    dstFs.mkdirs(dstRoot)
+    // distributed data-file copy, relative paths preserved so the
+    // leaf_id= partition layout survives verbatim
+    val srcStr = srcPath
+    val dstStr = dstPath
+    spark.sparkContext
+      .parallelize(files, math.min(math.max(files.length, 1), 256))
+      .foreach { rel =>
+        val c = new org.apache.hadoop.conf.Configuration()
+        val from = new Path(srcStr + "/" + rel)
+        val to = new Path(dstStr + "/" + rel)
+        val ffs = from.getFileSystem(c)
+        val tfs = to.getFileSystem(c)
+        if (!FileUtil.copy(ffs, from, tfs, to, false, false, c))
+          throw new java.io.IOException(
+            s"cloneServing: cannot copy $from — pinned file replaced " +
+              "by a rewriting mutation?")
+      }
+    // sidecars (small, driver-side); the delta registry is LIVE state
+    // and only travels with a live clone, mirroring openAt semantics
+    val sidecars =
+      if (version.isEmpty) CloneSidecars :+ "_graft_delta"
+      else CloneSidecars
+    sidecars.foreach { name =>
+      val from = new Path(srcRoot, name)
+      if (srcFs.exists(from)) {
+        if (!FileUtil.copy(srcFs, from, dstFs, new Path(dstRoot, name),
+            false, false, conf))
+          throw new java.io.IOException(
+            s"cloneServing: cannot copy sidecar $from")
+      } else if (name == "_graft_model")
+        throw new IllegalArgumentException(
+          s"cloneServing: $srcPath has no _graft_model sidecar — not a " +
+            "serving layout")
+    }
+    // fresh history: v=1 checkpoint manifest over exactly the copied
+    // set (listAll sees only what landed — the pinned subset)
+    ServingManifest.rebuild(spark, dstPath)
+    files.length.toLong
+  }
 }
