@@ -113,6 +113,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Denylist / PII scrubbing — the redaction pass a training corpus
+    * gets before the tokenizer sees it: mask every email-shaped span
+    * and every word-bounded denylist term, and report per-document
+    * match counts (the audit trail a compliance sweep keeps). Both
+    * regexes stay in the Java∩RE2 common dialect (char classes,
+    * bounded repeats, `\b`) so the oracle is the same pattern text;
+    * replacement order is fixed (emails first) so overlapping rules
+    * can't produce engine-dependent output. Counts are taken BEFORE
+    * masking. At scale this is one codegen'd projection — no shuffle,
+    * no UDF — and the counts aggregate into the per-source audit
+    * report for free.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val DenyRe = "\\b(customer|supplier|spark)\\b"
+  private val tRedact = QueryDef.sqlChecked("t_redact")(
+    s"SELECT doc_id, cast(len(regexp_extract_all(text, '$EmailRe')) as bigint) AS n_email, " +
+      s"cast(len(regexp_extract_all(text, '$DenyRe')) as bigint) AS n_deny, " +
+      s"regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'), " +
+      s"'$DenyRe', '[TERM]', 'g') AS redacted " +
+      "FROM documents ORDER BY doc_id"
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("bigint").as("n_email"),
+      size(regexp_extract_all(col("text"), lit(DenyRe), lit(0)))
+        .cast("bigint").as("n_deny"),
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailRe), lit("[EMAIL]")),
+        lit(DenyRe), lit("[TERM]")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprints: md5 + polynomial rolling hash. */
   private val tFingerprint = QueryDef.sqlChecked("t_fingerprint")(
     s"SELECT doc_id, md5(text) AS fp_md5, ${sql.polyHash("text")} AS fp_poly " +
@@ -126,5 +159,5 @@ object TextAnalysis {
   }
 
   val defs: Seq[QueryDef] = Seq(tTokenCount, tQuality, tLangId, tBpeCount,
-    tFingerprint)
+    tRedact, tFingerprint)
 }
