@@ -23,11 +23,11 @@ object PipelineQueries {
     * nonlinear mixer as SrpLsh — key·31 LCG rounds alone correlate
     * with sequential keys) over the row key.
     */
-  private def bucket1000(key: org.apache.spark.sql.Column) = {
+  private[queries] def bucket1000(key: org.apache.spark.sql.Column) = {
     val h = (lit(1103515245L) * key + 12345L) % 2147483647L
     ((h * h) % 2147483647L) % 1000L
   }
-  private def sqlBucket1000(key: String): String =
+  private[queries] def sqlBucket1000(key: String): String =
     s"(((1103515245 * cast($key as bigint) + 12345) % 2147483647) * " +
       s"((1103515245 * cast($key as bigint) + 12345) % 2147483647)) % 2147483647 % 1000"
 
@@ -80,6 +80,50 @@ object PipelineQueries {
       .agg(countDistinct("user_id").as("n_users"),
         count(lit(1)).as("n_events"), Exact.dsum(col("value"), 6).as("sum_value"))
       .orderBy("split")
+  }
+
+  /** Temperature-weighted MIXTURE sampling — the training-mix
+    * operation: give each source a share ∝ (its char mass)^α with
+    * α = 0.5, so small sources are UP-weighted relative to raw
+    * proportion (the standard multilingual/multi-corpus rebalance),
+    * then realize the mix as a deterministic per-source hash rate.
+    * All rate arithmetic is integer (weights floor(√chars·1000),
+    * rates derived with bigint `div`), so the per-mille thresholds
+    * are bit-identical across engines — no double-sum ordering can
+    * flip a floor. Shape at scale: one map-side-combined stats agg
+    * over the corpus, a ≤|sources|-row broadcast back onto the scan,
+    * and the keep-predicate evaluates per row with no shuffle — the
+    * sampled corpus never materializes anywhere except its consumers.
+    */
+  private val pMixtureSample = QueryDef.sqlChecked("p_mixture_sample")(
+    "WITH st AS (SELECT source, count(*) AS n_docs, " +
+      "cast(floor(sqrt(cast(sum(n_chars) as double)) * 1000) as bigint) AS wi " +
+      "FROM documents GROUP BY source), " +
+      "tot AS (SELECT cast(sum(n_docs) as bigint) AS total, " +
+      "cast(sum(wi) as bigint) AS wsum FROM st), " +
+      "rt AS (SELECT st.source, st.n_docs, " +
+      "least(cast(1000 as bigint), (200 * tot.total * st.wi) // (tot.wsum * st.n_docs)) " +
+      "AS permille FROM st CROSS JOIN tot) " +
+      "SELECT rt.source, rt.n_docs, rt.permille, " +
+      s"count(CASE WHEN ${sqlBucket1000("d.doc_id")} < rt.permille THEN 1 END) AS n_sampled " +
+      "FROM rt JOIN documents d ON d.source = rt.source " +
+      "GROUP BY 1, 2, 3 ORDER BY rt.source"
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val st = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      floor(sqrt(sum("n_chars").cast("double")) * 1000).cast("bigint").as("wi"))
+    val tot = st.agg(sum("n_docs").cast("bigint").as("total"),
+      sum("wi").cast("bigint").as("wsum"))
+    val rt = st.crossJoin(broadcast(tot))
+      .withColumn("permille",
+        least(lit(1000L), expr("(200 * total * wi) div (wsum * n_docs)")))
+      .select("source", "n_docs", "permille")
+    docs.join(broadcast(rt), "source")
+      .groupBy("source", "n_docs", "permille")
+      .agg(count(when(bucket1000(col("doc_id")) < col("permille"), 1))
+        .as("n_sampled"))
+      .orderBy("source")
   }
 
   /** Vocabulary heavy hitters: exact top-20 tokens by frequency with a
@@ -444,6 +488,7 @@ object PipelineQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(pSampleHash, pSampleStratified,
-    pSplitTrainTest, pTopkTokens, pCorpusClean, pPackSequences,
-    pDecontaminate, qStreamDedup, qStreamDedupWm, qStreamJoin, qStreamStatic)
+    pSplitTrainTest, pMixtureSample, pTopkTokens, pCorpusClean,
+    pPackSequences, pDecontaminate, qStreamDedup, qStreamDedupWm,
+    qStreamJoin, qStreamStatic)
 }
