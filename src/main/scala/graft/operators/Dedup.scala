@@ -120,6 +120,58 @@ object Dedup {
     } finally s.unpersist()
   }
 
+  /** Incremental LSH candidates: NEW signatures against a persisted
+    * signature STORE — the shape a streaming corpus runs per batch
+    * (never store×store again). One pass over each side: the 4 band
+    * keys explode to (band, key) rows and match in a single equi-join,
+    * instead of [[minhashCandidates]]'s per-band joins (asymmetric
+    * sides make the re-scan cost real — the store is the corpus). The
+    * fresh side is a batch: its exploded keys are broadcast, so the
+    * store scan joins without shuffling at all. Returns (da = store
+    * id, db = new id), distinct.
+    */
+  def minhashCandidatesAgainst(store: DataFrame, fresh: DataFrame,
+      id: String): DataFrame = {
+    val bands = MinhashA.indices.grouped(2).toSeq
+    def exploded(sig: DataFrame, as: String) = sig.select(col(id).as(as),
+      posexplode(array(bands.map(cols =>
+        struct(cols.zipWithIndex.map { case (i, j) =>
+          col(s"m${i + 1}").as(s"r$j") }: _*)): _*)).as(Seq("band", "k")))
+    exploded(store, "da")
+      .join(broadcast(exploded(fresh, "db")), Seq("band", "k"))
+      .select("da", "db").distinct().localCheckpoint()
+  }
+
+  /** Exact Jaccard for a GIVEN candidate pair set only (the verify
+    * stage after LSH): shingle sets are built just for the docs the
+    * pairs touch (semi-join pushdown), sizes come from those full
+    * sets (no df cap — verification is exact), and a candidate pair
+    * sharing no shingle verifies at 0.0 instead of disappearing.
+    * Cost ∝ |pairs| × shingles-per-doc, independent of corpus size.
+    */
+  def jaccardOfPairs(docs: DataFrame, id: String, textCol: String,
+      pairs: DataFrame): DataFrame = {
+    val ids = pairs.select(col("da").as(id))
+      .unionAll(pairs.select(col("db").as(id))).distinct()
+    val sh = shingleSets(docs.join(ids, Seq(id), "left_semi"), id, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
+      val common = pairs
+        .join(sh.select(col(id).as("da"), col("s")), "da")
+        .join(sh.select(col(id).as("db"), col("s")), Seq("db", "s"))
+        .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      pairs
+        .join(common, Seq("da", "db"), "left")
+        .join(sizes.select(col(id).as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col(id).as("db"), col("n").as("nb")), "db")
+        .select(col("da"), col("db"),
+          coalesce(col("c").cast("double") /
+            (col("na") + col("nb") - col("c")), lit(0.0)).as("jaccard"))
+        .localCheckpoint()
+    } finally { sh.unpersist(); () }
+  }
+
   /** 60-bit SimHash over the shingle-hash multiset (Manku et al.
     * 2007 shape: simhash of weighted features; here features are
     * word-3-gram hashes with unit weight).

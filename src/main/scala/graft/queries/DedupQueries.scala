@@ -222,6 +222,65 @@ object DedupQueries {
     Dedup.connectedComponents(cand).orderBy("da")
   }
 
+  /** INCREMENTAL near-dup — the per-batch shape of a streaming corpus:
+    * the 90% "already ingested" split's MinHash signatures are written
+    * to a parquet SIGNATURE STORE; the 10% "arriving" split computes
+    * signatures for ITSELF ONLY, banded-joins them against the store
+    * read back from disk (store×delta, never store×store again), and
+    * exact-verifies just the candidate pairs. Per delta doc: how many
+    * store candidates banded in, the first store doc it verifies
+    * against at Jaccard ≥ 0.2, and the keep/drop decision. Cost per
+    * batch ∝ batch size + candidates — corpus size only enters
+    * through the (one broadcast-joined) store scan. The oracle
+    * replicates signatures, banding, and the full-set Jaccard verify
+    * in SQL over the same hash split.
+    */
+  private val dDedupIncremental = QueryDef.sqlChecked("d_dedup_incremental")(
+    s"$SigCte, " +
+      s"base AS (SELECT * FROM sig WHERE ${PipelineQueries.sqlBucket1000("doc_id")} < 900), " +
+      s"fresh AS (SELECT * FROM sig WHERE ${PipelineQueries.sqlBucket1000("doc_id")} >= 900), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db " +
+      s"FROM base a JOIN fresh b ON $BandPredicate), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "common AS (SELECT c.da, c.db, count(*) AS cc FROM cand c " +
+      "JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND y.s = x.s " +
+      "GROUP BY 1, 2), " +
+      "ver AS (SELECT c.da, c.db, " +
+      "coalesce(cast(cm.cc as double) / (sx.n + sy.n - cm.cc), 0.0) AS j " +
+      "FROM cand c LEFT JOIN common cm ON cm.da = c.da AND cm.db = c.db " +
+      "JOIN sizes sx ON sx.doc_id = c.da JOIN sizes sy ON sy.doc_id = c.db), " +
+      "agg AS (SELECT db, count(*) AS n_cand, " +
+      "min(CASE WHEN j >= 0.2 THEN da END) AS match_id FROM ver GROUP BY db) " +
+      "SELECT d.doc_id, cast(coalesce(agg.n_cand, 0) as bigint) AS n_cand, " +
+      "agg.match_id, agg.match_id IS NOT NULL AS is_dup " +
+      "FROM documents d LEFT JOIN agg ON agg.db = d.doc_id " +
+      s"WHERE ${PipelineQueries.sqlBucket1000("d.doc_id")} >= 900 ORDER BY d.doc_id"
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val isBase = PipelineQueries.bucket1000(col("doc_id")) < 900
+    val storePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_sigstore_" + java.lang.Integer.toHexString(d.hashCode)).toString
+    Dedup.minhashSignatures(docs.filter(isBase), "doc_id", "text")
+      .write.mode("overwrite").parquet(storePath)
+    val store = s.read.parquet(storePath)
+    val fresh =
+      Dedup.minhashSignatures(docs.filter(!isBase), "doc_id", "text")
+    val cand = Dedup.minhashCandidatesAgainst(store, fresh, "doc_id")
+    val ver = Dedup.jaccardOfPairs(docs, "doc_id", "text", cand)
+    val agg = ver.groupBy(col("db")).agg(
+      count(lit(1)).as("n_cand"),
+      min(when(col("jaccard") >= 0.2, col("da"))).as("match_id"))
+    docs.filter(!isBase).select(col("doc_id"))
+      .join(agg, col("doc_id") === col("db"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("match_id"),
+        col("match_id").isNotNull.as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
-    dSimhash, dSimhashPairs, dSimhashBanded, dSrpLsh, dCosinePairs, dClusters)
+    dDedupIncremental, dSimhash, dSimhashPairs, dSimhashBanded, dSrpLsh,
+    dCosinePairs, dClusters)
 }
