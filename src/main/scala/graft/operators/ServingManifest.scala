@@ -493,6 +493,42 @@ object ServingManifest {
     entriesAt(spark, path, version).map(openEntries(spark, path, _))
   }
 
+  /** Logical CHANGE FEED between two logged snapshot versions — the
+    * change-data-feed analog over the snapshot log: which `id`s the
+    * `to` snapshot serves that `from` didn't (`change = 'insert'`)
+    * and which it no longer serves (`'delete'`). The diff is at the
+    * ID level, not the file level: a spill copy living in two leaves
+    * counts once, so the feed tracks the served corpus — what a
+    * downstream incremental consumer keys on — not the layout. Both
+    * endpoints inherit [[openAt]]'s pinning contract: any two
+    * versions whose files still exist diff fine (appends never
+    * invalidate older snapshots), while an interval that crosses a
+    * rewriting mutation (rebalance/compact) fails loudly at read
+    * time rather than fabricating a diff. The diff itself is two
+    * distinct + anti-join passes, fully distributed, cost ∝ the two
+    * snapshots' id sets — never a full-history fold.
+    *
+    * Registry-level state (LWW upsert supersedence, tombstoned ids —
+    * [[graft.streaming.IndexMaintenance.readServing]]) is deliberately
+    * NOT applied: the registry is shared across versions, so folding
+    * it in would leak post-`to` deletes into the past. Compare
+    * resolved views by resolving each side explicitly if that is the
+    * question being asked.
+    */
+  def changesBetween(spark: SparkSession, path: String, id: String,
+      from: Int, to: Int): DataFrame = {
+    def idsAt(v: Int) = openAt(spark, path, v).getOrElse(sys.error(
+        s"ServingManifest.changesBetween: version $v is not in the " +
+          s"snapshot log at $path"))
+      .select(col(id)).distinct()
+    val a = idsAt(from)
+    val b = idsAt(to)
+    b.join(a, Seq(id), "left_anti")
+      .select(col(id), lit("insert").as("change"))
+      .unionAll(a.join(b, Seq(id), "left_anti")
+        .select(col(id), lit("delete").as("change")))
+  }
+
   /** The file-set of a logged version: walk down from `version` to
     * the nearest checkpoint, then fold the deltas back up. A `v=N`
     * dir WITHOUT an `action` column is a full snapshot from the

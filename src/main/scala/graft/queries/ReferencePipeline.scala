@@ -1733,10 +1733,77 @@ object ReferencePipeline {
       metadata = Some((emb.select("vec_id", "label"), "vec_id")))
   }
 
+  /** Change feed over the snapshot log
+    * ([[graft.operators.ServingManifest.changesBetween]]) — the
+    * incremental-consumer surface of the versioned serving layout:
+    * build (v1) → append (v2) → append (v3), then read the id-level
+    * diffs for (1→2), (2→3), and (1→3). Each append must surface as
+    * EXACTLY its batch (as inserts), the composed interval as the
+    * union, and a same-version diff as empty (require'd inline). The
+    * delete direction and rewrite-invariance (a rebalance split
+    * changes files but reports zero changes) are spec'd in
+    * ServingManifestSpec — this gate pins the feed's contents to the
+    * DuckDB-recomputed batch memberships row for row.
+    */
+  private val rServeCdc = QueryDef.sqlChecked("r_serve_cdc")(
+    "WITH up1 AS (SELECT vec_id + 200000 AS vec_id FROM embeddings " +
+      "WHERE vec_id % 31 = 3), " +
+      "up2 AS (SELECT vec_id + 400000 AS vec_id FROM embeddings " +
+      "WHERE vec_id % 45 = 11) " +
+      "SELECT * FROM (" +
+      "SELECT 1 AS v_from, 2 AS v_to, 'insert' AS change, vec_id FROM up1 " +
+      "UNION ALL SELECT 2, 3, 'insert', vec_id FROM up2 " +
+      "UNION ALL SELECT 1, 3, 'insert', vec_id FROM up1 " +
+      "UNION ALL SELECT 1, 3, 'insert', vec_id FROM up2) " +
+      "ORDER BY v_from, v_to, vec_id"
+  ) { (s, d) =>
+    import graft.streaming.IndexMaintenance
+    import graft.operators.ServingManifest
+    val base = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servecdc_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val indexed = base.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, servePath.toString, model)
+    val up1 = base.filter(col("vec_id") % 31 === 3)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => x * 1.5))
+    IndexMaintenance.appendToServing(s, servePath.toString, up1,
+      "vec_id", "v", "version")
+    val up2 = base.filter(col("vec_id") % 45 === 11)
+      .withColumn("vec_id", col("vec_id") + 400000)
+      .withColumn("v", transform(col("v"), x => x * 0.5))
+    IndexMaintenance.appendToServing(s, servePath.toString, up2,
+      "vec_id", "v", "version")
+
+    require(ServingManifest.changesBetween(s, servePath.toString,
+        "vec_id", 2, 2).isEmpty,
+      "a same-version change feed must be empty")
+    Seq((1, 2), (2, 3), (1, 3)).map { case (f, t) =>
+      ServingManifest.changesBetween(s, servePath.toString, "vec_id", f, t)
+        .select(lit(f).as("v_from"), lit(t).as("v_to"), col("change"),
+          col("vec_id"))
+    }.reduce(_ unionAll _)
+      .orderBy("v_from", "v_to", "vec_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
-    rServeManifest, rServeSnapshot, rServeClone, rServeBatch, rServeDelete,
-    rServePrefilter, rRebalance, vAnnBuild, vAnnCertified, vMaxsimPruned,
-    vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e, vAnnRouted,
-    vKnnJoin)
+    rServeManifest, rServeSnapshot, rServeCdc, rServeClone, rServeBatch,
+    rServeDelete, rServePrefilter, rRebalance, vAnnBuild, vAnnCertified,
+    vMaxsimPruned, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
+    vAnnRouted, vKnnJoin)
 }

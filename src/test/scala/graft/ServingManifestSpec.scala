@@ -95,6 +95,60 @@ class ServingManifestSpec extends SparkTestBase {
       "rebalanced directories must be re-reflected in the manifest")
   }
 
+  test("changesBetween: id-level feed, reversed interval, spill " +
+      "dedup, loud unknown version") {
+    val (dir, _) = freshServe("cdc")
+    val batch = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 37 === 0)
+      .select((col("vec_id") + 500000).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"), lit(2L).as("version"))
+    // spill=2: every appended id lands in TWO leaves — the feed must
+    // still report each id once (id-level, not file/row-level)
+    IndexMaintenance.appendToServing(spark, dir, batch,
+      "vec_id", "v", "version", spill = 2)
+    val expectIds = batch.select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+
+    val fwd = ServingManifest.changesBetween(spark, dir, "vec_id", 1, 2)
+      .collect()
+    assert(fwd.forall(_.getString(1) == "insert"))
+    assert(fwd.map(_.getLong(0)).toSet == expectIds)
+    assert(fwd.length == expectIds.size,
+      "a spill copy in a second leaf must not duplicate the feed row")
+
+    // the feed is directional: the reversed interval reports the same
+    // ids as deletes
+    val rev = ServingManifest.changesBetween(spark, dir, "vec_id", 2, 1)
+      .collect()
+    assert(rev.forall(_.getString(1) == "delete"))
+    assert(rev.map(_.getLong(0)).toSet == expectIds)
+
+    assert(ServingManifest.changesBetween(spark, dir, "vec_id", 1, 1).isEmpty)
+    assert(ServingManifest.changesBetween(spark, dir, "vec_id", 2, 2).isEmpty)
+
+    // a second append composes: (2→3) sees only the new batch, (1→3)
+    // the union
+    val batch2 = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 41 === 1)
+      .select((col("vec_id") + 800000).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"), lit(3L).as("version"))
+    IndexMaintenance.appendToServing(spark, dir, batch2,
+      "vec_id", "v", "version")
+    val expect2 = batch2.select("vec_id").collect().map(_.getLong(0)).toSet
+    val mid = ServingManifest.changesBetween(spark, dir, "vec_id", 2, 3)
+      .collect()
+    assert(mid.map(_.getLong(0)).toSet == expect2)
+    val full = ServingManifest.changesBetween(spark, dir, "vec_id", 1, 3)
+      .collect()
+    assert(full.map(_.getLong(0)).toSet == expectIds ++ expect2)
+
+    // an unknown version fails loudly
+    val boom = intercept[RuntimeException] {
+      ServingManifest.changesBetween(spark, dir, "vec_id", 1, 999)
+    }
+    assert(boom.getMessage.contains("not in the snapshot log"))
+  }
+
   test("compactServing carries the manifest across the swap") {
     val (dir, _) = freshServe("compact")
     val batch = Tables.embeddings(spark, sf)
