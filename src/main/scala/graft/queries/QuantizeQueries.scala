@@ -320,6 +320,112 @@ object QuantizeQueries {
       .limit(10)
   }
 
+  /** SQ8 SERVING TIER — the middle rung of the coded ladder (raw
+    * 256 B → SQ8 ≈66 B → PQ 4 B per vector at dim 64): build writes
+    * 1-byte-per-dim PACKED codes ([[graft.functions.PackInt8]]) plus
+    * one per-row scale and NO trained artifact (the scale is the
+    * row's own max |vᵢ|), so appends
+    * ([[graft.streaming.IndexMaintenance.appendSqToServing]]) need
+    * only the IVF model sidecar and can never drift from a stale
+    * codebook. The serve pass is: reopen from the path alone → LWW
+    * against the delta registry → probe-2 SQL-rewrite leaf pruning →
+    * EXACT integer dot over packed bytes ([[graft.functions.SqDot]])
+    * rescaled by the two scales. Everything is bit-deterministic, so
+    * unlike most ANN tiers the whole thing hash-gates: the oracle
+    * re-derives quantization, LWW, assignment, probes, and the
+    * integer rescore from the raw tables.
+    */
+  private val rServeSq = QueryDef.sqlChecked("r_serve_sq")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v, 1 AS version " +
+      "FROM embeddings), " +
+      "up AS (SELECT 90000 AS vec_id, list_transform(v, x -> 2*x) AS v, 1 AS version " +
+      "FROM base WHERE vec_id = 7 " +
+      "UNION ALL SELECT 7, list_transform(v, x -> -x), 2 FROM base WHERE vec_id = 7), " +
+      "log AS (SELECT * FROM base UNION ALL SELECT * FROM up), " +
+      "delta AS (SELECT vec_id, max(version) AS latest FROM up GROUP BY vec_id), " +
+      "live AS (SELECT l.vec_id, l.v FROM log l " +
+      "LEFT JOIN delta d ON l.vec_id = d.vec_id " +
+      "WHERE d.latest IS NULL OR l.version = d.latest), " +
+      "qc0 AS (SELECT cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id = 7), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "ecodes AS (SELECT vec_id, v, ma, list_transform(v, x -> " +
+      "CASE WHEN ma = 0 THEN 0 ELSE cast(floor(x * (127.0 / ma) + 0.5) as bigint) END) AS codes " +
+      "FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM live)), " +
+      "qcodes AS (SELECT ma, list_transform(qv, x -> " +
+      "CASE WHEN ma = 0 THEN 0 ELSE cast(floor(x * (127.0 / ma) + 0.5) as bigint) END) AS codes " +
+      "FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS ma FROM qc0)), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT l.vec_id, c.cid, row_number() OVER (PARTITION BY l.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(l.v, c.cv), c.cid) AS rn " +
+      "FROM live l, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, qc0 q) " +
+      "WHERE rn <= 2) " +
+      "SELECT e.vec_id, " +
+      "list_inner_product(cast(e.codes as double[]), cast(q.codes as double[])) * " +
+      "(e.ma * q.ma / 16129.0) AS sq_score " +
+      "FROM ecodes e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid CROSS JOIN qcodes q " +
+      "ORDER BY sq_score DESC, e.vec_id LIMIT 10"
+  ) { (s, d) =>
+    import graft.operators.IvfIndex
+    import graft.streaming.IndexMaintenance
+    import graft.functions.quantize
+    graft.plans.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val query = base.filter(col("vec_id") === 7)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val (qMa, qPacked) = quantize.packLocal(query)
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servesq_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val v = col("v")
+    val sq = base
+      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, v, 1)))
+      .withColumn("ma", quantize.maxAbs(v))
+      .withColumn("sq_code", quantize.packCodes(quantize.codes(v, col("ma"))))
+      .drop("v")
+    IvfIndex.write(sq, servePath.toString, model)
+
+    val b1 = base.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(90000L))
+      .withColumn("v", transform(col("v"), x => x * 2))
+      .unionByName(base.filter(col("vec_id") === 7)
+        .withColumn("v", transform(col("v"), x => -x))
+        .withColumn("version", lit(2)))
+    IndexMaintenance.appendSqToServing(s, servePath.toString, b1,
+      "vec_id", "v", "version")
+
+    graft.plans.IndexCatalog.drop("r_serve_sq")
+    graft.plans.IndexCatalog.open(s, "r_serve_sq", servePath.toString)
+    IndexMaintenance.readServing(s, servePath.toString, "vec_id", "version")
+      .filter(graft.plans.AnnPruning.probe("r_serve_sq",
+        col("leaf_id"), query.toSeq, 2))
+      .select(col("vec_id"),
+        quantize.score(
+          quantize.packedDot(col("sq_code"), lit(qPacked)),
+          col("ma"), lit(qMa)).as("sq_score"))
+      .orderBy(col("sq_score").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** IVF-PQ with an exact re-rank — the full two-stage serving shape
     * (ScaNN's "score-then-rescore", FAISS's IndexRefineFlat): the ADC
     * pass over the probed leaves picks a deterministic top-30
@@ -459,5 +565,5 @@ object QuantizeQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
-    vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq)
+    vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq)
 }

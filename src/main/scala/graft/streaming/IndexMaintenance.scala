@@ -184,6 +184,49 @@ object IndexMaintenance {
     }
   }
 
+  /** [[appendToServing]] for an SQ8 (scalar-quantized) layout — the
+    * middle rung of the coded-tier ladder: 1 byte/dim + one scale
+    * per vector (≈66 B at dim 64 vs 256 B raw vs 4 B PQ), with NO
+    * trained artifact at all — the scale is per-row (max |vᵢ|), so
+    * appends need only the IVF model sidecar for leaf assignment and
+    * can never drift from a stale codebook. Scoring stays exact
+    * integer arithmetic ([[graft.functions.SqDot]]) rescaled by the
+    * two scales — bit-reproducible across engines and partitionings,
+    * which is why the whole tier can be hash-gated. LWW rides the
+    * same delta registry as every other tier.
+    */
+  def appendSqToServing(spark: SparkSession, servePath: String,
+      batch: DataFrame, id: String, vecCol: String, versionCol: String,
+      spill: Int = 1, keepVersions: Int = 64): Unit = {
+    val model = IvfIndex.load(spark, servePath)
+    val layoutCols = graft.operators.ServingManifest.openOrRead(spark, servePath)
+      .columns.sorted.toSeq
+    val v = col(vecCol).cast("array<double>")
+    val assigned = batch
+      .withColumn("leaf_id",
+        explode(IvfIndex.probeExprF32(model, v, math.max(1, spill))))
+      .withColumn("ma", graft.functions.quantize.maxAbs(v))
+      .withColumn("sq_code", graft.functions.quantize.packCodes(
+        graft.functions.quantize.codes(v, col("ma"))))
+      .drop(vecCol)
+    require(assigned.columns.sorted.toSeq == layoutCols,
+      s"appendSqToServing: batch columns " +
+        s"${batch.columns.sorted.mkString(",")} quantized to " +
+        s"${assigned.columns.sorted.mkString(",")} do not match the " +
+        s"SQ layout's ${layoutCols.mkString(",")}")
+    assigned.write.mode("append").partitionBy("leaf_id").parquet(servePath)
+    batch.select(col(id), col(versionCol).cast("long").as("version"),
+        lit(false).as("tombstone"))
+      .write.mode("append").parquet(deltaDir(servePath))
+    graft.operators.ServingManifest.reconcile(spark, servePath,
+      assigned.select("leaf_id").distinct().collect().map(_.getInt(0)).toSeq)
+    if (keepVersions > 0) {
+      graft.operators.ServingManifest.truncate(spark, servePath,
+        keepVersions)
+      ()
+    }
+  }
+
   /** Serving-time read of the layout: data rows with superseded
     * versions resolved away and TOMBSTONED ids dropped,
     * last-write-wins against the delta registry

@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.quantize
+import graft.operators.IvfIndex
+import graft.streaming.IndexMaintenance
+import org.apache.spark.sql.functions._
+
+/** SQ8 packed tier: the binary packing is lossless against the code
+  * arrays, the packed integer dot is exactly the array integer dot,
+  * bad codes fail loudly, and the serving lifecycle (build → append →
+  * LWW read) scores identically through packed and unpacked paths.
+  */
+class SqServeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("packed dot == array int dot for every corpus row") {
+    val base = vecs
+      .withColumn("ma", quantize.maxAbs(col("v")))
+      .withColumn("codes", quantize.codes(col("v"), col("ma")))
+    val query = base.filter(col("vec_id") === 7)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val (qMa, qPacked) = quantize.packLocal(query)
+    // packLocal must mirror the column pipeline exactly
+    val qCodes = base.filter(col("vec_id") === 7)
+      .select(col("codes")).head().getSeq[Long](0)
+    assert(qPacked.toSeq == qCodes.map(c => (c + 127L).toByte))
+    assert(qMa == base.filter(col("vec_id") === 7)
+      .select(col("ma")).head().getDouble(0))
+
+    val both = base.select(
+      col("vec_id"),
+      quantize.packedDot(quantize.packCodes(col("codes")),
+        lit(qPacked)).as("packed"),
+      quantize.intDot(col("codes"),
+        typedLit(qCodes)).as("unpacked"))
+      .withColumn("diff", col("packed") =!= col("unpacked"))
+    assert(both.filter(col("diff")).isEmpty,
+      "packed and array integer dots must agree bit for bit")
+  }
+
+  test("pack fails loudly on out-of-range or null codes") {
+    val bad = intercept[Exception] {
+      spark.range(1).select(
+        quantize.packCodes(array(lit(200L), lit(1L)))).collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
+  test("SQ serving lifecycle: append + LWW read score parity") {
+    val base = vecs.withColumn("version", lit(1L))
+    val (indexed, model) = IvfIndex.build(base, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sq_serve").toString + "/idx"
+    val sq = indexed
+      .withColumn("ma", quantize.maxAbs(col("v")))
+      .withColumn("sq_code",
+        quantize.packCodes(quantize.codes(col("v"), col("ma"))))
+      .drop("v")
+    IvfIndex.write(sq, dir, model)
+
+    // upsert id 7 (negated, version 2) and a new id through the SQ
+    // append path: model comes from the sidecar, no codebook exists
+    val b1 = base.filter(col("vec_id") === 7)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2L))
+      .unionByName(base.filter(col("vec_id") === 11)
+        .withColumn("vec_id", lit(700000L)))
+    IndexMaintenance.appendSqToServing(spark, dir, b1,
+      "vec_id", "v", "version")
+
+    val query = vecs.filter(col("vec_id") === 7)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val (qMa, qPacked) = quantize.packLocal(query)
+    val served = IndexMaintenance.readServing(spark, dir, "vec_id", "version")
+      .select(col("vec_id"),
+        quantize.score(quantize.packedDot(col("sq_code"), lit(qPacked)),
+          col("ma"), lit(qMa)).as("s"))
+
+    // LWW: id 7 must be served from the NEGATED version-2 row — its
+    // self-score flips sign; the new id must be visible
+    val s7 = served.filter(col("vec_id") === 7).select("s").head().getDouble(0)
+    assert(s7 < 0, s"id 7 must serve its negated upsert, got score $s7")
+    assert(served.filter(col("vec_id") === 700000L).count() == 1)
+
+    // parity: the same scores derive from re-quantizing the live
+    // corpus with the array (unpacked) pipeline
+    val live = base.filter(col("vec_id") =!= 7)
+      .unionByName(b1.select("vec_id", "v", "version"))
+      .withColumn("ma", quantize.maxAbs(col("v")))
+      .withColumn("codes", quantize.codes(col("v"), col("ma")))
+    val qCodes = quantize.codes(typedLit(query.toSeq), lit(qMa))
+    val expect = live.select(col("vec_id"),
+      quantize.score(quantize.intDot(col("codes"), qCodes),
+        col("ma"), lit(qMa)).as("s"))
+    val joined = served.join(expect, "vec_id")
+      .filter(served("s") =!= expect("s"))
+    assert(joined.isEmpty, "packed serving scores must equal the " +
+      "unpacked re-derivation on the live corpus")
+    // served rows may carry spill copies (one per assigned leaf) with
+    // identical scores; the ID set is the live corpus exactly
+    assert(served.select("vec_id").distinct().count() == expect.count())
+  }
+}
