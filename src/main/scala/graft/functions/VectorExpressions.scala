@@ -167,6 +167,51 @@ object L2Norm {
   }
 }
 
+/** y = B·x for a PLAN-CONSTANT matrix B (an orthonormal OPQ rotation):
+  * one expression, one referenced double[][], one fused loop — versus
+  * an `array(dot(x,b₀), …, dot(x,b_{d-1}))` tree, which at d = 64
+  * inlines 64 separate dot-product loops plus the array constructor
+  * into the generated method (janino compile time alone was the
+  * dominant cost of the rotated-PQ path). Row accumulation is forward
+  * (j ascending), the same IEEE order as [[DotProduct]] and the
+  * driver-side mirror, so results are bit-identical to both.
+  */
+case class MatVec(child: Expression, basis: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_matvec"
+
+  override def nullSafeEval(a: Any): Any =
+    MatVec.apply(a.asInstanceOf[ArrayData], basis)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("basis", basis, "double[][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.MatVec.apply($a, $b)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MatVec =
+    copy(child = c)
+}
+
+object MatVec {
+  /** Called from generated code. */
+  def apply(x: ArrayData, basis: Array[Array[Double]]): ArrayData = {
+    val out = new Array[Double](basis.length)
+    var r = 0
+    while (r < basis.length) {
+      val row = basis(r)
+      val n = math.min(x.numElements(), row.length)
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += x.getDouble(j) * row(j); j += 1 }
+      out(r) = s
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Column-level entry points; inputs are cast to array<double> so both
   * array<float> (parquet embeddings) and literal arrays work.
   */

@@ -645,8 +645,9 @@ object ProductQuantizer {
     * the same dot-product ranking.
     */
   def rotateExpr(vec: Column, basis: Array[Array[Double]]): Column =
-    array(basis.map(b => graft.functions.vectors.dotProduct(
-      vec, typedLit(b.toSeq))): _*)
+    org.apache.spark.sql.graftshim.Shims.column(graft.functions.MatVec(
+      org.apache.spark.sql.graftshim.Shims.expression(
+        vec.cast("array<double>")), basis))
 
   /** Driver-side mirror of [[rotateExpr]] (forward accumulation, same
     * IEEE order as the DotProduct codegen).
