@@ -141,6 +141,33 @@ object PipelineQueries {
       .orderBy(desc("cnt"), asc("t")).limit(20)
   }
 
+  /** N-gram corpus statistics — the LM-side sibling of the token
+    * heavy hitters: top-20 word-3-grams by total occurrences with
+    * their document frequency and a doc-coverage ratio (df / corpus).
+    * The occurrence count is over ALL shingle instances (not the
+    * dedup path's distinct sets) — that is what an n-gram LM or a
+    * boilerplate detector wants. One explode into a map-side-combined
+    * count + distinct-doc agg; the top-k is a per-partition heap
+    * (TakeOrderedAndProject), never a global sort.
+    */
+  private val pNgramStats = QueryDef.sqlChecked("p_ngram_stats")(
+    s"SELECT s, count(*) AS occ, count(DISTINCT doc_id) AS df, " +
+      "cast(count(DISTINCT doc_id) as double) / " +
+      "(SELECT count(*) FROM documents) AS coverage " +
+      s"FROM (${text.sql.shingleRows("doc_id")}) " +
+      "GROUP BY s ORDER BY occ DESC, s LIMIT 20"
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count()
+    docs.select(col("doc_id"), text.tokens(col("text")).as("__tk"))
+      .select(col("doc_id"),
+        explode(text.shinglesOfTokens(col("__tk"))).as("s"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("occ"), countDistinct("doc_id").as("df"))
+      .withColumn("coverage", col("df").cast("double") / lit(nDocs.toDouble))
+      .orderBy(desc("occ"), asc("s")).limit(20)
+  }
+
   /** The composed corpus-cleaning flow every training pipeline runs:
     * quality gate → language gate → exact dedup (keep lowest doc_id
     * per md5 fingerprint) → per-language doc/token totals. Each stage
@@ -488,7 +515,7 @@ object PipelineQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(pSampleHash, pSampleStratified,
-    pSplitTrainTest, pMixtureSample, pTopkTokens, pCorpusClean,
-    pPackSequences, pDecontaminate, qStreamDedup, qStreamDedupWm,
-    qStreamJoin, qStreamStatic)
+    pSplitTrainTest, pMixtureSample, pTopkTokens, pNgramStats,
+    pCorpusClean, pPackSequences, pDecontaminate, qStreamDedup,
+    qStreamDedupWm, qStreamJoin, qStreamStatic)
 }

@@ -223,6 +223,33 @@ object VectorSearch {
       .limit(5)
   }
 
+  /** Per-class embedding distribution stats — the drift/health monitor
+    * an embedding pipeline runs per ingest wave: for every (label,
+    * dimension) cell, the exact coordinate sum and mean. Sums go
+    * through the exact-decimal trick so they are independent of
+    * partitioning and bit-identical to the oracle; the mean is then
+    * one deterministic division. Shape at scale: one posexplode (no
+    * shuffle until the agg) into a map-side-combined (label × dim)
+    * aggregation — output cardinality is |labels|·dim regardless of
+    * corpus size, so the monitor costs one scan.
+    */
+  private val vEmbedStats = QueryDef.sqlChecked("v_embed_stats")(
+    "SELECT label, cast(s.dim as bigint) AS dim, count(*) AS n, " +
+      "cast(sum(cast(cast(embedding as double[])[s.dim+1] as decimal(28,9))) as double) AS sx, " +
+      "cast(sum(cast(cast(embedding as double[])[s.dim+1] as decimal(28,9))) as double) / count(*) AS mean " +
+      "FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) s " +
+      "GROUP BY 1, 2 ORDER BY label, dim"
+  ) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("bigint").as("dim"))
+      .agg(count(lit(1)).as("n"), graft.Exact.dsumWide(col("x"), 9).as("sx"))
+      .withColumn("mean", col("sx") / col("n"))
+      .orderBy("label", "dim")
+  }
+
   val defs: Seq[QueryDef] = Seq(vKnnDot, vKnnCosine, vKnnL2, vKnnBatch,
-    vKnnFiltered, vCrowding, vRangeCosine, vNormTop, vTopkAgg, vMaxsim)
+    vKnnFiltered, vCrowding, vRangeCosine, vNormTop, vTopkAgg, vMaxsim,
+    vEmbedStats)
 }
