@@ -814,6 +814,171 @@ object ScaleProbe {
       val h = rows(graft.operators.Knn.knnJoinPerLeaf(indexed, "vec_id",
         "embedding", 3, graft.operators.Knn.Dot))
       println(s"JOINCMP diff=${(w.diff(h) ++ h.diff(w)).size} of ${w.size}")
+    } else if (args(0) == "sqtier") {
+      // SQ8 serving-tier economics: bytes on disk vs the raw layout,
+      // the per-batch quantized append (appendSqToServing: assign +
+      // quantize + pack, no trained artifact), and the packed-byte
+      // scan vs the raw-double scan at the same probe width — plus
+      // top-10 agreement between the two (SQ8 at 1 B/dim should be
+      // near-lossless on ranking, unlike PQ's 4 B/vector).
+      // usage: sqtier <n> <numLeaves> <batchRows> <nBatches>
+      val n = args(1).toLong; val leaves0 = args(2).toInt
+      val batchRows = args(3).toLong; val nBatches = args(4).toInt
+      val dim = 64
+      import graft.functions.quantize
+      val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, dim, 200)
+        .withColumn("version", lit(1L))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      v.count()
+      val (indexed, model) = graft.operators.IvfIndex.build(v,
+        "vec_id", "embedding", numLeaves = leaves0, maxFitRows = 20000L)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_sqtier_probe").toString
+      val rawPath = base + "/raw"; val sqPath = base + "/sq"
+      graft.operators.IvfIndex.write(indexed, rawPath, model)
+      val vv = col("embedding").cast("array<double>")
+      var t0 = System.nanoTime()
+      val sq = indexed
+        .withColumn("ma", quantize.maxAbs(vv))
+        .withColumn("sq_code",
+          quantize.packCodes(quantize.codes(vv, col("ma"))))
+        .drop("embedding")
+      graft.operators.IvfIndex.write(sq, sqPath, model)
+      val tSqWrite = (System.nanoTime() - t0) / 1e9
+      v.unpersist()
+      def dirBytes(p: String): Long = {
+        val root = java.nio.file.Paths.get(p)
+        val st = java.nio.file.Files.walk(root)
+        try st.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally st.close()
+      }
+      val (bRaw, bSq) = (dirBytes(rawPath), dirBytes(sqPath))
+
+      val tAppend = (0 until nBatches).map { i =>
+        val b = graft.pipeline.SyntheticCorpus
+          .vectors(spark, batchRows, dim, 200)
+          .select((col("vec_id") + lit(n + i * batchRows)).as("vec_id"),
+            col("embedding"), lit(1L).as("version"))
+          .persist()
+        b.count()
+        val t = System.nanoTime()
+        graft.streaming.IndexMaintenance.appendSqToServing(
+          spark, sqPath, b, "vec_id", "embedding", "version")
+        val dt = (System.nanoTime() - t) / 1e9
+        b.unpersist()
+        dt
+      }.sorted
+
+      // both sides open the SAME way (manifest-backed, no LWW join):
+      // the compare is the SCAN economics — bytes touched and kernel
+      // cost at the same probe width. (LWW resolution costs one small
+      // broadcast join on either tier; readServing is gated/spec'd
+      // elsewhere.)
+      graft.plans.GraftExtensions.register(spark)
+      graft.plans.IndexCatalog.drop("sqtier_raw")
+      graft.plans.IndexCatalog.open(spark, "sqtier_raw", rawPath)
+      graft.plans.IndexCatalog.drop("sqtier_sq")
+      graft.plans.IndexCatalog.open(spark, "sqtier_sq", sqPath)
+      val rawDf = graft.operators.ServingManifest.openOrRead(spark, rawPath)
+      val sqDf = graft.operators.ServingManifest.openOrRead(spark, sqPath)
+      def topRaw(q: Array[Double]): Array[(Long, Double)] = rawDf
+        .filter(graft.plans.AnnPruning.probe("sqtier_raw",
+          col("leaf_id"), q.toSeq, 8))
+        .select(col("vec_id"), graft.functions.vectors.dotProduct(
+          col("embedding").cast("array<double>"), typedLit(q.toSeq)).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      def sqScores(q: Array[Double], ids: Seq[Long]): Map[Long, Double] = {
+        val (qMa, qPacked) = quantize.packLocal(q)
+        sqDf.filter(graft.plans.AnnPruning.probe("sqtier_sq",
+            col("leaf_id"), q.toSeq, 8))
+          .select(col("vec_id"), quantize.score(
+            quantize.packedDot(col("sq_code"), lit(qPacked)),
+            col("ma"), lit(qMa)).as("s"))
+          .orderBy(col("s").desc, col("vec_id")).limit(10)
+          .unionAll(sqDf.filter(col("vec_id").isin(ids: _*))
+            .select(col("vec_id"), quantize.score(
+              quantize.packedDot(col("sq_code"), lit(qPacked)),
+              col("ma"), lit(qMa)).as("s")))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+      def timeSq(q: Array[Double]): Unit = {
+        val (qMa, qPacked) = quantize.packLocal(q)
+        sqDf.filter(graft.plans.AnnPruning.probe("sqtier_sq",
+            col("leaf_id"), q.toSeq, 8))
+          .select(col("vec_id"), quantize.score(
+            quantize.packedDot(col("sq_code"), lit(qPacked)),
+            col("ma"), lit(qMa)).as("s"))
+          .orderBy(col("s").desc, col("vec_id")).limit(10)
+          .collect()
+        ()
+      }
+      val q0 = Array.tabulate(dim)(j => (j % 7).toDouble)
+      topRaw(q0); timeSq(q0) // warm codegen both paths
+      // score fidelity: the SQ score of the TRUE top-10 ids vs their
+      // exact scores (ranking overlap is meaningless on this corpus —
+      // 1000 near-identical vectors per planted cluster tie far below
+      // quantization error; what SQ8 must preserve is the score)
+      val relErrs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val (tR, tS) = (new Array[Double](10), new Array[Double](10))
+      (0 until 10).foreach { i =>
+        val q = Array.tabulate(dim)(j => ((i * 13 + j) % 9 - 4).toDouble)
+        var t = System.nanoTime()
+        val r = topRaw(q); tR(i) = (System.nanoTime() - t) / 1e9
+        t = System.nanoTime()
+        timeSq(q); tS(i) = (System.nanoTime() - t) / 1e9
+        val sq = sqScores(q, r.map(_._1))
+        r.foreach { case (id, exact) =>
+          if (exact != 0) relErrs += math.abs(sq(id) - exact) / math.abs(exact)
+        }
+      }
+      java.util.Arrays.sort(tR); java.util.Arrays.sort(tS)
+      val re = relErrs.sorted
+      println(f"SQTIER n=$n leaves=${model.centroids.length} " +
+        f"raw_bytes=$bRaw sq_bytes=$bSq (${bRaw.toDouble / bSq}%.1fx) " +
+        f"sq_write=$tSqWrite%.1f s " +
+        f"append_med=${tAppend(tAppend.length / 2)}%.2f s " +
+        f"query_raw_med=${tR(5)}%.3f s query_sq_med=${tS(5)}%.3f s " +
+        f"relerr_med=${re(re.length / 2)}%.2e relerr_max=${re.last}%.2e")
+    } else if (args(0) == "dedupinc") {
+      // Incremental near-dup: per-batch cost against a persisted
+      // signature store as the STORE grows — the claim to price is
+      // "per batch ∝ batch + candidates, with the store entering only
+      // through one broadcast-joined scan". Times signature compute
+      // for the batch, banded candidates vs the store, and the
+      // bounded exact verify, at two store sizes.
+      // usage: dedupinc <nStore> <nBatch>
+      val nStore = args(1).toLong; val nBatch = args(2).toLong
+      import graft.operators.Dedup
+      def run(ns: Long): (Double, Double, Long) = {
+        val store = graft.pipeline.SyntheticCorpus.docs(spark, ns)
+        val storePath = java.nio.file.Files
+          .createTempDirectory("graft_dedupinc").toString + "/sigs"
+        Dedup.minhashSignatures(store, "doc_id", "text")
+          .write.mode("overwrite").parquet(storePath)
+        val sig = spark.read.parquet(storePath)
+        val batch = graft.pipeline.SyntheticCorpus.docs(spark, nBatch)
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        var t0 = System.nanoTime()
+        val fresh = Dedup.minhashSignatures(batch, "doc_id", "text")
+        val cand = Dedup.minhashCandidatesAgainst(sig, fresh, "doc_id")
+        val nCand = cand.count()
+        val tCand = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val all = store.unionByName(batch)
+        val ver = Dedup.jaccardOfPairs(all, "doc_id", "text", cand)
+        ver.count()
+        val tVer = (System.nanoTime() - t0) / 1e9
+        (tCand, tVer, nCand)
+      }
+      run(math.max(1000L, nStore / 50)) // warm codegen/session
+      val (c1, v1, n1) = run(nStore)
+      val (c2, v2, n2) = run(nStore * 4)
+      println(f"DEDUPINC batch=$nBatch store=$nStore cand=$c1%.1f s " +
+        f"verify=$v1%.1f s pairs=$n1 | store4x=${nStore * 4} " +
+        f"cand=$c2%.1f s verify=$v2%.1f s pairs=$n2 " +
+        f"(cand growth ${c2 / c1}%.1fx at 4x store)")
     } else if (args(0) == "expr") {
       val n = args(1).toLong; val k = args(2).toInt
       val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, 32, 25)
