@@ -92,6 +92,71 @@ final class Serving private[operators] (
     restricts.nonEmpty &&
       restrictSelectivity(restricts).exists(_ <= maxExactFraction)
 
+  /** Which storage tier the held layout is: "raw" (float vectors),
+    * "pq" (packed product-quantization codes), or "sq" (packed int8
+    * codes + per-row scale). Drives which search kernel applies.
+    */
+  def tier: String =
+    if (data.columns.contains("pq_code")) "pq"
+    else if (data.columns.contains("sq_code")) "sq"
+    else "raw"
+
+  /** SQ8-tier search — the resident-handle form of the `r_serve_sq`
+    * gate: same leaf pruning as [[search]], but the scan kernel is
+    * the exact integer dot over packed 1 B/dim codes rescaled by the
+    * two scales. The query quantizes once on the driver
+    * ([[graft.functions.quantize.packLocal]]); no trained artifact
+    * is read. Output: (id, leaf_id, sq_score) top-k by score desc.
+    */
+  def searchSq(query: Array[Double], nProbe: Int, k: Int): DataFrame = {
+    require(tier == "sq",
+      s"searchSq: layout at $path is a '$tier' tier, not SQ8 " +
+        "(no sq_code column)")
+    import org.apache.spark.sql.functions._
+    import graft.functions.quantize
+    val leaves = model.topLeaves(query, nProbe)
+    val (qMa, qPacked) = quantize.packLocal(query)
+    data.filter(col("leaf_id").isin(leaves: _*))
+      .select(col(id), col("leaf_id"), quantize.score(
+        quantize.packedDot(col("sq_code"), lit(qPacked)),
+        col("ma"), lit(qMa)).as("sq_score"))
+      .groupBy(col(id))
+      .agg(min(col("leaf_id")).as("leaf_id"),
+        first(col("sq_score")).as("sq_score"))
+      .orderBy(col("sq_score").desc, col(id))
+      .limit(k)
+  }
+
+  /** PQ-tier ADC search — the resident-handle form of the
+    * `r_serve_pq` gate: same leaf pruning as [[search]], scan kernel
+    * = 8 table lookups + 7 adds per row against the query's
+    * precomputed ADC table. Codebook (and the OPQ rotation, when the
+    * layout carries one) reload from the path's own sidecars; an OPQ
+    * layout rotates the query once on the driver — exactly what
+    * [[graft.streaming.IndexMaintenance.appendCodedToServing]] does
+    * on the write side, so the two stay in the same space. Output:
+    * (id, leaf_id, adc_score) top-k by score desc.
+    */
+  def searchAdc(query: Array[Double], nProbe: Int, k: Int): DataFrame = {
+    require(tier == "pq",
+      s"searchAdc: layout at $path is a '$tier' tier, not PQ " +
+        "(no pq_code column)")
+    import org.apache.spark.sql.functions._
+    val cb = ProductQuantizer.loadCodebook(spark, path)
+    val q = ProductQuantizer.loadRotation(spark, path)
+      .map(r => ProductQuantizer.rotate(query, r)).getOrElse(query)
+    val leaves = model.topLeaves(query, nProbe)
+    data.filter(col("leaf_id").isin(leaves: _*))
+      .select(col(id), col("leaf_id"),
+        ProductQuantizer.adcScoreExpr(col("pq_code"),
+          ProductQuantizer.adcTable(q, cb)).as("adc_score"))
+      .groupBy(col(id))
+      .agg(min(col("leaf_id")).as("leaf_id"),
+        first(col("adc_score")).as("adc_score"))
+      .orderBy(col("adc_score").desc, col(id))
+      .limit(k)
+  }
+
   /** Multi-vector LATE-INTERACTION search against the held layout —
     * the serving-side MaxSim (`v_maxsim` is the exact batch form):
     * one query = a SET of vectors, one document = the layout rows

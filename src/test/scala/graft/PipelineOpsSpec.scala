@@ -59,4 +59,61 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows.forall(_._1 != "und"), "und must be gated out")
     assert(rows.forall(r => r._2 > 0 && r._3 > 0))
   }
+
+  test("mixture sample: up-weights small sources, broadcasts the rate " +
+      "table, rates are sane") {
+    val rows = run("p_mixture_sample")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // rate sanity: per-mille in [0, 1000], sampled <= docs, and the
+    // realized count tracks the target within hash noise
+    rows.foreach { case (src, nDocs, permille, nSampled) =>
+      assert(permille >= 0 && permille <= 1000, s"$src permille=$permille")
+      assert(nSampled <= nDocs)
+    }
+    // the realized mix hits the global 20% target (floors and hash
+    // noise aside) and rates respond to char mass, not doc count
+    val total = rows.map(_._2).sum.toDouble
+    val expected = rows.map(r => r._2 * r._3 / 1000.0).sum
+    assert(expected / total > 0.1 && expected / total < 0.35,
+      s"global target drifted: ${expected / total}")
+    val sampled = rows.map(_._4).sum.toDouble
+    assert(sampled / total > 0.05 && sampled / total < 0.45,
+      s"realized sample rate ${sampled / total} implausible")
+    // the rate table join must broadcast (a 20-row dim over the scan)
+    val plan = run("p_mixture_sample").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast:\n$plan")
+  }
+
+  test("redaction masks every denylist term and is count-consistent") {
+    val rows = TextSpecHelpers.runText(spark, sf, "t_redact")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // masked text can no longer match the denylist as whole words
+    val deny = "\\b(customer|supplier|spark)\\b".r
+    rows.foreach { case (id, nEmail, nDeny, redacted) =>
+      assert(deny.findFirstIn(redacted).isEmpty,
+        s"doc $id still contains a denylist term after redaction")
+      assert(nEmail == 0L, "synthetic corpus carries no emails")
+      val masks = "\\[TERM\\]".r.findAllIn(redacted).length
+      assert(masks == nDeny,
+        s"doc $id: $nDeny matches counted but $masks masks present")
+    }
+    assert(rows.map(_._3).sum > 0, "the denylist must actually fire")
+    // the redaction itself is one scan-side projection: with the
+    // gate's presentation orderBy removed, the plan holds no Exchange
+    val bare = Tables.documents(spark, sf).select(
+      regexp_replace(col("text"),
+        lit("\\b(customer|supplier|spark)\\b"), lit("[TERM]")))
+      .queryExecution.executedPlan.toString
+    assert(!bare.contains("Exchange"),
+      s"redaction must not shuffle:\n$bare")
+  }
+}
+
+private[graft] object TextSpecHelpers {
+  def runText(spark: org.apache.spark.sql.SparkSession, sf: String,
+      name: String): org.apache.spark.sql.DataFrame =
+    graft.queries.TextAnalysis.defs.find(_.name == name).get.fn(spark, sf)
 }

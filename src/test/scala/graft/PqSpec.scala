@@ -194,4 +194,44 @@ class PqSpec extends SparkTestBase {
         s"rerank score for $id is not the exact dot: $score vs ${exact(id)}")
     }
   }
+
+  test("resident handle serves the PQ tier: searchAdc == inline ADC, " +
+      "raw kernel refused") {
+    import graft.operators.{IvfIndex, Serving}
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val cb = ProductQuantizer.codebook(emb, "vec_id", "embedding", ids)
+    val (indexed, model) = IvfIndex.build(base, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_handle").toString + "/idx"
+    val coded = indexed
+      .withColumn("pq_code", ProductQuantizer.encodeExpr(col("v"), cb))
+      .drop("v")
+    IvfIndex.write(coded, dir, model)
+    ProductQuantizer.writeCodebook(spark, dir, cb)
+
+    val query = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val handle = Serving.open(spark, dir)
+    assert(handle.tier == "pq")
+    val viaHandle = handle.searchAdc(query, nProbe = 8, k = 10)
+      .select("vec_id", "adc_score")
+      .as[(Long, Double)].collect().toSeq
+    // inline form: same codebook, same probe width (8 of 8 = all)
+    val inline = spark.read.parquet(dir)
+      .select(col("vec_id"),
+        ProductQuantizer.adcScoreExpr(col("pq_code"),
+          ProductQuantizer.adcTable(query, cb)).as("adc_score"))
+      .groupBy("vec_id").agg(max(col("adc_score")).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id")).limit(10)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaHandle == inline,
+      "Serving.searchAdc must match the inline ADC scoring")
+    val boom = intercept[IllegalArgumentException] {
+      handle.searchSq(query, 2, 5)
+    }
+    assert(boom.getMessage.contains("'pq' tier"))
+  }
 }

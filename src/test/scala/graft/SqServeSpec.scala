@@ -102,5 +102,70 @@ class SqServeSpec extends SparkTestBase {
     // served rows may carry spill copies (one per assigned leaf) with
     // identical scores; the ID set is the live corpus exactly
     assert(served.select("vec_id").distinct().count() == expect.count())
+
+    // the resident handle detects the tier and serves the same
+    // scores; the raw kernel refuses the coded layout loudly
+    val handle = graft.operators.Serving.open(spark, dir)
+    assert(handle.tier == "sq")
+    val viaHandle = handle.searchSq(query, nProbe = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val direct = served.groupBy("vec_id").agg(max(col("s")).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaHandle.toSeq == direct.toSeq,
+      "Serving.searchSq must match the direct packed scoring")
+    val wrongKernel = intercept[IllegalArgumentException] {
+      handle.searchAdc(query, 2, 5)
+    }
+    assert(wrongKernel.getMessage.contains("'sq' tier"))
+  }
+
+  test("SQ tier takes streaming upserts: foreachBatch quantizes and " +
+      "appends at micro-batch rates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = vecs.withColumn("version", lit(1L))
+    val (indexed, model) = IvfIndex.build(base, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sq_stream").toString + "/idx"
+    val sq0 = indexed
+      .withColumn("ma", quantize.maxAbs(col("v")))
+      .withColumn("sq_code",
+        quantize.packCodes(quantize.codes(col("v"), col("ma"))))
+      .drop("v")
+    IvfIndex.write(sq0, dir, model)
+    val v7 = vecs.filter(col("vec_id") === 7)
+      .select("v").head().getSeq[Double](0)
+
+    val stream = MemoryStream[(Long, Seq[Double], Long)]
+    val job = stream.toDF.toDF("vec_id", "v", "version")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", dir + ".ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+        graft.streaming.IndexMaintenance.appendSqToServing(
+          spark, dir, batch, "vec_id", "v", "version")
+      }
+      .start()
+    def send(rows: (Long, Seq[Double], Long)*): Unit = {
+      stream.addData(rows: _*); job.processAllAvailable()
+    }
+    send((0 until 5).map(j =>
+      (800000L + j, v7.map(_ * (1 + 0.1 * j)), 1L)): _*)
+    send((7L, v7.map(-_), 2L))
+    job.stop()
+
+    val handle = graft.operators.Serving.open(spark, dir)
+    assert(handle.tier == "sq")
+    val served = handle.data
+    assert(served.filter(col("vec_id") >= 800000L)
+      .select("vec_id").distinct().count() == 5,
+      "streamed SQ upserts must be served")
+    val s7 = handle.searchSq(v7.toArray, nProbe = 8, k = 1000)
+      .filter(col("vec_id") === 7).select("sq_score")
+      .head().getDouble(0)
+    assert(s7 < 0,
+      s"id 7 must serve its streamed negated upsert, got score $s7")
   }
 }
