@@ -280,7 +280,114 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** One verify-round of the streaming oracle: banded candidates of
+    * `batchCte` against `storeCte`, exact-Jaccard verified at ≥ 0.2
+    * over the full shingle sets, first (min) store match per batch
+    * doc. Mirrors [[Dedup.minhashCandidatesAgainst]] +
+    * [[Dedup.jaccardOfPairs]] + the per-batch decision.
+    */
+  private def incRound(idx: Int, storeCte: String, batchCte: String): String =
+    s"cand$idx AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db " +
+      s"FROM $storeCte a JOIN $batchCte b ON $BandPredicate), " +
+      s"com$idx AS (SELECT c.da, c.db, count(*) AS cc FROM cand$idx c " +
+      "JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND y.s = x.s " +
+      "GROUP BY 1, 2), " +
+      s"dup$idx AS (SELECT c.db, min(c.da) AS match_id FROM cand$idx c " +
+      s"JOIN com$idx cm ON cm.da = c.da AND cm.db = c.db " +
+      "JOIN sizes sx ON sx.doc_id = c.da JOIN sizes sy ON sy.doc_id = c.db " +
+      "WHERE cast(cm.cc as double) / (sx.n + sy.n - cm.cc) >= 0.2 " +
+      "GROUP BY c.db)"
+
+  /** CONTINUOUS ingest dedup — [[dDedupIncremental]] run as a real
+    * Structured Stream with a SELF-GROWING store: two ordered
+    * micro-batches flow through one foreachBatch that signs the
+    * batch, bands it against the persisted signature store, verifies
+    * candidates exactly, writes the keep/drop decision, and appends
+    * the SURVIVORS' signatures back to the store — so batch 2 is
+    * deduped against base ∪ batch-1-survivors, the sequential
+    * semantics a streaming corpus needs (a dup of a doc that arrived
+    * five minutes ago is caught, a dup of a DROPPED dup is not
+    * double-counted). The oracle replays the two rounds sequentially
+    * in SQL (store₂ = base ∪ survivors₁). Everything per batch is
+    * ∝ batch + candidates; the store only ever appends.
+    */
+  private val dStreamDedupInc = QueryDef.sqlChecked("d_stream_dedup_inc")(
+    s"$SigCte, " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      s"base AS (SELECT * FROM sig WHERE ${PipelineQueries.sqlBucket1000("doc_id")} < 700), " +
+      s"b1 AS (SELECT * FROM sig WHERE ${PipelineQueries.sqlBucket1000("doc_id")} >= 700 " +
+      s"AND ${PipelineQueries.sqlBucket1000("doc_id")} < 850), " +
+      s"b2 AS (SELECT * FROM sig WHERE ${PipelineQueries.sqlBucket1000("doc_id")} >= 850), " +
+      incRound(1, "base", "b1") + ", " +
+      "surv1 AS (SELECT b1.* FROM b1 LEFT JOIN dup1 ON b1.doc_id = dup1.db " +
+      "WHERE dup1.db IS NULL), " +
+      "store2 AS (SELECT * FROM base UNION ALL SELECT * FROM surv1), " +
+      incRound(2, "store2", "b2") + " " +
+      "SELECT s.doc_id, dd.match_id, dd.match_id IS NOT NULL AS is_dup " +
+      "FROM (SELECT doc_id FROM b1 UNION ALL SELECT doc_id FROM b2) s " +
+      "LEFT JOIN (SELECT * FROM dup1 UNION ALL SELECT * FROM dup2) dd " +
+      "ON dd.db = s.doc_id ORDER BY s.doc_id"
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bkt = PipelineQueries.bucket1000(col("doc_id"))
+    val base = docs.filter(bkt < 700)
+    val feed = Seq(
+      docs.filter(bkt >= 700 && bkt < 850).select("doc_id", "text"),
+      docs.filter(bkt >= 850).select("doc_id", "text"))
+
+    val work = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_sdedupinc_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(work)) {
+      java.nio.file.Files.walk(work).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val storePath = work.toString + "/sigs"
+    val decPath = work.toString + "/decisions"
+    Dedup.minhashSignatures(base, "doc_id", "text")
+      .write.mode("overwrite").parquet(storePath)
+
+    val streamDir = graft.streaming.FileStreamFixture.write("sdedupinc", d,
+      "docs by bucket; b1 [700,850), b2 [850,1000) vs growing store", feed)
+    graft.SessionConf.withStreamShuffle(s) {
+      val q = s.readStream.schema(feed.head.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(streamDir)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", work.toString + "/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+          val fresh = Dedup.minhashSignatures(batch.toDF(), "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val store = s.read.parquet(storePath)
+            val cand = Dedup.minhashCandidatesAgainst(store, fresh, "doc_id")
+            val dups = Dedup.jaccardOfPairs(docs, "doc_id", "text", cand)
+              .filter(col("jaccard") >= 0.2)
+              .groupBy(col("db")).agg(min(col("da")).as("match_id"))
+            batch.select(col("doc_id"))
+              .join(dups, col("doc_id") === col("db"), "left")
+              .select(col("doc_id"), col("match_id"),
+                col("match_id").isNotNull.as("is_dup"))
+              .write.mode("append").parquet(decPath)
+            // only survivors enter the store: a dup of a dropped dup
+            // must match the KEPT original, not the dropped copy
+            fresh.join(dups, fresh("doc_id") === dups("db"), "left_anti")
+              .write.mode("append").parquet(storePath)
+          } finally { fresh.unpersist(); () }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(decPath).orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
-    dDedupIncremental, dSimhash, dSimhashPairs, dSimhashBanded, dSrpLsh,
-    dCosinePairs, dClusters)
+    dDedupIncremental, dStreamDedupInc, dSimhash, dSimhashPairs,
+    dSimhashBanded, dSrpLsh, dCosinePairs, dClusters)
 }
