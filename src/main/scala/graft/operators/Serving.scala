@@ -106,9 +106,14 @@ final class Serving private[operators] (
     * the exact integer dot over packed 1 B/dim codes rescaled by the
     * two scales. The query quantizes once on the driver
     * ([[graft.functions.quantize.packLocal]]); no trained artifact
-    * is read. Output: (id, leaf_id, sq_score) top-k by score desc.
+    * is read. `restricts` are ANDed predicates over the layout's own
+    * columns, sitting directly on the pruned scan (the same contract
+    * as the raw path's filtered search — keep them on top-level
+    * columns so they reach `PushedFilters`). Output:
+    * (id, leaf_id, sq_score) top-k by score desc.
     */
-  def searchSq(query: Array[Double], nProbe: Int, k: Int): DataFrame = {
+  def searchSq(query: Array[Double], nProbe: Int, k: Int,
+      restricts: Seq[Column] = Nil): DataFrame = {
     require(tier == "sq",
       s"searchSq: layout at $path is a '$tier' tier, not SQ8 " +
         "(no sq_code column)")
@@ -116,7 +121,8 @@ final class Serving private[operators] (
     import graft.functions.quantize
     val leaves = model.topLeaves(query, nProbe)
     val (qMa, qPacked) = quantize.packLocal(query)
-    data.filter(col("leaf_id").isin(leaves: _*))
+    restricts.foldLeft(data.filter(col("leaf_id").isin(leaves: _*)))(
+        (df, p) => df.filter(p))
       .select(col(id), col("leaf_id"), quantize.score(
         quantize.packedDot(col("sq_code"), lit(qPacked)),
         col("ma"), lit(qMa)).as("sq_score"))
@@ -134,10 +140,12 @@ final class Serving private[operators] (
     * layout carries one) reload from the path's own sidecars; an OPQ
     * layout rotates the query once on the driver — exactly what
     * [[graft.streaming.IndexMaintenance.appendCodedToServing]] does
-    * on the write side, so the two stay in the same space. Output:
-    * (id, leaf_id, adc_score) top-k by score desc.
+    * on the write side, so the two stay in the same space.
+    * `restricts` as in [[searchSq]]. Output: (id, leaf_id,
+    * adc_score) top-k by score desc.
     */
-  def searchAdc(query: Array[Double], nProbe: Int, k: Int): DataFrame = {
+  def searchAdc(query: Array[Double], nProbe: Int, k: Int,
+      restricts: Seq[Column] = Nil): DataFrame = {
     require(tier == "pq",
       s"searchAdc: layout at $path is a '$tier' tier, not PQ " +
         "(no pq_code column)")
@@ -146,7 +154,8 @@ final class Serving private[operators] (
     val q = ProductQuantizer.loadRotation(spark, path)
       .map(r => ProductQuantizer.rotate(query, r)).getOrElse(query)
     val leaves = model.topLeaves(query, nProbe)
-    data.filter(col("leaf_id").isin(leaves: _*))
+    restricts.foldLeft(data.filter(col("leaf_id").isin(leaves: _*)))(
+        (df, p) => df.filter(p))
       .select(col(id), col("leaf_id"),
         ProductQuantizer.adcScoreExpr(col("pq_code"),
           ProductQuantizer.adcTable(q, cb)).as("adc_score"))

@@ -141,6 +141,44 @@ object PipelineQueries {
       .orderBy(desc("cnt"), asc("t")).limit(20)
   }
 
+  /** Incremental RE-EMBED queue — the orchestration delta that keeps
+    * a 100 TB corpus's embedding bill proportional to CHANGE, not
+    * size (the reference re-embeds whole directories,
+    * setup_vector_search.py:28-43; at scale you embed only what
+    * moved): join the current corpus fingerprints against the
+    * embedded-state store and emit `new` (never embedded) and
+    * `changed` (stored fingerprint differs — the doc was edited
+    * since) rows; unchanged docs never leave the scan. The state
+    * store here is simulated in-query (80% embedded, every 50th
+    * fingerprint stale) so the oracle can re-derive it exactly; in
+    * production it is the metadata store's LWW view. One fingerprint
+    * projection per side + one join on the id — no corpus-width
+    * shuffle beyond the id join.
+    */
+  private val pReembedDelta = QueryDef.sqlChecked("p_reembed_delta")(
+    "WITH cur AS (SELECT doc_id, md5(text) AS fp FROM documents), " +
+      "st AS (SELECT doc_id, CASE WHEN doc_id % 50 = 0 " +
+      "THEN md5(reverse(text)) ELSE md5(text) END AS fp " +
+      s"FROM documents WHERE ${sqlBucket1000("doc_id")} < 800) " +
+      "SELECT cur.doc_id, CASE WHEN st.doc_id IS NULL THEN 'new' " +
+      "ELSE 'changed' END AS reason " +
+      "FROM cur LEFT JOIN st ON cur.doc_id = st.doc_id " +
+      "WHERE st.doc_id IS NULL OR cur.fp <> st.fp " +
+      "ORDER BY cur.doc_id"
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cur = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val st = docs.filter(bucket1000(col("doc_id")) < 800)
+      .select(col("doc_id").as("st_id"),
+        when(col("doc_id") % 50 === 0, md5(reverse(col("text"))))
+          .otherwise(md5(col("text"))).as("st_fp"))
+    cur.join(st, col("doc_id") === col("st_id"), "left")
+      .filter(col("st_id").isNull || col("fp") =!= col("st_fp"))
+      .select(col("doc_id"),
+        when(col("st_id").isNull, "new").otherwise("changed").as("reason"))
+      .orderBy("doc_id")
+  }
+
   /** N-gram corpus statistics — the LM-side sibling of the token
     * heavy hitters: top-20 word-3-grams by total occurrences with
     * their document frequency and a doc-coverage ratio (df / corpus).
@@ -516,6 +554,6 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(pSampleHash, pSampleStratified,
     pSplitTrainTest, pMixtureSample, pTopkTokens, pNgramStats,
-    pCorpusClean, pPackSequences, pDecontaminate, qStreamDedup,
-    qStreamDedupWm, qStreamJoin, qStreamStatic)
+    pReembedDelta, pCorpusClean, pPackSequences, pDecontaminate,
+    qStreamDedup, qStreamDedupWm, qStreamJoin, qStreamStatic)
 }

@@ -118,6 +118,14 @@ class SqServeSpec extends SparkTestBase {
       handle.searchAdc(query, 2, 5)
     }
     assert(wrongKernel.getMessage.contains("'sq' tier"))
+
+    // restricts sit on the pruned scan: only the version-2 upsert
+    // (id 7) qualifies
+    val restricted = handle.searchSq(query, nProbe = 8, k = 1000,
+      restricts = Seq(col("version") === 2L)).collect()
+    assert(restricted.map(_.getLong(0)).toSeq == Seq(7L),
+      s"version=2 restrict must isolate the upsert, got " +
+        restricted.map(_.getLong(0)).mkString(","))
   }
 
   test("SQ tier takes streaming upserts: foreachBatch quantizes and " +
