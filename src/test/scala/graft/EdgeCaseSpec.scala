@@ -21,6 +21,64 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(got(0) == 0.0 && got(1) == 0.0 && got(2) > 0.0)
   }
 
+  test("packed codes: empty arrays, length mismatch, zero vector") {
+    // empty vector → empty binary → zero dot
+    val empty = Seq(Seq.empty[Long]).toDF("c")
+      .select(quantize.packCodes(col("c")).as("b"))
+    assert(empty.select(length(col("b"))).as[Int].head() == 0)
+    assert(empty.select(
+      quantize.packedDot(col("b"), col("b"))).as[Long].head() == 0L)
+    // mismatched lengths dot over the common prefix (same contract as
+    // the float kernels)
+    val mixed = Seq((Seq(127L, 127L, 127L), Seq(127L)))
+      .toDF("a", "c")
+      .select(quantize.packedDot(quantize.packCodes(col("a")),
+        quantize.packCodes(col("c"))).as("d"))
+    assert(mixed.as[Long].head() == 127L * 127L)
+    // zero vector packs to the bias byte everywhere and self-dots to 0
+    val zero = Seq(Seq(0.0, 0.0, 0.0)).toDF("v")
+      .select(quantize.packCodes(
+        quantize.codes(col("v"), quantize.maxAbs(col("v")))).as("b"))
+    assert(zero.select(
+      quantize.packedDot(col("b"), col("b"))).as[Long].head() == 0L)
+    // a null element refuses loudly rather than masking
+    val boom = intercept[Exception] {
+      Seq(Tuple1(Seq(Option(1L), None))).toDF("c")
+        .select(quantize.packCodes(col("c"))).collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
+  test("matvec rotation: short input reads the common prefix, empty " +
+      "basis yields an empty vector") {
+    import graft.operators.ProductQuantizer
+    val basis = Array(Array(1.0, 0.0, 0.0), Array(0.0, 2.0, 0.0))
+    // input shorter than the basis row: forward loop stops at min(n)
+    val short = Seq(Seq(3.0, 5.0)).toDF("v")
+      .select(ProductQuantizer.rotateExpr(col("v"), basis).as("r"))
+      .as[Seq[Double]].head()
+    assert(short == Seq(3.0, 10.0))
+    val none = Seq(Seq(1.0, 2.0)).toDF("v")
+      .select(ProductQuantizer.rotateExpr(col("v"),
+        Array.empty[Array[Double]]).as("r"))
+      .as[Seq[Double]].head()
+    assert(none.isEmpty)
+  }
+
+  test("redaction of empty text is empty with zero counts") {
+    val got = Seq("", "customer data", "no match here")
+      .toDF("text")
+      .select(
+        size(regexp_extract_all(col("text"),
+          lit("\\b(customer|supplier|spark)\\b"), lit(0))).as("n"),
+        regexp_replace(col("text"),
+          lit("\\b(customer|supplier|spark)\\b"), lit("[TERM]")).as("r"))
+      .as[(Int, String)].collect()
+    assert(got(0) == ((0, "")))
+    assert(got(1) == ((1, "[TERM] data")))
+    assert(got(2) == ((0, "no match here")))
+  }
+
   test("zero vector quantizes to all-zero codes") {
     val df = Seq(Seq(0.0, 0.0, 0.0)).toDF("v")
       .withColumn("ma", quantize.maxAbs(col("v")))
