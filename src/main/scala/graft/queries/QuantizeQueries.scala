@@ -508,6 +508,46 @@ object QuantizeQueries {
       .limit(10)
   }
 
+  /** BATCHED ADC — the coded-tier form of batched serving: a query
+    * FRAME (not one literal) broadcasts over the persisted code
+    * table, every (code, query) pair scores through
+    * [[graft.operators.AdcDirect]] (8 forward sub-dots against the
+    * referenced codebook — no per-query literal table, which a batch
+    * cannot bake into the plan), and the per-query top-5 is a window
+    * rank. The expression accumulates subspaces in ascending order,
+    * so its doubles are bit-identical to the single-query table path
+    * AND the oracle's t0+…+t7 — the whole batch hash-checks. Scan
+    * side reads 4 B/row; at a 10⁶-query batch over a 10⁹-row corpus
+    * that byte ratio, not the arithmetic, is the cost.
+    */
+  private val vPqBatch = QueryDef.sqlChecked("v_pq_batch")(
+    s"$PqCte, q4 AS (SELECT vec_id AS query_id, " +
+      "cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id < 4), " +
+      "term AS (SELECT q4.query_id, code.vec_id, code.s, " +
+      "list_inner_product(q4.qv[code.s*8+1 : code.s*8+8], " +
+      "cb.cv[code.s*8+1 : code.s*8+8]) AS t " +
+      "FROM code JOIN cb ON code.c = cb.c CROSS JOIN q4), " +
+      "piv AS (SELECT query_id, vec_id, " +
+      (0 until 8).map(i => s"max(CASE WHEN s = $i THEN t END) AS t$i")
+        .mkString(", ") +
+      " FROM term GROUP BY query_id, vec_id) " +
+      "SELECT query_id, vec_id, adc_score, rn FROM (" +
+      "SELECT query_id, vec_id, t0+t1+t2+t3+t4+t5+t6+t7 AS adc_score, " +
+      "row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY t0+t1+t2+t3+t4+t5+t6+t7 DESC, vec_id) AS rn FROM piv) " +
+      "WHERE rn <= 5 ORDER BY query_id, rn"
+  ) { (s, d) =>
+    import graft.operators.ProductQuantizer
+    val emb = Tables.embeddings(s, d)
+    val cb = ProductQuantizer.codebook(emb, "vec_id", "embedding", PqIds)
+    val codes = ProductQuantizer.encode(emb, "vec_id", "embedding", cb)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    ProductQuantizer.searchCodesBatch(codes, "vec_id", cb,
+        queries, "query_id", "qv", 5)
+      .orderBy("query_id", "rn")
+  }
+
   /** ROTATED PQ (the OPQ serving shape with a FIXED rotation so the
     * whole pipeline stays SQL-replicable): rotate → encode → ADC,
     * where the rotation is the reversal permutation — orthogonal,
@@ -565,5 +605,5 @@ object QuantizeQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
-    vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq)
+    vPqBatch, vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq)
 }
