@@ -386,6 +386,50 @@ final class Serving private[operators] (
     batchTail(unique, qid, k, crowding, metadata)
   }
 
+  /** Distributed BATCH search over the PQ TIER — [[searchBatch]]'s
+    * routing/join/top-k with the ADC kernel: the query frame routes
+    * through the broadcast-f32 expression in RAW space (leaf geometry
+    * is unrotated, like the build), rotates once per query for
+    * scoring when the layout carries an OPQ sidecar, and every
+    * (code, query) candidate scores through
+    * [[ProductQuantizer.adcDirectExpr]] — 4 B/row on the scan side,
+    * no per-query literal table. Same In-list pre-pruning and
+    * graceful degrade as the raw batch path; same f32 routing-parity
+    * caveat. Output: (`qid`, id, adc_score, rn).
+    */
+  def searchBatchAdc(queries: DataFrame, qid: String, qvecCol: String,
+      nProbe: Int, k: Int, restricts: Seq[Column] = Nil): DataFrame = {
+    require(tier == "pq",
+      s"searchBatchAdc: layout at $path is a '$tier' tier, not PQ")
+    import org.apache.spark.sql.functions._
+    val cb = ProductQuantizer.loadCodebook(spark, path)
+    val rot = ProductQuantizer.loadRotation(spark, path)
+    val probes = queries.select(col(qid).as("__qid"),
+        col(qvecCol).cast("array<double>").as("__qraw"))
+      .withColumn("__qv", rot.map(r =>
+        ProductQuantizer.rotateExpr(col("__qraw"), r))
+        .getOrElse(col("__qraw")))
+      .withColumn("leaf_id",
+        explode(IvfIndex.probeExprF32(model, col("__qraw"),
+          math.max(1, nProbe))))
+      .drop("__qraw")
+      .localCheckpoint(true)
+    val leaves = probes.select("leaf_id").distinct()
+      .limit(1025).collect().map(_.getInt(0))
+    val pruned = if (leaves.length <= 1024)
+      data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
+    val side = restricts.foldLeft(pruned)(_.filter(_))
+    val scored = side.join(probes, Seq("leaf_id"))
+      .select(col("__qid"), col(id),
+        ProductQuantizer.adcDirectExpr(col("pq_code"), col("__qv"), cb)
+          .as("score"))
+    val unique = scored.groupBy(col("__qid"), col(id))
+      .agg(max(col("score")).as("score"))
+    Knn.topKPerQuery(unique, k, "__qid", id, Knn.Dot)
+      .select(col("__qid").as(qid), col(id),
+        col("score").as("adc_score"), col("rn"))
+  }
+
   /** Crowding → per-query top-k → metadata attach, shared by the
     * routed ([[searchBatch]]) and exact ([[searchBatchAdaptive]])
     * batch plans: `unique` carries (__qid, id, score[, crowdAttr])

@@ -233,5 +233,25 @@ class PqSpec extends SparkTestBase {
       handle.searchSq(query, 2, 5)
     }
     assert(boom.getMessage.contains("'pq' tier"))
+
+    // batched ADC == per-query ADC row for row (8 leaves: both
+    // routing paths are exact)
+    val qframe = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = handle.searchBatchAdc(qframe, "query_id", "qv",
+        nProbe = 2, k = 5)
+      .orderBy("query_id", "rn")
+      .select("query_id", "vec_id", "adc_score")
+      .as[(Long, Long, Double)].collect().toSeq
+    val perQuery = (0L until 3L).flatMap { q =>
+      val qv = emb.filter(col("vec_id") === q)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      handle.searchAdc(qv, nProbe = 2, k = 5)
+        .select("vec_id", "adc_score")
+        .as[(Long, Double)].collect().toSeq.map(r => (q, r._1, r._2))
+    }
+    assert(batch == perQuery,
+      "batched ADC must equal the per-query ADC path")
   }
 }
