@@ -430,6 +430,46 @@ final class Serving private[operators] (
         col("score").as("adc_score"), col("rn"))
   }
 
+  /** Distributed BATCH search over the SQ8 TIER — the same
+    * routing/join/top-k as [[searchBatchAdc]] with the packed-byte
+    * kernel: each query row quantizes IN-PLAN (maxAbs → codes →
+    * pack, all codegen), so the batch needs no driver-side per-query
+    * work at all, and every (code, query) candidate scores as the
+    * exact integer dot rescaled by the two scales. Output:
+    * (`qid`, id, sq_score, rn).
+    */
+  def searchBatchSq(queries: DataFrame, qid: String, qvecCol: String,
+      nProbe: Int, k: Int, restricts: Seq[Column] = Nil): DataFrame = {
+    require(tier == "sq",
+      s"searchBatchSq: layout at $path is a '$tier' tier, not SQ8")
+    import org.apache.spark.sql.functions._
+    import graft.functions.quantize
+    val qv = col(qvecCol).cast("array<double>")
+    val probes = queries.select(col(qid).as("__qid"), qv.as("__qraw"))
+      .withColumn("__qma", quantize.maxAbs(col("__qraw")))
+      .withColumn("__qpk", quantize.packCodes(
+        quantize.codes(col("__qraw"), col("__qma"))))
+      .withColumn("leaf_id",
+        explode(IvfIndex.probeExprF32(model, col("__qraw"),
+          math.max(1, nProbe))))
+      .drop("__qraw")
+      .localCheckpoint(true)
+    val leaves = probes.select("leaf_id").distinct()
+      .limit(1025).collect().map(_.getInt(0))
+    val pruned = if (leaves.length <= 1024)
+      data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
+    val side = restricts.foldLeft(pruned)(_.filter(_))
+    val scored = side.join(probes, Seq("leaf_id"))
+      .select(col("__qid"), col(id), quantize.score(
+        quantize.packedDot(col("sq_code"), col("__qpk")),
+        col("ma"), col("__qma")).as("score"))
+    val unique = scored.groupBy(col("__qid"), col(id))
+      .agg(max(col("score")).as("score"))
+    Knn.topKPerQuery(unique, k, "__qid", id, Knn.Dot)
+      .select(col("__qid").as(qid), col(id),
+        col("score").as("sq_score"), col("rn"))
+  }
+
   /** Crowding → per-query top-k → metadata attach, shared by the
     * routed ([[searchBatch]]) and exact ([[searchBatchAdaptive]])
     * batch plans: `unique` carries (__qid, id, score[, crowdAttr])

@@ -1799,10 +1799,81 @@ object ReferencePipeline {
       .orderBy("v_from", "v_to", "vec_id")
   }
 
+  /** RECALL CURVE — the tuning table every ANN deployment reads
+    * before picking nProbe: recall@10 of the probed search vs brute
+    * force at nProbe ∈ {1, 2, 4} over a fixed-centroid layout, fully
+    * hash-gated (fixed centroids make the probed and exact sets both
+    * deterministic, so the curve itself is exact — the audit the
+    * recall-flag gates like `v_ann_ivf` summarize into a boolean,
+    * here as the full table an operator actually tunes against).
+    * Shape at scale: one brute-force pass (the audit's cost, run on
+    * a sample in production) + one pruned top-10 per curve point;
+    * the intersection joins are 10-row broadcasts.
+    */
+  private val vAnnRecallCurve = QueryDef.sqlChecked("v_ann_recall_curve")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings " +
+      "WHERE vec_id = 7), " +
+      "scored AS (SELECT b.vec_id, list_inner_product(b.v, q.qv) AS s " +
+      "FROM base b, q), " +
+      "exact AS (SELECT vec_id FROM scored ORDER BY s DESC, vec_id LIMIT 10), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn FROM base b, cent c) " +
+      "WHERE rn = 1), " +
+      "pr AS (SELECT cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS pr FROM cent c, q) " +
+      Seq(1, 2, 4).map { np =>
+        s"SELECT $np AS n_probe, cast(count(e.vec_id) as bigint) AS n_hits, " +
+          "cast(count(e.vec_id) as double) / 10.0 AS recall FROM " +
+          "(SELECT sc.vec_id FROM scored sc JOIN assign a " +
+          s"ON a.vec_id = sc.vec_id JOIN pr ON a.leaf_id = pr.cid AND pr.pr <= $np " +
+          "ORDER BY sc.s DESC, sc.vec_id LIMIT 10) p " +
+          "LEFT JOIN exact e ON e.vec_id = p.vec_id"
+      }.mkString(" UNION ALL ") +
+      " ORDER BY n_probe"
+  ) { (s, d) =>
+    val base = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val query = base.filter(col("vec_id") === 7)
+      .select(col("v")).head().getSeq[Double](0).toArray
+    val scored = base.select(col("vec_id"),
+      IvfIndex.leafExprMinL2(col("v"), cents.toSeq).cast("int").as("leaf_id"),
+      graft.functions.vectors.dotProduct(col("v"),
+        typedLit(query.toSeq)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exact = scored.orderBy(col("s").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"), lit(1).as("__e"))
+      Seq(1, 2, 4).map { np =>
+        val leaves = model.topLeaves(query, np)
+        scored.filter(col("leaf_id").isin(leaves: _*))
+          .orderBy(col("s").desc, col("vec_id")).limit(10)
+          .join(broadcast(exact), Seq("vec_id"), "left")
+          .agg(count(col("__e")).as("n_hits"))
+          .select(lit(np).as("n_probe"), col("n_hits"),
+            (col("n_hits").cast("double") / 10.0).as("recall"))
+      }.reduce(_ unionAll _)
+        .orderBy("n_probe")
+        .localCheckpoint()
+    } finally { scored.unpersist(); () }
+  }
+
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
     rServeManifest, rServeSnapshot, rServeCdc, rServeClone, rServeBatch,
     rServeDelete, rServePrefilter, rRebalance, vAnnBuild, vAnnCertified,
     vMaxsimPruned, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
-    vAnnRouted, vKnnJoin)
+    vAnnRouted, vAnnRecallCurve, vKnnJoin)
 }

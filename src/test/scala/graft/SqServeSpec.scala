@@ -126,6 +126,25 @@ class SqServeSpec extends SparkTestBase {
     assert(restricted.map(_.getLong(0)).toSeq == Seq(7L),
       s"version=2 restrict must isolate the upsert, got " +
         restricted.map(_.getLong(0)).mkString(","))
+
+    // batched SQ == per-query SQ row for row (8 leaves: exact routing
+    // both paths); queries quantize in-plan, no driver-side packing
+    val qframe = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val batch = handle.searchBatchSq(qframe, "query_id", "qv",
+        nProbe = 2, k = 5)
+      .orderBy("query_id", "rn")
+      .select("query_id", "vec_id", "sq_score")
+      .as[(Long, Long, Double)].collect().toSeq
+    val perQuery = (0L until 3L).flatMap { q =>
+      val qv = vecs.filter(col("vec_id") === q)
+        .select("v").head().getSeq[Double](0).toArray
+      handle.searchSq(qv, nProbe = 2, k = 5)
+        .select("vec_id", "sq_score")
+        .as[(Long, Double)].collect().toSeq.map(r => (q, r._1, r._2))
+    }
+    assert(batch == perQuery,
+      "batched SQ must equal the per-query packed path")
   }
 
   test("SQ tier takes streaming upserts: foreachBatch quantizes and " +
