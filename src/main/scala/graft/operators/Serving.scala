@@ -35,6 +35,18 @@ final class Serving private[operators] (
   def search(query: Array[Double], nProbe: Int, k: Int): DataFrame =
     IvfIndex.searchDf(data, model, query, nProbe, k, id, vecCol)
 
+  /** The reference's `leaf_nodes_to_search_percent` knob
+    * (/root/reference/common/config.py:37, README "Tree-AH leaves
+    * searched: 10%") as a convenience: probe ⌈pct% of leaves⌉,
+    * clamped to [1, numLeaves]. The percent form is how an operator
+    * carries a recall target across layouts whose leaf counts differ.
+    */
+  def searchPercent(query: Array[Double], pct: Double, k: Int): DataFrame = {
+    require(pct > 0 && pct <= 100, s"pct must be in (0, 100], got $pct")
+    search(query, math.min(numLeaves, math.max(1,
+      math.ceil(numLeaves * pct / 100.0).toInt)), k)
+  }
+
   /** The full serving shape — restricts, crowding cap, metadata
     * join — over the held frame; see the 10-arg
     * [[IvfIndex.searchDf]] for the contract.

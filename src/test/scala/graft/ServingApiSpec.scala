@@ -132,6 +132,33 @@ class ServingApiSpec extends SparkTestBase {
       "an unlogged version pins nothing")
   }
 
+  test("searchPercent mirrors the reference's percent knob: pct maps " +
+      "to ceil(pct% of leaves), clamped and loud out of range") {
+    import graft.operators.Serving
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srvpct").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val handle = Serving.open(spark, dir, vecCol = "v")
+    val q = emb.filter(col("vec_id") === 7)
+      .select("v").head().getSeq[Double](0).toArray
+    // 8 leaves: 25% -> ceil(2) probes; identical to nProbe = 2
+    val viaPct = handle.searchPercent(q, 25.0, 5).collect()
+    val viaN = handle.search(q, 2, 5).collect()
+    assert(viaPct.sameElements(viaN))
+    // 100% == full scan; tiny pct clamps up to 1 probe
+    assert(handle.searchPercent(q, 100.0, 5).collect()
+      .sameElements(handle.search(q, 8, 5).collect()))
+    assert(handle.searchPercent(q, 0.001, 5).collect()
+      .sameElements(handle.search(q, 1, 5).collect()))
+    val boom = intercept[IllegalArgumentException] {
+      handle.searchPercent(q, 0.0, 5)
+    }
+    assert(boom.getMessage.contains("pct"))
+  }
+
   test("Serving.searchBatch matches per-query search, query by query") {
     import graft.operators.Serving
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
