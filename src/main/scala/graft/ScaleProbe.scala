@@ -855,6 +855,10 @@ object ScaleProbe {
       }
       val (bRaw, bSq) = (dirBytes(rawPath), dirBytes(sqPath))
 
+      // the timed append goes to the SQ layout; the SAME batch also
+      // lands (untimed) in the raw layout so the query-phase compare
+      // below scans identical corpora — otherwise the SQ timings
+      // cover n + nBatches·batchRows rows vs raw's n, biased vs SQ
       val tAppend = (0 until nBatches).map { i =>
         val b = graft.pipeline.SyntheticCorpus
           .vectors(spark, batchRows, dim, 200)
@@ -866,6 +870,8 @@ object ScaleProbe {
         graft.streaming.IndexMaintenance.appendSqToServing(
           spark, sqPath, b, "vec_id", "embedding", "version")
         val dt = (System.nanoTime() - t) / 1e9
+        graft.streaming.IndexMaintenance.appendToServing(
+          spark, rawPath, b, "vec_id", "embedding", "version")
         b.unpersist()
         dt
       }.sorted

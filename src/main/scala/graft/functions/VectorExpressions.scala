@@ -183,11 +183,16 @@ case class MatVec(child: Expression, basis: Array[Array[Double]])
   override def prettyName: String = "graft_matvec"
 
   override def nullSafeEval(a: Any): Any =
-    MatVec.apply(a.asInstanceOf[ArrayData], basis)
+    MatVec.compute(a.asInstanceOf[ArrayData], basis)
 
+  // `compute`, not `apply`: the case class inherits TreeNode.apply(int),
+  // and Scala suppresses the static forwarder for any name the class
+  // already has — janino would then resolve only apply(int) and fail,
+  // silently de-compiling the whole projection stage (interpreted
+  // fallback). A clash-free name gets its forwarder, like L2Norm.normOf.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val b = ctx.addReferenceObj("basis", basis, "double[][]")
-    defineCodeGen(ctx, ev, a => s"graft.functions.MatVec.apply($a, $b)")
+    defineCodeGen(ctx, ev, a => s"graft.functions.MatVec.compute($a, $b)")
   }
 
   override protected def withNewChildInternal(c: Expression): MatVec =
@@ -195,8 +200,8 @@ case class MatVec(child: Expression, basis: Array[Array[Double]])
 }
 
 object MatVec {
-  /** Called from generated code. */
-  def apply(x: ArrayData, basis: Array[Array[Double]]): ArrayData = {
+  /** Called from generated code (via the static forwarder — see doGenCode). */
+  def compute(x: ArrayData, basis: Array[Array[Double]]): ArrayData = {
     val out = new Array[Double](basis.length)
     var r = 0
     while (r < basis.length) {

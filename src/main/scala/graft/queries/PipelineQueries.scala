@@ -88,7 +88,9 @@ object PipelineQueries {
     * proportion (the standard multilingual/multi-corpus rebalance),
     * then realize the mix as a deterministic per-source hash rate.
     * All rate arithmetic is integer (weights floor(√chars·1000),
-    * rates derived with bigint `div`), so the per-mille thresholds
+    * rates derived with a 128-bit integral divide — decimal(38,0)
+    * in Spark, HUGEINT in the oracle — so 200·total·wi cannot
+    * overflow below ~1e35 char-mass), and the per-mille thresholds
     * are bit-identical across engines — no double-sum ordering can
     * flip a floor. Shape at scale: one map-side-combined stats agg
     * over the corpus, a ≤|sources|-row broadcast back onto the scan,
@@ -102,7 +104,8 @@ object PipelineQueries {
       "tot AS (SELECT cast(sum(n_docs) as bigint) AS total, " +
       "cast(sum(wi) as bigint) AS wsum FROM st), " +
       "rt AS (SELECT st.source, st.n_docs, " +
-      "least(cast(1000 as bigint), (200 * tot.total * st.wi) // (tot.wsum * st.n_docs)) " +
+      "least(cast(1000 as bigint), cast((200 * cast(tot.total as hugeint) * st.wi) " +
+      "// (cast(tot.wsum as hugeint) * st.n_docs) as bigint)) " +
       "AS permille FROM st CROSS JOIN tot) " +
       "SELECT rt.source, rt.n_docs, rt.permille, " +
       s"count(CASE WHEN ${sqlBucket1000("d.doc_id")} < rt.permille THEN 1 END) AS n_sampled " +
@@ -115,9 +118,13 @@ object PipelineQueries {
       floor(sqrt(sum("n_chars").cast("double")) * 1000).cast("bigint").as("wi"))
     val tot = st.agg(sum("n_docs").cast("bigint").as("total"),
       sum("wi").cast("bigint").as("wsum"))
+    // 128-bit intermediates: 200·total·wi overflows Long near ~1 TB
+    // (total_docs × wi > 4.6e16); decimal(38,0) here ↔ HUGEINT in the
+    // oracle, same exact floor, result back in bigint.
     val rt = st.crossJoin(broadcast(tot))
       .withColumn("permille",
-        least(lit(1000L), expr("(200 * total * wi) div (wsum * n_docs)")))
+        least(lit(1000L),
+          expr("(cast(200 as decimal(38,0)) * total * wi) div (cast(wsum as decimal(38,0)) * n_docs)")))
       .select("source", "n_docs", "permille")
     docs.join(broadcast(rt), "source")
       .groupBy("source", "n_docs", "permille")

@@ -120,29 +120,36 @@ object TextAnalysis {
     * regexes stay in the Java∩RE2 common dialect (char classes,
     * bounded repeats, `\b`) so the oracle is the same pattern text;
     * replacement order is fixed (emails first) so overlapping rules
-    * can't produce engine-dependent output. Counts are taken BEFORE
-    * masking. At scale this is one codegen'd projection — no shuffle,
+    * can't produce engine-dependent output. n_email counts on the
+    * raw text; n_deny counts on the EMAIL-MASKED text — the same
+    * input the deny replacement sees — so the audit count always
+    * equals the number of `[TERM]` masks actually applied (a deny
+    * word inside an email-shaped span is swallowed by `[EMAIL]`, and
+    * is correctly not counted).
+    * At scale this is one codegen'd projection — no shuffle,
     * no UDF — and the counts aggregate into the per-source audit
     * report for free.
     */
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val DenyRe = "\\b(customer|supplier|spark)\\b"
   private val tRedact = QueryDef.sqlChecked("t_redact")(
-    s"SELECT doc_id, cast(len(regexp_extract_all(text, '$EmailRe')) as bigint) AS n_email, " +
-      s"cast(len(regexp_extract_all(text, '$DenyRe')) as bigint) AS n_deny, " +
-      s"regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'), " +
-      s"'$DenyRe', '[TERM]', 'g') AS redacted " +
-      "FROM documents ORDER BY doc_id"
+    "WITH em AS (SELECT doc_id, text, " +
+      s"regexp_replace(text, '$EmailRe', '[EMAIL]', 'g') AS masked FROM documents) " +
+      s"SELECT doc_id, cast(len(regexp_extract_all(text, '$EmailRe')) as bigint) AS n_email, " +
+      s"cast(len(regexp_extract_all(masked, '$DenyRe')) as bigint) AS n_deny, " +
+      s"regexp_replace(masked, '$DenyRe', '[TERM]', 'g') AS redacted " +
+      "FROM em ORDER BY doc_id"
   ) { (s, d) =>
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
-        .cast("bigint").as("n_email"),
-      size(regexp_extract_all(col("text"), lit(DenyRe), lit(0)))
-        .cast("bigint").as("n_deny"),
-      regexp_replace(
-        regexp_replace(col("text"), lit(EmailRe), lit("[EMAIL]")),
-        lit(DenyRe), lit("[TERM]")).as("redacted"))
+    Tables.documents(s, d)
+      .withColumn("masked",
+        regexp_replace(col("text"), lit(EmailRe), lit("[EMAIL]")))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("bigint").as("n_email"),
+        size(regexp_extract_all(col("masked"), lit(DenyRe), lit(0)))
+          .cast("bigint").as("n_deny"),
+        regexp_replace(col("masked"), lit(DenyRe), lit("[TERM]")).as("redacted"))
       .orderBy("doc_id")
   }
 

@@ -110,6 +110,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!bare.contains("Exchange"),
       s"redaction must not shuffle:\n$bare")
   }
+
+  test("redaction count/mask consistency survives a deny word inside an email") {
+    // a deny word inside an email-shaped span is swallowed by [EMAIL];
+    // n_deny counts on the email-masked text (the same input the deny
+    // replacement sees), so count == masks even on such corpora
+    val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val DenyRe = "\\b(customer|supplier|spark)\\b"
+    val r = Seq("contact supplier@example.com, the supplier and customer")
+      .toDF("text")
+      .withColumn("masked", regexp_replace(col("text"), lit(EmailRe), lit("[EMAIL]")))
+      .select(
+        size(regexp_extract_all(col("masked"), lit(DenyRe), lit(0))).as("n_deny"),
+        regexp_replace(col("masked"), lit(DenyRe), lit("[TERM]")).as("redacted"))
+      .head()
+    assert(r.getInt(0) == 2, "supplier-in-email must not be counted")
+    assert(r.getString(1) == "contact [EMAIL], the [TERM] and [TERM]")
+    val masks = "\\[TERM\\]".r.findAllIn(r.getString(1)).length
+    assert(masks == r.getInt(0))
+  }
 }
 
 private[graft] object TextSpecHelpers {
