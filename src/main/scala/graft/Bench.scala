@@ -84,11 +84,15 @@ object Bench {
       .map(_.split(',').toSeq).getOrElse(Seq.empty)
     def selected(name: String): Boolean =
       prefixes.isEmpty || prefixes.exists(name.startsWith)
-    var family = ""
     val registry = SparkEntry.queries.keys.toSeq.sorted
       .filter(selected).map { name =>
-      val f = name.takeWhile(_ != '_')
-      if (f != family) { family = f; System.gc() }
+      // GC before EVERY row, not per family: a heavy predecessor
+      // (v_knn_join before v_knn_l2) otherwise bills its garbage +
+      // async shuffle-file cleanup to the next row — r9's v_knn_l2
+      // read 3-6× its plan-identical sibling from exactly this, and
+      // adjudicating it burned a judge pass. The gc runs OUTSIDE the
+      // timed region; rows become order-independent.
+      System.gc()
       name -> timedTriplet { () =>
         SparkEntry.queries(name)(spark, sfDir).count(); ()
       }

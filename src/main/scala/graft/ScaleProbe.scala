@@ -156,7 +156,8 @@ object ScaleProbe {
       println(f"SERVE n=$n leaves=$L groups=${served.router.get.superCentroids.length} " +
         f"build=$tBuild%.1f s write=$tWrite%.1f s open=$tOpen%.2f s " +
         f"routed_query=$tQuery%.2f s hits=$got " +
-        f"scanned=$scanned/$total (${100.0 * scanned / total}%.2f%%)")
+        f"scanned=$scanned/$total (${100.0 * scanned / total}%.2f%%) " +
+        s"path=$path")
     } else if (args(0) == "serveopen") {
       // serving-process shape over an EXISTING serve artifact: open
       // the index ONCE (sidecar + one file-index listing), then run
@@ -562,9 +563,46 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val n = serving.searchBatch(queries, "qid", "qv", nProbe, k).count()
       val tBatch = (System.nanoTime() - t0) / 1e9
+      // PHASE SPLIT (the one unpriced serving claim, r9 verdict #6):
+      // replicate the searchBatch skeleton with a materialization
+      // barrier after each phase so routing-pass, candidate-join, and
+      // tail costs land in their own timers. The barriers (persist +
+      // count) make the SUM slightly exceed the fused end-to-end
+      // number above — the split prices the phases, the fused run is
+      // the record.
+      import graft.operators.{IvfIndex, Knn}
+      var t = System.nanoTime()
+      val probes = queries.select(col("qid").as("__qid"),
+          col("qv").cast("array<double>").as("__qv"))
+        .withColumn("leaf_id", explode(IvfIndex.probeExprF32(
+          serving.model, col("__qv"), nProbe)))
+        .localCheckpoint(true)
+      val leaves = probes.select("leaf_id").distinct()
+        .limit(1025).collect().map(_.getInt(0))
+      val tRoute = (System.nanoTime() - t) / 1e9
+      t = System.nanoTime()
+      val pruned = if (leaves.length <= 1024)
+        serving.data.filter(col("leaf_id").isin(leaves.toSeq: _*))
+      else serving.data
+      val unique = pruned.join(probes, Seq("leaf_id"))
+        .select(col("__qid"), col("vec_id"),
+          graft.functions.vectors.dotProduct(col("embedding"),
+            col("__qv")).as("score"))
+        .groupBy(col("__qid"), col("vec_id"))
+        .agg(max(col("score")).as("score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCand = unique.count()
+      val tJoin = (System.nanoTime() - t) / 1e9
+      t = System.nanoTime()
+      val nOut = Knn.topKPerQuery(unique, k, "__qid", "vec_id", Knn.Dot)
+        .count()
+      val tTail = (System.nanoTime() - t) / 1e9
+      unique.unpersist()
       println(f"SERVEBATCH leaves=${serving.numLeaves} nq=$nQ " +
         f"k=$k rows=$n total=$tBatch%.2f s " +
-        f"per_query=${tBatch / nQ * 1000}%.2f ms")
+        f"per_query=${tBatch / nQ * 1000}%.2f ms " +
+        f"| split: route=$tRoute%.2f s (distinct_leaves=${leaves.length}) " +
+        f"join=$tJoin%.2f s (cand=$nCand) tail=$tTail%.2f s (out=$nOut)")
     } else if (args(0) == "certified") {
       // certified exact top-k (CertifiedSearch ball bounds): radii
       // build cost, probe-count distribution, and wall time vs the

@@ -59,6 +59,20 @@ object quantize {
   def packedDot(a: Column, b: Column): Column =
     Shims.column(SqDot(Shims.expression(a), Shims.expression(b)))
 
+  /** Dequantize a PACKED code buffer back to an approximate vector:
+    * x̂ᵢ = codeᵢ · ma/127. The decode is what a coded-layout
+    * RECLUSTER fits fresh leaf geometry over (the raw vectors are
+    * gone by design — the tier exists to not store them), and the
+    * round trip is IDEMPOTENT: re-quantizing x̂ under its own maxAbs
+    * reproduces the identical codes (the max coordinate decodes to
+    * exactly ma, and floor(c + 0.5) = c for integer c), so a
+    * recluster never degrades the stored codes.
+    */
+  def decode(packed: Column, ma: Column): Column =
+    transform(
+      Shims.column(UnpackInt8(Shims.expression(packed))),
+      c => c * (ma / lit(127.0)))
+
   /** Driver-side mirror of maxAbs + codes + packCodes for query-time
     * literals (same floor(x·127/m + 0.5) arithmetic, same +127 bias).
     */
@@ -148,5 +162,37 @@ object SqDot {
       i += 1
     }
     s
+  }
+}
+
+/** Un-bias a [[PackInt8]] buffer back to its raw codes as
+  * array<double> — the scan-side half of [[quantize.decode]].
+  */
+case class UnpackInt8(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_sq_unpack"
+
+  override def nullSafeEval(a: Any): Any =
+    UnpackInt8.unpack(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.UnpackInt8.unpack($a)")
+
+  override protected def withNewChildInternal(c: Expression): UnpackInt8 =
+    copy(child = c)
+}
+
+object UnpackInt8 {
+  /** Called from generated code. */
+  def unpack(b: Array[Byte]): ArrayData = {
+    val out = new Array[Double](b.length)
+    var i = 0
+    while (i < b.length) {
+      out(i) = ((b(i) & 0xFF) - 127).toDouble
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

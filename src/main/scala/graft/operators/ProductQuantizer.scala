@@ -704,6 +704,41 @@ object ProductQuantizer {
   def identityBasis(d: Int): Array[Array[Double]] =
     Array.tabulate(d)(j => Array.tabulate(d)(i => if (i == j) 1.0 else 0.0))
 
+  /** Decode a packed code word back to its reconstruction: subspace
+    * s's 4-bit index selects codebook entry slice [8s, 8s+8), the
+    * slices concatenate — the scan-side mirror of the driver-side
+    * recon the OPQ trainer uses. The per-subspace lookup is an
+    * `element_at` into a 16-row literal table, all codegen. A
+    * RECLUSTER of a PQ layout fits fresh leaf geometry over these
+    * reconstructions (the raw vectors are gone by design); encoding a
+    * reconstruction reproduces the identical code word (each slice IS
+    * a codebook entry — distance 0 to itself), so a recluster never
+    * degrades stored codes. On an OPQ layout the reconstruction lives
+    * in ROTATED space — un-rotate with [[unrotateExpr]] before
+    * fitting leaf geometry, which the build derived in raw space.
+    */
+  def decodeExpr(packed: Column, cb: Seq[Array[Double]]): Column = {
+    require(cb.length == NumCodes, s"expected $NumCodes codebook rows")
+    val subs = (0 until NumSub).map { s =>
+      val code = shiftright(packed, 4 * s).bitwiseAND(lit(15L)).cast("int")
+      val lut = array(cb.map(c =>
+        typedLit(c.slice(s * SubDim, (s + 1) * SubDim).toSeq)): _*)
+      element_at(lut, code + 1)
+    }
+    flatten(array(subs: _*))
+  }
+
+  /** Inverse of [[rotateExpr]] for an ORTHONORMAL basis: x = Bᵀy. */
+  def unrotateExpr(vec: Column, basis: Array[Array[Double]]): Column =
+    rotateExpr(vec, transposed(basis))
+
+  /** Bᵀ — the inverse rotation of an orthonormal B. */
+  def transposed(basis: Array[Array[Double]]): Array[Array[Double]] = {
+    val rows = basis.length
+    val cols = if (rows == 0) 0 else basis(0).length
+    Array.tabulate(cols)(i => Array.tabulate(rows)(j => basis(j)(i)))
+  }
+
   /** Per-subspace recon of one ROTATED row under `cb` — the chosen
     * (argmin-L2, lowest-code tie) entry per subspace, concatenated;
     * the training-time mirror of what [[encodeExpr]]+ADC serve.

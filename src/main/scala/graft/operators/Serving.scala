@@ -125,7 +125,9 @@ final class Serving private[operators] (
     * (id, leaf_id, sq_score) top-k by score desc.
     */
   def searchSq(query: Array[Double], nProbe: Int, k: Int,
-      restricts: Seq[Column] = Nil): DataFrame = {
+      restricts: Seq[Column] = Nil,
+      crowding: Option[(String, Int)] = None,
+      metadata: Option[(DataFrame, String)] = None): DataFrame = {
     require(tier == "sq",
       s"searchSq: layout at $path is a '$tier' tier, not SQ8 " +
         "(no sq_code column)")
@@ -133,16 +135,21 @@ final class Serving private[operators] (
     import graft.functions.quantize
     val leaves = model.topLeaves(query, nProbe)
     val (qMa, qPacked) = quantize.packLocal(query)
-    restricts.foldLeft(data.filter(col("leaf_id").isin(leaves: _*)))(
-        (df, p) => df.filter(p))
-      .select(col(id), col("leaf_id"), quantize.score(
-        quantize.packedDot(col("sq_code"), lit(qPacked)),
-        col("ma"), lit(qMa)).as("sq_score"))
-      .groupBy(col(id))
-      .agg(min(col("leaf_id")).as("leaf_id"),
-        first(col("sq_score")).as("sq_score"))
-      .orderBy(col("sq_score").desc, col(id))
-      .limit(k)
+    val candidates = restricts.foldLeft(
+      data.filter(col("leaf_id").isin(leaves: _*)))((df, p) => df.filter(p))
+    val scoreCol = quantize.score(
+      quantize.packedDot(col("sq_code"), lit(qPacked)),
+      col("ma"), lit(qMa))
+    if (crowding.isEmpty && metadata.isEmpty)
+      candidates
+        .select(col(id), col("leaf_id"), scoreCol.as("sq_score"))
+        .groupBy(col(id))
+        .agg(min(col("leaf_id")).as("leaf_id"),
+          first(col("sq_score")).as("sq_score"))
+        .orderBy(col("sq_score").desc, col(id))
+        .limit(k)
+    else codedSingleTail(candidates, scoreCol, "sq_score", k,
+      crowding, metadata)
   }
 
   /** PQ-tier ADC search — the resident-handle form of the
@@ -157,7 +164,9 @@ final class Serving private[operators] (
     * adc_score) top-k by score desc.
     */
   def searchAdc(query: Array[Double], nProbe: Int, k: Int,
-      restricts: Seq[Column] = Nil): DataFrame = {
+      restricts: Seq[Column] = Nil,
+      crowding: Option[(String, Int)] = None,
+      metadata: Option[(DataFrame, String)] = None): DataFrame = {
     require(tier == "pq",
       s"searchAdc: layout at $path is a '$tier' tier, not PQ " +
         "(no pq_code column)")
@@ -166,16 +175,51 @@ final class Serving private[operators] (
     val q = ProductQuantizer.loadRotation(spark, path)
       .map(r => ProductQuantizer.rotate(query, r)).getOrElse(query)
     val leaves = model.topLeaves(query, nProbe)
-    restricts.foldLeft(data.filter(col("leaf_id").isin(leaves: _*)))(
-        (df, p) => df.filter(p))
-      .select(col(id), col("leaf_id"),
-        ProductQuantizer.adcScoreExpr(col("pq_code"),
-          ProductQuantizer.adcTable(q, cb)).as("adc_score"))
-      .groupBy(col(id))
-      .agg(min(col("leaf_id")).as("leaf_id"),
-        first(col("adc_score")).as("adc_score"))
-      .orderBy(col("adc_score").desc, col(id))
-      .limit(k)
+    val candidates = restricts.foldLeft(
+      data.filter(col("leaf_id").isin(leaves: _*)))((df, p) => df.filter(p))
+    val scoreCol = ProductQuantizer.adcScoreExpr(col("pq_code"),
+      ProductQuantizer.adcTable(q, cb))
+    if (crowding.isEmpty && metadata.isEmpty)
+      candidates
+        .select(col(id), col("leaf_id"), scoreCol.as("adc_score"))
+        .groupBy(col(id))
+        .agg(min(col("leaf_id")).as("leaf_id"),
+          first(col("adc_score")).as("adc_score"))
+        .orderBy(col("adc_score").desc, col(id))
+        .limit(k)
+    else codedSingleTail(candidates, scoreCol, "adc_score", k,
+      crowding, metadata)
+  }
+
+  /** The full serving tail (spill collapse → crowding cap → top-k →
+    * metadata join) for a SINGLE coded-tier query — identical
+    * semantics to the raw path's [[IvfIndex.searchExactDf]] tail
+    * (one candidate per id, crowding by attribute value over the
+    * quantized scores, rank 1-based by score desc then id), reusing
+    * the shared [[batchTail]] with a constant query id so the two
+    * tails can never drift. The reference provisions crowding and
+    * restricts per datapoint regardless of how the deployed index
+    * stores vectors (setup_vector_search.py:45-76) — the storage
+    * tier changes the scan kernel, never the serving shape.
+    * Output: (id, metadata columns…, `scoreName`, rank).
+    */
+  private def codedSingleTail(candidates: DataFrame, score: Column,
+      scoreName: String, k: Int, crowding: Option[(String, Int)],
+      metadata: Option[(DataFrame, String)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val crowdAttr = crowding.map(_._1).toSeq
+    val scored = candidates.select(
+      Seq(lit(0).as("__qid"), col(id), score.as("score")) ++
+        crowdAttr.map(col): _*)
+    val aggs = Seq(max(col("score")).as("score")) ++
+      crowdAttr.map(a => first(col(a)).as(a))
+    val unique = scored.groupBy(col("__qid"), col(id))
+      .agg(aggs.head, aggs.tail: _*)
+    batchTail(unique, "__q", k, crowding, metadata)
+      .drop("__q")
+      .withColumnRenamed("rn", "rank")
+      .withColumnRenamed("score", scoreName)
+      .orderBy("rank")
   }
 
   /** Multi-vector LATE-INTERACTION search against the held layout —
@@ -296,7 +340,8 @@ final class Serving private[operators] (
       qvecCol: String, nProbe: Int, k: Int, restricts: Seq[Column],
       crowding: Option[(String, Int)] = None,
       metadata: Option[(DataFrame, String)] = None,
-      maxExactFraction: Double = 0.05): DataFrame = {
+      maxExactFraction: Double = 0.05,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.functions._
     if (!searchAdaptivePlan(restricts, maxExactFraction))
       searchBatch(queries, qid, qvecCol, nProbe, k, restricts, crowding,
@@ -306,7 +351,20 @@ final class Serving private[operators] (
         col(qvecCol).cast("array<double>").as("__qv"))
       val side = restricts.foldLeft(data)(_.filter(_))
       val crowdAttr = crowding.map(_._1).toSeq
-      val scored = side.crossJoin(broadcast(qs))
+      // the exact plan scores every (restricted row, query) pair —
+      // broadcast the query frame only while it provably fits (a
+      // bounded limit-probe, not a full count); past the threshold a
+      // 10⁶-row batch would be a multi-GB broadcast that OOMs
+      // executors, so the pair generation degrades to the shuffled
+      // cartesian (SHUFFLE_REPLICATE_NL) — same pairs, same results,
+      // no driver-side collect of the query frame
+      val small = queries.select(col(qid))
+        .limit(math.min(maxBroadcastQueries + 1,
+          Int.MaxValue.toLong).toInt)
+        .count() <= maxBroadcastQueries
+      val paired = if (small) side.crossJoin(broadcast(qs))
+        else side.crossJoin(qs.hint("shuffle_replicate_nl"))
+      val scored = paired
         .select(Seq(col("__qid"), col(id),
           graft.functions.vectors.dotProduct(col(vecCol),
             col("__qv")).as("score")) ++ crowdAttr.map(col): _*)
@@ -398,6 +456,67 @@ final class Serving private[operators] (
     batchTail(unique, qid, k, crowding, metadata)
   }
 
+  /** [[searchBatch]] with PER-QUERY restricts — the reference
+    * provisions restrict tokens per datapoint and its batched
+    * find_neighbors accepts a FILTER SET PER QUERY
+    * (setup_vector_search.py:45-62): tenant A's query and tenant B's
+    * query ride the same batch with different allow-lists. `allowCol`
+    * names a `map<string, array<string>>` column in the query frame —
+    * attribute name → allowed (stringified) values. A layout row
+    * qualifies for a query iff, for EVERY attribute in `attrs`, the
+    * query's map either lacks the key (that attribute unconstrained)
+    * or contains the row's value in its list; a NULL map means the
+    * query is unrestricted. The predicate evaluates per
+    * (candidate, query) pair INSIDE the candidate join — codegen'd
+    * row-level work, no extra shuffle, no per-query loop — and the
+    * routing pass is untouched (restricts never change which leaves a
+    * query probes, matching the reference's post-route filtering).
+    * Batch-wide `restricts` still apply on the scan (pushed to
+    * parquet); the per-query map CANNOT reach `PushedFilters` by
+    * construction, which is exactly the pre/post-filter split a
+    * multi-tenant serve wants: shared coarse pruning, per-tenant
+    * fine filtering.
+    *
+    * Output: identical contract to the 8-arg [[searchBatch]].
+    */
+  def searchBatchPerQuery(queries: DataFrame, qid: String,
+      qvecCol: String, allowCol: String, attrs: Seq[String],
+      nProbe: Int, k: Int, restricts: Seq[Column] = Nil,
+      crowding: Option[(String, Int)] = None,
+      metadata: Option[(DataFrame, String)] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(attrs.nonEmpty,
+      "searchBatchPerQuery: pass the layout attributes the allow-maps " +
+        "may constrain (attrs) — an empty set makes every map a no-op")
+    val probes = queries.select(col(qid).as("__qid"),
+        col(qvecCol).cast("array<double>").as("__qv"),
+        col(allowCol).as("__allow"))
+      .withColumn("leaf_id",
+        explode(IvfIndex.probeExprF32(model, col("__qv"),
+          math.max(1, nProbe))))
+      .localCheckpoint(true)
+    val leaves = probes.select("leaf_id").distinct()
+      .limit(1025).collect().map(_.getInt(0))
+    val pruned = if (leaves.length <= 1024)
+      data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
+    val side = restricts.foldLeft(pruned)(_.filter(_))
+    val allowed = col("__allow").isNull || attrs.map(a =>
+      !map_contains_key(col("__allow"), lit(a)) ||
+        array_contains(element_at(col("__allow"), lit(a)),
+          col(a).cast("string"))).reduce(_ && _)
+    val crowdAttr = crowding.map(_._1).toSeq
+    val scored = side.join(probes, Seq("leaf_id"))
+      .filter(allowed)
+      .select(Seq(col("__qid"), col(id),
+        graft.functions.vectors.dotProduct(col(vecCol),
+          col("__qv")).as("score")) ++ crowdAttr.map(col): _*)
+    val aggs = Seq(max(col("score")).as("score")) ++
+      crowdAttr.map(a => first(col(a)).as(a))
+    val unique = scored.groupBy(col("__qid"), col(id))
+      .agg(aggs.head, aggs.tail: _*)
+    batchTail(unique, qid, k, crowding, metadata)
+  }
+
   /** Distributed BATCH search over the PQ TIER — [[searchBatch]]'s
     * routing/join/top-k with the ADC kernel: the query frame routes
     * through the broadcast-f32 expression in RAW space (leaf geometry
@@ -407,10 +526,15 @@ final class Serving private[operators] (
     * [[ProductQuantizer.adcDirectExpr]] — 4 B/row on the scan side,
     * no per-query literal table. Same In-list pre-pruning and
     * graceful degrade as the raw batch path; same f32 routing-parity
-    * caveat. Output: (`qid`, id, adc_score, rn).
+    * caveat. Crowding and the metadata join ride the shared
+    * [[batchTail]], exactly as on the raw path — the tier changes
+    * the scan kernel, never the serving shape. Output:
+    * (`qid`, id[, metadata columns…], adc_score, rn).
     */
   def searchBatchAdc(queries: DataFrame, qid: String, qvecCol: String,
-      nProbe: Int, k: Int, restricts: Seq[Column] = Nil): DataFrame = {
+      nProbe: Int, k: Int, restricts: Seq[Column] = Nil,
+      crowding: Option[(String, Int)] = None,
+      metadata: Option[(DataFrame, String)] = None): DataFrame = {
     require(tier == "pq",
       s"searchBatchAdc: layout at $path is a '$tier' tier, not PQ")
     import org.apache.spark.sql.functions._
@@ -431,15 +555,17 @@ final class Serving private[operators] (
     val pruned = if (leaves.length <= 1024)
       data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
     val side = restricts.foldLeft(pruned)(_.filter(_))
+    val crowdAttr = crowding.map(_._1).toSeq
     val scored = side.join(probes, Seq("leaf_id"))
-      .select(col("__qid"), col(id),
+      .select(Seq(col("__qid"), col(id),
         ProductQuantizer.adcDirectExpr(col("pq_code"), col("__qv"), cb)
-          .as("score"))
+          .as("score")) ++ crowdAttr.map(col): _*)
+    val aggs = Seq(max(col("score")).as("score")) ++
+      crowdAttr.map(a => first(col(a)).as(a))
     val unique = scored.groupBy(col("__qid"), col(id))
-      .agg(max(col("score")).as("score"))
-    Knn.topKPerQuery(unique, k, "__qid", id, Knn.Dot)
-      .select(col("__qid").as(qid), col(id),
-        col("score").as("adc_score"), col("rn"))
+      .agg(aggs.head, aggs.tail: _*)
+    batchTail(unique, qid, k, crowding, metadata)
+      .withColumnRenamed("score", "adc_score")
   }
 
   /** Distributed BATCH search over the SQ8 TIER — the same
@@ -447,11 +573,14 @@ final class Serving private[operators] (
     * kernel: each query row quantizes IN-PLAN (maxAbs → codes →
     * pack, all codegen), so the batch needs no driver-side per-query
     * work at all, and every (code, query) candidate scores as the
-    * exact integer dot rescaled by the two scales. Output:
-    * (`qid`, id, sq_score, rn).
+    * exact integer dot rescaled by the two scales. Crowding and the
+    * metadata join ride the shared [[batchTail]], as on the raw
+    * path. Output: (`qid`, id[, metadata columns…], sq_score, rn).
     */
   def searchBatchSq(queries: DataFrame, qid: String, qvecCol: String,
-      nProbe: Int, k: Int, restricts: Seq[Column] = Nil): DataFrame = {
+      nProbe: Int, k: Int, restricts: Seq[Column] = Nil,
+      crowding: Option[(String, Int)] = None,
+      metadata: Option[(DataFrame, String)] = None): DataFrame = {
     require(tier == "sq",
       s"searchBatchSq: layout at $path is a '$tier' tier, not SQ8")
     import org.apache.spark.sql.functions._
@@ -471,15 +600,17 @@ final class Serving private[operators] (
     val pruned = if (leaves.length <= 1024)
       data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
     val side = restricts.foldLeft(pruned)(_.filter(_))
+    val crowdAttr = crowding.map(_._1).toSeq
     val scored = side.join(probes, Seq("leaf_id"))
-      .select(col("__qid"), col(id), quantize.score(
+      .select(Seq(col("__qid"), col(id), quantize.score(
         quantize.packedDot(col("sq_code"), col("__qpk")),
-        col("ma"), col("__qma")).as("score"))
+        col("ma"), col("__qma")).as("score")) ++ crowdAttr.map(col): _*)
+    val aggs = Seq(max(col("score")).as("score")) ++
+      crowdAttr.map(a => first(col(a)).as(a))
     val unique = scored.groupBy(col("__qid"), col(id))
-      .agg(max(col("score")).as("score"))
-    Knn.topKPerQuery(unique, k, "__qid", id, Knn.Dot)
-      .select(col("__qid").as(qid), col(id),
-        col("score").as("sq_score"), col("rn"))
+      .agg(aggs.head, aggs.tail: _*)
+    batchTail(unique, qid, k, crowding, metadata)
+      .withColumnRenamed("score", "sq_score")
   }
 
   /** Crowding → per-query top-k → metadata attach, shared by the

@@ -604,6 +604,106 @@ object QuantizeQueries {
       .select("vec_id", "adc_score")
   }
 
+  /** SQ-layout cache for the full-shape gate: build once per JVM per
+    * sf dir (the lifecycle — quantized append, LWW — has its own gate
+    * `r_serve_sq`; this one gates the QUERY shape).
+    */
+  private object SqFullCache {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def get(s: org.apache.spark.sql.SparkSession, d: String,
+        model: graft.operators.IvfIndex.Model): String =
+      cache.getOrElseUpdate(d, {
+        val v = col("embedding").cast("array<double>")
+        val sq = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), v.as("v"))
+          .withColumn("leaf_id",
+            explode(graft.operators.IvfIndex.probeExpr(model, col("v"), 1)))
+          .withColumn("ma", quantize.maxAbs(col("v")))
+          .withColumn("sq_code",
+            quantize.packCodes(quantize.codes(col("v"), col("ma"))))
+          .drop("v")
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_sqfull_" +
+          java.lang.Integer.toHexString(d.hashCode)
+        graft.operators.IvfIndex.write(sq, path, model)
+        path
+      })
+  }
+
+  /** The FULL serving shape on the SQ8 tier — restricts + crowding +
+    * metadata on the BATCHED packed-byte kernel
+    * ([[graft.operators.Serving.searchBatchSq]]): the reference
+    * provisions restricts and crowding per datapoint regardless of
+    * how the deployed index stores vectors
+    * (setup_vector_search.py:45-76), so the coded tiers serve the
+    * same shape as the raw path — the tier changes the scan kernel,
+    * never the serving semantics. Three queries in one routed plan:
+    * In-list pre-pruned probe-2 scan, per-row batch restrict
+    * (vec_id ≥ 10) pushed to the scan, exact integer dot over packed
+    * codes rescaled by the two scales, crowding 2-per-label per
+    * query, per-query top-5, metadata re-attach. Everything is
+    * bit-deterministic (SQ8 has no trained artifact), so the whole
+    * shape hash-gates — the oracle re-derives quantization,
+    * assignment, probes, the integer rescore, crowding, and the
+    * ranked metadata join from the raw tables.
+    */
+  private val rServeSqFull = QueryDef.sqlChecked("r_serve_sq_full")(
+    "WITH base AS (SELECT vec_id, label, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (7,21,33)), " +
+      "ecodes AS (SELECT vec_id, label, v, ma, list_transform(v, x -> " +
+      "CASE WHEN ma = 0 THEN 0 ELSE cast(floor(x * (127.0 / ma) + 0.5) as bigint) END) AS codes " +
+      "FROM (SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM base)), " +
+      "qcodes AS (SELECT qid, ma AS qma, list_transform(qv, x -> " +
+      "CASE WHEN ma = 0 THEN 0 ELSE cast(floor(x * (127.0 / ma) + 0.5) as bigint) END) AS codes " +
+      "FROM (SELECT qid, qv, list_max(list_transform(qv, x -> abs(x))) AS ma FROM q)), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT qid, cid FROM (SELECT q.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2), " +
+      "cand AS (SELECT p.qid, e.vec_id, e.label, " +
+      "list_inner_product(cast(e.codes as double[]), cast(qc.codes as double[])) * " +
+      "(e.ma * qc.qma / 16129.0) AS score " +
+      "FROM ecodes e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid JOIN qcodes qc ON qc.qid = p.qid " +
+      "WHERE e.vec_id >= 10), " +
+      "crowded AS (SELECT qid, vec_id, label, score FROM (" +
+      "SELECT qid, vec_id, label, score, row_number() OVER (" +
+      "PARTITION BY qid, label ORDER BY score DESC, vec_id) AS crn " +
+      "FROM cand) WHERE crn <= 2), " +
+      "ranked AS (SELECT qid, vec_id, label, score, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM crowded) " +
+      "SELECT qid, vec_id, label, score AS sq_score, cast(rn as bigint) AS rn " +
+      "FROM ranked WHERE rn <= 5 ORDER BY qid, rn"
+  ) { (s, d) =>
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(s, d)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val path = SqFullCache.get(s, d, model)
+    val serving = graft.operators.Serving.open(s, path)
+    val queries = emb.filter(col("vec_id").isin(7L, 21L, 33L))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    serving.searchBatchSq(queries, "qid", "embedding", nProbe = 2, k = 5,
+      restricts = Seq(col("vec_id") >= 10),
+      crowding = Some(("label", 2)),
+      metadata = Some((emb.select("vec_id", "label"), "vec_id")))
+  }
+
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
-    vPqBatch, vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq)
+    vPqBatch, vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq,
+    rServeSqFull)
 }

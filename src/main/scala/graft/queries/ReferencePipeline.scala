@@ -1733,6 +1733,82 @@ object ReferencePipeline {
       metadata = Some((emb.select("vec_id", "label"), "vec_id")))
   }
 
+  /** PER-QUERY restricts in one batch
+    * ([[graft.operators.Serving.searchBatchPerQuery]]) — the
+    * reference's find_neighbors takes a filter set PER QUERY against
+    * per-datapoint restrict tokens (setup_vector_search.py:45-62);
+    * a multi-tenant batch carries each tenant's allow-list on its own
+    * query row. Four queries ride ONE routed batch plan with four
+    * DIFFERENT allow-maps over the layout's `label` attribute:
+    * qid 7 allows labels {3, 7}; qid 21 allows {1}; qid 33 carries an
+    * EMPTY map (no constrained attribute → unrestricted); qid 45
+    * carries a NULL map (unrestricted by convention). The allow
+    * predicate evaluates per (candidate, query) pair inside the
+    * candidate join — no per-query loop, no extra shuffle — while the
+    * batch-wide restrict (vec_id ≥ 10) still pushes to the scan.
+    * Crowding (2 per label per query) and the metadata join apply
+    * AFTER the per-query filter, exactly as in `r_serve_batch`. The
+    * oracle replicates route → per-query allow → crowd → rank → join
+    * per query; the driver hash-compares every row.
+    */
+  private val rServeRestricts = QueryDef.sqlChecked("r_serve_restricts")(
+    "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (7,21,33,45)), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(cast(e.embedding as double[]), c.cv), c.cid) AS rn " +
+      "FROM embeddings e, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT qid, cid FROM (SELECT q.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2), " +
+      "cand AS (SELECT p.qid, e.vec_id, e.label, " +
+      "list_inner_product(cast(e.embedding as double[]), q.qv) AS score " +
+      "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid JOIN q ON q.qid = p.qid " +
+      "WHERE e.vec_id >= 10 AND (" +
+      "(p.qid = 7 AND cast(e.label as varchar) IN ('3','7')) OR " +
+      "(p.qid = 21 AND cast(e.label as varchar) IN ('1')) OR " +
+      "p.qid IN (33, 45))), " +
+      "crowded AS (SELECT qid, vec_id, label, score FROM (" +
+      "SELECT qid, vec_id, label, score, row_number() OVER (" +
+      "PARTITION BY qid, label ORDER BY score DESC, vec_id) AS crn " +
+      "FROM cand) WHERE crn <= 2), " +
+      "ranked AS (SELECT qid, vec_id, label, score, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM crowded) " +
+      "SELECT qid, vec_id, label, score, cast(rn as bigint) AS rn " +
+      "FROM ranked WHERE rn <= 5 ORDER BY qid, rn"
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val path = ServeBatchCache.get(s, d, cents)
+    val serving = graft.operators.Serving.open(s, path)
+    val allows = Seq(
+      (7L, Some(Map("label" -> Seq("3", "7")))),
+      (21L, Some(Map("label" -> Seq("1")))),
+      (33L, Some(Map.empty[String, Seq[String]])),
+      (45L, None: Option[Map[String, Seq[String]]]),
+    ).toDF("qid", "allow")
+    val queries = emb.filter(col("vec_id").isin(7L, 21L, 33L, 45L))
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .join(allows, "qid")
+    serving.searchBatchPerQuery(queries, "qid", "embedding",
+      allowCol = "allow", attrs = Seq("label"), nProbe = 2, k = 5,
+      restricts = Seq(col("vec_id") >= 10),
+      crowding = Some(("label", 2)),
+      metadata = Some((emb.select("vec_id", "label"), "vec_id")))
+  }
+
   /** Change feed over the snapshot log
     * ([[graft.operators.ServingManifest.changesBetween]]) — the
     * incremental-consumer surface of the versioned serving layout:
@@ -1873,7 +1949,8 @@ object ReferencePipeline {
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
     rServeManifest, rServeSnapshot, rServeCdc, rServeClone, rServeBatch,
-    rServeDelete, rServePrefilter, rRebalance, vAnnBuild, vAnnCertified,
+    rServeRestricts, rServeDelete, rServePrefilter, rRebalance,
+    vAnnBuild, vAnnCertified,
     vMaxsimPruned, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
     vAnnRouted, vAnnRecallCurve, vKnnJoin)
 }

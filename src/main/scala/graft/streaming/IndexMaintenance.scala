@@ -529,26 +529,37 @@ object IndexMaintenance {
     *                      and tombstoned rows get materialized away
     * @param keepVersions  snapshot-log retention handed to the
     *                      truncate pass (≤ 0 = keep forever)
+    * @param reclusterCodedTo  when set, an overflowed CODED layout
+    *                      (SQ8 / PQ — no raw vectors to re-fit a
+    *                      localized split from) is reclustered to this
+    *                      many leaves over its DEQUANTIZED
+    *                      reconstructions ([[reclusterCoded]]) instead
+    *                      of merely reporting the overflow; None (the
+    *                      default) keeps the report-only behavior
     */
   final case class MaintenancePolicy(
       maxLeafSize: Int,
       maxDeltaRows: Long = 100000L,
-      keepVersions: Int = 64)
+      keepVersions: Int = 64,
+      reclusterCodedTo: Option[Int] = None)
 
   /** What one [[maintain]] sweep did — the operator's audit record. */
   final case class MaintenanceReport(
       splits: Int, maxLeafAfter: Long, compacted: Boolean,
-      deltaRows: Long, logVersionsDropped: Int)
+      deltaRows: Long, logVersionsDropped: Int,
+      reclustered: Boolean = false)
 
   /** ONE policy-driven maintenance sweep over a serving layout — the
     * autopilot tick an always-on index schedules after upsert/delete
     * traffic instead of hand-wiring each action:
     *
     *  1. leaves past `policy.maxLeafSize` → [[rebalanceOverflow]]
-    *     (localized splits; cost ∝ overflowed data). Skipped on a
-    *     PQ-coded layout — no raw vectors to re-fit; the report's
-    *     `maxLeafAfter` still flags the overflow so the operator
-    *     schedules the [[recluster]] it actually needs.
+    *     (localized splits; cost ∝ overflowed data). On a CODED
+    *     layout (SQ8/PQ — no raw vectors to re-fit) the sweep either
+    *     reclusters over dequantized reconstructions when
+    *     `policy.reclusterCodedTo` is set ([[reclusterCoded]]), or
+    *     reports the overflow via `maxLeafAfter` so the operator can
+    *     schedule one.
     *  2. LWW registry past `policy.maxDeltaRows` entries →
     *     [[compactServing]] (one rewrite materializes upserts AND
     *     deletes, clears the registry, resets the snapshot log).
@@ -566,18 +577,28 @@ object IndexMaintenance {
       policy: MaintenancePolicy): MaintenanceReport = {
     val fs = new org.apache.hadoop.fs.Path(servePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val coded = fs.exists(new org.apache.hadoop.fs.Path(
-      graft.operators.ProductQuantizer.codebookDir(servePath)))
+    // coded = the layout stores codes, not vectors (schema, not just
+    // the codebook sidecar — the SQ8 tier has no trained artifact)
+    val layoutCols = graft.operators.ServingManifest
+      .openOrRead(spark, servePath).columns
+    val coded = layoutCols.contains("pq_code") ||
+      layoutCols.contains("sq_code")
     val overflowed = oversizedLeaves(spark, servePath,
       policy.maxLeafSize).count()
-    val (splits, maxAfter) =
-      if (overflowed > 0 && !coded)
-        rebalanceOverflow(spark, servePath, id, vecCol,
+    def currentMaxLeaf(): Long =
+      graft.operators.ServingManifest.openOrRead(spark, servePath)
+        .groupBy("leaf_id").count().agg(max("count")).head().getLong(0)
+    val (splits, maxAfter, reclustered) =
+      if (overflowed > 0 && !coded) {
+        val (s, m) = rebalanceOverflow(spark, servePath, id, vecCol,
           policy.maxLeafSize)
-      else if (overflowed > 0)
-        (0, graft.operators.ServingManifest.openOrRead(spark, servePath)
-          .groupBy("leaf_id").count().agg(max("count")).head().getLong(0))
-      else (0, 0L)
+        (s, m, false)
+      } else if (overflowed > 0 && policy.reclusterCodedTo.nonEmpty) {
+        reclusterCoded(spark, servePath, id, versionCol,
+          policy.reclusterCodedTo.get)
+        (0, currentMaxLeaf(), true)
+      } else if (overflowed > 0) (0, currentMaxLeaf(), false)
+      else (0, 0L, false)
     val delta = new org.apache.hadoop.fs.Path(deltaDir(servePath))
     val deltaRows =
       if (fs.exists(delta)) spark.read.parquet(delta.toString).count()
@@ -589,7 +610,93 @@ object IndexMaintenance {
         graft.operators.ServingManifest.truncate(spark, servePath,
           policy.keepVersions)
       else 0
-    MaintenanceReport(splits, maxAfter, compact, deltaRows, dropped)
+    MaintenanceReport(splits, maxAfter, compact, deltaRows, dropped,
+      reclustered)
+  }
+
+  /** RECLUSTER a CODED serving layout — the autopilot completion for
+    * the quantized tiers: their raw vectors are gone by design (the
+    * tier exists to not store them), so fresh leaf geometry is fitted
+    * over the DEQUANTIZED reconstructions instead:
+    *
+    *  - SQ8: x̂ᵢ = codeᵢ·ma/127 ([[graft.functions.quantize.decode]]) —
+    *    within quantization error of the original, and re-quantizing
+    *    x̂ reproduces the identical codes, so the stored codes ride
+    *    through UNCHANGED (only `leaf_id` moves).
+    *  - PQ: the codebook reconstruction
+    *    ([[graft.operators.ProductQuantizer.decodeExpr]]); an OPQ
+    *    layout's codes live in rotated space, so the reconstruction
+    *    is un-rotated (Bᵀ, [[graft.operators.ProductQuantizer.unrotateExpr]])
+    *    back to the RAW space the leaf geometry is defined in —
+    *    mirroring the write side, which routes raw and rotates only
+    *    for encoding.
+    *
+    * Geometry quality degrades only by the tier's own reconstruction
+    * error — k-means centroids are means over hundreds of rows, so
+    * per-row quantization noise largely averages out of the fit.
+    *
+    * Same durability discipline as [[compactServing]]: LWW-resolve →
+    * re-fit → write a SIBLING directory (never overwrite the path
+    * being read) with model + codebook/rotation sidecars + promoted
+    * marker + fresh manifest, then swap via rename. The delta
+    * registry compacts into the fresh layout; the snapshot log
+    * restarts at a v=1 checkpoint.
+    */
+  def reclusterCoded(spark: SparkSession, servePath: String, id: String,
+      versionCol: String, numLeaves: Int,
+      seed: Long = 42L): IvfIndex.Model = {
+    import graft.operators.{IvfIndex, ProductQuantizer, ServingManifest}
+    val data = readServing(spark, servePath, id, versionCol)
+    val cols = data.columns
+    val recon =
+      if (cols.contains("sq_code"))
+        data.withColumn("__recon",
+          graft.functions.quantize.decode(col("sq_code"), col("ma")))
+      else if (cols.contains("pq_code")) {
+        val cb = ProductQuantizer.loadCodebook(spark, servePath)
+        val dec = ProductQuantizer.decodeExpr(col("pq_code"), cb)
+        val raw = ProductQuantizer.loadRotation(spark, servePath)
+          .map(r => ProductQuantizer.unrotateExpr(dec, r)).getOrElse(dec)
+        data.withColumn("__recon", raw)
+      } else throw new IllegalArgumentException(
+        s"reclusterCoded: layout at $servePath stores raw vectors — " +
+          "use recluster/rebalanceOverflow")
+    val (indexed, model) = IvfIndex.build(recon.drop("leaf_id"), id,
+      "__recon", numLeaves, seed)
+
+    val hadoopPath = new org.apache.hadoop.fs.Path(servePath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(servePath + ".recluster-tmp")
+    indexed.drop("__recon")
+      .repartition(col("leaf_id"))
+      .write.mode("overwrite").partitionBy("leaf_id").parquet(tmp.toString)
+    IvfIndex.writeModel(spark, tmp.toString, model)
+    val pq = new org.apache.hadoop.fs.Path(
+      ProductQuantizer.codebookDir(servePath))
+    if (fs.exists(pq))
+      ProductQuantizer.writeCodebook(spark, tmp.toString,
+        ProductQuantizer.loadCodebook(spark, servePath))
+    ProductQuantizer.loadRotation(spark, servePath)
+      .foreach(ProductQuantizer.writeRotation(spark, tmp.toString, _))
+    val promoted = new org.apache.hadoop.fs.Path(
+      ServingManifest.promotedFile(servePath))
+    if (fs.exists(promoted))
+      org.apache.hadoop.fs.FileUtil.copy(fs, promoted, fs,
+        new org.apache.hadoop.fs.Path(
+          ServingManifest.promotedFile(tmp.toString)),
+        false, spark.sparkContext.hadoopConfiguration)
+    ServingManifest.rebuild(spark, tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(servePath + ".recluster-old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(hadoopPath, old))
+      throw new java.io.IOException(
+        s"reclusterCoded: cannot move $servePath aside")
+    if (!fs.rename(tmp, hadoopPath)) {
+      fs.rename(old, hadoopPath) // roll back
+      throw new java.io.IOException(s"reclusterCoded: cannot install $tmp")
+    }
+    fs.delete(old, true)
+    model
   }
 
   /** Resolve the live corpus (LWW per id). Tombstone-aware when the

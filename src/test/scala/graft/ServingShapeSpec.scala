@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, ProductQuantizer, Serving}
+
+/** Round-10 serving-surface contracts: the full serving shape
+  * (restricts + crowding + metadata) on the CODED tiers, per-query
+  * restricts in one batch, and the adaptive exact path's broadcast
+  * guard. The driver gates (`r_serve_sq_full`, `r_serve_restricts`)
+  * hash-check the same surfaces against DuckDB; these specs pin the
+  * cross-path invariants a value oracle can't see (tail parity with
+  * the raw path, plan shape, backward-compatible default output).
+  */
+class ServingShapeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Scores separated by 8% per rank with the mass on ONE coordinate:
+    * SQ8 quantizes that coordinate to exactly 127, so the quantized
+    * score differs from the raw score only by the rescale's final
+    * rounding (≤ 1 ulp) — ranking can never flip between tiers,
+    * making raw-vs-SQ row equality (scores to 1e-12 relative) a fair
+    * assertion. Labels in blocks of 10 so a crowding cap of 2
+    * visibly reshapes the top-5 (the top candidates share a label).
+    */
+  private def separatedCorpus(n: Int, dim: Int) =
+    (0 until n).map { i =>
+      (i.toLong, i / 10,
+        Seq.tabulate(dim)(j => if (j == 0) math.pow(1.08, i) else 0.0))
+    }.toDF("vec_id", "label", "v")
+
+  test("SQ full tail (restricts+crowding+metadata) is row-identical " +
+      "to the raw path's searchDf tail") {
+    import graft.functions.quantize
+    val corpus = separatedCorpus(40, 8)
+    val model = IvfIndex.Model(
+      Array(Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0)))
+    val indexed = corpus.withColumn("leaf_id", lit(0))
+    val sqDir = java.nio.file.Files
+      .createTempDirectory("graft_shape_sq").toString + "/idx"
+    val sq = indexed
+      .withColumn("ma", quantize.maxAbs(col("v")))
+      .withColumn("sq_code",
+        quantize.packCodes(quantize.codes(col("v"), col("ma"))))
+      .drop("v")
+    IvfIndex.write(sq, sqDir, model)
+
+    val q = Array.tabulate(8)(j => if (j == 0) 1.0 else 0.0)
+    val meta = corpus.select(col("vec_id"),
+      concat(lit("doc-"), col("vec_id")).as("title"))
+    val restricts = Seq(col("vec_id") >= 5)
+    val crowding = Some(("label", 2))
+
+    val raw = IvfIndex.searchDf(indexed, model, q, 1, 5, "vec_id", "v",
+        restricts, crowding, Some((meta, "vec_id")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    val viaSq = Serving.open(spark, sqDir, id = "vec_id", vecCol = "v")
+      .searchSq(q, 1, 5, restricts, crowding, Some((meta, "vec_id")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(raw.nonEmpty && raw.length == viaSq.length)
+    raw.zip(viaSq).foreach { case ((rid, rt, rs, rr), (sid, st, ss, sr)) =>
+      assert(rid == sid && rt == st && rr == sr,
+        s"SQ tail must mirror the raw tail:\nraw=$raw\nsq =$viaSq")
+      // the SQ rescale rounds once more than the raw dot — ≤ 1 ulp here
+      assert(math.abs(rs - ss) <= math.abs(rs) * 1e-12,
+        s"scores drift beyond rounding: raw=$rs sq=$ss")
+    }
+    // construction check: crowding actually fired (3 labels, cap 2,
+    // k=5 — without the cap the top-5 would be the top-5 ids)
+    val uncapped = IvfIndex.searchDf(indexed, model, q, 1, 5, "vec_id",
+        "v", restricts, None, Some((meta, "vec_id")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(uncapped != raw.map(_._1), "crowding must change the result")
+  }
+
+  test("ADC batch full shape: crowding capped, metadata attached, " +
+      "default output schema unchanged") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val pqIds = (0 until 16).map(c => c * 31L + 5L)
+    val cb = ProductQuantizer.codebook(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", pqIds)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shape_pq").toString + "/idx"
+    val coded = emb
+      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 1)))
+      .withColumn("pq_code", ProductQuantizer.encodeExpr(col("v"), cb))
+      .drop("v")
+    IvfIndex.write(coded, dir, model)
+    ProductQuantizer.writeCodebook(spark, dir, cb)
+    val serving = Serving.open(spark, dir)
+    assert(serving.tier == "pq")
+
+    val queries = emb.filter(col("vec_id").isin(7L, 21L))
+      .select(col("vec_id").as("qid"), col("v"))
+
+    // backward-compat: the bare batch output is (qid, id, adc_score, rn)
+    val bare = serving.searchBatchAdc(queries, "qid", "v", 2, 5)
+    assert(bare.columns.toSeq == Seq("qid", "vec_id", "adc_score", "rn"))
+    assert(bare.count() > 0)
+
+    val full = serving.searchBatchAdc(queries, "qid", "v", 2, 5,
+      restricts = Seq(col("vec_id") >= 10),
+      crowding = Some(("label", 2)),
+      metadata = Some((emb.select("vec_id", "label"), "vec_id")))
+    assert(full.columns.toSeq == Seq("qid", "vec_id", "label", "adc_score", "rn"))
+    val rows = full.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 10, "restrict must hold"))
+    // crowding: ≤ 2 rows per (query, label)
+    rows.groupBy(r => (r.getLong(0), r.getInt(2))).foreach { case (k, g) =>
+      assert(g.length <= 2, s"crowding cap violated for $k")
+    }
+    // rn contiguous from 1 per query
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(4)).sorted.toSeq ==
+        (1L to g.length.toLong).toSeq)
+    }
+  }
+
+  test("searchBatchPerQuery == per-query searchBatch with the " +
+      "equivalent column restrict") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shape_perq").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val serving = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+
+    val allowOf = Map(
+      3L -> Some(Map("label" -> Seq("0", "1"))),
+      7L -> Some(Map("label" -> Seq("2"))),
+      42L -> (None: Option[Map[String, Seq[String]]]))
+    val allows = allowOf.toSeq.toDF("qid", "allow")
+    val queries = emb.filter(col("vec_id").isin(3L, 7L, 42L))
+      .select(col("vec_id").as("qid"), col("v")).join(allows, "qid")
+    val meta = emb.select("vec_id", "label")
+
+    val got = serving.searchBatchPerQuery(queries, "qid", "v", "allow",
+        Seq("label"), nProbe = 3, k = 5,
+        restricts = Seq(col("vec_id") >= 10),
+        crowding = Some(("label", 2)),
+        metadata = Some((meta, "vec_id")))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(4))
+        .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq).toMap
+    assert(got.keySet == Set(3L, 7L, 42L))
+
+    for ((qid, allow) <- allowOf) {
+      val one = queries.filter(col("qid") === qid).drop("allow")
+      val equivalent = Seq(col("vec_id") >= 10) ++ allow.toSeq.flatMap(
+        _.get("label").map(vs =>
+          col("label").cast("string").isin(vs: _*)))
+      val per = serving.searchBatch(one, "qid", "v", 3, 5, equivalent,
+          Some(("label", 2)), Some((meta, "vec_id")))
+        .collect().sortBy(_.getLong(4))
+        .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+      assert(got(qid) == per,
+        s"per-query map and equivalent column restrict diverge for " +
+          s"$qid:\nmap=${got(qid)}\ncol=$per")
+      // the allow-list actually constrains (queries 3 and 7)
+      allowOf(qid).foreach(m => m.get("label").foreach { vs =>
+        got(qid).foreach { case (_, label, _) =>
+          assert(vs.contains(label.toString),
+            s"query $qid returned label $label outside its allow-list")
+        }
+      })
+    }
+  }
+
+  test("searchBatchAdaptive exact path: past the query threshold the " +
+      "query frame is NOT broadcast (shuffled cartesian), results equal") {
+    import graft.operators.ServingManifest
+    import graft.streaming.IndexMaintenance
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shape_guard").toString + "/idx"
+    val indexed = emb.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, dir, model)
+    ServingManifest.promote(spark, dir, Seq("version"))
+    val b1 = emb.filter(col("vec_id") % 30 === 7)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2))
+    IndexMaintenance.appendToServing(spark, dir, b1, "vec_id", "v",
+      "version", spill = 1)
+    val serving = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+    val sel = Seq(col("version") >= 2)
+    assert(serving.searchAdaptivePlan(sel, 0.5), "setup: selective")
+
+    val qdf = emb.filter(col("vec_id").isin(0L, 5L, 9L, 13L, 17L, 21L))
+      .select(col("vec_id").as("qid"), col("v"))
+    val small = serving.searchBatchAdaptive(qdf, "qid", "v", 2, 10, sel,
+      maxExactFraction = 0.5)
+    val smallRows = small.collect().toSeq
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastNestedLoopJoin"),
+      s"below the threshold the query frame broadcasts:\n$smallPlan")
+
+    val guarded = serving.searchBatchAdaptive(qdf, "qid", "v", 2, 10,
+      sel, maxExactFraction = 0.5, maxBroadcastQueries = 3L)
+    val guardedRows = guarded.collect().toSeq
+    val guardedPlan = guarded.queryExecution.executedPlan.toString
+    assert(!guardedPlan.contains("BroadcastNestedLoopJoin"),
+      s"past the threshold the query frame must not broadcast:\n$guardedPlan")
+    assert(guardedPlan.contains("CartesianProduct"),
+      s"the guarded pair generation is the shuffled cartesian:\n$guardedPlan")
+    assert(smallRows.toSet == guardedRows.toSet && smallRows.nonEmpty,
+      "both pair-generation plans must score the same pairs")
+  }
+}
