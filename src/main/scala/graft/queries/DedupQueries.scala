@@ -222,6 +222,42 @@ object DedupQueries {
     Dedup.connectedComponents(cand).orderBy("da")
   }
 
+  /** CANONICAL SELECTION — the decision step that turns duplicate
+    * clusters into an actual training corpus: per cluster keep ONE
+    * representative (most content wins — max n_chars, ties to the
+    * lowest doc_id, the deterministic rule a reproducible pipeline
+    * needs) and mark every other member dropped. Output is the
+    * keep/drop audit over cluster members (docs outside any cluster
+    * are trivially kept and never enter the plan). At scale this adds
+    * ONE window over the cluster assignment — partitioned by
+    * cluster_id, so the shuffle is ∝ cluster members, not corpus.
+    */
+  private val dDedupKeep = QueryDef.sqlChecked("d_dedup_keep")(
+    "WITH RECURSIVE " + SigCte.stripPrefix("WITH ") + ", " +
+      "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sig a " +
+      s"JOIN sig b ON a.doc_id < b.doc_id AND $BandPredicate), " +
+      "nodes AS (SELECT da AS n FROM pairs UNION SELECT db FROM pairs), " +
+      "edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs), " +
+      "reach(a, b) AS (SELECT n, n FROM nodes UNION " +
+      "SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+      "cc AS (SELECT a AS da, min(b) AS cluster_id FROM reach GROUP BY a) " +
+      "SELECT cc.da AS doc_id, cc.cluster_id, d.n_chars, " +
+      "row_number() OVER (PARTITION BY cc.cluster_id " +
+      "ORDER BY d.n_chars DESC, cc.da) = 1 AS keep " +
+      "FROM cc JOIN documents d ON d.doc_id = cc.da ORDER BY doc_id"
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val cand = Dedup.minhashCandidates(sig, "doc_id")
+    val cc = Dedup.connectedComponents(cand)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(desc("n_chars"), asc("doc_id"))
+    cc.join(docs.select("doc_id", "n_chars"), cc("da") === docs("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .orderBy("doc_id")
+  }
+
   /** INCREMENTAL near-dup — the per-batch shape of a streaming corpus:
     * the 90% "already ingested" split's MinHash signatures are written
     * to a parquet SIGNATURE STORE; the 10% "arriving" split computes
@@ -389,5 +425,5 @@ object DedupQueries {
 
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
     dDedupIncremental, dStreamDedupInc, dSimhash, dSimhashPairs,
-    dSimhashBanded, dSrpLsh, dCosinePairs, dClusters)
+    dSimhashBanded, dSrpLsh, dCosinePairs, dClusters, dDedupKeep)
 }

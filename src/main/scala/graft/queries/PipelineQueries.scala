@@ -559,8 +559,43 @@ object PipelineQueries {
     s.table(sinkName).orderBy("purchase_id", "click_id")
   }
 
+  /** Deterministic TRAINING SHUFFLE + SHARDING — the reproducible
+    * form of "shuffle the corpus and split it into N loader shards":
+    * a squared-LCG hash of doc_id gives every document a pseudo-random
+    * but engine-independent sort key; shard = hash mod 16 (file-level
+    * parallelism for data loaders), position = rank within the shard
+    * by (hash, doc_id). Hash order decorrelates source/time order —
+    * the property a training run needs — while staying a pure
+    * function of the id, so re-runs, retries, and both engines
+    * produce the identical permutation (`df.orderBy(rand())` is none
+    * of those). Shape at scale: one projection + one window
+    * PARTITIONED BY shard — the per-shard sort is exactly the
+    * shard-file write order a 100 TB corpus wants, and the 16
+    * partitions sort in parallel with no global ordering step.
+    */
+  private val pShuffleShard = QueryDef.sqlChecked("p_shuffle_shard")(
+    "WITH h AS (SELECT doc_id, " +
+      "(((1103515245 * cast(doc_id as bigint) + 12345) % 2147483647) * " +
+      "((1103515245 * cast(doc_id as bigint) + 12345) % 2147483647)) " +
+      "% 2147483647 AS hv FROM documents) " +
+      "SELECT doc_id, cast(hv % 16 as int) AS shard, " +
+      "cast(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) " +
+      "as bigint) AS pos FROM h ORDER BY doc_id"
+  ) { (s, d) =>
+    val lcg = (lit(1103515245L) * col("doc_id") + 12345L) % 2147483647L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("hv", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), ((lcg * lcg) % 2147483647L).as("hv"))
+      .withColumn("shard", (col("hv") % 16).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(pSampleHash, pSampleStratified,
     pSplitTrainTest, pMixtureSample, pTopkTokens, pNgramStats,
     pReembedDelta, pCorpusClean, pPackSequences, pDecontaminate,
-    qStreamDedup, qStreamDedupWm, qStreamJoin, qStreamStatic)
+    pShuffleShard, qStreamDedup, qStreamDedupWm, qStreamJoin,
+    qStreamStatic)
 }
