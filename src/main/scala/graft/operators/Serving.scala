@@ -477,20 +477,38 @@ final class Serving private[operators] (
     * multi-tenant serve wants: shared coarse pruning, per-tenant
     * fine filtering.
     *
+    * `kCol` / `capCol` (optional) name INT columns in the query frame
+    * carrying a PER-QUERY result count and per-query crowding cap —
+    * the reference's find_neighbors takes `num_neighbors` and
+    * `per_crowding_attribute_neighbor_count` per request, so a mixed
+    * batch (one tenant wants 3 diverse hits, another wants 10) is one
+    * plan here too. `k` (and the crowding tuple's cap) stay the
+    * GLOBAL upper bounds: the effective per-query limit is
+    * least(global, per-query), so a hostile row can never widen the
+    * window the plan sizes for.
+    *
     * Output: identical contract to the 8-arg [[searchBatch]].
     */
   def searchBatchPerQuery(queries: DataFrame, qid: String,
       qvecCol: String, allowCol: String, attrs: Seq[String],
       nProbe: Int, k: Int, restricts: Seq[Column] = Nil,
       crowding: Option[(String, Int)] = None,
-      metadata: Option[(DataFrame, String)] = None): DataFrame = {
+      metadata: Option[(DataFrame, String)] = None,
+      kCol: Option[String] = None,
+      capCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(attrs.nonEmpty,
       "searchBatchPerQuery: pass the layout attributes the allow-maps " +
         "may constrain (attrs) — an empty set makes every map a no-op")
-    val probes = queries.select(col(qid).as("__qid"),
+    require(capCol.isEmpty || crowding.nonEmpty,
+      "searchBatchPerQuery: capCol needs the crowding attribute " +
+        "(crowding = Some((attr, globalCap)))")
+    val perQueryCols =
+      kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
+        capCol.map(c => col(c).cast("int").as("__cap")).toSeq
+    val probes = queries.select(Seq(col(qid).as("__qid"),
         col(qvecCol).cast("array<double>").as("__qv"),
-        col(allowCol).as("__allow"))
+        col(allowCol).as("__allow")) ++ perQueryCols: _*)
       .withColumn("leaf_id",
         explode(IvfIndex.probeExprF32(model, col("__qv"),
           math.max(1, nProbe))))
@@ -500,21 +518,79 @@ final class Serving private[operators] (
     val pruned = if (leaves.length <= 1024)
       data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
     val side = restricts.foldLeft(pruned)(_.filter(_))
-    val allowed = col("__allow").isNull || attrs.map(a =>
-      !map_contains_key(col("__allow"), lit(a)) ||
-        array_contains(element_at(col("__allow"), lit(a)),
-          col(a).cast("string"))).reduce(_ && _)
+    val allowed = allowPredicate(attrs)
     val crowdAttr = crowding.map(_._1).toSeq
+    val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
+      capCol.map(_ => "__cap").toSeq
     val scored = side.join(probes, Seq("leaf_id"))
       .filter(allowed)
       .select(Seq(col("__qid"), col(id),
         graft.functions.vectors.dotProduct(col(vecCol),
-          col("__qv")).as("score")) ++ crowdAttr.map(col): _*)
+          col("__qv")).as("score")) ++ carried.map(col): _*)
     val aggs = Seq(max(col("score")).as("score")) ++
-      crowdAttr.map(a => first(col(a)).as(a))
+      carried.map(a => first(col(a)).as(a))
     val unique = scored.groupBy(col("__qid"), col(id))
       .agg(aggs.head, aggs.tail: _*)
-    batchTail(unique, qid, k, crowding, metadata)
+    if (kCol.isEmpty && capCol.isEmpty)
+      batchTail(unique, qid, k, crowding, metadata)
+    else
+      batchTailDynamic(unique, qid, k, crowding, metadata,
+        hasK = kCol.nonEmpty, hasCap = capCol.nonEmpty)
+  }
+
+  /** The shared per-query predicate of the allow-map contract: a
+    * candidate row qualifies iff, for every attribute in `attrs`, the
+    * query's `__allow` map lacks the key or lists the row's value;
+    * NULL map = unrestricted.
+    */
+  private def allowPredicate(attrs: Seq[String]): Column = {
+    import org.apache.spark.sql.functions._
+    col("__allow").isNull || attrs.map(a =>
+      !map_contains_key(col("__allow"), lit(a)) ||
+        array_contains(element_at(col("__allow"), lit(a)),
+          col(a).cast("string"))).reduce(_ && _)
+  }
+
+  /** [[batchTail]] with PER-QUERY limits: `__k` / `__cap` ride the
+    * unique frame as per-query constants (first-agg'd through the
+    * spill collapse); the effective limits are least(global,
+    * per-query). Same window shapes, same output contract.
+    */
+  private def batchTailDynamic(unique: DataFrame, qid: String, k: Int,
+      crowding: Option[(String, Int)],
+      metadata: Option[(DataFrame, String)],
+      hasK: Boolean, hasCap: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val crowded = crowding match {
+      case Some((attr, cap)) =>
+        val w = Window.partitionBy(col("__qid"), col(attr))
+          .orderBy(col("score").desc, col(id))
+        val capLim = if (hasCap) least(lit(cap), col("__cap")) else lit(cap)
+        unique.withColumn("__crn", row_number().over(w))
+          .filter(col("__crn") <= capLim).drop("__crn").drop(attr)
+      case None => unique
+    }
+    val wq = Window.partitionBy(col("__qid"))
+      .orderBy(col("score").desc, col(id))
+    val kLim = if (hasK) least(lit(k), col("__k")) else lit(k)
+    val ranked = crowded
+      .withColumn("rn", row_number().over(wq).cast("bigint"))
+      .filter(col("rn") <= kLim)
+      .select(col("__qid"), col(id), col("score"), col("rn"))
+    metadata match {
+      case Some((meta, key)) =>
+        val metaCols = meta.columns.filterNot(_ == key).toSeq
+        ranked.as("__r").join(meta.as("__m"),
+            col(s"__r.$id") === col(s"__m.$key"))
+          .select(col("__r.__qid").as(qid) +: col(s"__r.$id") +:
+            metaCols.map(c => col(s"__m.$c")) ++:
+            Seq(col("__r.score"), col("__r.rn")): _*)
+          .orderBy(col(qid), col("rn"))
+      case None =>
+        ranked.withColumnRenamed("__qid", qid)
+          .select(col(qid), col(id), col("score"), col("rn"))
+    }
   }
 
   /** Distributed BATCH search over the PQ TIER — [[searchBatch]]'s
@@ -534,14 +610,20 @@ final class Serving private[operators] (
   def searchBatchAdc(queries: DataFrame, qid: String, qvecCol: String,
       nProbe: Int, k: Int, restricts: Seq[Column] = Nil,
       crowding: Option[(String, Int)] = None,
-      metadata: Option[(DataFrame, String)] = None): DataFrame = {
+      metadata: Option[(DataFrame, String)] = None,
+      allowCol: Option[String] = None,
+      attrs: Seq[String] = Nil): DataFrame = {
     require(tier == "pq",
       s"searchBatchAdc: layout at $path is a '$tier' tier, not PQ")
+    require(allowCol.isEmpty == attrs.isEmpty,
+      "searchBatchAdc: per-query restricts need BOTH the allow-map " +
+        "column (allowCol) and the constrained attributes (attrs)")
     import org.apache.spark.sql.functions._
     val cb = ProductQuantizer.loadCodebook(spark, path)
     val rot = ProductQuantizer.loadRotation(spark, path)
-    val probes = queries.select(col(qid).as("__qid"),
-        col(qvecCol).cast("array<double>").as("__qraw"))
+    val probes = queries.select(Seq(col(qid).as("__qid"),
+        col(qvecCol).cast("array<double>").as("__qraw")) ++
+        allowCol.map(c => col(c).as("__allow")).toSeq: _*)
       .withColumn("__qv", rot.map(r =>
         ProductQuantizer.rotateExpr(col("__qraw"), r))
         .getOrElse(col("__qraw")))
@@ -556,7 +638,10 @@ final class Serving private[operators] (
       data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
     val side = restricts.foldLeft(pruned)(_.filter(_))
     val crowdAttr = crowding.map(_._1).toSeq
-    val scored = side.join(probes, Seq("leaf_id"))
+    val joined = side.join(probes, Seq("leaf_id"))
+    val filtered = if (allowCol.nonEmpty)
+      joined.filter(allowPredicate(attrs)) else joined
+    val scored = filtered
       .select(Seq(col("__qid"), col(id),
         ProductQuantizer.adcDirectExpr(col("pq_code"), col("__qv"), cb)
           .as("score")) ++ crowdAttr.map(col): _*)
@@ -580,13 +665,20 @@ final class Serving private[operators] (
   def searchBatchSq(queries: DataFrame, qid: String, qvecCol: String,
       nProbe: Int, k: Int, restricts: Seq[Column] = Nil,
       crowding: Option[(String, Int)] = None,
-      metadata: Option[(DataFrame, String)] = None): DataFrame = {
+      metadata: Option[(DataFrame, String)] = None,
+      allowCol: Option[String] = None,
+      attrs: Seq[String] = Nil): DataFrame = {
     require(tier == "sq",
       s"searchBatchSq: layout at $path is a '$tier' tier, not SQ8")
+    require(allowCol.isEmpty == attrs.isEmpty,
+      "searchBatchSq: per-query restricts need BOTH the allow-map " +
+        "column (allowCol) and the constrained attributes (attrs)")
     import org.apache.spark.sql.functions._
     import graft.functions.quantize
     val qv = col(qvecCol).cast("array<double>")
-    val probes = queries.select(col(qid).as("__qid"), qv.as("__qraw"))
+    val probes = queries.select(Seq(col(qid).as("__qid"),
+        qv.as("__qraw")) ++
+        allowCol.map(c => col(c).as("__allow")).toSeq: _*)
       .withColumn("__qma", quantize.maxAbs(col("__qraw")))
       .withColumn("__qpk", quantize.packCodes(
         quantize.codes(col("__qraw"), col("__qma"))))
@@ -601,7 +693,10 @@ final class Serving private[operators] (
       data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
     val side = restricts.foldLeft(pruned)(_.filter(_))
     val crowdAttr = crowding.map(_._1).toSeq
-    val scored = side.join(probes, Seq("leaf_id"))
+    val joined = side.join(probes, Seq("leaf_id"))
+    val filtered = if (allowCol.nonEmpty)
+      joined.filter(allowPredicate(attrs)) else joined
+    val scored = filtered
       .select(Seq(col("__qid"), col(id), quantize.score(
         quantize.packedDot(col("sq_code"), col("__qpk")),
         col("ma"), col("__qma")).as("score")) ++ crowdAttr.map(col): _*)

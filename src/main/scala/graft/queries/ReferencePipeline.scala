@@ -1809,6 +1809,81 @@ object ReferencePipeline {
       metadata = Some((emb.select("vec_id", "label"), "vec_id")))
   }
 
+  /** PER-QUERY k AND crowding cap in one batch — the other two
+    * per-request knobs of the reference's find_neighbors
+    * (`num_neighbors` and `per_crowding_attribute_neighbor_count`,
+    * rag/search.py + setup_vector_search.py:65-76): one tenant wants
+    * 2 hits with hard diversity (cap 1), another 3 with cap 2, a
+    * third the full 5 with cap 3 — ONE routed plan. The per-query
+    * limits ride the query frame as INT columns, first-agg'd through
+    * the spill collapse, and apply as least(global, per-query) in the
+    * crowding and ranking windows — a hostile row can never widen
+    * the window beyond what the plan sized for. Allow-maps from
+    * `r_serve_restricts` compose in the same batch. Oracle replicates
+    * route → allow → per-query crowd → per-query rank → metadata
+    * join; driver hash-compares every row.
+    */
+  private val rServePerQuery = QueryDef.sqlChecked("r_serve_perquery")(
+    "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (7,21,33)), " +
+      "lim AS (SELECT * FROM (VALUES (7, 2, 1), (21, 3, 2), (33, 5, 3)) " +
+      "AS t(qid, kq, capq)), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(cast(e.embedding as double[]), c.cv), c.cid) AS rn " +
+      "FROM embeddings e, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT qid, cid FROM (SELECT q.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2), " +
+      "cand AS (SELECT p.qid, e.vec_id, e.label, " +
+      "list_inner_product(cast(e.embedding as double[]), q.qv) AS score " +
+      "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid JOIN q ON q.qid = p.qid " +
+      "WHERE e.vec_id >= 10 AND (" +
+      "(p.qid = 7 AND cast(e.label as varchar) IN ('3','7')) OR " +
+      "p.qid IN (21, 33))), " +
+      "crowded AS (SELECT c.qid, c.vec_id, c.label, c.score FROM (" +
+      "SELECT qid, vec_id, label, score, row_number() OVER (" +
+      "PARTITION BY qid, label ORDER BY score DESC, vec_id) AS crn " +
+      "FROM cand) c JOIN lim ON lim.qid = c.qid WHERE c.crn <= lim.capq), " +
+      "ranked AS (SELECT c.qid, c.vec_id, c.label, c.score, c.rn FROM (" +
+      "SELECT qid, vec_id, label, score, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM crowded) c " +
+      "JOIN lim ON lim.qid = c.qid WHERE c.rn <= lim.kq) " +
+      "SELECT qid, vec_id, label, score, cast(rn as bigint) AS rn " +
+      "FROM ranked ORDER BY qid, rn"
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val path = ServeBatchCache.get(s, d, cents)
+    val serving = graft.operators.Serving.open(s, path)
+    val lims = Seq(
+      (7L, Some(Map("label" -> Seq("3", "7"))), 2, 1),
+      (21L, None: Option[Map[String, Seq[String]]], 3, 2),
+      (33L, None: Option[Map[String, Seq[String]]], 5, 3),
+    ).toDF("qid", "allow", "kq", "capq")
+    val queries = emb.filter(col("vec_id").isin(7L, 21L, 33L))
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .join(lims, "qid")
+    serving.searchBatchPerQuery(queries, "qid", "embedding",
+      allowCol = "allow", attrs = Seq("label"), nProbe = 2, k = 5,
+      restricts = Seq(col("vec_id") >= 10),
+      crowding = Some(("label", 3)),
+      metadata = Some((emb.select("vec_id", "label"), "vec_id")),
+      kCol = Some("kq"), capCol = Some("capq"))
+  }
+
   /** Change feed over the snapshot log
     * ([[graft.operators.ServingManifest.changesBetween]]) — the
     * incremental-consumer surface of the versioned serving layout:
@@ -1949,8 +2024,8 @@ object ReferencePipeline {
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
     rServeManifest, rServeSnapshot, rServeCdc, rServeClone, rServeBatch,
-    rServeRestricts, rServeDelete, rServePrefilter, rRebalance,
-    vAnnBuild, vAnnCertified,
+    rServeRestricts, rServePerQuery, rServeDelete, rServePrefilter,
+    rRebalance, vAnnBuild, vAnnCertified,
     vMaxsimPruned, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
     vAnnRouted, vAnnRecallCurve, vKnnJoin)
 }
