@@ -121,8 +121,14 @@ final class Serving private[operators] (
     * is read. `restricts` are ANDed predicates over the layout's own
     * columns, sitting directly on the pruned scan (the same contract
     * as the raw path's filtered search — keep them on top-level
-    * columns so they reach `PushedFilters`). Output:
-    * (id, leaf_id, sq_score) top-k by score desc.
+    * columns so they reach `PushedFilters`).
+    *
+    * Output — two shapes, like the raw path's [[IvfIndex.searchDf]]:
+    * bare (no crowding, no metadata) = (id, leaf_id, sq_score) top-k
+    * by score desc; with `crowding` and/or `metadata` the full
+    * serving tail applies ([[codedSingleTail]]) and the shape is
+    * (id, metadata columns…, sq_score, rank) ordered by rank —
+    * leaf_id is not carried through the tail.
     */
   def searchSq(query: Array[Double], nProbe: Int, k: Int,
       restricts: Seq[Column] = Nil,
@@ -160,8 +166,14 @@ final class Serving private[operators] (
     * layout rotates the query once on the driver — exactly what
     * [[graft.streaming.IndexMaintenance.appendCodedToServing]] does
     * on the write side, so the two stay in the same space.
-    * `restricts` as in [[searchSq]]. Output: (id, leaf_id,
-    * adc_score) top-k by score desc.
+    * `restricts` as in [[searchSq]].
+    *
+    * Output — two shapes, like the raw path's [[IvfIndex.searchDf]]:
+    * bare (no crowding, no metadata) = (id, leaf_id, adc_score)
+    * top-k by score desc; with `crowding` and/or `metadata` the full
+    * serving tail applies ([[codedSingleTail]]) and the shape is
+    * (id, metadata columns…, adc_score, rank) ordered by rank —
+    * leaf_id is not carried through the tail.
     */
   def searchAdc(query: Array[Double], nProbe: Int, k: Int,
       restricts: Seq[Column] = Nil,
@@ -358,9 +370,13 @@ final class Serving private[operators] (
       // executors, so the pair generation degrades to the shuffled
       // cartesian (SHUFFLE_REPLICATE_NL) — same pairs, same results,
       // no driver-side collect of the query frame
+      // clamp BEFORE the increment: maxBroadcastQueries + 1 overflows
+      // to Long.MinValue on Long.MaxValue ("always broadcast"),
+      // producing a negative limit() that throws at plan time
+      val probeLimit = (math.min(math.max(maxBroadcastQueries, 0L),
+        Int.MaxValue.toLong - 1) + 1).toInt
       val small = queries.select(col(qid))
-        .limit(math.min(maxBroadcastQueries + 1,
-          Int.MaxValue.toLong).toInt)
+        .limit(probeLimit)
         .count() <= maxBroadcastQueries
       val paired = if (small) side.crossJoin(broadcast(qs))
         else side.crossJoin(qs.hint("shuffle_replicate_nl"))
@@ -508,7 +524,7 @@ final class Serving private[operators] (
         capCol.map(c => col(c).cast("int").as("__cap")).toSeq
     val probes = queries.select(Seq(col(qid).as("__qid"),
         col(qvecCol).cast("array<double>").as("__qv"),
-        col(allowCol).as("__allow")) ++ perQueryCols: _*)
+        checkedAllow(allowCol, attrs).as("__allow")) ++ perQueryCols: _*)
       .withColumn("leaf_id",
         explode(IvfIndex.probeExprF32(model, col("__qv"),
           math.max(1, nProbe))))
@@ -549,6 +565,24 @@ final class Serving private[operators] (
       !map_contains_key(col("__allow"), lit(a)) ||
         array_contains(element_at(col("__allow"), lit(a)),
           col(a).cast("string"))).reduce(_ && _)
+  }
+
+  /** The allow-map column with its contract VALIDATED in-plan: an
+    * allow-map key outside `attrs` would silently constrain nothing —
+    * that tenant's query returns UNFILTERED rows, a data leak in the
+    * multi-tenant batch this surface exists for — so the plan fails
+    * loudly on the offending query row instead of trusting the
+    * docstring. Codegen'd row-level work on the (small) query frame.
+    */
+  private def checkedAllow(allowCol: String, attrs: Seq[String]): Column = {
+    import org.apache.spark.sql.functions._
+    val unknown = exists(map_keys(col(allowCol)),
+      k => !k.isin(attrs: _*))
+    when(col(allowCol).isNotNull && unknown,
+      raise_error(concat(
+        lit("allow-map key outside attrs(" + attrs.mkString(",") + "): "),
+        to_json(map_keys(col(allowCol))))))
+      .otherwise(col(allowCol))
   }
 
   /** [[batchTail]] with PER-QUERY limits: `__k` / `__cap` ride the
@@ -623,7 +657,7 @@ final class Serving private[operators] (
     val rot = ProductQuantizer.loadRotation(spark, path)
     val probes = queries.select(Seq(col(qid).as("__qid"),
         col(qvecCol).cast("array<double>").as("__qraw")) ++
-        allowCol.map(c => col(c).as("__allow")).toSeq: _*)
+        allowCol.map(c => checkedAllow(c, attrs).as("__allow")).toSeq: _*)
       .withColumn("__qv", rot.map(r =>
         ProductQuantizer.rotateExpr(col("__qraw"), r))
         .getOrElse(col("__qraw")))
@@ -678,7 +712,7 @@ final class Serving private[operators] (
     val qv = col(qvecCol).cast("array<double>")
     val probes = queries.select(Seq(col(qid).as("__qid"),
         qv.as("__qraw")) ++
-        allowCol.map(c => col(c).as("__allow")).toSeq: _*)
+        allowCol.map(c => checkedAllow(c, attrs).as("__allow")).toSeq: _*)
       .withColumn("__qma", quantize.maxAbs(col("__qraw")))
       .withColumn("__qpk", quantize.packCodes(
         quantize.codes(col("__qraw"), col("__qma"))))

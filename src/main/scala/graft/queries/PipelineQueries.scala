@@ -24,12 +24,17 @@ object PipelineQueries {
     * with sequential keys) over the row key.
     */
   private[queries] def bucket1000(key: org.apache.spark.sql.Column) = {
-    val h = (lit(1103515245L) * key + 12345L) % 2147483647L
+    // reduce the key mod p BEFORE the multiply: (k%p)·a ≡ k·a (mod p),
+    // so the bucket is unchanged, but the product stays < 2^62 for ANY
+    // bigint key — the unreduced form overflows signed 64-bit past
+    // key ≈ 8.4e9 (Spark wraps silently; DuckDB raises), breaking the
+    // engine-independence the permutation exists for at corpus scale
+    val h = ((key % 2147483647L) * 1103515245L + 12345L) % 2147483647L
     ((h * h) % 2147483647L) % 1000L
   }
   private[queries] def sqlBucket1000(key: String): String =
-    s"(((1103515245 * cast($key as bigint) + 12345) % 2147483647) * " +
-      s"((1103515245 * cast($key as bigint) + 12345) % 2147483647)) % 2147483647 % 1000"
+    s"((((cast($key as bigint) % 2147483647) * 1103515245 + 12345) % 2147483647) * " +
+      s"(((cast($key as bigint) % 2147483647) * 1103515245 + 12345) % 2147483647)) % 2147483647 % 1000"
 
   /** Deterministic 10% Bernoulli sample of orders. */
   private val pSampleHash = QueryDef.sqlChecked("p_sample_hash")(
@@ -575,14 +580,16 @@ object PipelineQueries {
     */
   private val pShuffleShard = QueryDef.sqlChecked("p_shuffle_shard")(
     "WITH h AS (SELECT doc_id, " +
-      "(((1103515245 * cast(doc_id as bigint) + 12345) % 2147483647) * " +
-      "((1103515245 * cast(doc_id as bigint) + 12345) % 2147483647)) " +
+      "((((cast(doc_id as bigint) % 2147483647) * 1103515245 + 12345) % 2147483647) * " +
+      "(((cast(doc_id as bigint) % 2147483647) * 1103515245 + 12345) % 2147483647)) " +
       "% 2147483647 AS hv FROM documents) " +
       "SELECT doc_id, cast(hv % 16 as int) AS shard, " +
       "cast(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) " +
       "as bigint) AS pos FROM h ORDER BY doc_id"
   ) { (s, d) =>
-    val lcg = (lit(1103515245L) * col("doc_id") + 12345L) % 2147483647L
+    // key reduced mod p first — same permutation, no 64-bit overflow
+    // past doc_id ≈ 8.4e9 (see [[bucket1000]])
+    val lcg = ((col("doc_id") % 2147483647L) * 1103515245L + 12345L) % 2147483647L
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("hv", "doc_id")
     Tables.documents(s, d)

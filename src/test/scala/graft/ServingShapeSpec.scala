@@ -223,5 +223,46 @@ class ServingShapeSpec extends SparkTestBase {
       s"the guarded pair generation is the shuffled cartesian:\n$guardedPlan")
     assert(smallRows.toSet == guardedRows.toSet && smallRows.nonEmpty,
       "both pair-generation plans must score the same pairs")
+
+    // "always broadcast": Long.MaxValue must not overflow the probe
+    // limit into a negative limit() that throws at plan time
+    val always = serving.searchBatchAdaptive(qdf, "qid", "v", 2, 10,
+      sel, maxExactFraction = 0.5, maxBroadcastQueries = Long.MaxValue)
+    assert(always.collect().toSet == smallRows.toSet)
+  }
+
+  test("an allow-map key outside attrs fails loudly instead of " +
+      "silently returning unfiltered rows") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shape_badkey").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val serving = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+    // "lable" is a typo for an attribute the caller forgot to
+    // enumerate — without validation that tenant's restriction is a
+    // no-op and the query leaks unfiltered rows
+    val allows = Seq(
+      (3L, Some(Map("lable" -> Seq("0", "1")))),
+      (7L, Some(Map("label" -> Seq("2"))))).toDF("qid", "allow")
+    val queries = emb.filter(col("vec_id").isin(3L, 7L))
+      .select(col("vec_id").as("qid"), col("v")).join(allows, "qid")
+    val err = intercept[Exception] {
+      serving.searchBatchPerQuery(queries, "qid", "v", "allow",
+        Seq("label"), nProbe = 3, k = 5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("allow-map key outside attrs")),
+      s"expected the contract violation, got: $err")
+    // well-formed maps still pass through the validation unchanged
+    val ok = Seq((3L, Some(Map("label" -> Seq("0", "1"))))).toDF("qid", "allow")
+    val good = serving.searchBatchPerQuery(
+      emb.filter(col("vec_id") === 3L)
+        .select(col("vec_id").as("qid"), col("v")).join(ok, "qid"),
+      "qid", "v", "allow", Seq("label"), nProbe = 3, k = 5).collect()
+    assert(good.nonEmpty)
   }
 }
