@@ -638,7 +638,12 @@ final class Serving private[operators] (
     * graceful degrade as the raw batch path; same f32 routing-parity
     * caveat. Crowding and the metadata join ride the shared
     * [[batchTail]], exactly as on the raw path — the tier changes
-    * the scan kernel, never the serving shape. Output:
+    * the scan kernel, never the serving shape. The full PER-QUERY
+    * surface of [[searchBatchPerQuery]] applies unchanged: `allowCol`
+    * + `attrs` for per-query allow-maps (validated in-plan, evaluated
+    * per candidate pair inside the join), `kCol` / `capCol` for
+    * per-query result counts and crowding caps bounded by
+    * least(global, per-query). Output:
     * (`qid`, id[, metadata columns…], adc_score, rn).
     */
   def searchBatchAdc(queries: DataFrame, qid: String, qvecCol: String,
@@ -646,18 +651,27 @@ final class Serving private[operators] (
       crowding: Option[(String, Int)] = None,
       metadata: Option[(DataFrame, String)] = None,
       allowCol: Option[String] = None,
-      attrs: Seq[String] = Nil): DataFrame = {
+      attrs: Seq[String] = Nil,
+      kCol: Option[String] = None,
+      capCol: Option[String] = None): DataFrame = {
     require(tier == "pq",
       s"searchBatchAdc: layout at $path is a '$tier' tier, not PQ")
     require(allowCol.isEmpty == attrs.isEmpty,
       "searchBatchAdc: per-query restricts need BOTH the allow-map " +
         "column (allowCol) and the constrained attributes (attrs)")
+    require(capCol.isEmpty || crowding.nonEmpty,
+      "searchBatchAdc: capCol needs the crowding attribute " +
+        "(crowding = Some((attr, globalCap)))")
     import org.apache.spark.sql.functions._
     val cb = ProductQuantizer.loadCodebook(spark, path)
     val rot = ProductQuantizer.loadRotation(spark, path)
+    val perQueryCols =
+      kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
+        capCol.map(c => col(c).cast("int").as("__cap")).toSeq
     val probes = queries.select(Seq(col(qid).as("__qid"),
         col(qvecCol).cast("array<double>").as("__qraw")) ++
-        allowCol.map(c => checkedAllow(c, attrs).as("__allow")).toSeq: _*)
+        allowCol.map(c => checkedAllow(c, attrs).as("__allow")).toSeq ++
+        perQueryCols: _*)
       .withColumn("__qv", rot.map(r =>
         ProductQuantizer.rotateExpr(col("__qraw"), r))
         .getOrElse(col("__qraw")))
@@ -672,19 +686,24 @@ final class Serving private[operators] (
       data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
     val side = restricts.foldLeft(pruned)(_.filter(_))
     val crowdAttr = crowding.map(_._1).toSeq
+    val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
+      capCol.map(_ => "__cap").toSeq
     val joined = side.join(probes, Seq("leaf_id"))
     val filtered = if (allowCol.nonEmpty)
       joined.filter(allowPredicate(attrs)) else joined
     val scored = filtered
       .select(Seq(col("__qid"), col(id),
         ProductQuantizer.adcDirectExpr(col("pq_code"), col("__qv"), cb)
-          .as("score")) ++ crowdAttr.map(col): _*)
+          .as("score")) ++ carried.map(col): _*)
     val aggs = Seq(max(col("score")).as("score")) ++
-      crowdAttr.map(a => first(col(a)).as(a))
+      carried.map(a => first(col(a)).as(a))
     val unique = scored.groupBy(col("__qid"), col(id))
       .agg(aggs.head, aggs.tail: _*)
-    batchTail(unique, qid, k, crowding, metadata)
-      .withColumnRenamed("score", "adc_score")
+    val tailed = if (kCol.isEmpty && capCol.isEmpty)
+      batchTail(unique, qid, k, crowding, metadata)
+    else batchTailDynamic(unique, qid, k, crowding, metadata,
+      hasK = kCol.nonEmpty, hasCap = capCol.nonEmpty)
+    tailed.withColumnRenamed("score", "adc_score")
   }
 
   /** Distributed BATCH search over the SQ8 TIER — the same
@@ -694,25 +713,37 @@ final class Serving private[operators] (
     * work at all, and every (code, query) candidate scores as the
     * exact integer dot rescaled by the two scales. Crowding and the
     * metadata join ride the shared [[batchTail]], as on the raw
-    * path. Output: (`qid`, id[, metadata columns…], sq_score, rn).
+    * path, and the full PER-QUERY surface of [[searchBatchPerQuery]]
+    * applies unchanged (`allowCol` + `attrs`, `kCol` / `capCol` as
+    * least(global, per-query)).
+    * Output: (`qid`, id[, metadata columns…], sq_score, rn).
     */
   def searchBatchSq(queries: DataFrame, qid: String, qvecCol: String,
       nProbe: Int, k: Int, restricts: Seq[Column] = Nil,
       crowding: Option[(String, Int)] = None,
       metadata: Option[(DataFrame, String)] = None,
       allowCol: Option[String] = None,
-      attrs: Seq[String] = Nil): DataFrame = {
+      attrs: Seq[String] = Nil,
+      kCol: Option[String] = None,
+      capCol: Option[String] = None): DataFrame = {
     require(tier == "sq",
       s"searchBatchSq: layout at $path is a '$tier' tier, not SQ8")
     require(allowCol.isEmpty == attrs.isEmpty,
       "searchBatchSq: per-query restricts need BOTH the allow-map " +
         "column (allowCol) and the constrained attributes (attrs)")
+    require(capCol.isEmpty || crowding.nonEmpty,
+      "searchBatchSq: capCol needs the crowding attribute " +
+        "(crowding = Some((attr, globalCap)))")
     import org.apache.spark.sql.functions._
     import graft.functions.quantize
     val qv = col(qvecCol).cast("array<double>")
+    val perQueryCols =
+      kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
+        capCol.map(c => col(c).cast("int").as("__cap")).toSeq
     val probes = queries.select(Seq(col(qid).as("__qid"),
         qv.as("__qraw")) ++
-        allowCol.map(c => checkedAllow(c, attrs).as("__allow")).toSeq: _*)
+        allowCol.map(c => checkedAllow(c, attrs).as("__allow")).toSeq ++
+        perQueryCols: _*)
       .withColumn("__qma", quantize.maxAbs(col("__qraw")))
       .withColumn("__qpk", quantize.packCodes(
         quantize.codes(col("__qraw"), col("__qma"))))
@@ -727,19 +758,24 @@ final class Serving private[operators] (
       data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
     val side = restricts.foldLeft(pruned)(_.filter(_))
     val crowdAttr = crowding.map(_._1).toSeq
+    val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
+      capCol.map(_ => "__cap").toSeq
     val joined = side.join(probes, Seq("leaf_id"))
     val filtered = if (allowCol.nonEmpty)
       joined.filter(allowPredicate(attrs)) else joined
     val scored = filtered
       .select(Seq(col("__qid"), col(id), quantize.score(
         quantize.packedDot(col("sq_code"), col("__qpk")),
-        col("ma"), col("__qma")).as("score")) ++ crowdAttr.map(col): _*)
+        col("ma"), col("__qma")).as("score")) ++ carried.map(col): _*)
     val aggs = Seq(max(col("score")).as("score")) ++
-      crowdAttr.map(a => first(col(a)).as(a))
+      carried.map(a => first(col(a)).as(a))
     val unique = scored.groupBy(col("__qid"), col(id))
       .agg(aggs.head, aggs.tail: _*)
-    batchTail(unique, qid, k, crowding, metadata)
-      .withColumnRenamed("score", "sq_score")
+    val tailed = if (kCol.isEmpty && capCol.isEmpty)
+      batchTail(unique, qid, k, crowding, metadata)
+    else batchTailDynamic(unique, qid, k, crowding, metadata,
+      hasK = kCol.nonEmpty, hasCap = capCol.nonEmpty)
+    tailed.withColumnRenamed("score", "sq_score")
   }
 
   /** Crowding → per-query top-k → metadata attach, shared by the

@@ -703,7 +703,98 @@ object QuantizeQueries {
       metadata = Some((emb.select("vec_id", "label"), "vec_id")))
   }
 
+  /** PER-QUERY restricts, k, AND crowding cap on the SQ8 TIER — the
+    * multi-tenant batch of `r_serve_restricts`/`r_serve_perquery` over
+    * a CODED layout ([[graft.operators.Serving.searchBatchSq]] with
+    * `allowCol`/`kCol`/`capCol`): the reference's per-request
+    * find_neighbors knobs don't know how the deployed index stores
+    * vectors, so the quantized tier serves the identical per-query
+    * surface — allow-maps validated in-plan and evaluated per
+    * (candidate, query) pair inside the candidate join, per-query
+    * k/cap applied as least(global, per-query) in the shared dynamic
+    * tail. Three tenants in ONE routed plan over packed byte codes:
+    * qid 7 allows labels {3,7} and wants 2 hits with hard diversity
+    * (cap 1); qid 21 allows {1}, 3 hits, cap 2; qid 33 is
+    * unrestricted (NULL map), 5 hits, cap 3. Everything is
+    * bit-deterministic (SQ8 has no trained artifact), so the whole
+    * shape hash-gates — the oracle re-derives quantization,
+    * assignment, probes, the integer rescore, the per-query allow +
+    * crowd + rank, and the metadata join from the raw tables.
+    */
+  private val rServeSqPerQuery = QueryDef.sqlChecked("r_serve_sq_perquery")(
+    "WITH base AS (SELECT vec_id, label, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (7,21,33)), " +
+      "lim AS (SELECT * FROM (VALUES (7, 2, 1), (21, 3, 2), (33, 5, 3)) " +
+      "AS t(qid, kq, capq)), " +
+      "ecodes AS (SELECT vec_id, label, v, ma, list_transform(v, x -> " +
+      "CASE WHEN ma = 0 THEN 0 ELSE cast(floor(x * (127.0 / ma) + 0.5) as bigint) END) AS codes " +
+      "FROM (SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM base)), " +
+      "qcodes AS (SELECT qid, ma AS qma, list_transform(qv, x -> " +
+      "CASE WHEN ma = 0 THEN 0 ELSE cast(floor(x * (127.0 / ma) + 0.5) as bigint) END) AS codes " +
+      "FROM (SELECT qid, qv, list_max(list_transform(qv, x -> abs(x))) AS ma FROM q)), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT qid, cid FROM (SELECT q.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2), " +
+      "cand AS (SELECT p.qid, e.vec_id, e.label, " +
+      "list_inner_product(cast(e.codes as double[]), cast(qc.codes as double[])) * " +
+      "(e.ma * qc.qma / 16129.0) AS score " +
+      "FROM ecodes e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid JOIN qcodes qc ON qc.qid = p.qid " +
+      "WHERE e.vec_id >= 10 AND (" +
+      "(p.qid = 7 AND cast(e.label as varchar) IN ('3','7')) OR " +
+      "(p.qid = 21 AND cast(e.label as varchar) IN ('1')) OR " +
+      "p.qid = 33)), " +
+      "crowded AS (SELECT c.qid, c.vec_id, c.label, c.score FROM (" +
+      "SELECT qid, vec_id, label, score, row_number() OVER (" +
+      "PARTITION BY qid, label ORDER BY score DESC, vec_id) AS crn " +
+      "FROM cand) c JOIN lim ON lim.qid = c.qid WHERE c.crn <= lim.capq), " +
+      "ranked AS (SELECT c.qid, c.vec_id, c.label, c.score, c.rn FROM (" +
+      "SELECT qid, vec_id, label, score, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM crowded) c " +
+      "JOIN lim ON lim.qid = c.qid WHERE c.rn <= lim.kq) " +
+      "SELECT qid, vec_id, label, score AS sq_score, cast(rn as bigint) AS rn " +
+      "FROM ranked ORDER BY qid, rn"
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(s, d)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val path = SqFullCache.get(s, d, model)
+    val serving = graft.operators.Serving.open(s, path)
+    val lims = Seq(
+      (7L, Some(Map("label" -> Seq("3", "7"))), 2, 1),
+      (21L, Some(Map("label" -> Seq("1"))), 3, 2),
+      (33L, None: Option[Map[String, Seq[String]]], 5, 3),
+    ).toDF("qid", "allow", "kq", "capq")
+    val queries = emb.filter(col("vec_id").isin(7L, 21L, 33L))
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .join(lims, "qid")
+    serving.searchBatchSq(queries, "qid", "embedding", nProbe = 2, k = 5,
+      restricts = Seq(col("vec_id") >= 10),
+      crowding = Some(("label", 3)),
+      metadata = Some((emb.select("vec_id", "label"), "vec_id")),
+      allowCol = Some("allow"), attrs = Seq("label"),
+      kCol = Some("kq"), capCol = Some("capq"))
+  }
+
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
     vPqBatch, vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq,
-    rServeSqFull)
+    rServeSqFull, rServeSqPerQuery)
 }

@@ -231,6 +231,72 @@ class ServingShapeSpec extends SparkTestBase {
     assert(always.collect().toSet == smallRows.toSet)
   }
 
+  test("SQ batch per-query allow/k/cap == per-query searchSq with the " +
+      "equivalent restrict and limits") {
+    import graft.functions.quantize
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shape_sqperq").toString + "/idx"
+    val sq = emb
+      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 1)))
+      .withColumn("ma", quantize.maxAbs(col("v")))
+      .withColumn("sq_code",
+        quantize.packCodes(quantize.codes(col("v"), col("ma"))))
+      .drop("v")
+    IvfIndex.write(sq, dir, model)
+    val serving = Serving.open(spark, dir)
+    assert(serving.tier == "sq")
+    val meta = emb.select("vec_id", "label")
+
+    val limsOf = Map(
+      7L -> (Some(Map("label" -> Seq("3", "7"))), 2, 1),
+      21L -> (Some(Map("label" -> Seq("1"))), 3, 2),
+      33L -> (None: Option[Map[String, Seq[String]]], 5, 3))
+    val lims = limsOf.toSeq.map { case (q, (a, kq, cq)) => (q, a, kq, cq) }
+      .toDF("qid", "allow", "kq", "capq")
+    val queries = emb.filter(col("vec_id").isin(7L, 21L, 33L))
+      .select(col("vec_id").as("qid"), col("v")).join(lims, "qid")
+
+    val got = serving.searchBatchSq(queries, "qid", "v", nProbe = 2,
+        k = 5, restricts = Seq(col("vec_id") >= 10),
+        crowding = Some(("label", 3)),
+        metadata = Some((meta, "vec_id")),
+        allowCol = Some("allow"), attrs = Seq("label"),
+        kCol = Some("kq"), capCol = Some("capq"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(4))
+        .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq).toMap
+    assert(got.keySet == Set(7L, 21L, 33L))
+
+    for ((qid, (allow, kq, cq)) <- limsOf) {
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("v")).head().getSeq[Double](0).toArray
+      val equivalent = Seq(col("vec_id") >= 10) ++ allow.toSeq.flatMap(
+        _.get("label").map(vs => col("label").cast("string").isin(vs: _*)))
+      val per = serving.searchSq(q, nProbe = 2, k = kq, equivalent,
+          crowding = Some(("label", cq)),
+          metadata = Some((meta, "vec_id")))
+        .collect().sortBy(_.getLong(3))
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(got(qid) == per,
+        s"per-query SQ batch and single searchSq diverge for $qid:\n" +
+          s"batch=${got(qid)}\nsingle=$per")
+      // limits actually bind: kq rows at most, per-label ≤ cq
+      assert(got(qid).length <= kq)
+      got(qid).groupBy(_._2).foreach { case (_, g) =>
+        assert(g.length <= cq) }
+    }
+    // the three tenants got DIFFERENT result counts — the per-query
+    // limits visibly reshaped one plan's output
+    assert(got.values.map(_.length).toSet.size > 1)
+  }
+
   test("an allow-map key outside attrs fails loudly instead of " +
       "silently returning unfiltered rows") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
