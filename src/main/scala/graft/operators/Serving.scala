@@ -519,6 +519,27 @@ final class Serving private[operators] (
     require(capCol.isEmpty || crowding.nonEmpty,
       "searchBatchPerQuery: capCol needs the crowding attribute " +
         "(crowding = Some((attr, globalCap)))")
+    val unique = perQueryProbedUnique(queries, qid, qvecCol, allowCol,
+      attrs, nProbe, restricts, crowding, kCol, capCol)
+    if (kCol.isEmpty && capCol.isEmpty)
+      batchTail(unique, qid, k, crowding, metadata)
+    else
+      batchTailDynamic(unique, qid, k, crowding, metadata,
+        hasK = kCol.nonEmpty, hasCap = capCol.nonEmpty)
+  }
+
+  /** The probed candidate core of the per-query surface — route,
+    * In-list prune, candidate join, per-pair allow filter, spill
+    * collapse — shared by [[searchBatchPerQuery]] and the adaptive
+    * split. Returns ONE row per (query, id):
+    * (__qid, id, score[, crowdAttr][, __k][, __cap]).
+    */
+  private def perQueryProbedUnique(queries: DataFrame, qid: String,
+      qvecCol: String, allowCol: String, attrs: Seq[String],
+      nProbe: Int, restricts: Seq[Column],
+      crowding: Option[(String, Int)], kCol: Option[String],
+      capCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
     val perQueryCols =
       kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
         capCol.map(c => col(c).cast("int").as("__cap")).toSeq
@@ -545,8 +566,136 @@ final class Serving private[operators] (
           col("__qv")).as("score")) ++ carried.map(col): _*)
     val aggs = Seq(max(col("score")).as("score")) ++
       carried.map(a => first(col(a)).as(a))
-    val unique = scored.groupBy(col("__qid"), col(id))
+    scored.groupBy(col("__qid"), col(id))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** File-level selectivity of a per-query allow-map against THIS
+    * layout's manifest stats ([[ServingManifest.estimateAllow]]) —
+    * [[restrictSelectivity]]'s analog for the per-query surface.
+    * None = no evidence (treat as unselective).
+    */
+  def allowSelectivity(allow: Map[String, Seq[String]]): Option[Double] =
+    ServingManifest.estimateAllow(spark, path, allow).map(_.byteFraction)
+
+  /** True = [[searchBatchPerQueryAdaptive]] would route a query
+    * carrying this allow-map to the EXACT pre-filter plan. */
+  def perQueryAdaptivePlan(allow: Map[String, Seq[String]],
+      maxExactFraction: Double = 0.05): Boolean =
+    allow.nonEmpty && allowSelectivity(allow).exists(_ <= maxExactFraction)
+
+  /** [[searchBatchPerQuery]] with the SELECTIVITY-ADAPTIVE escape the
+    * batch-wide surface already has ([[searchBatchAdaptive]]) — the
+    * one recall hole of the plain per-query path closed: routing
+    * deliberately ignores restricts, so a query whose allow-map is
+    * ultra-selective hits the classic filtered-ANN failure (its
+    * qualifying rows may ALL live in unprobed leaves). Here the
+    * decision runs PER DISTINCT ALLOW-MAP against the manifest's
+    * promoted file stats ([[ServingManifest.estimateAllow]]):
+    *
+    *  - maps proven SELECTIVE (the stats-skipped scan for the map's
+    *    equality-disjunctions reads ≤ `maxExactFraction` of layout
+    *    bytes): their queries leave the routed batch and run the
+    *    EXACT plan — the map's constraints become ordinary pushed
+    *    predicates on the scan (parquet reads only the surviving
+    *    files), every (qualifying row, query) pair scores, full
+    *    recall per query;
+    *  - everything else rides the standard probed per-query plan.
+    *
+    * Both sides collapse to one row per (query, id) and meet in the
+    * SAME shared tail, so the output contract is identical to
+    * [[searchBatchPerQuery]] and a mixed batch stays ONE plan. The
+    * decision inputs are driver-resident manifest rows (no data
+    * scan), at most `maxDistinctMaps` distinct maps are examined
+    * (a batch with more falls back to the probed plan for all — no
+    * evidence at bounded cost), and the exact side's query frame
+    * broadcasts only while it provably fits
+    * (`maxBroadcastQueries`, same bounded limit-probe + degrade to
+    * SHUFFLE_REPLICATE_NL as [[searchBatchAdaptive]]). Allow-map
+    * keys outside `attrs` fail loudly on the driver (same contract
+    * as the in-plan validation).
+    */
+  def searchBatchPerQueryAdaptive(queries: DataFrame, qid: String,
+      qvecCol: String, allowCol: String, attrs: Seq[String],
+      nProbe: Int, k: Int, restricts: Seq[Column] = Nil,
+      crowding: Option[(String, Int)] = None,
+      metadata: Option[(DataFrame, String)] = None,
+      kCol: Option[String] = None,
+      capCol: Option[String] = None,
+      maxExactFraction: Double = 0.05,
+      maxDistinctMaps: Int = 1024,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(attrs.nonEmpty,
+      "searchBatchPerQueryAdaptive: pass the layout attributes the " +
+        "allow-maps may constrain (attrs)")
+    require(capCol.isEmpty || crowding.nonEmpty,
+      "searchBatchPerQueryAdaptive: capCol needs the crowding " +
+        "attribute (crowding = Some((attr, globalCap)))")
+    val mkey = coalesce(to_json(col(allowCol)), lit("null"))
+    val distinctMaps = queries
+      .select(mkey.as("__mkey"), col(allowCol).as("__allow"))
+      .groupBy("__mkey").agg(first("__allow").as("__allow"))
+      .limit(maxDistinctMaps + 1).collect()
+    val exactMaps: Seq[(String, Map[String, Seq[String]])] =
+      if (distinctMaps.length > maxDistinctMaps) Nil
+      else distinctMaps.toSeq.flatMap { r =>
+        val m = Option(r.getMap[String, scala.collection.Seq[String]](1))
+          .map(_.map { case (a, vs) => (a, vs.toSeq) }.toMap)
+          .getOrElse(Map.empty[String, Seq[String]])
+        m.keys.find(!attrs.contains(_)).foreach(bad =>
+          throw new IllegalArgumentException(
+            "searchBatchPerQueryAdaptive: allow-map key outside " +
+              s"attrs(${attrs.mkString(",")}): $bad"))
+        if (perQueryAdaptivePlan(m, maxExactFraction))
+          Some((r.getString(0), m))
+        else None
+      }
+    if (exactMaps.isEmpty)
+      return searchBatchPerQuery(queries, qid, qvecCol, allowCol, attrs,
+        nProbe, k, restricts, crowding, metadata, kCol, capCol)
+
+    val keyed = queries.withColumn("__mkey", mkey)
+    val exactKeys = exactMaps.map(_._1)
+    val probedUnique = perQueryProbedUnique(
+      keyed.filter(!col("__mkey").isin(exactKeys: _*)).drop("__mkey"),
+      qid, qvecCol, allowCol, attrs, nProbe, restricts, crowding,
+      kCol, capCol)
+
+    val crowdAttr = crowding.map(_._1).toSeq
+    val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
+      capCol.map(_ => "__cap").toSeq
+    val perQueryCols =
+      kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
+        capCol.map(c => col(c).cast("int").as("__cap")).toSeq
+    // one guarded pair-generation decision for ALL exact maps (one
+    // bounded probe, not one per map)
+    val probeLimit = (math.min(math.max(maxBroadcastQueries, 0L),
+      Int.MaxValue.toLong - 1) + 1).toInt
+    val small = keyed.filter(col("__mkey").isin(exactKeys: _*))
+      .select(col(qid)).limit(probeLimit)
+      .count() <= maxBroadcastQueries
+    val exactUniques = exactMaps.map { case (key, m) =>
+      val qs = keyed.filter(col("__mkey") === key)
+        .select(Seq(col(qid).as("__qid"),
+          col(qvecCol).cast("array<double>").as("__qv")) ++
+          perQueryCols: _*)
+      // the map's constraints as ordinary pushed predicates — this is
+      // what makes the escape an escape: the scan reads only the files
+      // the manifest stats could not skip
+      val side = (restricts ++ m.toSeq.map { case (a, vs) =>
+        col(a).cast("string").isin(vs: _*) }).foldLeft(data)(_.filter(_))
+      val paired = if (small) side.crossJoin(broadcast(qs))
+        else side.crossJoin(qs.hint("shuffle_replicate_nl"))
+      val scored = paired.select(Seq(col("__qid"), col(id),
+        graft.functions.vectors.dotProduct(col(vecCol),
+          col("__qv")).as("score")) ++ carried.map(col): _*)
+      val aggs = Seq(max(col("score")).as("score")) ++
+        carried.map(a => first(col(a)).as(a))
+      scored.groupBy(col("__qid"), col(id))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val unique = (probedUnique +: exactUniques).reduce(_ unionByName _)
     if (kCol.isEmpty && capCol.isEmpty)
       batchTail(unique, qid, k, crowding, metadata)
     else

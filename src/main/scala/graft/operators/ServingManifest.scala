@@ -809,6 +809,51 @@ object ServingManifest {
       }
     }
   }
+
+  /** File-level selectivity of a PER-QUERY allow-map (attribute →
+    * allowed stringified values) from the live manifest's promoted
+    * stats — [[estimateRestrict]]'s analog for
+    * [[Serving.searchBatchPerQueryAdaptive]]'s per-map plan decision.
+    * The allow contract is a conjunction over attributes where each
+    * conjunct is an equality-disjunction (`attr ∈ values`), so a file
+    * is skippable iff SOME constrained attribute with promoted
+    * numeric stats has NO numerically-parsable allowed value inside
+    * the file's [min, max] (an equality can only hold inside the
+    * range; a value that doesn't parse numerically can't equal any
+    * value of a numerically-promoted column and contributes nothing).
+    * Files without stats for a constrained attribute pass that
+    * conjunct (conservative). None when the layout carries no
+    * manifest/stats, the map constrains nothing, or no constrained
+    * attribute appears in any file's stats — no evidence, the caller
+    * must assume unselective.
+    */
+  def estimateAllow(spark: SparkSession, path: String,
+      allow: Map[String, Seq[String]]): Option[RestrictEstimate] = {
+    if (!exists(spark, path)) return None
+    val parsed = allow.toSeq.map { case (a, vs) =>
+      (a, vs.flatMap(v => scala.util.Try(v.trim.toDouble).toOption))
+    }
+    if (parsed.isEmpty) return None
+    val mf = spark.read.parquet(manifestDir(path))
+    if (!mf.columns.contains("stats")) return None
+    val rows = mf.select("bytes", "stats").collect()
+    var testable = false
+    var keptFiles = 0L; var keptBytes = 0L; var totalBytes = 0L
+    rows.foreach { r =>
+      val b = r.getLong(0); totalBytes += b
+      val stats = decodeStats(Option(r.getString(1)).getOrElse(""))
+      if (parsed.exists(p => stats.contains(p._1))) testable = true
+      val keep = parsed.forall { case (a, vals) =>
+        stats.get(a).forall { case (lo, hi) =>
+          vals.exists(v => lo <= v && v <= hi)
+        }
+      }
+      if (keep) { keptFiles += 1; keptBytes += b }
+    }
+    if (!testable) None
+    else Some(RestrictEstimate(keptFiles, keptBytes, rows.length.toLong,
+      totalBytes))
+  }
 }
 
 /** File-level restrict selectivity from manifest stats: the files a

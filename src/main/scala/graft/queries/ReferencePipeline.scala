@@ -2021,11 +2021,110 @@ object ReferencePipeline {
     } finally { scored.unpersist(); () }
   }
 
+  /** SELECTIVITY-ADAPTIVE PER-QUERY restricts, driver-gated — the
+    * recall escape for the multi-tenant batch
+    * ([[graft.operators.Serving.searchBatchPerQueryAdaptive]]): the
+    * plain per-query path routes BEFORE filtering, so a tenant whose
+    * allow-map is ultra-selective hits the classic filtered-ANN
+    * failure — its qualifying rows may all live in unprobed leaves.
+    * Setup plants exactly that: negated vectors appended at
+    * version 2 (they live in leaves a probe for the positive query
+    * ranks last), `version` stats promoted to the manifest. One batch
+    * carries two tenants: qid 0 allows version {2} — proven selective
+    * by file stats (only the appended file can hold a qualifying
+    * row), so its query leaves the routed batch and runs the EXACT
+    * plan over the few surviving files, returning the planted rows
+    * with full recall; qid 21 allows version {1} — every build file
+    * qualifies, provably unselective, rides the standard probed
+    * plan. The gate REQUIREs both per-map plan decisions and
+    * hash-checks the union: the exact filtered top-k for tenant 0,
+    * the routed probe replica for tenant 21.
+    */
+  private val rServePAdaptive = QueryDef.sqlChecked("r_serve_padaptive")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v, 1 AS version " +
+      "FROM embeddings), " +
+      "b1 AS (SELECT vec_id + 200000 AS vec_id, " +
+      "list_transform(v, x -> -x) AS v, 2 AS version FROM base " +
+      "WHERE vec_id % 30 = 7), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (0,21)), " +
+      "ex AS (SELECT q.qid, b.vec_id, list_inner_product(b.v, q.qv) AS score " +
+      "FROM b1 b JOIN q ON q.qid = 0), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn <= 2), " +
+      "probe AS (SELECT qid, cid FROM (SELECT q.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2 AND qid = 21), " +
+      "pr AS (SELECT p.qid, b.vec_id, " +
+      "max(list_inner_product(b.v, q.qv)) AS score " +
+      "FROM base b JOIN assign a ON b.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid JOIN q ON q.qid = p.qid " +
+      "GROUP BY p.qid, b.vec_id), " +
+      "allc AS (SELECT * FROM ex UNION ALL SELECT * FROM pr), " +
+      "ranked AS (SELECT qid, vec_id, score, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM allc) " +
+      "SELECT qid, vec_id, score, cast(rn as bigint) AS rn FROM ranked " +
+      "WHERE rn <= 10 ORDER BY qid, rn"
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.IndexMaintenance
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servepqa_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val indexed = base.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, servePath.toString, model)
+    graft.operators.ServingManifest.promote(s, servePath.toString,
+      Seq("version"))
+    val planted = base.filter(col("vec_id") % 30 === 7)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2))
+    IndexMaintenance.appendToServing(s, servePath.toString, planted,
+      "vec_id", "v", "version", spill = 1)
+
+    val serving = graft.operators.Serving.open(s, servePath.toString,
+      id = "vec_id", vecCol = "v")
+    require(serving.perQueryAdaptivePlan(Map("version" -> Seq("2")), 0.35),
+      "r_serve_padaptive: the version=2 map must pick the exact plan")
+    require(!serving.perQueryAdaptivePlan(Map("version" -> Seq("1")), 0.35),
+      "r_serve_padaptive: the version=1 map must stay probed")
+    val allows = Seq(
+      (0L, Map("version" -> Seq("2"))),
+      (21L, Map("version" -> Seq("1")))).toDF("qid", "allow")
+    val queries = base.filter(col("vec_id").isin(0L, 21L))
+      .select(col("vec_id").as("qid"), col("v")).join(allows, "qid")
+    serving.searchBatchPerQueryAdaptive(queries, "qid", "v", "allow",
+      Seq("version"), nProbe = 2, k = 10, maxExactFraction = 0.35)
+  }
+
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
     rServeManifest, rServeSnapshot, rServeCdc, rServeClone, rServeBatch,
-    rServeRestricts, rServePerQuery, rServeDelete, rServePrefilter,
-    rRebalance, vAnnBuild, vAnnCertified,
+    rServeRestricts, rServePerQuery, rServePAdaptive, rServeDelete,
+    rServePrefilter, rRebalance, vAnnBuild, vAnnCertified,
     vMaxsimPruned, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
     vAnnRouted, vAnnRecallCurve, vKnnJoin)
 }

@@ -297,6 +297,78 @@ class ServingShapeSpec extends SparkTestBase {
     assert(got.values.map(_.length).toSet.size > 1)
   }
 
+  test("searchBatchPerQueryAdaptive: a selective allow-map escapes " +
+      "the probed plan and recovers rows from unprobed leaves") {
+    import graft.operators.ServingManifest
+    import graft.streaming.IndexMaintenance
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shape_padapt").toString + "/idx"
+    val indexed = emb.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, dir, model)
+    ServingManifest.promote(spark, dir, Seq("version"))
+    // planted: negated vectors at version 2 — they live in leaves a
+    // probe for the (positive) query ranks LAST, the classic
+    // filtered-ANN recall failure
+    val planted = emb.filter(col("vec_id") % 30 === 7)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2))
+    IndexMaintenance.appendToServing(spark, dir, planted, "vec_id", "v",
+      "version", spill = 1)
+    val serving = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+
+    val selective = Map("version" -> Seq("2"))
+    assert(serving.perQueryAdaptivePlan(selective, 0.35),
+      "the version=2 map must be proven selective by file stats")
+    assert(!serving.perQueryAdaptivePlan(Map("version" -> Seq("1")), 0.35),
+      "the version=1 map (every build file) must stay on the probed plan")
+
+    val allows = Seq(
+      (0L, Some(selective)),
+      (21L, None: Option[Map[String, Seq[String]]])).toDF("qid", "allow")
+    val queries = emb.filter(col("vec_id").isin(0L, 21L))
+      .select(col("vec_id").as("qid"), col("v")).join(allows, "qid")
+
+    val adaptive = serving.searchBatchPerQueryAdaptive(queries, "qid",
+        "v", "allow", Seq("version"), nProbe = 2, k = 10,
+        maxExactFraction = 0.35)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val plain = serving.searchBatchPerQuery(queries, "qid", "v",
+        "allow", Seq("version"), nProbe = 2, k = 10)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    // the selective tenant: full recall — the true filtered top-10 is
+    // the exact scan over version-2 rows
+    val exact = serving.data.filter(col("version") === 2)
+      .select(col("vec_id"),
+        graft.functions.vectors.dotProduct(col("v"), typedLit(
+          emb.filter(col("vec_id") === 0L).select("v")
+            .head().getSeq[Double](0))).as("score"))
+      .groupBy("vec_id").agg(max("score").as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(adaptive(0L) == exact,
+      s"adaptive must return the exact filtered top-k:\n" +
+        s"got=${adaptive(0L)}\nexact=$exact")
+    assert(plain.getOrElse(0L, Set.empty) != exact,
+      "setup: the probed plan must actually miss planted rows — " +
+        "otherwise this spec proves nothing")
+    // the unrestricted tenant rides the probed plan — identical rows
+    // either way
+    assert(adaptive(21L) == plain(21L),
+      "the unrestricted query's probed results must be unchanged")
+  }
+
   test("an allow-map key outside attrs fails loudly instead of " +
       "silently returning unfiltered rows") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
