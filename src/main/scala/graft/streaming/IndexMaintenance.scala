@@ -536,18 +536,33 @@ object IndexMaintenance {
     *                      reconstructions ([[reclusterCoded]]) instead
     *                      of merely reporting the overflow; None (the
     *                      default) keeps the report-only behavior
+    * @param maintainRadii when true, the sweep keeps the
+    *                      certified-search `_graft_radii` sidecar
+    *                      ([[graft.operators.CertifiedSearch]]) fresh
+    *                      on a raw-vector layout: rebuilt when ABSENT
+    *                      (a recluster overwrites the layout dir and
+    *                      wipes the sidecar — certified search fails
+    *                      loudly until radii exist again) and after
+    *                      any SPLIT in this sweep (split-minted leaf
+    *                      ids bound at +∞ — correct but weakened
+    *                      certificates until rebuilt). The operator
+    *                      bit says "this deployment serves certified
+    *                      reads"; off (default) keeps radii a manual
+    *                      opt-in pass
     */
   final case class MaintenancePolicy(
       maxLeafSize: Int,
       maxDeltaRows: Long = 100000L,
       keepVersions: Int = 64,
-      reclusterCodedTo: Option[Int] = None)
+      reclusterCodedTo: Option[Int] = None,
+      maintainRadii: Boolean = false)
 
   /** What one [[maintain]] sweep did — the operator's audit record. */
   final case class MaintenanceReport(
       splits: Int, maxLeafAfter: Long, compacted: Boolean,
       deltaRows: Long, logVersionsDropped: Int,
-      reclustered: Boolean = false)
+      reclustered: Boolean = false,
+      radiiRebuilt: Boolean = false)
 
   /** ONE policy-driven maintenance sweep over a serving layout — the
     * autopilot tick an always-on index schedules after upsert/delete
@@ -610,8 +625,20 @@ object IndexMaintenance {
         graft.operators.ServingManifest.truncate(spark, servePath,
           policy.keepVersions)
       else 0
+    // radii upkeep LAST, over the final layout state of this sweep
+    // (certified search is raw-tier only — see CertifiedSearch):
+    // rebuild when the sidecar is missing (a recluster wiped it) or
+    // when this sweep split leaves (new ids bound at +∞ until rebuilt)
+    val radiiRebuilt = policy.maintainRadii && !coded && {
+      val needs = splits > 0 ||
+        !graft.operators.CertifiedSearch.radiiExist(spark, servePath)
+      if (needs)
+        graft.operators.CertifiedSearch.buildRadii(spark, servePath,
+          vecCol)
+      needs
+    }
     MaintenanceReport(splits, maxAfter, compact, deltaRows, dropped,
-      reclustered)
+      reclustered, radiiRebuilt)
   }
 
   /** RECLUSTER a CODED serving layout — the autopilot completion for

@@ -526,6 +526,54 @@ class IndexMaintenanceSpec extends SparkTestBase {
       .filter(col("vec_id") === 500100L).count() > 0)
   }
 
+  test("maintainRadii: a recluster wipes the radii sidecar; the next " +
+      "policy sweep rebuilds it and certified search works again") {
+    import IndexMaintenance.{MaintenancePolicy, maintain}
+    import graft.operators.{CertifiedSearch, IvfIndex, Serving}
+    val root = Files.createTempDirectory("ivf-radii").toString
+    val logDir = root + "/log"
+    val dir = root + "/idx"
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    base.write.parquet(logDir)
+    val (indexed, model) = IvfIndex.build(base, "vec_id", "v", 8)
+    IvfIndex.write(indexed, dir, model)
+    CertifiedSearch.buildRadii(spark, dir, "v")
+    val q = base.filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0).toArray
+    val exact = base.select(col("vec_id"),
+        graft.functions.vectors.dotProduct(col("v"), typedLit(q.toSeq))
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    def certified(): Seq[Long] =
+      Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+        .searchCertified(q, 5)._1.collect().map(_.getLong(0)).toSeq
+    assert(certified() == exact, "setup: certified == brute force")
+
+    // a recluster overwrites the layout dir — the sidecar is gone and
+    // certified search fails LOUDLY (never silently approximate)
+    IndexMaintenance.recluster(spark, logDir, dir, "vec_id", "v",
+      "version", 8)
+    assert(!CertifiedSearch.radiiExist(spark, dir))
+    intercept[IllegalArgumentException] { certified() }
+
+    // the opted-in sweep notices and rebuilds; certificates are valid
+    // for the NEW geometry
+    val policy = MaintenancePolicy(maxLeafSize = 1000000,
+      maintainRadii = true)
+    val r = maintain(spark, dir, "vec_id", "v", "version", policy)
+    assert(r.radiiRebuilt, s"sweep must rebuild the wiped sidecar: $r")
+    assert(CertifiedSearch.radiiExist(spark, dir))
+    assert(certified() == exact,
+      "certified search over the reclustered geometry must return " +
+        "the exact top-k again")
+
+    // idempotent: a healthy sidecar is not rebuilt
+    val r2 = maintain(spark, dir, "vec_id", "v", "version", policy)
+    assert(!r2.radiiRebuilt, s"healthy sidecar must not rebuild: $r2")
+  }
+
   test("appendToServing rejects a batch whose schema differs from the layout") {
     val serve = Files.createTempDirectory("ivf-srv4").toString + "/serve"
     val base = Tables.embeddings(spark, sf).select(col("vec_id"),
