@@ -268,6 +268,45 @@ final class Serving private[operators] (
       .limit(k)
   }
 
+  /** [[searchMaxSim]] over the SQ8 TIER — late-interaction serving at
+    * the 1/4 memory footprint: the per-(row, qvec) inner loop is the
+    * exact integer dot over packed byte codes rescaled by the two
+    * scales ([[graft.functions.quantize]] — no trained artifact, the
+    * query set quantizes once on the driver), the per-(doc, qvec)
+    * MAX collapses map-side exactly like the raw path, and the
+    * per-doc sum stays exact-decimal (order-independent). Same
+    * IVF-pruned union-of-probed-leaves scan, same output contract:
+    * (docCol, score) top-k by score desc, docCol asc. Scores are
+    * bit-deterministic (integer dot + one float rescale), so the
+    * whole operator hash-gates against a SQL replica.
+    */
+  def searchMaxSimSq(queryVecs: Seq[Array[Double]], nProbe: Int, k: Int,
+      docCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.quantize
+    require(tier == "sq",
+      s"searchMaxSimSq: layout at $path is a '$tier' tier, not SQ8")
+    require(queryVecs.nonEmpty, "searchMaxSimSq needs ≥ 1 query vector")
+    val leaves = queryVecs.flatMap(q => model.topLeaves(q, nProbe))
+      .distinct
+    val qdf = spark.createDataFrame(
+      queryVecs.zipWithIndex.map { case (q, i) =>
+        val (ma, pk) = quantize.packLocal(q)
+        (i, ma, pk)
+      })
+      .toDF("__qidx", "__qma", "__qpk")
+    data.filter(col("leaf_id").isin(leaves: _*))
+      .crossJoin(broadcast(qdf))
+      .groupBy(col(docCol), col("__qidx"))
+      .agg(max(quantize.score(
+        quantize.packedDot(col("sq_code"), col("__qpk")),
+        col("ma"), col("__qma"))).as("__best"))
+      .groupBy(col(docCol))
+      .agg(graft.Exact.dsum(col("__best"), 12).as("score"))
+      .orderBy(col("score").desc, col(docCol))
+      .limit(k)
+  }
+
   /** CERTIFIED exact top-k — leaf pruning with a PROOF instead of a
     * recall target (see [[CertifiedSearch]] for the ball bound).
     * Probes leaves in upper-bound order, doubling the probe set until

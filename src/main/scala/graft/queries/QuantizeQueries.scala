@@ -794,7 +794,69 @@ object QuantizeQueries {
       kCol = Some("kq"), capCol = Some("capq"))
   }
 
+  /** MaxSim LATE INTERACTION on the SQ8 TIER
+    * ([[graft.operators.Serving.searchMaxSimSq]]) — the ColBERT
+    * operator served from packed byte codes at the 1/4 footprint:
+    * score(doc) = Σ_q max over the doc's rows of the QUANTIZED dot
+    * (exact integer arithmetic rescaled by the two scales), over the
+    * IVF-pruned union of every query vector's probed leaves. Unlike
+    * the raw tier's float dot, every term here is bit-deterministic
+    * (integer dot + one float rescale + exact-decimal doc sum), so
+    * the whole operator hash-gates: the oracle re-derives
+    * quantization, assignment, the probed union, the per-(doc, qvec)
+    * max, and the decimal sum from the raw tables.
+    */
+  private val vMaxsimSq = QueryDef.sqlChecked("v_maxsim_sq")(
+    "WITH base AS (SELECT vec_id, label, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (0,1,2)), " +
+      "ecodes AS (SELECT vec_id, label, v, ma, list_transform(v, x -> " +
+      "CASE WHEN ma = 0 THEN 0 ELSE cast(floor(x * (127.0 / ma) + 0.5) as bigint) END) AS codes " +
+      "FROM (SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM base)), " +
+      "qcodes AS (SELECT qid, ma AS qma, list_transform(qv, x -> " +
+      "CASE WHEN ma = 0 THEN 0 ELSE cast(floor(x * (127.0 / ma) + 0.5) as bigint) END) AS codes " +
+      "FROM (SELECT qid, qv, list_max(list_transform(qv, x -> abs(x))) AS ma FROM q)), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT DISTINCT cid FROM (SELECT q.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2), " +
+      "per AS (SELECT e.label, qc.qid, " +
+      "max(list_inner_product(cast(e.codes as double[]), cast(qc.codes as double[])) * " +
+      "(e.ma * qc.qma / 16129.0)) AS best " +
+      "FROM ecodes e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid, qcodes qc " +
+      "GROUP BY e.label, qc.qid) " +
+      "SELECT label, " + graft.Exact.sqlDsum("best", 12) + " AS score " +
+      "FROM per GROUP BY label ORDER BY score DESC, label LIMIT 5"
+  ) { (s, d) =>
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(s, d)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val path = SqFullCache.get(s, d, model)
+    val qvecs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    graft.operators.Serving.open(s, path)
+      .searchMaxSimSq(qvecs, nProbe = 2, k = 5, docCol = "label")
+  }
+
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
     vPqBatch, vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq,
-    rServeSqFull, rServeSqPerQuery)
+    rServeSqFull, rServeSqPerQuery, vMaxsimSq)
 }
