@@ -2021,6 +2021,157 @@ object ReferencePipeline {
     } finally { scored.unpersist(); () }
   }
 
+  /** STREAMING END-TO-END SERVE, driver-gated — the composed
+    * lifecycle the pieces prove separately (StreamingSpec routes
+    * micro-batches, IndexMaintenanceSpec routes tombstones,
+    * ServingApiSpec races snapshot reads) in ONE oracle-checked
+    * query: a Structured Stream of MIXED re-embeds, new upserts,
+    * deletes, and a resurrect flows through `foreachBatch` →
+    * append/remove into a SERVED layout, while a reader PINNED to the
+    * build snapshot (v1, opened BEFORE the stream starts) races it.
+    * After the stream drains, one plan returns both reads: the LIVE
+    * top-15 (LWW over every event — re-embedded vectors moved, new
+    * ids present, deleted ids gone, the resurrected id at its newest
+    * version) and the PINNED top-15 (exactly the build-time rows —
+    * the appends landed NEXT TO the pinned file-set, never in it).
+    * The oracle replays the full event algebra (max-version LWW with
+    * tombstones) plus both probed searches; the driver hash-checks
+    * every row of both reads.
+    */
+  private val rServeLive = QueryDef.sqlChecked("r_serve_live")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v, 1 AS version " +
+      "FROM embeddings), " +
+      "up1 AS (SELECT vec_id, list_transform(v, x -> -x) AS v, 2 AS version " +
+      "FROM base WHERE vec_id % 25 = 0), " +
+      "up2 AS (SELECT vec_id + 200000 AS vec_id, " +
+      "list_transform(v, x -> 2*x) AS v, 2 AS version FROM base " +
+      "WHERE vec_id % 40 = 7), " +
+      "res AS (SELECT vec_id, list_transform(v, x -> 3*x) AS v, 4 AS version " +
+      "FROM base WHERE vec_id = 50), " +
+      "del AS (SELECT vec_id, 3 AS version FROM base WHERE vec_id % 50 = 0), " +
+      "events AS (SELECT vec_id, version, v, false AS ts FROM base " +
+      "UNION ALL SELECT vec_id, version, v, false FROM up1 " +
+      "UNION ALL SELECT vec_id, version, v, false FROM up2 " +
+      "UNION ALL SELECT vec_id, version, v, false FROM res " +
+      "UNION ALL SELECT vec_id, version, cast(NULL as double[]), true FROM del), " +
+      "latest AS (SELECT e.vec_id, e.version, e.v, e.ts FROM events e " +
+      "JOIN (SELECT vec_id, max(version) AS mv FROM events GROUP BY vec_id) m " +
+      "ON e.vec_id = m.vec_id AND e.version = m.mv), " +
+      "live AS (SELECT vec_id, v FROM latest WHERE NOT ts), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings " +
+      "WHERE vec_id = 0), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 3), " +
+      "lassign AS (SELECT vec_id, v, cid AS leaf_id FROM (" +
+      "SELECT l.vec_id, l.v, c.cid, row_number() OVER (" +
+      "PARTITION BY l.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(l.v, c.cv), c.cid) AS rn " +
+      "FROM live l, cent c) WHERE rn <= 2), " +
+      "passign AS (SELECT vec_id, v, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, b.v, c.cid, row_number() OVER (" +
+      "PARTITION BY b.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn <= 2), " +
+      "lcand AS (SELECT a.vec_id, max(list_inner_product(a.v, q.qv)) AS score " +
+      "FROM lassign a JOIN probe p ON a.leaf_id = p.cid, q GROUP BY a.vec_id), " +
+      "pcand AS (SELECT a.vec_id, max(list_inner_product(a.v, q.qv)) AS score " +
+      "FROM passign a JOIN probe p ON a.leaf_id = p.cid, q GROUP BY a.vec_id), " +
+      "lr AS (SELECT 'live' AS src, vec_id, score, row_number() OVER (" +
+      "ORDER BY score DESC, vec_id) AS rn FROM lcand), " +
+      "pr AS (SELECT 'pinned' AS src, vec_id, score, row_number() OVER (" +
+      "ORDER BY score DESC, vec_id) AS rn FROM pcand) " +
+      "SELECT src, vec_id, score FROM (" +
+      "SELECT * FROM lr WHERE rn <= 15 UNION ALL " +
+      "SELECT * FROM pr WHERE rn <= 15) ORDER BY src, vec_id"
+  ) { (s, d) =>
+    import graft.streaming.IndexMaintenance
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val query = base.filter(col("vec_id") === 0)
+      .select(col("v")).head().getSeq[Double](0).toArray
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servelive_" + java.lang.Integer.toHexString(d.hashCode))
+    for (p <- Seq(servePath, java.nio.file.Paths.get(
+        servePath.toString + ".ckpt"))
+        if java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => { java.nio.file.Files.delete(x); () })
+    }
+    val indexed = base.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, servePath.toString, model)
+
+    // PIN the build snapshot BEFORE any stream traffic lands
+    val pinned = graft.operators.Serving
+      .openAt(s, servePath.toString, 1, id = "vec_id", vecCol = "v")
+      .getOrElse(sys.error("r_serve_live: build must log snapshot v1"))
+
+    // two REAL micro-batches: (1) re-embeds + new ids, (2) deletes +
+    // a higher-version resurrect — LWW by version makes the final
+    // state independent of batch arrival order
+    val b1 = base.filter(col("vec_id") % 25 === 0)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2L))
+      .unionByName(base.filter(col("vec_id") % 40 === 7)
+        .withColumn("vec_id", col("vec_id") + 200000)
+        .withColumn("v", transform(col("v"), x => x * 2))
+        .withColumn("version", lit(2L)))
+      .withColumn("tombstone", lit(false))
+    val b2 = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), lit(null).cast("array<double>").as("v"),
+        lit(3L).as("version"), lit(true).as("tombstone"))
+      .unionByName(base.filter(col("vec_id") === 50)
+        .select(col("vec_id"),
+          transform(col("v"), x => x * 3).as("v"),
+          lit(4L).as("version"), lit(false).as("tombstone")))
+    val streamDir = graft.streaming.FileStreamFixture.write("servelive", d,
+      "mixed re-embed/new/delete/resurrect serve traffic", Seq(b1, b2))
+    val sq = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(streamDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", servePath.toString + ".ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+        val ups = batch.filter(!col("tombstone")).drop("tombstone")
+        val dels = batch.filter(col("tombstone"))
+          .select("vec_id", "version")
+        if (!ups.isEmpty)
+          IndexMaintenance.appendToServing(s, servePath.toString, ups,
+            "vec_id", "v", "version")
+        if (!dels.isEmpty)
+          IndexMaintenance.removeFromServing(s, servePath.toString, dels,
+            "vec_id", "version")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+
+    val live = graft.operators.Serving.open(s, servePath.toString,
+      id = "vec_id", vecCol = "v")
+    def top(sv: graft.operators.Serving, tag: String) =
+      sv.search(query, 3, 15)
+        .select(lit(tag).as("src"), col("vec_id"), col("score"))
+    top(live, "live").unionByName(top(pinned, "pinned"))
+      .orderBy("src", "vec_id")
+  }
+
   /** SELECTIVITY-ADAPTIVE PER-QUERY restricts, driver-gated — the
     * recall escape for the multi-tenant batch
     * ([[graft.operators.Serving.searchBatchPerQueryAdaptive]]): the
@@ -2123,8 +2274,8 @@ object ReferencePipeline {
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
     rServeManifest, rServeSnapshot, rServeCdc, rServeClone, rServeBatch,
-    rServeRestricts, rServePerQuery, rServePAdaptive, rServeDelete,
-    rServePrefilter, rRebalance, vAnnBuild, vAnnCertified,
+    rServeRestricts, rServePerQuery, rServePAdaptive, rServeLive,
+    rServeDelete, rServePrefilter, rRebalance, vAnnBuild, vAnnCertified,
     vMaxsimPruned, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
     vAnnRouted, vAnnRecallCurve, vKnnJoin)
 }
