@@ -102,10 +102,24 @@ object ScaleProbe {
       // vectors, not synthetic centroids), written with its sidecar,
       // REOPENED from disk by a fresh session, and served a routed
       // graft_ann_probe query end to end.
-      // usage: serve <n> <numLeaves> <maxLeaf>  e.g. serve 300000 256 50
+      // usage: serve <n> <numLeaves> <maxLeaf> [unit]
+      //   e.g. serve 300000 256 50
+      // `unit` L2-normalizes the corpus first: on raw Gaussian norms
+      // the MIPS routing (norm-augmented centroids) concentrates every
+      // probe list on the high-norm leaves, so batch probes saturate
+      // ~10² distinct leaves no matter how directionally diverse the
+      // queries are; a unit-norm corpus routes by DIRECTION, the shape
+      // a leaf-diverse batch (servebatch … diverse) needs to exceed
+      // the 1024-leaf In-list bound and price the shuffle-join degrade
       val n = args(1).toLong; val leaves0 = args(2).toInt
       val maxLeaf = args(3).toInt
-      val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, 32, 200)
+      val unit = args.length > 4 && args(4) == "unit"
+      val raw = graft.pipeline.SyntheticCorpus.vectors(spark, n, 32, 200)
+      val v = (if (unit)
+        raw.withColumn("embedding",
+          transform(col("embedding"),
+            x => x / graft.functions.vectors.l2Norm(col("embedding"))))
+      else raw)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       v.count()
       var t0 = System.nanoTime()
@@ -545,17 +559,33 @@ object ScaleProbe {
       // plan answers every query — the number that matters is
       // amortized sec/query vs the per-query p50 (servesession), and
       // how it moves with batch size. usage:
-      //   servebatch <servePath> [nProbe] [nQ] [k]
+      //   servebatch <servePath> [nProbe] [nQ] [k] [diverse]
+      // default queries collapse to 9 distinct vectors (the In-list
+      // pruned path — SCALE.md's recorded caveat); `diverse` draws
+      // each query from a DIFFERENT leaf centroid so the batch's
+      // probed union exceeds the 1024-leaf In-list bound and the
+      // full shuffle-join degrade path gets its own measured number
       import spark.implicits._
       val path = args(1)
       val nProbe = if (args.length > 2) args(2).toInt else 8
       val nQ = if (args.length > 3) args(3).toInt else 1000
       val k = if (args.length > 4) args(4).toInt else 10
+      val diverse = args.length > 5 && args(5) == "diverse"
       val serving = graft.operators.Serving.open(spark, path)
       val dim = serving.model.centroids(0).length - 1
-      val queries = (0 until nQ).map { i =>
+      val queries = (if (diverse) {
+        val cents = serving.model.centroids
+        val L = cents.length
+        (0 until nQ).map { i =>
+          // Knuth-hash stride decorrelates query index from leaf
+          // layout; each query sits ON a distinct centroid, so its
+          // probe list is that leaf plus its true neighbors
+          val c = cents((((i.toLong * 2654435761L) % L + L) % L).toInt)
+          (i.toLong, Seq.tabulate(dim)(j => c(j)))
+        }
+      } else (0 until nQ).map { i =>
         (i.toLong, Seq.tabulate(dim)(j => ((i * 13 + j) % 9 - 4).toDouble))
-      }.toDF("qid", "qv").persist(
+      }).toDF("qid", "qv").persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       queries.count()
       // warm the plan once at a tiny batch, then time the real one

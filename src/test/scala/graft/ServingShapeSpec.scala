@@ -126,6 +126,68 @@ class ServingShapeSpec extends SparkTestBase {
     }
   }
 
+  test("ADC batch per-query allow/k/cap: limits bind per tenant and " +
+      "match the per-query searchAdc under equivalent restricts") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val pqIds = (0 until 16).map(c => c * 31L + 5L)
+    val cb = ProductQuantizer.codebook(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", pqIds)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shape_pqperq").toString + "/idx"
+    val coded = emb
+      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 1)))
+      .withColumn("pq_code", ProductQuantizer.encodeExpr(col("v"), cb))
+      .drop("v")
+    IvfIndex.write(coded, dir, model)
+    ProductQuantizer.writeCodebook(spark, dir, cb)
+    val serving = Serving.open(spark, dir)
+    val meta = emb.select("vec_id", "label")
+
+    val limsOf = Map(
+      7L -> (Some(Map("label" -> Seq("3", "7"))), 2, 1),
+      21L -> (None: Option[Map[String, Seq[String]]], 4, 2))
+    val lims = limsOf.toSeq.map { case (q, (a, kq, cq)) => (q, a, kq, cq) }
+      .toDF("qid", "allow", "kq", "capq")
+    val queries = emb.filter(col("vec_id").isin(7L, 21L))
+      .select(col("vec_id").as("qid"), col("v")).join(lims, "qid")
+
+    val got = serving.searchBatchAdc(queries, "qid", "v", nProbe = 2,
+        k = 5, restricts = Seq(col("vec_id") >= 10),
+        crowding = Some(("label", 3)),
+        metadata = Some((meta, "vec_id")),
+        allowCol = Some("allow"), attrs = Seq("label"),
+        kCol = Some("kq"), capCol = Some("capq"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(4))
+        .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq).toMap
+    assert(got.keySet == Set(7L, 21L))
+
+    for ((qid, (allow, kq, cq)) <- limsOf) {
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("v")).head().getSeq[Double](0).toArray
+      val equivalent = Seq(col("vec_id") >= 10) ++ allow.toSeq.flatMap(
+        _.get("label").map(vs => col("label").cast("string").isin(vs: _*)))
+      val per = serving.searchAdc(q, nProbe = 2, k = kq, equivalent,
+          crowding = Some(("label", cq)),
+          metadata = Some((meta, "vec_id")))
+        .collect().sortBy(_.getLong(3))
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(got(qid) == per,
+        s"per-query ADC batch and single searchAdc diverge for $qid:\n" +
+          s"batch=${got(qid)}\nsingle=$per")
+      assert(got(qid).length <= kq)
+      got(qid).groupBy(_._2).foreach { case (_, g) => assert(g.length <= cq) }
+    }
+    assert(got(7L).length != got(21L).length,
+      "the per-query limits must visibly differ between tenants")
+  }
+
   test("searchBatchPerQuery == per-query searchBatch with the " +
       "equivalent column restrict") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
@@ -367,6 +429,23 @@ class ServingShapeSpec extends SparkTestBase {
     // either way
     assert(adaptive(21L) == plain(21L),
       "the unrestricted query's probed results must be unchanged")
+
+    // per-query k composes with the adaptive split: the EXACT side
+    // honors __k through the shared dynamic tail, the probed side too
+    val qk = emb.filter(col("vec_id").isin(0L, 21L))
+      .select(col("vec_id").as("qid"), col("v"))
+      .join(Seq((0L, Some(selective), 3),
+        (21L, None: Option[Map[String, Seq[String]]], 5))
+        .toDF("qid", "allow", "kq"), "qid")
+    val withK = serving.searchBatchPerQueryAdaptive(qk, "qid", "v",
+        "allow", Seq("version"), nProbe = 2, k = 10,
+        kCol = Some("kq"), maxExactFraction = 0.35)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(withK(0L).size == 3 && withK(0L).subsetOf(exact),
+      "exact-side tenant must get its per-query top-3 of the exact set")
+    assert(withK(21L).size == 5 && withK(21L).subsetOf(adaptive(21L)),
+      "probed-side tenant must get its per-query top-5")
   }
 
   test("an allow-map key outside attrs fails loudly instead of " +
