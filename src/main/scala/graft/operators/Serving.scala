@@ -719,11 +719,28 @@ final class Serving private[operators] (
         .select(Seq(col(qid).as("__qid"),
           col(qvecCol).cast("array<double>").as("__qv")) ++
           perQueryCols: _*)
-      // the map's constraints as ordinary pushed predicates — this is
-      // what makes the escape an escape: the scan reads only the files
-      // the manifest stats could not skip
-      val side = (restricts ++ m.toSeq.map { case (a, vs) =>
-        col(a).cast("string").isin(vs: _*) }).foldLeft(data)(_.filter(_))
+      // the map's constraints as pushed predicates — this is what
+      // makes the escape an escape: the scan reads only the files the
+      // stats could not skip. The allow contract compares STRING
+      // forms, which no file statistic can act on, so alongside the
+      // exact string predicate we push the IMPLIED typed
+      // equality-disjunction: a numeric row whose string form is
+      // listed must carry one of the listed parsed values (numeric
+      // string forms round-trip), so the extra conjunct never drops a
+      // matching row — and IT is what the manifest's In-aware stats
+      // skipping and the parquet footers prune with.
+      val side = (restricts ++ m.toSeq.flatMap { case (a, vs) =>
+        val exactPred = col(a).cast("string").isin(vs: _*)
+        val typed = data.schema.find(_.name == a).map(_.dataType) match {
+          case Some(dt: org.apache.spark.sql.types.NumericType) =>
+            val lits = vs.flatMap(v =>
+              scala.util.Try(v.trim.toDouble).toOption)
+              .map(d => lit(d).cast(dt))
+            if (lits.nonEmpty) Some(col(a).isin(lits: _*)) else None
+          case _ => None
+        }
+        Seq(exactPred) ++ typed
+      }).foldLeft(data)(_.filter(_))
       val paired = if (small) side.crossJoin(broadcast(qs))
         else side.crossJoin(qs.hint("shuffle_replicate_nl"))
       val scored = paired.select(Seq(col("__qid"), col(id),

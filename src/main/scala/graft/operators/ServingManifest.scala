@@ -758,6 +758,22 @@ object ServingManifest {
       case "<"  => ">"
       case "="  => "="
     }
+    // In(attr, literals) — the equality-disjunction a multi-value
+    // allow-list pushes — proves a file irrelevant when NO listed
+    // value lands inside the range (∃-semantics, the same math as
+    // estimateAllow); single-value INs usually reach here already
+    // rewritten to EqualTo by OptimizeIn
+    def inOp(e: Expression): Option[(String, Seq[Double])] = e match {
+      case In(a, list) if list.nonEmpty && list.forall {
+          case Literal(_, _) => true; case _ => false } =>
+        val parsed = list.collect { case Literal(v, _) => num(v) }
+        // every listed value must be numeric — a partially-parsed
+        // list would skip files a non-numeric member might match
+        if (parsed.forall(_.nonEmpty))
+          attr(a).map(c => (c, parsed.flatten))
+        else None
+      case _ => None
+    }
     val checks = dataFilters.flatMap { f =>
       binOp(f).flatMap {
         case (a, Literal(v, _), op) =>
@@ -765,7 +781,9 @@ object ServingManifest {
         case (Literal(v, _), a, op) =>
           for (c <- attr(a); d <- num(v)) yield (c, test(mirror(op), d))
         case _ => None
-      }
+      }.orElse(inOp(f).collect { case (c, ds) if ds.nonEmpty =>
+        (c, (lo: Double, hi: Double) => ds.exists(d => lo <= d && d <= hi))
+      })
     }
     if (checks.isEmpty) None
     else Some { stats =>

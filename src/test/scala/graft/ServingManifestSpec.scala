@@ -543,6 +543,69 @@ class ServingManifestSpec extends SparkTestBase {
     assert(scanned(opened2.filter(col("label") >= 300)) == ((10L, 2L)))
   }
 
+  test("estimateAllow: per-map file selectivity from promoted stats — " +
+      "conjunction of equality-disjunctions, conservative on no evidence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_allow").toString + "/idx"
+    def part(leaf: Int, lo: Int, n: Int): Unit =
+      (0 until n).map(i => (leaf * 10000L + lo + i, lo + i, lo / 100))
+        .toDF("vec_id", "label", "grp")
+        .coalesce(1).write.mode("append").parquet(dir + s"/leaf_id=$leaf")
+    part(0, 0, 5); part(0, 100, 5)     // label [0,4] grp 0; [100,104] grp 1
+    part(1, 200, 5); part(1, 300, 5)   // label [200,204] grp 2; [300,304] grp 3
+    ServingManifest.rebuild(spark, dir)
+    ServingManifest.promote(spark, dir, Seq("label", "grp"))
+
+    def est(m: Map[String, Seq[String]]) =
+      ServingManifest.estimateAllow(spark, dir, m)
+    // one allowed value inside one file's range → that file only
+    val one = est(Map("label" -> Seq("102"))).get
+    assert(one.keptFiles == 1 && one.totalFiles == 4)
+    // a disjunction spanning two files keeps both
+    assert(est(Map("label" -> Seq("2", "301"))).get.keptFiles == 2)
+    // a value outside every range matches nothing → all files skip
+    assert(est(Map("label" -> Seq("999"))).get.keptFiles == 0)
+    // a non-numeric value can't equal any value of a numerically-
+    // promoted column → contributes nothing; alone it keeps nothing,
+    // mixed with a real value it doesn't block that value's file
+    assert(est(Map("label" -> Seq("x"))).get.keptFiles == 0)
+    assert(est(Map("label" -> Seq("x", "102"))).get.keptFiles == 1)
+    // CONJUNCTION across attributes: both must be satisfiable in the
+    // same file
+    assert(est(Map("label" -> Seq("102"), "grp" -> Seq("1")))
+      .get.keptFiles == 1)
+    assert(est(Map("label" -> Seq("102"), "grp" -> Seq("2")))
+      .get.keptFiles == 0)
+    // no evidence → None (caller must assume unselective): an
+    // unpromoted attribute, or a map constraining nothing
+    assert(est(Map("vec_id" -> Seq("5"))).isEmpty)
+    assert(est(Map.empty).isEmpty)
+    // the estimate matches what the scan actually reads: a TYPED
+    // equality-disjunction (the implied conjunct the adaptive exact
+    // side pushes) file-skips through the In-aware statsKeep —
+    // 2 values in 2 files' ranges → numFiles 2 of 4
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numFiles").value
+    }
+    val opened = ServingManifest.open(spark, dir).get
+    assert(scannedFiles(opened.filter(col("label").isin(102, 301))) == 2L,
+      "In-aware stats skipping must read only the 2 candidate files")
+    assert(est(Map("label" -> Seq("102", "301"))).get.keptFiles == 2)
+    // the raw string-form predicate alone CANNOT skip (no statistic
+    // sees a cast) — which is exactly why the exact escape pushes the
+    // implied typed disjunction next to it
+    assert(scannedFiles(opened.filter(
+      col("label").cast("string").isin("102"))) == 4L)
+    assert(scannedFiles(opened.filter(
+      col("label").cast("string").isin("102") &&
+        col("label").isin(102))) == 1L,
+      "string predicate + implied typed conjunct = exact AND skipping")
+  }
+
   test("a nested partition directory under a leaf fails the listing " +
       "loudly (one partition level is the contract)") {
     import spark.implicits._
