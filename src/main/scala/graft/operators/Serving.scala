@@ -671,29 +671,13 @@ final class Serving private[operators] (
     require(capCol.isEmpty || crowding.nonEmpty,
       "searchBatchPerQueryAdaptive: capCol needs the crowding " +
         "attribute (crowding = Some((attr, globalCap)))")
-    val mkey = coalesce(to_json(col(allowCol)), lit("null"))
-    val distinctMaps = queries
-      .select(mkey.as("__mkey"), col(allowCol).as("__allow"))
-      .groupBy("__mkey").agg(first("__allow").as("__allow"))
-      .limit(maxDistinctMaps + 1).collect()
-    val exactMaps: Seq[(String, Map[String, Seq[String]])] =
-      if (distinctMaps.length > maxDistinctMaps) Nil
-      else distinctMaps.toSeq.flatMap { r =>
-        val m = Option(r.getMap[String, scala.collection.Seq[String]](1))
-          .map(_.map { case (a, vs) => (a, vs.toSeq) }.toMap)
-          .getOrElse(Map.empty[String, Seq[String]])
-        m.keys.find(!attrs.contains(_)).foreach(bad =>
-          throw new IllegalArgumentException(
-            "searchBatchPerQueryAdaptive: allow-map key outside " +
-              s"attrs(${attrs.mkString(",")}): $bad"))
-        if (perQueryAdaptivePlan(m, maxExactFraction))
-          Some((r.getString(0), m))
-        else None
-      }
+    val exactMaps = collectExactMaps(queries, allowCol, attrs,
+      maxExactFraction, maxDistinctMaps)
     if (exactMaps.isEmpty)
       return searchBatchPerQuery(queries, qid, qvecCol, allowCol, attrs,
         nProbe, k, restricts, crowding, metadata, kCol, capCol)
 
+    val mkey = coalesce(to_json(col(allowCol)), lit("null"))
     val keyed = queries.withColumn("__mkey", mkey)
     val exactKeys = exactMaps.map(_._1)
     val probedUnique = perQueryProbedUnique(
@@ -721,26 +705,9 @@ final class Serving private[operators] (
           perQueryCols: _*)
       // the map's constraints as pushed predicates — this is what
       // makes the escape an escape: the scan reads only the files the
-      // stats could not skip. The allow contract compares STRING
-      // forms, which no file statistic can act on, so alongside the
-      // exact string predicate we push the IMPLIED typed
-      // equality-disjunction: a numeric row whose string form is
-      // listed must carry one of the listed parsed values (numeric
-      // string forms round-trip), so the extra conjunct never drops a
-      // matching row — and IT is what the manifest's In-aware stats
-      // skipping and the parquet footers prune with.
-      val side = (restricts ++ m.toSeq.flatMap { case (a, vs) =>
-        val exactPred = col(a).cast("string").isin(vs: _*)
-        val typed = data.schema.find(_.name == a).map(_.dataType) match {
-          case Some(dt: org.apache.spark.sql.types.NumericType) =>
-            val lits = vs.flatMap(v =>
-              scala.util.Try(v.trim.toDouble).toOption)
-              .map(d => lit(d).cast(dt))
-            if (lits.nonEmpty) Some(col(a).isin(lits: _*)) else None
-          case _ => None
-        }
-        Seq(exactPred) ++ typed
-      }).foldLeft(data)(_.filter(_))
+      // stats could not skip ([[allowMapPredicates]])
+      val side = (restricts ++ allowMapPredicates(m))
+        .foldLeft(data)(_.filter(_))
       val paired = if (small) side.crossJoin(broadcast(qs))
         else side.crossJoin(qs.hint("shuffle_replicate_nl"))
       val scored = paired.select(Seq(col("__qid"), col(id),
@@ -770,6 +737,69 @@ final class Serving private[operators] (
       !map_contains_key(col("__allow"), lit(a)) ||
         array_contains(element_at(col("__allow"), lit(a)),
           col(a).cast("string"))).reduce(_ && _)
+  }
+
+  /** The DISTINCT allow-maps of a query batch that are PROVEN
+    * selective — the shared plan-decision step of the adaptive
+    * per-query surfaces ([[searchBatchPerQueryAdaptive]],
+    * [[searchBatchSqAdaptive]]): collect at most `maxDistinctMaps`
+    * distinct maps (more → no evidence at bounded cost → empty),
+    * validate every key against `attrs` (loud driver-side failure —
+    * same contract as the in-plan [[checkedAllow]]), estimate each
+    * against the manifest's promoted file stats, and return the
+    * (json-key, map) pairs whose stats-skipped scan reads ≤
+    * `maxExactFraction` of layout bytes.
+    */
+  private def collectExactMaps(queries: DataFrame, allowCol: String,
+      attrs: Seq[String], maxExactFraction: Double,
+      maxDistinctMaps: Int): Seq[(String, Map[String, Seq[String]])] = {
+    import org.apache.spark.sql.functions._
+    val mkey = coalesce(to_json(col(allowCol)), lit("null"))
+    val distinctMaps = queries
+      .select(mkey.as("__mkey"), col(allowCol).as("__allow"))
+      .groupBy("__mkey").agg(first("__allow").as("__allow"))
+      .limit(maxDistinctMaps + 1).collect()
+    if (distinctMaps.length > maxDistinctMaps) Nil
+    else distinctMaps.toSeq.flatMap { r =>
+      val m = Option(r.getMap[String, scala.collection.Seq[String]](1))
+        .map(_.map { case (a, vs) => (a, vs.toSeq) }.toMap)
+        .getOrElse(Map.empty[String, Seq[String]])
+      m.keys.find(!attrs.contains(_)).foreach(bad =>
+        throw new IllegalArgumentException(
+          "per-query adaptive search: allow-map key outside " +
+            s"attrs(${attrs.mkString(",")}): $bad"))
+      if (perQueryAdaptivePlan(m, maxExactFraction))
+        Some((r.getString(0), m))
+      else None
+    }
+  }
+
+  /** ONE allow-map's constraints as pushed scan predicates — what the
+    * adaptive exact escape filters the layout with. The allow
+    * contract compares STRING forms, which no file statistic can act
+    * on, so alongside the exact string predicate each numeric
+    * attribute also pushes the IMPLIED typed equality-disjunction: a
+    * numeric row whose string form is listed must carry one of the
+    * listed parsed values (numeric string forms round-trip), so the
+    * extra conjunct never drops a matching row — and IT is what the
+    * manifest's In-aware stats skipping and the parquet footers
+    * prune with.
+    */
+  private def allowMapPredicates(
+      m: Map[String, Seq[String]]): Seq[Column] = {
+    import org.apache.spark.sql.functions._
+    m.toSeq.flatMap { case (a, vs) =>
+      val exactPred = col(a).cast("string").isin(vs: _*)
+      val typed = data.schema.find(_.name == a).map(_.dataType) match {
+        case Some(dt: org.apache.spark.sql.types.NumericType) =>
+          val lits = vs.flatMap(v =>
+            scala.util.Try(v.trim.toDouble).toOption)
+            .map(d => lit(d).cast(dt))
+          if (lits.nonEmpty) Some(col(a).isin(lits: _*)) else None
+        case _ => None
+      }
+      Seq(exactPred) ++ typed
+    }
   }
 
   /** The allow-map column with its contract VALIDATED in-plan: an
@@ -939,6 +969,27 @@ final class Serving private[operators] (
     require(capCol.isEmpty || crowding.nonEmpty,
       "searchBatchSq: capCol needs the crowding attribute " +
         "(crowding = Some((attr, globalCap)))")
+    val unique = sqProbedUnique(queries, qid, qvecCol, allowCol, attrs,
+      nProbe, restricts, crowding, kCol, capCol)
+    val tailed = if (kCol.isEmpty && capCol.isEmpty)
+      batchTail(unique, qid, k, crowding, metadata)
+    else batchTailDynamic(unique, qid, k, crowding, metadata,
+      hasK = kCol.nonEmpty, hasCap = capCol.nonEmpty)
+    tailed.withColumnRenamed("score", "sq_score")
+  }
+
+  /** The probed candidate core of the SQ8 batch surface — in-plan
+    * query quantization, routing, In-list prune, candidate join,
+    * optional per-pair allow filter, spill collapse — shared by
+    * [[searchBatchSq]] and [[searchBatchSqAdaptive]]'s probed side.
+    * Returns ONE row per (query, id):
+    * (__qid, id, score[, crowdAttr][, __k][, __cap]).
+    */
+  private def sqProbedUnique(queries: DataFrame, qid: String,
+      qvecCol: String, allowCol: Option[String], attrs: Seq[String],
+      nProbe: Int, restricts: Seq[Column],
+      crowding: Option[(String, Int)], kCol: Option[String],
+      capCol: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.quantize
     val qv = col(qvecCol).cast("array<double>")
@@ -974,8 +1025,90 @@ final class Serving private[operators] (
         col("ma"), col("__qma")).as("score")) ++ carried.map(col): _*)
     val aggs = Seq(max(col("score")).as("score")) ++
       carried.map(a => first(col(a)).as(a))
-    val unique = scored.groupBy(col("__qid"), col(id))
+    scored.groupBy(col("__qid"), col(id))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[searchBatchPerQueryAdaptive]] on the SQ8 TIER — the recall
+    * escape for selective per-query allow-maps over a CODED layout:
+    * same per-distinct-map decision against the manifest's promoted
+    * file stats ([[ServingManifest.estimateAllow]]), selective maps
+    * leave the routed batch and run the EXACT plan — a full
+    * (stats-skipped) scan of the packed codes with the map's
+    * constraints pushed (exact string predicate + the implied typed
+    * equality-disjunction the stats can act on), every surviving
+    * (code row, query) pair scored by the integer-dot kernel —
+    * everything else rides the probed SQ plan; both sides meet in
+    * the shared tail. The storage tier changes the scan kernel,
+    * never the adaptive semantics. Output: identical contract to
+    * [[searchBatchSq]].
+    */
+  def searchBatchSqAdaptive(queries: DataFrame, qid: String,
+      qvecCol: String, allowCol: String, attrs: Seq[String],
+      nProbe: Int, k: Int, restricts: Seq[Column] = Nil,
+      crowding: Option[(String, Int)] = None,
+      metadata: Option[(DataFrame, String)] = None,
+      kCol: Option[String] = None,
+      capCol: Option[String] = None,
+      maxExactFraction: Double = 0.05,
+      maxDistinctMaps: Int = 1024,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.quantize
+    require(tier == "sq",
+      s"searchBatchSqAdaptive: layout at $path is a '$tier' tier, not SQ8")
+    require(attrs.nonEmpty,
+      "searchBatchSqAdaptive: pass the layout attributes the " +
+        "allow-maps may constrain (attrs)")
+    require(capCol.isEmpty || crowding.nonEmpty,
+      "searchBatchSqAdaptive: capCol needs the crowding attribute")
+    val exactMaps = collectExactMaps(queries, allowCol, attrs,
+      maxExactFraction, maxDistinctMaps)
+    if (exactMaps.isEmpty)
+      return searchBatchSq(queries, qid, qvecCol, nProbe, k, restricts,
+        crowding, metadata, Some(allowCol), attrs, kCol, capCol)
+
+    val mkey = coalesce(to_json(col(allowCol)), lit("null"))
+    val keyed = queries.withColumn("__mkey", mkey)
+    val exactKeys = exactMaps.map(_._1)
+    val probedUnique = sqProbedUnique(
+      keyed.filter(!col("__mkey").isin(exactKeys: _*)).drop("__mkey"),
+      qid, qvecCol, Some(allowCol), attrs, nProbe, restricts, crowding,
+      kCol, capCol)
+
+    val crowdAttr = crowding.map(_._1).toSeq
+    val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
+      capCol.map(_ => "__cap").toSeq
+    val perQueryCols =
+      kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
+        capCol.map(c => col(c).cast("int").as("__cap")).toSeq
+    val probeLimit = (math.min(math.max(maxBroadcastQueries, 0L),
+      Int.MaxValue.toLong - 1) + 1).toInt
+    val small = keyed.filter(col("__mkey").isin(exactKeys: _*))
+      .select(col(qid)).limit(probeLimit)
+      .count() <= maxBroadcastQueries
+    val exactUniques = exactMaps.map { case (key, m) =>
+      val qs = keyed.filter(col("__mkey") === key)
+        .select(Seq(col(qid).as("__qid"),
+          col(qvecCol).cast("array<double>").as("__qraw")) ++
+          perQueryCols: _*)
+        .withColumn("__qma", quantize.maxAbs(col("__qraw")))
+        .withColumn("__qpk", quantize.packCodes(
+          quantize.codes(col("__qraw"), col("__qma"))))
+        .drop("__qraw")
+      val side = (restricts ++ allowMapPredicates(m))
+        .foldLeft(data)(_.filter(_))
+      val paired = if (small) side.crossJoin(broadcast(qs))
+        else side.crossJoin(qs.hint("shuffle_replicate_nl"))
+      val scored = paired.select(Seq(col("__qid"), col(id),
+        quantize.score(quantize.packedDot(col("sq_code"), col("__qpk")),
+          col("ma"), col("__qma")).as("score")) ++ carried.map(col): _*)
+      val aggs = Seq(max(col("score")).as("score")) ++
+        carried.map(a => first(col(a)).as(a))
+      scored.groupBy(col("__qid"), col(id))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val unique = (probedUnique +: exactUniques).reduce(_ unionByName _)
     val tailed = if (kCol.isEmpty && capCol.isEmpty)
       batchTail(unique, qid, k, crowding, metadata)
     else batchTailDynamic(unique, qid, k, crowding, metadata,

@@ -856,7 +856,117 @@ object QuantizeQueries {
       .searchMaxSimSq(qvecs, nProbe = 2, k = 5, docCol = "label")
   }
 
+  /** SELECTIVITY-ADAPTIVE PER-QUERY restricts on the SQ8 TIER
+    * ([[graft.operators.Serving.searchBatchSqAdaptive]]) — the
+    * filtered-ANN recall escape on a CODED layout: the storage tier
+    * changes the scan kernel, never the adaptive semantics. Planted
+    * rows: negated vectors quantized and appended at version 2
+    * (`appendSqToServing`), `version` stats promoted. One batch, two
+    * tenants: qid 0 allows version {2} — file stats prove only the
+    * appended file can qualify, so its query leaves the routed batch
+    * and runs the EXACT packed-code scan (integer dot, full recall
+    * over the planted rows the probed plan provably misses); qid 21
+    * allows version {1} — every build file qualifies, provably
+    * unselective, rides the probed SQ plan. Gate REQUIREs both
+    * per-map decisions; every score is bit-deterministic (integer
+    * dot + one rescale), so the union hash-gates against the full
+    * quantization + routing + LWW replica.
+    */
+  private val rServeSqPAdaptive = QueryDef.sqlChecked("r_serve_sq_padaptive")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v, 1 AS version " +
+      "FROM embeddings), " +
+      "b1 AS (SELECT vec_id + 200000 AS vec_id, " +
+      "list_transform(v, x -> -x) AS v, 2 AS version FROM base " +
+      "WHERE vec_id % 30 = 7), " +
+      "live AS (SELECT * FROM base UNION ALL SELECT * FROM b1), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (0,21)), " +
+      "ecodes AS (SELECT vec_id, version, ma, list_transform(v, x -> " +
+      "CASE WHEN ma = 0 THEN 0 ELSE cast(floor(x * (127.0 / ma) + 0.5) as bigint) END) AS codes " +
+      "FROM (SELECT vec_id, version, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM live)), " +
+      "qcodes AS (SELECT qid, ma AS qma, list_transform(qv, x -> " +
+      "CASE WHEN ma = 0 THEN 0 ELSE cast(floor(x * (127.0 / ma) + 0.5) as bigint) END) AS codes " +
+      "FROM (SELECT qid, qv, list_max(list_transform(qv, x -> abs(x))) AS ma FROM q)), " +
+      "ex AS (SELECT qc.qid, e.vec_id, " +
+      "list_inner_product(cast(e.codes as double[]), cast(qc.codes as double[])) * " +
+      "(e.ma * qc.qma / 16129.0) AS score " +
+      "FROM ecodes e JOIN qcodes qc ON qc.qid = 0 WHERE e.version = 2), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT qid, cid FROM (SELECT q.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2 AND qid = 21), " +
+      "pr AS (SELECT p.qid, e.vec_id, " +
+      "max(list_inner_product(cast(e.codes as double[]), cast(qc.codes as double[])) * " +
+      "(e.ma * qc.qma / 16129.0)) AS score " +
+      "FROM ecodes e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid " +
+      "JOIN qcodes qc ON qc.qid = p.qid " +
+      "WHERE e.version = 1 GROUP BY p.qid, e.vec_id), " +
+      "allc AS (SELECT * FROM ex UNION ALL SELECT * FROM pr), " +
+      "ranked AS (SELECT qid, vec_id, score, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM allc) " +
+      "SELECT qid, vec_id, score AS sq_score, cast(rn as bigint) AS rn " +
+      "FROM ranked WHERE rn <= 10 ORDER BY qid, rn"
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.operators.{IvfIndex, ServingManifest}
+    import graft.streaming.IndexMaintenance
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_sqpadapt_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val sq = base
+      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 1)))
+      .withColumn("ma", quantize.maxAbs(col("v")))
+      .withColumn("sq_code",
+        quantize.packCodes(quantize.codes(col("v"), col("ma"))))
+      .drop("v")
+    IvfIndex.write(sq, servePath.toString, model)
+    ServingManifest.promote(s, servePath.toString, Seq("version"))
+    val planted = base.filter(col("vec_id") % 30 === 7)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2L))
+    IndexMaintenance.appendSqToServing(s, servePath.toString, planted,
+      "vec_id", "v", "version")
+
+    val serving = graft.operators.Serving.open(s, servePath.toString)
+    require(serving.perQueryAdaptivePlan(Map("version" -> Seq("2")), 0.35),
+      "r_serve_sq_padaptive: the version=2 map must pick the exact plan")
+    require(!serving.perQueryAdaptivePlan(Map("version" -> Seq("1")), 0.35),
+      "r_serve_sq_padaptive: the version=1 map must stay probed")
+    val allows = Seq(
+      (0L, Map("version" -> Seq("2"))),
+      (21L, Map("version" -> Seq("1")))).toDF("qid", "allow")
+    val queries = base.filter(col("vec_id").isin(0L, 21L))
+      .select(col("vec_id").as("qid"), col("v")).join(allows, "qid")
+    serving.searchBatchSqAdaptive(queries, "qid", "v", "allow",
+      Seq("version"), nProbe = 2, k = 10, maxExactFraction = 0.35)
+  }
+
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
     vPqBatch, vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq,
-    rServeSqFull, rServeSqPerQuery, vMaxsimSq)
+    rServeSqFull, rServeSqPerQuery, rServeSqPAdaptive, vMaxsimSq)
 }
