@@ -647,7 +647,10 @@ final class Serving private[operators] (
     * decision inputs are driver-resident manifest rows (no data
     * scan), at most `maxDistinctMaps` distinct maps are examined
     * (a batch with more falls back to the probed plan for all — no
-    * evidence at bounded cost), and the exact side's query frame
+    * evidence at bounded cost), the exact UNION's fan-out is bounded
+    * (the 32 MOST selective maps escape; any excess rides the probed
+    * plan like an unselective map — every exact map adds a scan
+    * branch to the plan), and the exact side's query frame
     * broadcasts only while it provably fits
     * (`maxBroadcastQueries`, same bounded limit-probe + degrade to
     * SHUFFLE_REPLICATE_NL as [[searchBatchAdaptive]]). Allow-map
@@ -752,15 +755,16 @@ final class Serving private[operators] (
     */
   private def collectExactMaps(queries: DataFrame, allowCol: String,
       attrs: Seq[String], maxExactFraction: Double,
-      maxDistinctMaps: Int): Seq[(String, Map[String, Seq[String]])] = {
+      maxDistinctMaps: Int, maxExactMaps: Int = 32)
+      : Seq[(String, Map[String, Seq[String]])] = {
     import org.apache.spark.sql.functions._
     val mkey = coalesce(to_json(col(allowCol)), lit("null"))
     val distinctMaps = queries
       .select(mkey.as("__mkey"), col(allowCol).as("__allow"))
       .groupBy("__mkey").agg(first("__allow").as("__allow"))
       .limit(maxDistinctMaps + 1).collect()
-    if (distinctMaps.length > maxDistinctMaps) Nil
-    else distinctMaps.toSeq.flatMap { r =>
+    if (distinctMaps.length > maxDistinctMaps) return Nil
+    val selective = distinctMaps.toSeq.flatMap { r =>
       val m = Option(r.getMap[String, scala.collection.Seq[String]](1))
         .map(_.map { case (a, vs) => (a, vs.toSeq) }.toMap)
         .getOrElse(Map.empty[String, Seq[String]])
@@ -768,10 +772,16 @@ final class Serving private[operators] (
         throw new IllegalArgumentException(
           "per-query adaptive search: allow-map key outside " +
             s"attrs(${attrs.mkString(",")}): $bad"))
-      if (perQueryAdaptivePlan(m, maxExactFraction))
-        Some((r.getString(0), m))
-      else None
+      if (m.isEmpty) None
+      else allowSelectivity(m).filter(_ <= maxExactFraction)
+        .map(f => (r.getString(0), m, f))
     }
+    // every exact map adds a scan branch to the final union — bound
+    // the plan's fan-out: the MOST selective maps (the ones probing
+    // would hurt worst) escape first, any excess rides the probed
+    // plan like an unselective map
+    selective.sortBy(t => (t._3, t._1)).take(maxExactMaps)
+      .map(t => (t._1, t._2))
   }
 
   /** ONE allow-map's constraints as pushed scan predicates — what the
@@ -897,6 +907,27 @@ final class Serving private[operators] (
     require(capCol.isEmpty || crowding.nonEmpty,
       "searchBatchAdc: capCol needs the crowding attribute " +
         "(crowding = Some((attr, globalCap)))")
+    val unique = adcProbedUnique(queries, qid, qvecCol, allowCol, attrs,
+      nProbe, restricts, crowding, kCol, capCol)
+    val tailed = if (kCol.isEmpty && capCol.isEmpty)
+      batchTail(unique, qid, k, crowding, metadata)
+    else batchTailDynamic(unique, qid, k, crowding, metadata,
+      hasK = kCol.nonEmpty, hasCap = capCol.nonEmpty)
+    tailed.withColumnRenamed("score", "adc_score")
+  }
+
+  /** The probed candidate core of the PQ/ADC batch surface —
+    * raw-space routing, in-plan OPQ rotation, In-list prune,
+    * candidate join, optional per-pair allow filter, spill
+    * collapse — shared by [[searchBatchAdc]] and
+    * [[searchBatchAdcAdaptive]]'s probed side. Returns ONE row per
+    * (query, id): (__qid, id, score[, crowdAttr][, __k][, __cap]).
+    */
+  private def adcProbedUnique(queries: DataFrame, qid: String,
+      qvecCol: String, allowCol: Option[String], attrs: Seq[String],
+      nProbe: Int, restricts: Seq[Column],
+      crowding: Option[(String, Int)], kCol: Option[String],
+      capCol: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val cb = ProductQuantizer.loadCodebook(spark, path)
     val rot = ProductQuantizer.loadRotation(spark, path)
@@ -932,8 +963,87 @@ final class Serving private[operators] (
           .as("score")) ++ carried.map(col): _*)
     val aggs = Seq(max(col("score")).as("score")) ++
       carried.map(a => first(col(a)).as(a))
-    val unique = scored.groupBy(col("__qid"), col(id))
+    scored.groupBy(col("__qid"), col(id))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[searchBatchPerQueryAdaptive]] on the PQ TIER — the adaptive
+    * per-query recall escape over ADC-scored codes, completing the
+    * tier × surface matrix (raw / SQ8 / PQ all carry it): selective
+    * allow-maps run the EXACT plan — a stats-skipped full scan of
+    * the code table, every surviving (code row, query) pair scored
+    * by [[ProductQuantizer.adcDirectExpr]] with the query rotated
+    * in-plan through the layout's OPQ sidecar when present — while
+    * the rest ride the probed ADC plan; shared tail, identical
+    * output contract to [[searchBatchAdc]].
+    */
+  def searchBatchAdcAdaptive(queries: DataFrame, qid: String,
+      qvecCol: String, allowCol: String, attrs: Seq[String],
+      nProbe: Int, k: Int, restricts: Seq[Column] = Nil,
+      crowding: Option[(String, Int)] = None,
+      metadata: Option[(DataFrame, String)] = None,
+      kCol: Option[String] = None,
+      capCol: Option[String] = None,
+      maxExactFraction: Double = 0.05,
+      maxDistinctMaps: Int = 1024,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(tier == "pq",
+      s"searchBatchAdcAdaptive: layout at $path is a '$tier' tier, not PQ")
+    require(attrs.nonEmpty,
+      "searchBatchAdcAdaptive: pass the layout attributes the " +
+        "allow-maps may constrain (attrs)")
+    require(capCol.isEmpty || crowding.nonEmpty,
+      "searchBatchAdcAdaptive: capCol needs the crowding attribute")
+    val exactMaps = collectExactMaps(queries, allowCol, attrs,
+      maxExactFraction, maxDistinctMaps)
+    if (exactMaps.isEmpty)
+      return searchBatchAdc(queries, qid, qvecCol, nProbe, k, restricts,
+        crowding, metadata, Some(allowCol), attrs, kCol, capCol)
+
+    val cb = ProductQuantizer.loadCodebook(spark, path)
+    val rot = ProductQuantizer.loadRotation(spark, path)
+    val mkey = coalesce(to_json(col(allowCol)), lit("null"))
+    val keyed = queries.withColumn("__mkey", mkey)
+    val exactKeys = exactMaps.map(_._1)
+    val probedUnique = adcProbedUnique(
+      keyed.filter(!col("__mkey").isin(exactKeys: _*)).drop("__mkey"),
+      qid, qvecCol, Some(allowCol), attrs, nProbe, restricts, crowding,
+      kCol, capCol)
+
+    val crowdAttr = crowding.map(_._1).toSeq
+    val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
+      capCol.map(_ => "__cap").toSeq
+    val perQueryCols =
+      kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
+        capCol.map(c => col(c).cast("int").as("__cap")).toSeq
+    val probeLimit = (math.min(math.max(maxBroadcastQueries, 0L),
+      Int.MaxValue.toLong - 1) + 1).toInt
+    val small = keyed.filter(col("__mkey").isin(exactKeys: _*))
+      .select(col(qid)).limit(probeLimit)
+      .count() <= maxBroadcastQueries
+    val exactUniques = exactMaps.map { case (key, m) =>
+      val qs = keyed.filter(col("__mkey") === key)
+        .select(Seq(col(qid).as("__qid"),
+          col(qvecCol).cast("array<double>").as("__qraw")) ++
+          perQueryCols: _*)
+        .withColumn("__qv", rot.map(r =>
+          ProductQuantizer.rotateExpr(col("__qraw"), r))
+          .getOrElse(col("__qraw")))
+        .drop("__qraw")
+      val side = (restricts ++ allowMapPredicates(m))
+        .foldLeft(data)(_.filter(_))
+      val paired = if (small) side.crossJoin(broadcast(qs))
+        else side.crossJoin(qs.hint("shuffle_replicate_nl"))
+      val scored = paired.select(Seq(col("__qid"), col(id),
+        ProductQuantizer.adcDirectExpr(col("pq_code"), col("__qv"), cb)
+          .as("score")) ++ carried.map(col): _*)
+      val aggs = Seq(max(col("score")).as("score")) ++
+        carried.map(a => first(col(a)).as(a))
+      scored.groupBy(col("__qid"), col(id))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val unique = (probedUnique +: exactUniques).reduce(_ unionByName _)
     val tailed = if (kCol.isEmpty && capCol.isEmpty)
       batchTail(unique, qid, k, crowding, metadata)
     else batchTailDynamic(unique, qid, k, crowding, metadata,

@@ -518,6 +518,75 @@ class ServingShapeSpec extends SparkTestBase {
       "the unrestricted query's probed SQ results must be unchanged")
   }
 
+  test("searchBatchAdcAdaptive: the adaptive escape on the PQ tier — " +
+      "exact ADC recall for the selective tenant, probed unchanged") {
+    import graft.operators.ServingManifest
+    import graft.streaming.IndexMaintenance
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val pqIds = (0 until 16).map(c => c * 31L + 5L)
+    val cb = ProductQuantizer.codebook(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", pqIds)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shape_adcadapt").toString + "/idx"
+    val coded = emb
+      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 1)))
+      .withColumn("pq_code", ProductQuantizer.encodeExpr(col("v"), cb))
+      .drop("v")
+    IvfIndex.write(coded, dir, model)
+    ProductQuantizer.writeCodebook(spark, dir, cb)
+    ServingManifest.promote(spark, dir, Seq("version"))
+    val planted = emb.filter(col("vec_id") % 30 === 7)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2L))
+    IndexMaintenance.appendCodedToServing(spark, dir, planted,
+      "vec_id", "v", "version")
+    val serving = Serving.open(spark, dir)
+    assert(serving.tier == "pq")
+    val selective = Map("version" -> Seq("2"))
+    assert(serving.perQueryAdaptivePlan(selective, 0.45))
+    assert(!serving.perQueryAdaptivePlan(Map("version" -> Seq("1")), 0.45))
+
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select("v").head().getSeq[Double](0).toArray
+    val allows = Seq(
+      (0L, Some(selective)),
+      (21L, None: Option[Map[String, Seq[String]]])).toDF("qid", "allow")
+    val queries = emb.filter(col("vec_id").isin(0L, 21L))
+      .select(col("vec_id").as("qid"), col("v")).join(allows, "qid")
+
+    def ids(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val adaptive = ids(serving.searchBatchAdcAdaptive(queries, "qid", "v",
+      "allow", Seq("version"), nProbe = 2, k = 10,
+      maxExactFraction = 0.45))
+    val plain = ids(serving.searchBatchAdc(queries, "qid", "v",
+      nProbe = 2, k = 10, allowCol = Some("allow"),
+      attrs = Seq("version")))
+
+    // exact filtered top-10 under the ADC kernel
+    val expected = serving.data.filter(col("version") === 2L)
+      .select(col("vec_id"), ProductQuantizer.adcDirectExpr(
+        col("pq_code"), typedLit(q0.toSeq), cb).as("s"))
+      .groupBy("vec_id").agg(max("s").as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(adaptive(0L) == expected,
+      s"ADC adaptive must return the exact filtered top-k:\n" +
+        s"got=${adaptive(0L)}\nexact=$expected")
+    assert(plain.getOrElse(0L, Set.empty) != expected,
+      "setup: the probed ADC plan must actually miss planted rows")
+    assert(adaptive(21L) == plain(21L),
+      "the unrestricted query's probed ADC results must be unchanged")
+  }
+
   test("an allow-map key outside attrs fails loudly instead of " +
       "silently returning unfiltered rows") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
