@@ -741,6 +741,96 @@ object ScaleProbe {
         f"before: scanned=${before._2} in ${before._3}%.2f s; " +
         f"after: scanned=${after._2} in ${after._3}%.2f s " +
         f"(${before._2.toDouble / math.max(1, after._2)}%.0fx fewer files)")
+    } else if (args(0) == "padapt") {
+      // selectivity-adaptive PER-QUERY serving at file scale: the
+      // decision (`estimateAllow`) is one driver pass over the
+      // manifest rows per distinct map — price it at nL×fpl files,
+      // then run a mixed two-tenant adaptive batch (one ultra-
+      // selective allow-map, one unrestricted) end-to-end vs the
+      // plain probed path. usage: padapt [nLeaves] [filesPerLeaf]
+      // [rowsPerFile]
+      import spark.implicits._
+      import graft.operators.{IvfIndex, Serving, ServingManifest}
+      val nL = if (args.length > 1) args(1).toInt else 64
+      val fpl = if (args.length > 2) args(2).toInt else 16
+      val rpf = if (args.length > 3) args(3).toInt else 500
+      val dim = 8
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_padapt").toString + "/idx"
+      val rnd = new scala.util.Random(11)
+      val cents = Array.fill(nL) {
+        val v = Array.fill(dim)(rnd.nextGaussian())
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+      val centsDf = cents.zipWithIndex
+        .map { case (c, l) => (l, c.toSeq) }.toSeq.toDF("leaf_id", "__c")
+      // ONE write job: one task per leaf, rows sorted by attr, the
+      // writer rolls a new file every rpf records — fpl files per
+      // leaf, each holding a contiguous DISJOINT attr range
+      spark.range(nL.toLong * fpl * rpf)
+        .select(col("id").as("vec_id"),
+          (col("id") / (fpl * rpf)).cast("int").as("leaf_id"),
+          col("id").as("attr"))
+        .join(broadcast(centsDf), "leaf_id")
+        .withColumnRenamed("__c", "embedding")
+        .repartition(col("leaf_id")).sortWithinPartitions("attr")
+        .write.option("maxRecordsPerFile", rpf)
+        .partitionBy("leaf_id").parquet(dir)
+      IvfIndex.writeModel(spark, dir, IvfIndex.Model(cents))
+      ServingManifest.rebuild(spark, dir)
+      var t0 = System.nanoTime()
+      ServingManifest.promote(spark, dir, Seq("attr"))
+      val tPromote = (System.nanoTime() - t0) / 1e9
+      val serving = Serving.open(spark, dir)
+      // decision cost: median single-map estimateAllow (pays one
+      // manifest read each) vs ALL 32 maps through the batch form
+      // (one read) — the batch form is what collectExactMaps uses
+      val maps = (0 until 32).map { i =>
+        val v = (i.toLong * 7919L) % (nL.toLong * fpl * rpf)
+        Map("attr" -> Seq(v.toString))
+      }
+      val estTimes = maps.map { m =>
+        val t = System.nanoTime()
+        val e = ServingManifest.estimateAllow(spark, dir, m)
+        require(e.exists(_.keptFiles == 1L),
+          s"one value must keep exactly one file: $e")
+        (System.nanoTime() - t) / 1e9
+      }.sorted
+      t0 = System.nanoTime()
+      val batchEsts = ServingManifest.estimateAllowBatch(spark, dir, maps)
+      val tBatchEst = (System.nanoTime() - t0) / 1e9
+      require(batchEsts.forall(_.exists(_.keptFiles == 1L)))
+      // mixed batch: tenant A ultra-selective (1 of nL×fpl files),
+      // tenant B unrestricted
+      val qA = cents(nL / 2)
+      val qB = cents(3)
+      val selVal = ((nL / 2).toLong * fpl * rpf + 7).toString
+      val queries = Seq(
+        (0L, qA.toSeq, Some(Map("attr" -> Seq(selVal)))),
+        (1L, qB.toSeq, None: Option[Map[String, Seq[String]]]))
+        .toDF("qid", "qv", "allow")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      queries.count()
+      def time(f: => Long): (Long, Double) = {
+        val t = System.nanoTime(); val n = f
+        (n, (System.nanoTime() - t) / 1e9)
+      }
+      // warm both plans
+      serving.searchBatchPerQuery(queries, "qid", "qv", "allow",
+        Seq("attr"), 8, 10).count()
+      val (nPlain, tPlain) = time(serving.searchBatchPerQuery(
+        queries, "qid", "qv", "allow", Seq("attr"), 8, 10).count())
+      val (nAd, tAd) = time(serving.searchBatchPerQueryAdaptive(
+        queries, "qid", "qv", "allow", Seq("attr"), 8, 10).count())
+      println(f"PADAPT files=${nL * fpl} rows=${nL.toLong * fpl * rpf} " +
+        f"promote=$tPromote%.1f s " +
+        f"est_p50=${estTimes(16) * 1000}%.1f ms/map " +
+        f"est_batch32=${tBatchEst * 1000}%.1f ms " +
+        f"(${tBatchEst / 32 * 1000}%.2f ms/map) " +
+        f"| plain=$tPlain%.2f s ($nPlain rows) " +
+        f"adaptive=$tAd%.2f s ($nAd rows — incl. the selective " +
+        "tenant's full-recall exact escape over 1 file)")
     } else if (args(0) == "pqaniso") {
       // plain vs anisotropic PQ codebooks, measured as MIPS recall@10
       // of ADC ranking vs exact dot ranking — three combinations:

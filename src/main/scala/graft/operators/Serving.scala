@@ -764,7 +764,7 @@ final class Serving private[operators] (
       .groupBy("__mkey").agg(first("__allow").as("__allow"))
       .limit(maxDistinctMaps + 1).collect()
     if (distinctMaps.length > maxDistinctMaps) return Nil
-    val selective = distinctMaps.toSeq.flatMap { r =>
+    val keyedMaps = distinctMaps.toSeq.map { r =>
       val m = Option(r.getMap[String, scala.collection.Seq[String]](1))
         .map(_.map { case (a, vs) => (a, vs.toSeq) }.toMap)
         .getOrElse(Map.empty[String, Seq[String]])
@@ -772,9 +772,17 @@ final class Serving private[operators] (
         throw new IllegalArgumentException(
           "per-query adaptive search: allow-map key outside " +
             s"attrs(${attrs.mkString(",")}): $bad"))
-      if (m.isEmpty) None
-      else allowSelectivity(m).filter(_ <= maxExactFraction)
-        .map(f => (r.getString(0), m, f))
+      (r.getString(0), m)
+    }
+    // ONE manifest read estimates every distinct map (a per-map read
+    // would pay a Spark job each — ScaleProbe `padapt`)
+    val estimates = ServingManifest.estimateAllowBatch(spark, path,
+      keyedMaps.map(_._2))
+    val selective = keyedMaps.zip(estimates).flatMap {
+      case ((key, m), est) =>
+        if (m.isEmpty) None
+        else est.map(_.byteFraction).filter(_ <= maxExactFraction)
+          .map(f => (key, m, f))
     }
     // every exact map adds a scan branch to the final union — bound
     // the plan's fan-out: the MOST selective maps (the ones probing
