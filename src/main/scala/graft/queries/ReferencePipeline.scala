@@ -1809,6 +1809,82 @@ object ReferencePipeline {
       metadata = Some((emb.select("vec_id", "label"), "vec_id")))
   }
 
+  /** MULTI-ATTRIBUTE allow-maps in one batch — the conjunction
+    * semantics of the per-query restrict contract oracle-gated: a
+    * candidate qualifies for a query iff EVERY attribute its map
+    * constrains lists the row's value (the reference's restricts are
+    * per-namespace filters ANDed across namespaces,
+    * setup_vector_search.py:45-62). Three tenants: qid 7 constrains
+    * BOTH label {3,7} AND an explicit vec_id allow-list — only rows
+    * satisfying both survive; qid 21 constrains vec_id only; qid 33
+    * is unrestricted (NULL map). Same routed batch plan as
+    * `r_serve_restricts`; the oracle replicates the two-attribute
+    * conjunction per query, and the driver hash-compares every row.
+    */
+  private val rServeAllow2 = QueryDef.sqlChecked("r_serve_allow2")(
+    "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (7,21,33)), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(cast(e.embedding as double[]), c.cv), c.cid) AS rn " +
+      "FROM embeddings e, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT qid, cid FROM (SELECT q.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2), " +
+      "cand AS (SELECT p.qid, e.vec_id, e.label, " +
+      "list_inner_product(cast(e.embedding as double[]), q.qv) AS score " +
+      "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid JOIN q ON q.qid = p.qid " +
+      "WHERE e.vec_id >= 10 AND (" +
+      "(p.qid = 7 AND cast(e.label as varchar) IN ('9','0') AND " +
+      "cast(e.vec_id as varchar) IN ('209','334','442','423','61','153','48')) OR " +
+      "(p.qid = 21 AND cast(e.vec_id as varchar) IN ('94','327','225','128','382','117')) OR " +
+      "p.qid = 33)), " +
+      "crowded AS (SELECT qid, vec_id, label, score FROM (" +
+      "SELECT qid, vec_id, label, score, row_number() OVER (" +
+      "PARTITION BY qid, label ORDER BY score DESC, vec_id) AS crn " +
+      "FROM cand) WHERE crn <= 2), " +
+      "ranked AS (SELECT qid, vec_id, label, score, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM crowded) " +
+      "SELECT qid, vec_id, label, score, cast(rn as bigint) AS rn " +
+      "FROM ranked WHERE rn <= 5 ORDER BY qid, rn"
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val path = ServeBatchCache.get(s, d, cents)
+    val serving = graft.operators.Serving.open(s, path)
+    // qid 7's vec_id list includes id 48 (label 2) — present in the
+    // id allow-list but excluded by the label conjunct, so the
+    // result visibly proves the AND semantics
+    val allows = Seq(
+      (7L, Some(Map(
+        "label" -> Seq("9", "0"),
+        "vec_id" -> Seq("209", "334", "442", "423", "61", "153", "48")))),
+      (21L, Some(Map(
+        "vec_id" -> Seq("94", "327", "225", "128", "382", "117")))),
+      (33L, None: Option[Map[String, Seq[String]]]),
+    ).toDF("qid", "allow")
+    val queries = emb.filter(col("vec_id").isin(7L, 21L, 33L))
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .join(allows, "qid")
+    serving.searchBatchPerQuery(queries, "qid", "embedding",
+      allowCol = "allow", attrs = Seq("label", "vec_id"), nProbe = 2,
+      k = 5, restricts = Seq(col("vec_id") >= 10),
+      crowding = Some(("label", 2)),
+      metadata = Some((emb.select("vec_id", "label"), "vec_id")))
+  }
+
   /** PER-QUERY k AND crowding cap in one batch — the other two
     * per-request knobs of the reference's find_neighbors
     * (`num_neighbors` and `per_crowding_attribute_neighbor_count`,
@@ -2274,7 +2350,8 @@ object ReferencePipeline {
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
     rServeManifest, rServeSnapshot, rServeCdc, rServeClone, rServeBatch,
-    rServeRestricts, rServePerQuery, rServePAdaptive, rServeLive,
+    rServeRestricts, rServeAllow2, rServePerQuery, rServePAdaptive,
+    rServeLive,
     rServeDelete, rServePrefilter, rRebalance, vAnnBuild, vAnnCertified,
     vMaxsimPruned, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
     vAnnRouted, vAnnRecallCurve, vKnnJoin)
