@@ -690,14 +690,19 @@ object ServingManifest {
     * semantics, used both by [[ManifestFileIndex.listFiles]] at scan
     * time (resolved `AttributeReference`s) and by
     * [[estimateRestrict]] at plan time (unresolved `Column.expr`
-    * attributes): a conjunct anchored on a promoted column with a
-    * numeric literal proves a file irrelevant when the file's range
-    * cannot satisfy it. Files without stats for the column are
-    * always kept (conservative); any filter shape not recognized
-    * here simply doesn't prune. Null semantics are safe by
-    * construction: these comparisons are null-rejecting, so a file
-    * whose non-null range is disjoint cannot hold a qualifying row.
-    * None when NO conjunct is recognizable (caller skips the pass).
+    * attributes): a filter anchored on a promoted column with
+    * numeric literals proves a file irrelevant when the file's range
+    * cannot satisfy it. Recognized shapes: the comparison operators,
+    * `In(attr, literals)` as an equality-disjunction, and arbitrary
+    * AND/OR trees over them (evaluated as could-be-satisfied:
+    * And needs both sides possible, Or either) — so a disjunctive
+    * restrict like `a < 5 OR a >= 300` skips files too. Files
+    * without stats for a column are always kept (conservative); any
+    * unrecognized sub-shape is treated as always-satisfiable. Null
+    * semantics are safe by construction: these comparisons are
+    * null-rejecting, so a file whose non-null range is disjoint
+    * cannot hold a qualifying row. None when NO node anywhere is
+    * recognizable (caller skips the pass).
     */
   private[graft] def statsKeep(dataFilters: Seq[Expression])
       : Option[Map[String, (Double, Double)] => Boolean] = {
@@ -774,7 +779,9 @@ object ServingManifest {
         else None
       case _ => None
     }
-    val checks = dataFilters.flatMap { f =>
+    // one LEAF check: comparison or In, against a single attribute's
+    // range — None when the node shape isn't recognizable
+    def leaf(f: Expression): Option[(String, (Double, Double) => Boolean)] =
       binOp(f).flatMap {
         case (a, Literal(v, _), op) =>
           for (c <- attr(a); d <- num(v)) yield (c, test(op, d))
@@ -784,13 +791,36 @@ object ServingManifest {
       }.orElse(inOp(f).collect { case (c, ds) if ds.nonEmpty =>
         (c, (lo: Double, hi: Double) => ds.exists(d => lo <= d && d <= hi))
       })
-    }
-    if (checks.isEmpty) None
-    else Some { stats =>
-      checks.forall { case (c, ok) =>
-        stats.get(c).forall { case (lo, hi) => ok(lo, hi) }
+    // RECURSIVE could-be-satisfied evaluator: And needs both sides
+    // possible, Or needs either, a recognized leaf tests the range,
+    // anything else is unknown (always possibly satisfied —
+    // conservative). This makes DISJUNCTIVE restricts
+    // (a < 5 OR a >= 300) file-skip, not just conjunct lists.
+    var recognized = false
+    def canSat(e: Expression)
+        : Map[String, (Double, Double)] => Boolean = e match {
+      case And(l, r) =>
+        val (cl, cr) = (canSat(l), canSat(r))
+        s => cl(s) && cr(s)
+      case Or(l, r) =>
+        val (cl, cr) = (canSat(l), canSat(r))
+        s => cl(s) || cr(s)
+      case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if uf.arguments.size == 2 && uf.nameParts.size == 1 &&
+            (uf.nameParts.head == "and" || uf.nameParts.head == "or") =>
+        val (cl, cr) = (canSat(uf.arguments(0)), canSat(uf.arguments(1)))
+        if (uf.nameParts.head == "and") s => cl(s) && cr(s)
+        else s => cl(s) || cr(s)
+      case _ => leaf(e) match {
+        case Some((c, ok)) =>
+          recognized = true
+          s => s.get(c).forall { case (lo, hi) => ok(lo, hi) }
+        case None => _ => true
       }
     }
+    val evals = dataFilters.map(canSat)
+    if (!recognized) None
+    else Some(stats => evals.forall(_(stats)))
   }
 
   /** File-level selectivity of a restrict conjunction, from the LIVE

@@ -521,6 +521,13 @@ class ServingManifestSpec extends SparkTestBase {
       col("label") >= 100)) == ((5L, 1L)))
     // an unsatisfiable restrict scans NOTHING
     assert(scanned(opened.filter(col("label") > 1000)) == ((0L, 0L)))
+    // a DISJUNCTION skips through the recursive evaluator: either
+    // branch possible keeps the file, both impossible skips it
+    assert(scanned(opened.filter(
+      col("label") < 5 || col("label") >= 300)) == ((10L, 2L)))
+    assert(scanned(opened.filter(
+      (col("label") >= 100 && col("label") <= 104) ||
+        col("label") === 203)) == ((6L, 2L)))
     // a non-promoted column never skips (conservative)
     assert(scanned(opened.filter(col("vec_id") >= 0))._2 == 4L)
     // correctness against a plain listing read, same predicate
