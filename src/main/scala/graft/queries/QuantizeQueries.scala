@@ -966,7 +966,111 @@ object QuantizeQueries {
       Seq("version"), nProbe = 2, k = 10, maxExactFraction = 0.35)
   }
 
+  /** BINARY (1-bit) quantization search — the shortlist rung below
+    * PQ on the coded ladder (raw 256 B → SQ8 66 B → PQ 4 B → BQ
+    * 8 B of sign bits… at 64 dims BQ and PQ meet, but BQ needs NO
+    * trained artifact at all): corpus rows binarize through the
+    * codegen [[graft.functions.PackSign]] expression, the query
+    * stays FLOAT, and every (row, query) pair scores the asymmetric
+    * sign-dot ⟨sign(x), q⟩ ([[graft.functions.BqDot]] — fixed
+    * ascending summation of exactly ±qⱼ terms, so the doubles are
+    * bit-identical to the oracle's inner product over ±1 vectors).
+    * Top-10 by score desc, id asc; FULL hash oracle.
+    */
+  private val vBqSearch = QueryDef.sqlChecked("v_bq_search")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings " +
+      "WHERE vec_id = 7) " +
+      "SELECT vec_id, list_inner_product(list_transform(v, x -> " +
+      "CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END), q.qv) AS bq_score " +
+      "FROM base, q ORDER BY bq_score DESC, vec_id LIMIT 10"
+  ) { (s, d) =>
+    import graft.functions.bquant
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    emb.select(col("vec_id"),
+        bquant.signDot(bquant.packSigns(col("embedding")),
+          typedLit(q)).as("bq_score"))
+      .orderBy(col("bq_score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** BQ SHORTLIST-THEN-RESCORE — the production two-stage shape
+    * (`v_ivfpq_rerank`'s sibling at the 8 B tier): the 8 B/vector
+    * sign-bit scan ranks a deterministic top-30 shortlist, the 30
+    * survivors join back to their raw vectors (a broadcast join of a
+    * constant-size set), and the final top-10 is the EXACT float
+    * dot — a 32× scan-byte reduction with exact final ranking.
+    * FULL hash oracle.
+    */
+  private val vBqRerank = QueryDef.sqlChecked("v_bq_rerank")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings " +
+      "WHERE vec_id = 7), " +
+      "scored AS (SELECT vec_id, list_inner_product(list_transform(v, x -> " +
+      "CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END), q.qv) AS bq FROM base, q), " +
+      "sl AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER (" +
+      "ORDER BY bq DESC, vec_id) AS rn FROM scored) WHERE rn <= 30) " +
+      "SELECT b.vec_id, list_inner_product(b.v, q.qv) AS score " +
+      "FROM base b JOIN sl ON b.vec_id = sl.vec_id, q " +
+      "ORDER BY score DESC, b.vec_id LIMIT 10"
+  ) { (s, d) =>
+    import graft.functions.bquant
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val shortlist = emb.select(col("vec_id"),
+        bquant.signDot(bquant.packSigns(col("embedding")),
+          typedLit(q)).as("bq"))
+      .orderBy(col("bq").desc, col("vec_id"))
+      .limit(30)
+    emb.join(broadcast(shortlist.select("vec_id")), "vec_id")
+      .select(col("vec_id"),
+        graft.functions.vectors.dotProduct(
+          col("embedding").cast("array<double>"), typedLit(q)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** BQ HAMMING neighbors — the symmetric code-to-code distance
+    * (near-dup / clustering over sign codes): popcount(a XOR b)
+    * through the codegen [[graft.functions.BqHamming]], the query's
+    * own buffer packed once on the driver. The oracle uses the
+    * identity h = (d − ⟨sign(x), sign(y)⟩)/2 — both sides exact
+    * small integers, so the whole ranking hash-gates. Top-10 by
+    * distance asc, id asc (the query's own row at distance 0).
+    */
+  private val vBqHamming = QueryDef.sqlChecked("v_bq_hamming")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings " +
+      "WHERE vec_id = 7) " +
+      "SELECT vec_id, cast((64 - list_inner_product(" +
+      "list_transform(v, x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END), " +
+      "list_transform(q.qv, x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END)" +
+      ")) / 2 as integer) AS hdist " +
+      "FROM base, q ORDER BY hdist ASC, vec_id LIMIT 10"
+  ) { (s, d) =>
+    import graft.functions.bquant
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val qBits = graft.functions.PackSign.packLocal(q)
+    emb.select(col("vec_id"),
+        bquant.hamming(bquant.packSigns(col("embedding")),
+          lit(qBits)).as("hdist"))
+      .orderBy(col("hdist").asc, col("vec_id"))
+      .limit(10)
+  }
+
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
     vPqBatch, vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq,
-    rServeSqFull, rServeSqPerQuery, rServeSqPAdaptive, vMaxsimSq)
+    rServeSqFull, rServeSqPerQuery, rServeSqPAdaptive, vMaxsimSq,
+    vBqSearch, vBqRerank, vBqHamming)
 }
