@@ -542,6 +542,21 @@ final class Serving private[operators] (
     * least(global, per-query), so a hostile row can never widen the
     * window the plan sizes for.
     *
+    * `numCol` / `numAttrs` (optional) add the reference's PER-QUERY
+    * NUMERIC restrictions (`numeric_restricts` — name + value +
+    * comparison operator per request, setup_vector_search.py:41-77):
+    * `numCol` names an `array<struct<attr: string, op: string,
+    * v: double>>` column, op ∈ {EQ, NE, LT, LE, GT, GE}, the
+    * restrictions of one query ANDed together, values compared as
+    * doubles against the layout attribute named by `attr` (which
+    * must be listed in `numAttrs` — anything else fails loudly
+    * in-plan, like the allow-map contract). NULL array = no numeric
+    * restriction; a candidate whose restricted attribute is NULL
+    * fails the restriction. Categorical allow-maps and numeric
+    * restrictions COMPOSE per query (both must hold), and a
+    * numeric-only batch passes an all-NULL allow column with
+    * `attrs = Nil`.
+    *
     * Output: identical contract to the 8-arg [[searchBatch]].
     */
   def searchBatchPerQuery(queries: DataFrame, qid: String,
@@ -550,16 +565,22 @@ final class Serving private[operators] (
       crowding: Option[(String, Int)] = None,
       metadata: Option[(DataFrame, String)] = None,
       kCol: Option[String] = None,
-      capCol: Option[String] = None): DataFrame = {
+      capCol: Option[String] = None,
+      numCol: Option[String] = None,
+      numAttrs: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(attrs.nonEmpty,
+    require(attrs.nonEmpty || numCol.nonEmpty,
       "searchBatchPerQuery: pass the layout attributes the allow-maps " +
         "may constrain (attrs) — an empty set makes every map a no-op")
+    require(numCol.isEmpty == numAttrs.isEmpty,
+      "searchBatchPerQuery: per-query numeric restricts need BOTH " +
+        "the restriction column (numCol) and the constrained " +
+        "attributes (numAttrs)")
     require(capCol.isEmpty || crowding.nonEmpty,
       "searchBatchPerQuery: capCol needs the crowding attribute " +
         "(crowding = Some((attr, globalCap)))")
     val unique = perQueryProbedUnique(queries, qid, qvecCol, allowCol,
-      attrs, nProbe, restricts, crowding, kCol, capCol)
+      attrs, nProbe, restricts, crowding, kCol, capCol, numCol, numAttrs)
     if (kCol.isEmpty && capCol.isEmpty)
       batchTail(unique, qid, k, crowding, metadata)
     else
@@ -577,14 +598,17 @@ final class Serving private[operators] (
       qvecCol: String, allowCol: String, attrs: Seq[String],
       nProbe: Int, restricts: Seq[Column],
       crowding: Option[(String, Int)], kCol: Option[String],
-      capCol: Option[String]): DataFrame = {
+      capCol: Option[String], numCol: Option[String] = None,
+      numAttrs: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     val perQueryCols =
       kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
         capCol.map(c => col(c).cast("int").as("__cap")).toSeq
     val probes = queries.select(Seq(col(qid).as("__qid"),
         col(qvecCol).cast("array<double>").as("__qv"),
-        checkedAllow(allowCol, attrs).as("__allow")) ++ perQueryCols: _*)
+        checkedAllow(allowCol, attrs).as("__allow")) ++
+        numCol.map(c => checkedNum(c, numAttrs).as("__numr")).toSeq ++
+        perQueryCols: _*)
       .withColumn("leaf_id",
         explode(IvfIndex.probeExprF32(model, col("__qv"),
           math.max(1, nProbe))))
@@ -594,12 +618,14 @@ final class Serving private[operators] (
     val pruned = if (leaves.length <= 1024)
       data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
     val side = restricts.foldLeft(pruned)(_.filter(_))
-    val allowed = allowPredicate(attrs)
+    val allowed = if (attrs.nonEmpty) allowPredicate(attrs)
+      else col("__allow").isNull || size(map_keys(col("__allow"))) === 0
     val crowdAttr = crowding.map(_._1).toSeq
     val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
       capCol.map(_ => "__cap").toSeq
     val scored = side.join(probes, Seq("leaf_id"))
-      .filter(allowed)
+      .filter(if (numCol.nonEmpty) allowed && numPredicate(numAttrs)
+        else allowed)
       .select(Seq(col("__qid"), col(id),
         graft.functions.vectors.dotProduct(col(vecCol),
           col("__qv")).as("score")) ++ carried.map(col): _*)
@@ -622,6 +648,21 @@ final class Serving private[operators] (
   def perQueryAdaptivePlan(allow: Map[String, Seq[String]],
       maxExactFraction: Double = 0.05): Boolean =
     allow.nonEmpty && allowSelectivity(allow).exists(_ <= maxExactFraction)
+
+  /** [[perQueryAdaptivePlan]] for the COMBINED per-query constraint —
+    * an (allow-map, numeric-restriction set) pair: true = a query
+    * carrying both would escape to the exact plan (the decision the
+    * numCol-bearing [[searchBatchPerQueryAdaptive]] makes per
+    * distinct pair). Restriction tuples are (attr, op, value) with
+    * op ∈ EQ/NE/LT/LE/GT/GE.
+    */
+  def perQueryAdaptivePlanNum(allow: Map[String, Seq[String]],
+      num: Seq[(String, String, Double)],
+      maxExactFraction: Double = 0.05): Boolean =
+    (allow.nonEmpty || num.nonEmpty) &&
+      ServingManifest.estimateRestrict(spark, path,
+        allowMapPredicates(allow) ++ numSetPredicates(num))
+        .map(_.byteFraction).exists(_ <= maxExactFraction)
 
   /** [[searchBatchPerQuery]] with the SELECTIVITY-ADAPTIVE escape the
     * batch-wide surface already has ([[searchBatchAdaptive]]) — the
@@ -666,14 +707,25 @@ final class Serving private[operators] (
       capCol: Option[String] = None,
       maxExactFraction: Double = 0.05,
       maxDistinctMaps: Int = 1024,
-      maxBroadcastQueries: Long = 100000L): DataFrame = {
+      maxBroadcastQueries: Long = 100000L,
+      numCol: Option[String] = None,
+      numAttrs: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(attrs.nonEmpty,
+    require(attrs.nonEmpty || numCol.nonEmpty,
       "searchBatchPerQueryAdaptive: pass the layout attributes the " +
         "allow-maps may constrain (attrs)")
+    require(numCol.isEmpty == numAttrs.isEmpty,
+      "searchBatchPerQueryAdaptive: per-query numeric restricts need " +
+        "BOTH the restriction column (numCol) and the constrained " +
+        "attributes (numAttrs)")
     require(capCol.isEmpty || crowding.nonEmpty,
       "searchBatchPerQueryAdaptive: capCol needs the crowding " +
         "attribute (crowding = Some((attr, globalCap)))")
+    if (numCol.nonEmpty)
+      return perQueryAdaptiveCombined(queries, qid, qvecCol, allowCol,
+        attrs, numCol.get, numAttrs, nProbe, k, restricts, crowding,
+        metadata, kCol, capCol, maxExactFraction, maxDistinctMaps,
+        maxBroadcastQueries)
     val exactMaps = collectExactMaps(queries, allowCol, attrs,
       maxExactFraction, maxDistinctMaps)
     if (exactMaps.isEmpty)
@@ -729,6 +781,72 @@ final class Serving private[operators] (
         hasK = kCol.nonEmpty, hasCap = capCol.nonEmpty)
   }
 
+  /** The COMBINED adaptive split — allow-maps AND numeric
+    * restriction sets per query: the distinct key spans both
+    * columns ([[combinedKey]]), a pair escapes to the exact plan
+    * when its compiled predicates (string + implied typed allow
+    * forms ++ typed comparisons) are PROVEN selective against the
+    * manifest stats, and the exact scan pushes those same
+    * predicates. Same bounds and degrades as the allow-only split.
+    */
+  private def perQueryAdaptiveCombined(queries: DataFrame, qid: String,
+      qvecCol: String, allowCol: String, attrs: Seq[String],
+      numCol: String, numAttrs: Seq[String], nProbe: Int, k: Int,
+      restricts: Seq[Column], crowding: Option[(String, Int)],
+      metadata: Option[(DataFrame, String)], kCol: Option[String],
+      capCol: Option[String], maxExactFraction: Double,
+      maxDistinctMaps: Int, maxBroadcastQueries: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val exactSets = collectExactSets(queries, allowCol, attrs, numCol,
+      numAttrs, maxExactFraction, maxDistinctMaps)
+    if (exactSets.isEmpty)
+      return searchBatchPerQuery(queries, qid, qvecCol, allowCol, attrs,
+        nProbe, k, restricts, crowding, metadata, kCol, capCol,
+        Some(numCol), numAttrs)
+
+    val keyed = queries.withColumn("__mkey", combinedKey(allowCol, numCol))
+    val exactKeys = exactSets.map(_._1)
+    val probedUnique = perQueryProbedUnique(
+      keyed.filter(!col("__mkey").isin(exactKeys: _*)).drop("__mkey"),
+      qid, qvecCol, allowCol, attrs, nProbe, restricts, crowding,
+      kCol, capCol, Some(numCol), numAttrs)
+
+    val crowdAttr = crowding.map(_._1).toSeq
+    val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
+      capCol.map(_ => "__cap").toSeq
+    val perQueryCols =
+      kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
+        capCol.map(c => col(c).cast("int").as("__cap")).toSeq
+    val probeLimit = (math.min(math.max(maxBroadcastQueries, 0L),
+      Int.MaxValue.toLong - 1) + 1).toInt
+    val small = keyed.filter(col("__mkey").isin(exactKeys: _*))
+      .select(col(qid)).limit(probeLimit)
+      .count() <= maxBroadcastQueries
+    val exactUniques = exactSets.map { case (key, m, n) =>
+      val qs = keyed.filter(col("__mkey") === key)
+        .select(Seq(col(qid).as("__qid"),
+          col(qvecCol).cast("array<double>").as("__qv")) ++
+          perQueryCols: _*)
+      val side = (restricts ++ allowMapPredicates(m) ++
+        numSetPredicates(n)).foldLeft(data)(_.filter(_))
+      val paired = if (small) side.crossJoin(broadcast(qs))
+        else side.crossJoin(qs.hint("shuffle_replicate_nl"))
+      val scored = paired.select(Seq(col("__qid"), col(id),
+        graft.functions.vectors.dotProduct(col(vecCol),
+          col("__qv")).as("score")) ++ carried.map(col): _*)
+      val aggs = Seq(max(col("score")).as("score")) ++
+        carried.map(a => first(col(a)).as(a))
+      scored.groupBy(col("__qid"), col(id))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val unique = (probedUnique +: exactUniques).reduce(_ unionByName _)
+    if (kCol.isEmpty && capCol.isEmpty)
+      batchTail(unique, qid, k, crowding, metadata)
+    else
+      batchTailDynamic(unique, qid, k, crowding, metadata,
+        hasK = kCol.nonEmpty, hasCap = capCol.nonEmpty)
+  }
+
   /** The shared per-query predicate of the allow-map contract: a
     * candidate row qualifies iff, for every attribute in `attrs`, the
     * query's `__allow` map lacks the key or lists the row's value;
@@ -740,6 +858,87 @@ final class Serving private[operators] (
       !map_contains_key(col("__allow"), lit(a)) ||
         array_contains(element_at(col("__allow"), lit(a)),
           col(a).cast("string"))).reduce(_ && _)
+  }
+
+  /** The six comparison operators of the reference's per-request
+    * numeric restrictions (`NumericRestriction.op`,
+    * /root/reference/vector_store/setup_vector_search.py:41-77 —
+    * numeric_restricts carry name + value + operator). */
+  private val NumOps = Seq("EQ", "NE", "LT", "LE", "GT", "GE")
+
+  /** The shared per-query predicate of the NUMERIC restrict
+    * contract: the query's `__numr` column is an
+    * `array<struct<attr, op, v>>` of comparisons ANDed together
+    * (the reference ANDs numeric_restricts across names); a
+    * candidate row qualifies iff EVERY restriction holds against
+    * the row's value of the named attribute, compared as doubles.
+    * NULL / empty array = unrestricted; a row whose restricted
+    * attribute is NULL fails that restriction (comparisons are
+    * null-rejecting — the same convention as the allow contract's
+    * string compare). Evaluates per (candidate, query) pair inside
+    * the candidate join, codegen row-level work.
+    */
+  private def numPredicate(numAttrs: Seq[String]): Column = {
+    import org.apache.spark.sql.functions._
+    val cand = map(numAttrs.flatMap(a =>
+      Seq(lit(a), col(a).cast("double"))): _*)
+    col("__numr").isNull || coalesce(forall(col("__numr"), r => {
+      val cv = element_at(cand, r.getField("attr"))
+      val v = r.getField("v").cast("double")
+      val op = r.getField("op")
+      coalesce(
+        when(op === lit("EQ"), cv === v)
+          .when(op === lit("NE"), cv =!= v)
+          .when(op === lit("LT"), cv < v)
+          .when(op === lit("LE"), cv <= v)
+          .when(op === lit("GT"), cv > v)
+          .when(op === lit("GE"), cv >= v),
+        lit(false))
+    }), lit(false))
+  }
+
+  /** The numeric-restriction column with its contract VALIDATED
+    * in-plan ([[checkedAllow]]'s analog): an attr outside `numAttrs`
+    * or an unknown operator would silently constrain nothing or
+    * everything — the plan fails loudly on the offending query row
+    * instead. */
+  private def checkedNum(numCol: String, numAttrs: Seq[String]): Column = {
+    import org.apache.spark.sql.functions._
+    val bad = exists(col(numCol), r =>
+      !r.getField("attr").isin(numAttrs: _*) ||
+        !r.getField("op").isin(NumOps: _*) ||
+        r.getField("v").isNull)
+    when(col(numCol).isNotNull && coalesce(bad, lit(true)),
+      raise_error(concat(
+        lit("numeric restriction outside numAttrs(" +
+          numAttrs.mkString(",") + ")/ops(" + NumOps.mkString(",") +
+          "): "), to_json(col(numCol)))))
+      .otherwise(col(numCol))
+  }
+
+  /** ONE numeric restriction set as pushed scan predicates — the
+    * adaptive exact escape's filter for a set collected off the
+    * query frame. The per-pair contract compares as doubles;
+    * `col op lit(v)` under Spark's numeric coercion compares the
+    * same way (the column up-casts), and [[ServingManifest.statsKeep]]
+    * recognizes the Cast-wrapped attribute, so the manifest's
+    * promoted (min, max) stats skip files for the range forms. NE
+    * carries no range evidence (kept conjunct, never skips — still
+    * filters rows exactly).
+    */
+  private def numSetPredicates(
+      set: Seq[(String, String, Double)]): Seq[Column] = {
+    import org.apache.spark.sql.functions._
+    set.map { case (a, op, v) =>
+      op match {
+        case "EQ" => col(a) === lit(v)
+        case "NE" => col(a) =!= lit(v)
+        case "LT" => col(a) < lit(v)
+        case "LE" => col(a) <= lit(v)
+        case "GT" => col(a) > lit(v)
+        case "GE" => col(a) >= lit(v)
+      }
+    }
   }
 
   /** The DISTINCT allow-maps of a query batch that are PROVEN
@@ -790,6 +989,73 @@ final class Serving private[operators] (
     // plan like an unselective map
     selective.sortBy(t => (t._3, t._1)).take(maxExactMaps)
       .map(t => (t._1, t._2))
+  }
+
+  /** [[collectExactMaps]] generalized to the COMBINED per-query
+    * constraint — (allow-map, numeric-restriction set) pairs: the
+    * distinct key spans both columns, each pair compiles to pushable
+    * predicates ([[allowMapPredicates]] ++ [[numSetPredicates]]),
+    * and ONE manifest read
+    * ([[ServingManifest.estimateRestrictBatch]]) estimates them all.
+    * Returns (json-key, allow-map, num-set) triples proven to read
+    * ≤ `maxExactFraction` of layout bytes, most selective first,
+    * capped at `maxExactMaps`.
+    */
+  private def collectExactSets(queries: DataFrame, allowCol: String,
+      attrs: Seq[String], numCol: String, numAttrs: Seq[String],
+      maxExactFraction: Double, maxDistinctMaps: Int,
+      maxExactMaps: Int = 32): Seq[(String, Map[String, Seq[String]],
+      Seq[(String, String, Double)])] = {
+    import org.apache.spark.sql.functions._
+    val key = combinedKey(allowCol, numCol)
+    val rows = queries
+      .select(key.as("__mkey"), col(allowCol).as("__allow"),
+        col(numCol).as("__numr"))
+      .groupBy("__mkey")
+      .agg(first("__allow").as("__allow"), first("__numr").as("__numr"))
+      .limit(maxDistinctMaps + 1).collect()
+    if (rows.length > maxDistinctMaps) return Nil
+    val keyed = rows.toSeq.map { r =>
+      val m = Option(r.getMap[String, scala.collection.Seq[String]](1))
+        .map(_.map { case (a, vs) => (a, vs.toSeq) }.toMap)
+        .getOrElse(Map.empty[String, Seq[String]])
+      m.keys.find(!attrs.contains(_)).foreach(bad =>
+        throw new IllegalArgumentException(
+          "per-query adaptive search: allow-map key outside " +
+            s"attrs(${attrs.mkString(",")}): $bad"))
+      val n = Option(r.getSeq[org.apache.spark.sql.Row](2))
+        .map(_.toSeq.map { x =>
+          val a = x.getAs[String]("attr")
+          val op = x.getAs[String]("op")
+          val v = Option(x.getAs[Number]("v")).map(_.doubleValue)
+          if (!numAttrs.contains(a) || !NumOps.contains(op) || v.isEmpty)
+            throw new IllegalArgumentException(
+              "per-query adaptive search: numeric restriction outside " +
+                s"numAttrs(${numAttrs.mkString(",")})/ops: ($a, $op, $v)")
+          (a, op, v.get)
+        }).getOrElse(Nil)
+      (r.getString(0), m, n)
+    }
+    val estimates = ServingManifest.estimateRestrictBatch(spark, path,
+      keyed.map { case (_, m, n) =>
+        allowMapPredicates(m) ++ numSetPredicates(n) })
+    val selective = keyed.zip(estimates).flatMap {
+      case ((key, m, n), est) =>
+        if (m.isEmpty && n.isEmpty) None
+        else est.map(_.byteFraction).filter(_ <= maxExactFraction)
+          .map(f => (key, m, n, f))
+    }
+    selective.sortBy(t => (t._4, t._1)).take(maxExactMaps)
+      .map(t => (t._1, t._2, t._3))
+  }
+
+  /** The distinct-constraint key spanning BOTH per-query columns —
+    * shared by [[collectExactSets]] and the adaptive split so the
+    * two sides can never disagree on which queries escaped. */
+  private def combinedKey(allowCol: String, numCol: String): Column = {
+    import org.apache.spark.sql.functions._
+    coalesce(to_json(struct(col(allowCol).as("a"),
+      col(numCol).as("n"))), lit("{}"))
   }
 
   /** ONE allow-map's constraints as pushed scan predicates — what the
@@ -1270,6 +1536,15 @@ final class Serving private[operators] (
 }
 
 object Serving {
+
+  /** One per-query numeric restriction — the row shape `numCol`
+    * columns carry (`array<struct<attr, op, v>>`): compare the
+    * layout attribute `attr` against `v` with `op` ∈
+    * EQ/NE/LT/LE/GT/GE; one query's restrictions AND together.
+    * Mirrors the reference's per-request NumericRestriction
+    * (name + value + operator, setup_vector_search.py:41-77).
+    */
+  case class NumRestrict(attr: String, op: String, v: Double)
 
   /** Open a serving session on the LIVE layout: model from the
     * `_graft_model` sidecar, data through the file manifest when the

@@ -836,26 +836,39 @@ object ServingManifest {
     */
   def estimateRestrict(spark: SparkSession, path: String,
       restricts: Seq[org.apache.spark.sql.Column])
-      : Option[RestrictEstimate] = {
-    if (!exists(spark, path)) return None
-    statsKeep(restricts.map(
-        org.apache.spark.sql.graftshim.Shims.catalystExpression))
-        .flatMap { keep =>
-      val mf = spark.read.parquet(manifestDir(path))
-      if (!mf.columns.contains("stats")) None
-      else {
-        val rows = mf.select("bytes", "stats").collect()
-        var keptFiles = 0L; var keptBytes = 0L; var totalBytes = 0L
-        rows.foreach { r =>
-          val b = r.getLong(0); totalBytes += b
-          if (keep(decodeStats(Option(r.getString(1)).getOrElse("")))) {
-            keptFiles += 1; keptBytes += b
-          }
-        }
-        Some(RestrictEstimate(keptFiles, keptBytes, rows.length.toLong,
-          totalBytes))
+      : Option[RestrictEstimate] =
+    estimateRestrictBatch(spark, path, Seq(restricts)).head
+
+  /** [[estimateRestrict]] for MANY conjunct-sets in ONE manifest
+    * read — [[estimateAllowBatch]]'s analog for arbitrary restrict
+    * Columns: the per-query adaptive surfaces estimate every
+    * distinct (allow-map, numeric-restriction) pair of a batch, and
+    * a per-set re-read would pay a Spark job each. Per-set semantics
+    * identical to [[estimateRestrict]] (None = that set has no
+    * stats-testable conjunct — no evidence).
+    */
+  def estimateRestrictBatch(spark: SparkSession, path: String,
+      restrictSets: Seq[Seq[org.apache.spark.sql.Column]])
+      : Seq[Option[RestrictEstimate]] = {
+    if (restrictSets.isEmpty) return Nil
+    if (!exists(spark, path)) return restrictSets.map(_ => None)
+    val keeps = restrictSets.map(rs => statsKeep(rs.map(
+      org.apache.spark.sql.graftshim.Shims.catalystExpression)))
+    if (keeps.forall(_.isEmpty)) return restrictSets.map(_ => None)
+    val mf = spark.read.parquet(manifestDir(path))
+    if (!mf.columns.contains("stats")) return restrictSets.map(_ => None)
+    val rows = mf.select("bytes", "stats").collect()
+      .map(r => (r.getLong(0),
+        decodeStats(Option(r.getString(1)).getOrElse(""))))
+    val totalBytes = rows.map(_._1).sum
+    keeps.map(_.map { keep =>
+      var keptFiles = 0L; var keptBytes = 0L
+      rows.foreach { case (b, s) =>
+        if (keep(s)) { keptFiles += 1; keptBytes += b }
       }
-    }
+      RestrictEstimate(keptFiles, keptBytes, rows.length.toLong,
+        totalBytes)
+    })
   }
 
   /** File-level selectivity of a PER-QUERY allow-map (attribute →
