@@ -48,22 +48,23 @@ object ProductQuantizer {
   }
 
   /** Packed code word: subspace s contributes its argmin-L2 code in
-    * bits [4s, 4s+4) — 128 codegen'd 8-dim distances per row, ties to
-    * the lowest code (array_position returns the FIRST minimum).
+    * bits [4s, 4s+4) — ONE fused codegen expression holding the
+    * codebook as a referenced object ([[PqEncode]]), ties to the
+    * lowest code. An earlier composition inlined the codebook as ~128
+    * literal arrays (`array_position(array(graft_l2(...) × 16))` × 8
+    * subspaces) and janino hit its 64 KB method limit, silently
+    * dropping every encode plan out of whole-stage codegen — the
+    * write-path hot loop on a 100 TB corpus running volcano-style.
+    * Same distance arithmetic (forward-accumulated squared diffs,
+    * sqrt) and the same first-minimum tie-break, so codes are
+    * bit-identical to the literal form and the SQL oracle.
     */
   def encodeExpr(vec: Column, cb: Seq[Array[Double]]): Column = {
     require(cb.length == NumCodes, s"expected $NumCodes codebook rows")
-    val subCodes = (0 until NumSub).map { s =>
-      val dists = array(cb.map { c =>
-        graft.functions.vectors.l2Distance(
-          slice(vec, s * SubDim + 1, SubDim),
-          typedLit(c.slice(s * SubDim, s * SubDim + SubDim).toSeq))
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1)
-    }
-    subCodes.zipWithIndex
-      .map { case (c, s) => c * (1L << (4 * s)) }
-      .reduce(_ + _)
+    org.apache.spark.sql.graftshim.Shims.column(PqEncode(
+      org.apache.spark.sql.graftshim.Shims.expression(
+        vec.cast("array<double>")),
+      cb.toArray))
   }
 
   /** Query-side ADC table: table(s)(c) = forward dot of the query's
@@ -1039,6 +1040,82 @@ case class AdcDirect(left: org.apache.spark.sql.catalyst.expressions.Expression,
       l: org.apache.spark.sql.catalyst.expressions.Expression,
       r: org.apache.spark.sql.catalyst.expressions.Expression): AdcDirect =
     copy(left = l, right = r)
+}
+
+/** Packed PQ code of one vector, with the codebook as a referenced
+  * object ([[ProductQuantizer.encodeExpr]]): per subspace, the
+  * argmin-L2 codebook row (forward-accumulated squared diffs + sqrt —
+  * the exact arithmetic of `graft_l2` — ties to the LOWEST code via
+  * the strict-< scan from code 0), packed 4 bits per subspace. One
+  * referenced double[][] instead of 128 inlined literal arrays keeps
+  * the generated method far under janino's 64 KB limit, so encode
+  * stays inside whole-stage codegen.
+  */
+case class PqEncode(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    cb: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  import org.apache.spark.sql.types._
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    PqEncode.encode(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cb)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("cb", cb, "double[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.operators.PqEncode.encode($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): PqEncode =
+    copy(child = c)
+}
+
+object PqEncode {
+  /** Called from generated code. */
+  def encode(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      cb: Array[Array[Double]]): Long = {
+    val vn = v.numElements()
+    var packed = 0L
+    var s = 0
+    while (s < ProductQuantizer.NumSub) {
+      val base = s * ProductQuantizer.SubDim
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ProductQuantizer.NumCodes) {
+        val row = cb(c)
+        // min-length semantics of the slice+graft_l2 composition: a
+        // shorter vector or codebook row compares only the overlap
+        var d = 0.0
+        var j = 0
+        val lim = java.lang.Math.min(
+          java.lang.Math.min(vn, row.length) - base,
+          ProductQuantizer.SubDim)
+        while (j < lim) {
+          val t = v.getDouble(base + j) - row(base + j)
+          d += t * t
+          j += 1
+        }
+        // sqrt to mirror graft_l2 / the oracle's list_distance: the
+        // tie-break compares the SAME rounded values both engines see
+        val dist = java.lang.Math.sqrt(d)
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      packed |= best.toLong << (4 * s)
+      s += 1
+    }
+    packed
+  }
 }
 
 object AdcDirect {

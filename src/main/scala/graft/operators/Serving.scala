@@ -113,6 +113,15 @@ final class Serving private[operators] (
     else if (data.columns.contains("sq_code")) "sq"
     else "raw"
 
+  /** Whether the layout carries the BQ sign-bit companion column —
+    * the 8 B/vector shortlist accelerator next to the raw floats
+    * (not a storage tier of its own: the exact rescore needs the raw
+    * vectors, so BQ rides ON the raw tier). Kept fresh by
+    * [[graft.streaming.IndexMaintenance.appendToServing]], which
+    * derives the codes from the appended vectors itself.
+    */
+  def hasBq: Boolean = data.columns.contains("bq_code")
+
   /** SQ8-tier search — the resident-handle form of the `r_serve_sq`
     * gate: same leaf pruning as [[search]], but the scan kernel is
     * the exact integer dot over packed 1 B/dim codes rescaled by the
@@ -203,6 +212,66 @@ final class Serving private[operators] (
       crowding, metadata)
   }
 
+  /** BQ SHORTLIST-THEN-RESCORE search on the resident handle — the
+    * `v_bq_rerank` shape served live: stage 1 scans the probed
+    * leaves' 8 B/vector sign codes ([[graft.functions.BqDot]]
+    * asymmetric sign-dot — a 32× scan-byte cut vs the raw floats)
+    * and keeps the top-`m` ids; stage 2 broadcast-joins the tiny id
+    * shortlist back to the same pruned candidates and ranks the
+    * survivors by the EXACT float dot — final ordering is exact over
+    * the shortlist, approximation enters only through which ids
+    * survive stage 1 (and, as in all probed serving, which leaves
+    * were probed). `restricts` sit on the pruned scan BEFORE the
+    * shortlist, so both stages see the same filtered candidate set.
+    *
+    * Output — two shapes, like [[searchSq]]: bare = (id, leaf_id,
+    * score) top-k by exact score desc; with `crowding`/`metadata`
+    * the shared serving tail applies ([[codedSingleTail]]) and the
+    * shape is (id, metadata columns…, score, rank) ordered by rank.
+    */
+  def searchBqRerank(query: Array[Double], nProbe: Int, m: Int, k: Int,
+      restricts: Seq[Column] = Nil,
+      crowding: Option[(String, Int)] = None,
+      metadata: Option[(DataFrame, String)] = None): DataFrame = {
+    require(m >= k, s"shortlist m=$m must be ≥ k=$k")
+    require(tier == "raw",
+      s"searchBqRerank: layout at $path is a '$tier' tier — the BQ " +
+        "shortlist rides on raw vectors (exact rescore needs them)")
+    require(hasBq,
+      s"searchBqRerank: layout at $path has no bq_code companion " +
+        "column — build it with graft.functions.bquant.packSigns")
+    import org.apache.spark.sql.functions._
+    import graft.functions.bquant
+    val leaves = model.topLeaves(query, nProbe)
+    val candidates = restricts.foldLeft(
+      data.filter(col("leaf_id").isin(leaves: _*)))((df, p) => df.filter(p))
+    // stage 1: sign-dot shortlist over the 8 B codes; spill copies of
+    // one id collapse (identical codes → identical score, max is a
+    // formality), ties broken by id so the survivor set is
+    // deterministic
+    val shortlist = candidates
+      .select(col(id), bquant.signDot(col("bq_code"),
+        typedLit(query.toSeq)).as("__bq"))
+      .groupBy(col(id)).agg(max(col("__bq")).as("__bq"))
+      .orderBy(col("__bq").desc, col(id))
+      .limit(m)
+      .select(col(id))
+    // stage 2: exact rescore of the m survivors only
+    val rescored = candidates.join(broadcast(shortlist), Seq(id))
+    val scoreCol = graft.functions.vectors.dotProduct(
+      col(vecCol).cast("array<double>"), typedLit(query.toSeq))
+    if (crowding.isEmpty && metadata.isEmpty)
+      rescored
+        .select(col(id), col("leaf_id"), scoreCol.as("score"))
+        .groupBy(col(id))
+        .agg(min(col("leaf_id")).as("leaf_id"),
+          first(col("score")).as("score"))
+        .orderBy(col("score").desc, col(id))
+        .limit(k)
+    else codedSingleTail(rescored, scoreCol, "score", k,
+      crowding, metadata)
+  }
+
   /** The full serving tail (spill collapse → crowding cap → top-k →
     * metadata join) for a SINGLE coded-tier query — identical
     * semantics to the raw path's [[IvfIndex.searchExactDf]] tail
@@ -252,12 +321,17 @@ final class Serving private[operators] (
       docCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
     require(queryVecs.nonEmpty, "searchMaxSim needs ≥ 1 query vector")
+    // same 1024-leaf In-list bound as the batch paths: a large
+    // queryVecs × nProbe product degrades to the full scan (extra
+    // candidates only cost work, never rows) instead of a huge plan
     val leaves = queryVecs.flatMap(q => model.topLeaves(q, nProbe))
       .distinct
+    val pruned = if (leaves.length <= 1024)
+      data.filter(col("leaf_id").isin(leaves: _*)) else data
     val qdf = spark.createDataFrame(
       queryVecs.zipWithIndex.map { case (q, i) => (i, q.toSeq) })
       .toDF("__qidx", "__qv")
-    data.filter(col("leaf_id").isin(leaves: _*))
+    pruned
       .crossJoin(broadcast(qdf))
       .groupBy(col(docCol), col("__qidx"))
       .agg(max(graft.functions.vectors.dotProduct(col(vecCol),
@@ -287,15 +361,19 @@ final class Serving private[operators] (
     require(tier == "sq",
       s"searchMaxSimSq: layout at $path is a '$tier' tier, not SQ8")
     require(queryVecs.nonEmpty, "searchMaxSimSq needs ≥ 1 query vector")
+    // same 1024-leaf In-list bound as the batch paths (see
+    // [[searchMaxSim]])
     val leaves = queryVecs.flatMap(q => model.topLeaves(q, nProbe))
       .distinct
+    val pruned = if (leaves.length <= 1024)
+      data.filter(col("leaf_id").isin(leaves: _*)) else data
     val qdf = spark.createDataFrame(
       queryVecs.zipWithIndex.map { case (q, i) =>
         val (ma, pk) = quantize.packLocal(q)
         (i, ma, pk)
       })
       .toDF("__qidx", "__qma", "__qpk")
-    data.filter(col("leaf_id").isin(leaves: _*))
+    pruned
       .crossJoin(broadcast(qdf))
       .groupBy(col(docCol), col("__qidx"))
       .agg(max(quantize.score(
@@ -732,8 +810,7 @@ final class Serving private[operators] (
       return searchBatchPerQuery(queries, qid, qvecCol, allowCol, attrs,
         nProbe, k, restricts, crowding, metadata, kCol, capCol)
 
-    val mkey = coalesce(to_json(col(allowCol)), lit("null"))
-    val keyed = queries.withColumn("__mkey", mkey)
+    val keyed = queries.withColumn("__mkey", allowKey(allowCol))
     val exactKeys = exactMaps.map(_._1)
     val probedUnique = perQueryProbedUnique(
       keyed.filter(!col("__mkey").isin(exactKeys: _*)).drop("__mkey"),
@@ -957,9 +1034,8 @@ final class Serving private[operators] (
       maxDistinctMaps: Int, maxExactMaps: Int = 32)
       : Seq[(String, Map[String, Seq[String]])] = {
     import org.apache.spark.sql.functions._
-    val mkey = coalesce(to_json(col(allowCol)), lit("null"))
     val distinctMaps = queries
-      .select(mkey.as("__mkey"), col(allowCol).as("__allow"))
+      .select(allowKey(allowCol).as("__mkey"), col(allowCol).as("__allow"))
       .groupBy("__mkey").agg(first("__allow").as("__allow"))
       .limit(maxDistinctMaps + 1).collect()
     if (distinctMaps.length > maxDistinctMaps) return Nil
@@ -1049,13 +1125,40 @@ final class Serving private[operators] (
       .map(t => (t._1, t._2, t._3))
   }
 
+  /** The allow-map in CANONICAL form — entries sorted by key, each
+    * value list sorted — so two logically-equal maps whose internal
+    * key or value order differs serialize to ONE distinct key. Without
+    * this a single logical constraint could occupy several of the
+    * bounded exact-escape slots and add redundant scan branches
+    * (results stay correct either way — routing is self-consistent
+    * per key — this is purely plan economy). */
+  private def canonAllow(allowCol: String): Column = {
+    import org.apache.spark.sql.functions._
+    array_sort(transform(map_entries(col(allowCol)), e =>
+      struct(e.getField("key").as("key"),
+        array_sort(e.getField("value")).as("value"))))
+  }
+
+  /** The distinct-constraint key of the allow-only adaptive split —
+    * shared by [[collectExactMaps]] and
+    * [[searchBatchPerQueryAdaptive]] so the two sides can never
+    * disagree on which queries escaped. Canonicalized
+    * ([[canonAllow]]). */
+  private def allowKey(allowCol: String): Column = {
+    import org.apache.spark.sql.functions._
+    coalesce(to_json(canonAllow(allowCol)), lit("null"))
+  }
+
   /** The distinct-constraint key spanning BOTH per-query columns —
     * shared by [[collectExactSets]] and the adaptive split so the
-    * two sides can never disagree on which queries escaped. */
+    * two sides can never disagree on which queries escaped.
+    * Canonicalized on both sides: allow entries via [[canonAllow]],
+    * restriction tuples sorted (the set is ANDed — order carries no
+    * meaning). */
   private def combinedKey(allowCol: String, numCol: String): Column = {
     import org.apache.spark.sql.functions._
-    coalesce(to_json(struct(col(allowCol).as("a"),
-      col(numCol).as("n"))), lit("{}"))
+    coalesce(to_json(struct(canonAllow(allowCol).as("a"),
+      array_sort(col(numCol)).as("n"))), lit("{}"))
   }
 
   /** ONE allow-map's constraints as pushed scan predicates — what the
@@ -1064,18 +1167,34 @@ final class Serving private[operators] (
     * on, so alongside the exact string predicate each numeric
     * attribute also pushes the IMPLIED typed equality-disjunction: a
     * numeric row whose string form is listed must carry one of the
-    * listed parsed values (numeric string forms round-trip), so the
-    * extra conjunct never drops a matching row — and IT is what the
-    * manifest's In-aware stats skipping and the parquet footers
-    * prune with.
+    * listed parsed values, so the extra conjunct never drops a
+    * matching row — and IT is what the manifest's In-aware stats
+    * skipping and the parquet footers prune with. "Never drops" only
+    * holds when the parse is EXACT in the column's own type: integral
+    * columns parse as Long and decimals as BigDecimal (a double
+    * round-trip would map 2^53+1 to 2^53 and silently drop the real
+    * id from a snowflake-style allow-list); values that don't parse
+    * in the column's type can't equal any column value's string form,
+    * so omitting them from the typed disjunction is lossless.
     */
   private def allowMapPredicates(
       m: Map[String, Seq[String]]): Seq[Column] = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     m.toSeq.flatMap { case (a, vs) =>
       val exactPred = col(a).cast("string").isin(vs: _*)
       val typed = data.schema.find(_.name == a).map(_.dataType) match {
-        case Some(dt: org.apache.spark.sql.types.NumericType) =>
+        case Some(dt @ (ByteType | ShortType | IntegerType | LongType)) =>
+          val lits = vs.flatMap(v =>
+            scala.util.Try(v.trim.toLong).toOption)
+            .map(l => lit(l).cast(dt))
+          if (lits.nonEmpty) Some(col(a).isin(lits: _*)) else None
+        case Some(dt: DecimalType) =>
+          val lits = vs.flatMap(v =>
+            scala.util.Try(BigDecimal(v.trim)).toOption)
+            .map(d => lit(d).cast(dt))
+          if (lits.nonEmpty) Some(col(a).isin(lits: _*)) else None
+        case Some(dt @ (FloatType | DoubleType)) =>
           val lits = vs.flatMap(v =>
             scala.util.Try(v.trim.toDouble).toOption)
             .map(d => lit(d).cast(dt))
@@ -1277,8 +1396,7 @@ final class Serving private[operators] (
 
     val cb = ProductQuantizer.loadCodebook(spark, path)
     val rot = ProductQuantizer.loadRotation(spark, path)
-    val mkey = coalesce(to_json(col(allowCol)), lit("null"))
-    val keyed = queries.withColumn("__mkey", mkey)
+    val keyed = queries.withColumn("__mkey", allowKey(allowCol))
     val exactKeys = exactMaps.map(_._1)
     val probedUnique = adcProbedUnique(
       keyed.filter(!col("__mkey").isin(exactKeys: _*)).drop("__mkey"),
@@ -1452,8 +1570,7 @@ final class Serving private[operators] (
       return searchBatchSq(queries, qid, qvecCol, nProbe, k, restricts,
         crowding, metadata, Some(allowCol), attrs, kCol, capCol)
 
-    val mkey = coalesce(to_json(col(allowCol)), lit("null"))
-    val keyed = queries.withColumn("__mkey", mkey)
+    val keyed = queries.withColumn("__mkey", allowKey(allowCol))
     val exactKeys = exactMaps.map(_._1)
     val probedUnique = sqProbedUnique(
       keyed.filter(!col("__mkey").isin(exactKeys: _*)).drop("__mkey"),

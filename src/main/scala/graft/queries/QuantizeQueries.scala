@@ -1069,8 +1069,120 @@ object QuantizeQueries {
       .limit(10)
   }
 
+  /** BQ as a SERVED tier — the shortlist rung live on the resident
+    * handle, driver-gated end to end: build an IVF layout whose rows
+    * carry the 8 B/vector sign-bit companion column
+    * ([[graft.functions.bquant.packSigns]]), stream TWO upsert
+    * families through [[graft.streaming.IndexMaintenance.appendToServing]]
+    * (brand-new ids with doubled vectors, and RE-EMBEDS of existing
+    * ids with negated vectors at a higher version — sign patterns
+    * fully flipped), then serve
+    * [[graft.operators.Serving.searchBqRerank]]: sign-dot shortlist
+    * top-30 over the probed leaves' codes, broadcast back, exact
+    * float rescore top-10. The append path derives the sign codes
+    * from the appended vectors ITSELF, so the re-embedded rows must
+    * shortlist by their NEW signs (stale codes would rank them first
+    * for this query instead of last) — that freshness is what the
+    * hash gate proves. The oracle replays the whole lifecycle: LWW
+    * resolve, per-provenance leaf assignment (build spill 2, append
+    * spill 1), query probe, sign-dot shortlist, exact rescore.
+    */
+  private val rServeBq = QueryDef.sqlChecked("r_serve_bq")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v, " +
+      "1 AS version FROM embeddings), " +
+      "up AS (SELECT vec_id + 200000 AS vec_id, " +
+      "list_transform(v, x -> 2*x) AS v, 1 AS version FROM base " +
+      "WHERE vec_id % 40 = 11 " +
+      "UNION ALL SELECT vec_id, list_transform(v, x -> -x), 2 " +
+      "FROM base WHERE vec_id % 30 = 7), " +
+      "delta AS (SELECT vec_id, max(version) AS latest FROM up " +
+      "GROUP BY vec_id), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings " +
+      "WHERE vec_id = 7), " +
+      // build rows that survive LWW keep their spill-2 assignment;
+      // appended rows (both families) assign spill-1 on their OWN
+      // vectors
+      "liveb AS (SELECT b.vec_id, b.v FROM base b LEFT JOIN delta d " +
+      "ON b.vec_id = d.vec_id WHERE d.latest IS NULL), " +
+      "assignb AS (SELECT vec_id, v, cid AS leaf_id FROM (" +
+      "SELECT l.vec_id, l.v, c.cid, row_number() OVER (" +
+      "PARTITION BY l.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(l.v, c.cv), c.cid) AS rn " +
+      "FROM liveb l, cent c) WHERE rn <= 2), " +
+      "assignu AS (SELECT vec_id, v, cid AS leaf_id FROM (" +
+      "SELECT u.vec_id, u.v, c.cid, row_number() OVER (" +
+      "PARTITION BY u.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(u.v, c.cv), c.cid) AS rn " +
+      "FROM up u JOIN delta d ON u.vec_id = d.vec_id " +
+      "AND u.version = d.latest, cent c) WHERE rn <= 1), " +
+      "assign AS (SELECT * FROM assignb UNION ALL SELECT * FROM assignu), " +
+      "probe AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (" +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2), " +
+      "cand AS (SELECT DISTINCT a.vec_id, a.v FROM assign a " +
+      "JOIN probe p ON a.leaf_id = p.cid), " +
+      "sl AS (SELECT vec_id, v FROM (SELECT vec_id, v, " +
+      "row_number() OVER (ORDER BY list_inner_product(" +
+      "list_transform(v, x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END), " +
+      "q.qv) DESC, vec_id) AS rn FROM cand, q) WHERE rn <= 30) " +
+      "SELECT vec_id, list_inner_product(sl.v, q.qv) AS score " +
+      "FROM sl, q ORDER BY score DESC, vec_id LIMIT 10"
+  ) { (s, d) =>
+    import graft.operators.IvfIndex
+    import graft.streaming.IndexMaintenance
+    import graft.functions.bquant
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val query = base.filter(col("vec_id") === 7)
+      .select(col("v")).head().getSeq[Double](0).toArray
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servebq_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val indexed = base
+      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 2)))
+      .withColumn("bq_code", bquant.packSigns(col("v")))
+    IvfIndex.write(indexed, servePath.toString, model)
+    graft.operators.ServingManifest.promote(s, servePath.toString,
+      Seq("version"))
+
+    // two upsert families in ONE batch: new ids (doubled — same sign
+    // pattern, double the score) and re-embeds (negated — every sign
+    // flips, so stale codes would invert their shortlist rank)
+    val planted = base.filter(col("vec_id") % 40 === 11)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => x * 2))
+      .unionByName(base.filter(col("vec_id") % 30 === 7)
+        .withColumn("v", transform(col("v"), x => -x))
+        .withColumn("version", lit(2)))
+    IndexMaintenance.appendToServing(s, servePath.toString, planted,
+      "vec_id", "v", "version", spill = 1)
+
+    val serving = graft.operators.Serving.open(s, servePath.toString,
+      id = "vec_id", vecCol = "v")
+    require(serving.hasBq && serving.tier == "raw",
+      "r_serve_bq: the layout must be raw + bq companion")
+    serving.searchBqRerank(query, nProbe = 2, m = 30, k = 10)
+      .select(col("vec_id"), col("score"))
+  }
+
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
     vPqBatch, vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq,
     rServeSqFull, rServeSqPerQuery, rServeSqPAdaptive, vMaxsimSq,
-    vBqSearch, vBqRerank, vBqHamming)
+    vBqSearch, vBqRerank, vBqHamming, rServeBq)
 }

@@ -1815,7 +1815,7 @@ object ReferencePipeline {
     * constrains lists the row's value (the reference's restricts are
     * per-namespace filters ANDed across namespaces,
     * setup_vector_search.py:45-62). Three tenants: qid 7 constrains
-    * BOTH label {3,7} AND an explicit vec_id allow-list — only rows
+    * BOTH label {9,0} AND an explicit vec_id allow-list — only rows
     * satisfying both survive; qid 21 constrains vec_id only; qid 33
     * is unrestricted (NULL map). Same routed batch plan as
     * `r_serve_restricts`; the oracle replicates the two-attribute
@@ -2347,11 +2347,131 @@ object ReferencePipeline {
       Seq("version"), nProbe = 2, k = 10, maxExactFraction = 0.35)
   }
 
+  /** PER-QUERY NUMERIC restricts, driver-gated — the reference
+    * attaches numeric restrictions per datapoint and filters on them
+    * per request (`NumericRestriction` name + value + comparison op,
+    * /root/reference/vector_store/setup_vector_search.py:41-77); here
+    * each query row of one batch carries its own `(attr, op, v)` set
+    * ANDed together, COMPOSED with its categorical allow-map, on the
+    * selectivity-adaptive surface
+    * ([[graft.operators.Serving.searchBatchPerQueryAdaptive]] with
+    * `numCol`). Setup mirrors `r_serve_padaptive`: negated vectors
+    * appended at version 2 live in leaves a probe for the positive
+    * query ranks last. Two tenants: qid 0 carries a RANGE restriction
+    * (version GE 2.0) and no allow-map — only the appended file can
+    * satisfy it, the manifest stats prove it selective, and the gate
+    * REQUIREs its escape to the exact plan (full recall over the
+    * planted rows the probed plan provably misses); qid 21 carries an
+    * EQ restriction (version EQ 1.0, every build file — provably
+    * unselective, REQUIREd to stay probed) composed with a bucket
+    * allow-map, so the probed side exercises the allow ∧ numeric
+    * conjunction per candidate pair. The oracle replays both plans'
+    * value semantics (doubles-compare, null-rejecting) and the driver
+    * hash-checks every row.
+    */
+  private val rServeNumR = QueryDef.sqlChecked("r_serve_numr")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v, " +
+      "1 AS version, vec_id % 10 AS bucket FROM embeddings), " +
+      "b1 AS (SELECT vec_id + 200000 AS vec_id, " +
+      "list_transform(v, x -> -x) AS v, 2 AS version, bucket FROM base " +
+      "WHERE vec_id % 30 = 7), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (0,21)), " +
+      // qid 0's exact escape: version >= 2.0 keeps exactly the
+      // appended rows, every (qualifying row, query) pair scores
+      "ex AS (SELECT q.qid, b.vec_id, list_inner_product(b.v, q.qv) AS score " +
+      "FROM b1 b JOIN q ON q.qid = 0 " +
+      "WHERE cast(b.version as double) >= 2.0), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn <= 2), " +
+      "probe AS (SELECT qid, cid FROM (SELECT q.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2 AND qid = 21), " +
+      // qid 21's probed plan: allow-map on bucket AND version EQ 1.0
+      // per candidate pair — planted rows fail the EQ, base rows need
+      // an odd allowed bucket
+      "pr AS (SELECT p.qid, b.vec_id, " +
+      "max(list_inner_product(b.v, q.qv)) AS score " +
+      "FROM base b JOIN assign a ON b.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid JOIN q ON q.qid = p.qid " +
+      "WHERE cast(b.bucket as varchar) IN ('1','3','5','9') " +
+      "AND cast(b.version as double) = 1.0 " +
+      "GROUP BY p.qid, b.vec_id), " +
+      "allc AS (SELECT * FROM ex UNION ALL SELECT * FROM pr), " +
+      "ranked AS (SELECT qid, vec_id, score, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM allc) " +
+      "SELECT qid, vec_id, score, cast(rn as bigint) AS rn FROM ranked " +
+      "WHERE rn <= 10 ORDER BY qid, rn"
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.IndexMaintenance
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      lit(1).as("version"), (col("vec_id") % 10).as("bucket"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servenumr_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val indexed = base.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, servePath.toString, model)
+    graft.operators.ServingManifest.promote(s, servePath.toString,
+      Seq("version", "bucket"))
+    val planted = base.filter(col("vec_id") % 30 === 7)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2))
+    IndexMaintenance.appendToServing(s, servePath.toString, planted,
+      "vec_id", "v", "version", spill = 1)
+
+    val serving = graft.operators.Serving.open(s, servePath.toString,
+      id = "vec_id", vecCol = "v")
+    require(serving.perQueryAdaptivePlanNum(Map.empty,
+      Seq(("version", "GE", 2.0)), 0.35),
+      "r_serve_numr: the GE-2 restriction set must pick the exact plan")
+    require(!serving.perQueryAdaptivePlanNum(
+      Map("bucket" -> Seq("1", "3", "5", "9")),
+      Seq(("version", "EQ", 1.0)), 0.35),
+      "r_serve_numr: the EQ-1 set (every build file) must stay probed")
+    val tenants = Seq(
+      (0L, None: Option[Map[String, Seq[String]]],
+        Seq(("version", "GE", 2.0))),
+      (21L, Some(Map("bucket" -> Seq("1", "3", "5", "9"))),
+        Seq(("version", "EQ", 1.0))))
+      .toDF("qid", "allow", "num")
+      .withColumn("num", expr("transform(num, r -> " +
+        "named_struct('attr', r._1, 'op', r._2, 'v', r._3))"))
+    val queries = base.filter(col("vec_id").isin(0L, 21L))
+      .select(col("vec_id").as("qid"), col("v")).join(tenants, "qid")
+    serving.searchBatchPerQueryAdaptive(queries, "qid", "v", "allow",
+      Seq("bucket"), nProbe = 2, k = 10, maxExactFraction = 0.35,
+      numCol = Some("num"), numAttrs = Seq("version"))
+  }
+
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
     rServeManifest, rServeSnapshot, rServeCdc, rServeClone, rServeBatch,
     rServeRestricts, rServeAllow2, rServePerQuery, rServePAdaptive,
-    rServeLive,
+    rServeNumR, rServeLive,
     rServeDelete, rServePrefilter, rRebalance, vAnnBuild, vAnnCertified,
     vMaxsimPruned, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
     vAnnRouted, vAnnRecallCurve, vKnnJoin)

@@ -71,11 +71,21 @@ object IndexMaintenance {
     val model = IvfIndex.load(spark, servePath)
     val layoutCols = graft.operators.ServingManifest.openOrRead(spark, servePath)
       .columns.sorted.toSeq
+    // a layout carrying the BQ sign-bit companion column derives it
+    // HERE, from the appended vectors themselves — never from the
+    // batch (a caller-supplied column could be stale and the
+    // shortlist would silently rank re-embedded rows by their OLD
+    // signs). Freshness is by construction, not convention.
+    val coded =
+      if (layoutCols.contains("bq_code"))
+        batch.withColumn("bq_code", graft.functions.bquant.packSigns(
+          col(vecCol).cast("array<double>")))
+      else batch
     // probeExprF32: identical to probeExpr below the router threshold
     // (exact flat branch); past it the assignment matrix is broadcast
     // float32 — an upsert batch against a 10⁶-leaf index must not
     // ship per-task double-matrix copies
-    val assigned = batch
+    val assigned = coded
       .withColumn("leaf_id",
         explode(IvfIndex.probeExprF32(model,
           col(vecCol).cast("array<double>"), math.max(1, spill))))

@@ -60,4 +60,91 @@ class BqSpec extends SparkTestBase {
           s"pack mismatch for ${v.take(4).mkString(",")}…")
       }
   }
+
+  // -------- the SERVED tier (r_serve_bq is the oracle-gated twin) ----
+
+  private def buildBqLayout(): (graft.operators.Serving, String) = {
+    import graft.operators.{IvfIndex, Serving, ServingManifest}
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val (indexed0, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val indexed = indexed0.withColumn("bq_code", bquant.packSigns(col("v")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bq_serve").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    ServingManifest.promote(spark, dir, Seq("version"))
+    (Serving.open(spark, dir, id = "vec_id", vecCol = "v"), dir)
+  }
+
+  test("appendToServing derives FRESH sign codes from the appended " +
+      "vectors (a stale caller-supplied column cannot poison the tier)") {
+    import graft.streaming.IndexMaintenance
+    val (serving, dir) = buildBqLayout()
+    assert(serving.hasBq && serving.tier == "raw")
+    // re-embed a handful of ids with NEGATED vectors: every sign flips
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(2L).as("version"))
+    val reembeds = emb.filter(col("vec_id") % 50 === 3)
+      .withColumn("v", transform(col("v"), x => -x))
+    IndexMaintenance.appendToServing(spark, dir, reembeds,
+      "vec_id", "v", "version", spill = 1)
+    val live = graft.operators.Serving.open(spark, dir,
+      id = "vec_id", vecCol = "v")
+    val rows = live.data.filter(col("vec_id") % 50 === 3)
+      .select(col("vec_id"), col("v"), col("bq_code")).distinct().collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val bits = r.getAs[Array[Byte]](2)
+      assert(java.util.Arrays.equals(bits, PackSign.packLocal(v)),
+        s"stale sign codes served for vec_id=${r.getLong(0)}")
+    }
+  }
+
+  test("searchBqRerank with an admit-everything shortlist == the raw " +
+      "probed search; a tight shortlist still ranks survivors exactly") {
+    val (serving, _) = buildBqLayout()
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // m ≥ candidate count → stage 1 admits everything → identical to
+    // the raw probed top-k (same tie-breaks)
+    val viaBq = rows(serving.searchBqRerank(q, nProbe = 3,
+      m = 100000, k = 10))
+    val viaRaw = serving.search(q, nProbe = 3, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(viaBq == viaRaw,
+      s"admit-all shortlist must reduce to the raw search:\n$viaBq\n$viaRaw")
+    // tight m: the final ranking over the survivors is the exact dot
+    val tight = serving.searchBqRerank(q, nProbe = 3, m = 12, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(tight.length == 10)
+    assert(tight.map(_._2).toSeq == tight.map(_._2).sorted.reverse.toSeq,
+      "survivor scores must come out in exact descending order")
+  }
+
+  test("searchBqRerank guards: wrong tier and missing companion " +
+      "column fail loudly") {
+    import graft.operators.{IvfIndex, Serving}
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bq_guard").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val noBq = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+    assert(!noBq.hasBq)
+    val q = Array.fill(64)(0.1)
+    val e = intercept[IllegalArgumentException] {
+      noBq.searchBqRerank(q, nProbe = 2, m = 20, k = 10)
+    }
+    assert(e.getMessage.contains("no bq_code companion"))
+    val e2 = intercept[IllegalArgumentException] {
+      noBq.searchBqRerank(q, nProbe = 2, m = 5, k = 10)
+    }
+    assert(e2.getMessage.contains("must be"))
+  }
 }

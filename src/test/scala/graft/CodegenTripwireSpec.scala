@@ -15,6 +15,51 @@ package graft
   */
 class CodegenTripwireSpec extends SparkTestBase {
 
+  /** Capture every message ≥ INFO from the two loggers that announce
+    * whole-stage de-compilation. `fallback=false` makes a janino
+    * FAILURE throw, but two degradation paths still only LOG and run
+    * the child plans un-fused: the 64 KB method-size fallback
+    * (round-11: `encodeExpr`'s 128 inlined codebook literals — plans
+    * de-compiled while every individual expression still compiled,
+    * so CODEGEN_ONLY stayed green) and the hugeMethodLimit JIT
+    * warning. This makes the third instance of the silent
+    * de-compilation class (MatVec r9, PqEncode r11) the last.
+    */
+  private def withCodegenWarningCapture[A](body: => A)
+      : (A, Seq[String]) = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, Logger => CoreLogger}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new AbstractAppender("graft-codegen-tripwire", null, null,
+        false, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit = {
+        captured.add(e.getMessage.getFormattedMessage); ()
+      }
+    }
+    app.start()
+    val loggers = Seq(
+      "org.apache.spark.sql.execution.WholeStageCodegenExec",
+      "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+      .map(n => LogManager.getLogger(n).asInstanceOf[CoreLogger])
+    val prevLevels = loggers.map(_.getLevel)
+    loggers.foreach { l => l.addAppender(app); l.setLevel(Level.INFO) }
+    try {
+      val a = body
+      (a, captured.toArray(Array.empty[String]).toSeq)
+    } finally {
+      loggers.zip(prevLevels).foreach { case (l, lv) =>
+        l.removeAppender(app); l.setLevel(lv)
+      }
+      app.stop()
+    }
+  }
+
+  private val decompiled = java.util.regex.Pattern.compile(
+    "(?i)grows beyond|whole-stage codegen disabled|" +
+      "too long generated codes|failed to compile")
+
   private def withCodegenOnly[A](body: => A): A = {
     val factoryKey = "spark.sql.codegen.factoryMode"
     val fallbackKey = "spark.sql.codegen.fallback"
@@ -50,10 +95,35 @@ class CodegenTripwireSpec extends SparkTestBase {
     withCodegenOnly {
       for (q <- graft.queries.Registry.all) {
         withClue(s"query ${q.name} de-compiled or failed under CODEGEN_ONLY: ") {
-          val n = q.fn(spark, sf).count()
-          assert(n >= 0)
+          val (_, warnings) = withCodegenWarningCapture {
+            val n = q.fn(spark, sf).count()
+            assert(n >= 0)
+          }
+          val hits = warnings.filter(m => decompiled.matcher(m).find())
+          assert(hits.isEmpty,
+            s"whole-stage codegen silently disabled:\n${hits.mkString("\n")}")
         }
       }
+    }
+  }
+
+  test("PQ encode stays inside whole-stage codegen (regression: 64 KB " +
+      "method limit from 128 inlined codebook literals)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cb = graft.operators.ProductQuantizer
+      .trainCodebooks(emb, "vec_id", "v", maxSample = 200, iters = 3)
+    withCodegenOnly {
+      val (n, warnings) = withCodegenWarningCapture {
+        emb.select(col("vec_id"),
+          graft.operators.ProductQuantizer.encodeExpr(col("v"), cb)
+            .as("code")).count()
+      }
+      assert(n > 0)
+      val hits = warnings.filter(m => decompiled.matcher(m).find())
+      assert(hits.isEmpty,
+        s"PQ encode de-compiled:\n${hits.mkString("\n")}")
     }
   }
 }

@@ -587,6 +587,212 @@ class ServingShapeSpec extends SparkTestBase {
       "the unrestricted query's probed ADC results must be unchanged")
   }
 
+  test("searchBatchPerQuery with numeric restricts == per-query " +
+      "searchBatch with the equivalent column comparisons") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shape_numr").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val serving = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+
+    // one tenant per comparison family: EQ, a range pair (GE ∧ LT),
+    // NE, and an unrestricted NULL set — all in ONE batch, each
+    // composed with the shared column restrict
+    val numOf = Map(
+      3L -> Seq(("label", "EQ", 4.0)),
+      7L -> Seq(("label", "GE", 2.0), ("label", "LT", 7.0)),
+      21L -> Seq(("label", "NE", 0.0)),
+      42L -> Seq.empty[(String, String, Double)])
+    val nums = numOf.toSeq.toDF("qid", "num")
+      .withColumn("num", when(size(col("num")) > 0, expr(
+        "transform(num, r -> " +
+          "named_struct('attr', r._1, 'op', r._2, 'v', r._3))")))
+    val queries = emb.filter(col("vec_id").isin(numOf.keys.toSeq: _*))
+      .select(col("vec_id").as("qid"), col("v")).join(nums, "qid")
+      .withColumn("allow",
+        lit(null).cast("map<string,array<string>>"))
+    val meta = emb.select("vec_id", "label")
+
+    val got = serving.searchBatchPerQuery(queries, "qid", "v", "allow",
+        Seq("label"), nProbe = 3, k = 5,
+        restricts = Seq(col("vec_id") >= 10),
+        metadata = Some((meta, "vec_id")),
+        numCol = Some("num"), numAttrs = Seq("label"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(4))
+        .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq).toMap
+    assert(got.keySet == numOf.keySet)
+
+    def colForm(t: (String, String, Double)): org.apache.spark.sql.Column = {
+      val (a, op, v) = t
+      val c = col(a).cast("double")
+      op match {
+        case "EQ" => c === v; case "NE" => c =!= v
+        case "LT" => c < v; case "LE" => c <= v
+        case "GT" => c > v; case "GE" => c >= v
+      }
+    }
+    for ((qid, set) <- numOf) {
+      val one = queries.filter(col("qid") === qid).drop("allow", "num")
+      val per = serving.searchBatch(one, "qid", "v", 3, 5,
+          Seq(col("vec_id") >= 10) ++ set.map(colForm),
+          None, Some((meta, "vec_id")))
+        .collect().sortBy(_.getLong(4))
+        .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+      assert(got(qid) == per,
+        s"per-query numeric set and equivalent column restricts " +
+          s"diverge for $qid:\nnum=${got(qid)}\ncol=$per")
+      // the restriction actually constrains the rows it returns
+      set.foreach { case (_, op, v) => got(qid).foreach { case (_, l, _) =>
+        op match {
+          case "EQ" => assert(l.toDouble == v)
+          case "NE" => assert(l.toDouble != v)
+          case "LT" => assert(l.toDouble < v)
+          case "GE" => assert(l.toDouble >= v)
+          case _ => ()
+        }
+      }}
+    }
+    // construction check: the four tenants are visibly different
+    assert(got.values.map(_.map(_._1).toSet).toSet.size > 1)
+  }
+
+  test("numeric-restrict adaptive escape: a selective range set " +
+      "escapes the probed plan and recovers rows from unprobed leaves") {
+    import graft.operators.ServingManifest
+    import graft.streaming.IndexMaintenance
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shape_numradapt").toString + "/idx"
+    val indexed = emb.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, dir, model)
+    ServingManifest.promote(spark, dir, Seq("version"))
+    val planted = emb.filter(col("vec_id") % 30 === 7)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2))
+    IndexMaintenance.appendToServing(spark, dir, planted, "vec_id", "v",
+      "version", spill = 1)
+    val serving = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+
+    val sel = Seq(("version", "GE", 2.0))
+    assert(serving.perQueryAdaptivePlanNum(Map.empty, sel, 0.35),
+      "the GE-2 set must be proven selective by file stats")
+    assert(!serving.perQueryAdaptivePlanNum(Map.empty,
+      Seq(("version", "EQ", 1.0)), 0.35),
+      "the EQ-1 set (every build file) must stay on the probed plan")
+
+    val tenants = Seq(
+      (0L, Seq(("version", "GE", 2.0))),
+      (21L, Seq.empty[(String, String, Double)])).toDF("qid", "num")
+      .withColumn("num", when(size(col("num")) > 0, expr(
+        "transform(num, r -> " +
+          "named_struct('attr', r._1, 'op', r._2, 'v', r._3))")))
+    val queries = emb.filter(col("vec_id").isin(0L, 21L))
+      .select(col("vec_id").as("qid"), col("v")).join(tenants, "qid")
+      .withColumn("allow", lit(null).cast("map<string,array<string>>"))
+
+    def ids(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val adaptive = ids(serving.searchBatchPerQueryAdaptive(queries,
+      "qid", "v", "allow", Seq.empty, nProbe = 2, k = 10,
+      maxExactFraction = 0.35, numCol = Some("num"),
+      numAttrs = Seq("version")))
+    val plain = ids(serving.searchBatchPerQuery(queries, "qid", "v",
+      "allow", Seq.empty, nProbe = 2, k = 10, numCol = Some("num"),
+      numAttrs = Seq("version")))
+
+    // the restricted tenant: full recall — the true filtered top-10
+    val exact = serving.data.filter(col("version").cast("double") >= 2.0)
+      .select(col("vec_id"),
+        graft.functions.vectors.dotProduct(col("v"), typedLit(
+          emb.filter(col("vec_id") === 0L).select("v")
+            .head().getSeq[Double](0))).as("score"))
+      .groupBy("vec_id").agg(max("score").as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(adaptive(0L) == exact,
+      s"adaptive must return the exact filtered top-k:\n" +
+        s"got=${adaptive(0L)}\nexact=$exact")
+    assert(plain.getOrElse(0L, Set.empty) != exact,
+      "setup: the probed plan must actually miss planted rows — " +
+        "otherwise this spec proves nothing")
+    assert(adaptive(21L) == plain(21L),
+      "the unrestricted query's probed results must be unchanged")
+  }
+
+  test("a numeric restriction outside numAttrs or with an unknown op " +
+      "fails loudly on both the probed and the adaptive path") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shape_numrbad").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val serving = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    def queriesWith(set: Seq[(String, String, Double)]) =
+      emb.filter(col("vec_id") === 3L)
+        .select(col("vec_id").as("qid"), col("v"))
+        .join(Seq((3L, set)).toDF("qid", "num"), "qid")
+        .withColumn("num", expr("transform(num, r -> " +
+          "named_struct('attr', r._1, 'op', r._2, 'v', r._3))"))
+        .withColumn("allow", lit(null).cast("map<string,array<string>>"))
+
+    // "lable" is a typo for an attribute the caller forgot to
+    // enumerate — without validation the restriction is a no-op and
+    // the tenant's rows leak unfiltered
+    val badAttr = intercept[Exception] {
+      serving.searchBatchPerQuery(queriesWith(Seq(("lable", "EQ", 4.0))),
+        "qid", "v", "allow", Seq.empty, nProbe = 3, k = 5,
+        numCol = Some("num"), numAttrs = Seq("label")).collect()
+    }
+    assert(messages(badAttr).exists(
+      _.contains("numeric restriction outside numAttrs")),
+      s"expected the attr contract violation, got: $badAttr")
+    // an unknown operator would silently reject everything
+    val badOp = intercept[Exception] {
+      serving.searchBatchPerQuery(queriesWith(Seq(("label", "EQQ", 4.0))),
+        "qid", "v", "allow", Seq.empty, nProbe = 3, k = 5,
+        numCol = Some("num"), numAttrs = Seq("label")).collect()
+    }
+    assert(messages(badOp).exists(
+      _.contains("numeric restriction outside numAttrs")),
+      s"expected the op contract violation, got: $badOp")
+    // the ADAPTIVE path validates on the DRIVER (collectExactSets)
+    // before any plan runs
+    val badAdaptive = intercept[Exception] {
+      serving.searchBatchPerQueryAdaptive(
+        queriesWith(Seq(("lable", "EQ", 4.0))), "qid", "v", "allow",
+        Seq.empty, nProbe = 3, k = 5, numCol = Some("num"),
+        numAttrs = Seq("label")).collect()
+    }
+    assert(messages(badAdaptive).exists(
+      _.contains("numeric restriction outside")),
+      s"expected the adaptive contract violation, got: $badAdaptive")
+    // a well-formed set still passes through validation unchanged
+    val good = serving.searchBatchPerQuery(
+      queriesWith(Seq(("label", "EQ", 4.0))), "qid", "v", "allow",
+      Seq.empty, nProbe = 3, k = 5, numCol = Some("num"),
+      numAttrs = Seq("label")).collect()
+    assert(good.nonEmpty)
+    good.foreach(r => assert(
+      emb.filter(col("vec_id") === r.getLong(1)).head().getInt(2) == 4))
+  }
+
   test("an allow-map key outside attrs fails loudly instead of " +
       "silently returning unfiltered rows") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
