@@ -1105,6 +1105,91 @@ object ScaleProbe {
         f"append_med=${tAppend(tAppend.length / 2)}%.2f s " +
         f"query_raw_med=${tR(5)}%.3f s query_sq_med=${tS(5)}%.3f s " +
         f"relerr_med=${re(re.length / 2)}%.2e relerr_max=${re.last}%.2e")
+    } else if (args(0) == "bqtier") {
+      // BQ serving-tier economics: the sign-bit companion column's
+      // disk cost on top of raw (8 B/vector — BQ rides ON raw, the
+      // rescore needs the floats), the shortlist-then-rescore query
+      // vs the raw probed top-k at the same probe width, the
+      // append-path cost of deriving fresh codes, and shortlist
+      // recall (top-10 of the rescored result vs the raw exact
+      // top-10 over the same probed leaves — the rescore is exact,
+      // so any miss is a stage-1 shortlist miss).
+      // usage: bqtier <n> <numLeaves> <m>
+      val n = args(1).toLong; val leaves0 = args(2).toInt
+      val m = args(3).toInt
+      val dim = 64
+      import graft.functions.bquant
+      val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, dim, 200)
+        .withColumn("version", lit(1L))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      v.count()
+      val (indexed, model) = graft.operators.IvfIndex.build(v,
+        "vec_id", "embedding", numLeaves = leaves0, maxFitRows = 20000L)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bqtier_probe").toString
+      val rawPath = base + "/raw"; val bqPath = base + "/bq"
+      graft.operators.IvfIndex.write(indexed, rawPath, model)
+      var t0 = System.nanoTime()
+      graft.operators.IvfIndex.write(indexed.withColumn("bq_code",
+        bquant.packSigns(col("embedding").cast("array<double>"))),
+        bqPath, model)
+      val tBqWrite = (System.nanoTime() - t0) / 1e9
+      v.unpersist()
+      def dirBytes(p: String): Long = {
+        val root = java.nio.file.Paths.get(p)
+        val st = java.nio.file.Files.walk(root)
+        try st.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally st.close()
+      }
+      val (bRaw, bBq) = (dirBytes(rawPath), dirBytes(bqPath))
+      // append freshness cost: the same batch into both layouts —
+      // the bq side derives sign codes in-plan
+      val batch = graft.pipeline.SyntheticCorpus
+        .vectors(spark, 10000L, dim, 200)
+        .select((col("vec_id") + lit(n)).as("vec_id"),
+          col("embedding"), lit(1L).as("version"))
+        .persist()
+      batch.count()
+      t0 = System.nanoTime()
+      graft.streaming.IndexMaintenance.appendToServing(
+        spark, rawPath, batch, "vec_id", "embedding", "version")
+      val tAppRaw = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      graft.streaming.IndexMaintenance.appendToServing(
+        spark, bqPath, batch, "vec_id", "embedding", "version")
+      val tAppBq = (System.nanoTime() - t0) / 1e9
+      batch.unpersist()
+      val sRaw = graft.operators.Serving.open(spark, rawPath,
+        id = "vec_id", vecCol = "embedding")
+      val sBq = graft.operators.Serving.open(spark, bqPath,
+        id = "vec_id", vecCol = "embedding")
+      require(sBq.hasBq)
+      def topRaw(q: Array[Double]): Seq[Long] =
+        sRaw.search(q, 8, 10).collect().map(_.getLong(0)).toSeq
+      def topBq(q: Array[Double]): Seq[Long] =
+        sBq.searchBqRerank(q, 8, m, 10).collect()
+          .map(_.getLong(0)).toSeq
+      val q0 = Array.tabulate(dim)(j => (j % 7).toDouble)
+      topRaw(q0); topBq(q0) // warm codegen both paths
+      val (tR, tB) = (new Array[Double](10), new Array[Double](10))
+      var overlap = 0; var total = 0
+      (0 until 10).foreach { i =>
+        val q = Array.tabulate(dim)(j => ((i * 13 + j) % 9 - 4).toDouble)
+        var t = System.nanoTime()
+        val r = topRaw(q); tR(i) = (System.nanoTime() - t) / 1e9
+        t = System.nanoTime()
+        val b = topBq(q); tB(i) = (System.nanoTime() - t) / 1e9
+        overlap += r.toSet.intersect(b.toSet).size; total += r.size
+      }
+      java.util.Arrays.sort(tR); java.util.Arrays.sort(tB)
+      println(f"BQTIER n=$n leaves=${model.centroids.length} m=$m " +
+        f"raw_bytes=$bRaw bq_bytes=$bBq " +
+        f"(+${(bBq - bRaw).toDouble / bRaw * 100}%.1f%%) " +
+        f"bq_write=$tBqWrite%.1f s " +
+        f"append_raw=$tAppRaw%.2f s append_bq=$tAppBq%.2f s " +
+        f"query_raw_med=${tR(5)}%.3f s query_bq_med=${tB(5)}%.3f s " +
+        f"shortlist_recall=${overlap.toDouble / total}%.3f")
     } else if (args(0) == "dedupinc") {
       // Incremental near-dup: per-batch cost against a persisted
       // signature store as the STORE grows — the claim to price is

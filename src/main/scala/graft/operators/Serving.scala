@@ -385,6 +385,55 @@ final class Serving private[operators] (
       .limit(k)
   }
 
+  /** [[searchMaxSim]] over the PQ TIER — late interaction at the
+    * 64× footprint, completing the MaxSim × tier matrix
+    * (raw / SQ8 / ADC): the per-(row, qvec) inner loop is the
+    * asymmetric ADC score of the stored 4 B code against the query
+    * vector ([[ProductQuantizer.adcDirectExpr]] — 8 forward sub-dots
+    * against the codebook reference object, subspaces accumulated in
+    * ascending order so the doubles are SQL-replicable), the
+    * per-(doc, qvec) MAX collapses map-side, and the per-doc sum
+    * stays exact-decimal. Codebook and the OPQ rotation (when the
+    * layout carries one) reload from the path's own sidecars; each
+    * query vector rotates ONCE on the driver — the write side
+    * ([[graft.streaming.IndexMaintenance.appendCodedToServing]])
+    * rotates identically, so query and codes stay in one space.
+    * Leaf probing uses the ORIGINAL (unrotated) query against the
+    * model sidecar, exactly like [[searchAdc]]. Same IVF-pruned
+    * union-of-probed-leaves scan and output contract as the other
+    * tiers: (docCol, score) top-k by score desc, docCol asc.
+    */
+  def searchMaxSimAdc(queryVecs: Seq[Array[Double]], nProbe: Int, k: Int,
+      docCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(tier == "pq",
+      s"searchMaxSimAdc: layout at $path is a '$tier' tier, not PQ")
+    require(queryVecs.nonEmpty, "searchMaxSimAdc needs ≥ 1 query vector")
+    val cb = ProductQuantizer.loadCodebook(spark, path)
+    val rot = ProductQuantizer.loadRotation(spark, path)
+    // same 1024-leaf In-list bound as the batch paths (see
+    // [[searchMaxSim]])
+    val leaves = queryVecs.flatMap(q => model.topLeaves(q, nProbe))
+      .distinct
+    val pruned = if (leaves.length <= 1024)
+      data.filter(col("leaf_id").isin(leaves: _*)) else data
+    val qdf = spark.createDataFrame(
+      queryVecs.zipWithIndex.map { case (q, i) =>
+        val rq = rot.map(r => ProductQuantizer.rotate(q, r)).getOrElse(q)
+        (i, rq.toSeq)
+      })
+      .toDF("__qidx", "__qv")
+    pruned
+      .crossJoin(broadcast(qdf))
+      .groupBy(col(docCol), col("__qidx"))
+      .agg(max(ProductQuantizer.adcDirectExpr(col("pq_code"),
+        col("__qv"), cb)).as("__best"))
+      .groupBy(col(docCol))
+      .agg(graft.Exact.dsum(col("__best"), 12).as("score"))
+      .orderBy(col("score").desc, col(docCol))
+      .limit(k)
+  }
+
   /** CERTIFIED exact top-k — leaf pruning with a PROOF instead of a
     * recall target (see [[CertifiedSearch]] for the ball bound).
     * Probes leaves in upper-bound order, doubling the probe set until
@@ -1281,7 +1330,8 @@ final class Serving private[operators] (
     * + `attrs` for per-query allow-maps (validated in-plan, evaluated
     * per candidate pair inside the join), `kCol` / `capCol` for
     * per-query result counts and crowding caps bounded by
-    * least(global, per-query). Output:
+    * least(global, per-query), `numCol` / `numAttrs` for per-query
+    * numeric restriction sets. Output:
     * (`qid`, id[, metadata columns…], adc_score, rn).
     */
   def searchBatchAdc(queries: DataFrame, qid: String, qvecCol: String,
@@ -1291,17 +1341,23 @@ final class Serving private[operators] (
       allowCol: Option[String] = None,
       attrs: Seq[String] = Nil,
       kCol: Option[String] = None,
-      capCol: Option[String] = None): DataFrame = {
+      capCol: Option[String] = None,
+      numCol: Option[String] = None,
+      numAttrs: Seq[String] = Nil): DataFrame = {
     require(tier == "pq",
       s"searchBatchAdc: layout at $path is a '$tier' tier, not PQ")
     require(allowCol.isEmpty == attrs.isEmpty,
       "searchBatchAdc: per-query restricts need BOTH the allow-map " +
         "column (allowCol) and the constrained attributes (attrs)")
+    require(numCol.isEmpty == numAttrs.isEmpty,
+      "searchBatchAdc: per-query numeric restricts need BOTH the " +
+        "restriction column (numCol) and the constrained attributes " +
+        "(numAttrs)")
     require(capCol.isEmpty || crowding.nonEmpty,
       "searchBatchAdc: capCol needs the crowding attribute " +
         "(crowding = Some((attr, globalCap)))")
     val unique = adcProbedUnique(queries, qid, qvecCol, allowCol, attrs,
-      nProbe, restricts, crowding, kCol, capCol)
+      nProbe, restricts, crowding, kCol, capCol, numCol, numAttrs)
     val tailed = if (kCol.isEmpty && capCol.isEmpty)
       batchTail(unique, qid, k, crowding, metadata)
     else batchTailDynamic(unique, qid, k, crowding, metadata,
@@ -1320,7 +1376,8 @@ final class Serving private[operators] (
       qvecCol: String, allowCol: Option[String], attrs: Seq[String],
       nProbe: Int, restricts: Seq[Column],
       crowding: Option[(String, Int)], kCol: Option[String],
-      capCol: Option[String]): DataFrame = {
+      capCol: Option[String], numCol: Option[String] = None,
+      numAttrs: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     val cb = ProductQuantizer.loadCodebook(spark, path)
     val rot = ProductQuantizer.loadRotation(spark, path)
@@ -1330,6 +1387,7 @@ final class Serving private[operators] (
     val probes = queries.select(Seq(col(qid).as("__qid"),
         col(qvecCol).cast("array<double>").as("__qraw")) ++
         allowCol.map(c => checkedAllow(c, attrs).as("__allow")).toSeq ++
+        numCol.map(c => checkedNum(c, numAttrs).as("__numr")).toSeq ++
         perQueryCols: _*)
       .withColumn("__qv", rot.map(r =>
         ProductQuantizer.rotateExpr(col("__qraw"), r))
@@ -1348,8 +1406,13 @@ final class Serving private[operators] (
     val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
       capCol.map(_ => "__cap").toSeq
     val joined = side.join(probes, Seq("leaf_id"))
-    val filtered = if (allowCol.nonEmpty)
-      joined.filter(allowPredicate(attrs)) else joined
+    // numeric-only batches: see the sibling comment in sqProbedUnique
+    val pairPreds = allowCol.map(_ =>
+      if (attrs.nonEmpty) allowPredicate(attrs)
+      else col("__allow").isNull ||
+        size(map_keys(col("__allow"))) === 0).toSeq ++
+      numCol.map(_ => numPredicate(numAttrs)).toSeq
+    val filtered = pairPreds.foldLeft(joined)(_.filter(_))
     val scored = filtered
       .select(Seq(col("__qid"), col(id),
         ProductQuantizer.adcDirectExpr(col("pq_code"), col("__qv"), cb)
@@ -1368,7 +1431,9 @@ final class Serving private[operators] (
     * by [[ProductQuantizer.adcDirectExpr]] with the query rotated
     * in-plan through the layout's OPQ sidecar when present — while
     * the rest ride the probed ADC plan; shared tail, identical
-    * output contract to [[searchBatchAdc]].
+    * output contract to [[searchBatchAdc]]. With `numCol` /
+    * `numAttrs` the split goes COMBINED, exactly as on the SQ8 tier
+    * ([[searchBatchSqAdaptive]]).
     */
   def searchBatchAdcAdaptive(queries: DataFrame, qid: String,
       qvecCol: String, allowCol: String, attrs: Seq[String],
@@ -1379,29 +1444,45 @@ final class Serving private[operators] (
       capCol: Option[String] = None,
       maxExactFraction: Double = 0.05,
       maxDistinctMaps: Int = 1024,
-      maxBroadcastQueries: Long = 100000L): DataFrame = {
+      maxBroadcastQueries: Long = 100000L,
+      numCol: Option[String] = None,
+      numAttrs: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     require(tier == "pq",
       s"searchBatchAdcAdaptive: layout at $path is a '$tier' tier, not PQ")
-    require(attrs.nonEmpty,
+    require(attrs.nonEmpty || numCol.nonEmpty,
       "searchBatchAdcAdaptive: pass the layout attributes the " +
         "allow-maps may constrain (attrs)")
+    require(numCol.isEmpty == numAttrs.isEmpty,
+      "searchBatchAdcAdaptive: per-query numeric restricts need BOTH " +
+        "the restriction column (numCol) and the constrained " +
+        "attributes (numAttrs)")
     require(capCol.isEmpty || crowding.nonEmpty,
       "searchBatchAdcAdaptive: capCol needs the crowding attribute")
-    val exactMaps = collectExactMaps(queries, allowCol, attrs,
-      maxExactFraction, maxDistinctMaps)
-    if (exactMaps.isEmpty)
+    // see the sibling comment in searchBatchSqAdaptive: the key and
+    // escape decision span both columns when numeric restricts ride
+    val exactSets = numCol match {
+      case Some(nc) => collectExactSets(queries, allowCol, attrs, nc,
+        numAttrs, maxExactFraction, maxDistinctMaps)
+      case None => collectExactMaps(queries, allowCol, attrs,
+        maxExactFraction, maxDistinctMaps).map(t => (t._1, t._2,
+        Seq.empty[(String, String, Double)]))
+    }
+    if (exactSets.isEmpty)
       return searchBatchAdc(queries, qid, qvecCol, nProbe, k, restricts,
-        crowding, metadata, Some(allowCol), attrs, kCol, capCol)
+        crowding, metadata, Some(allowCol), attrs, kCol, capCol,
+        numCol, numAttrs)
 
     val cb = ProductQuantizer.loadCodebook(spark, path)
     val rot = ProductQuantizer.loadRotation(spark, path)
-    val keyed = queries.withColumn("__mkey", allowKey(allowCol))
-    val exactKeys = exactMaps.map(_._1)
+    val keyed = queries.withColumn("__mkey",
+      numCol.map(nc => combinedKey(allowCol, nc))
+        .getOrElse(allowKey(allowCol)))
+    val exactKeys = exactSets.map(_._1)
     val probedUnique = adcProbedUnique(
       keyed.filter(!col("__mkey").isin(exactKeys: _*)).drop("__mkey"),
       qid, qvecCol, Some(allowCol), attrs, nProbe, restricts, crowding,
-      kCol, capCol)
+      kCol, capCol, numCol, numAttrs)
 
     val crowdAttr = crowding.map(_._1).toSeq
     val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
@@ -1414,7 +1495,7 @@ final class Serving private[operators] (
     val small = keyed.filter(col("__mkey").isin(exactKeys: _*))
       .select(col(qid)).limit(probeLimit)
       .count() <= maxBroadcastQueries
-    val exactUniques = exactMaps.map { case (key, m) =>
+    val exactUniques = exactSets.map { case (key, m, n) =>
       val qs = keyed.filter(col("__mkey") === key)
         .select(Seq(col(qid).as("__qid"),
           col(qvecCol).cast("array<double>").as("__qraw")) ++
@@ -1423,8 +1504,8 @@ final class Serving private[operators] (
           ProductQuantizer.rotateExpr(col("__qraw"), r))
           .getOrElse(col("__qraw")))
         .drop("__qraw")
-      val side = (restricts ++ allowMapPredicates(m))
-        .foldLeft(data)(_.filter(_))
+      val side = (restricts ++ allowMapPredicates(m) ++
+        numSetPredicates(n)).foldLeft(data)(_.filter(_))
       val paired = if (small) side.crossJoin(broadcast(qs))
         else side.crossJoin(qs.hint("shuffle_replicate_nl"))
       val scored = paired.select(Seq(col("__qid"), col(id),
@@ -1452,7 +1533,9 @@ final class Serving private[operators] (
     * metadata join ride the shared [[batchTail]], as on the raw
     * path, and the full PER-QUERY surface of [[searchBatchPerQuery]]
     * applies unchanged (`allowCol` + `attrs`, `kCol` / `capCol` as
-    * least(global, per-query)).
+    * least(global, per-query), `numCol` / `numAttrs` for per-query
+    * numeric restriction sets — the tier changes the scan kernel,
+    * never the serving shape).
     * Output: (`qid`, id[, metadata columns…], sq_score, rn).
     */
   def searchBatchSq(queries: DataFrame, qid: String, qvecCol: String,
@@ -1462,17 +1545,23 @@ final class Serving private[operators] (
       allowCol: Option[String] = None,
       attrs: Seq[String] = Nil,
       kCol: Option[String] = None,
-      capCol: Option[String] = None): DataFrame = {
+      capCol: Option[String] = None,
+      numCol: Option[String] = None,
+      numAttrs: Seq[String] = Nil): DataFrame = {
     require(tier == "sq",
       s"searchBatchSq: layout at $path is a '$tier' tier, not SQ8")
     require(allowCol.isEmpty == attrs.isEmpty,
       "searchBatchSq: per-query restricts need BOTH the allow-map " +
         "column (allowCol) and the constrained attributes (attrs)")
+    require(numCol.isEmpty == numAttrs.isEmpty,
+      "searchBatchSq: per-query numeric restricts need BOTH the " +
+        "restriction column (numCol) and the constrained attributes " +
+        "(numAttrs)")
     require(capCol.isEmpty || crowding.nonEmpty,
       "searchBatchSq: capCol needs the crowding attribute " +
         "(crowding = Some((attr, globalCap)))")
     val unique = sqProbedUnique(queries, qid, qvecCol, allowCol, attrs,
-      nProbe, restricts, crowding, kCol, capCol)
+      nProbe, restricts, crowding, kCol, capCol, numCol, numAttrs)
     val tailed = if (kCol.isEmpty && capCol.isEmpty)
       batchTail(unique, qid, k, crowding, metadata)
     else batchTailDynamic(unique, qid, k, crowding, metadata,
@@ -1491,7 +1580,8 @@ final class Serving private[operators] (
       qvecCol: String, allowCol: Option[String], attrs: Seq[String],
       nProbe: Int, restricts: Seq[Column],
       crowding: Option[(String, Int)], kCol: Option[String],
-      capCol: Option[String]): DataFrame = {
+      capCol: Option[String], numCol: Option[String] = None,
+      numAttrs: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.quantize
     val qv = col(qvecCol).cast("array<double>")
@@ -1501,6 +1591,7 @@ final class Serving private[operators] (
     val probes = queries.select(Seq(col(qid).as("__qid"),
         qv.as("__qraw")) ++
         allowCol.map(c => checkedAllow(c, attrs).as("__allow")).toSeq ++
+        numCol.map(c => checkedNum(c, numAttrs).as("__numr")).toSeq ++
         perQueryCols: _*)
       .withColumn("__qma", quantize.maxAbs(col("__qraw")))
       .withColumn("__qpk", quantize.packCodes(
@@ -1519,8 +1610,15 @@ final class Serving private[operators] (
     val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
       capCol.map(_ => "__cap").toSeq
     val joined = side.join(probes, Seq("leaf_id"))
-    val filtered = if (allowCol.nonEmpty)
-      joined.filter(allowPredicate(attrs)) else joined
+    // an allow column with NO constrainable attrs (a numeric-only
+    // batch) only admits null/empty maps — same contract as the raw
+    // path's perQueryProbedUnique
+    val pairPreds = allowCol.map(_ =>
+      if (attrs.nonEmpty) allowPredicate(attrs)
+      else col("__allow").isNull ||
+        size(map_keys(col("__allow"))) === 0).toSeq ++
+      numCol.map(_ => numPredicate(numAttrs)).toSeq
+    val filtered = pairPreds.foldLeft(joined)(_.filter(_))
     val scored = filtered
       .select(Seq(col("__qid"), col(id), quantize.score(
         quantize.packedDot(col("sq_code"), col("__qpk")),
@@ -1542,8 +1640,11 @@ final class Serving private[operators] (
     * (code row, query) pair scored by the integer-dot kernel —
     * everything else rides the probed SQ plan; both sides meet in
     * the shared tail. The storage tier changes the scan kernel,
-    * never the adaptive semantics. Output: identical contract to
-    * [[searchBatchSq]].
+    * never the adaptive semantics. With `numCol` / `numAttrs` the
+    * split goes COMBINED (the `r_serve_sq_numr` gate): the distinct
+    * key spans both per-query columns ([[combinedKey]]) and each
+    * set's typed comparisons push alongside the allow predicates on
+    * the exact side. Output: identical contract to [[searchBatchSq]].
     */
   def searchBatchSqAdaptive(queries: DataFrame, qid: String,
       qvecCol: String, allowCol: String, attrs: Seq[String],
@@ -1554,28 +1655,46 @@ final class Serving private[operators] (
       capCol: Option[String] = None,
       maxExactFraction: Double = 0.05,
       maxDistinctMaps: Int = 1024,
-      maxBroadcastQueries: Long = 100000L): DataFrame = {
+      maxBroadcastQueries: Long = 100000L,
+      numCol: Option[String] = None,
+      numAttrs: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.quantize
     require(tier == "sq",
       s"searchBatchSqAdaptive: layout at $path is a '$tier' tier, not SQ8")
-    require(attrs.nonEmpty,
+    require(attrs.nonEmpty || numCol.nonEmpty,
       "searchBatchSqAdaptive: pass the layout attributes the " +
         "allow-maps may constrain (attrs)")
+    require(numCol.isEmpty == numAttrs.isEmpty,
+      "searchBatchSqAdaptive: per-query numeric restricts need BOTH " +
+        "the restriction column (numCol) and the constrained " +
+        "attributes (numAttrs)")
     require(capCol.isEmpty || crowding.nonEmpty,
       "searchBatchSqAdaptive: capCol needs the crowding attribute")
-    val exactMaps = collectExactMaps(queries, allowCol, attrs,
-      maxExactFraction, maxDistinctMaps)
-    if (exactMaps.isEmpty)
+    // the distinct-constraint key and escape decision span BOTH
+    // per-query columns when numeric restricts ride the batch; an
+    // allow-only batch keeps the cheaper allow-only key (the two
+    // normalize to one (key, map, set) shape below)
+    val exactSets = numCol match {
+      case Some(nc) => collectExactSets(queries, allowCol, attrs, nc,
+        numAttrs, maxExactFraction, maxDistinctMaps)
+      case None => collectExactMaps(queries, allowCol, attrs,
+        maxExactFraction, maxDistinctMaps).map(t => (t._1, t._2,
+        Seq.empty[(String, String, Double)]))
+    }
+    if (exactSets.isEmpty)
       return searchBatchSq(queries, qid, qvecCol, nProbe, k, restricts,
-        crowding, metadata, Some(allowCol), attrs, kCol, capCol)
+        crowding, metadata, Some(allowCol), attrs, kCol, capCol,
+        numCol, numAttrs)
 
-    val keyed = queries.withColumn("__mkey", allowKey(allowCol))
-    val exactKeys = exactMaps.map(_._1)
+    val keyed = queries.withColumn("__mkey",
+      numCol.map(nc => combinedKey(allowCol, nc))
+        .getOrElse(allowKey(allowCol)))
+    val exactKeys = exactSets.map(_._1)
     val probedUnique = sqProbedUnique(
       keyed.filter(!col("__mkey").isin(exactKeys: _*)).drop("__mkey"),
       qid, qvecCol, Some(allowCol), attrs, nProbe, restricts, crowding,
-      kCol, capCol)
+      kCol, capCol, numCol, numAttrs)
 
     val crowdAttr = crowding.map(_._1).toSeq
     val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
@@ -1588,7 +1707,7 @@ final class Serving private[operators] (
     val small = keyed.filter(col("__mkey").isin(exactKeys: _*))
       .select(col(qid)).limit(probeLimit)
       .count() <= maxBroadcastQueries
-    val exactUniques = exactMaps.map { case (key, m) =>
+    val exactUniques = exactSets.map { case (key, m, n) =>
       val qs = keyed.filter(col("__mkey") === key)
         .select(Seq(col(qid).as("__qid"),
           col(qvecCol).cast("array<double>").as("__qraw")) ++
@@ -1597,8 +1716,8 @@ final class Serving private[operators] (
         .withColumn("__qpk", quantize.packCodes(
           quantize.codes(col("__qraw"), col("__qma"))))
         .drop("__qraw")
-      val side = (restricts ++ allowMapPredicates(m))
-        .foldLeft(data)(_.filter(_))
+      val side = (restricts ++ allowMapPredicates(m) ++
+        numSetPredicates(n)).foldLeft(data)(_.filter(_))
       val paired = if (small) side.crossJoin(broadcast(qs))
         else side.crossJoin(qs.hint("shuffle_replicate_nl"))
       val scored = paired.select(Seq(col("__qid"), col(id),

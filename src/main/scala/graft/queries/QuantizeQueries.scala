@@ -966,6 +966,128 @@ object QuantizeQueries {
       Seq("version"), nProbe = 2, k = 10, maxExactFraction = 0.35)
   }
 
+  /** PER-QUERY NUMERIC restricts on the SQ8 TIER, adaptive — the
+    * coded-ladder form of `r_serve_numr` (the reference's
+    * `numeric_restricts` filter per request regardless of how the
+    * deployed index stores vectors — the tier changes the scan
+    * kernel, never the serving shape): each query row of one batch
+    * carries its own `(attr, op, v)` set, the per-distinct-set
+    * escape decision runs against the manifest's file stats with the
+    * typed comparisons pushed, and the exact side scans packed codes
+    * with the integer-dot kernel. Two tenants: qid 0's RANGE set
+    * (version GE 2.0) keeps only the appended file — REQUIREd to
+    * escape, full recall over planted rows the probed plan misses;
+    * qid 21's EQ set (version EQ 1.0, every build file) — REQUIREd
+    * to stay probed. Scores are bit-deterministic (integer dot + one
+    * rescale), so the union hash-gates end to end.
+    */
+  private val rServeSqNumR = QueryDef.sqlChecked("r_serve_sq_numr")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v, 1 AS version " +
+      "FROM embeddings), " +
+      "b1 AS (SELECT vec_id + 200000 AS vec_id, " +
+      "list_transform(v, x -> -x) AS v, 2 AS version FROM base " +
+      "WHERE vec_id % 30 = 7), " +
+      "live AS (SELECT * FROM base UNION ALL SELECT * FROM b1), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (0,21)), " +
+      "ecodes AS (SELECT vec_id, version, ma, list_transform(v, x -> " +
+      "CASE WHEN ma = 0 THEN 0 ELSE cast(floor(x * (127.0 / ma) + 0.5) as bigint) END) AS codes " +
+      "FROM (SELECT vec_id, version, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM live)), " +
+      "qcodes AS (SELECT qid, ma AS qma, list_transform(qv, x -> " +
+      "CASE WHEN ma = 0 THEN 0 ELSE cast(floor(x * (127.0 / ma) + 0.5) as bigint) END) AS codes " +
+      "FROM (SELECT qid, qv, list_max(list_transform(qv, x -> abs(x))) AS ma FROM q)), " +
+      // qid 0's exact escape: version >= 2.0 as doubles keeps exactly
+      // the appended rows; every (qualifying row, query) pair scores
+      "ex AS (SELECT qc.qid, e.vec_id, " +
+      "list_inner_product(cast(e.codes as double[]), cast(qc.codes as double[])) * " +
+      "(e.ma * qc.qma / 16129.0) AS score " +
+      "FROM ecodes e JOIN qcodes qc ON qc.qid = 0 " +
+      "WHERE cast(e.version as double) >= 2.0), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT qid, cid FROM (SELECT q.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2 AND qid = 21), " +
+      // qid 21's probed plan: version EQ 1.0 as doubles per
+      // candidate pair — only build rows qualify
+      "pr AS (SELECT p.qid, e.vec_id, " +
+      "max(list_inner_product(cast(e.codes as double[]), cast(qc.codes as double[])) * " +
+      "(e.ma * qc.qma / 16129.0)) AS score " +
+      "FROM ecodes e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid " +
+      "JOIN qcodes qc ON qc.qid = p.qid " +
+      "WHERE cast(e.version as double) = 1.0 GROUP BY p.qid, e.vec_id), " +
+      "allc AS (SELECT * FROM ex UNION ALL SELECT * FROM pr), " +
+      "ranked AS (SELECT qid, vec_id, score, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM allc) " +
+      "SELECT qid, vec_id, score AS sq_score, cast(rn as bigint) AS rn " +
+      "FROM ranked WHERE rn <= 10 ORDER BY qid, rn"
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.operators.{IvfIndex, ServingManifest}
+    import graft.streaming.IndexMaintenance
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_sqnumr_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val sq = base
+      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 1)))
+      .withColumn("ma", quantize.maxAbs(col("v")))
+      .withColumn("sq_code",
+        quantize.packCodes(quantize.codes(col("v"), col("ma"))))
+      .drop("v")
+    IvfIndex.write(sq, servePath.toString, model)
+    ServingManifest.promote(s, servePath.toString, Seq("version"))
+    val planted = base.filter(col("vec_id") % 30 === 7)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2L))
+    IndexMaintenance.appendSqToServing(s, servePath.toString, planted,
+      "vec_id", "v", "version")
+
+    val serving = graft.operators.Serving.open(s, servePath.toString)
+    require(serving.perQueryAdaptivePlanNum(Map.empty,
+      Seq(("version", "GE", 2.0)), 0.35),
+      "r_serve_sq_numr: the GE-2 set must pick the exact plan")
+    require(!serving.perQueryAdaptivePlanNum(Map.empty,
+      Seq(("version", "EQ", 1.0)), 0.35),
+      "r_serve_sq_numr: the EQ-1 set (every build file) must stay probed")
+    val tenants = Seq(
+      (0L, Seq(("version", "GE", 2.0))),
+      (21L, Seq(("version", "EQ", 1.0))))
+      .toDF("qid", "num")
+      .withColumn("num", expr("transform(num, r -> " +
+        "named_struct('attr', r._1, 'op', r._2, 'v', r._3))"))
+      .withColumn("allow",
+        lit(null).cast("map<string,array<string>>"))
+    val queries = base.filter(col("vec_id").isin(0L, 21L))
+      .select(col("vec_id").as("qid"), col("v")).join(tenants, "qid")
+    serving.searchBatchSqAdaptive(queries, "qid", "v", "allow",
+      Seq.empty, nProbe = 2, k = 10, maxExactFraction = 0.35,
+      numCol = Some("num"), numAttrs = Seq("version"))
+  }
+
   /** BINARY (1-bit) quantization search — the shortlist rung below
     * PQ on the coded ladder (raw 256 B → SQ8 66 B → PQ 4 B → BQ
     * 8 B of sign bits… at 64 dims BQ and PQ meet, but BQ needs NO
@@ -1181,8 +1303,110 @@ object QuantizeQueries {
       .select(col("vec_id"), col("score"))
   }
 
+  /** MaxSim LATE INTERACTION on the PQ TIER
+    * ([[graft.operators.Serving.searchMaxSimAdc]]) — the last cell of
+    * the MaxSim × tier matrix (raw `v_maxsim`, SQ8 `v_maxsim_sq`,
+    * and now ADC at the 64× footprint), WITH the OPQ rotation in the
+    * loop: the layout is built in the reversal-rotated space (an
+    * orthonormal basis that is exactly `list_reverse` in SQL, the
+    * `v_pq_rotated` trick, so the LEARNED-rotation plumbing is
+    * hash-checkable), codebook and rotation persist as sidecars, and
+    * the serving call reloads both and rotates each query vector
+    * once on the driver. score(doc) = Σ_q max over the doc's rows of
+    * the ADC score, over the IVF-pruned union of the probed leaves
+    * (probing on the ORIGINAL vectors — rotation changes the coded
+    * space, never the router geometry). Every term is
+    * SQL-replicable: forward per-subspace dots in ascending order +
+    * float max + exact-decimal doc sum.
+    */
+  private val vMaxsimAdc = QueryDef.sqlChecked("v_maxsim_adc")(
+    "WITH base AS (SELECT vec_id, label, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      s"cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, " +
+      "list_reverse(cast(embedding as double[])) AS cv FROM embeddings " +
+      s"WHERE vec_id IN (${PqIds.mkString(",")})), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (0,1,2)), " +
+      "sub AS (SELECT unnest(range(0, 8)) AS s), " +
+      "dist AS (SELECT b.vec_id, s.s, cb.c, " +
+      "list_distance(list_reverse(b.v)[s.s*8+1 : s.s*8+8], " +
+      "cv[s.s*8+1 : s.s*8+8]) AS d FROM base b CROSS JOIN sub s CROSS JOIN cb), " +
+      "code AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, " +
+      "row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM dist) " +
+      "WHERE rn = 1), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT DISTINCT cid FROM (SELECT q.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2), " +
+      "term AS (SELECT code.vec_id, q.qid, code.s, " +
+      "list_inner_product(list_reverse(q.qv)[code.s*8+1 : code.s*8+8], " +
+      "cb.cv[code.s*8+1 : code.s*8+8]) AS t " +
+      "FROM code JOIN cb ON code.c = cb.c " +
+      "JOIN assign a ON code.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid CROSS JOIN q), " +
+      "piv AS (SELECT vec_id, qid, " +
+      (0 until 8).map(i => s"max(CASE WHEN s = $i THEN t END) AS t$i")
+        .mkString(", ") +
+      " FROM term GROUP BY vec_id, qid), " +
+      "per AS (SELECT b.label, piv.qid, " +
+      "max(t0+t1+t2+t3+t4+t5+t6+t7) AS best " +
+      "FROM piv JOIN base b ON piv.vec_id = b.vec_id " +
+      "GROUP BY b.label, piv.qid) " +
+      "SELECT label, " + graft.Exact.sqlDsum("best", 12) + " AS score " +
+      "FROM per GROUP BY label ORDER BY score DESC, label LIMIT 5"
+  ) { (s, d) =>
+    import graft.operators.{IvfIndex, ProductQuantizer}
+    val emb = Tables.embeddings(s, d)
+    val dim = ProductQuantizer.NumSub * ProductQuantizer.SubDim
+    val basis = Array.tabulate(dim)(j =>
+      Array.tabulate(dim)(i => if (i == dim - 1 - j) 1.0 else 0.0))
+    val cbRot = ProductQuantizer.codebook(emb, "vec_id", "embedding", PqIds)
+      .map(ProductQuantizer.rotate(_, basis))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_maxsimadc_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val v = col("embedding").cast("array<double>")
+    val coded = emb.select(col("vec_id"), col("label"),
+        v.as("v"))
+      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 1)))
+      .withColumn("pq_code", ProductQuantizer.encodeExpr(
+        ProductQuantizer.rotateExpr(col("v"), basis), cbRot))
+      .drop("v")
+    IvfIndex.write(coded, servePath.toString, model)
+    ProductQuantizer.writeCodebook(s, servePath.toString, cbRot)
+    ProductQuantizer.writeRotation(s, servePath.toString, basis)
+
+    val qvecs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    graft.operators.Serving.open(s, servePath.toString)
+      .searchMaxSimAdc(qvecs, nProbe = 2, k = 5, docCol = "label")
+  }
+
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
     vPqBatch, vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq,
-    rServeSqFull, rServeSqPerQuery, rServeSqPAdaptive, vMaxsimSq,
-    vBqSearch, vBqRerank, vBqHamming, rServeBq)
+    rServeSqFull, rServeSqPerQuery, rServeSqPAdaptive, rServeSqNumR,
+    vMaxsimSq, vMaxsimAdc, vBqSearch, vBqRerank, vBqHamming, rServeBq)
 }

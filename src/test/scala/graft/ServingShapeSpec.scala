@@ -731,6 +731,152 @@ class ServingShapeSpec extends SparkTestBase {
       "the unrestricted query's probed results must be unchanged")
   }
 
+  test("coded-tier numeric restricts == per-query coded batch with " +
+      "the equivalent column comparisons (SQ and ADC)") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val pqIds = (0 until 16).map(c => c * 31L + 5L)
+    val cb = ProductQuantizer.codebook(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", pqIds)
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    import graft.functions.quantize
+    val sqDir = java.nio.file.Files
+      .createTempDirectory("graft_shape_sqnum").toString + "/idx"
+    IvfIndex.write(indexed
+      .withColumn("ma", quantize.maxAbs(col("v")))
+      .withColumn("sq_code",
+        quantize.packCodes(quantize.codes(col("v"), col("ma"))))
+      .drop("v"), sqDir, model)
+    val adcDir = java.nio.file.Files
+      .createTempDirectory("graft_shape_adcnum").toString + "/idx"
+    IvfIndex.write(indexed
+      .withColumn("pq_code", ProductQuantizer.encodeExpr(col("v"), cb))
+      .drop("v"), adcDir, model)
+    ProductQuantizer.writeCodebook(spark, adcDir, cb)
+
+    val numOf = Map(
+      3L -> Seq(("label", "EQ", 4.0)),
+      7L -> Seq(("label", "GE", 2.0), ("label", "LT", 7.0)),
+      21L -> Seq(("label", "NE", 0.0)))
+    val nums = numOf.toSeq.toDF("qid", "num")
+      .withColumn("num", expr("transform(num, r -> " +
+        "named_struct('attr', r._1, 'op', r._2, 'v', r._3))"))
+    val queries = emb.filter(col("vec_id").isin(numOf.keys.toSeq: _*))
+      .select(col("vec_id").as("qid"), col("v")).join(nums, "qid")
+    def colForm(t: (String, String, Double)): org.apache.spark.sql.Column = {
+      val (a, op, v) = t
+      val c = col(a).cast("double")
+      op match {
+        case "EQ" => c === v; case "NE" => c =!= v
+        case "LT" => c < v; case "LE" => c <= v
+        case "GT" => c > v; case "GE" => c >= v
+      }
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+
+    for ((dir, name) <- Seq((sqDir, "sq"), (adcDir, "pq"))) {
+      val serving = Serving.open(spark, dir)
+      assert(serving.tier == name)
+      def batchNum(qs: org.apache.spark.sql.DataFrame) =
+        if (name == "sq")
+          serving.searchBatchSq(qs, "qid", "v", nProbe = 3, k = 5,
+            numCol = Some("num"), numAttrs = Seq("label"))
+        else
+          serving.searchBatchAdc(qs, "qid", "v", nProbe = 3, k = 5,
+            numCol = Some("num"), numAttrs = Seq("label"))
+      val got = rows(batchNum(queries)).groupBy(_._1)
+      for ((qid, set) <- numOf) {
+        val one = queries.filter(col("qid") === qid).drop("num")
+        val per = rows(if (name == "sq")
+          serving.searchBatchSq(one, "qid", "v", nProbe = 3, k = 5,
+            restricts = set.map(colForm))
+        else
+          serving.searchBatchAdc(one, "qid", "v", nProbe = 3, k = 5,
+            restricts = set.map(colForm)))
+        assert(got(qid).sortBy(_._4) == per.sortBy(_._4),
+          s"$name tier: per-query numeric set and equivalent column " +
+            s"restricts diverge for qid=$qid")
+      }
+      // the three tenants see visibly different corpora
+      assert(got.values.map(_.map(_._2).toSet).toSet.size > 1)
+    }
+  }
+
+  test("searchBatchAdcAdaptive with numeric restricts: a selective " +
+      "range set escapes to exact ADC recall, probed side unchanged") {
+    import graft.operators.ServingManifest
+    import graft.streaming.IndexMaintenance
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val pqIds = (0 until 16).map(c => c * 31L + 5L)
+    val cb = ProductQuantizer.codebook(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", pqIds)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shape_adcnumadapt").toString + "/idx"
+    val coded = emb
+      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 1)))
+      .withColumn("pq_code", ProductQuantizer.encodeExpr(col("v"), cb))
+      .drop("v")
+    IvfIndex.write(coded, dir, model)
+    ProductQuantizer.writeCodebook(spark, dir, cb)
+    ServingManifest.promote(spark, dir, Seq("version"))
+    val planted = emb.filter(col("vec_id") % 30 === 7)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => -x))
+      .withColumn("version", lit(2L))
+    IndexMaintenance.appendCodedToServing(spark, dir, planted,
+      "vec_id", "v", "version")
+    val serving = Serving.open(spark, dir)
+    assert(serving.tier == "pq")
+    val sel = Seq(("version", "GE", 2.0))
+    assert(serving.perQueryAdaptivePlanNum(Map.empty, sel, 0.45))
+    assert(!serving.perQueryAdaptivePlanNum(Map.empty,
+      Seq(("version", "EQ", 1.0)), 0.45))
+
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select("v").head().getSeq[Double](0).toArray
+    val tenants = Seq(
+      (0L, Seq(("version", "GE", 2.0))),
+      (21L, Seq.empty[(String, String, Double)])).toDF("qid", "num")
+      .withColumn("num", when(size(col("num")) > 0, expr(
+        "transform(num, r -> " +
+          "named_struct('attr', r._1, 'op', r._2, 'v', r._3))")))
+      .withColumn("allow", lit(null).cast("map<string,array<string>>"))
+    val queries = emb.filter(col("vec_id").isin(0L, 21L))
+      .select(col("vec_id").as("qid"), col("v")).join(tenants, "qid")
+
+    def ids(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val adaptive = ids(serving.searchBatchAdcAdaptive(queries, "qid", "v",
+      "allow", Seq.empty, nProbe = 2, k = 10, maxExactFraction = 0.45,
+      numCol = Some("num"), numAttrs = Seq("version")))
+    val plain = ids(serving.searchBatchAdc(queries, "qid", "v",
+      nProbe = 2, k = 10, numCol = Some("num"),
+      numAttrs = Seq("version")))
+
+    val expected = serving.data.filter(col("version").cast("double") >= 2.0)
+      .select(col("vec_id"), ProductQuantizer.adcDirectExpr(
+        col("pq_code"), typedLit(q0.toSeq), cb).as("s"))
+      .groupBy("vec_id").agg(max("s").as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(adaptive(0L) == expected,
+      s"ADC numeric adaptive must return the exact filtered top-k:\n" +
+        s"got=${adaptive(0L)}\nexact=$expected")
+    assert(plain.getOrElse(0L, Set.empty) != expected,
+      "setup: the probed ADC plan must actually miss planted rows")
+    assert(adaptive(21L) == plain(21L),
+      "the unrestricted query's probed ADC results must be unchanged")
+  }
+
   test("a numeric restriction outside numAttrs or with an unknown op " +
       "fails loudly on both the probed and the adaptive path") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
