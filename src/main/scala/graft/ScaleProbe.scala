@@ -1165,31 +1165,67 @@ object ScaleProbe {
       val sBq = graft.operators.Serving.open(spark, bqPath,
         id = "vec_id", vecCol = "embedding")
       require(sBq.hasBq)
-      def topRaw(q: Array[Double]): Seq[Long] =
-        sRaw.search(q, 8, 10).collect().map(_.getLong(0)).toSeq
-      def topBq(q: Array[Double]): Seq[Long] =
+      def topRaw(q: Array[Double]): Seq[(Long, Double)] =
+        sRaw.search(q, 8, 10).collect()
+          .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      def topBq(q: Array[Double]): Seq[(Long, Double)] =
         sBq.searchBqRerank(q, 8, m, 10).collect()
-          .map(_.getLong(0)).toSeq
+          .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      // stage 1 in isolation — the 8 B/vector sign-dot scan + top-m,
+      // the piece whose byte economics the tier exists for (the full
+      // two-stage path pays a second fixed-size job for the rescore,
+      // which dominates at LOCAL corpus sizes and amortizes at scale)
+      def stage1(q: Array[Double]): Unit = {
+        import graft.functions.bquant
+        val leaves = sBq.model.topLeaves(q, 8)
+        sBq.data.filter(col("leaf_id").isin(leaves: _*))
+          .select(col("vec_id"), bquant.signDot(col("bq_code"),
+            typedLit(q.toSeq)).as("s"))
+          .orderBy(col("s").desc, col("vec_id")).limit(m)
+          .collect()
+        ()
+      }
       val q0 = Array.tabulate(dim)(j => (j % 7).toDouble)
-      topRaw(q0); topBq(q0) // warm codegen both paths
-      val (tR, tB) = (new Array[Double](10), new Array[Double](10))
+      topRaw(q0); topBq(q0); stage1(q0) // warm codegen all paths
+      val (tR, tB, t1) = (new Array[Double](10), new Array[Double](10),
+        new Array[Double](10))
       var overlap = 0; var total = 0
+      // score REGRET, not rank overlap: this corpus plants ~1000
+      // near-identical vectors per cluster whose sign codes are
+      // IDENTICAL, so the shortlist's id tie-break picks different
+      // members than the exact ranking — meaningless as a recall
+      // measure (the sqtier probe hit the same wall). What the
+      // two-stage design must bound is how much exact score the
+      // returned top-10 gives up vs the true top-10.
+      var regret = 0.0; var regretMax = 0.0; var regretN = 0
       (0 until 10).foreach { i =>
         val q = Array.tabulate(dim)(j => ((i * 13 + j) % 9 - 4).toDouble)
         var t = System.nanoTime()
         val r = topRaw(q); tR(i) = (System.nanoTime() - t) / 1e9
         t = System.nanoTime()
         val b = topBq(q); tB(i) = (System.nanoTime() - t) / 1e9
-        overlap += r.toSet.intersect(b.toSet).size; total += r.size
+        t = System.nanoTime()
+        stage1(q); t1(i) = (System.nanoTime() - t) / 1e9
+        overlap += r.map(_._1).toSet.intersect(b.map(_._1).toSet).size
+        total += r.size
+        val (se, sb) = (r.map(_._2).sum, b.map(_._2).sum)
+        if (se != 0) {
+          val rg = (se - sb) / math.abs(se)
+          regret += rg; regretMax = math.max(regretMax, rg); regretN += 1
+        }
       }
       java.util.Arrays.sort(tR); java.util.Arrays.sort(tB)
+      java.util.Arrays.sort(t1)
       println(f"BQTIER n=$n leaves=${model.centroids.length} m=$m " +
         f"raw_bytes=$bRaw bq_bytes=$bBq " +
         f"(+${(bBq - bRaw).toDouble / bRaw * 100}%.1f%%) " +
         f"bq_write=$tBqWrite%.1f s " +
         f"append_raw=$tAppRaw%.2f s append_bq=$tAppBq%.2f s " +
         f"query_raw_med=${tR(5)}%.3f s query_bq_med=${tB(5)}%.3f s " +
-        f"shortlist_recall=${overlap.toDouble / total}%.3f")
+        f"stage1_med=${t1(5)}%.3f s " +
+        f"id_overlap=${overlap.toDouble / total}%.3f " +
+        f"score_regret_mean=${regret / math.max(1, regretN)}%.2e " +
+        f"max=$regretMax%.2e")
     } else if (args(0) == "dedupinc") {
       // Incremental near-dup: per-batch cost against a persisted
       // signature store as the STORE grows — the claim to price is

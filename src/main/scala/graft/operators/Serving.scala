@@ -1210,6 +1210,29 @@ final class Serving private[operators] (
       array_sort(col(numCol)).as("n"))), lit("{}"))
   }
 
+  /** The adaptive-split decision shared by every tier: the
+    * PROVEN-selective per-query constraint sets (allow-map alone, or
+    * allow ∧ numeric COMBINED when `numCol` rides the batch) plus
+    * the distinct-constraint key column the split partitions the
+    * query frame with — returned together so the collect side and
+    * the split side can never key differently. Empty set = nothing
+    * escapes, everything probed. */
+  private def collectAdaptiveSets(queries: DataFrame, allowCol: String,
+      attrs: Seq[String], numCol: Option[String], numAttrs: Seq[String],
+      maxExactFraction: Double, maxDistinctMaps: Int)
+      : (Seq[(String, Map[String, Seq[String]],
+        Seq[(String, String, Double)])], Column) = {
+    val sets = numCol match {
+      case Some(nc) => collectExactSets(queries, allowCol, attrs, nc,
+        numAttrs, maxExactFraction, maxDistinctMaps)
+      case None => collectExactMaps(queries, allowCol, attrs,
+        maxExactFraction, maxDistinctMaps).map(t => (t._1, t._2,
+        Seq.empty[(String, String, Double)]))
+    }
+    (sets, numCol.map(nc => combinedKey(allowCol, nc))
+      .getOrElse(allowKey(allowCol)))
+  }
+
   /** ONE allow-map's constraints as pushed scan predicates — what the
     * adaptive exact escape filters the layout with. The allow
     * contract compares STRING forms, which no file statistic can act
@@ -1459,25 +1482,24 @@ final class Serving private[operators] (
         "attributes (numAttrs)")
     require(capCol.isEmpty || crowding.nonEmpty,
       "searchBatchAdcAdaptive: capCol needs the crowding attribute")
-    // see the sibling comment in searchBatchSqAdaptive: the key and
-    // escape decision span both columns when numeric restricts ride
-    val exactSets = numCol match {
-      case Some(nc) => collectExactSets(queries, allowCol, attrs, nc,
-        numAttrs, maxExactFraction, maxDistinctMaps)
-      case None => collectExactMaps(queries, allowCol, attrs,
-        maxExactFraction, maxDistinctMaps).map(t => (t._1, t._2,
-        Seq.empty[(String, String, Double)]))
+    val (exactSets, mkey) = collectAdaptiveSets(queries, allowCol,
+      attrs, numCol, numAttrs, maxExactFraction, maxDistinctMaps)
+    // nothing proven selective → everything probed (see the sibling
+    // comment in searchBatchSqAdaptive)
+    if (exactSets.isEmpty) {
+      val unique = adcProbedUnique(queries, qid, qvecCol, Some(allowCol),
+        attrs, nProbe, restricts, crowding, kCol, capCol, numCol,
+        numAttrs)
+      val tailed = if (kCol.isEmpty && capCol.isEmpty)
+        batchTail(unique, qid, k, crowding, metadata)
+      else batchTailDynamic(unique, qid, k, crowding, metadata,
+        hasK = kCol.nonEmpty, hasCap = capCol.nonEmpty)
+      return tailed.withColumnRenamed("score", "adc_score")
     }
-    if (exactSets.isEmpty)
-      return searchBatchAdc(queries, qid, qvecCol, nProbe, k, restricts,
-        crowding, metadata, Some(allowCol), attrs, kCol, capCol,
-        numCol, numAttrs)
 
     val cb = ProductQuantizer.loadCodebook(spark, path)
     val rot = ProductQuantizer.loadRotation(spark, path)
-    val keyed = queries.withColumn("__mkey",
-      numCol.map(nc => combinedKey(allowCol, nc))
-        .getOrElse(allowKey(allowCol)))
+    val keyed = queries.withColumn("__mkey", mkey)
     val exactKeys = exactSets.map(_._1)
     val probedUnique = adcProbedUnique(
       keyed.filter(!col("__mkey").isin(exactKeys: _*)).drop("__mkey"),
@@ -1671,25 +1693,23 @@ final class Serving private[operators] (
         "attributes (numAttrs)")
     require(capCol.isEmpty || crowding.nonEmpty,
       "searchBatchSqAdaptive: capCol needs the crowding attribute")
-    // the distinct-constraint key and escape decision span BOTH
-    // per-query columns when numeric restricts ride the batch; an
-    // allow-only batch keeps the cheaper allow-only key (the two
-    // normalize to one (key, map, set) shape below)
-    val exactSets = numCol match {
-      case Some(nc) => collectExactSets(queries, allowCol, attrs, nc,
-        numAttrs, maxExactFraction, maxDistinctMaps)
-      case None => collectExactMaps(queries, allowCol, attrs,
-        maxExactFraction, maxDistinctMaps).map(t => (t._1, t._2,
-        Seq.empty[(String, String, Double)]))
+    val (exactSets, mkey) = collectAdaptiveSets(queries, allowCol,
+      attrs, numCol, numAttrs, maxExactFraction, maxDistinctMaps)
+    // nothing proven selective → EVERYTHING probed, through the same
+    // core the split's probed side uses (not the public batch entry,
+    // whose allowCol⇔attrs contract rejects a numeric-only batch)
+    if (exactSets.isEmpty) {
+      val unique = sqProbedUnique(queries, qid, qvecCol, Some(allowCol),
+        attrs, nProbe, restricts, crowding, kCol, capCol, numCol,
+        numAttrs)
+      val tailed = if (kCol.isEmpty && capCol.isEmpty)
+        batchTail(unique, qid, k, crowding, metadata)
+      else batchTailDynamic(unique, qid, k, crowding, metadata,
+        hasK = kCol.nonEmpty, hasCap = capCol.nonEmpty)
+      return tailed.withColumnRenamed("score", "sq_score")
     }
-    if (exactSets.isEmpty)
-      return searchBatchSq(queries, qid, qvecCol, nProbe, k, restricts,
-        crowding, metadata, Some(allowCol), attrs, kCol, capCol,
-        numCol, numAttrs)
 
-    val keyed = queries.withColumn("__mkey",
-      numCol.map(nc => combinedKey(allowCol, nc))
-        .getOrElse(allowKey(allowCol)))
+    val keyed = queries.withColumn("__mkey", mkey)
     val exactKeys = exactSets.map(_._1)
     val probedUnique = sqProbedUnique(
       keyed.filter(!col("__mkey").isin(exactKeys: _*)).drop("__mkey"),

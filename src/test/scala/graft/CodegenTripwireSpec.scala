@@ -96,7 +96,11 @@ class CodegenTripwireSpec extends SparkTestBase {
       for (q <- graft.queries.Registry.all) {
         withClue(s"query ${q.name} de-compiled or failed under CODEGEN_ONLY: ") {
           val (_, warnings) = withCodegenWarningCapture {
-            val n = q.fn(spark, sf).count()
+            // toRdd, NOT count(): count() lets ColumnPruning drop
+            // every deterministic output projection, so an expression
+            // that de-compiles (or fails) would never even be planned
+            // — the tripwire must execute the query's full output
+            val n = q.fn(spark, sf).queryExecution.toRdd.count()
             assert(n >= 0)
           }
           val hits = warnings.filter(m => decompiled.matcher(m).find())
@@ -116,9 +120,12 @@ class CodegenTripwireSpec extends SparkTestBase {
       .trainCodebooks(emb, "vec_id", "v", maxSample = 200, iters = 3)
     withCodegenOnly {
       val (n, warnings) = withCodegenWarningCapture {
+        // toRdd so the encode projection is EXECUTED — .count() would
+        // column-prune it away and this regression test would pass
+        // even with the 64 KB failure reintroduced
         emb.select(col("vec_id"),
           graft.operators.ProductQuantizer.encodeExpr(col("v"), cb)
-            .as("code")).count()
+            .as("code")).queryExecution.toRdd.count()
       }
       assert(n > 0)
       val hits = warnings.filter(m => decompiled.matcher(m).find())

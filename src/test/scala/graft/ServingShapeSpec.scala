@@ -877,6 +877,70 @@ class ServingShapeSpec extends SparkTestBase {
       "the unrestricted query's probed ADC results must be unchanged")
   }
 
+  test("numeric-only adaptive batches with NO provably-selective set " +
+      "fall back to the probed plan on both coded tiers (regression: " +
+      "the fallback crashed on the public entry's allowCol contract)") {
+    import graft.operators.ServingManifest
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val pqIds = (0 until 16).map(c => c * 31L + 5L)
+    val cb = ProductQuantizer.codebook(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", pqIds)
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    import graft.functions.quantize
+    val sqDir = java.nio.file.Files
+      .createTempDirectory("graft_shape_numfall_sq").toString + "/idx"
+    IvfIndex.write(indexed
+      .withColumn("ma", quantize.maxAbs(col("v")))
+      .withColumn("sq_code",
+        quantize.packCodes(quantize.codes(col("v"), col("ma"))))
+      .drop("v"), sqDir, model)
+    val adcDir = java.nio.file.Files
+      .createTempDirectory("graft_shape_numfall_adc").toString + "/idx"
+    IvfIndex.write(indexed
+      .withColumn("pq_code", ProductQuantizer.encodeExpr(col("v"), cb))
+      .drop("v"), adcDir, model)
+    ProductQuantizer.writeCodebook(spark, adcDir, cb)
+    ServingManifest.promote(spark, sqDir, Seq("version"))
+    ServingManifest.promote(spark, adcDir, Seq("version"))
+
+    // version EQ 1.0 matches EVERY file — provably unselective, so
+    // collectExactSets returns nothing and the whole batch must ride
+    // the probed plan (this used to throw IllegalArgumentException)
+    val tenants = Seq((3L, Seq(("version", "EQ", 1.0))))
+      .toDF("qid", "num")
+      .withColumn("num", expr("transform(num, r -> " +
+        "named_struct('attr', r._1, 'op', r._2, 'v', r._3))"))
+      .withColumn("allow", lit(null).cast("map<string,array<string>>"))
+    val queries = emb.filter(col("vec_id") === 3L)
+      .select(col("vec_id").as("qid"), col("v")).join(tenants, "qid")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    for ((dir, name) <- Seq((sqDir, "sq"), (adcDir, "pq"))) {
+      val serving = Serving.open(spark, dir)
+      assert(!serving.perQueryAdaptivePlanNum(Map.empty,
+        Seq(("version", "EQ", 1.0)), 0.45), s"setup ($name): the EQ-1 " +
+        "set must be unselective or this spec proves nothing")
+      val (adaptive, probed) = if (name == "sq") (
+        rows(serving.searchBatchSqAdaptive(queries, "qid", "v", "allow",
+          Seq.empty, nProbe = 3, k = 5, maxExactFraction = 0.45,
+          numCol = Some("num"), numAttrs = Seq("version"))),
+        rows(serving.searchBatchSq(queries, "qid", "v", nProbe = 3,
+          k = 5, numCol = Some("num"), numAttrs = Seq("version"))))
+      else (
+        rows(serving.searchBatchAdcAdaptive(queries, "qid", "v", "allow",
+          Seq.empty, nProbe = 3, k = 5, maxExactFraction = 0.45,
+          numCol = Some("num"), numAttrs = Seq("version"))),
+        rows(serving.searchBatchAdc(queries, "qid", "v", nProbe = 3,
+          k = 5, numCol = Some("num"), numAttrs = Seq("version"))))
+      assert(adaptive.nonEmpty, s"$name: fallback returned nothing")
+      assert(adaptive.sortBy(_._4) == probed.sortBy(_._4),
+        s"$name: the no-escape fallback must equal the probed batch")
+    }
+  }
+
   test("a numeric restriction outside numAttrs or with an unknown op " +
       "fails loudly on both the probed and the adaptive path") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
