@@ -272,6 +272,78 @@ final class Serving private[operators] (
       crowding, metadata)
   }
 
+  /** BATCHED [[searchBqRerank]] — the two-stage shortlist-rescore
+    * for a query FRAME in one plan: the batch routes through the
+    * broadcast-f32 expression and In-list prunes exactly like
+    * [[searchBatch]], stage 1 scores every (candidate, query) pair's
+    * sign-dot over the 8 B codes and keeps each query's top-`m` ids
+    * (a per-query window limit — only m rows per query survive the
+    * rank), and stage 2 BROADCASTS the |Q|·m survivor pairs back
+    * onto the same pruned scan for the exact float rescore — the
+    * corpus is never shuffled; the only wide exchange is the
+    * window's per-query partitioning of candidate scores, the same
+    * shape every batch tail already pays. Crowding / metadata ride
+    * the shared [[batchTail]]. Output: identical contract to
+    * [[searchBatch]] — (qid, id[, metadata columns…], score, rn).
+    */
+  def searchBatchBqRerank(queries: DataFrame, qid: String,
+      qvecCol: String, nProbe: Int, m: Int, k: Int,
+      restricts: Seq[Column] = Nil,
+      crowding: Option[(String, Int)] = None,
+      metadata: Option[(DataFrame, String)] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.bquant
+    require(m >= k, s"shortlist m=$m must be ≥ k=$k")
+    require(tier == "raw",
+      s"searchBatchBqRerank: layout at $path is a '$tier' tier — the " +
+        "BQ shortlist rides on raw vectors")
+    require(hasBq,
+      s"searchBatchBqRerank: layout at $path has no bq_code companion " +
+        "column — build it with graft.functions.bquant.packSigns")
+    val probes = queries.select(col(qid).as("__qid"),
+        col(qvecCol).cast("array<double>").as("__qv"))
+      .withColumn("leaf_id",
+        explode(IvfIndex.probeExprF32(model, col("__qv"),
+          math.max(1, nProbe))))
+      .localCheckpoint(true)
+    val leaves = probes.select("leaf_id").distinct()
+      .limit(1025).collect().map(_.getInt(0))
+    val pruned = if (leaves.length <= 1024)
+      data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
+    val side = restricts.foldLeft(pruned)(_.filter(_))
+    // stage 1: sign-dot per (candidate, query) pair over the codes
+    // only; spill copies collapse before the per-query window limit
+    val sl = side.join(probes, Seq("leaf_id"))
+      .select(col("__qid"), col(id),
+        bquant.signDot(col("bq_code"), col("__qv")).as("__bq"))
+      .groupBy(col("__qid"), col(id)).agg(max(col("__bq")).as("__bq"))
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(col("__qid"))
+        .orderBy(col("__bq").desc, col(id))))
+      .filter(col("__rn") <= m)
+      .select(col("__qid"), col(id))
+    // stage 2: exact rescore of the |Q|·m survivors — the pair list
+    // broadcasts, the pruned scan is probed once more, corpus never
+    // shuffles
+    val crowdAttr = crowding.map(_._1).toSeq
+    val qframe = queries.select(col(qid).as("__qid"),
+      col(qvecCol).cast("array<double>").as("__qv"))
+    val rescored = side
+      .select(Seq(col(id), col(vecCol)) ++ crowdAttr.map(col): _*)
+      .join(broadcast(sl), Seq(id))
+      .join(broadcast(qframe), Seq("__qid"))
+      .select(Seq(col("__qid"), col(id),
+        graft.functions.vectors.dotProduct(
+          col(vecCol).cast("array<double>"), col("__qv")).as("score")) ++
+        crowdAttr.map(col): _*)
+    val aggs = Seq(max(col("score")).as("score")) ++
+      crowdAttr.map(a => first(col(a)).as(a))
+    val unique = rescored.groupBy(col("__qid"), col(id))
+      .agg(aggs.head, aggs.tail: _*)
+    batchTail(unique, qid, k, crowding, metadata)
+  }
+
   /** The full serving tail (spill collapse → crowding cap → top-k →
     * metadata join) for a SINGLE coded-tier query — identical
     * semantics to the raw path's [[IvfIndex.searchExactDf]] tail

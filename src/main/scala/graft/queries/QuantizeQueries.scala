@@ -1405,8 +1405,83 @@ object QuantizeQueries {
       .searchMaxSimAdc(qvecs, nProbe = 2, k = 5, docCol = "label")
   }
 
+  /** BATCHED BQ shortlist-then-rescore on the resident handle
+    * ([[graft.operators.Serving.searchBatchBqRerank]]) — a query
+    * FRAME through the two-stage plan: routed probe, per-query
+    * top-20 sign-dot shortlist (window limit over the 8 B codes),
+    * broadcast of the survivor pairs back onto the pruned scan for
+    * the exact float rescore, shared batch tail. Three tenants in
+    * ONE plan; the oracle replays assignment (spill 2), per-query
+    * probes, the per-query shortlist rank over ±1 inner products,
+    * and the exact rescore rank. FULL hash oracle.
+    */
+  private val rServeBqBatch = QueryDef.sqlChecked("r_serve_bq_batch")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (0,21,33)), " +
+      "assign AS (SELECT vec_id, v, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, b.v, c.cid, row_number() OVER (" +
+      "PARTITION BY b.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn <= 2), " +
+      "probe AS (SELECT qid, cid FROM (SELECT q.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2), " +
+      "cand AS (SELECT DISTINCT p.qid, a.vec_id, a.v FROM assign a " +
+      "JOIN probe p ON a.leaf_id = p.cid), " +
+      "sl AS (SELECT qid, vec_id, v FROM (SELECT c.qid, c.vec_id, c.v, " +
+      "row_number() OVER (PARTITION BY c.qid ORDER BY " +
+      "list_inner_product(list_transform(c.v, x -> " +
+      "CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END), q.qv) DESC, c.vec_id) " +
+      "AS rn FROM cand c JOIN q ON c.qid = q.qid) WHERE rn <= 20) " +
+      "SELECT qid, vec_id, score, cast(rn as bigint) AS rn FROM (" +
+      "SELECT sl.qid, sl.vec_id, " +
+      "list_inner_product(sl.v, q.qv) AS score, row_number() OVER (" +
+      "PARTITION BY sl.qid ORDER BY list_inner_product(sl.v, q.qv) " +
+      "DESC, sl.vec_id) AS rn FROM sl JOIN q ON sl.qid = q.qid) " +
+      "WHERE rn <= 5 ORDER BY qid, rn"
+  ) { (s, d) =>
+    import graft.operators.IvfIndex
+    import graft.functions.bquant
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servebqb_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val indexed = base
+      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 2)))
+      .withColumn("bq_code", bquant.packSigns(col("v")))
+    IvfIndex.write(indexed, servePath.toString, model)
+
+    val serving = graft.operators.Serving.open(s, servePath.toString,
+      id = "vec_id", vecCol = "v")
+    val queries = base.filter(col("vec_id").isin(0L, 21L, 33L))
+      .select(col("vec_id").as("qid"), col("v"))
+    serving.searchBatchBqRerank(queries, "qid", "v", nProbe = 2,
+      m = 20, k = 5)
+  }
+
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
     vPqBatch, vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq,
     rServeSqFull, rServeSqPerQuery, rServeSqPAdaptive, rServeSqNumR,
-    vMaxsimSq, vMaxsimAdc, vBqSearch, vBqRerank, vBqHamming, rServeBq)
+    vMaxsimSq, vMaxsimAdc, vBqSearch, vBqRerank, vBqHamming, rServeBq,
+    rServeBqBatch)
 }

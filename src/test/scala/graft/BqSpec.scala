@@ -126,6 +126,75 @@ class BqSpec extends SparkTestBase {
       "survivor scores must come out in exact descending order")
   }
 
+  test("bq_code survives the maintenance lifecycle: append → delete " +
+      "→ compact keeps the tier serving exact with fresh codes") {
+    import graft.streaming.IndexMaintenance
+    val (serving0, dir) = buildBqLayout()
+    assert(serving0.hasBq)
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(2L).as("version"))
+    // re-embed some ids (negated — signs flip), delete a few others
+    val reembeds = emb.filter(col("vec_id") % 40 === 9)
+      .withColumn("v", transform(col("v"), x => -x))
+    IndexMaintenance.appendToServing(spark, dir, reembeds,
+      "vec_id", "v", "version", spill = 1)
+    val deadIds = Seq(3L, 17L, 91L)
+    IndexMaintenance.removeFromServing(spark, dir,
+      emb.filter(col("vec_id").isin(deadIds: _*))
+        .select(col("vec_id"), lit(3L).as("version")),
+      "vec_id", "version")
+    // compaction materializes the LWW view into a fresh layout — the
+    // companion column must ride through or the tier dies here
+    IndexMaintenance.compactServing(spark, dir, "vec_id", "version")
+    val live = graft.operators.Serving.open(spark, dir,
+      id = "vec_id", vecCol = "v")
+    assert(live.hasBq, "compaction dropped the bq_code column")
+    // deleted ids are gone physically, survivors' codes match their
+    // (possibly re-embedded) vectors exactly
+    assert(live.data.filter(col("vec_id").isin(deadIds: _*)).count() == 0)
+    live.data.filter(col("vec_id") % 40 === 9)
+      .select(col("v"), col("bq_code")).distinct().collect().foreach { r =>
+        assert(java.util.Arrays.equals(r.getAs[Array[Byte]](1),
+          PackSign.packLocal(r.getSeq[Double](0).toArray)),
+          "stale sign codes after compaction")
+      }
+    // and the served two-stage search still reduces to the raw probed
+    // search at admit-all m — over the COMPACTED layout
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 5L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val viaBq = live.searchBqRerank(q, nProbe = 3, m = 100000, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val viaRaw = live.search(q, nProbe = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(viaBq == viaRaw)
+  }
+
+  test("searchBatchBqRerank == per-query searchBqRerank for every " +
+      "tenant of one routed batch") {
+    val (serving, _) = buildBqLayout()
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val qids = Seq(3L, 21L, 42L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("v"))
+    val batch = serving.searchBatchBqRerank(queries, "qid", "v",
+        nProbe = 3, m = 25, k = 8)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    assert(batch.keySet == qids.toSet)
+    for (q <- qids) {
+      val qv = emb.filter(col("vec_id") === q)
+        .select("v").head().getSeq[Double](0).toArray
+      val single = serving.searchBqRerank(qv, nProbe = 3, m = 25, k = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(batch(q) == single,
+        s"batch and single BQ rerank diverge for qid=$q:\n" +
+          s"batch=${batch(q)}\nsingle=$single")
+    }
+  }
+
   test("searchBqRerank guards: wrong tier and missing companion " +
       "column fail loudly") {
     import graft.operators.{IvfIndex, Serving}
