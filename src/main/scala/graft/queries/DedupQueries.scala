@@ -423,7 +423,70 @@ object DedupQueries {
     s.read.parquet(decPath).orderBy("doc_id")
   }
 
+  /** SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then look for
+    * near-duplicate pairs ONLY within a cluster — the cluster bound
+    * turns the all-pairs quadratic into Σ leaf-size², the same
+    * economics as the IVF kNN join (`v_knn_join`), which is what
+    * makes embedding-level dedup runnable on a 100 TB corpus where
+    * `d_cosine_pairs` (the brute-force recall baseline) cannot be.
+    * Fixed centroids (the gate's usual 8 embedding rows) keep the
+    * whole operator SQL-replicable; the keep rule is SemDeDup's:
+    * within a cluster, a vector drops iff some SMALLER-id vector in
+    * the same cluster is ≥ τ cosine-similar (deterministic, one
+    * self-join — no iteration). Output: every vector with its
+    * cluster and keep flag, FULL hash oracle (cosine parity with the
+    * oracle's `list_cosine_similarity` is already pinned by
+    * `d_cosine_pairs` at the same τ).
+    */
+  private val dSemDedup = QueryDef.sqlChecked("d_semdedup")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "assign AS (SELECT vec_id, v, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, b.v, c.cid, row_number() OVER (" +
+      "PARTITION BY b.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn = 1), " +
+      "drops AS (SELECT DISTINCT b.vec_id FROM assign a " +
+      "JOIN assign b ON a.leaf_id = b.leaf_id AND a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(a.v, b.v) >= 0.4) " +
+      "SELECT a.vec_id, a.leaf_id, d.vec_id IS NULL AS kept " +
+      "FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id " +
+      "ORDER BY a.vec_id"
+  ) { (s, d) =>
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val assign = base.withColumn("leaf_id",
+      IvfIndex.probeExpr(model, col("v"), 1)(0))
+    // within-cluster pairs only: the join key IS the cluster — the
+    // shuffle co-locates each cluster, the quadratic is per-leaf
+    val a = assign.select(col("leaf_id"), col("vec_id").as("ida"),
+      col("v").as("va"))
+    val b = assign.select(col("leaf_id"), col("vec_id").as("idb"),
+      col("v").as("vb"))
+    val drops = a.join(b, Seq("leaf_id"))
+      .filter(col("ida") < col("idb"))
+      .filter(vectors.cosineSimilarity(col("va"), col("vb")) >= 0.4)
+      .select(col("idb").as("vec_id")).distinct()
+    assign.join(drops.withColumn("__drop", lit(true)),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("leaf_id"),
+        col("__drop").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
     dDedupIncremental, dStreamDedupInc, dSimhash, dSimhashPairs,
-    dSimhashBanded, dSrpLsh, dCosinePairs, dClusters, dDedupKeep)
+    dSimhashBanded, dSrpLsh, dCosinePairs, dClusters, dDedupKeep,
+    dSemDedup)
 }

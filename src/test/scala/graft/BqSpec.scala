@@ -195,6 +195,23 @@ class BqSpec extends SparkTestBase {
     }
   }
 
+  test("searchBatchBqRerank plan shape: the rescore stage joins the " +
+      "shortlist by BROADCAST — the corpus side is never exchanged " +
+      "for the join") {
+    val (serving, _) = buildBqLayout()
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id").isin(3L, 21L))
+      .select(col("vec_id").as("qid"), col("v"))
+    val plan = serving.searchBatchBqRerank(queries, "qid", "v",
+        nProbe = 3, m = 25, k = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins in the rescore stage:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the shortlist join:\n$plan")
+  }
+
   test("searchBqRerank guards: wrong tier and missing companion " +
       "column fail loudly") {
     import graft.operators.{IvfIndex, Serving}
