@@ -941,6 +941,71 @@ class ServingShapeSpec extends SparkTestBase {
     }
   }
 
+  test("the numeric exact escape READS only the stats-surviving " +
+      "files — the typed comparisons reach the manifest skip and the " +
+      "parquet scan end to end") {
+    import graft.operators.{ServingManifest, ManifestFileIndex}
+    import graft.streaming.IndexMaintenance
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shape_numskip").toString + "/idx"
+    val indexed = emb.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, dir, model)
+    ServingManifest.promote(spark, dir, Seq("version"))
+    val planted = emb.filter(col("vec_id") % 30 === 7)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("version", lit(2L))
+    IndexMaintenance.appendToServing(spark, dir, planted, "vec_id", "v",
+      "version", spill = 1)
+    val serving = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+
+    // the estimator's verdict for the same typed comparison the
+    // numeric set pushes
+    val est = ServingManifest.estimateRestrict(spark, dir,
+      Seq(col("version") >= lit(2.0)))
+      .getOrElse(fail("no manifest estimate"))
+    assert(est.keptFiles > 0 && est.keptFiles < est.totalFiles,
+      s"setup: the GE-2 predicate must skip some files " +
+        s"(kept ${est.keptFiles} of ${est.totalFiles})")
+
+    // ONE escaping tenant, nothing probed: every manifest-backed scan
+    // in the executed plan together reads exactly the kept files
+    val tenants = Seq((0L, Seq(("version", "GE", 2.0)))).toDF("qid", "num")
+      .withColumn("num", expr("transform(num, r -> " +
+        "named_struct('attr', r._1, 'op', r._2, 'v', r._3))"))
+      .withColumn("allow", lit(null).cast("map<string,array<string>>"))
+    val queries = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("v")).join(tenants, "qid")
+    val result = serving.searchBatchPerQueryAdaptive(queries, "qid", "v",
+      "allow", Seq.empty, nProbe = 2, k = 10, maxExactFraction = 0.35,
+      numCol = Some("num"), numAttrs = Seq("version"))
+    result.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val manifestScans = scans(result.queryExecution.executedPlan)
+      .filter(_.relation.location.isInstanceOf[ManifestFileIndex])
+    assert(manifestScans.nonEmpty, "no manifest-backed scan executed")
+    val filesRead = manifestScans.map(_.metrics("numFiles").value).sum
+    assert(filesRead == est.keptFiles,
+      s"the escaped plan read $filesRead files; the stats say " +
+        s"${est.keptFiles} of ${est.totalFiles} suffice")
+  }
+
   test("a numeric restriction outside numAttrs or with an unknown op " +
       "fails loudly on both the probed and the adaptive path") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
