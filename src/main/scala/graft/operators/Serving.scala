@@ -283,14 +283,23 @@ final class Serving private[operators] (
     * corpus is never shuffled; the only wide exchange is the
     * window's per-query partitioning of candidate scores, the same
     * shape every batch tail already pays. Crowding / metadata ride
-    * the shared [[batchTail]]. Output: identical contract to
-    * [[searchBatch]] — (qid, id[, metadata columns…], score, rn).
+    * the shared [[batchTail]]; the PER-QUERY surface
+    * (`allowCol`/`attrs` allow-maps, `numCol`/`numAttrs` numeric
+    * restriction sets — the shared validated contracts) filters each
+    * (candidate, query) pair BEFORE the shortlist window, so every
+    * tenant's m slots hold rows that tenant may see. Output:
+    * identical contract to [[searchBatch]] —
+    * (qid, id[, metadata columns…], score, rn).
     */
   def searchBatchBqRerank(queries: DataFrame, qid: String,
       qvecCol: String, nProbe: Int, m: Int, k: Int,
       restricts: Seq[Column] = Nil,
       crowding: Option[(String, Int)] = None,
-      metadata: Option[(DataFrame, String)] = None): DataFrame = {
+      metadata: Option[(DataFrame, String)] = None,
+      allowCol: Option[String] = None,
+      attrs: Seq[String] = Nil,
+      numCol: Option[String] = None,
+      numAttrs: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     import graft.functions.bquant
@@ -301,8 +310,18 @@ final class Serving private[operators] (
     require(hasBq,
       s"searchBatchBqRerank: layout at $path has no bq_code companion " +
         "column — build it with graft.functions.bquant.packSigns")
-    val probes = queries.select(col(qid).as("__qid"),
-        col(qvecCol).cast("array<double>").as("__qv"))
+    require(allowCol.isEmpty == attrs.isEmpty,
+      "searchBatchBqRerank: per-query restricts need BOTH the " +
+        "allow-map column (allowCol) and the constrained attributes " +
+        "(attrs)")
+    require(numCol.isEmpty == numAttrs.isEmpty,
+      "searchBatchBqRerank: per-query numeric restricts need BOTH " +
+        "the restriction column (numCol) and the constrained " +
+        "attributes (numAttrs)")
+    val probes = queries.select(Seq(col(qid).as("__qid"),
+        col(qvecCol).cast("array<double>").as("__qv")) ++
+        allowCol.map(c => checkedAllow(c, attrs).as("__allow")).toSeq ++
+        numCol.map(c => checkedNum(c, numAttrs).as("__numr")).toSeq: _*)
       .withColumn("leaf_id",
         explode(IvfIndex.probeExprF32(model, col("__qv"),
           math.max(1, nProbe))))
@@ -313,8 +332,17 @@ final class Serving private[operators] (
       data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
     val side = restricts.foldLeft(pruned)(_.filter(_))
     // stage 1: sign-dot per (candidate, query) pair over the codes
-    // only; spill copies collapse before the per-query window limit
-    val sl = side.join(probes, Seq("leaf_id"))
+    // only — the per-query filters sit BEFORE the shortlist window,
+    // so each tenant's m slots go to rows that tenant may see; spill
+    // copies collapse before the per-query window limit. Stage 2
+    // needs no re-filter: a surviving (qid, id) pair already passed.
+    val pairPreds = allowCol.map(_ =>
+      if (attrs.nonEmpty) allowPredicate(attrs)
+      else col("__allow").isNull ||
+        size(map_keys(col("__allow"))) === 0).toSeq ++
+      numCol.map(_ => numPredicate(numAttrs)).toSeq
+    val sl = pairPreds.foldLeft(side.join(probes, Seq("leaf_id")))(
+        _.filter(_))
       .select(col("__qid"), col(id),
         bquant.signDot(col("bq_code"), col("__qv")).as("__bq"))
       .groupBy(col("__qid"), col(id)).agg(max(col("__bq")).as("__bq"))

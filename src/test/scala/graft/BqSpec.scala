@@ -195,6 +195,61 @@ class BqSpec extends SparkTestBase {
     }
   }
 
+  test("searchBatchBqRerank per-query allow + numeric restricts == " +
+      "per-query searchBqRerank under the equivalent column restricts") {
+    import graft.operators.{IvfIndex, Serving}
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+    val (indexed0, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val indexed = indexed0.withColumn("bq_code", bquant.packSigns(col("v")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bq_tenant").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val serving = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+
+    // tenant 3: allow-map on label; tenant 7: numeric range; tenant
+    // 21: unrestricted — one batch, each tenant's shortlist filtered
+    // before the window
+    val tenants = Seq(
+      (3L, Some(Map("label" -> Seq("1", "4", "7"))),
+        Seq.empty[(String, String, Double)]),
+      (7L, None: Option[Map[String, Seq[String]]],
+        Seq(("label", "GE", 3.0), ("label", "LT", 8.0))),
+      (21L, None: Option[Map[String, Seq[String]]],
+        Seq.empty[(String, String, Double)]))
+      .toDF("qid", "allow", "num")
+      .withColumn("num", when(size(col("num")) > 0, expr(
+        "transform(num, r -> " +
+          "named_struct('attr', r._1, 'op', r._2, 'v', r._3))")))
+    val queries = emb.filter(col("vec_id").isin(3L, 7L, 21L))
+      .select(col("vec_id").as("qid"), col("v")).join(tenants, "qid")
+    val batch = serving.searchBatchBqRerank(queries, "qid", "v",
+        nProbe = 3, m = 25, k = 8, allowCol = Some("allow"),
+        attrs = Seq("label"), numCol = Some("num"),
+        numAttrs = Seq("label"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+
+    val colRestricts = Map(
+      3L -> Seq(col("label").cast("string").isin("1", "4", "7")),
+      7L -> Seq(col("label").cast("double") >= 3.0,
+        col("label").cast("double") < 8.0),
+      21L -> Seq.empty[org.apache.spark.sql.Column])
+    for ((q, rs) <- colRestricts) {
+      val qv = emb.filter(col("vec_id") === q)
+        .select("v").head().getSeq[Double](0).toArray
+      val single = serving.searchBqRerank(qv, nProbe = 3, m = 25, k = 8,
+          restricts = rs)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(batch(q) == single,
+        s"per-tenant BQ batch diverges from the column-restricted " +
+          s"single for qid=$q:\nbatch=${batch(q)}\nsingle=$single")
+    }
+    // the tenants genuinely see different corpora
+    assert(batch.values.map(_.map(_._1).toSet).toSet.size == 3)
+  }
+
   test("searchBatchBqRerank plan shape: the rescore stage joins the " +
       "shortlist by BROADCAST — the corpus side is never exchanged " +
       "for the join") {
