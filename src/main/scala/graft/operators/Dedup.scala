@@ -328,4 +328,35 @@ object Dedup {
         .localCheckpoint()
     } finally s.unpersist()
   }
+
+  /** Corpus-wide LINE dedup — the C4 span-dedup shape (Raffel et al.
+    * 2020 §2.2 removes all but one of any repeated three-sentence
+    * span; line granularity here, the same algebra): every non-empty
+    * trimmed line keeps exactly its FIRST occurrence in (doc, line
+    * position) order and drops every other copy, across the whole
+    * corpus. Returns one row per surviving line OCCURRENCE:
+    * (id, pos, line, kept).
+    *
+    * Scale shape: occurrences group on the line's md5 FINGERPRINT —
+    * a 32-char shuffle key instead of arbitrarily long line text —
+    * in ONE shuffle; the canonical occurrence is `min(struct(id,
+    * pos))`, a partial-aggregable min, so map-side combine bounds
+    * the skew of boilerplate lines that repeat millions of times (no
+    * group ever materializes its members, unlike a window over the
+    * line key). The kept-occurrence join back is fingerprint-keyed
+    * and carries two small columns per distinct line.
+    */
+  def lineDedup(docs: DataFrame, id: String, textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(id), posexplode(split(col(textCol), "\n")))
+      .select(col(id), col("pos"), trim(col("col")).as("line"))
+      .filter(length(col("line")) > 0)
+      .withColumn("fp", md5(col("line")))
+    val canon = lines.groupBy("fp")
+      .agg(min(struct(col(id), col("pos"))).as("first"))
+    lines.join(canon, "fp")
+      .withColumn("kept", col(id) === col("first").getField(id) &&
+        col("pos") === col("first").getField("pos"))
+      .select(col(id), col("pos"), col("line"), col("kept"))
+  }
 }

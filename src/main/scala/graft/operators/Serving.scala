@@ -336,10 +336,9 @@ final class Serving private[operators] (
     // so each tenant's m slots go to rows that tenant may see; spill
     // copies collapse before the per-query window limit. Stage 2
     // needs no re-filter: a surviving (qid, id) pair already passed.
-    val pairPreds = allowCol.map(_ =>
-      if (attrs.nonEmpty) allowPredicate(attrs)
-      else col("__allow").isNull ||
-        size(map_keys(col("__allow"))) === 0).toSeq ++
+    // (allowCol ⇒ attrs.nonEmpty by the require above, so no
+    // empty-attrs arm here — unlike the adaptive fallbacks' cores)
+    val pairPreds = allowCol.map(_ => allowPredicate(attrs)).toSeq ++
       numCol.map(_ => numPredicate(numAttrs)).toSeq
     val sl = pairPreds.foldLeft(side.join(probes, Seq("leaf_id")))(
         _.filter(_))
@@ -355,8 +354,12 @@ final class Serving private[operators] (
     // broadcasts, the pruned scan is probed once more, corpus never
     // shuffles
     val crowdAttr = crowding.map(_._1).toSeq
-    val qframe = queries.select(col(qid).as("__qid"),
-      col(qvecCol).cast("array<double>").as("__qv"))
+    // rescore against the CHECKPOINTED query vectors, not a second
+    // evaluation of the caller's frame — a non-deterministic upstream
+    // plan would otherwise shortlist one set of vectors and rescore
+    // different ones
+    val qframe = probes.select(col("__qid"), col("__qv"))
+      .dropDuplicates("__qid")
     val rescored = side
       .select(Seq(col(id), col(vecCol)) ++ crowdAttr.map(col): _*)
       .join(broadcast(sl), Seq(id))
@@ -532,6 +535,192 @@ final class Serving private[operators] (
       .agg(graft.Exact.dsum(col("__best"), 12).as("score"))
       .orderBy(col("score").desc, col(docCol))
       .limit(k)
+  }
+
+  /** [[searchMaxSim]] over the BQ SHORTLIST rung — late interaction
+    * with the two-stage economics of [[searchBqRerank]], the fourth
+    * cell of the MaxSim × tier matrix (raw / SQ8 / ADC / BQ): stage 1
+    * scores every (row, qvec) pair's asymmetric sign-dot over the
+    * 8 B/vector codes ([[graft.functions.BqDot]] — 32× fewer scan
+    * bytes than the raw floats), collapses the per-(doc, qvec) MAX
+    * map-side, sums per doc exact-decimal, and keeps the top-`m`
+    * DOCS deterministically (sign-score desc, doc asc); stage 2
+    * re-runs the EXACT raw-float MaxSim over the m surviving docs
+    * only — a broadcast semi-join of the tiny doc shortlist back
+    * onto the same pruned scan — so final scores and ordering are
+    * exact over the shortlist; approximation enters only through
+    * which docs survive stage 1 (and, as in all probed serving,
+    * which leaves were probed). Same IVF-pruned
+    * union-of-probed-leaves scan ([[searchMaxSim]], same 1024-leaf
+    * In-list bound) and output contract as the other tiers:
+    * (docCol, score) top-k by score desc, docCol asc.
+    */
+  def searchMaxSimBq(queryVecs: Seq[Array[Double]], nProbe: Int,
+      m: Int, k: Int, docCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.bquant
+    require(m >= k, s"shortlist m=$m must be ≥ k=$k")
+    require(tier == "raw",
+      s"searchMaxSimBq: layout at $path is a '$tier' tier — the BQ " +
+        "shortlist rides on raw vectors (exact rescore needs them)")
+    require(hasBq,
+      s"searchMaxSimBq: layout at $path has no bq_code companion " +
+        "column — build it with graft.functions.bquant.packSigns")
+    require(queryVecs.nonEmpty, "searchMaxSimBq needs ≥ 1 query vector")
+    val leaves = queryVecs.flatMap(q => model.topLeaves(q, nProbe))
+      .distinct
+    val pruned = if (leaves.length <= 1024)
+      data.filter(col("leaf_id").isin(leaves: _*)) else data
+    val qdf = spark.createDataFrame(
+      queryVecs.zipWithIndex.map { case (q, i) => (i, q.toSeq) })
+      .toDF("__qidx", "__qv")
+    // stage 1: doc shortlist from the 8 B codes only — the raw
+    // vector column never loads for docs the signs rule out
+    val shortlist = pruned
+      .crossJoin(broadcast(qdf))
+      .groupBy(col(docCol), col("__qidx"))
+      .agg(max(bquant.signDot(col("bq_code"), col("__qv")))
+        .as("__best"))
+      .groupBy(col(docCol))
+      .agg(graft.Exact.dsum(col("__best"), 12).as("__bq"))
+      .orderBy(col("__bq").desc, col(docCol))
+      .limit(m)
+      .select(col(docCol))
+    // stage 2: exact float MaxSim over the m surviving docs only
+    pruned.join(broadcast(shortlist), Seq(docCol))
+      .crossJoin(broadcast(qdf))
+      .groupBy(col(docCol), col("__qidx"))
+      .agg(max(graft.functions.vectors.dotProduct(
+        col(vecCol).cast("array<double>"), col("__qv"))).as("__best"))
+      .groupBy(col(docCol))
+      .agg(graft.Exact.dsum(col("__best"), 12).as("score"))
+      .orderBy(col("score").desc, col(docCol))
+      .limit(k)
+  }
+
+  /** BATCHED multi-vector late interaction — a FRAME of MaxSim
+    * queries (one row per query: `qid`, `qvecsCol` =
+    * array<array<double>> of the query's token vectors) served in
+    * ONE plan, the late-interaction sibling of [[searchBatch]]:
+    * every (qid, token vector) routes through the broadcast-f32
+    * probe expression, each qid's candidate set is the union of ITS
+    * OWN token vectors' probed leaves (identical semantics to
+    * [[searchMaxSim]] per qid), per-(qid, doc, qvec) MAX collapses
+    * map-side, the per-(qid, doc) sum is exact-decimal, and one
+    * per-qid window limit ranks the top-k. The corpus never
+    * shuffles: the (qid, leaf) pairs and the token-vector frame both
+    * BROADCAST onto the pruned scan; the only wide exchange is the
+    * per-(qid, doc) aggregation every batch tail already pays —
+    * |docs|·|Q| rows, not |rows|·|qvecs|. Same 1024-leaf In-list
+    * bound as all batch paths (the global union past it degrades to
+    * a full scan, which only ADDS candidates per qid).
+    *
+    * Output: (qid, docCol, score, rn) ordered by qid, rn — one
+    * ranked top-k per multi-vector query.
+    */
+  def searchMaxSimBatch(queries: DataFrame, qid: String,
+      qvecsCol: String, nProbe: Int, k: Int, docCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    maxSimBatchCore(queries, qid, qvecsCol, nProbe, k, docCol,
+      Nil,
+      graft.functions.vectors.dotProduct(
+        col(vecCol).cast("array<double>"), col("__qv")))
+  }
+
+  /** [[searchMaxSimBatch]] on the SQ8 TIER — the batched form of
+    * [[searchMaxSimSq]]: every token vector quantizes IN-PLAN
+    * (maxAbs → codes → pack, all codegen — zero driver-side
+    * per-token work, the [[searchBatchSq]] convention), the
+    * per-(row, token) inner loop is the exact integer dot over
+    * packed byte codes rescaled by the two scales, and the MAX /
+    * exact-decimal-sum / per-qid window tail is the shared batched
+    * core. Bit-deterministic like the whole SQ8 tier.
+    */
+  def searchMaxSimBatchSq(queries: DataFrame, qid: String,
+      qvecsCol: String, nProbe: Int, k: Int, docCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.quantize
+    require(tier == "sq",
+      s"searchMaxSimBatchSq: layout at $path is a '$tier' tier, not SQ8")
+    maxSimBatchCore(queries, qid, qvecsCol, nProbe, k, docCol,
+      Seq("__qma" -> quantize.maxAbs(col("__qv")),
+        "__qpk" -> quantize.packCodes(
+          quantize.codes(col("__qv"), quantize.maxAbs(col("__qv"))))),
+      quantize.score(quantize.packedDot(col("sq_code"), col("__qpk")),
+        col("ma"), col("__qma")))
+  }
+
+  /** [[searchMaxSimBatch]] on the PQ TIER — the batched form of
+    * [[searchMaxSimAdc]]: each token vector rotates IN-PLAN through
+    * the OPQ sidecar when the layout carries one (the
+    * [[searchBatchAdc]] convention — probing stays on the ORIGINAL
+    * vectors, rotation changes the coded space, never the router
+    * geometry), the per-(row, token) inner loop is the asymmetric
+    * ADC score against the codebook reference object, and the
+    * MAX / exact-decimal-sum / per-qid window tail is the shared
+    * batched core.
+    */
+  def searchMaxSimBatchAdc(queries: DataFrame, qid: String,
+      qvecsCol: String, nProbe: Int, k: Int, docCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(tier == "pq",
+      s"searchMaxSimBatchAdc: layout at $path is a '$tier' tier, not PQ")
+    val cb = ProductQuantizer.loadCodebook(spark, path)
+    val rot = ProductQuantizer.loadRotation(spark, path)
+    val rotated = rot.map(r => ProductQuantizer.rotateExpr(col("__qv"), r))
+      .getOrElse(col("__qv"))
+    maxSimBatchCore(queries, qid, qvecsCol, nProbe, k, docCol,
+      Seq("__qrot" -> rotated),
+      ProductQuantizer.adcDirectExpr(col("pq_code"), col("__qrot"), cb))
+  }
+
+  /** The shared batched-MaxSim core — routing at the global bound,
+    * 1024-leaf In-list guard, per-qid candidate union, broadcast of
+    * the decorated token frame, per-(qid, doc, token) MAX, exact-
+    * decimal per-(qid, doc) sum, per-qid window top-k. `decorate`
+    * adds per-token derived columns (quantized codes, rotated
+    * vectors) computed ONCE per token in the checkpointed probe
+    * frame; `pairScore` reads layout columns and the decorations.
+    */
+  private def maxSimBatchCore(queries: DataFrame, qid: String,
+      qvecsCol: String, nProbe: Int, k: Int, docCol: String,
+      decorate: Seq[(String, Column)], pairScore: Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val base = queries.select(col(qid).as("__qid"),
+        posexplode(col(qvecsCol).cast("array<array<double>>")))
+      .withColumnRenamed("pos", "__qidx")
+      .withColumnRenamed("col", "__qv")
+    val probes = decorate.foldLeft(base) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }
+      .withColumn("leaf_id", explode(IvfIndex.probeExprF32(model,
+        col("__qv"), math.max(1, nProbe))))
+      .localCheckpoint(true)
+    val leaves = probes.select("leaf_id").distinct()
+      .limit(1025).collect().map(_.getInt(0))
+    val pruned = if (leaves.length <= 1024)
+      data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
+    // each qid scans the union of its own token vectors' leaves;
+    // spill copies landing in two probed leaves collapse in the MAX
+    val qidLeaves = probes.select(col("__qid"), col("leaf_id")).distinct()
+    val cand = pruned.join(broadcast(qidLeaves), Seq("leaf_id"))
+    val qCols = Seq(col("__qid"), col("__qidx"), col("__qv")) ++
+      decorate.map { case (n, _) => col(n) }
+    val qframe = probes.select(qCols: _*)
+      .dropDuplicates("__qid", "__qidx")
+    cand.join(broadcast(qframe), Seq("__qid"))
+      .groupBy(col("__qid"), col(docCol), col("__qidx"))
+      .agg(max(pairScore).as("__best"))
+      .groupBy(col("__qid"), col(docCol))
+      .agg(graft.Exact.dsum(col("__best"), 12).as("score"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("__qid"))
+        .orderBy(col("score").desc, col(docCol))).cast("bigint"))
+      .filter(col("rn") <= k)
+      .withColumnRenamed("__qid", qid)
+      .select(col(qid), col(docCol), col("score"), col("rn"))
+      .orderBy(col(qid), col("rn"))
   }
 
   /** CERTIFIED exact top-k — leaf pruning with a PROOF instead of a
@@ -731,6 +920,68 @@ final class Serving private[operators] (
         graft.functions.vectors.dotProduct(col(vecCol),
           col("__qv")).as("score")) ++ crowdAttr.map(col): _*)
     // a vector stored in two probed leaves is ONE candidate
+    val aggs = Seq(max(col("score")).as("score")) ++
+      crowdAttr.map(a => first(col(a)).as(a))
+    val unique = scored.groupBy(col("__qid"), col(id))
+      .agg(aggs.head, aggs.tail: _*)
+    batchTail(unique, qid, k, crowding, metadata)
+  }
+
+  /** [[searchBatch]] with a PER-QUERY leaf-percent override — the
+    * batched form of [[searchPercent]]: the reference deploys with a
+    * `leaf_nodes_to_search_percent` recall knob (config.py:37) and
+    * production find-neighbors APIs let each request OVERRIDE the
+    * fraction of leaves searched, so a mixed batch (one latency-bound
+    * tenant at 5%, one recall-bound tenant at 50%) must ride one
+    * plan. `pctCol` names a DOUBLE column in (0, 100]; each query
+    * probes ⌈numLeaves · pct / 100⌉ leaves, clamped to
+    * [1, `maxProbe`] — `maxProbe` stays the GLOBAL bound (it sizes
+    * the one probe-expression evaluation the plan runs), so a
+    * hostile row can never widen the routing work, the same
+    * least(global, per-query) contract as `kCol`/`capCol`. The probe
+    * expression returns leaves in rank order, so the per-query
+    * override is ONE `slice` of the already-computed array — routing
+    * cost is paid once at the global bound, the override costs
+    * nothing extra. Everything downstream (In-list pruning, candidate
+    * join, spill collapse, tail) is [[searchBatch]] verbatim.
+    *
+    * Output: identical contract to the 8-arg [[searchBatch]].
+    */
+  def searchBatchPercent(queries: DataFrame, qid: String,
+      qvecCol: String, pctCol: String, maxProbe: Int, k: Int,
+      restricts: Seq[Column] = Nil,
+      crowding: Option[(String, Int)] = None,
+      metadata: Option[(DataFrame, String)] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(maxProbe >= 1, s"maxProbe must be ≥ 1, got $maxProbe")
+    // clamp BEFORE the slice; an out-of-contract pct (≤0, >100, null)
+    // fails loudly rather than silently probing everything
+    val checkedPct = when(col(pctCol).isNull ||
+        col(pctCol) <= 0.0 || col(pctCol) > 100.0,
+        raise_error(concat(lit(s"searchBatchPercent: $pctCol must be " +
+          "in (0, 100], got "), col(pctCol).cast("string"))))
+      .otherwise(col(pctCol).cast("double"))
+    val want = least(greatest(
+      ceil(lit(numLeaves) * checkedPct / 100.0).cast("int"), lit(1)),
+      lit(maxProbe))
+    val probes = queries.select(col(qid).as("__qid"),
+        col(qvecCol).cast("array<double>").as("__qv"),
+        want.as("__np"))
+      .withColumn("leaf_id",
+        explode(slice(IvfIndex.probeExprF32(model, col("__qv"),
+          math.max(1, maxProbe)), lit(1), col("__np"))))
+      .drop("__np")
+      .localCheckpoint(true)
+    val leaves = probes.select("leaf_id").distinct()
+      .limit(1025).collect().map(_.getInt(0))
+    val pruned = if (leaves.length <= 1024)
+      data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
+    val side = restricts.foldLeft(pruned)(_.filter(_))
+    val crowdAttr = crowding.map(_._1).toSeq
+    val scored = side.join(probes, Seq("leaf_id"))
+      .select(Seq(col("__qid"), col(id),
+        graft.functions.vectors.dotProduct(col(vecCol),
+          col("__qv")).as("score")) ++ crowdAttr.map(col): _*)
     val aggs = Seq(max(col("score")).as("score")) ++
       crowdAttr.map(a => first(col(a)).as(a))
     val unique = scored.groupBy(col("__qid"), col(id))
@@ -953,14 +1204,14 @@ final class Serving private[operators] (
         attrs, numCol.get, numAttrs, nProbe, k, restricts, crowding,
         metadata, kCol, capCol, maxExactFraction, maxDistinctMaps,
         maxBroadcastQueries)
-    val exactMaps = collectExactMaps(queries, allowCol, attrs,
-      maxExactFraction, maxDistinctMaps)
-    if (exactMaps.isEmpty)
+    val (exactSets, mkey) = collectAdaptiveSets(queries, allowCol,
+      attrs, None, Nil, maxExactFraction, maxDistinctMaps)
+    if (exactSets.isEmpty)
       return searchBatchPerQuery(queries, qid, qvecCol, allowCol, attrs,
         nProbe, k, restricts, crowding, metadata, kCol, capCol)
 
-    val keyed = queries.withColumn("__mkey", allowKey(allowCol))
-    val exactKeys = exactMaps.map(_._1)
+    val keyed = queries.withColumn("__mkey", mkey)
+    val exactKeys = exactSets.map(_._1)
     val probedUnique = perQueryProbedUnique(
       keyed.filter(!col("__mkey").isin(exactKeys: _*)).drop("__mkey"),
       qid, qvecCol, allowCol, attrs, nProbe, restricts, crowding,
@@ -979,16 +1230,17 @@ final class Serving private[operators] (
     val small = keyed.filter(col("__mkey").isin(exactKeys: _*))
       .select(col(qid)).limit(probeLimit)
       .count() <= maxBroadcastQueries
-    val exactUniques = exactMaps.map { case (key, m) =>
+    val exactUniques = exactSets.map { case (key, m, n) =>
       val qs = keyed.filter(col("__mkey") === key)
         .select(Seq(col(qid).as("__qid"),
           col(qvecCol).cast("array<double>").as("__qv")) ++
           perQueryCols: _*)
       // the map's constraints as pushed predicates — this is what
       // makes the escape an escape: the scan reads only the files the
-      // stats could not skip ([[allowMapPredicates]])
-      val side = (restricts ++ allowMapPredicates(m))
-        .foldLeft(data)(_.filter(_))
+      // stats could not skip ([[allowMapPredicates]]; n is empty on
+      // this allow-only path)
+      val side = (restricts ++ allowMapPredicates(m) ++
+        numSetPredicates(n)).foldLeft(data)(_.filter(_))
       val paired = if (small) side.crossJoin(broadcast(qs))
         else side.crossJoin(qs.hint("shuffle_replicate_nl"))
       val scored = paired.select(Seq(col("__qid"), col(id),
@@ -1023,14 +1275,14 @@ final class Serving private[operators] (
       capCol: Option[String], maxExactFraction: Double,
       maxDistinctMaps: Int, maxBroadcastQueries: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    val exactSets = collectExactSets(queries, allowCol, attrs, numCol,
-      numAttrs, maxExactFraction, maxDistinctMaps)
+    val (exactSets, mkey) = collectAdaptiveSets(queries, allowCol,
+      attrs, Some(numCol), numAttrs, maxExactFraction, maxDistinctMaps)
     if (exactSets.isEmpty)
       return searchBatchPerQuery(queries, qid, qvecCol, allowCol, attrs,
         nProbe, k, restricts, crowding, metadata, kCol, capCol,
         Some(numCol), numAttrs)
 
-    val keyed = queries.withColumn("__mkey", combinedKey(allowCol, numCol))
+    val keyed = queries.withColumn("__mkey", mkey)
     val exactKeys = exactSets.map(_._1)
     val probedUnique = perQueryProbedUnique(
       keyed.filter(!col("__mkey").isin(exactKeys: _*)).drop("__mkey"),

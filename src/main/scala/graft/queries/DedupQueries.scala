@@ -485,8 +485,83 @@ object DedupQueries {
       .orderBy("vec_id")
   }
 
+  /** Corpus-wide line dedup ([[Dedup.lineDedup]] — the C4 span-dedup
+    * algebra at line granularity: each distinct non-empty line keeps
+    * its first (doc_id, position) occurrence corpus-wide), folded to
+    * per-document stats. The test corpus has no newlines, so the
+    * gate DERIVES a line-structured corpus deterministically from
+    * `documents` (the same plant-the-evidence pattern the serving
+    * gates use): each doc's whitespace tokens chunk into 10-word
+    * lines, and every doc_id % 7 == 3 additionally ships a PARTIAL
+    * COPY (its first two lines + one unique tail line) under
+    * doc_id + 10000 — so the dedup must drop exactly the copied
+    * lines (the original owns the canonical occurrence) while the
+    * small vocabulary also produces natural cross-doc repeats. Docs
+    * with no non-empty line report (0, 0, 0.0). The oracle replays
+    * the derivation and the first-occurrence rule with a window over
+    * the line text (the Scala side groups on the line's md5 — same
+    * partition, smaller shuffle key); counts are exact integers,
+    * `dup_frac` one IEEE division, so the row hash-gates.
+    */
+  private val dLineDedup = QueryDef.sqlChecked("d_line_dedup")(
+    "WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, " +
+      "'\\s+'), x -> x <> '') AS w FROM documents), " +
+      "ln AS (SELECT doc_id, list_transform(range(0, " +
+      "cast(floor((len(w)+9)/10) as bigint)), i -> " +
+      "array_to_string(w[i*10+1 : i*10+10], ' ')) AS lines FROM ws), " +
+      "copies AS (SELECT doc_id + 10000 AS doc_id, lines[1:2] || " +
+      "['copy ' || cast(doc_id + 10000 as varchar)] AS lines FROM ln " +
+      "WHERE doc_id % 7 = 3), " +
+      "corpus AS (SELECT * FROM ln UNION ALL SELECT * FROM copies), " +
+      "occ AS (SELECT doc_id, i AS pos, lines[i] AS line FROM " +
+      "(SELECT doc_id, lines, unnest(range(1, len(lines)+1)) AS i " +
+      "FROM corpus) WHERE length(lines[i]) > 0), " +
+      "marked AS (SELECT doc_id, row_number() OVER (" +
+      "PARTITION BY line ORDER BY doc_id, pos) AS rn FROM occ), " +
+      "agg AS (SELECT doc_id, count(*) AS n_lines, " +
+      "sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS kept_lines " +
+      "FROM marked GROUP BY doc_id) " +
+      "SELECT c.doc_id, cast(coalesce(n_lines, 0) as bigint) AS n_lines, " +
+      "cast(coalesce(kept_lines, 0) as bigint) AS kept_lines, " +
+      "CASE WHEN coalesce(n_lines, 0) = 0 THEN 0.0 ELSE " +
+      "cast(n_lines - kept_lines as double) / n_lines END AS dup_frac " +
+      "FROM corpus c LEFT JOIN agg ON c.doc_id = agg.doc_id " +
+      "ORDER BY c.doc_id"
+  ) { (s, d) =>
+    val ws = Tables.documents(s, d)
+      .select(col("doc_id"), text.tokens(col("text")).as("w"))
+    // 10-word chunk lines; the empty-token guard matters (the edge
+    // corpus has empty docs, and sequence(0, -1) would descend)
+    val ln = ws.select(col("doc_id"),
+      when(size(col("w")) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(col("w")) + 9) / 10).cast("int") - 1),
+          i => concat_ws(" ", slice(col("w"), i * 10 + 1, lit(10)))))
+        .as("lines"))
+    val copies = ln.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat(slice(col("lines"), 1, 2),
+          array(concat(lit("copy "),
+            (col("doc_id") + 10000L).cast("string")))).as("lines"))
+    val corpus = ln.unionByName(copies)
+      .select(col("doc_id"), concat_ws("\n", col("lines")).as("text"))
+    val occ = Dedup.lineDedup(corpus, "doc_id", "text")
+    val agg = occ.groupBy("doc_id").agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("kept_lines"))
+    corpus.select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        when(coalesce(col("n_lines"), lit(0L)) === 0, 0.0)
+          .otherwise((col("n_lines") - col("kept_lines")).cast("double") /
+            col("n_lines")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
     dDedupIncremental, dStreamDedupInc, dSimhash, dSimhashPairs,
     dSimhashBanded, dSrpLsh, dCosinePairs, dClusters, dDedupKeep,
-    dSemDedup)
+    dSemDedup, dLineDedup)
 }

@@ -1479,9 +1479,89 @@ object QuantizeQueries {
       m = 20, k = 5)
   }
 
+  /** MaxSim LATE INTERACTION on the BQ SHORTLIST rung
+    * ([[graft.operators.Serving.searchMaxSimBq]]) — the fourth cell
+    * of the MaxSim × tier matrix (raw `v_maxsim`, SQ8 `v_maxsim_sq`,
+    * ADC `v_maxsim_adc`, and now the 8 B sign-bit shortlist): stage 1
+    * ranks DOCS by the sign-dot MaxSim over the packed codes (per-
+    * (doc, qvec) max of ⟨sign(x), q⟩, exact-decimal doc sum) and
+    * keeps the top-5 of the 10 labels; stage 2 re-runs the EXACT
+    * float MaxSim over the 5 survivors only — final scores exact,
+    * the shortlist the only approximation. The oracle replays
+    * assignment, the 3 queries' probed-leaf union, both MaxSim
+    * stages over ±1 and raw inner products, and both deterministic
+    * ranks. FULL hash oracle; m=5 of 10 labels makes the cut real
+    * (a wrong stage-1 rank changes the final row set).
+    */
+  private val vMaxsimBq = QueryDef.sqlChecked("v_maxsim_bq")(
+    "WITH base AS (SELECT vec_id, label, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (0,1,2)), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, c.cid, row_number() OVER (PARTITION BY b.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT DISTINCT cid FROM (SELECT q.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2), " +
+      "cand AS (SELECT b.vec_id, b.label, b.v FROM base b " +
+      "JOIN assign a ON b.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid), " +
+      "sd AS (SELECT c.label, q.qid, max(list_inner_product(" +
+      "list_transform(c.v, x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END), " +
+      "q.qv)) AS best FROM cand c, q GROUP BY c.label, q.qid), " +
+      "sldoc AS (SELECT label FROM (SELECT label, row_number() OVER (" +
+      "ORDER BY bq DESC, label) AS rn FROM (SELECT label, " +
+      graft.Exact.sqlDsum("best", 12) + " AS bq FROM sd GROUP BY label)) " +
+      "WHERE rn <= 5), " +
+      "ex AS (SELECT c.label, q.qid, max(list_inner_product(c.v, q.qv)) " +
+      "AS best FROM cand c JOIN sldoc s ON c.label = s.label, q " +
+      "GROUP BY c.label, q.qid) " +
+      "SELECT label, " + graft.Exact.sqlDsum("best", 12) + " AS score " +
+      "FROM ex GROUP BY label ORDER BY score DESC, label LIMIT 3"
+  ) { (s, d) =>
+    import graft.operators.IvfIndex
+    import graft.functions.bquant
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_maxsimbq_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val indexed = base
+      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 1)))
+      .withColumn("bq_code", bquant.packSigns(col("v")))
+    IvfIndex.write(indexed, servePath.toString, model)
+
+    val qvecs = base.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    graft.operators.Serving.open(s, servePath.toString,
+        id = "vec_id", vecCol = "v")
+      .searchMaxSimBq(qvecs, nProbe = 2, m = 5, k = 3, docCol = "label")
+  }
+
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
     vPqBatch, vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq,
     rServeSqFull, rServeSqPerQuery, rServeSqPAdaptive, rServeSqNumR,
     vMaxsimSq, vMaxsimAdc, vBqSearch, vBqRerank, vBqHamming, rServeBq,
-    rServeBqBatch)
+    rServeBqBatch, vMaxsimBq)
 }

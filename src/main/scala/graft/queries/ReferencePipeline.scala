@@ -1649,6 +1649,85 @@ object ReferencePipeline {
       .searchMaxSim(qvecs, nProbe = 2, k = 5, docCol = "label")
   }
 
+  /** BATCHED multi-vector late interaction
+    * ([[graft.operators.Serving.searchMaxSimBatch]]) — THREE MaxSim
+    * queries with different token-vector counts (2 / 3 / 1) served
+    * in ONE plan: each qid routes its own token vectors, scans the
+    * union of ITS probed leaves (per-qid identical semantics to
+    * `v_maxsim_pruned`), collapses the per-(qid, doc, qvec) MAX
+    * map-side, sums exact-decimal per (qid, doc), and ranks top-4
+    * per qid in one window. The oracle replays per-(qid, qvec)
+    * probing, the per-qid candidate unions, and both aggregation
+    * stages. FULL hash oracle.
+    */
+  private val vMaxsimBatch = QueryDef.sqlChecked("v_maxsim_batch")(
+    "WITH base AS (SELECT vec_id, label, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "qv AS (SELECT cast(CASE WHEN vec_id IN (0,1) THEN 0 " +
+      "WHEN vec_id IN (2,3,4) THEN 1 ELSE 2 END as bigint) AS qid, " +
+      "vec_id AS qidx, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (0,1,2,3,4,5)), " +
+      "assign AS (SELECT vec_id, label, v, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, b.label, b.v, c.cid, row_number() OVER (" +
+      "PARTITION BY b.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn <= 2), " +
+      "probe AS (SELECT DISTINCT qid, cid FROM (SELECT q.qid, q.qidx, " +
+      "c.cid, row_number() OVER (PARTITION BY q.qid, q.qidx " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, qv q) " +
+      "WHERE rn <= 2), " +
+      "cand AS (SELECT DISTINCT p.qid, a.vec_id, a.label, a.v " +
+      "FROM assign a JOIN probe p ON a.leaf_id = p.cid), " +
+      "per AS (SELECT c.qid, c.label, q.qidx, " +
+      "max(list_inner_product(c.v, q.qv)) AS best " +
+      "FROM cand c JOIN qv q ON c.qid = q.qid " +
+      "GROUP BY c.qid, c.label, q.qidx), " +
+      "doc AS (SELECT qid, label, " + graft.Exact.sqlDsum("best", 12) +
+      " AS score FROM per GROUP BY qid, label) " +
+      "SELECT qid, label, score, rn FROM (SELECT qid, label, score, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) " +
+      "AS rn FROM doc) WHERE rn <= 4 ORDER BY qid, rn"
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val byId = base.filter(col("vec_id") <= 5L)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_maxsimbatch_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val indexed = base.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, servePath.toString, model)
+
+    import s.implicits._
+    val queries = Seq(
+      (0L, Seq(byId(0L), byId(1L))),
+      (1L, Seq(byId(2L), byId(3L), byId(4L))),
+      (2L, Seq(byId(5L))))
+      .toDF("qid", "qvecs")
+    graft.operators.Serving.open(s, servePath.toString,
+        id = "vec_id", vecCol = "v")
+      .searchMaxSimBatch(queries, "qid", "qvecs", nProbe = 2, k = 4,
+        docCol = "label")
+  }
+
   /** Serving-layout cache for the BATCH gate: the full reopenable
     * index (data + model sidecar + manifest) built once per JVM per
     * sf dir — `r_serve_batch` gates the batched QUERY path; the
@@ -1731,6 +1810,65 @@ object ReferencePipeline {
       restricts = Seq(col("vec_id") >= 10),
       crowding = Some(("label", 2)),
       metadata = Some((emb.select("vec_id", "label"), "vec_id")))
+  }
+
+  /** PER-QUERY leaf-percent override in one batch
+    * ([[graft.operators.Serving.searchBatchPercent]]) — the
+    * reference deploys with `leaf_nodes_to_search_percent`
+    * (config.py:37) and production find-neighbors lets each request
+    * override the searched fraction, so one batch carries three
+    * tenants at DIFFERENT recall points: qid 7 at 10% (⌈0.8⌉ = 1
+    * leaf), qid 21 at 25% (2 leaves), qid 33 at 50% (wants 4,
+    * CLAMPED to the global maxProbe = 3 — the least(global,
+    * per-query) contract the other per-query knobs follow). Routing
+    * is evaluated ONCE at the global bound and each query slices its
+    * own rank-ordered prefix. The oracle replays the per-qid probe
+    * depths and the probed top-k per query; the driver
+    * hash-compares every row.
+    */
+  private val rServePct = QueryDef.sqlChecked("r_serve_pct")(
+    "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv, " +
+      "CASE vec_id WHEN 7 THEN 10.0 WHEN 21 THEN 25.0 ELSE 50.0 END AS pct " +
+      "FROM embeddings WHERE vec_id IN (7,21,33)), " +
+      "np AS (SELECT qid, qv, least(greatest(" +
+      "cast(ceil(8 * pct / 100.0) as int), 1), 3) AS n FROM q), " +
+      "assign AS (SELECT vec_id, cid AS leaf_id FROM (" +
+      "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(cast(e.embedding as double[]), c.cv), c.cid) AS rn " +
+      "FROM embeddings e, cent c) WHERE rn = 1), " +
+      "probe AS (SELECT qid, cid FROM (SELECT np.qid, np.n, c.cid, " +
+      "row_number() OVER (PARTITION BY np.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(np.qv, c.cv), c.cid) AS rn FROM cent c, np) " +
+      "WHERE rn <= n), " +
+      "cand AS (SELECT p.qid, e.vec_id, " +
+      "list_inner_product(cast(e.embedding as double[]), q.qv) AS score " +
+      "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id " +
+      "JOIN probe p ON a.leaf_id = p.cid JOIN q ON q.qid = p.qid), " +
+      "ranked AS (SELECT qid, vec_id, score, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM cand) " +
+      "SELECT qid, vec_id, score, cast(rn as bigint) AS rn " +
+      "FROM ranked WHERE rn <= 5 ORDER BY qid, rn"
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val path = ServeBatchCache.get(s, d, cents)
+    val serving = graft.operators.Serving.open(s, path)
+    val queries = emb.filter(col("vec_id").isin(7L, 21L, 33L))
+      .select(col("vec_id").as("qid"), col("embedding"),
+        when(col("vec_id") === 7L, 10.0)
+          .when(col("vec_id") === 21L, 25.0)
+          .otherwise(50.0).as("pct"))
+    serving.searchBatchPercent(queries, "qid", "embedding", "pct",
+      maxProbe = 3, k = 5)
   }
 
   /** PER-QUERY restricts in one batch
@@ -2470,9 +2608,9 @@ object ReferencePipeline {
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
     rServeManifest, rServeSnapshot, rServeCdc, rServeClone, rServeBatch,
-    rServeRestricts, rServeAllow2, rServePerQuery, rServePAdaptive,
+    rServeRestricts, rServePct, rServeAllow2, rServePerQuery, rServePAdaptive,
     rServeNumR, rServeLive,
     rServeDelete, rServePrefilter, rRebalance, vAnnBuild, vAnnCertified,
-    vMaxsimPruned, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
+    vMaxsimPruned, vMaxsimBatch, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
     vAnnRouted, vAnnRecallCurve, vKnnJoin)
 }

@@ -234,13 +234,14 @@ object TextAnalysis {
       sum(when(col("c") > 1, col("c") * col("len")).otherwise(0L))
         .as("dup_chars"),
       sum(col("c") * col("len")).as("line_chars"))
+    // shared tokenization + the GUARDED 2-gram shingle builder — a
+    // hand-rolled sequence(1, size-1) descends to [1, 0] on <2-word
+    // docs (Spark's step defaults to -1 when start > stop) and
+    // element_at(ws, 0) throws; shinglesOfTokens handles that case
     val bgAll = docs
+      .select(col("doc_id"), text.tokens(col("text")).as("ws"))
       .select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), w => w =!= "").as("ws"))
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), greatest(size(col("ws")) - 1, lit(0))),
-        i => concat(element_at(col("ws"), i), lit(" "),
-          element_at(col("ws"), i + 1)))).as("bg"))
+        explode(text.shinglesOfTokens(col("ws"), 2)).as("bg"))
       .groupBy("doc_id", "bg")
       .agg(count(lit(1)).as("c"), length(col("bg")).cast("long").as("len"))
     val bt = bgAll
@@ -332,9 +333,7 @@ object TextAnalysis {
   ) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val wa = docs
-      .select(col("doc_id"),
-        explode(filter(split(col("text"), "\\s+"), w => w =!= ""))
-          .as("w"))
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("w"))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_words"),
         sum(length(col("w")).cast("long")).as("word_chars"),
@@ -377,6 +376,118 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The C4 cleaning rules (Raffel et al. 2020, §2.2 — the heuristics
+    * behind the C4 corpus), per document:
+    *  - a line is RETAINED iff it ends in terminal punctuation
+    *    (`.`, `!`, `?`, `"`), has ≥ 5 whitespace words, and does not
+    *    mention `javascript` (case-insensitive);
+    *  - `n_sentences`  — terminal-punctuation marks in the doc,
+    *    page rule ≥ 3;
+    *  - `has_lorem` / `has_brace` — the boilerplate ('lorem ipsum')
+    *    and code (`{`) page drops;
+    *  - `keep` — ≥3 sentences AND ≥1 retained line AND neither drop.
+    * Same line/word machinery as [[tGopherRules]] (trimmed newline
+    * lines, empties dropped; whitespace words); counts are exact
+    * integers, `kept_frac` one IEEE division — the row hash-gates.
+    */
+  private val tC4Rules = QueryDef.sqlChecked("t_c4_rules")(
+    "WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, " +
+      "'\\s+'), x -> x <> '') AS w FROM documents), " +
+      // the test corpus has no punctuation/newlines, so the gate
+      // derives a line-structured corpus (6-word lines; most get a
+      // terminal '.', every 7th mentions javascript, and two doc
+      // families gain a 'lorem ipsum' / '{' line) — every C4 rule
+      // fires on real rows
+      "ln AS (SELECT doc_id, list_transform(range(0, " +
+      "cast(floor((len(w)+5)/6) as bigint)), i -> " +
+      "array_to_string(w[i*6+1 : i*6+6], ' ') || " +
+      "(CASE WHEN i % 7 = 3 THEN ' javascript' ELSE '' END) || " +
+      "(CASE WHEN i % 3 <> 2 THEN '.' ELSE '' END)) AS lines0 FROM ws), " +
+      "dec AS (SELECT doc_id, lines0 || " +
+      "(CASE WHEN doc_id % 13 = 7 THEN " +
+      "['lorem ipsum dolor sit amet consectetur.'] ELSE [] END) || " +
+      "(CASE WHEN doc_id % 17 = 11 THEN " +
+      "['int main() { return 0; }'] ELSE [] END) AS lines FROM ln), " +
+      "corpus AS (SELECT doc_id, array_to_string(lines, chr(10)) AS text " +
+      "FROM dec), " +
+      "lines AS (SELECT doc_id, trim(l) AS line FROM (SELECT doc_id, " +
+      "unnest(string_split(text, chr(10))) AS l FROM corpus) " +
+      "WHERE length(trim(l)) > 0), " +
+      "la AS (SELECT doc_id, count(*) AS n_lines, " +
+      "sum(CASE WHEN (ends_with(line, '.') OR ends_with(line, '!') " +
+      "OR ends_with(line, '?') OR ends_with(line, '\"')) " +
+      "AND len(list_filter(string_split_regex(line, '\\s+'), " +
+      "x -> x <> '')) >= 5 " +
+      "AND NOT contains(lower(line), 'javascript') THEN 1 ELSE 0 END) " +
+      "AS kept_lines FROM lines GROUP BY doc_id), " +
+      "sd AS (SELECT doc_id, " +
+      "len(regexp_extract_all(text, '[.!?]')) AS n_sentences, " +
+      "contains(lower(text), 'lorem ipsum') AS has_lorem, " +
+      "contains(text, '{') AS has_brace FROM corpus) " +
+      "SELECT d.doc_id, " +
+      "cast(coalesce(la.n_lines, 0) as bigint) AS n_lines, " +
+      "cast(coalesce(la.kept_lines, 0) as bigint) AS kept_lines, " +
+      "CASE WHEN coalesce(la.n_lines, 0) = 0 THEN 0.0 ELSE " +
+      "cast(la.kept_lines as double) / la.n_lines END AS kept_frac, " +
+      "cast(sd.n_sentences as bigint) AS n_sentences, " +
+      "sd.has_lorem, sd.has_brace, " +
+      "sd.n_sentences >= 3 AND coalesce(la.kept_lines, 0) >= 1 " +
+      "AND NOT sd.has_lorem AND NOT sd.has_brace AS keep " +
+      "FROM corpus d LEFT JOIN la ON d.doc_id = la.doc_id " +
+      "JOIN sd ON d.doc_id = sd.doc_id ORDER BY d.doc_id"
+  ) { (s, d) =>
+    val ws = Tables.documents(s, d)
+      .select(col("doc_id"), text.tokens(col("text")).as("w"))
+    // 6-word chunk lines with deterministic decorations — the same
+    // derivation as the oracle's ln/dec CTEs; the empty-token guard
+    // matters (edge corpus has empty docs; sequence(0, -1) descends)
+    val emptyArr = array().cast("array<string>")
+    val lines0 = when(size(col("w")) === 0, emptyArr)
+      .otherwise(transform(
+        sequence(lit(0), floor((size(col("w")) + 5) / 6).cast("int") - 1),
+        i => concat(concat_ws(" ", slice(col("w"), i * 6 + 1, lit(6))),
+          when(i % 7 === 3, " javascript").otherwise(""),
+          when(i % 3 =!= 2, ".").otherwise(""))))
+    val corpus = ws.select(col("doc_id"),
+      concat_ws("\n", concat(lines0,
+        when(col("doc_id") % 13 === 7,
+          array(lit("lorem ipsum dolor sit amet consectetur.")))
+          .otherwise(emptyArr),
+        when(col("doc_id") % 17 === 11,
+          array(lit("int main() { return 0; }")))
+          .otherwise(emptyArr))).as("text"))
+    val isKept = (col("line").endsWith(".") || col("line").endsWith("!") ||
+      col("line").endsWith("?") || col("line").endsWith("\"")) &&
+      size(text.tokens(col("line"))) >= 5 &&
+      !lower(col("line")).contains("javascript")
+    val la = corpus
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("l"))
+      .select(col("doc_id"), trim(col("l")).as("line"))
+      .filter(length(col("line")) > 0)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(isKept, 1L).otherwise(0L)).as("kept_lines"))
+    val sd = corpus.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
+        .cast("long").as("n_sentences"),
+      lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+      col("text").contains("{").as("has_brace"))
+    corpus.select("doc_id")
+      .join(la, Seq("doc_id"), "left")
+      .join(sd, Seq("doc_id"))
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        when(coalesce(col("n_lines"), lit(0L)) === 0, 0.0)
+          .otherwise(col("kept_lines").cast("double") / col("n_lines"))
+          .as("kept_frac"),
+        col("n_sentences"), col("has_lorem"), col("has_brace"),
+        (col("n_sentences") >= 3 &&
+          coalesce(col("kept_lines"), lit(0L)) >= 1 &&
+          !col("has_lorem") && !col("has_brace")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(tTokenCount, tQuality, tLangId, tBpeCount,
-    tRedact, tFingerprint, tRepetition, tGopherRules)
+    tRedact, tFingerprint, tRepetition, tGopherRules, tC4Rules)
 }

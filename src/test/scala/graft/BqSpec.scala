@@ -288,4 +288,53 @@ class BqSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("must be"))
   }
+
+  test("searchMaxSimBq with an admit-all shortlist == the raw " +
+      "searchMaxSim exactly; a tight shortlist keeps exact ordering; " +
+      "guards fail loudly (v_maxsim_bq is the oracle-gated twin)") {
+    import graft.operators.{IvfIndex, Serving}
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("label"), col("embedding").cast("array<double>").as("v"))
+    val (indexed0, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val indexed = indexed0.withColumn("bq_code", bquant.packSigns(col("v")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bq_maxsim").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val serving = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+    val qvecs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.get(1).toString)).toSeq
+    // m ≥ doc count → stage 1 admits every doc → the exact-rescore
+    // stage IS the raw MaxSim (same exact-decimal sums, same ties)
+    val admitAll = rows(serving.searchMaxSimBq(qvecs, nProbe = 3,
+      m = 100000, k = 5, docCol = "label"))
+    val raw = rows(serving.searchMaxSim(qvecs, nProbe = 3, k = 5,
+      docCol = "label"))
+    assert(admitAll == raw,
+      s"admit-all BQ MaxSim must reduce to raw MaxSim:\n$admitAll\n$raw")
+    // tight m: k of the m survivors, scores exact and descending
+    val tight = serving.searchMaxSimBq(qvecs, nProbe = 3, m = 4, k = 3,
+      docCol = "label").collect()
+    assert(tight.length == 3)
+    val scores = tight.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse,
+      "survivor scores must come out in exact descending order")
+    // guards: missing companion column, and m < k
+    val bareDir = java.nio.file.Files
+      .createTempDirectory("graft_bq_maxsim_bare").toString + "/idx"
+    IvfIndex.write(indexed0, bareDir, model)
+    val bare = Serving.open(spark, bareDir, id = "vec_id", vecCol = "v")
+    val e = intercept[IllegalArgumentException] {
+      bare.searchMaxSimBq(qvecs, nProbe = 2, m = 20, k = 10,
+        docCol = "label")
+    }
+    assert(e.getMessage.contains("no bq_code companion"))
+    val e2 = intercept[IllegalArgumentException] {
+      serving.searchMaxSimBq(qvecs, nProbe = 2, m = 2, k = 10,
+        docCol = "label")
+    }
+    assert(e2.getMessage.contains("must be"))
+  }
 }

@@ -15,6 +15,85 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(frames.filter(col("doc_id") === 2).count() == 4) // ceil(200/64)
   }
 
+  test("t_repetition and t_gopher_rules survive empty, whitespace, " +
+      "and single-word documents (regression: a hand-rolled " +
+      "sequence(1, size-1) descends to [1, 0] below 2 words and " +
+      "element_at(ws, 0) throws)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_edge_docs").toString
+    Seq((1L, "", "en", "web", 0L), (2L, "   ", "en", "web", 3L),
+      (3L, "word", "en", "web", 4L),
+      (4L, "two words\ntwo words", "en", "web", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    for (name <- Seq("t_repetition", "t_gopher_rules")) {
+      val q = graft.queries.Registry.all.find(_.name == name)
+        .getOrElse(fail(s"$name not registered"))
+      val rows = q.fn(spark, dir).collect()
+      assert(rows.length == 4, s"$name must keep every pathological doc")
+    }
+    // the 4th doc exercises the real math: its one line duplicates
+    val rep = graft.queries.Registry.all.find(_.name == "t_repetition").get
+      .fn(spark, dir).filter(col("doc_id") === 4L).head()
+    assert(rep.getAs[Double]("dup_line_frac") == 0.5)
+    assert(rep.getAs[String]("top_bigram").nonEmpty)
+  }
+
+  test("t_c4_rules and d_line_dedup survive empty / whitespace / " +
+      "single-word docs, and the real math holds: C4 keeps only " +
+      "terminal-punctuated ≥5-word lines, line dedup keeps exactly " +
+      "the first corpus-wide occurrence") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_edge_c4").toString
+    Seq(
+      (1L, "", "en", "web", 0L),
+      (2L, "   ", "en", "web", 3L),
+      (3L, "word", "en", "web", 4L),
+      // two lines: one C4-keepable, one (short, no terminal punct) not;
+      // the keepable line REPEATS in doc 5 → dedup keeps doc 4's copy
+      (4L, "this sentence has six whole words.\nshort line", "en",
+        "web", 46L),
+      (5L, "this sentence has six whole words.\nuses javascript " +
+        "alert framework here today.", "en", "web", 78L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // both gates derive their line corpora from the token stream (the
+    // test tables carry no newlines/punctuation), so the expectations
+    // below follow the derivations: C4 = 6-word lines, most
+    // terminal-'.'-ed, every 7th line javascript'd; line-dedup =
+    // 10-word lines + a partial copy of every doc_id % 7 == 3
+    val c4 = graft.queries.Registry.all.find(_.name == "t_c4_rules").get
+      .fn(spark, dir).collect()
+    assert(c4.length == 5, "t_c4_rules must keep every pathological doc")
+    val byId = c4.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Long]("n_lines") == 0L &&
+      !byId(1L).getAs[Boolean]("keep"), "empty doc: zero lines, dropped")
+    // doc 3 'word' → one 1-word line 'word.': terminal but < 5 words
+    assert(byId(3L).getAs[Long]("kept_lines") == 0L &&
+      !byId(3L).getAs[Boolean]("keep"))
+    // doc 4: line 0 is 6 words + '.' (kept), line 1 is 2 words (not);
+    // 3 terminal marks in the doc → the page survives
+    assert(byId(4L).getAs[Long]("kept_lines") == 1L &&
+      byId(4L).getAs[Long]("n_lines") == 2L &&
+      byId(4L).getAs[Boolean]("keep"))
+    // doc 5's second line mentions javascript → dropped by the line
+    // rule even though it is long and terminal-punctuated
+    assert(byId(5L).getAs[Long]("kept_lines") == 1L &&
+      byId(5L).getAs[Long]("n_lines") == 2L)
+    val ld = graft.queries.Registry.all.find(_.name == "d_line_dedup").get
+      .fn(spark, dir).collect().map(r => r.getLong(0) -> r).toMap
+    assert(ld.size == 6,
+      "5 docs + the planted partial copy of doc 3 (10003)")
+    assert(ld(1L).getAs[Long]("n_lines") == 0L &&
+      ld(1L).getAs[Double]("dup_frac") == 0.0)
+    assert(ld(3L).getAs[Long]("kept_lines") == 1L,
+      "doc 3 owns the canonical occurrence of its line")
+    assert(ld(10003L).getAs[Long]("n_lines") == 2L &&
+      ld(10003L).getAs[Long]("kept_lines") == 1L &&
+      ld(10003L).getAs[Double]("dup_frac") == 0.5,
+      "the copy keeps only its unique tail line")
+  }
+
   test("quality score of empty/whitespace text is 0.0, not null") {
     val got = Seq("", "   ", "real text here")
       .toDF("t").select(text.qualityScore(col("t"))).as[Double].collect()

@@ -254,4 +254,53 @@ class PqSpec extends SparkTestBase {
     assert(batch == perQuery,
       "batched ADC must equal the per-query ADC path")
   }
+
+  test("searchMaxSimBatchAdc matches per-qid searchMaxSimAdc, query " +
+      "by query, WITH the OPQ rotation in the loop (in-plan rotateExpr " +
+      "== driver-side rotate)") {
+    import graft.operators.{IvfIndex, Serving}
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val dim = ProductQuantizer.NumSub * ProductQuantizer.SubDim
+    // the exact reversal basis the gates use: orthonormal, SQL-free here
+    val basis = Array.tabulate(dim)(j =>
+      Array.tabulate(dim)(i => if (i == dim - 1 - j) 1.0 else 0.0))
+    val cbRot = ProductQuantizer.codebook(emb, "vec_id", "embedding", ids)
+      .map(ProductQuantizer.rotate(_, basis))
+    val (indexed, model) = IvfIndex.build(base, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_maxsimb").toString + "/idx"
+    val coded = indexed
+      .withColumn("pq_code", ProductQuantizer.encodeExpr(
+        ProductQuantizer.rotateExpr(col("v"), basis), cbRot))
+      .drop("v")
+    IvfIndex.write(coded, dir, model)
+    ProductQuantizer.writeCodebook(spark, dir, cbRot)
+    ProductQuantizer.writeRotation(spark, dir, basis)
+    val handle = Serving.open(spark, dir)
+    assert(handle.tier == "pq")
+    val byId = base.filter(col("vec_id") <= 5L)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val groups = Map(
+      0L -> Seq(byId(0L), byId(1L)),
+      1L -> Seq(byId(2L), byId(3L), byId(4L)),
+      2L -> Seq(byId(5L)))
+    val queries = groups.toSeq.sortBy(_._1).toDF("qid", "qvecs")
+    val batch = handle.searchMaxSimBatchAdc(queries, "qid", "qvecs",
+        nProbe = 3, k = 5, docCol = "label")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3))
+        .map(r => (r.getInt(1), r.getDouble(2))).toSeq).toMap
+    assert(batch.keySet == groups.keySet)
+    for ((qid, vs) <- groups) {
+      val per = handle.searchMaxSimAdc(vs.map(_.toArray), nProbe = 3,
+          k = 5, docCol = "label")
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == per,
+        s"batched and per-qid ADC MaxSim diverge for $qid:\n" +
+          s"batch=${batch(qid)}\nper=$per")
+    }
+  }
 }

@@ -159,6 +159,48 @@ class ServingApiSpec extends SparkTestBase {
     assert(boom.getMessage.contains("pct"))
   }
 
+  test("searchBatchPercent: uniform pct == searchBatch at the " +
+      "equivalent nProbe; the clamp holds; out-of-contract pct fails " +
+      "loudly in-plan") {
+    import graft.operators.Serving
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srvpct").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val live = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+    val qids = Seq(3L, 21L, 42L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSeq
+    // 25% of 8 leaves = 2 probes for every query
+    val viaPct = rows(live.searchBatchPercent(
+      emb.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("v"), lit(25.0).as("pct")),
+      "qid", "v", "pct", maxProbe = 8, k = 5))
+    val viaN = rows(live.searchBatch(
+      emb.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("v")),
+      "qid", "v", nProbe = 2, k = 5))
+    assert(viaPct == viaN,
+      s"uniform 25% must equal nProbe=2:\n$viaPct\n$viaN")
+    // the global bound clamps: 100% wants 8 but maxProbe=2 wins
+    val clamped = rows(live.searchBatchPercent(
+      emb.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("v"), lit(100.0).as("pct")),
+      "qid", "v", "pct", maxProbe = 2, k = 5))
+    assert(clamped == viaN, "maxProbe must clamp a greedy per-query pct")
+    // out-of-contract pct raises in-plan, not a silent full probe
+    val bad = intercept[Exception] {
+      live.searchBatchPercent(
+        emb.filter(col("vec_id") === 3L)
+          .select(col("vec_id").as("qid"), col("v"), lit(0.0).as("pct")),
+        "qid", "v", "pct", maxProbe = 2, k = 5).collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("Serving.searchBatch matches per-query search, query by query") {
     import graft.operators.Serving
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
@@ -187,6 +229,41 @@ class ServingApiSpec extends SparkTestBase {
       assert(batch(q) == per,
         s"batch and per-query results diverge for query $q:\n" +
           s"batch=${batch(q)}\nper=$per")
+    }
+  }
+
+  test("searchMaxSimBatch matches per-qid searchMaxSim, query by " +
+      "query (different token-vector counts in one plan)") {
+    import graft.operators.Serving
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("label"), col("embedding").cast("array<double>").as("v"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srvmaxsimb").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val live = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+    val byId = emb.filter(col("vec_id") <= 6L)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val groups = Map(
+      0L -> Seq(byId(0L), byId(1L)),
+      1L -> Seq(byId(2L), byId(3L), byId(4L), byId(5L)),
+      2L -> Seq(byId(6L)))
+    val queries = groups.toSeq.sortBy(_._1).toDF("qid", "qvecs")
+    val batch = live.searchMaxSimBatch(queries, "qid", "qvecs",
+        nProbe = 3, k = 5, docCol = "label")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3))
+        .map(r => (r.getInt(1), r.getDouble(2))).toSeq).toMap
+    assert(batch.keySet == groups.keySet, "every query must get results")
+    for ((qid, vecs) <- groups) {
+      val per = live.searchMaxSim(vecs.map(_.toArray), nProbe = 3,
+          k = 5, docCol = "label")
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == per,
+        s"batch and per-qid MaxSim diverge for $qid:\n" +
+          s"batch=${batch(qid)}\nper=$per")
     }
   }
 

@@ -147,6 +147,47 @@ class SqServeSpec extends SparkTestBase {
       "batched SQ must equal the per-query packed path")
   }
 
+  test("searchMaxSimBatchSq matches per-qid searchMaxSimSq, query by " +
+      "query (in-plan token quantization == driver-side packLocal)") {
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val (indexed, model) = IvfIndex.build(base, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sq_maxsimb").toString + "/idx"
+    val sq = indexed
+      .withColumn("ma", quantize.maxAbs(col("v")))
+      .withColumn("sq_code",
+        quantize.packCodes(quantize.codes(col("v"), col("ma"))))
+      .drop("v")
+    IvfIndex.write(sq, dir, model)
+    val live = graft.operators.Serving.open(spark, dir, id = "vec_id",
+      vecCol = "v")
+    assert(live.tier == "sq")
+    val byId = base.filter(col("vec_id") <= 5L)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val groups = Map(
+      0L -> Seq(byId(0L), byId(1L)),
+      1L -> Seq(byId(2L), byId(3L), byId(4L)),
+      2L -> Seq(byId(5L)))
+    val queries = groups.toSeq.sortBy(_._1).toDF("qid", "qvecs")
+    val batch = live.searchMaxSimBatchSq(queries, "qid", "qvecs",
+        nProbe = 3, k = 5, docCol = "label")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3))
+        .map(r => (r.getInt(1), r.getDouble(2))).toSeq).toMap
+    assert(batch.keySet == groups.keySet)
+    for ((qid, vs) <- groups) {
+      val per = live.searchMaxSimSq(vs.map(_.toArray), nProbe = 3,
+          k = 5, docCol = "label")
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == per,
+        s"batched and per-qid SQ MaxSim diverge for $qid:\n" +
+          s"batch=${batch(qid)}\nper=$per")
+    }
+  }
+
   test("SQ tier takes streaming upserts: foreachBatch quantizes and " +
       "appends at micro-batch rates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
