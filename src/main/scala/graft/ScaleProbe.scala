@@ -1264,6 +1264,62 @@ object ScaleProbe {
         f"verify=$v1%.1f s pairs=$n1 | store4x=${nStore * 4} " +
         f"cand=$c2%.1f s verify=$v2%.1f s pairs=$n2 " +
         f"(cand growth ${c2 / c1}%.1fx at 4x store)")
+    } else if (args(0) == "maxsimb") {
+      // BATCHED MaxSim amortization: Q multi-vector queries in ONE
+      // plan (searchMaxSimBatch) vs the per-qid driver loop (Q
+      // separate probed jobs). At local scale each probed job has a
+      // fixed scheduling cost, so the loop pays it Q times and the
+      // batch once; at cluster scale the batch additionally reads the
+      // probed leaves ONCE for all queries whose unions overlap.
+      // Results are REQUIREd row-identical before timings count.
+      // usage: maxsimb <n> <numLeaves> <Q> <T>
+      val n = args(1).toLong; val leaves0 = args(2).toInt
+      val nq = args(3).toInt; val nt = args(4).toInt
+      val dim = 64
+      import spark.implicits._
+      val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, dim, 200)
+        .withColumn("doc", (col("vec_id") / 16L).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      v.count()
+      val (indexed, model) = graft.operators.IvfIndex.build(v,
+        "vec_id", "embedding", numLeaves = leaves0, maxFitRows = 20000L)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_maxsimb_probe").toString + "/idx"
+      graft.operators.IvfIndex.write(
+        indexed.select("vec_id", "doc", "embedding", "leaf_id"), dir, model)
+      v.unpersist()
+      val live = graft.operators.Serving.open(spark, dir,
+        id = "vec_id", vecCol = "embedding")
+      val toks = spark.read.parquet(dir)
+        .filter(col("vec_id") < nq.toLong * nt)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("qv"))
+        .distinct().collect().sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1)).toSeq
+      val groups = (0 until nq).map(i =>
+        (i.toLong, toks.slice(i * nt, (i + 1) * nt)))
+      val queries = groups.toDF("qid", "qvecs")
+      // warm codegen/broadcast machinery on a 1-query batch
+      live.searchMaxSimBatch(groups.take(1).toDF("qid", "qvecs"),
+        "qid", "qvecs", 4, 10, "doc").collect()
+      var t0 = System.nanoTime()
+      val batch = live.searchMaxSimBatch(queries, "qid", "qvecs",
+        4, 10, "doc").collect()
+      val tBatch = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val loop = groups.flatMap { case (qid, vs) =>
+        live.searchMaxSim(vs.map(_.toArray), 4, 10, "doc").collect()
+          .zipWithIndex.map { case (r, i) =>
+            (qid, r.getLong(0), r.getDouble(1), i.toLong + 1) }
+      }
+      val tLoop = (System.nanoTime() - t0) / 1e9
+      val got = batch.map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      require(got == loop,
+        "batched MaxSim must equal the per-qid loop before timing counts")
+      println(f"MAXSIMB n=$n leaves=${model.centroids.length} Q=$nq " +
+        f"T=$nt batch=$tBatch%.2f s loop=$tLoop%.2f s " +
+        f"amortization=${tLoop / tBatch}%.1fx")
     } else if (args(0) == "expr") {
       val n = args(1).toLong; val k = args(2).toInt
       val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, 32, 25)

@@ -159,6 +159,32 @@ class ServingApiSpec extends SparkTestBase {
     assert(boom.getMessage.contains("pct"))
   }
 
+  test("batched MaxSim plan shape: the corpus side joins by " +
+      "BROADCAST only — (qid, leaf) pairs and the token frame ship " +
+      "to the scan, the corpus is never exchanged for a join") {
+    import graft.operators.Serving
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("label"), col("embedding").cast("array<double>").as("v"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srvmsplan").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val live = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+    val byId = emb.filter(col("vec_id") <= 3L)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val queries = Seq((0L, Seq(byId(0L), byId(1L))),
+      (1L, Seq(byId(2L), byId(3L)))).toDF("qid", "qvecs")
+    val plan = live.searchMaxSimBatch(queries, "qid", "qvecs",
+        nProbe = 3, k = 5, docCol = "label")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins in the batched MaxSim plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for a MaxSim join:\n$plan")
+  }
+
   test("searchBatchPercent: uniform pct == searchBatch at the " +
       "equivalent nProbe; the clamp holds; out-of-contract pct fails " +
       "loudly in-plan") {
