@@ -485,6 +485,71 @@ object DedupQueries {
       .orderBy("vec_id")
   }
 
+  /** INCREMENTAL semantic dedup — the embedding-level sibling of
+    * `d_dedup_incremental` (the continuous-ingest shape): an already-
+    * ingested STORE (vec_id % 3 ≠ 0) holds cluster-assigned
+    * embeddings; the arriving DELTA batch (vec_id % 3 = 0) assigns
+    * itself to the SAME fixed centroids and is checked only against
+    * same-cluster store members — a delta vector drops iff a store
+    * member in its cluster is ≥ τ cosine-similar. Per-batch cost ∝
+    * batch + same-cluster candidates (never store × store, never
+    * all-pairs); the batch side BROADCASTS onto the leaf-co-located
+    * store exactly like the MinHash incremental path. Batch-internal
+    * near-dups are deliberately out of scope here (that is
+    * `d_semdedup`'s intra-corpus rule); a production loop appends
+    * the survivors to the store, which the streaming MinHash gate
+    * (`d_stream_dedup_inc`) already proves end to end for the
+    * signature store. FULL hash oracle: assignment, the store/delta
+    * split, and every keep/drop decision replayed in SQL.
+    */
+  private val dSemDedupInc = QueryDef.sqlChecked("d_semdedup_inc")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "assign AS (SELECT vec_id, v, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, b.v, c.cid, row_number() OVER (" +
+      "PARTITION BY b.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn = 1), " +
+      "store AS (SELECT * FROM assign WHERE vec_id % 3 <> 0), " +
+      "delta AS (SELECT * FROM assign WHERE vec_id % 3 = 0), " +
+      "drops AS (SELECT DISTINCT d.vec_id FROM store s " +
+      "JOIN delta d ON s.leaf_id = d.leaf_id " +
+      "WHERE list_cosine_similarity(s.v, d.v) >= 0.4) " +
+      "SELECT d.vec_id, d.leaf_id, x.vec_id IS NULL AS kept " +
+      "FROM delta d LEFT JOIN drops x ON d.vec_id = x.vec_id " +
+      "ORDER BY d.vec_id"
+  ) { (s, d) =>
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val assign = base.withColumn("leaf_id",
+      IvfIndex.probeExpr(model, col("v"), 1)(0))
+    val store = assign.filter(col("vec_id") % 3 =!= 0)
+      .select(col("leaf_id"), col("v").as("vs"))
+    val delta = assign.filter(col("vec_id") % 3 === 0)
+    // the BATCH broadcasts onto the leaf-co-located store: per-batch
+    // cost ∝ batch + same-cluster candidates, the store never shuffles
+    val drops = store.join(broadcast(delta
+        .select(col("leaf_id"), col("vec_id").as("idd"),
+          col("v").as("vd"))), Seq("leaf_id"))
+      .filter(vectors.cosineSimilarity(col("vs"), col("vd")) >= 0.4)
+      .select(col("idd").as("vec_id")).distinct()
+    delta.join(drops.withColumn("__drop", lit(true)),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("leaf_id"),
+        col("__drop").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Corpus-wide line dedup ([[Dedup.lineDedup]] — the C4 span-dedup
     * algebra at line granularity: each distinct non-empty line keeps
     * its first (doc_id, position) occurrence corpus-wide), folded to
@@ -563,5 +628,5 @@ object DedupQueries {
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
     dDedupIncremental, dStreamDedupInc, dSimhash, dSimhashPairs,
     dSimhashBanded, dSrpLsh, dCosinePairs, dClusters, dDedupKeep,
-    dSemDedup, dLineDedup)
+    dSemDedup, dSemDedupInc, dLineDedup)
 }
