@@ -423,6 +423,124 @@ object DedupQueries {
     s.read.parquet(decPath).orderBy("doc_id")
   }
 
+  /** STREAMING semantic dedup — `d_semdedup_inc` proven END TO END
+    * on a real Structured Stream, the embedding-level sibling of
+    * `d_stream_dedup_inc`: two embedding micro-batches (bucket split
+    * [700, 850) then [850, 1000)) drain through foreachBatch; each
+    * batch assigns itself to the store's fixed centroids, is checked
+    * against same-cluster STORE members only (≥ τ cosine drops,
+    * match = the smallest matching store id), writes its keep/drop
+    * decisions, and appends ONLY THE SURVIVORS back — so batch 2
+    * dedupes against base ∪ batch-1 survivors, and a near-dup of a
+    * dropped batch-1 vector must match the KEPT original, never the
+    * dropped copy. The oracle replays both rounds sequentially in
+    * SQL; FULL hash check of every decision.
+    */
+  private val dStreamSemDedup = QueryDef.sqlChecked("d_stream_semdedup")(
+    "WITH base0 AS (SELECT vec_id, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "assign AS (SELECT vec_id, v, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, b.v, c.cid, row_number() OVER (" +
+      "PARTITION BY b.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base0 b, cent c) WHERE rn = 1), " +
+      s"base AS (SELECT * FROM assign WHERE ${PipelineQueries.sqlBucket1000("vec_id")} < 700), " +
+      s"b1 AS (SELECT * FROM assign WHERE ${PipelineQueries.sqlBucket1000("vec_id")} >= 700 " +
+      s"AND ${PipelineQueries.sqlBucket1000("vec_id")} < 850), " +
+      s"b2 AS (SELECT * FROM assign WHERE ${PipelineQueries.sqlBucket1000("vec_id")} >= 850), " +
+      "dup1 AS (SELECT d.vec_id AS db, min(s.vec_id) AS match_id " +
+      "FROM base s JOIN b1 d ON s.leaf_id = d.leaf_id " +
+      "WHERE list_cosine_similarity(s.v, d.v) >= 0.4 GROUP BY d.vec_id), " +
+      "surv1 AS (SELECT b1.* FROM b1 LEFT JOIN dup1 " +
+      "ON b1.vec_id = dup1.db WHERE dup1.db IS NULL), " +
+      "store2 AS (SELECT * FROM base UNION ALL SELECT * FROM surv1), " +
+      "dup2 AS (SELECT d.vec_id AS db, min(s.vec_id) AS match_id " +
+      "FROM store2 s JOIN b2 d ON s.leaf_id = d.leaf_id " +
+      "WHERE list_cosine_similarity(s.v, d.v) >= 0.4 GROUP BY d.vec_id) " +
+      "SELECT s.vec_id, dd.match_id, dd.match_id IS NOT NULL AS is_dup " +
+      "FROM (SELECT vec_id FROM b1 UNION ALL SELECT vec_id FROM b2) s " +
+      "LEFT JOIN (SELECT * FROM dup1 UNION ALL SELECT * FROM dup2) dd " +
+      "ON dd.db = s.vec_id ORDER BY s.vec_id"
+  ) { (s, d) =>
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(s, d)
+    val base0 = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base0.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    def assigned(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("leaf_id", IvfIndex.probeExpr(model, col("v"), 1)(0))
+    val bkt = PipelineQueries.bucket1000(col("vec_id"))
+    val feed = Seq(
+      base0.filter(bkt >= 700 && bkt < 850),
+      base0.filter(bkt >= 850))
+
+    val work = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_ssemdedup_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(work)) {
+      java.nio.file.Files.walk(work).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val storePath = work.toString + "/vecs"
+    val decPath = work.toString + "/decisions"
+    assigned(base0.filter(bkt < 700))
+      .write.mode("overwrite").parquet(storePath)
+
+    val streamDir = graft.streaming.FileStreamFixture.write("ssemdedup", d,
+      "embeddings by bucket; b1 [700,850), b2 [850,1000) vs growing store",
+      feed)
+    graft.SessionConf.withStreamShuffle(s) {
+      val q = s.readStream.schema(feed.head.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(streamDir)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", work.toString + "/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+          val fresh = assigned(batch.toDF())
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val store = s.read.parquet(storePath)
+            // batch broadcasts onto the leaf-co-located store; match
+            // is the smallest similar STORE id
+            val dups = store
+              .select(col("leaf_id"), col("vec_id").as("sid"),
+                col("v").as("vs"))
+              .join(broadcast(fresh.select(col("leaf_id"),
+                col("vec_id").as("db"), col("v").as("vd"))),
+                Seq("leaf_id"))
+              .filter(graft.functions.vectors
+                .cosineSimilarity(col("vs"), col("vd")) >= 0.4)
+              .groupBy(col("db")).agg(min(col("sid")).as("match_id"))
+            batch.select(col("vec_id"))
+              .join(dups, col("vec_id") === col("db"), "left")
+              .select(col("vec_id"), col("match_id"),
+                col("match_id").isNotNull.as("is_dup"))
+              .write.mode("append").parquet(decPath)
+            // only survivors enter the store (SemDeDup keep rule
+            // composed over a stream)
+            fresh.join(dups, fresh("vec_id") === dups("db"), "left_anti")
+              .write.mode("append").parquet(storePath)
+          } finally { fresh.unpersist(); () }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(decPath).orderBy("vec_id")
+  }
+
   /** SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, then look for
     * near-duplicate pairs ONLY within a cluster — the cluster bound
@@ -628,5 +746,5 @@ object DedupQueries {
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
     dDedupIncremental, dStreamDedupInc, dSimhash, dSimhashPairs,
     dSimhashBanded, dSrpLsh, dCosinePairs, dClusters, dDedupKeep,
-    dSemDedup, dSemDedupInc, dLineDedup)
+    dSemDedup, dSemDedupInc, dStreamSemDedup, dLineDedup)
 }
