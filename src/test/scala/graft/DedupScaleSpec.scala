@@ -85,4 +85,31 @@ class DedupScaleSpec extends SparkTestBase {
         s"only $cand/$expected planted pairs collide in widened bands")
     } finally { keys.unpersist(); () }
   }
+
+  test("sf1 line dedup: a boilerplate line repeated across every doc " +
+      "(pathological skew) still resolves via partial-agg min — one " +
+      "canonical survivor, no per-group materialization") {
+    import spark.implicits._
+    // 50k docs, EVERY one carrying the same cookie-banner line plus
+    // one unique line — the skew shape that kills a window-over-line
+    // plan (one partition gets all 50k copies of the hot key's rows;
+    // the agg path ships one (fp, min-struct) pair per map task)
+    val docs = spark.range(N).select(col("id").as("doc_id"),
+      concat(lit("accept all cookies to continue\nunique line "),
+        col("id").cast("string")).as("text"))
+    val occ = Dedup.lineDedup(docs, "doc_id", "text")
+    val banner = occ.filter(col("line") === "accept all cookies to continue")
+    assert(banner.count() == N, "every doc contributes one banner copy")
+    val kept = banner.filter(col("kept"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(0L),
+      s"exactly doc 0's copy survives (first occurrence), got $kept")
+    // unique lines all survive
+    assert(occ.filter(col("kept")).count() == N + 1)
+    // the canonical choice is a partial-aggregable min, not a window:
+    // no Window operator anywhere in the plan
+    val plan = occ.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"lineDedup must not window over the line key:\n$plan")
+  }
 }
