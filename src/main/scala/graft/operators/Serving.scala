@@ -616,7 +616,11 @@ final class Serving private[operators] (
     * a full scan, which only ADDS candidates per qid).
     *
     * Output: (qid, docCol, score, rn) ordered by qid, rn — one
-    * ranked top-k per multi-vector query.
+    * ranked top-k per multi-vector query. A query whose token array
+    * is EMPTY or NULL has nothing to score and is absent from the
+    * output (pinned by EdgeCaseSpec) — callers wanting a loud
+    * failure should validate the frame first, the same contract as
+    * an id-less row in the raw batch path.
     */
   def searchMaxSimBatch(queries: DataFrame, qid: String,
       qvecsCol: String, nProbe: Int, k: Int, docCol: String): DataFrame = {

@@ -94,6 +94,31 @@ class EdgeCaseSpec extends SparkTestBase {
       "the copy keeps only its unique tail line")
   }
 
+  test("batched MaxSim: a query with an empty or null token array is " +
+      "absent from the output; populated queries are unaffected") {
+    import graft.operators.{IvfIndex, Serving}
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("label"), col("embedding").cast("array<double>").as("v"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_edge_msb").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val live = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+    val qv = emb.filter(col("vec_id") === 3L)
+      .select("v").head().getSeq[Double](0)
+    val queries = Seq(
+      (0L, Seq(qv)),
+      (1L, Seq.empty[Seq[Double]]))
+      .toDF("qid", "qvecs")
+      .unionByName(Seq(2L).toDF("qid")
+        .withColumn("qvecs", lit(null).cast("array<array<double>>")))
+    val got = live.searchMaxSimBatch(queries, "qid", "qvecs",
+      nProbe = 3, k = 5, docCol = "label").collect()
+    assert(got.map(_.getLong(0)).distinct.toSeq == Seq(0L),
+      "only the populated query returns rows; empty/null are absent")
+    assert(got.length == 5)
+  }
+
   test("quality score of empty/whitespace text is 0.0, not null") {
     val got = Seq("", "   ", "real text here")
       .toDF("t").select(text.qualityScore(col("t"))).as[Double].collect()
