@@ -83,7 +83,18 @@ object GraftExtensions {
     ("graft_ann_probe",
       new ExpressionInfo(classOf[AnnProbe].getName, "graft_ann_probe"),
       (args: Seq[Expression]) => AnnProbe(args(0), args(1), d(args(2)),
-        args(3))))
+        args(3))),
+    // the BQ shortlist rung, SQL-reachable: pack sign bits, score the
+    // asymmetric sign-dot, measure code-to-code hamming
+    ("graft_bq_pack",
+      new ExpressionInfo(classOf[PackSign].getName, "graft_bq_pack"),
+      (args: Seq[Expression]) => PackSign(d(args(0)))),
+    ("graft_bq_dot",
+      new ExpressionInfo(classOf[BqDot].getName, "graft_bq_dot"),
+      (args: Seq[Expression]) => BqDot(args(0), d(args(1)))),
+    ("graft_bq_hamming",
+      new ExpressionInfo(classOf[BqHamming].getName, "graft_bq_hamming"),
+      (args: Seq[Expression]) => BqHamming(args(0), args(1))))
 
   /** Idempotent registration on a live session (temp functions +
     * the leaf-pruning rewrite). Analyzer rules can't be added to a

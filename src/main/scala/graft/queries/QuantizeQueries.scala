@@ -1191,6 +1191,44 @@ object QuantizeQueries {
       .limit(10)
   }
 
+  /** The BQ shortlist-then-rescore as ONE SQL TEXT — the
+    * `v_ann_sql_e2e` story for the binary rung: a spark-sql / JDBC
+    * user reaches the whole two-stage shape through the registered
+    * functions (`graft_bq_pack` → `graft_bq_dot` shortlist,
+    * `graft_dot` exact rescore) with no Column API at all. Same
+    * plan, same rows as `v_bq_rerank`; the oracle is the identical
+    * DuckDB replica. FULL hash oracle.
+    */
+  private val vBqSql = QueryDef.sqlChecked("v_bq_sql")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings " +
+      "WHERE vec_id = 7), " +
+      "scored AS (SELECT vec_id, list_inner_product(list_transform(v, x -> " +
+      "CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END), q.qv) AS bq FROM base, q), " +
+      "sl AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER (" +
+      "ORDER BY bq DESC, vec_id) AS rn FROM scored) WHERE rn <= 30) " +
+      "SELECT b.vec_id, list_inner_product(b.v, q.qv) AS score " +
+      "FROM base b JOIN sl ON b.vec_id = sl.vec_id, q " +
+      "ORDER BY score DESC, b.vec_id LIMIT 10"
+  ) { (s, d) =>
+    graft.plans.GraftExtensions.register(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("emb_bqsql")
+    s.sql(
+      """WITH base AS (SELECT vec_id, cast(embedding AS array<double>) AS v
+        |  FROM emb_bqsql),
+        |q AS (SELECT cast(embedding AS array<double>) AS qv FROM emb_bqsql
+        |  WHERE vec_id = 7),
+        |scored AS (SELECT vec_id,
+        |    graft_bq_dot(graft_bq_pack(v), q.qv) AS bq
+        |  FROM base CROSS JOIN q),
+        |sl AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER (
+        |    ORDER BY bq DESC, vec_id) AS rn FROM scored) WHERE rn <= 30)
+        |SELECT b.vec_id, graft_dot(b.v, q.qv) AS score
+        |FROM base b JOIN sl ON b.vec_id = sl.vec_id CROSS JOIN q
+        |ORDER BY score DESC, b.vec_id LIMIT 10""".stripMargin)
+  }
+
   /** BQ as a SERVED tier — the shortlist rung live on the resident
     * handle, driver-gated end to end: build an IVF layout whose rows
     * carry the 8 B/vector sign-bit companion column
@@ -1563,5 +1601,5 @@ object QuantizeQueries {
     vPqBatch, vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq,
     rServeSqFull, rServeSqPerQuery, rServeSqPAdaptive, rServeSqNumR,
     vMaxsimSq, vMaxsimAdc, vBqSearch, vBqRerank, vBqHamming, rServeBq,
-    rServeBqBatch, vMaxsimBq)
+    rServeBqBatch, vMaxsimBq, vBqSql)
 }

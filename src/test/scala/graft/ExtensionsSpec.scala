@@ -38,6 +38,35 @@ class ExtensionsSpec extends SparkTestBase {
       org.apache.spark.unsafe.types.UTF8String.fromString("the then there")))
   }
 
+  test("BQ kernels are callable from SQL text and match the Column " +
+      "API bit for bit") {
+    import graft.functions.bquant
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_bqext")
+    val rows = spark.sql(
+      """SELECT a.vec_id,
+        |       graft_bq_dot(graft_bq_pack(a.embedding), b.embedding) AS d,
+        |       graft_bq_hamming(graft_bq_pack(a.embedding),
+        |                        graft_bq_pack(b.embedding)) AS h
+        |FROM emb_bqext a CROSS JOIN emb_bqext b
+        |WHERE b.vec_id = 3 AND a.vec_id < 50
+        |""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq.sorted
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") === 3L)
+      .select("v").head().getSeq[Double](0)
+    val qBits = graft.functions.PackSign.packLocal(q.toArray)
+    val expect = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        bquant.signDot(bquant.packSigns(col("v")), typedLit(q)).as("d"),
+        bquant.hamming(bquant.packSigns(col("v")), lit(qBits)).as("h"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .toSeq.sorted
+    assert(rows == expect,
+      "SQL-registered BQ kernels must match the Column API exactly")
+  }
+
   test("graft_top_k from SQL matches window ranking at k=1000") {
     GraftExtensions.register(spark)
     // 5 groups × 3000 rows, scores drawn from only 97 distinct values
