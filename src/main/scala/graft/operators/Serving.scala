@@ -678,6 +678,76 @@ final class Serving private[operators] (
       ProductQuantizer.adcDirectExpr(col("pq_code"), col("__qrot"), cb))
   }
 
+  /** [[searchMaxSimBatch]] on the BQ SHORTLIST rung — the batched
+    * form of [[searchMaxSimBq]], completing the batched-MaxSim ×
+    * tier matrix (raw / SQ8 / ADC / BQ): stage 1 runs the batched
+    * sign-dot MaxSim over the 8 B/vector codes and keeps each qid's
+    * top-`m` DOCS deterministically (one per-qid window over
+    * per-doc exact-decimal sums); stage 2 re-runs the EXACT float
+    * MaxSim over only each qid's surviving docs — the (qid, doc)
+    * shortlist BROADCASTS back onto the same pruned candidates, so
+    * the float vectors load for m docs per qid instead of every
+    * probed row. Spec'd equal to its two gated siblings (admit-all ≡
+    * [[searchMaxSimBatch]]; per-qid ≡ [[searchMaxSimBq]]). Output:
+    * the [[searchMaxSimBatch]] contract — (qid, docCol, score, rn).
+    */
+  def searchMaxSimBatchBq(queries: DataFrame, qid: String,
+      qvecsCol: String, nProbe: Int, m: Int, k: Int,
+      docCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.bquant
+    require(m >= k, s"shortlist m=$m must be ≥ k=$k")
+    require(tier == "raw",
+      s"searchMaxSimBatchBq: layout at $path is a '$tier' tier — the " +
+        "BQ shortlist rides on raw vectors (exact rescore needs them)")
+    require(hasBq,
+      s"searchMaxSimBatchBq: layout at $path has no bq_code companion " +
+        "column — build it with graft.functions.bquant.packSigns")
+    val probes = queries.select(col(qid).as("__qid"),
+        posexplode(col(qvecsCol).cast("array<array<double>>")))
+      .withColumnRenamed("pos", "__qidx")
+      .withColumnRenamed("col", "__qv")
+      .withColumn("leaf_id", explode(IvfIndex.probeExprF32(model,
+        col("__qv"), math.max(1, nProbe))))
+      .localCheckpoint(true)
+    val leaves = probes.select("leaf_id").distinct()
+      .limit(1025).collect().map(_.getInt(0))
+    val pruned = if (leaves.length <= 1024)
+      data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
+    val qidLeaves = probes.select(col("__qid"), col("leaf_id")).distinct()
+    val cand = pruned.join(broadcast(qidLeaves), Seq("leaf_id"))
+    val qframe = probes.select(col("__qid"), col("__qidx"), col("__qv"))
+      .dropDuplicates("__qid", "__qidx")
+    // stage 1: per-qid doc shortlist from the 8 B codes only
+    val sl = cand.join(broadcast(qframe), Seq("__qid"))
+      .groupBy(col("__qid"), col(docCol), col("__qidx"))
+      .agg(max(bquant.signDot(col("bq_code"), col("__qv")))
+        .as("__best"))
+      .groupBy(col("__qid"), col(docCol))
+      .agg(graft.Exact.dsum(col("__best"), 12).as("__bq"))
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(col("__qid"))
+        .orderBy(col("__bq").desc, col(docCol))))
+      .filter(col("__rn") <= m)
+      .select(col("__qid"), col(docCol))
+    // stage 2: exact float MaxSim over each qid's m surviving docs
+    cand.join(broadcast(sl), Seq("__qid", docCol))
+      .join(broadcast(qframe), Seq("__qid"))
+      .groupBy(col("__qid"), col(docCol), col("__qidx"))
+      .agg(max(graft.functions.vectors.dotProduct(
+        col(vecCol).cast("array<double>"), col("__qv"))).as("__best"))
+      .groupBy(col("__qid"), col(docCol))
+      .agg(graft.Exact.dsum(col("__best"), 12).as("score"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("__qid"))
+        .orderBy(col("score").desc, col(docCol))).cast("bigint"))
+      .filter(col("rn") <= k)
+      .withColumnRenamed("__qid", qid)
+      .select(col(qid), col(docCol), col("score"), col("rn"))
+      .orderBy(col(qid), col("rn"))
+  }
+
   /** The shared batched-MaxSim core — routing at the global bound,
     * 1024-leaf In-list guard, per-qid candidate union, broadcast of
     * the decorated token frame, per-(qid, doc, token) MAX, exact-
