@@ -63,6 +63,49 @@ object text {
       .otherwise("und")
   }
 
+  /** Characteristic character TRIGRAMS per language — the n-gram
+    * language-ID heuristic's profiles (Cavnar & Trenkle 1994 n-gram
+    * categorization, reduced to a committed high-signal set so the
+    * whole classifier is SQL-replicable). Substring matches count —
+    * 'the' inside 'then' votes — which is exactly what makes
+    * trigram ID robust to tokenization.
+    */
+  private[graft] val EnTri = Seq("the", "and", "ing", "ion", " a ")
+  private[graft] val DeTri = Seq("der", "ein", "sch", "und", "cht")
+  private[graft] val EsTri = Seq("que", "los", "ión", "ado", " el")
+  private[graft] val FrTri = Seq("les", "ent", "eau", "une", " et")
+
+  /** Exact occurrence count of a fixed trigram inside the text —
+    * (len − len(text with every copy removed)) / 3, all built-ins,
+    * same arithmetic in DuckDB.
+    */
+  def trigramCount(c: Column, tri: String): Column =
+    ((length(c) - length(regexp_replace(c,
+      java.util.regex.Pattern.quote(tri), ""))) / 3).cast("bigint")
+
+  /** Profile score = Σ occurrences of the profile's trigrams. */
+  def trigramScore(c: Column, profile: Seq[String]): Column =
+    profile.map(t => trigramCount(lower(c), t))
+      .reduce(_ + _)
+
+  /** n-gram (character-trigram) language ID — the Cavnar-Trenkle
+    * heuristic over the committed profiles, deterministic en>de>es>fr
+    * tiebreak like [[langId]]. Complements the stopword vote: the
+    * trigram form needs no tokenization and survives punctuation-
+    * glued words.
+    */
+  def langIdNgram(c: Column): Column = {
+    val en = trigramScore(c, EnTri)
+    val de = trigramScore(c, DeTri)
+    val es = trigramScore(c, EsTri)
+    val fr = trigramScore(c, FrTri)
+    when(en > 0 && en >= de && en >= es && en >= fr, "en")
+      .when(de > 0 && de >= es && de >= fr, "de")
+      .when(es > 0 && es >= fr, "es")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
   /** Punctuation-ish character count (anything outside [a-z0-9 ]). */
   def punctCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[^a-z0-9 ]"), lit(0))).cast("bigint")

@@ -488,6 +488,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** n-gram (character-trigram) language ID
+    * ([[graft.functions.text.langIdNgram]], Cavnar-Trenkle 1994
+    * heuristic over committed per-language trigram profiles) — the
+    * second language-ID modality next to the stopword vote
+    * (`t_lang_id`): substring trigram counts need no tokenization
+    * and survive punctuation-glued words. Per doc: the four profile
+    * scores and the argmax with the deterministic en>de>es>fr
+    * tiebreak. Every score is exact integer arithmetic
+    * ((len − len(removed)) / 3 per trigram), so the row hash-gates.
+    */
+  private val tLangNgram = QueryDef.sqlChecked("t_lang_ngram")({
+    def score(profile: Seq[String]): String =
+      profile.map(t => "cast((length(lower(text)) - " +
+        s"length(replace(lower(text), '$t', ''))) / 3 as bigint)")
+        .mkString("(", " + ", ")")
+    val en = score(text.EnTri); val de = score(text.DeTri)
+    val es = score(text.EsTri); val fr = score(text.FrTri)
+    s"SELECT doc_id, $en AS s_en, $de AS s_de, $es AS s_es, " +
+      s"$fr AS s_fr, " +
+      s"CASE WHEN $en > 0 AND $en >= $de AND $en >= $es AND $en >= $fr " +
+      s"THEN 'en' WHEN $de > 0 AND $de >= $es AND $de >= $fr THEN 'de' " +
+      s"WHEN $es > 0 AND $es >= $fr THEN 'es' " +
+      s"WHEN $fr > 0 THEN 'fr' ELSE 'und' END AS lang_ngram " +
+      "FROM documents ORDER BY doc_id"
+  }) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      text.trigramScore(col("text"), text.EnTri).as("s_en"),
+      text.trigramScore(col("text"), text.DeTri).as("s_de"),
+      text.trigramScore(col("text"), text.EsTri).as("s_es"),
+      text.trigramScore(col("text"), text.FrTri).as("s_fr"),
+      text.langIdNgram(col("text")).as("lang_ngram"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(tTokenCount, tQuality, tLangId, tBpeCount,
-    tRedact, tFingerprint, tRepetition, tGopherRules, tC4Rules)
+    tRedact, tFingerprint, tRepetition, tGopherRules, tC4Rules, tLangNgram)
 }
