@@ -59,6 +59,43 @@ object Multimodal {
     }(RowEncoder.encoderFor(schema))
   }
 
+  /** ===== STUB: replace with a real resampler (bilinear scaling /
+    * audio sample-rate conversion) =====
+    * Deterministic fake "resize": keep every `factor`-th byte — the
+    * stand-in for a media downsample that preserves the plumbing
+    * contract (binary in, smaller binary + size metadata out).
+    */
+  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+  /** ============================================================ */
+
+  /** Batched resize: one partition pass, the [[resizeStub]] per
+    * payload, original/new byte counts as the typed metadata a real
+    * media pipeline tracks (width/height → bytes here). Output:
+    * (id, orig_bytes, new_bytes, resized BINARY).
+    */
+  def resize(df: DataFrame, idCol: String, factor: Int): DataFrame = {
+    require(factor >= 1, s"resize factor must be ≥ 1, got $factor")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("orig_bytes", LongType),
+      StructField("new_bytes", LongType),
+      StructField("resized", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](pIdx)
+        val out = resizeStub(p, factor)
+        Row(r.getLong(idIdx), p.length.toLong, out.length.toLong, out)
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+
   /** Frame sampling: split the payload into fixed-size frames, keep
     * every `stride`-th — the video-frame-sampling shape (explode =
     * one output row per kept frame, work stays partition-parallel).

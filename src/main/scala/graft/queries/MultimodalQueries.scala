@@ -44,5 +44,26 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_no")
   }
 
-  val defs: Seq[QueryDef] = Seq(mDecode, mFrames)
+  /** Batched resize (stride-2 byte downsample — the stubbed stand-in
+    * for a media resample; plumbing real: binary in, smaller binary +
+    * size metadata out, one partition pass). The oracle replays the
+    * stride over characters (ASCII corpus → byte ops ≡ char ops) and
+    * hashes the resized content.
+    */
+  private val mResize = QueryDef.sqlChecked("m_resize")(
+    "SELECT doc_id, cast(length(text) as bigint) AS orig_bytes, " +
+      "cast(ceil(length(text) / 2.0) as bigint) AS new_bytes, " +
+      s"${tsql.polyHash("r")} AS checksum FROM (" +
+      "SELECT doc_id, text, array_to_string(list_transform(" +
+      "range(1, length(text) + 1, 2), i -> text[i]), '') AS r " +
+      "FROM documents) ORDER BY doc_id"
+  ) { (s, d) =>
+    val withPayload = Multimodal.withPayload(Tables.documents(s, d), "text")
+    Multimodal.resize(withPayload, "doc_id", 2)
+      .select(col("id").as("doc_id"), col("orig_bytes"), col("new_bytes"),
+        text.polyHash(decode(col("resized"), "UTF-8")).as("checksum"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(mDecode, mFrames, mResize)
 }

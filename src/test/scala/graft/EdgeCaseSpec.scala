@@ -119,6 +119,25 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(got.length == 5)
   }
 
+  test("resize of an empty payload is empty with zero sizes; " +
+      "factor 1 is the identity") {
+    import graft.operators.Multimodal
+    val df = Seq((1L, ""), (2L, "abcdef")).toDF("doc_id", "text")
+    val withPayload = Multimodal.withPayload(df, "text")
+    val r2 = Multimodal.resize(withPayload, "doc_id", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          new String(r.getAs[Array[Byte]](3), "UTF-8"))).toMap
+    assert(r2(1L) == ((0L, 0L, "")))
+    assert(r2(2L) == ((6L, 3L, "ace")))
+    val r1 = Multimodal.resize(withPayload, "doc_id", 1)
+      .filter(col("id") === 2L).head()
+    assert(new String(r1.getAs[Array[Byte]](3), "UTF-8") == "abcdef")
+    intercept[IllegalArgumentException] {
+      Multimodal.resize(withPayload, "doc_id", 0)
+    }
+  }
+
   test("quality score of empty/whitespace text is 0.0, not null") {
     val got = Seq("", "   ", "real text here")
       .toDF("t").select(text.qualityScore(col("t"))).as[Double].collect()
