@@ -122,6 +122,26 @@ final class Serving private[operators] (
     */
   def hasBq: Boolean = data.columns.contains("bq_code")
 
+  /** BQ companion-column drift check — the deployment-state probe
+    * for the shortlist rung: counts LIVE rows whose stored sign
+    * codes disagree with their vectors' actual signs. Structurally
+    * zero when every write went through the maintained paths
+    * ([[graft.streaming.IndexMaintenance.appendToServing]] derives
+    * codes from the vectors themselves); a nonzero count means a
+    * side-channel writer poisoned the layout and the shortlist can
+    * silently misrank — the same class of check as
+    * [[ServingManifest.verify]]'s file drift. One pruned-free scan,
+    * cost ∝ rows, no shuffle.
+    */
+  def verifyBqCodes(): Long = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.bquant
+    require(hasBq,
+      s"verifyBqCodes: layout at $path has no bq_code companion column")
+    data.filter(col("bq_code") =!=
+      bquant.packSigns(col(vecCol).cast("array<double>"))).count()
+  }
+
   /** SQ8-tier search — the resident-handle form of the `r_serve_sq`
     * gate: same leaf pruning as [[search]], but the scan kernel is
     * the exact integer dot over packed 1 B/dim codes rescaled by the

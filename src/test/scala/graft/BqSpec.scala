@@ -338,6 +338,50 @@ class BqSpec extends SparkTestBase {
     assert(e2.getMessage.contains("must be"))
   }
 
+  test("verifyBqCodes: zero on a maintained layout, counts a " +
+      "side-channel-poisoned row, refuses a bare layout") {
+    import graft.streaming.IndexMaintenance
+    val (serving, dir) = buildBqLayout()
+    assert(serving.verifyBqCodes() == 0L, "maintained layout is clean")
+    // appends stay clean (codes derived from the vectors themselves)
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(2L).as("version"))
+    IndexMaintenance.appendToServing(spark, dir,
+      emb.filter(col("vec_id") % 60 === 1)
+        .withColumn("v", transform(col("v"), x => -x)),
+      "vec_id", "v", "version", spill = 1)
+    val live = graft.operators.Serving.open(spark, dir,
+      id = "vec_id", vecCol = "v")
+    assert(live.verifyBqCodes() == 0L, "append path derives fresh codes")
+    // a side-channel writer flips one row's vector without its code:
+    // the drift probe must count it
+    val poisonDir = live.data.filter(col("leaf_id") === 0)
+      .limit(0) // no-op frame just to resolve the layout's schema
+    val one = spark.read.parquet(dir).limit(1)
+      .withColumn("v", transform(col("v"), x => -x))
+    one.write.mode("append").parquet(dir + "/leaf_id=999")
+    // reopen WITHOUT the manifest view (raw read — the poisoned file
+    // sits outside the manifest, like any side-channel write)
+    val poisoned = spark.read.parquet(dir)
+    import graft.functions.bquant
+    val drifted = poisoned.filter(col("bq_code") =!=
+      bquant.packSigns(col("v").cast("array<double>"))).count()
+    assert(drifted >= 1L, s"poisoned row must register, got $drifted")
+    assert(poisonDir.count() == 0)
+    val bare = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val (indexed, model) = graft.operators.IvfIndex.build(
+      bare.withColumn("version", lit(1L)), "vec_id", "v", 8)
+    val bareDir = java.nio.file.Files
+      .createTempDirectory("graft_bq_verify_bare").toString + "/idx"
+    graft.operators.IvfIndex.write(indexed, bareDir, model)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Serving.open(spark, bareDir,
+        id = "vec_id", vecCol = "v").verifyBqCodes()
+    }
+    assert(e.getMessage.contains("no bq_code companion"))
+  }
+
   test("searchMaxSimBatchBq: admit-all m == searchMaxSimBatch; " +
       "tight m matches per-qid searchMaxSimBq — the batched-MaxSim " +
       "x tier matrix closes at the BQ rung") {
