@@ -559,20 +559,37 @@ object IndexMaintenance {
     *                      bit says "this deployment serves certified
     *                      reads"; off (default) keeps radii a manual
     *                      opt-in pass
+    * @param checkBqCodes  when true and the layout carries the
+    *                      `bq_code` companion column, the sweep runs
+    *                      the shortlist rung's DRIFT PROBE
+    *                      ([[graft.operators.Serving.verifyBqCodes]]
+    *                      semantics) over the final layout state and
+    *                      reports the count of rows whose stored sign
+    *                      codes disagree with their vectors —
+    *                      structurally 0 through the maintained write
+    *                      paths, nonzero = a side-channel writer
+    *                      poisoned the tier. One scan; off (default)
+    *                      keeps the probe an on-demand call
     */
   final case class MaintenancePolicy(
       maxLeafSize: Int,
       maxDeltaRows: Long = 100000L,
       keepVersions: Int = 64,
       reclusterCodedTo: Option[Int] = None,
-      maintainRadii: Boolean = false)
+      maintainRadii: Boolean = false,
+      checkBqCodes: Boolean = false)
 
-  /** What one [[maintain]] sweep did — the operator's audit record. */
+  /** What one [[maintain]] sweep did — the operator's audit record.
+    * `bqDriftRows` is −1 when the probe did not run (policy off or
+    * no companion column), so a clean 0 is distinguishable from
+    * not-checked.
+    */
   final case class MaintenanceReport(
       splits: Int, maxLeafAfter: Long, compacted: Boolean,
       deltaRows: Long, logVersionsDropped: Int,
       reclustered: Boolean = false,
-      radiiRebuilt: Boolean = false)
+      radiiRebuilt: Boolean = false,
+      bqDriftRows: Long = -1L)
 
   /** ONE policy-driven maintenance sweep over a serving layout — the
     * autopilot tick an always-on index schedules after upsert/delete
@@ -647,8 +664,17 @@ object IndexMaintenance {
           vecCol)
       needs
     }
+    // BQ drift probe over the FINAL layout state of this sweep —
+    // after a compaction/recluster has rewritten rows, not before
+    val bqDrift =
+      if (policy.checkBqCodes && layoutCols.contains("bq_code")) {
+        import org.apache.spark.sql.functions._
+        readServing(spark, servePath, id, versionCol)
+          .filter(col("bq_code") =!= graft.functions.bquant.packSigns(
+            col(vecCol).cast("array<double>"))).count()
+      } else -1L
     MaintenanceReport(splits, maxAfter, compact, deltaRows, dropped,
-      reclustered, radiiRebuilt)
+      reclustered, radiiRebuilt, bqDrift)
   }
 
   /** RECLUSTER a CODED serving layout — the autopilot completion for

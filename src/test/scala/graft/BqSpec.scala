@@ -382,6 +382,35 @@ class BqSpec extends SparkTestBase {
     assert(e.getMessage.contains("no bq_code companion"))
   }
 
+  test("maintain(checkBqCodes): the autopilot reports a clean drift " +
+      "count on a maintained BQ layout and -1 when there is nothing " +
+      "to check") {
+    import graft.streaming.IndexMaintenance
+    import graft.streaming.IndexMaintenance.MaintenancePolicy
+    val (_, dir) = buildBqLayout()
+    val r = IndexMaintenance.maintain(spark, dir, "vec_id", "v",
+      "version", MaintenancePolicy(maxLeafSize = 1000000,
+        checkBqCodes = true))
+    assert(r.bqDriftRows == 0L,
+      s"maintained BQ layout must report zero drift, got $r")
+    // policy off → not checked, distinguishable from clean
+    val off = IndexMaintenance.maintain(spark, dir, "vec_id", "v",
+      "version", MaintenancePolicy(maxLeafSize = 1000000))
+    assert(off.bqDriftRows == -1L)
+    // no companion column → not checked even with the bit on
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val (indexed, model) = graft.operators.IvfIndex.build(
+      emb, "vec_id", "v", 8)
+    val bareDir = java.nio.file.Files
+      .createTempDirectory("graft_bq_maintain_bare").toString + "/idx"
+    graft.operators.IvfIndex.write(indexed, bareDir, model)
+    val bare = IndexMaintenance.maintain(spark, bareDir, "vec_id", "v",
+      "version", MaintenancePolicy(maxLeafSize = 1000000,
+        checkBqCodes = true))
+    assert(bare.bqDriftRows == -1L)
+  }
+
   test("searchMaxSimBatchBq: admit-all m == searchMaxSimBatch; " +
       "tight m matches per-qid searchMaxSimBq — the batched-MaxSim " +
       "x tier matrix closes at the BQ rung") {
