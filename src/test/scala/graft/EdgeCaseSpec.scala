@@ -36,7 +36,32 @@ class EdgeCaseSpec extends SparkTestBase {
     val rep = graft.queries.Registry.all.find(_.name == "t_repetition").get
       .fn(spark, dir).filter(col("doc_id") === 4L).head()
     assert(rep.getAs[Double]("dup_line_frac") == 0.5)
-    assert(rep.getAs[String]("top_bigram").nonEmpty)
+    // tokens [two, words, two, words] → "two words" ×2 (len 9),
+    // "words two" ×1: argmax count 2, coverage 2·9 = 18
+    assert(rep.getAs[Long]("top_count") == 2L)
+    assert(rep.getAs[Long]("top_chars") == 18L)
+  }
+
+  test("t_repetition top-bigram values are tie-independent: when two " +
+      "bigrams tie on count, top_chars is the LARGEST coverage, not " +
+      "the lexicographically-first bigram's (the r12 driver-red " +
+      "collation exposure)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_edge_tie").toString
+    // "zz bbbb" ×2 (len 7, coverage 14) ties on count with "a c" ×2
+    // (len 3, coverage 6); a lexicographic tie-break picks "a c",
+    // the tie-independent rule picks coverage 14
+    Seq((1L, "zz bbbb x zz bbbb y a c q a c", "en", "web", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rep = graft.queries.Registry.all.find(_.name == "t_repetition").get
+      .fn(spark, dir).head()
+    assert(rep.getAs[Long]("top_count") == 2L)
+    assert(rep.getAs[Long]("top_chars") == 14L)
+    // keep: 11 bigram instances, chars = 14+6+singles; exact-integer
+    // rule top_chars*5 <= bg_chars must agree with the double form
+    val bg = rep.getAs[Long]("bg_chars")
+    assert(rep.getAs[Boolean]("keep") == (14L * 5 <= bg))
   }
 
   test("t_c4_rules and d_line_dedup survive empty / whitespace / " +
