@@ -166,4 +166,16 @@ object bquant {
   /** Symmetric hamming distance between two packed buffers. */
   def hamming(a: Column, b: Column): Column =
     Shims.column(BqHamming(Shims.expression(a), Shims.expression(b)))
+
+  /** THE sign-code drift predicate: true where a stored companion
+    * code disagrees with the vector it rides next to. The single
+    * definition shared by the append path's derivation audit
+    * ([[graft.operators.Serving.verifyBqCodes]]) and the autopilot
+    * sweep ([[graft.streaming.IndexMaintenance.maintain]]) — one
+    * formula, so a probe can never drift from the derivation it
+    * checks ([[graft.streaming.IndexMaintenance.appendToServing]]
+    * writes `packSigns(vec)` itself).
+    */
+  def codeDrift(vec: Column, code: Column): Column =
+    code =!= packSigns(vec)
 }

@@ -131,15 +131,50 @@ final class Serving private[operators] (
     * side-channel writer poisoned the layout and the shortlist can
     * silently misrank — the same class of check as
     * [[ServingManifest.verify]]'s file drift. One pruned-free scan,
-    * cost ∝ rows, no shuffle.
+    * cost ∝ rows, no shuffle. On a 100 TB layout that full read is
+    * the wrong steady-state sweep — use [[verifyBqCodesSince]] for
+    * the incremental form and reserve this one for commissioning /
+    * incident response.
     */
   def verifyBqCodes(): Long = {
     import org.apache.spark.sql.functions._
-    import graft.functions.bquant
     require(hasBq,
       s"verifyBqCodes: layout at $path has no bq_code companion column")
-    data.filter(col("bq_code") =!=
-      bquant.packSigns(col(vecCol).cast("array<double>"))).count()
+    data.filter(graft.functions.bquant.codeDrift(col(vecCol),
+      col("bq_code"))).count()
+  }
+
+  /** INCREMENTAL drift probe: check only the data files the layout
+    * gained since snapshot version `fromVersion` — the steady-state
+    * form of [[verifyBqCodes]]. Rows already covered by an earlier
+    * sweep are immutable until a rewrite (appends add files; only
+    * rebalance/compact rewrite, and those reset the snapshot log,
+    * which this probe surfaces by failing loudly on a missing
+    * `fromVersion` rather than silently under-scanning). Cost ∝
+    * bytes APPENDED since the last checked version, not the corpus —
+    * the 100 TB sweep shape. Same shared predicate as the full scan
+    * ([[graft.functions.bquant.codeDrift]]).
+    */
+  def verifyBqCodesSince(fromVersion: Int): Long = {
+    import org.apache.spark.sql.functions._
+    require(hasBq,
+      s"verifyBqCodesSince: layout at $path has no bq_code column")
+    val before = ServingManifest.filesAt(spark, path, fromVersion)
+      .getOrElse(sys.error(
+        s"verifyBqCodesSince: version $fromVersion is not in the " +
+          s"snapshot log at $path — a rewrite reset the log; run the " +
+          "full verifyBqCodes() to re-baseline"))
+      .toSet
+    val fresh = ServingManifest.liveFiles(spark, path)
+      .getOrElse(sys.error(
+        s"verifyBqCodesSince: no manifest at $path"))
+      .filterNot(before)
+    if (fresh.isEmpty) 0L
+    else spark.read
+      .schema(data.schema)
+      .parquet(fresh.map(f => s"$path/$f"): _*)
+      .filter(graft.functions.bquant.codeDrift(col(vecCol),
+        col("bq_code"))).count()
   }
 
   /** SQ8-tier search — the resident-handle form of the `r_serve_sq`

@@ -577,7 +577,12 @@ object IndexMaintenance {
       keepVersions: Int = 64,
       reclusterCodedTo: Option[Int] = None,
       maintainRadii: Boolean = false,
-      checkBqCodes: Boolean = false)
+      checkBqCodes: Boolean = false,
+      // bound the BQ probe to files appended since this snapshot
+      // version (None = full scan; auto-falls-back to full when a
+      // rewrite reset the log) — the knob that keeps the sweep
+      // ∝ new data at 100 TB
+      bqCheckSinceVersion: Option[Int] = None)
 
   /** What one [[maintain]] sweep did — the operator's audit record.
     * `bqDriftRows` is −1 when the probe did not run (policy off or
@@ -665,13 +670,38 @@ object IndexMaintenance {
       needs
     }
     // BQ drift probe over the FINAL layout state of this sweep —
-    // after a compaction/recluster has rewritten rows, not before
+    // after a compaction/recluster has rewritten rows, not before.
+    // `policy.bqCheckSinceVersion` bounds the read to files APPENDED
+    // since that snapshot version (cost ∝ new bytes — the steady-
+    // state sweep at 100 TB); when the version is gone from the log
+    // (a compact/rebalance this sweep or earlier reset it) the probe
+    // falls back to the full scan, which right after a compact IS
+    // the appended set. Both forms share the one drift predicate
+    // ([[graft.functions.bquant.codeDrift]]) with the append path's
+    // derivation, so probe and derivation cannot diverge.
     val bqDrift =
       if (policy.checkBqCodes && layoutCols.contains("bq_code")) {
-        import org.apache.spark.sql.functions._
-        readServing(spark, servePath, id, versionCol)
-          .filter(col("bq_code") =!= graft.functions.bquant.packSigns(
-            col(vecCol).cast("array<double>"))).count()
+        val sinceFiles = policy.bqCheckSinceVersion.flatMap { v =>
+          graft.operators.ServingManifest.filesAt(spark, servePath, v)
+            .map(_.toSet)
+        }
+        sinceFiles match {
+          case Some(before) =>
+            val fresh = graft.operators.ServingManifest
+              .liveFiles(spark, servePath).getOrElse(Seq.empty)
+              .filterNot(before)
+            if (fresh.isEmpty) 0L
+            else spark.read
+              .schema(graft.operators.ServingManifest
+                .openOrRead(spark, servePath).schema)
+              .parquet(fresh.map(f => s"$servePath/$f"): _*)
+              .filter(graft.functions.bquant.codeDrift(col(vecCol),
+                col("bq_code"))).count()
+          case None =>
+            readServing(spark, servePath, id, versionCol)
+              .filter(graft.functions.bquant.codeDrift(col(vecCol),
+                col("bq_code"))).count()
+        }
       } else -1L
     MaintenanceReport(splits, maxAfter, compact, deltaRows, dropped,
       reclustered, radiiRebuilt, bqDrift)

@@ -382,6 +382,69 @@ class BqSpec extends SparkTestBase {
     assert(e.getMessage.contains("no bq_code companion"))
   }
 
+  test("verifyBqCodesSince: the incremental drift probe reads ONLY " +
+      "files appended after the baseline version — flags planted " +
+      "poison in the appendage, honestly skips poison already " +
+      "baselined (the full scan still sees it), and refuses a " +
+      "version the log no longer holds") {
+    import graft.streaming.IndexMaintenance
+    import graft.operators.ServingManifest
+    val (_, dir) = buildBqLayout()
+    val v0 = ServingManifest.versions(spark, dir).max
+    // a clean append adds files past v0: scanned, zero drift
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(2L).as("version"))
+    IndexMaintenance.appendToServing(spark, dir,
+      emb.filter(col("vec_id") % 60 === 1), "vec_id", "v", "version",
+      spill = 1)
+    val live = graft.operators.Serving.open(spark, dir,
+      id = "vec_id", vecCol = "v")
+    assert(live.verifyBqCodesSince(v0) == 0L,
+      "clean append must probe clean")
+    val v1 = ServingManifest.versions(spark, dir).max
+    assert(v1 > v0, "the append must have logged a new version")
+    // side-channel poison INTO the manifest: one row with a flipped
+    // vector but its stale code, installed by a reconcile (the
+    // manifest-registered flavor of the side-channel writer)
+    spark.read.parquet(dir).limit(1).drop("leaf_id")
+      .withColumn("vec_id", lit(999999L))
+      .withColumn("v", transform(col("v"), x => -x))
+      .write.mode("append").parquet(dir + "/leaf_id=3")
+    ServingManifest.reconcile(spark, dir, Seq(3))
+    // incremental from v1 reads only the post-v1 files — and flags it
+    assert(live.verifyBqCodesSince(v1) >= 1L,
+      "poison appended after the baseline must register")
+    // the coverage bound, stated honestly: baselining PAST the poison
+    // skips it — the full scan is the re-baselining sweep that won't
+    val v2 = ServingManifest.versions(spark, dir).max
+    assert(live.verifyBqCodesSince(v2) == 0L)
+    assert(graft.operators.Serving.open(spark, dir,
+      id = "vec_id", vecCol = "v").verifyBqCodes() >= 1L)
+    // a version the log does not hold (e.g. a rewrite reset it) must
+    // fail toward the full scan, never silently under-scan
+    val e = intercept[RuntimeException] {
+      live.verifyBqCodesSince(v2 + 100)
+    }
+    assert(e.getMessage.contains("re-baseline"))
+    // the autopilot form: bounded probe flags the same poison, a
+    // later baseline reports clean, a vanished version falls back to
+    // the full scan (which sees the planted row)
+    import graft.streaming.IndexMaintenance.MaintenancePolicy
+    val r1 = IndexMaintenance.maintain(spark, dir, "vec_id", "v",
+      "version", MaintenancePolicy(maxLeafSize = 1000000,
+        checkBqCodes = true, bqCheckSinceVersion = Some(v1)))
+    assert(r1.bqDriftRows >= 1L, s"bounded sweep must flag: $r1")
+    val r2 = IndexMaintenance.maintain(spark, dir, "vec_id", "v",
+      "version", MaintenancePolicy(maxLeafSize = 1000000,
+        checkBqCodes = true, bqCheckSinceVersion = Some(v2)))
+    assert(r2.bqDriftRows == 0L, s"post-baseline sweep is clean: $r2")
+    val r3 = IndexMaintenance.maintain(spark, dir, "vec_id", "v",
+      "version", MaintenancePolicy(maxLeafSize = 1000000,
+        checkBqCodes = true, bqCheckSinceVersion = Some(v2 + 100)))
+    assert(r3.bqDriftRows >= 1L,
+      s"missing baseline must fall back to the full scan: $r3")
+  }
+
   test("maintain(checkBqCodes): the autopilot reports a clean drift " +
       "count on a maintained BQ layout and -1 when there is nothing " +
       "to check") {
