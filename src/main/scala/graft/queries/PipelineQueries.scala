@@ -143,6 +143,82 @@ object PipelineQueries {
     * the top-k is a TakeOrderedAndProject (per-partition heap, k rows
     * shuffled) — no global sort.
     */
+  // the t_quality_score formula as a SQL fragment over a counts
+  // subquery — shared by the per-source cap and the quantile filter
+  // (same fixed IEEE op order as graft.functions.text.qualityScore)
+  private def sqlQuality: String =
+    "CASE WHEN n_tokens = 0 OR n_chars = 0 THEN 0.0 ELSE " +
+      "0.3 * least(cast(n_stop as double) / cast(n_tokens as double) * 5.0, 1.0) + " +
+      "0.4 * least(cast(n_tokens as double) / 100.0, 1.0) + " +
+      "0.3 * (1.0 - cast(n_punct as double) / cast(n_chars as double)) END"
+  private def sqlQualityCte: String =
+    s"q AS (SELECT doc_id, source, $sqlQuality AS quality FROM " +
+      s"(SELECT doc_id, source, ${text.sql.tokenCount("text")} AS n_tokens, " +
+      s"${text.sql.stopwordCount("text", text.EnStop)} AS n_stop, " +
+      s"${text.sql.punctCount("text")} AS n_punct, " +
+      "cast(length(text) as bigint) AS n_chars FROM documents))"
+
+  /** PER-SOURCE CAP — the anti-spam skew control every web-scale
+    * corpus applies (C4 / RefinedWeb keep a bounded number of pages
+    * per host so one boilerplate-heavy domain cannot dominate the
+    * mixture): keep the top-5 docs per `source` by quality score,
+    * ties to the smaller doc_id. The rank-≤-5 filter compiles to a
+    * partial per-partition top-k (WindowGroupLimit) BEFORE the
+    * per-source shuffle, so a source with 10⁸ rows ships 5·partitions
+    * rows, never its whole group — the shape that survives a skewed
+    * domain at 100 TB.
+    */
+  private val pSourceCap = QueryDef.sqlChecked("p_source_cap")(
+    s"WITH $sqlQualityCte, " +
+      "r AS (SELECT doc_id, source, quality, row_number() OVER (" +
+      "PARTITION BY source ORDER BY quality DESC, doc_id) AS rank FROM q) " +
+      "SELECT doc_id, source, quality, rank FROM r WHERE rank <= 5 " +
+      "ORDER BY source, rank"
+  ) { (s, d) =>
+    val q = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      text.qualityScore(col("text")).as("quality"))
+    q.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("quality").desc, col("doc_id"))).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .orderBy("source", "rank")
+  }
+
+  /** GLOBAL QUALITY-QUANTILE FILTER — "drop the worst 20%": the
+    * threshold is the ⌈0.2·n⌉-th smallest quality (a VALUE from the
+    * data — no interpolation arithmetic to diverge between engines),
+    * each doc keeps `quality >= threshold`. The exact small-scale
+    * form here is the audit; at 100 TB the threshold comes from
+    * `approx_percentile` (one pass, mergeable sketch) and this gate
+    * is what validates the sketch's error on a sample.
+    */
+  private val pQualityQuantile = QueryDef.sqlChecked("p_quality_quantile")(
+    s"WITH $sqlQualityCte, " +
+      "k AS (SELECT greatest(1, cast(ceil(0.2 * count(*)) as bigint)) " +
+      "AS kk FROM q), " +
+      "r AS (SELECT quality, row_number() OVER (ORDER BY quality ASC, " +
+      "doc_id) AS rn FROM q), " +
+      "thr AS (SELECT quality AS t FROM r, k WHERE rn = kk) " +
+      "SELECT doc_id, quality, quality >= (SELECT t FROM thr) AS keep " +
+      "FROM q ORDER BY doc_id"
+  ) { (s, d) =>
+    val q = Tables.documents(s, d).select(col("doc_id"),
+      text.qualityScore(col("text")).as("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = q.count()
+      val k = math.max(1L, math.ceil(0.2 * n).toLong)
+      // k-th smallest = max of the ascending top-k
+      // (TakeOrderedAndProject — k rows to the driver, exact)
+      val thr = q.orderBy(col("quality").asc, col("doc_id").asc)
+        .limit(k.toInt).agg(max("quality")).head().getDouble(0)
+      q.select(col("doc_id"), col("quality"),
+          (col("quality") >= thr).as("keep"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally { q.unpersist(); () }
+  }
+
   private val pTopkTokens = QueryDef.sqlChecked("p_topk_tokens")(
     s"SELECT t, count(*) AS cnt FROM (SELECT unnest(${text.sql.tokensOf("text")}) AS t " +
       "FROM documents) GROUP BY t ORDER BY cnt DESC, t LIMIT 20"
@@ -601,7 +677,8 @@ object PipelineQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(pSampleHash, pSampleStratified,
-    pSplitTrainTest, pMixtureSample, pTopkTokens, pNgramStats,
+    pSplitTrainTest, pMixtureSample, pSourceCap, pQualityQuantile,
+    pTopkTokens, pNgramStats,
     pReembedDelta, pCorpusClean, pPackSequences, pDecontaminate,
     pShuffleShard, qStreamDedup, qStreamDedupWm, qStreamJoin,
     qStreamStatic)

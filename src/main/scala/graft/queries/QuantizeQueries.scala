@@ -1597,9 +1597,70 @@ object QuantizeQueries {
       .searchMaxSimBq(qvecs, nProbe = 2, m = 5, k = 3, docCol = "label")
   }
 
+  /** BQ SHORTLIST-m RECALL CURVE — the tuning table for the
+    * two-stage tier's ONE knob (`v_ann_recall_curve`'s sibling at
+    * the shortlist rung): overlap@10 of shortlist-then-exact-rescore
+    * vs the exact top-10, at m ∈ {10, 30, 100}. The sign-tie m-sizing
+    * rule (SCALE.md `bqtier`: m must exceed the query's sign-tie
+    * plateau width) stops being a prose claim and becomes a
+    * driver-hash-gated table an operator reads before picking m.
+    * Fully deterministic: fixed embeddings, both stages tie-broken
+    * by id, the rescore exact — so the curve itself hash-gates.
+    * Shape at scale: one exact pass (the audit cost — sampled in
+    * production) + per curve point one 8 B/vector scan and a
+    * constant-size rescore.
+    */
+  private val vBqRecallCurve = QueryDef.sqlChecked("v_bq_recall_curve")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings " +
+      "WHERE vec_id = 7), " +
+      "scored AS (SELECT vec_id, list_inner_product(list_transform(v, " +
+      "x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END), q.qv) AS bq, " +
+      "list_inner_product(v, q.qv) AS s FROM base, q), " +
+      "exact AS (SELECT vec_id FROM scored ORDER BY s DESC, vec_id " +
+      "LIMIT 10) " +
+      Seq(10, 30, 100).map { m =>
+        s"SELECT $m AS m, cast(count(e.vec_id) as bigint) AS n_hits, " +
+          "cast(count(e.vec_id) as double) / 10.0 AS overlap FROM " +
+          "(SELECT vec_id FROM (SELECT vec_id, s FROM scored " +
+          s"ORDER BY bq DESC, vec_id LIMIT $m) " +
+          "ORDER BY s DESC, vec_id LIMIT 10) p " +
+          "LEFT JOIN exact e ON e.vec_id = p.vec_id"
+      }.mkString(" UNION ALL ") +
+      " ORDER BY m"
+  ) { (s, d) =>
+    import graft.functions.bquant
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    // one scan scores BOTH stages; each curve point reuses it
+    val scored = emb.select(col("vec_id"),
+        bquant.signDot(bquant.packSigns(col("embedding")),
+          typedLit(q)).as("bq"),
+        graft.functions.vectors.dotProduct(
+          col("embedding").cast("array<double>"), typedLit(q)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exact = scored.orderBy(col("s").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"), lit(1).as("__e"))
+      Seq(10, 30, 100).map { m =>
+        scored.orderBy(col("bq").desc, col("vec_id")).limit(m)
+          .orderBy(col("s").desc, col("vec_id")).limit(10)
+          .join(broadcast(exact), Seq("vec_id"), "left")
+          .agg(count(col("__e")).as("n_hits"))
+          .select(lit(m).as("m"), col("n_hits"),
+            (col("n_hits").cast("double") / 10.0).as("overlap"))
+      }.reduce(_ unionAll _)
+        .orderBy("m")
+        .localCheckpoint()
+    } finally { scored.unpersist(); () }
+  }
+
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
     vPqBatch, vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq,
     rServeSqFull, rServeSqPerQuery, rServeSqPAdaptive, rServeSqNumR,
     vMaxsimSq, vMaxsimAdc, vBqSearch, vBqRerank, vBqHamming, rServeBq,
-    rServeBqBatch, vMaxsimBq, vBqSql)
+    rServeBqBatch, vMaxsimBq, vBqSql, vBqRecallCurve)
 }

@@ -30,6 +30,45 @@ class PipelineOpsSpec extends SparkTestBase {
       s"scan-level pruning expected:\n$plan")
   }
 
+  test("p_source_cap: every source is capped at 5, ranks are " +
+      "contiguous from 1, and the rank filter compiles to a partial " +
+      "per-partition top-k (WindowGroupLimit) — a skewed source " +
+      "ships 5·partitions rows, never its whole group") {
+    val df = run("p_source_cap")
+    val rows = df.collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks.size <= 5 && ranks == (1L to ranks.size).toSeq,
+        s"$src: ranks must be 1..k<=5, got $ranks")
+      // quality within a source is non-increasing by rank
+      val qs = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("quality"))
+      assert(qs.zip(qs.tail).forall { case (a, b) => a >= b },
+        s"$src: quality must be non-increasing, got ${qs.toSeq}")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=5 must compile to a partial top-k:\n$plan")
+  }
+
+  test("p_quality_quantile: keep rate is ~80% (the threshold row " +
+      "itself and its ties stay), threshold is a value FROM the data") {
+    val rows = run("p_quality_quantile").collect()
+    val n = rows.length
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    // >= threshold keeps at least n - ceil(0.2n) + 1 rows; ties can
+    // only add
+    assert(kept >= n - math.ceil(0.2 * n).toInt + 1 && kept <= n,
+      s"kept $kept of $n")
+    val thr = rows.filter(_.getAs[Boolean]("keep"))
+      .map(_.getAs[Double]("quality")).min
+    assert(rows.map(_.getAs[Double]("quality")).contains(thr),
+      "threshold must be an actual data value, not interpolated")
+    assert(rows.filter(!_.getAs[Boolean]("keep"))
+      .forall(_.getAs[Double]("quality") < thr))
+  }
+
   test("train/test split never splits a user's events") {
     val ev = Tables.events(spark, sf)
       .withColumn("split", when(
