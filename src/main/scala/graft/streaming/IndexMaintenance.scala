@@ -594,7 +594,14 @@ object IndexMaintenance {
       deltaRows: Long, logVersionsDropped: Int,
       reclustered: Boolean = false,
       radiiRebuilt: Boolean = false,
-      bqDriftRows: Long = -1L)
+      bqDriftRows: Long = -1L,
+      // the snapshot version the BQ probe covered through (-1 = probe
+      // did not run / no log): feed it to the NEXT sweep's
+      // `bqCheckSinceVersion` and the sweeps chain incrementally with
+      // no external bookkeeping. Captured BEFORE the probe reads, so
+      // a concurrent append lands past the recorded baseline and is
+      // re-checked next sweep (over-scan is safe, under-scan is not).
+      bqCheckedThroughVersion: Int = -1)
 
   /** ONE policy-driven maintenance sweep over a serving layout — the
     * autopilot tick an always-on index schedules after upsert/delete
@@ -679,32 +686,40 @@ object IndexMaintenance {
     // the appended set. Both forms share the one drift predicate
     // ([[graft.functions.bquant.codeDrift]]) with the append path's
     // derivation, so probe and derivation cannot diverge.
-    val bqDrift =
+    val (bqDrift, bqCheckedThrough) =
       if (policy.checkBqCodes && layoutCols.contains("bq_code")) {
+        // baseline for the NEXT sweep, captured BEFORE the probe
+        // reads: a concurrent append lands past it and re-checks
+        val checkedThrough = graft.operators.ServingManifest
+          .versions(spark, servePath) match {
+          case vs if vs.nonEmpty => vs.max
+          case _ => -1
+        }
         val sinceFiles = policy.bqCheckSinceVersion.flatMap { v =>
           graft.operators.ServingManifest.filesAt(spark, servePath, v)
             .map(_.toSet)
         }
-        sinceFiles match {
+        val drift = sinceFiles match {
           case Some(before) =>
             val fresh = graft.operators.ServingManifest
               .liveFiles(spark, servePath).getOrElse(Seq.empty)
               .filterNot(before)
-            if (fresh.isEmpty) 0L
-            else spark.read
-              .schema(graft.operators.ServingManifest
-                .openOrRead(spark, servePath).schema)
-              .parquet(fresh.map(f => s"$servePath/$f"): _*)
-              .filter(graft.functions.bquant.codeDrift(col(vecCol),
-                col("bq_code"))).count()
+            graft.operators.ServingManifest
+              .openFiles(spark, servePath, fresh.toSet) match {
+              case None => 0L
+              case Some(df) => df
+                .filter(graft.functions.bquant.codeDrift(col(vecCol),
+                  col("bq_code"))).count()
+            }
           case None =>
             readServing(spark, servePath, id, versionCol)
               .filter(graft.functions.bquant.codeDrift(col(vecCol),
                 col("bq_code"))).count()
         }
-      } else -1L
+        (drift, checkedThrough)
+      } else (-1L, -1)
     MaintenanceReport(splits, maxAfter, compact, deltaRows, dropped,
-      reclustered, radiiRebuilt, bqDrift)
+      reclustered, radiiRebuilt, bqDrift, bqCheckedThrough)
   }
 
   /** RECLUSTER a CODED serving layout — the autopilot completion for

@@ -443,6 +443,22 @@ class BqSpec extends SparkTestBase {
         checkBqCodes = true, bqCheckSinceVersion = Some(v2 + 100)))
     assert(r3.bqDriftRows >= 1L,
       s"missing baseline must fall back to the full scan: $r3")
+    // sweeps CHAIN: each report carries the version it covered
+    // through, the next sweep baselines there — clean append after
+    // r2's baseline, sweep at r2's reported version scans only it
+    assert(r2.bqCheckedThroughVersion == v2,
+      s"report must carry the probed-through version: $r2")
+    IndexMaintenance.appendToServing(spark, dir,
+      emb.filter(col("vec_id") % 60 === 7)
+        .withColumn("version", lit(3L)), "vec_id", "v", "version",
+      spill = 1)
+    val r4 = IndexMaintenance.maintain(spark, dir, "vec_id", "v",
+      "version", MaintenancePolicy(maxLeafSize = 1000000,
+        checkBqCodes = true,
+        bqCheckSinceVersion = Some(r2.bqCheckedThroughVersion)))
+    assert(r4.bqDriftRows == 0L,
+      s"chained sweep over the clean appendage must be clean: $r4")
+    assert(r4.bqCheckedThroughVersion > r2.bqCheckedThroughVersion)
   }
 
   test("maintain(checkBqCodes): the autopilot reports a clean drift " +
