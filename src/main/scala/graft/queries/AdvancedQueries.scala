@@ -337,7 +337,10 @@ object AdvancedQueries {
     s"SELECT t, cnt, cast(1 as bigint) AS cms_ok FROM (" +
       s"SELECT t, count(*) AS cnt FROM (" +
       s"SELECT unnest(${graft.functions.text.sql.tokensOf("text")}) AS t " +
-      "FROM documents) GROUP BY t ORDER BY cnt DESC, t LIMIT 20)"
+      // hash tie-break at the boundary, as p_topk_tokens — selection
+      // must not hang on either engine's string collation
+      "FROM documents) GROUP BY t ORDER BY cnt DESC, " +
+      s"${graft.functions.text.sql.polyHash("t")}, t LIMIT 20)"
   ) { (s, d) =>
     import s.implicits._
     val toks = Tables.documents(s, d)
@@ -346,7 +349,8 @@ object AdvancedQueries {
     val eps = 0.0005
     val cms = toks.stat.countMinSketch("t", eps, 0.99, 42)
     val top = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
-      .orderBy(desc("cnt"), asc("t")).limit(20)
+      .orderBy(desc("cnt"), graft.functions.text.polyHash(col("t")),
+        col("t")).limit(20)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     top.map { case (t, cnt) =>
       val est = cms.estimateCount(t)

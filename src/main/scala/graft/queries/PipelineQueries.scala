@@ -221,12 +221,14 @@ object PipelineQueries {
 
   private val pTopkTokens = QueryDef.sqlChecked("p_topk_tokens")(
     s"SELECT t, count(*) AS cnt FROM (SELECT unnest(${text.sql.tokensOf("text")}) AS t " +
-      "FROM documents) GROUP BY t ORDER BY cnt DESC, t LIMIT 20"
+      // hash tie-break at the boundary, as p_ngram_stats — selection
+      // must not hang on either engine's string collation
+      s"FROM documents) GROUP BY t ORDER BY cnt DESC, ${text.sql.polyHash("t")}, t LIMIT 20"
   ) { (s, d) =>
     Tables.documents(s, d)
       .select(explode(text.tokens(col("text"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
-      .orderBy(desc("cnt"), asc("t")).limit(20)
+      .orderBy(desc("cnt"), text.polyHash(col("t")), col("t")).limit(20)
   }
 
   /** Incremental RE-EMBED queue — the orchestration delta that keeps
@@ -281,7 +283,13 @@ object PipelineQueries {
       "cast(count(DISTINCT doc_id) as double) / " +
       "(SELECT count(*) FROM documents) AS coverage " +
       s"FROM (${text.sql.shingleRows("doc_id")}) " +
-      "GROUP BY s ORDER BY occ DESC, s LIMIT 20"
+      // tie-break by the exact-integer poly hash, NOT the shingle
+      // string: at sf0.01 the occ=6 plateau spans the rank-20
+      // boundary, so a lexicographic tie-break would let the oracle
+      // engine's collation pick WHICH shingles (strings with spaces)
+      // enter the top-20 — the t_repetition r12 failure class; the
+      // hash is identical integer arithmetic in both engines
+      s"GROUP BY s ORDER BY occ DESC, ${text.sql.polyHash("s")}, s LIMIT 20"
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
     val nDocs = docs.count()
@@ -291,7 +299,7 @@ object PipelineQueries {
       .groupBy("s")
       .agg(count(lit(1)).as("occ"), countDistinct("doc_id").as("df"))
       .withColumn("coverage", col("df").cast("double") / lit(nDocs.toDouble))
-      .orderBy(desc("occ"), asc("s")).limit(20)
+      .orderBy(desc("occ"), text.polyHash(col("s")), col("s")).limit(20)
   }
 
   /** The composed corpus-cleaning flow every training pipeline runs:
