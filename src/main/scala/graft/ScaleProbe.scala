@@ -1226,6 +1226,52 @@ object ScaleProbe {
         f"id_overlap=${overlap.toDouble / total}%.3f " +
         f"score_regret_mean=${regret / math.max(1, regretN)}%.2e " +
         f"max=$regretMax%.2e")
+    } else if (args(0) == "bqdrift") {
+      // BQ drift-probe economics: the full-scan probe re-derives
+      // packSigns over EVERY row per sweep (∝ corpus — a full read
+      // at 100 TB), the since-version probe reads only the files
+      // appended past the baseline (∝ batch). Prices both at two
+      // corpus sizes with the same append batch: full must grow with
+      // the corpus, incremental must stay flat.
+      // usage: bqdrift <n> <nBatch>
+      val n = args(1).toLong; val nBatch = args(2).toLong
+      import graft.functions.bquant
+      def run(nc: Long): (Double, Double) = {
+        val v = graft.pipeline.SyntheticCorpus.vectors(spark, nc, 64, 200)
+          .withColumn("version", lit(1L))
+        val (indexed, model) = graft.operators.IvfIndex.build(v,
+          "vec_id", "embedding", numLeaves = 64, maxFitRows = 20000L)
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_bqdrift").toString + "/idx"
+        graft.operators.IvfIndex.write(indexed.withColumn("bq_code",
+          bquant.packSigns(col("embedding").cast("array<double>"))),
+          p, model)
+        val v0 = graft.operators.ServingManifest.versions(spark, p).max
+        val batch = graft.pipeline.SyntheticCorpus
+          .vectors(spark, nBatch, 64, 200)
+          .select((col("vec_id") + nc).as("vec_id"), col("embedding"),
+            lit(2L).as("version"))
+        graft.streaming.IndexMaintenance.appendToServing(spark, p,
+          batch, "vec_id", "embedding", "version")
+        val s = graft.operators.Serving.open(spark, p,
+          id = "vec_id", vecCol = "embedding")
+        require(s.verifyBqCodesSince(v0) == 0L && s.verifyBqCodes() == 0L)
+        def med3(body: => Unit): Double = {
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); body
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          ts(1)
+        }
+        (med3 { s.verifyBqCodes(); () },
+          med3 { s.verifyBqCodesSince(v0); () })
+      }
+      run(math.max(4000L, n / 50)) // warm codegen/session once
+      val (f1, i1) = run(n / 4)
+      val (f4, i4) = run(n)
+      println(f"BQDRIFT n=${n / 4} batch=$nBatch full=$f1%.2f s " +
+        f"incr=$i1%.2f s | n=$n full=$f4%.2f s incr=$i4%.2f s " +
+        f"full_growth=${f4 / f1}%.1fx incr_growth=${i4 / i1}%.1fx")
     } else if (args(0) == "dedupinc") {
       // Incremental near-dup: per-batch cost against a persisted
       // signature store as the STORE grows — the claim to price is

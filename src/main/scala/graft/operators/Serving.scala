@@ -169,12 +169,16 @@ final class Serving private[operators] (
       .getOrElse(sys.error(
         s"verifyBqCodesSince: no manifest at $path"))
       .filterNot(before)
-    if (fresh.isEmpty) 0L
-    else spark.read
-      .schema(data.schema)
-      .parquet(fresh.map(f => s"$path/$f"): _*)
-      .filter(graft.functions.bquant.codeDrift(col(vecCol),
-        col("bq_code"))).count()
+    // the subset reads through the ManifestFileIndex — statuses come
+    // from the manifest, zero per-file driver stats (the explicit-
+    // path read was measured 5× slower than the FULL scan on a
+    // many-small-files appendage)
+    ServingManifest.openFiles(spark, path, fresh.toSet) match {
+      case None => 0L
+      case Some(df) =>
+        df.filter(graft.functions.bquant.codeDrift(col(vecCol),
+          col("bq_code"))).count()
+    }
   }
 
   /** SQ8-tier search — the resident-handle form of the `r_serve_sq`

@@ -623,6 +623,33 @@ object ServingManifest {
   def openOrRead(spark: SparkSession, path: String): DataFrame =
     open(spark, path).getOrElse(spark.read.parquet(path))
 
+  /** Open ONLY the given manifest-listed relative files, through the
+    * same [[ManifestFileIndex]] as [[open]] — zero filesystem stats
+    * (an explicit-path `spark.read.parquet(files…)` re-validates and
+    * re-stats every listed path on the driver; measured 5× slower
+    * than the FULL manifest scan for a 10k-row appendage spread over
+    * ~2k small files). The incremental maintenance probes read their
+    * appended-files subset through this. Files absent from the live
+    * manifest are ignored; None when nothing matches or there is no
+    * manifest.
+    */
+  private[graft] def openFiles(spark: SparkSession, path: String,
+      files: Set[String]): Option[DataFrame] = {
+    if (!exists(spark, path) || files.isEmpty) return None
+    val mf = spark.read.parquet(manifestDir(path))
+    val withM = if (mf.columns.contains("mtime")) mf
+      else mf.withColumn("mtime", lit(0L))
+    val withS = if (withM.columns.contains("stats")) withM
+      else withM.withColumn("stats", lit(""))
+    val entries = withS.select("file", "leaf_id", "bytes", "mtime", "stats")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)).getOrElse("")))
+      .filter(e => files.contains(e._1))
+    if (entries.isEmpty) None
+    else Some(openEntries5(spark, path, entries))
+  }
+
   /** Log retention (the Delta VACUUM analog, for the LOG only — data
     * files belong to the layout and are never touched): drop log
     * versions that no longer serve reconstruction of the most recent
