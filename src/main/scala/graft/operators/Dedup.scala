@@ -346,6 +346,44 @@ object Dedup {
     * line key). The kept-occurrence join back is fingerprint-keyed
     * and carries two small columns per distinct line.
     */
+  /** EXACT-SUBSTRING duplication profile at token-window granularity
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — ExactSubstr: memorization-driving repeats are
+    * exact token runs, not whole lines or whole docs): every
+    * stride-1 window of `w` tokens is fingerprinted with the
+    * polynomial rolling hash; a window whose fingerprint occurs more
+    * than once ANYWHERE in the corpus (other docs or the same doc —
+    * ExactSubstr counts both) is a duplicated span. Returns one row
+    * per doc: (id, n_windows, dup_windows).
+    *
+    * Scale shape: the window explode is ∝ total tokens (the honest
+    * cost of substring-level dedup — Lee et al.'s suffix array is
+    * also built over every token); fingerprint counts are a
+    * partial-aggregable groupBy on an INTEGER key (map-side combine
+    * bounds boilerplate skew exactly as [[lineDedup]]'s md5 key
+    * does), and the join back to windows is fingerprint-keyed
+    * carrying one small count column. A window shorter than `w`
+    * tokens contributes nothing (docs below `w` tokens profile as
+    * 0 windows). The windowed rolling-hash form finds every
+    * duplicated span of length ≥ w — the standard distributed
+    * approximation of the sequential suffix-array job.
+    */
+  def spanProfile(docs: DataFrame, id: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    val wins = docs
+      .select(col(id), graft.functions.text.tokens(col(textCol)).as("tk"))
+      .select(col(id),
+        explode(graft.functions.text.shinglesOfTokens(col("tk"), w))
+          .as("win"))
+      .select(col(id), graft.functions.text.polyHash(col("win")).as("fp"))
+    val counts = wins.groupBy("fp").agg(count(lit(1)).as("c"))
+    wins.join(counts, "fp")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_windows"))
+  }
+
   def lineDedup(docs: DataFrame, id: String, textCol: String): DataFrame = {
     val lines = docs
       .select(col(id), posexplode(split(col(textCol), "\n")))

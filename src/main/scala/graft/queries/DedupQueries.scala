@@ -743,8 +743,57 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** EXACT-SUBSTRING (token-window) duplication profile — Lee et al.
+    * 2022 ExactSubstr at window granularity (see
+    * [[graft.operators.Dedup.spanProfile]]): stride-1 windows of 8
+    * tokens, integer rolling-hash fingerprints, a window duplicated
+    * anywhere in the corpus (within-doc repeats count, as
+    * ExactSubstr) marks its doc. Per doc: window count, duplicated-
+    * window count, their ratio, and an exact-integer ≤20% keep rule
+    * (`dup_windows·5 ≤ n_windows` — no double-vs-literal compare, no
+    * string anywhere near the hash gate). Unlike `d_line_dedup`'s
+    * synthesized copies, the raw corpus genuinely contains
+    * duplicated 8-token runs (8.9% of windows at sf0.01), so the
+    * gate profiles real data.
+    */
+  private val dSpanDedup = QueryDef.sqlChecked("d_span_dedup")({
+    val w = 8
+    val concat8 = (0 until w).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, " +
+      "'\\s+'), t -> t <> '') AS tk FROM documents), " +
+      s"wins AS (SELECT doc_id, $concat8 AS win FROM " +
+      "(SELECT doc_id, tk, unnest(range(1, len(tk) - " +
+      s"${w - 2})) AS i FROM toks)), " +
+      s"fp AS (SELECT doc_id, ${text.sql.polyHash("win")} AS fp FROM wins), " +
+      "c AS (SELECT fp, count(*) AS c FROM fp GROUP BY fp), " +
+      "pd AS (SELECT doc_id, count(*) AS n_windows, " +
+      "cast(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) as bigint) " +
+      "AS dup_windows FROM fp JOIN c USING (fp) GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(n_windows, 0) AS n_windows, " +
+      "coalesce(dup_windows, 0) AS dup_windows, " +
+      "CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0 ELSE " +
+      "cast(dup_windows as double) / n_windows END AS dup_frac, " +
+      "coalesce(dup_windows, 0) * 5 <= coalesce(n_windows, 0) AS keep " +
+      "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id " +
+      "ORDER BY d.doc_id"
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pd = graft.operators.Dedup.spanProfile(docs, "doc_id", "text", 8)
+    docs.select("doc_id")
+      .join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) === 0, 0.0)
+          .otherwise(col("dup_windows").cast("double") / col("n_windows"))
+          .as("dup_frac"),
+        (coalesce(col("dup_windows"), lit(0L)) * 5 <=
+          coalesce(col("n_windows"), lit(0L))).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
     dDedupIncremental, dStreamDedupInc, dSimhash, dSimhashPairs,
     dSimhashBanded, dSrpLsh, dCosinePairs, dClusters, dDedupKeep,
-    dSemDedup, dSemDedupInc, dStreamSemDedup, dLineDedup)
+    dSemDedup, dSemDedupInc, dStreamSemDedup, dLineDedup, dSpanDedup)
 }

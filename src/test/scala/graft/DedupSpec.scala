@@ -138,6 +138,37 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.7, s"SRP recall = $recall (${banded.size}/${brute.size})")
   }
 
+  test("spanProfile: a copied token run marks BOTH docs, within-doc " +
+      "repeats count (ExactSubstr semantics), sub-window docs " +
+      "profile as zero windows") {
+    import spark.implicits._
+    // doc 1 and doc 2 share a 10-token run (3 duplicated 8-windows
+    // each); doc 3 repeats its own 8-token run twice (within-doc);
+    // doc 4 is unique; doc 5 is below the window width
+    val run = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val self = (1 to 8).map(i => s"self$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $run gamma one"),
+      (2L, s"$run delta epsilon two"),
+      (3L, s"$self junk1 junk2 $self"),
+      (4L, (1 to 20).map(i => s"uniq$i").mkString(" ")),
+      (5L, "only seven tokens live in here now")).toDF("doc_id", "text")
+    val pd = Dedup.spanProfile(corpus, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("dup_windows"))).toMap
+    // the shared 10-token run yields 3 duplicated 8-windows per doc
+    assert(pd(1L)._2 == 3 && pd(2L)._2 == 3,
+      s"cross-doc run must mark both docs: $pd")
+    // within-doc: the repeated 8-run's window occurs twice → both
+    // occurrences duplicated
+    assert(pd(3L)._2 == 2, s"within-doc repeat must count: $pd")
+    assert(pd(4L)._2 == 0, s"unique doc must be clean: $pd")
+    assert(!pd.contains(5L) || pd(5L)._1 == 0,
+      "a doc below the window width has no windows")
+    // window accounting: doc 4 has 20 tokens → 13 windows
+    assert(pd(4L)._1 == 13)
+  }
+
   test("identical texts get identical simhash, hamming 0") {
     val sim = Dedup.simhash(
       docs.limit(2).unionAll(docs.limit(2)
