@@ -384,6 +384,44 @@ object Dedup {
         sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_windows"))
   }
 
+  /** EXACT-SUBSTRING CUT accounting — the removal half of
+    * [[spanProfile]] (Lee et al. 2022 cut every duplicated span from
+    * the corpus, keeping ONE canonical copy): for each duplicated
+    * window fingerprint the canonical occurrence is the corpus-wide
+    * smallest (id, pos) — the same partial-aggregable `min(struct)`
+    * canonicalization as [[lineDedup]], no window sort over the
+    * (possibly enormous) duplicate group — and every OTHER occurrence
+    * marks its `w` token positions for removal. Overlapping marked
+    * windows merge by position-distinct counting. Returns one row per
+    * doc that loses tokens: (id, cut_tokens).
+    *
+    * Scale shape: windows ∝ tokens as [[spanProfile]]; the canonical
+    * reduce is one groupBy on the integer fingerprint; the position
+    * explode is w× the NON-CANONICAL window count (∝ duplicated
+    * text, not the corpus).
+    */
+  def spanCut(docs: DataFrame, id: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    val wins = docs
+      .select(col(id), graft.functions.text.tokens(col(textCol)).as("tk"))
+      .select(col(id),
+        posexplode(graft.functions.text.shinglesOfTokens(col("tk"), w)))
+      .select(col(id), col("pos"),
+        graft.functions.text.polyHash(col("col")).as("fp"))
+    val canon = wins.groupBy("fp")
+      .agg(min(struct(col(id), col("pos"))).as("first"),
+        count(lit(1)).as("c"))
+    wins.join(canon, "fp")
+      .filter(col("c") > 1 &&
+        !(col(id) === col("first").getField(id) &&
+          col("pos") === col("first").getField("pos")))
+      .select(col(id),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
+      .groupBy(id)
+      .agg(countDistinct("p").as("cut_tokens"))
+  }
+
   def lineDedup(docs: DataFrame, id: String, textCol: String): DataFrame = {
     val lines = docs
       .select(col(id), posexplode(split(col(textCol), "\n")))

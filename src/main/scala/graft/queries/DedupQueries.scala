@@ -792,8 +792,61 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** EXACT-SUBSTRING CUT accounting — the removal half of
+    * `d_span_dedup` ([[graft.operators.Dedup.spanCut]]): duplicated
+    * 8-token windows keep one corpus-wide canonical copy (smallest
+    * (doc, pos) — a `min(struct)` reduce, never a window sort over
+    * the duplicate group) and every other occurrence marks its token
+    * positions; overlapping marks merge by distinct counting. Per
+    * doc: token count, tokens cut, fraction kept. The oracle
+    * replays the identical canonicalization with integer ordering
+    * only (fingerprints, doc ids, positions — nothing near a string
+    * comparison).
+    */
+  private val dSpanCut = QueryDef.sqlChecked("d_span_cut")({
+    val w = 8
+    val concat8 = (0 until w).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, " +
+      "'\\s+'), t -> t <> '') AS tk FROM documents), " +
+      "tc AS (SELECT doc_id, cast(len(tk) as bigint) AS n_tokens FROM toks), " +
+      s"wins AS (SELECT doc_id, i, $concat8 AS win FROM " +
+      "(SELECT doc_id, tk, unnest(range(1, len(tk) - " +
+      s"${w - 2})) AS i FROM toks)), " +
+      s"fp AS (SELECT doc_id, i, ${text.sql.polyHash("win")} AS f FROM wins), " +
+      "r AS (SELECT doc_id, i, count(*) OVER (PARTITION BY f) AS c, " +
+      "row_number() OVER (PARTITION BY f ORDER BY doc_id, i) AS rn FROM fp), " +
+      s"pos AS (SELECT doc_id, unnest(range(i, i + $w)) AS p FROM r " +
+      "WHERE c > 1 AND rn > 1), " +
+      "cut AS (SELECT doc_id, count(DISTINCT p) AS cut_tokens FROM pos " +
+      "GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(tc.n_tokens, 0) AS n_tokens, " +
+      "coalesce(cut.cut_tokens, 0) AS cut_tokens, " +
+      "CASE WHEN coalesce(tc.n_tokens, 0) = 0 THEN 1.0 ELSE " +
+      "cast(tc.n_tokens - coalesce(cut.cut_tokens, 0) as double) / " +
+      "tc.n_tokens END AS kept_frac " +
+      "FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id " +
+      "LEFT JOIN cut ON d.doc_id = cut.doc_id ORDER BY d.doc_id"
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tc = docs.select(col("doc_id"),
+      size(text.tokens(col("text"))).cast("bigint").as("n_tokens"))
+    val cut = graft.operators.Dedup.spanCut(docs, "doc_id", "text", 8)
+    docs.select("doc_id")
+      .join(tc, Seq("doc_id"), "left")
+      .join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, 1.0)
+          .otherwise((col("n_tokens") - coalesce(col("cut_tokens"), lit(0L)))
+            .cast("double") / col("n_tokens"))
+          .as("kept_frac"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
     dDedupIncremental, dStreamDedupInc, dSimhash, dSimhashPairs,
     dSimhashBanded, dSrpLsh, dCosinePairs, dClusters, dDedupKeep,
-    dSemDedup, dSemDedupInc, dStreamSemDedup, dLineDedup, dSpanDedup)
+    dSemDedup, dSemDedupInc, dStreamSemDedup, dLineDedup, dSpanDedup,
+    dSpanCut)
 }

@@ -169,6 +169,24 @@ class DedupSpec extends SparkTestBase {
     assert(pd(4L)._1 == 13)
   }
 
+  test("spanCut: the canonical (smallest doc, pos) copy keeps its " +
+      "tokens, every other copy is cut, overlapping marks merge") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $run gamma one"),      // canonical copy lives here
+      (2L, s"$run delta epsilon two"),          // loses the whole 10-run
+      (3L, (1 to 20).map(i => s"uniq$i").mkString(" "))).toDF("doc_id", "text")
+    val cut = Dedup.spanCut(corpus, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cut_tokens")).toMap
+    // doc 1 holds the canonical occurrences (smallest doc_id) → 0 cut;
+    // doc 2's three duplicated windows cover positions 0..9 → 10
+    // tokens cut (overlap merged, not 3×8)
+    assert(!cut.contains(1L), s"canonical doc must keep everything: $cut")
+    assert(cut(2L) == 10L, s"overlapping windows must merge to 10: $cut")
+    assert(!cut.contains(3L))
+  }
+
   test("identical texts get identical simhash, hamming 0") {
     val sim = Dedup.simhash(
       docs.limit(2).unionAll(docs.limit(2)
