@@ -181,6 +181,21 @@ final class Serving private[operators] (
     }
   }
 
+  /** Largest set of live vectors sharing one sign pattern — the
+    * operational input to the BQ shortlist sizing rule (SCALE.md
+    * `bqtier`: 1-bit codes cannot rank inside a sign-tie group, so
+    * [[searchBqRerank]]'s `m` must exceed this plateau for exact-set
+    * overlap; `v_bq_sign_stats` is the gate-visible histogram form).
+    * One groupBy on the 8 B code, partial-aggregable, one max.
+    */
+  def signTiePlateau(): Long = {
+    import org.apache.spark.sql.functions._
+    require(hasBq,
+      s"signTiePlateau: layout at $path has no bq_code companion column")
+    data.groupBy(col("bq_code")).agg(count(lit(1)).as("c"))
+      .agg(max("c")).head().getLong(0)
+  }
+
   /** SQ8-tier search — the resident-handle form of the `r_serve_sq`
     * gate: same leaf pruning as [[search]], but the scan kernel is
     * the exact integer dot over packed 1 B/dim codes rescaled by the

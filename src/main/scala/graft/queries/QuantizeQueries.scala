@@ -1658,9 +1658,36 @@ object QuantizeQueries {
     } finally { scored.unpersist(); () }
   }
 
+  /** BQ SIGN-PATTERN multiplicity histogram — the measurement the
+    * SCALE.md m-sizing rule reads: 1-bit codes cannot rank inside a
+    * sign-tie group, so the shortlist `m` must exceed the largest
+    * set of corpus vectors sharing one sign pattern (the plateau =
+    * this table's max multiplicity). One groupBy on the packed
+    * 8 B code, then counts-of-counts — output is |distinct
+    * multiplicities| rows of exact integers regardless of corpus
+    * size, nothing near a string. The curve gate
+    * (`v_bq_recall_curve`) shows WHAT overlap m buys; this shows WHY
+    * (ties), closing the operator's sizing loop.
+    */
+  private val vBqSignStats = QueryDef.sqlChecked("v_bq_sign_stats")(
+    "WITH pat AS (SELECT list_transform(cast(embedding as double[]), " +
+      "x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS sp, " +
+      "count(*) AS multiplicity FROM embeddings GROUP BY 1) " +
+      "SELECT multiplicity, cast(count(*) as bigint) AS n_patterns " +
+      "FROM pat GROUP BY multiplicity ORDER BY multiplicity"
+  ) { (s, d) =>
+    import graft.functions.bquant
+    Tables.embeddings(s, d)
+      .groupBy(bquant.packSigns(col("embedding")).as("sp"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .groupBy("multiplicity")
+      .agg(count(lit(1)).as("n_patterns"))
+      .orderBy("multiplicity")
+  }
+
   val defs: Seq[QueryDef] = Seq(vQuantize, vKnnQuantized, vPqEncode, vPqSearch,
     vPqBatch, vPqRotated, vIvfPqSearch, vIvfPqRerank, rServePq, rServeSq,
     rServeSqFull, rServeSqPerQuery, rServeSqPAdaptive, rServeSqNumR,
     vMaxsimSq, vMaxsimAdc, vBqSearch, vBqRerank, vBqHamming, rServeBq,
-    rServeBqBatch, vMaxsimBq, vBqSql, vBqRecallCurve)
+    rServeBqBatch, vMaxsimBq, vBqSql, vBqRecallCurve, vBqSignStats)
 }

@@ -461,6 +461,32 @@ class BqSpec extends SparkTestBase {
     assert(r4.bqCheckedThroughVersion > r2.bqCheckedThroughVersion)
   }
 
+  test("signTiePlateau: reports the largest sign-tie group; m above " +
+      "the plateau makes the shortlist exact-set (the SCALE.md " +
+      "sizing rule as an API)") {
+    val (serving, _) = buildBqLayout()
+    val plateau = serving.signTiePlateau()
+    assert(plateau >= 1L)
+    // cross-check against the raw group sizes
+    val expected = serving.data
+      .groupBy(col("bq_code")).count()
+      .agg(max("count")).head().getLong(0)
+    assert(plateau == expected)
+    // a bare layout refuses loudly
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val (indexed, model) = graft.operators.IvfIndex.build(
+      emb.withColumn("version", lit(1L)), "vec_id", "v", 8)
+    val bareDir = java.nio.file.Files
+      .createTempDirectory("graft_bq_plateau_bare").toString + "/idx"
+    graft.operators.IvfIndex.write(indexed, bareDir, model)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Serving.open(spark, bareDir,
+        id = "vec_id", vecCol = "v").signTiePlateau()
+    }
+    assert(e.getMessage.contains("no bq_code companion"))
+  }
+
   test("maintain(checkBqCodes): the autopilot reports a clean drift " +
       "count on a maintained BQ layout and -1 when there is nothing " +
       "to check") {
