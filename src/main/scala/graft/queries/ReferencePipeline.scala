@@ -2605,11 +2605,91 @@ object ReferencePipeline {
       numCol = Some("num"), numAttrs = Seq("version"))
   }
 
+  /** AUTOPILOT MAINTENANCE SWEEP, driver-gated — upgrades the
+    * deployment-state probe (SURVEY §2 D5) from spec-proven to
+    * oracle-checked: the gate builds a BQ-companion serving layout
+    * with fixed centroids, appends an upsert batch through the
+    * maintained path, runs sweep 1 (full drift scan — clean), plants
+    * a manifest-registered side-channel poison row (flipped vector,
+    * stale sign code — the drift class the probe exists for), and
+    * runs sweep 2 CHAINED on sweep 1's `bqCheckedThroughVersion`, so
+    * the incremental probe reads ONLY the post-baseline appendage and
+    * must flag exactly the planted row. Emits both sweeps' reports
+    * (drift count, probed-through version, registry size, compaction
+    * / split decisions); the oracle pins every value — the registry
+    * size from the same corpus filter, the version numbers from the
+    * manifest log's deterministic install sequence (v1 build, v2
+    * append, v3 poison reconcile). A behavioral change anywhere in
+    * the maintenance loop (probe coverage, chaining capture point,
+    * version accounting, registry bookkeeping) flips a hashed value.
+    */
+  private val rMaintain = QueryDef.sqlChecked("r_maintain")(
+    "WITH a AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 31 = 3) " +
+      "SELECT 1 AS sweep, cast(0 as bigint) AS bq_drift, " +
+      "cast(2 as int) AS checked_through, n AS delta_rows, " +
+      "false AS compacted, cast(0 as int) AS splits FROM a " +
+      "UNION ALL SELECT 2, cast(1 as bigint), cast(3 as int), n, " +
+      "false, cast(0 as int) FROM a ORDER BY sweep"
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.IndexMaintenance
+    import graft.streaming.IndexMaintenance.MaintenancePolicy
+    val base = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), lit(1L).as("version"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_maintain_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val indexed = base
+      .withColumn("bq_code",
+        graft.functions.bquant.packSigns(col("v")))
+      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, servePath.toString, model) // log v1
+    val up = base.filter(col("vec_id") % 31 === 3)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("v", transform(col("v"), x => x * 1.5))
+      .withColumn("version", lit(2L))
+    IndexMaintenance.appendToServing(s, servePath.toString, up,
+      "vec_id", "v", "version") // log v2; registry = |up|
+    val policy = MaintenancePolicy(maxLeafSize = 1000000,
+      checkBqCodes = true)
+    val r1 = IndexMaintenance.maintain(s, servePath.toString,
+      "vec_id", "v", "version", policy)
+    // side-channel poison INTO the manifest: flipped vector keeps its
+    // stale code; the reconcile installs log v3
+    s.read.parquet(servePath.toString).limit(1).drop("leaf_id")
+      .withColumn("vec_id", lit(999999L))
+      .withColumn("v", transform(col("v"), x => -x))
+      .write.mode("append").parquet(servePath.toString + "/leaf_id=0")
+    graft.operators.ServingManifest.reconcile(s, servePath.toString, Seq(0))
+    val r2 = IndexMaintenance.maintain(s, servePath.toString,
+      "vec_id", "v", "version",
+      policy.copy(bqCheckSinceVersion =
+        Some(r1.bqCheckedThroughVersion)))
+    Seq(
+      (1, r1.bqDriftRows, r1.bqCheckedThroughVersion, r1.deltaRows,
+        r1.compacted, r1.splits),
+      (2, r2.bqDriftRows, r2.bqCheckedThroughVersion, r2.deltaRows,
+        r2.compacted, r2.splits))
+      .toDF("sweep", "bq_drift", "checked_through", "delta_rows",
+        "compacted", "splits")
+      .orderBy("sweep")
+  }
+
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
     rServeManifest, rServeSnapshot, rServeCdc, rServeClone, rServeBatch,
     rServeRestricts, rServePct, rServeAllow2, rServePerQuery, rServePAdaptive,
-    rServeNumR, rServeLive,
+    rServeNumR, rServeLive, rMaintain,
     rServeDelete, rServePrefilter, rRebalance, vAnnBuild, vAnnCertified,
     vMaxsimPruned, vMaxsimBatch, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
     vAnnRouted, vAnnRecallCurve, vKnnJoin)
