@@ -384,6 +384,57 @@ object Dedup {
         sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_windows"))
   }
 
+  /** Distinct window fingerprints of a corpus — the persisted STATE
+    * of incremental exact-substring dedup (one integer row per
+    * distinct `w`-token window; the span-level sibling of
+    * `minhashSignatures`' signature store).
+    */
+  def spanFingerprints(docs: DataFrame, id: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    docs
+      .select(col(id), graft.functions.text.tokens(col(textCol)).as("tk"))
+      .select(explode(graft.functions.text.shinglesOfTokens(col("tk"), w))
+        .as("win"))
+      .select(graft.functions.text.polyHash(col("win")).as("fp"))
+      .distinct()
+  }
+
+  /** INCREMENTAL exact-substring profile — [[spanProfile]] for an
+    * arriving batch against a persisted fingerprint STORE
+    * ([[spanFingerprints]]): a batch window is duplicated iff its
+    * fingerprint exists in the store OR occurs more than once within
+    * the batch itself (ExactSubstr over store ∪ batch, with the
+    * store already canonical). Per batch doc: (id, n_windows,
+    * dup_windows) — batch docs only, the store never re-profiles.
+    *
+    * Scale shape: the batch fingerprints its own windows only; the
+    * store enters through ONE fingerprint-keyed join where the batch
+    * side is the small one (AQE broadcasts it onto the store scan —
+    * the store never shuffles, `d_dedup_incremental`'s economics at
+    * the span level). Per-batch cost ∝ batch windows + store matches.
+    */
+  def spanProfileAgainst(storeFps: DataFrame, batch: DataFrame,
+      id: String, textCol: String, w: Int): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    val bw = batch
+      .select(col(id), graft.functions.text.tokens(col(textCol)).as("tk"))
+      .select(col(id),
+        explode(graft.functions.text.shinglesOfTokens(col("tk"), w))
+          .as("win"))
+      .select(col(id), graft.functions.text.polyHash(col("win")).as("fp"))
+    val bc = bw.groupBy("fp").agg(count(lit(1)).as("cb"))
+    val dupFps = bc
+      .join(storeFps.select(col("fp"), lit(1).as("in_store")).distinct(),
+        Seq("fp"), "left")
+      .filter(col("cb") > 1 || col("in_store").isNotNull)
+      .select("fp")
+    bw.join(dupFps.withColumn("dup", lit(1L)), Seq("fp"), "left")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("dup"), lit(0L))).as("dup_windows"))
+  }
+
   /** EXACT-SUBSTRING CUT accounting — the removal half of
     * [[spanProfile]] (Lee et al. 2022 cut every duplicated span from
     * the corpus, keeping ONE canonical copy): for each duplicated

@@ -844,9 +844,59 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL exact-substring dedup — the continuous-ingest form
+    * of `d_span_dedup`, completing the batch+incremental pattern the
+    * other two dedup families carry (lexical MinHash:
+    * `d_dedup_incremental`; semantic: `d_semdedup_inc`): the
+    * already-ingested corpus persists as a distinct window-fingerprint
+    * STORE, the arriving batch fingerprints ITSELF only, and a batch
+    * window is duplicated iff it exists in the store or repeats
+    * within the batch. The store enters through one fingerprint-keyed
+    * join with the batch side broadcast — the store never shuffles.
+    * Gate: store = docs with id % 3 ≠ 0, delta = the rest; oracle
+    * replays store derivation, batch counts, and the union rule —
+    * integers end to end.
+    */
+  private val dSpanInc = QueryDef.sqlChecked("d_span_inc")({
+    val w = 8
+    val concat8 = (0 until w).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, " +
+      "'\\s+'), t -> t <> '') AS tk FROM documents), " +
+      s"wins AS (SELECT doc_id, $concat8 AS win FROM " +
+      "(SELECT doc_id, tk, unnest(range(1, len(tk) - " +
+      s"${w - 2})) AS i FROM toks)), " +
+      s"fps AS (SELECT doc_id, ${text.sql.polyHash("win")} AS fp FROM wins), " +
+      "store AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 <> 0), " +
+      "bw AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 0), " +
+      "bc AS (SELECT fp, count(*) AS cb FROM bw GROUP BY fp), " +
+      "dup AS (SELECT bc.fp FROM bc LEFT JOIN store s ON bc.fp = s.fp " +
+      "WHERE bc.cb > 1 OR s.fp IS NOT NULL), " +
+      "pd AS (SELECT doc_id, count(*) AS n_windows, " +
+      "cast(sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END) as bigint) " +
+      "AS dup_windows FROM bw LEFT JOIN dup d ON bw.fp = d.fp " +
+      "GROUP BY doc_id) " +
+      "SELECT b.doc_id, coalesce(pd.n_windows, 0) AS n_windows, " +
+      "coalesce(pd.dup_windows, 0) AS dup_windows " +
+      "FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) b " +
+      "LEFT JOIN pd ON b.doc_id = pd.doc_id ORDER BY b.doc_id"
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val store = graft.operators.Dedup.spanFingerprints(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", 8)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val pd = graft.operators.Dedup.spanProfileAgainst(
+      store, batch, "doc_id", "text", 8)
+    batch.select("doc_id")
+      .join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
     dDedupIncremental, dStreamDedupInc, dSimhash, dSimhashPairs,
     dSimhashBanded, dSrpLsh, dCosinePairs, dClusters, dDedupKeep,
     dSemDedup, dSemDedupInc, dStreamSemDedup, dLineDedup, dSpanDedup,
-    dSpanCut)
+    dSpanCut, dSpanInc)
 }

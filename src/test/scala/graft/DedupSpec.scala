@@ -187,6 +187,30 @@ class DedupSpec extends SparkTestBase {
     assert(!cut.contains(3L))
   }
 
+  test("spanProfileAgainst: a batch window duplicates iff it is in " +
+      "the store OR repeats within the batch; store docs never " +
+      "re-profile") {
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"stored$i").mkString(" ")
+    val store = Dedup.spanFingerprints(
+      Seq((1L, s"prefix $run suffix tail")).toDF("doc_id", "text"),
+      "doc_id", "text", 8)
+    val batchRun = (1 to 8).map(i => s"batchy$i").mkString(" ")
+    val batch = Seq(
+      (10L, s"$run xx yy"),                 // hits the store → 1 dup
+      (11L, s"$batchRun a1 a2 $batchRun"),  // within-batch repeat → 2
+      (12L, (1 to 12).map(i => s"fresh$i").mkString(" "))) // clean
+      .toDF("doc_id", "text")
+    val pd = Dedup.spanProfileAgainst(store, batch, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("dup_windows"))).toMap
+    assert(pd(10L)._2 == 1, s"store hit must mark: $pd")
+    assert(pd(11L)._2 == 2, s"within-batch repeat must mark both: $pd")
+    assert(pd(12L)._2 == 0, s"fresh doc must be clean: $pd")
+    assert(pd.keySet == Set(10L, 11L, 12L),
+      "output is batch docs only — the store never re-profiles")
+  }
+
   test("identical texts get identical simhash, hamming 0") {
     val sim = Dedup.simhash(
       docs.limit(2).unionAll(docs.limit(2)
