@@ -894,9 +894,105 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** STREAMING exact-substring dedup — `d_span_inc` proven END TO
+    * END on a real Structured Stream, completing the 3×3 dedup
+    * matrix (lexical MinHash / semantic embedding / exact substring
+    * × batch / incremental / streaming): two document micro-batches
+    * (bucket split [700, 850) then [850, 1000)) drain through
+    * foreachBatch; each batch profiles its windows against the
+    * persisted fingerprint STORE (store hit OR within-batch repeat =
+    * duplicated), writes per-doc decisions, and appends its own
+    * distinct fingerprints back — so batch 2's windows also
+    * duplicate against batch 1's content. The oracle replays both
+    * rounds sequentially; integers end to end, FULL hash check.
+    */
+  private val dStreamSpan = QueryDef.sqlChecked("d_stream_span")({
+    val w = 8
+    val concat8 = (0 until w).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    def round(r: Int, store: String, bw: String): String =
+      s"bc$r AS (SELECT fp, count(*) AS cb FROM $bw GROUP BY fp), " +
+        s"dup$r AS (SELECT bc$r.fp FROM bc$r LEFT JOIN $store st " +
+        s"ON bc$r.fp = st.fp WHERE bc$r.cb > 1 OR st.fp IS NOT NULL), " +
+        s"pd$r AS (SELECT doc_id, count(*) AS n_windows, " +
+        s"cast(sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END) as bigint) " +
+        s"AS dup_windows FROM $bw LEFT JOIN dup$r d ON $bw.fp = d.fp " +
+        "GROUP BY doc_id)"
+    val bkt = PipelineQueries.sqlBucket1000("doc_id")
+    "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, " +
+      "'\\s+'), t -> t <> '') AS tk FROM documents), " +
+      s"wins AS (SELECT doc_id, $concat8 AS win FROM " +
+      "(SELECT doc_id, tk, unnest(range(1, len(tk) - " +
+      s"${w - 2})) AS i FROM toks)), " +
+      s"fps AS (SELECT doc_id, ${text.sql.polyHash("win")} AS fp FROM wins), " +
+      s"store0 AS (SELECT DISTINCT fp FROM fps WHERE $bkt < 700), " +
+      s"b1 AS (SELECT doc_id, fp FROM fps WHERE $bkt >= 700 AND $bkt < 850), " +
+      s"b2 AS (SELECT doc_id, fp FROM fps WHERE $bkt >= 850), " +
+      round(1, "store0", "b1") + ", " +
+      "store1 AS (SELECT fp FROM store0 UNION SELECT fp FROM b1), " +
+      round(2, "store1", "b2") + " " +
+      "SELECT s.doc_id, coalesce(pd.n_windows, 0) AS n_windows, " +
+      "coalesce(pd.dup_windows, 0) AS dup_windows FROM " +
+      s"(SELECT doc_id FROM documents WHERE $bkt >= 700) s " +
+      "LEFT JOIN (SELECT * FROM pd1 UNION ALL SELECT * FROM pd2) pd " +
+      "ON s.doc_id = pd.doc_id ORDER BY s.doc_id"
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bkt = PipelineQueries.bucket1000(col("doc_id"))
+    val base = docs.filter(bkt < 700)
+    val feed = Seq(
+      docs.filter(bkt >= 700 && bkt < 850).select("doc_id", "text"),
+      docs.filter(bkt >= 850).select("doc_id", "text"))
+    val work = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_sspan_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(work)) {
+      java.nio.file.Files.walk(work).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val storePath = work.toString + "/fps"
+    val decPath = work.toString + "/decisions"
+    graft.operators.Dedup.spanFingerprints(base, "doc_id", "text", 8)
+      .write.mode("overwrite").parquet(storePath)
+    val streamDir = graft.streaming.FileStreamFixture.write("sspan", d,
+      "docs by bucket; b1 [700,850), b2 [850,1000) vs growing fp store",
+      feed)
+    graft.SessionConf.withStreamShuffle(s) {
+      val q = s.readStream.schema(feed.head.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(streamDir)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", work.toString + "/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+          val pd = graft.operators.Dedup.spanProfileAgainst(
+            s.read.parquet(storePath), batch.toDF(), "doc_id", "text", 8)
+          batch.select(col("doc_id"))
+            .join(pd, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+              coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+            .write.mode("append").parquet(decPath)
+          // every fingerprint becomes state (the content exists once
+          // regardless of duplication) — batch 2 dedupes against
+          // base ∪ batch 1
+          graft.operators.Dedup.spanFingerprints(
+            batch.toDF(), "doc_id", "text", 8)
+            .write.mode("append").parquet(storePath)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(decPath).orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
     dDedupIncremental, dStreamDedupInc, dSimhash, dSimhashPairs,
     dSimhashBanded, dSrpLsh, dCosinePairs, dClusters, dDedupKeep,
     dSemDedup, dSemDedupInc, dStreamSemDedup, dLineDedup, dSpanDedup,
-    dSpanCut, dSpanInc)
+    dSpanCut, dSpanInc, dStreamSpan)
 }
