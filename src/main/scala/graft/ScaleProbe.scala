@@ -1272,6 +1272,50 @@ object ScaleProbe {
       println(f"BQDRIFT n=${n / 4} batch=$nBatch full=$f1%.2f s " +
         f"incr=$i1%.2f s | n=$n full=$f4%.2f s incr=$i4%.2f s " +
         f"full_growth=${f4 / f1}%.1fx incr_growth=${i4 / i1}%.1fx")
+    } else if (args(0) == "spanscale") {
+      // Exact-substring dedup economics at the bench scale row's
+      // corpus size: the token-window explode is the honest cost
+      // (∝ tokens), so the claims to price are (a) profile and cut
+      // wall-clock at n docs, (b) the incremental form's per-batch
+      // cost against a persisted store (store never shuffles).
+      // usage: spanscale <nDocs> <nBatch>
+      val n = args(1).toLong; val nBatch = args(2).toLong
+      import graft.operators.Dedup
+      val docs = graft.pipeline.SyntheticCorpus.docs(spark, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      def med3(body: => Long): (Double, Long) = {
+        var out = 0L
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); out = body
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (ts(1), out)
+      }
+      // warm
+      Dedup.spanProfile(docs.limit(2000), "doc_id", "text", 8).count()
+      val (tProf, nDup) = med3 {
+        Dedup.spanProfile(docs, "doc_id", "text", 8)
+          .filter(col("dup_windows") > 0).count()
+      }
+      val (tCut, nCutDocs) = med3 {
+        Dedup.spanCut(docs, "doc_id", "text", 8).count()
+      }
+      val storePath = java.nio.file.Files
+        .createTempDirectory("graft_spanscale").toString + "/fps"
+      Dedup.spanFingerprints(docs, "doc_id", "text", 8)
+        .write.mode("overwrite").parquet(storePath)
+      val batch = graft.pipeline.SyntheticCorpus.docs(spark, nBatch)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      val store = spark.read.parquet(storePath)
+      val (tInc, nBatchDup) = med3 {
+        Dedup.spanProfileAgainst(store, batch, "doc_id", "text", 8)
+          .filter(col("dup_windows") > 0).count()
+      }
+      docs.unpersist()
+      println(f"SPANSCALE n=$n batch=$nBatch profile=$tProf%.2f s " +
+        f"(dup_docs=$nDup) cut=$tCut%.2f s (cut_docs=$nCutDocs) " +
+        f"incremental=$tInc%.2f s (batch_dup_docs=$nBatchDup)")
     } else if (args(0) == "dedupinc") {
       // Incremental near-dup: per-batch cost against a persisted
       // signature store as the STORE grows — the claim to price is
