@@ -87,6 +87,39 @@ object ExtraQueries {
       .orderBy("l_returnflag")
   }
 
+  /** JSONL ROUND-TRIP, driver-gated — the training-data interchange
+    * format as an oracle-checked source: the corpus writes out as
+    * JSONL (one document per line), reads back through the pinned-
+    * schema fail-fast reader ([[graft.sources.DocumentSource
+    * .readJsonl]]), and the gate emits each document's md5 — a hash
+    * match against the parquet-side oracle proves byte-exact content
+    * survival through JSON escaping (newlines, quotes, unicode) in
+    * BOTH directions. Schema is pinned, never inferred (inference is
+    * a full extra read at corpus scale).
+    */
+  private val sJsonlRoundtrip = QueryDef.sqlChecked("s_jsonl_roundtrip")(
+    "SELECT doc_id, md5(text) AS fp, cast(length(text) as bigint) " +
+      "AS n_chars FROM documents ORDER BY doc_id"
+  ) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_jsonl_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.walk(dir).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    Tables.documents(s, d).select("doc_id", "text")
+      .write.mode("overwrite").json(dir.toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    graft.sources.DocumentSource.readJsonl(s, dir.toString, schema)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        length(col("text")).cast("bigint").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(qPercentiles, qGroupingFn, tNormalize,
-    qFilteredAgg)
+    qFilteredAgg, sJsonlRoundtrip)
 }

@@ -29,4 +29,45 @@ object DocumentSource {
     if (df.isEmpty) throw EmptyCorpusException(path)
     df
   }
+
+  /** Read a JSONL corpus (the dominant training-data interchange
+    * format — one JSON document per line) with a PINNED schema and
+    * fail-fast parsing. The schema is required, never inferred: at
+    * corpus scale inference is a full extra read, and a schema that
+    * drifts with the data defeats the gate the reader is supposed to
+    * be. One corrupt line anywhere fails the job loudly (FAILFAST) —
+    * the commissioning-read contract; steady-state ingest should use
+    * [[readJsonlQuarantined]].
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** JSONL read with corrupt-line QUARANTINE — the steady-state form
+    * for web-scale feeds where a malformed line is routine, not
+    * exceptional, and must neither kill the job (FAILFAST) nor
+    * silently become a row of nulls (default PERMISSIVE): returns
+    * (good, quarantined) where `good` carries exactly the pinned
+    * schema and `quarantined` carries the raw offending line for the
+    * dead-letter store. One read feeds both sides (the frame is
+    * checkpoint-pinned — Spark refuses a filter on ONLY the corrupt
+    * column of a streaming-parsed JSON relation, and re-reading
+    * would race the feed).
+    */
+  def readJsonlQuarantined(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    val corruptCol = "_graft_corrupt"
+    val withCorrupt = schema
+      .add(org.apache.spark.sql.types.StructField(corruptCol,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+      .localCheckpoint()
+    (raw.filter(col(corruptCol).isNull).drop(corruptCol),
+      raw.filter(col(corruptCol).isNotNull)
+        .select(col(corruptCol).as("raw_line")))
+  }
 }

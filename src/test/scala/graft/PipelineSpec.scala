@@ -27,6 +27,40 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("jsonl source: pinned schema, FAILFAST kills on one corrupt " +
+      "line, quarantine splits good rows from raw offending lines") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Files.writeString(dir.resolve("good.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |{"doc_id": 2, "text": "beta"}
+        |""".stripMargin)
+    val clean = DocumentSource.readJsonl(spark, dir.toString, schema)
+    assert(clean.as[(Long, String)].collect().toSet ==
+      Set((1L, "alpha"), (2L, "beta")))
+    // a corrupt line: FAILFAST dies loudly, quarantine splits
+    Files.writeString(dir.resolve("bad.jsonl"),
+      """{"doc_id": 3, "text": "gamma"}
+        |{"doc_id": 4, "text": NOT VALID JSON
+        |""".stripMargin)
+    val e = intercept[org.apache.spark.SparkException] {
+      DocumentSource.readJsonl(spark, dir.toString, schema).count()
+    }
+    assert(e.getMessage.toLowerCase.contains("malformed") ||
+      Option(e.getCause).exists(
+        _.getMessage.toLowerCase.contains("malformed")))
+    val (good, quarantined) =
+      DocumentSource.readJsonlQuarantined(spark, dir.toString, schema)
+    assert(good.as[(Long, String)].collect().toSet ==
+      Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")),
+      "good side carries exactly the pinned schema rows")
+    val badLines = quarantined.as[String].collect()
+    assert(badLines.length == 1 && badLines.head.contains("NOT VALID"),
+      s"quarantine must carry the raw offending line: ${badLines.toSeq}")
+  }
+
   test("feature-hash embedder is deterministic, unit-norm, batched") {
     val emb = new FeatureHashEmbedder(dim = 64, batchSize = 3)
     val docs = Tables.documents(spark, sf).limit(10)
