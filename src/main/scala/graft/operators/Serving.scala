@@ -495,7 +495,7 @@ final class Serving private[operators] (
     * Output: (docCol, score) top-k by score desc, docCol asc.
     */
   def searchMaxSim(queryVecs: Seq[Array[Double]], nProbe: Int, k: Int,
-      docCol: String): DataFrame = {
+      docCol: String, restricts: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     require(queryVecs.nonEmpty, "searchMaxSim needs ≥ 1 query vector")
     // same 1024-leaf In-list bound as the batch paths: a large
@@ -503,8 +503,13 @@ final class Serving private[operators] (
     // candidates only cost work, never rows) instead of a huge plan
     val leaves = queryVecs.flatMap(q => model.topLeaves(q, nProbe))
       .distinct
-    val pruned = if (leaves.length <= 1024)
+    val pruned0 = if (leaves.length <= 1024)
       data.filter(col("leaf_id").isin(leaves: _*)) else data
+    // per-datapoint restricts, the same contract as the single-vector
+    // paths: ANDed predicates over the layout's own columns, sitting
+    // directly on the pruned scan (keep them on top-level columns so
+    // they reach PushedFilters)
+    val pruned = restricts.foldLeft(pruned0)(_ filter _)
     val qdf = spark.createDataFrame(
       queryVecs.zipWithIndex.map { case (q, i) => (i, q.toSeq) })
       .toDF("__qidx", "__qv")
@@ -532,7 +537,7 @@ final class Serving private[operators] (
     * whole operator hash-gates against a SQL replica.
     */
   def searchMaxSimSq(queryVecs: Seq[Array[Double]], nProbe: Int, k: Int,
-      docCol: String): DataFrame = {
+      docCol: String, restricts: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.quantize
     require(tier == "sq",
@@ -542,8 +547,9 @@ final class Serving private[operators] (
     // [[searchMaxSim]])
     val leaves = queryVecs.flatMap(q => model.topLeaves(q, nProbe))
       .distinct
-    val pruned = if (leaves.length <= 1024)
-      data.filter(col("leaf_id").isin(leaves: _*)) else data
+    val pruned = restricts.foldLeft(
+      if (leaves.length <= 1024)
+        data.filter(col("leaf_id").isin(leaves: _*)) else data)(_ filter _)
     val qdf = spark.createDataFrame(
       queryVecs.zipWithIndex.map { case (q, i) =>
         val (ma, pk) = quantize.packLocal(q)
@@ -581,7 +587,7 @@ final class Serving private[operators] (
     * tiers: (docCol, score) top-k by score desc, docCol asc.
     */
   def searchMaxSimAdc(queryVecs: Seq[Array[Double]], nProbe: Int, k: Int,
-      docCol: String): DataFrame = {
+      docCol: String, restricts: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     require(tier == "pq",
       s"searchMaxSimAdc: layout at $path is a '$tier' tier, not PQ")
@@ -592,8 +598,9 @@ final class Serving private[operators] (
     // [[searchMaxSim]])
     val leaves = queryVecs.flatMap(q => model.topLeaves(q, nProbe))
       .distinct
-    val pruned = if (leaves.length <= 1024)
-      data.filter(col("leaf_id").isin(leaves: _*)) else data
+    val pruned = restricts.foldLeft(
+      if (leaves.length <= 1024)
+        data.filter(col("leaf_id").isin(leaves: _*)) else data)(_ filter _)
     val qdf = spark.createDataFrame(
       queryVecs.zipWithIndex.map { case (q, i) =>
         val rq = rot.map(r => ProductQuantizer.rotate(q, r)).getOrElse(q)
@@ -630,7 +637,8 @@ final class Serving private[operators] (
     * (docCol, score) top-k by score desc, docCol asc.
     */
   def searchMaxSimBq(queryVecs: Seq[Array[Double]], nProbe: Int,
-      m: Int, k: Int, docCol: String): DataFrame = {
+      m: Int, k: Int, docCol: String,
+      restricts: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.bquant
     require(m >= k, s"shortlist m=$m must be ≥ k=$k")
@@ -643,8 +651,9 @@ final class Serving private[operators] (
     require(queryVecs.nonEmpty, "searchMaxSimBq needs ≥ 1 query vector")
     val leaves = queryVecs.flatMap(q => model.topLeaves(q, nProbe))
       .distinct
-    val pruned = if (leaves.length <= 1024)
-      data.filter(col("leaf_id").isin(leaves: _*)) else data
+    val pruned = restricts.foldLeft(
+      if (leaves.length <= 1024)
+        data.filter(col("leaf_id").isin(leaves: _*)) else data)(_ filter _)
     val qdf = spark.createDataFrame(
       queryVecs.zipWithIndex.map { case (q, i) => (i, q.toSeq) })
       .toDF("__qidx", "__qv")

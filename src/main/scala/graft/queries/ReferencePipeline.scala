@@ -1649,6 +1649,71 @@ object ReferencePipeline {
       .searchMaxSim(qvecs, nProbe = 2, k = 5, docCol = "label")
   }
 
+  /** FILTERED multi-vector late interaction — `v_maxsim_pruned` with
+    * per-datapoint restricts, the contract every single-vector
+    * serving surface already carries (the reference applies
+    * restricts on EVERY find-neighbors call regardless of query
+    * type): the restrict sits on the pruned scan before any scoring,
+    * so excluded rows can never contribute a per-(doc, qvec) MAX.
+    * The oracle replicates probe, restrict, and both aggregation
+    * stages; the restricted label is one the unfiltered gate RANKS
+    * (it changes the output, not just the work). FULL hash oracle.
+    */
+  private val vMaxsimFiltered = QueryDef.sqlChecked("v_maxsim_filtered")(
+    "WITH base AS (SELECT vec_id, label, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT vec_id AS qid, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (0,1,2)), " +
+      "assign AS (SELECT vec_id, label, v, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, b.label, b.v, c.cid, row_number() OVER (" +
+      "PARTITION BY b.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn <= 2), " +
+      "probe AS (SELECT DISTINCT cid FROM (SELECT q.qid, c.cid, " +
+      "row_number() OVER (PARTITION BY q.qid " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, q) " +
+      "WHERE rn <= 2), " +
+      "cand AS (SELECT DISTINCT a.vec_id, a.label, a.v FROM assign a " +
+      "JOIN probe p ON a.leaf_id = p.cid WHERE a.label % 2 = 0), " +
+      "per AS (SELECT c.label, q.qid, " +
+      "max(list_inner_product(c.v, q.qv)) AS best " +
+      "FROM cand c, q GROUP BY c.label, q.qid) " +
+      "SELECT label, " + graft.Exact.sqlDsum("best", 12) + " AS score " +
+      "FROM per GROUP BY label ORDER BY score DESC, label LIMIT 5"
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val qvecs = base.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    // reuse the v_maxsim_pruned layout (same build, idempotent dir)
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_servemaxsimf_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val indexed = base.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, servePath.toString, model)
+    graft.operators.Serving.open(s, servePath.toString,
+      id = "vec_id", vecCol = "v")
+      .searchMaxSim(qvecs, nProbe = 2, k = 5, docCol = "label",
+        restricts = Seq(col("label") % 2 === 0))
+  }
+
   /** BATCHED multi-vector late interaction
     * ([[graft.operators.Serving.searchMaxSimBatch]]) — THREE MaxSim
     * queries with different token-vector counts (2 / 3 / 1) served
@@ -2691,6 +2756,6 @@ object ReferencePipeline {
     rServeRestricts, rServePct, rServeAllow2, rServePerQuery, rServePAdaptive,
     rServeNumR, rServeLive, rMaintain,
     rServeDelete, rServePrefilter, rRebalance, vAnnBuild, vAnnCertified,
-    vMaxsimPruned, vMaxsimBatch, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
+    vMaxsimPruned, vMaxsimFiltered, vMaxsimBatch, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
     vAnnRouted, vAnnRecallCurve, vKnnJoin)
 }

@@ -293,6 +293,50 @@ class ServingApiSpec extends SparkTestBase {
     }
   }
 
+  test("MaxSim restricts: a tautology changes nothing, a real " +
+      "restrict excludes its rows from scoring, and the predicate " +
+      "reaches the scan's PushedFilters — on the raw tier and the " +
+      "BQ shortlist-rescore") {
+    import graft.operators.Serving
+    import graft.functions.bquant
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("label"), col("embedding").cast("array<double>").as("v"))
+    val (indexed0, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val indexed = indexed0.withColumn("bq_code", bquant.packSigns(col("v")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srvmaxsimr").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val live = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+    val qvecs = emb.filter(col("vec_id") <= 2L)
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    val plain = rows(live.searchMaxSim(qvecs, 3, 5, "label"))
+    val taut = rows(live.searchMaxSim(qvecs, 3, 5, "label",
+      restricts = Seq(col("label") >= 0)))
+    assert(taut == plain, "a tautology restrict must change nothing")
+    val restricted = live.searchMaxSim(qvecs, 3, 5, "label",
+      restricts = Seq(col("label") % 2 === 0))
+    restricted.collect().foreach(r =>
+      assert(r.getInt(0) % 2 == 0, "excluded labels must not score"))
+    // the simple-comparison form lands in the scan's pushed filters
+    val pushed = live.searchMaxSim(qvecs, 3, 5, "label",
+        restricts = Seq(col("label") <= 4))
+      .queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters: [") &&
+      pushed.contains("LessThanOrEqual(label,4)"),
+      s"restrict must reach the scan:\n$pushed")
+    // BQ two-stage: restricts bind BOTH stages (an excluded doc can
+    // neither shortlist nor rescore)
+    val bq = live.searchMaxSimBq(qvecs, nProbe = 3, m = 100000, k = 5,
+      docCol = "label", restricts = Seq(col("label") % 2 === 0))
+    bq.collect().foreach(r =>
+      assert(r.getInt(0) % 2 == 0, "BQ stages must honor the restrict"))
+    // admit-all m + same restrict ≡ the raw filtered MaxSim
+    assert(rows(bq) == rows(restricted))
+  }
+
   test("searchBatch FULL shape (restricts+crowding+metadata) matches " +
       "the per-query 10-arg searchDf, query by query") {
     import graft.operators.Serving
