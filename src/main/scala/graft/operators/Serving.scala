@@ -706,12 +706,14 @@ final class Serving private[operators] (
     * an id-less row in the raw batch path.
     */
   def searchMaxSimBatch(queries: DataFrame, qid: String,
-      qvecsCol: String, nProbe: Int, k: Int, docCol: String): DataFrame = {
+      qvecsCol: String, nProbe: Int, k: Int, docCol: String,
+      restricts: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     maxSimBatchCore(queries, qid, qvecsCol, nProbe, k, docCol,
       Nil,
       graft.functions.vectors.dotProduct(
-        col(vecCol).cast("array<double>"), col("__qv")))
+        col(vecCol).cast("array<double>"), col("__qv")),
+      restricts)
   }
 
   /** [[searchMaxSimBatch]] on the SQ8 TIER — the batched form of
@@ -724,7 +726,8 @@ final class Serving private[operators] (
     * core. Bit-deterministic like the whole SQ8 tier.
     */
   def searchMaxSimBatchSq(queries: DataFrame, qid: String,
-      qvecsCol: String, nProbe: Int, k: Int, docCol: String): DataFrame = {
+      qvecsCol: String, nProbe: Int, k: Int, docCol: String,
+      restricts: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.quantize
     require(tier == "sq",
@@ -734,7 +737,8 @@ final class Serving private[operators] (
         "__qpk" -> quantize.packCodes(
           quantize.codes(col("__qv"), quantize.maxAbs(col("__qv"))))),
       quantize.score(quantize.packedDot(col("sq_code"), col("__qpk")),
-        col("ma"), col("__qma")))
+        col("ma"), col("__qma")),
+      restricts)
   }
 
   /** [[searchMaxSimBatch]] on the PQ TIER — the batched form of
@@ -748,7 +752,8 @@ final class Serving private[operators] (
     * batched core.
     */
   def searchMaxSimBatchAdc(queries: DataFrame, qid: String,
-      qvecsCol: String, nProbe: Int, k: Int, docCol: String): DataFrame = {
+      qvecsCol: String, nProbe: Int, k: Int, docCol: String,
+      restricts: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     require(tier == "pq",
       s"searchMaxSimBatchAdc: layout at $path is a '$tier' tier, not PQ")
@@ -758,7 +763,8 @@ final class Serving private[operators] (
       .getOrElse(col("__qv"))
     maxSimBatchCore(queries, qid, qvecsCol, nProbe, k, docCol,
       Seq("__qrot" -> rotated),
-      ProductQuantizer.adcDirectExpr(col("pq_code"), col("__qrot"), cb))
+      ProductQuantizer.adcDirectExpr(col("pq_code"), col("__qrot"), cb),
+      restricts)
   }
 
   /** [[searchMaxSimBatch]] on the BQ SHORTLIST rung — the batched
@@ -776,7 +782,7 @@ final class Serving private[operators] (
     */
   def searchMaxSimBatchBq(queries: DataFrame, qid: String,
       qvecsCol: String, nProbe: Int, m: Int, k: Int,
-      docCol: String): DataFrame = {
+      docCol: String, restricts: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     import graft.functions.bquant
@@ -796,8 +802,10 @@ final class Serving private[operators] (
       .localCheckpoint(true)
     val leaves = probes.select("leaf_id").distinct()
       .limit(1025).collect().map(_.getInt(0))
-    val pruned = if (leaves.length <= 1024)
-      data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
+    val pruned = restricts.foldLeft(
+      if (leaves.length <= 1024)
+        data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
+    )(_ filter _)
     val qidLeaves = probes.select(col("__qid"), col("leaf_id")).distinct()
     val cand = pruned.join(broadcast(qidLeaves), Seq("leaf_id"))
     val qframe = probes.select(col("__qid"), col("__qidx"), col("__qv"))
@@ -841,7 +849,8 @@ final class Serving private[operators] (
     */
   private def maxSimBatchCore(queries: DataFrame, qid: String,
       qvecsCol: String, nProbe: Int, k: Int, docCol: String,
-      decorate: Seq[(String, Column)], pairScore: Column): DataFrame = {
+      decorate: Seq[(String, Column)], pairScore: Column,
+      restricts: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val base = queries.select(col(qid).as("__qid"),
@@ -856,8 +865,12 @@ final class Serving private[operators] (
       .localCheckpoint(true)
     val leaves = probes.select("leaf_id").distinct()
       .limit(1025).collect().map(_.getInt(0))
-    val pruned = if (leaves.length <= 1024)
-      data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
+    // batch-wide per-datapoint restricts sit on the pruned scan,
+    // the same contract as the single-query MaxSim forms
+    val pruned = restricts.foldLeft(
+      if (leaves.length <= 1024)
+        data.filter(col("leaf_id").isin(leaves.toSeq: _*)) else data
+    )(_ filter _)
     // each qid scans the union of its own token vectors' leaves;
     // spill copies landing in two probed leaves collapse in the MAX
     val qidLeaves = probes.select(col("__qid"), col("leaf_id")).distinct()

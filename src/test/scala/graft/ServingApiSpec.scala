@@ -335,6 +335,18 @@ class ServingApiSpec extends SparkTestBase {
       assert(r.getInt(0) % 2 == 0, "BQ stages must honor the restrict"))
     // admit-all m + same restrict ≡ the raw filtered MaxSim
     assert(rows(bq) == rows(restricted))
+    // BATCHED form: a one-qid batch with the same restrict matches
+    // the per-query filtered result row for row
+    import spark.implicits._
+    val queries = Seq((0L, qvecs.map(_.toSeq))).toDF("qid", "qvecs")
+    val batched = live.searchMaxSimBatch(queries, "qid", "qvecs",
+        nProbe = 3, k = 5, docCol = "label",
+        restricts = Seq(col("label") % 2 === 0))
+      .collect().sortBy(_.getLong(3))
+      .map(r => (r.getInt(1), r.getDouble(2))).toSeq
+    assert(batched == restricted.collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq,
+      "batched restricted MaxSim must equal the per-query form")
   }
 
   test("searchBatch FULL shape (restricts+crowding+metadata) matches " +
