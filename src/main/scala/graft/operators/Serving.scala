@@ -716,6 +716,33 @@ final class Serving private[operators] (
       restricts)
   }
 
+  /** [[searchMaxSimBatch]] with PER-QUERY allow-maps — the
+    * late-interaction cell of the per-query restrict surface
+    * ([[searchBatchPerQuery]]'s contract on the multi-vector
+    * operator): each query row carries a map<attr, allow-list>
+    * shared by all its token vectors, evaluated per (candidate, qid)
+    * pair inside the candidate join (codegen, no per-qid loop),
+    * validated in-plan (an attr outside `attrs` raises on the
+    * offending row), NULL/absent key = unconstrained. Batch-wide
+    * `restricts` compose (scan-level AND).
+    */
+  def searchMaxSimBatchPerQuery(queries: DataFrame, qid: String,
+      qvecsCol: String, allowCol: String, attrs: Seq[String],
+      nProbe: Int, k: Int, docCol: String,
+      restricts: Seq[Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(attrs.nonEmpty,
+      "searchMaxSimBatchPerQuery: pass the layout attributes the " +
+        "allow-maps may constrain (attrs) — an empty set makes every " +
+        "map a no-op")
+    maxSimBatchCore(queries, qid, qvecsCol, nProbe, k, docCol,
+      Nil,
+      graft.functions.vectors.dotProduct(
+        col(vecCol).cast("array<double>"), col("__qv")),
+      restricts,
+      allow = Some((allowCol, attrs)))
+  }
+
   /** [[searchMaxSimBatch]] on the SQ8 TIER — the batched form of
     * [[searchMaxSimSq]]: every token vector quantizes IN-PLAN
     * (maxAbs → codes → pack, all codegen — zero driver-side
@@ -850,11 +877,18 @@ final class Serving private[operators] (
   private def maxSimBatchCore(queries: DataFrame, qid: String,
       qvecsCol: String, nProbe: Int, k: Int, docCol: String,
       decorate: Seq[(String, Column)], pairScore: Column,
-      restricts: Seq[Column] = Nil): DataFrame = {
+      restricts: Seq[Column] = Nil,
+      allow: Option[(String, Seq[String])] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    val base = queries.select(col(qid).as("__qid"),
-        posexplode(col(qvecsCol).cast("array<array<double>>")))
+    // per-qid allow-maps ride the query row (one map per qid, shared
+    // by all its token vectors) — validated in-plan like every
+    // per-query surface (checkedAllow raises on an attr outside the
+    // enumerated set)
+    val allowSel = allow.map { case (c, attrs) =>
+      checkedAllow(c, attrs).as("__allow") }.toSeq
+    val base = queries.select(Seq(col(qid).as("__qid")) ++ allowSel ++
+        Seq(posexplode(col(qvecsCol).cast("array<array<double>>"))): _*)
       .withColumnRenamed("pos", "__qidx")
       .withColumnRenamed("col", "__qv")
     val probes = decorate.foldLeft(base) {
@@ -876,10 +910,16 @@ final class Serving private[operators] (
     val qidLeaves = probes.select(col("__qid"), col("leaf_id")).distinct()
     val cand = pruned.join(broadcast(qidLeaves), Seq("leaf_id"))
     val qCols = Seq(col("__qid"), col("__qidx"), col("__qv")) ++
+      allow.map(_ => col("__allow")).toSeq ++
       decorate.map { case (n, _) => col(n) }
     val qframe = probes.select(qCols: _*)
       .dropDuplicates("__qid", "__qidx")
-    cand.join(broadcast(qframe), Seq("__qid"))
+    val paired = cand.join(broadcast(qframe), Seq("__qid"))
+    val filtered = allow match {
+      case Some((_, attrs)) => paired.filter(allowPredicate(attrs))
+      case None => paired
+    }
+    filtered
       .groupBy(col("__qid"), col(docCol), col("__qidx"))
       .agg(max(pairScore).as("__best"))
       .groupBy(col("__qid"), col(docCol))

@@ -1793,6 +1793,89 @@ object ReferencePipeline {
         docCol = "label")
   }
 
+  /** PER-QUERY allow-maps on batched multi-vector late interaction
+    * ([[graft.operators.Serving.searchMaxSimBatchPerQuery]]) — the
+    * per-query restrict contract the single-vector batch carries
+    * (`r_serve_restricts`), on the MaxSim operator: three qids with
+    * DIFFERENT allow-maps over the layout's `label` in one plan —
+    * qid 0 admits even labels, qid 1 admits {1, 3}, qid 2 carries a
+    * NULL map (unrestricted). The map is per qid, shared by all its
+    * token vectors, evaluated per (candidate, qid) pair inside the
+    * candidate join; the oracle replicates per-(qid, token) probing,
+    * the per-qid admission rule, and both aggregation stages. FULL
+    * hash oracle.
+    */
+  private val vMaxsimPerQuery = QueryDef.sqlChecked("v_maxsim_perquery")(
+    "WITH base AS (SELECT vec_id, label, cast(embedding as double[]) AS v " +
+      "FROM embeddings), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "qv AS (SELECT cast(CASE WHEN vec_id IN (0,1) THEN 0 " +
+      "WHEN vec_id IN (2,3,4) THEN 1 ELSE 2 END as bigint) AS qid, " +
+      "vec_id AS qidx, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id IN (0,1,2,3,4,5)), " +
+      "assign AS (SELECT vec_id, label, v, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, b.label, b.v, c.cid, row_number() OVER (" +
+      "PARTITION BY b.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn <= 2), " +
+      "probe AS (SELECT DISTINCT qid, cid FROM (SELECT q.qid, q.qidx, " +
+      "c.cid, row_number() OVER (PARTITION BY q.qid, q.qidx " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(q.qv, c.cv), c.cid) AS rn FROM cent c, qv q) " +
+      "WHERE rn <= 2), " +
+      "cand AS (SELECT DISTINCT p.qid, a.vec_id, a.label, a.v " +
+      "FROM assign a JOIN probe p ON a.leaf_id = p.cid " +
+      "WHERE (p.qid = 0 AND a.label % 2 = 0) " +
+      "OR (p.qid = 1 AND a.label IN (1, 3)) OR p.qid = 2), " +
+      "per AS (SELECT c.qid, c.label, q.qidx, " +
+      "max(list_inner_product(c.v, q.qv)) AS best " +
+      "FROM cand c JOIN qv q ON c.qid = q.qid " +
+      "GROUP BY c.qid, c.label, q.qidx), " +
+      "doc AS (SELECT qid, label, " + graft.Exact.sqlDsum("best", 12) +
+      " AS score FROM per GROUP BY qid, label) " +
+      "SELECT qid, label, score, rn FROM (SELECT qid, label, score, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) " +
+      "AS rn FROM doc) WHERE rn <= 4 ORDER BY qid, rn"
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val byId = base.filter(col("vec_id") <= 5L)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val servePath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_maxsimpq_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(servePath)) {
+      java.nio.file.Files.walk(servePath).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val indexed = base.withColumn("leaf_id",
+      explode(IvfIndex.probeExpr(model, col("v"), 2)))
+    IvfIndex.write(indexed, servePath.toString, model)
+    import s.implicits._
+    val queries = Seq(
+      (0L, Seq(byId(0L), byId(1L)),
+        Option(Map("label" -> Seq("0", "2", "4", "6", "8")))),
+      (1L, Seq(byId(2L), byId(3L), byId(4L)),
+        Option(Map("label" -> Seq("1", "3")))),
+      (2L, Seq(byId(5L)), Option.empty[Map[String, Seq[String]]]))
+      .toDF("qid", "qvecs", "allow")
+    graft.operators.Serving.open(s, servePath.toString,
+        id = "vec_id", vecCol = "v")
+      .searchMaxSimBatchPerQuery(queries, "qid", "qvecs",
+        allowCol = "allow", attrs = Seq("label"), nProbe = 2, k = 4,
+        docCol = "label")
+  }
+
   /** Serving-layout cache for the BATCH gate: the full reopenable
     * index (data + model sidecar + manifest) built once per JVM per
     * sf dir — `r_serve_batch` gates the batched QUERY path; the
@@ -2756,6 +2839,6 @@ object ReferencePipeline {
     rServeRestricts, rServePct, rServeAllow2, rServePerQuery, rServePAdaptive,
     rServeNumR, rServeLive, rMaintain,
     rServeDelete, rServePrefilter, rRebalance, vAnnBuild, vAnnCertified,
-    vMaxsimPruned, vMaxsimFiltered, vMaxsimBatch, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
+    vMaxsimPruned, vMaxsimFiltered, vMaxsimBatch, vMaxsimPerQuery, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
     vAnnRouted, vAnnRecallCurve, vKnnJoin)
 }

@@ -349,6 +349,42 @@ class ServingApiSpec extends SparkTestBase {
       "batched restricted MaxSim must equal the per-query form")
   }
 
+  test("searchMaxSimBatchPerQuery: a NULL-map qid matches the " +
+      "unrestricted batch row for row; an allow-map key outside the " +
+      "enumerated attrs raises in-plan") {
+    import graft.operators.Serving
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("label"), col("embedding").cast("array<double>").as("v"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srvmaxsimpq").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val live = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+    val byId = emb.filter(col("vec_id") <= 2L)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val qs = Seq((0L, Seq(byId(0L), byId(1L)),
+      Option.empty[Map[String, Seq[String]]])).toDF("qid", "qvecs", "allow")
+    val got = live.searchMaxSimBatchPerQuery(qs, "qid", "qvecs",
+        "allow", Seq("label"), nProbe = 3, k = 5, docCol = "label")
+      .collect().map(r => (r.getInt(1), r.getDouble(2))).toSeq
+    val plain = live.searchMaxSimBatch(
+        qs.select("qid", "qvecs"), "qid", "qvecs",
+        nProbe = 3, k = 5, docCol = "label")
+      .collect().map(r => (r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == plain, "NULL map must be unrestricted")
+    val bad = Seq((0L, Seq(byId(0L)),
+      Option(Map("nope" -> Seq("1"))))).toDF("qid", "qvecs", "allow")
+    val e = intercept[Exception] {
+      live.searchMaxSimBatchPerQuery(bad, "qid", "qvecs", "allow",
+        Seq("label"), nProbe = 2, k = 3, docCol = "label").collect()
+    }
+    assert(e.getMessage.contains("allow") ||
+      Option(e.getCause).exists(_.getMessage.contains("allow")),
+      s"out-of-contract key must raise loudly: ${e.getMessage}")
+  }
+
   test("searchBatch FULL shape (restricts+crowding+metadata) matches " +
       "the per-query 10-arg searchDf, query by query") {
     import graft.operators.Serving
