@@ -729,7 +729,8 @@ final class Serving private[operators] (
   def searchMaxSimBatchPerQuery(queries: DataFrame, qid: String,
       qvecsCol: String, allowCol: String, attrs: Seq[String],
       nProbe: Int, k: Int, docCol: String,
-      restricts: Seq[Column] = Nil): DataFrame = {
+      restricts: Seq[Column] = Nil,
+      kCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(attrs.nonEmpty,
       "searchMaxSimBatchPerQuery: pass the layout attributes the " +
@@ -740,7 +741,8 @@ final class Serving private[operators] (
       graft.functions.vectors.dotProduct(
         col(vecCol).cast("array<double>"), col("__qv")),
       restricts,
-      allow = Some((allowCol, attrs)))
+      allow = Some((allowCol, attrs)),
+      kCol = kCol)
   }
 
   /** [[searchMaxSimBatch]] on the SQ8 TIER — the batched form of
@@ -878,7 +880,8 @@ final class Serving private[operators] (
       qvecsCol: String, nProbe: Int, k: Int, docCol: String,
       decorate: Seq[(String, Column)], pairScore: Column,
       restricts: Seq[Column] = Nil,
-      allow: Option[(String, Seq[String])] = None): DataFrame = {
+      allow: Option[(String, Seq[String])] = None,
+      kCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     // per-qid allow-maps ride the query row (one map per qid, shared
@@ -919,7 +922,7 @@ final class Serving private[operators] (
       case Some((_, attrs)) => paired.filter(allowPredicate(attrs))
       case None => paired
     }
-    filtered
+    val ranked = filtered
       .groupBy(col("__qid"), col(docCol), col("__qidx"))
       .agg(max(pairScore).as("__best"))
       .groupBy(col("__qid"), col(docCol))
@@ -927,7 +930,20 @@ final class Serving private[operators] (
       .withColumn("rn", row_number().over(Window
         .partitionBy(col("__qid"))
         .orderBy(col("score").desc, col(docCol))).cast("bigint"))
-      .filter(col("rn") <= k)
+    // per-query k rides a tiny broadcast frame joined AFTER the
+    // aggregation (never threaded through it); the effective depth
+    // is least(global, per-query) — the contract of every per-query
+    // knob — with a NULL per-query k falling back to the global
+    val limited = kCol match {
+      case Some(c) =>
+        val kf = queries.select(col(qid).as("__qid"),
+          coalesce(col(c).cast("bigint"), lit(k.toLong)).as("__pk"))
+        ranked.join(broadcast(kf), Seq("__qid"))
+          .filter(col("rn") <= least(lit(k.toLong), col("__pk")))
+          .drop("__pk")
+      case None => ranked.filter(col("rn") <= k)
+    }
+    limited
       .withColumnRenamed("__qid", qid)
       .select(col(qid), col(docCol), col("score"), col("rn"))
       .orderBy(col(qid), col("rn"))

@@ -1837,7 +1837,8 @@ object ReferencePipeline {
       " AS score FROM per GROUP BY qid, label) " +
       "SELECT qid, label, score, rn FROM (SELECT qid, label, score, " +
       "row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) " +
-      "AS rn FROM doc) WHERE rn <= 4 ORDER BY qid, rn"
+      "AS rn FROM doc) WHERE rn <= (CASE qid WHEN 0 THEN 2 " +
+      "WHEN 1 THEN 4 ELSE 3 END) ORDER BY qid, rn"
   ) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val base = emb.select(col("vec_id"), col("label"),
@@ -1862,18 +1863,21 @@ object ReferencePipeline {
       explode(IvfIndex.probeExpr(model, col("v"), 2)))
     IvfIndex.write(indexed, servePath.toString, model)
     import s.implicits._
+    // per-qid k exercises the least(global, per-query) clamp: qid 0
+    // asks 2 (under the global 4), qid 1 asks 9 (clamped to 4 —
+    // though its {1,3} allow admits only 2 docs anyway), qid 2 asks 3
     val queries = Seq(
       (0L, Seq(byId(0L), byId(1L)),
-        Option(Map("label" -> Seq("0", "2", "4", "6", "8")))),
+        Option(Map("label" -> Seq("0", "2", "4", "6", "8"))), 2),
       (1L, Seq(byId(2L), byId(3L), byId(4L)),
-        Option(Map("label" -> Seq("1", "3")))),
-      (2L, Seq(byId(5L)), Option.empty[Map[String, Seq[String]]]))
-      .toDF("qid", "qvecs", "allow")
+        Option(Map("label" -> Seq("1", "3"))), 9),
+      (2L, Seq(byId(5L)), Option.empty[Map[String, Seq[String]]], 3))
+      .toDF("qid", "qvecs", "allow", "k")
     graft.operators.Serving.open(s, servePath.toString,
         id = "vec_id", vecCol = "v")
       .searchMaxSimBatchPerQuery(queries, "qid", "qvecs",
         allowCol = "allow", attrs = Seq("label"), nProbe = 2, k = 4,
-        docCol = "label")
+        docCol = "label", kCol = Some("k"))
   }
 
   /** Serving-layout cache for the BATCH gate: the full reopenable
