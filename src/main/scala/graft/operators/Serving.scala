@@ -756,7 +756,9 @@ final class Serving private[operators] (
     */
   def searchMaxSimBatchSq(queries: DataFrame, qid: String,
       qvecsCol: String, nProbe: Int, k: Int, docCol: String,
-      restricts: Seq[Column] = Nil): DataFrame = {
+      restricts: Seq[Column] = Nil,
+      allow: Option[(String, Seq[String])] = None,
+      kCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.quantize
     require(tier == "sq",
@@ -767,7 +769,7 @@ final class Serving private[operators] (
           quantize.codes(col("__qv"), quantize.maxAbs(col("__qv"))))),
       quantize.score(quantize.packedDot(col("sq_code"), col("__qpk")),
         col("ma"), col("__qma")),
-      restricts)
+      restricts, allow, kCol)
   }
 
   /** [[searchMaxSimBatch]] on the PQ TIER — the batched form of
@@ -782,7 +784,9 @@ final class Serving private[operators] (
     */
   def searchMaxSimBatchAdc(queries: DataFrame, qid: String,
       qvecsCol: String, nProbe: Int, k: Int, docCol: String,
-      restricts: Seq[Column] = Nil): DataFrame = {
+      restricts: Seq[Column] = Nil,
+      allow: Option[(String, Seq[String])] = None,
+      kCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(tier == "pq",
       s"searchMaxSimBatchAdc: layout at $path is a '$tier' tier, not PQ")
@@ -793,7 +797,7 @@ final class Serving private[operators] (
     maxSimBatchCore(queries, qid, qvecsCol, nProbe, k, docCol,
       Seq("__qrot" -> rotated),
       ProductQuantizer.adcDirectExpr(col("pq_code"), col("__qrot"), cb),
-      restricts)
+      restricts, allow, kCol)
   }
 
   /** [[searchMaxSimBatch]] on the BQ SHORTLIST rung — the batched

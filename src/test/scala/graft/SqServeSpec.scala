@@ -186,6 +186,18 @@ class SqServeSpec extends SparkTestBase {
         s"batched and per-qid SQ MaxSim diverge for $qid:\n" +
           s"batch=${batch(qid)}\nper=$per")
     }
+    // the per-query knobs ride the shared core unchanged on this
+    // tier: an allow-map excludes its labels, per-qid k clamps
+    val q1 = Seq((0L, groups(0L).map(_.toSeq),
+        Option(Map("label" -> Seq("0", "2", "4", "6", "8"))), 2))
+      .toDF("qid", "qvecs", "allow", "k")
+    val knobbed = live.searchMaxSimBatchSq(q1, "qid", "qvecs",
+        nProbe = 3, k = 5, docCol = "label",
+        allow = Some(("allow", Seq("label"))), kCol = Some("k"))
+      .collect()
+    assert(knobbed.length == 2, "per-qid k=2 must clamp")
+    knobbed.foreach(r =>
+      assert(r.getInt(1) % 2 == 0, "allow-map must exclude odd labels"))
   }
 
   test("SQ tier takes streaming upserts: foreachBatch quantizes and " +
