@@ -730,19 +730,26 @@ final class Serving private[operators] (
       qvecsCol: String, allowCol: String, attrs: Seq[String],
       nProbe: Int, k: Int, docCol: String,
       restricts: Seq[Column] = Nil,
-      kCol: Option[String] = None): DataFrame = {
+      kCol: Option[String] = None,
+      numCol: Option[String] = None,
+      numAttrs: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     require(attrs.nonEmpty,
       "searchMaxSimBatchPerQuery: pass the layout attributes the " +
         "allow-maps may constrain (attrs) — an empty set makes every " +
         "map a no-op")
+    require(numCol.isEmpty == numAttrs.isEmpty,
+      "searchMaxSimBatchPerQuery: per-query numeric restricts need " +
+        "BOTH the restriction column (numCol) and the constrained " +
+        "attributes (numAttrs)")
     maxSimBatchCore(queries, qid, qvecsCol, nProbe, k, docCol,
       Nil,
       graft.functions.vectors.dotProduct(
         col(vecCol).cast("array<double>"), col("__qv")),
       restricts,
       allow = Some((allowCol, attrs)),
-      kCol = kCol)
+      kCol = kCol,
+      num = numCol.map(c => (c, numAttrs)))
   }
 
   /** [[searchMaxSimBatch]] on the SQ8 TIER — the batched form of
@@ -885,15 +892,18 @@ final class Serving private[operators] (
       decorate: Seq[(String, Column)], pairScore: Column,
       restricts: Seq[Column] = Nil,
       allow: Option[(String, Seq[String])] = None,
-      kCol: Option[String] = None): DataFrame = {
+      kCol: Option[String] = None,
+      num: Option[(String, Seq[String])] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    // per-qid allow-maps ride the query row (one map per qid, shared
-    // by all its token vectors) — validated in-plan like every
-    // per-query surface (checkedAllow raises on an attr outside the
-    // enumerated set)
+    // per-qid allow-maps and NUMERIC restriction sets ride the query
+    // row (one contract per qid, shared by all its token vectors) —
+    // validated in-plan like every per-query surface (checkedAllow /
+    // checkedNum raise on an out-of-contract entry)
     val allowSel = allow.map { case (c, attrs) =>
-      checkedAllow(c, attrs).as("__allow") }.toSeq
+      checkedAllow(c, attrs).as("__allow") }.toSeq ++
+      num.map { case (c, numAttrs) =>
+        checkedNum(c, numAttrs).as("__numr") }.toSeq
     val base = queries.select(Seq(col(qid).as("__qid")) ++ allowSel ++
         Seq(posexplode(col(qvecsCol).cast("array<array<double>>"))): _*)
       .withColumnRenamed("pos", "__qidx")
@@ -918,14 +928,14 @@ final class Serving private[operators] (
     val cand = pruned.join(broadcast(qidLeaves), Seq("leaf_id"))
     val qCols = Seq(col("__qid"), col("__qidx"), col("__qv")) ++
       allow.map(_ => col("__allow")).toSeq ++
+      num.map(_ => col("__numr")).toSeq ++
       decorate.map { case (n, _) => col(n) }
     val qframe = probes.select(qCols: _*)
       .dropDuplicates("__qid", "__qidx")
     val paired = cand.join(broadcast(qframe), Seq("__qid"))
-    val filtered = allow match {
-      case Some((_, attrs)) => paired.filter(allowPredicate(attrs))
-      case None => paired
-    }
+    val preds = allow.map { case (_, attrs) => allowPredicate(attrs) } ++
+      num.map { case (_, numAttrs) => numPredicate(numAttrs) }
+    val filtered = preds.foldLeft(paired)(_ filter _)
     val ranked = filtered
       .groupBy(col("__qid"), col(docCol), col("__qidx"))
       .agg(max(pairScore).as("__best"))

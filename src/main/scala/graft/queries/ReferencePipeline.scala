@@ -1827,7 +1827,7 @@ object ReferencePipeline {
       "WHERE rn <= 2), " +
       "cand AS (SELECT DISTINCT p.qid, a.vec_id, a.label, a.v " +
       "FROM assign a JOIN probe p ON a.leaf_id = p.cid " +
-      "WHERE (p.qid = 0 AND a.label % 2 = 0) " +
+      "WHERE (p.qid = 0 AND a.label % 2 = 0 AND a.vec_id <= 300) " +
       "OR (p.qid = 1 AND a.label IN (1, 3)) OR p.qid = 2), " +
       "per AS (SELECT c.qid, c.label, q.qidx, " +
       "max(list_inner_product(c.v, q.qv)) AS best " +
@@ -1868,16 +1868,22 @@ object ReferencePipeline {
     // though its {1,3} allow admits only 2 docs anyway), qid 2 asks 3
     val queries = Seq(
       (0L, Seq(byId(0L), byId(1L)),
-        Option(Map("label" -> Seq("0", "2", "4", "6", "8"))), 2),
+        Option(Map("label" -> Seq("0", "2", "4", "6", "8"))), 2,
+        Seq(("vec_id", "LE", 300.0))),
       (1L, Seq(byId(2L), byId(3L), byId(4L)),
-        Option(Map("label" -> Seq("1", "3"))), 9),
-      (2L, Seq(byId(5L)), Option.empty[Map[String, Seq[String]]], 3))
-      .toDF("qid", "qvecs", "allow", "k")
+        Option(Map("label" -> Seq("1", "3"))), 9,
+        Seq.empty[(String, String, Double)]),
+      (2L, Seq(byId(5L)), Option.empty[Map[String, Seq[String]]], 3,
+        Seq.empty[(String, String, Double)]))
+      .toDF("qid", "qvecs", "allow", "k", "num")
+      .withColumn("num", expr("transform(num, r -> " +
+        "named_struct('attr', r._1, 'op', r._2, 'v', r._3))"))
     graft.operators.Serving.open(s, servePath.toString,
         id = "vec_id", vecCol = "v")
       .searchMaxSimBatchPerQuery(queries, "qid", "qvecs",
         allowCol = "allow", attrs = Seq("label"), nProbe = 2, k = 4,
-        docCol = "label", kCol = Some("k"))
+        docCol = "label", kCol = Some("k"),
+        numCol = Some("num"), numAttrs = Seq("vec_id"))
   }
 
   /** Serving-layout cache for the BATCH gate: the full reopenable
