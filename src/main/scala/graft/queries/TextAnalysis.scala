@@ -165,6 +165,80 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Shared DuckDB CTE fragments for the repetition family — the
+    * line-duplication half (`lines`/`lg`/`ld`), the bigram half
+    * (`words`/`bigrams`/`bg`), and the argmax half (`bmax`/`bt`/`ba`).
+    * The main gate and its diagnostic probes compose from the SAME
+    * strings so a probe can never drift from the construct it is
+    * meant to isolate.
+    */
+  private val RepLinesCtes =
+    "lines AS (SELECT doc_id, l AS line FROM (SELECT doc_id, " +
+      "unnest(string_split(text, chr(10))) AS l FROM documents) " +
+      "WHERE length(trim(l)) > 0), " +
+      "lg AS (SELECT doc_id, line, count(*) AS c, length(line) AS len " +
+      "FROM lines GROUP BY doc_id, line), " +
+      "ld AS (SELECT doc_id, sum(c) AS n_lines, " +
+      "sum(c) - count(*) AS dup_lines, " +
+      "sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars, " +
+      "sum(c * len) AS line_chars FROM lg GROUP BY doc_id)"
+
+  private val RepBigramCtes =
+    "words AS (SELECT doc_id, list_filter(string_split_regex(text, " +
+      "'\\s+'), w -> w <> '') AS ws FROM documents), " +
+      "bigrams AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg " +
+      "FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words)), " +
+      "bg AS (SELECT doc_id, bg, count(*) AS c, length(bg) AS len " +
+      "FROM bigrams GROUP BY doc_id, bg)"
+
+  private val RepTopCtes =
+    "bmax AS (SELECT doc_id, max(c) AS top_count FROM bg " +
+      "GROUP BY doc_id), " +
+      "bt AS (SELECT b.doc_id, max(b.c) AS top_count, " +
+      "max(b.c * b.len) AS top_chars FROM bg b JOIN bmax m " +
+      "ON b.doc_id = m.doc_id AND b.c = m.top_count GROUP BY b.doc_id), " +
+      "ba AS (SELECT doc_id, sum(c * len) AS bg_chars FROM bg " +
+      "GROUP BY doc_id)"
+
+  /** Spark mirrors of the CTEs above, shared by the main gate and the
+    * probes for the same no-drift reason.
+    */
+  private def repLineAgg(docs: org.apache.spark.sql.DataFrame) = {
+    val lg = docs
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+      .groupBy("doc_id", "line")
+      .agg(count(lit(1)).as("c"), length(col("line")).cast("long").as("len"))
+    lg.groupBy("doc_id").agg(
+      sum("c").as("n_lines"),
+      (sum("c") - count(lit(1))).as("dup_lines"),
+      sum(when(col("c") > 1, col("c") * col("len")).otherwise(0L))
+        .as("dup_chars"),
+      sum(col("c") * col("len")).as("line_chars"))
+  }
+
+  // shared tokenization + the GUARDED 2-gram shingle builder — a
+  // hand-rolled sequence(1, size-1) descends to [1, 0] on <2-word
+  // docs (Spark's step defaults to -1 when start > stop) and
+  // element_at(ws, 0) throws; shinglesOfTokens handles that case
+  private def repBigramCounts(docs: org.apache.spark.sql.DataFrame) = docs
+    .select(col("doc_id"), text.tokens(col("text")).as("ws"))
+    .select(col("doc_id"),
+      explode(text.shinglesOfTokens(col("ws"), 2)).as("bg"))
+    .groupBy("doc_id", "bg")
+    .agg(count(lit(1)).as("c"), length(col("bg")).cast("long").as("len"))
+
+  // tie-independent argmax: struct ordering compares (c, c*len)
+  // field-by-field, so max(...) is the max count with coverage
+  // ties resolved to the larger coverage — one partial-aggregable
+  // pass, no window sort, no string comparison anywhere
+  private def repTopAgg(bgAll: org.apache.spark.sql.DataFrame) = bgAll
+    .groupBy("doc_id")
+    .agg(max(struct(col("c"), (col("c") * col("len")).as("cl"))).as("m"),
+      sum(col("c") * col("len")).as("bg_chars"))
+    .select(col("doc_id"), col("m.c").as("top_count"),
+      col("m.cl").as("top_chars"), col("bg_chars"))
+
   /** GOPHER-STYLE REPETITION filters (Rae et al. 2021, "Scaling
     * Language Models", App. A quality heuristics — the standard
     * training-corpus repetition family): per document,
@@ -194,40 +268,35 @@ object TextAnalysis {
     * is now an exact integer, an IEEE division of exact integers, or
     * an exact-integer boolean, so the row hash-gates independent of
     * either engine's collation or version.
+    *
+    * ROUND-14 ADJUDICATION of the remaining r13 driver-gate red
+    * (rows/schema match, hash mismatch, local fetchall replica
+    * green): this was the ONLY query of all 204 whose oracle emitted
+    * HUGEINT (int128) columns — DuckDB types `sum(BIGINT)` as
+    * HUGEINT, so `n_lines`, `dup_lines` and `bg_chars` were int128
+    * while every green sibling casts its sums (`cast(... as bigint)`)
+    * or consumes them through a double. A hash path that converts
+    * the oracle result through pandas/arrow turns HUGEINT into
+    * float64/decimal — value-identical, hash-different from Spark's
+    * int64 — whereas the local replica's `fetchall()` yields Python
+    * ints and cannot see the type. Fix: cast the three columns to
+    * bigint in the final SELECT (oracle side only; Spark always
+    * emitted longs). The `t_rep_lines` / `t_rep_argmax` /
+    * `t_rep_fracs` probes below partition the query's constructs
+    * with all-bigint outputs in case any residue remains.
     */
   private val tRepetition = QueryDef.sqlChecked("t_repetition")(
-    "WITH lines AS (SELECT doc_id, l AS line FROM (SELECT doc_id, " +
-      "unnest(string_split(text, chr(10))) AS l FROM documents) " +
-      "WHERE length(trim(l)) > 0), " +
-      "lg AS (SELECT doc_id, line, count(*) AS c, length(line) AS len " +
-      "FROM lines GROUP BY doc_id, line), " +
-      "ld AS (SELECT doc_id, sum(c) AS n_lines, " +
-      "sum(c) - count(*) AS dup_lines, " +
-      "sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars, " +
-      "sum(c * len) AS line_chars FROM lg GROUP BY doc_id), " +
-      "words AS (SELECT doc_id, list_filter(string_split_regex(text, " +
-      "'\\s+'), w -> w <> '') AS ws FROM documents), " +
-      "bigrams AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg " +
-      "FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words)), " +
-      "bg AS (SELECT doc_id, bg, count(*) AS c, length(bg) AS len " +
-      "FROM bigrams GROUP BY doc_id, bg), " +
-      "bmax AS (SELECT doc_id, max(c) AS top_count FROM bg " +
-      "GROUP BY doc_id), " +
-      "bt AS (SELECT b.doc_id, max(b.c) AS top_count, " +
-      "max(b.c * b.len) AS top_chars FROM bg b JOIN bmax m " +
-      "ON b.doc_id = m.doc_id AND b.c = m.top_count GROUP BY b.doc_id), " +
-      "ba AS (SELECT doc_id, sum(c * len) AS bg_chars FROM bg " +
-      "GROUP BY doc_id) " +
+    s"WITH $RepLinesCtes, $RepBigramCtes, $RepTopCtes " +
       "SELECT d.doc_id, " +
-      "coalesce(ld.n_lines, 0) AS n_lines, " +
-      "coalesce(ld.dup_lines, 0) AS dup_lines, " +
+      "cast(coalesce(ld.n_lines, 0) as bigint) AS n_lines, " +
+      "cast(coalesce(ld.dup_lines, 0) as bigint) AS dup_lines, " +
       "CASE WHEN coalesce(ld.n_lines, 0) = 0 THEN 0.0 ELSE " +
       "cast(ld.dup_lines as double) / ld.n_lines END AS dup_line_frac, " +
       "CASE WHEN coalesce(ld.line_chars, 0) = 0 THEN 0.0 ELSE " +
       "cast(ld.dup_chars as double) / ld.line_chars END AS dup_line_chars, " +
       "coalesce(bt.top_count, 0) AS top_count, " +
       "coalesce(bt.top_chars, 0) AS top_chars, " +
-      "coalesce(ba.bg_chars, 0) AS bg_chars, " +
+      "cast(coalesce(ba.bg_chars, 0) as bigint) AS bg_chars, " +
       "CASE WHEN coalesce(ba.bg_chars, 0) = 0 THEN 0.0 ELSE " +
       "cast(bt.top_chars as double) / ba.bg_chars END AS top_bigram_frac, " +
       "coalesce(ld.dup_lines, 0) * 10 <= coalesce(ld.n_lines, 0) * 3 " +
@@ -238,37 +307,8 @@ object TextAnalysis {
       "LEFT JOIN ba ON d.doc_id = ba.doc_id ORDER BY d.doc_id"
   ) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val lg = docs
-      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
-      .filter(length(trim(col("line"))) > 0)
-      .groupBy("doc_id", "line")
-      .agg(count(lit(1)).as("c"), length(col("line")).cast("long").as("len"))
-    val ld = lg.groupBy("doc_id").agg(
-      sum("c").as("n_lines"),
-      (sum("c") - count(lit(1))).as("dup_lines"),
-      sum(when(col("c") > 1, col("c") * col("len")).otherwise(0L))
-        .as("dup_chars"),
-      sum(col("c") * col("len")).as("line_chars"))
-    // shared tokenization + the GUARDED 2-gram shingle builder — a
-    // hand-rolled sequence(1, size-1) descends to [1, 0] on <2-word
-    // docs (Spark's step defaults to -1 when start > stop) and
-    // element_at(ws, 0) throws; shinglesOfTokens handles that case
-    val bgAll = docs
-      .select(col("doc_id"), text.tokens(col("text")).as("ws"))
-      .select(col("doc_id"),
-        explode(text.shinglesOfTokens(col("ws"), 2)).as("bg"))
-      .groupBy("doc_id", "bg")
-      .agg(count(lit(1)).as("c"), length(col("bg")).cast("long").as("len"))
-    // tie-independent argmax: struct ordering compares (c, c*len)
-    // field-by-field, so max(...) is the max count with coverage
-    // ties resolved to the larger coverage — one partial-aggregable
-    // pass, no window sort, no string comparison anywhere
-    val bt = bgAll
-      .groupBy("doc_id")
-      .agg(max(struct(col("c"), (col("c") * col("len")).as("cl"))).as("m"),
-        sum(col("c") * col("len")).as("bg_chars"))
-      .select(col("doc_id"), col("m.c").as("top_count"),
-        col("m.cl").as("top_chars"), col("bg_chars"))
+    val ld = repLineAgg(docs)
+    val bt = repTopAgg(repBigramCounts(docs))
     val dupLineFrac = when(coalesce(col("n_lines"), lit(0L)) === 0, 0.0)
       .otherwise(col("dup_lines").cast("double") / col("n_lines"))
     val topBgFrac = when(coalesce(col("bg_chars"), lit(0L)) === 0, 0.0)
@@ -287,6 +327,95 @@ object TextAnalysis {
         coalesce(col("top_chars"), lit(0L)).as("top_chars"),
         coalesce(col("bg_chars"), lit(0L)).as("bg_chars"),
         topBgFrac.as("top_bigram_frac"),
+        (coalesce(col("dup_lines"), lit(0L)) * 10 <=
+          coalesce(col("n_lines"), lit(0L)) * 3 &&
+          coalesce(col("top_chars"), lit(0L)) * 5 <=
+            coalesce(col("bg_chars"), lit(0L))).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** DIAGNOSTIC probe 1/3 for the `t_repetition` driver-gate
+    * bisection (round-13 verdict #1): the LINES half alone —
+    * duplicate-line and character totals, every column an explicit
+    * bigint, no bigrams, no argmax, no doubles. Composed from the
+    * exact CTE strings / Spark helpers the main gate uses, so a
+    * red here names the line-grouping construct specifically.
+    */
+  private val tRepLines = QueryDef.sqlChecked("t_rep_lines")(
+    s"WITH $RepLinesCtes " +
+      "SELECT d.doc_id, " +
+      "cast(coalesce(ld.n_lines, 0) as bigint) AS n_lines, " +
+      "cast(coalesce(ld.dup_lines, 0) as bigint) AS dup_lines, " +
+      "cast(coalesce(ld.dup_chars, 0) as bigint) AS dup_chars, " +
+      "cast(coalesce(ld.line_chars, 0) as bigint) AS line_chars " +
+      "FROM documents d LEFT JOIN ld ON d.doc_id = ld.doc_id " +
+      "ORDER BY d.doc_id"
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.select("doc_id")
+      .join(repLineAgg(docs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("dup_lines"), lit(0L)).as("dup_lines"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("line_chars"), lit(0L)).as("line_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** DIAGNOSTIC probe 2/3: the BIGRAM-ARGMAX half alone — the two
+    * constructs the round-13 verdict isolated as unique residue
+    * (`length()` of the concatenated bigram feeding `max(c*len)`,
+    * and the oracle's equi-join on an aggregate `b.c = m.top_count`
+    * vs Spark's struct-max). Bigint-only output.
+    */
+  private val tRepArgmax = QueryDef.sqlChecked("t_rep_argmax")(
+    s"WITH $RepBigramCtes, $RepTopCtes " +
+      "SELECT d.doc_id, coalesce(bt.top_count, 0) AS top_count, " +
+      "coalesce(bt.top_chars, 0) AS top_chars " +
+      "FROM documents d LEFT JOIN bt ON d.doc_id = bt.doc_id " +
+      "ORDER BY d.doc_id"
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.select("doc_id")
+      .join(repTopAgg(repBigramCounts(docs)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"),
+        coalesce(col("top_chars"), lit(0L)).as("top_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** DIAGNOSTIC probe 3/3: the DOUBLES + boolean half alone — the
+    * two IEEE divisions and the integer-arithmetic keep rule, with
+    * no integer column except the key. A red here with 1/3 and 2/3
+    * green would name the double-hashing path.
+    */
+  private val tRepFracs = QueryDef.sqlChecked("t_rep_fracs")(
+    s"WITH $RepLinesCtes, $RepBigramCtes, $RepTopCtes " +
+      "SELECT d.doc_id, " +
+      "CASE WHEN coalesce(ld.n_lines, 0) = 0 THEN 0.0 ELSE " +
+      "cast(ld.dup_lines as double) / ld.n_lines END AS dup_line_frac, " +
+      "CASE WHEN coalesce(ba.bg_chars, 0) = 0 THEN 0.0 ELSE " +
+      "cast(bt.top_chars as double) / ba.bg_chars END AS top_bigram_frac, " +
+      "coalesce(ld.dup_lines, 0) * 10 <= coalesce(ld.n_lines, 0) * 3 " +
+      "AND coalesce(bt.top_chars, 0) * 5 <= coalesce(ba.bg_chars, 0) " +
+      "AS keep " +
+      "FROM documents d LEFT JOIN ld ON d.doc_id = ld.doc_id " +
+      "LEFT JOIN bt ON d.doc_id = bt.doc_id " +
+      "LEFT JOIN ba ON d.doc_id = ba.doc_id ORDER BY d.doc_id"
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val ld = repLineAgg(docs)
+    val bt = repTopAgg(repBigramCounts(docs))
+    docs.select("doc_id")
+      .join(ld, Seq("doc_id"), "left")
+      .join(bt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("n_lines"), lit(0L)) === 0, 0.0)
+          .otherwise(col("dup_lines").cast("double") / col("n_lines"))
+          .as("dup_line_frac"),
+        when(coalesce(col("bg_chars"), lit(0L)) === 0, 0.0)
+          .otherwise(col("top_chars").cast("double") / col("bg_chars"))
+          .as("top_bigram_frac"),
         (coalesce(col("dup_lines"), lit(0L)) * 10 <=
           coalesce(col("n_lines"), lit(0L)) * 3 &&
           coalesce(col("top_chars"), lit(0L)) * 5 <=
@@ -545,5 +674,6 @@ object TextAnalysis {
   }
 
   val defs: Seq[QueryDef] = Seq(tTokenCount, tQuality, tLangId, tBpeCount,
-    tRedact, tFingerprint, tRepetition, tGopherRules, tC4Rules, tLangNgram)
+    tRedact, tFingerprint, tRepetition, tRepLines, tRepArgmax, tRepFracs,
+    tGopherRules, tC4Rules, tLangNgram)
 }
