@@ -95,21 +95,6 @@ object Bench {
       df.write.mode("overwrite").parquet(p)
       p
     }
-    // sf1-scale dedup smoke (driver testdata tops out at sf0.1): the
-    // full MinHash signature+candidate path on the synthetic
-    // 50 000-doc corpus — the recorded evidence that the bucketed path
-    // holds its selectivity at 10× the verified size (assertions live
-    // in DedupScaleSpec)
-    val scaleRow = if (!selected("d_scale_sf1_minhash")) None else Some {
-      val docsPath = materialize("docs50k")(
-        graft.pipeline.SyntheticCorpus.docs(spark, 50000L))
-      "d_scale_sf1_minhash" -> timedTriplet { () =>
-        val c = spark.read.parquet(docsPath)
-        val sig = graft.operators.Dedup.minhashSignatures(c, "doc_id", "text")
-        graft.operators.Dedup.minhashCandidates(sig, "doc_id").count()
-        ()
-      }
-    }
     // kNN self-join at 50k vectors (25× the largest driver embeddings
     // table): top-3 neighbors for every vector over a bounded-leaf
     // layout — candidate volume ∝ n·maxLeaf (Σ leaf-size², asserted
@@ -119,6 +104,12 @@ object Bench {
     // clusters × 8 hash sub-leaves ≈ 200 leaves of ~500 rows, 2
     // spill rows per vector) rather than re-paying the k-means build
     // the spec already covers.
+    // Scale-row isolation discipline (r13 adjudication: the knn row
+    // recorded ~3.4× its isolated cost with a 105.9 s max): (a) GC
+    // between corpus materialization and the timed region so run 1
+    // doesn't bill the 50k-row synthesis garbage, (b) the knn row
+    // runs FIRST — before the three 50k-doc MinHash executions —
+    // mirroring the isolation the registry loop gives its rows.
     val knnScaleRow = if (!selected("v_scale_sf1_knn_join")) None else Some {
       import org.apache.spark.sql.functions._
       val idxPath = materialize("knn50k") {
@@ -128,9 +119,26 @@ object Bench {
           (col("vec_id") % 25).cast("int") * 8 + sub,
           (col("vec_id") % 25).cast("int") * 8 + (sub + 1) % 8)))
       }
+      System.gc()
       "v_scale_sf1_knn_join" -> timedTriplet { () =>
         graft.operators.Knn.knnJoinPerLeaf(spark.read.parquet(idxPath),
           "vec_id", "embedding", 3, graft.operators.Knn.Dot).count()
+        ()
+      }
+    }
+    // sf1-scale dedup smoke (driver testdata tops out at sf0.1): the
+    // full MinHash signature+candidate path on the synthetic
+    // 50 000-doc corpus — the recorded evidence that the bucketed path
+    // holds its selectivity at 10× the verified size (assertions live
+    // in DedupScaleSpec)
+    val scaleRow = if (!selected("d_scale_sf1_minhash")) None else Some {
+      val docsPath = materialize("docs50k")(
+        graft.pipeline.SyntheticCorpus.docs(spark, 50000L))
+      System.gc()
+      "d_scale_sf1_minhash" -> timedTriplet { () =>
+        val c = spark.read.parquet(docsPath)
+        val sig = graft.operators.Dedup.minhashSignatures(c, "doc_id", "text")
+        graft.operators.Dedup.minhashCandidates(sig, "doc_id").count()
         ()
       }
     }
@@ -146,7 +154,7 @@ object Bench {
     // ~190 registry rows keep their relative comparability
     // unchanged (they still run in the same alphabetical order,
     // merely after two more queries).
-    val scaleRows = Seq(scaleRow, knnScaleRow).flatten
+    val scaleRows = Seq(knnScaleRow, scaleRow).flatten
     val registry = SparkEntry.queries.keys.toSeq.sorted
       .filter(selected).map { name =>
       // GC before EVERY row, not per family: a heavy predecessor

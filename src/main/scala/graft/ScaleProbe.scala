@@ -1301,6 +1301,11 @@ object ScaleProbe {
       val (tCut, nCutDocs) = med3 {
         Dedup.spanCut(docs, "doc_id", "text", 8).count()
       }
+      // the rewrite adds the (id, pos, token) anti-join + per-doc
+      // reassembly on top of the cut — price that delta explicitly
+      val (tRw, nRwDocs) = med3 {
+        Dedup.spanRewrite(docs, "doc_id", "text", 8).count()
+      }
       val storePath = java.nio.file.Files
         .createTempDirectory("graft_spanscale").toString + "/fps"
       Dedup.spanFingerprints(docs, "doc_id", "text", 8)
@@ -1315,6 +1320,7 @@ object ScaleProbe {
       docs.unpersist()
       println(f"SPANSCALE n=$n batch=$nBatch profile=$tProf%.2f s " +
         f"(dup_docs=$nDup) cut=$tCut%.2f s (cut_docs=$nCutDocs) " +
+        f"rewrite=$tRw%.2f s (docs_out=$nRwDocs) " +
         f"incremental=$tInc%.2f s (batch_dup_docs=$nBatchDup)")
     } else if (args(0) == "dedupinc") {
       // Incremental near-dup: per-batch cost against a persisted

@@ -350,21 +350,30 @@ object Dedup {
     * (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better" — ExactSubstr: memorization-driving repeats are
     * exact token runs, not whole lines or whole docs): every
-    * stride-1 window of `w` tokens is fingerprinted with the
-    * polynomial rolling hash; a window whose fingerprint occurs more
+    * stride-1 window of `w` tokens is fingerprinted with md5
+    * (128-bit); a window whose fingerprint occurs more
     * than once ANYWHERE in the corpus (other docs or the same doc —
     * ExactSubstr counts both) is a duplicated span. Returns one row
     * per doc: (id, n_windows, dup_windows).
     *
+    * FINGERPRINT WIDTH (r13 verdict #3): any fp collision is a FALSE
+    * duplicate mark, so the key must stay collision-free at the
+    * design scale. The earlier ~30-bit polyHash (mod 1e9+7) is
+    * pigeonhole-guaranteed to collide past ~10⁹ distinct windows —
+    * at 100 TB (~10¹³ windows) the profile would be noise. md5's
+    * 128 bits put the expected collision count for 10¹³ windows at
+    * C(10¹³,2)/2¹²⁸ ≈ 1.5·10⁻¹³ — zero for all practical purposes
+    * (same key [[lineDedup]] already uses).
+    *
     * Scale shape: the window explode is ∝ total tokens (the honest
     * cost of substring-level dedup — Lee et al.'s suffix array is
     * also built over every token); fingerprint counts are a
-    * partial-aggregable groupBy on an INTEGER key (map-side combine
-    * bounds boilerplate skew exactly as [[lineDedup]]'s md5 key
-    * does), and the join back to windows is fingerprint-keyed
+    * partial-aggregable groupBy on the fixed-width key (map-side
+    * combine bounds boilerplate skew exactly as [[lineDedup]]'s md5
+    * key does), and the join back to windows is fingerprint-keyed
     * carrying one small count column. A window shorter than `w`
     * tokens contributes nothing (docs below `w` tokens profile as
-    * 0 windows). The windowed rolling-hash form finds every
+    * 0 windows). The windowed fingerprint form finds every
     * duplicated span of length ≥ w — the standard distributed
     * approximation of the sequential suffix-array job.
     */
@@ -376,7 +385,7 @@ object Dedup {
       .select(col(id),
         explode(graft.functions.text.shinglesOfTokens(col("tk"), w))
           .as("win"))
-      .select(col(id), graft.functions.text.polyHash(col("win")).as("fp"))
+      .select(col(id), graft.functions.text.md5Fingerprint(col("win")).as("fp"))
     val counts = wins.groupBy("fp").agg(count(lit(1)).as("c"))
     wins.join(counts, "fp")
       .groupBy(id)
@@ -396,7 +405,7 @@ object Dedup {
       .select(col(id), graft.functions.text.tokens(col(textCol)).as("tk"))
       .select(explode(graft.functions.text.shinglesOfTokens(col("tk"), w))
         .as("win"))
-      .select(graft.functions.text.polyHash(col("win")).as("fp"))
+      .select(graft.functions.text.md5Fingerprint(col("win")).as("fp"))
       .distinct()
   }
 
@@ -422,7 +431,7 @@ object Dedup {
       .select(col(id),
         explode(graft.functions.text.shinglesOfTokens(col("tk"), w))
           .as("win"))
-      .select(col(id), graft.functions.text.polyHash(col("win")).as("fp"))
+      .select(col(id), graft.functions.text.md5Fingerprint(col("win")).as("fp"))
     val bc = bw.groupBy("fp").agg(count(lit(1)).as("cb"))
     val dupFps = bc
       .join(storeFps.select(col("fp"), lit(1).as("in_store")).distinct(),
@@ -459,7 +468,7 @@ object Dedup {
       .select(col(id),
         posexplode(graft.functions.text.shinglesOfTokens(col("tk"), w)))
       .select(col(id), col("pos"),
-        graft.functions.text.polyHash(col("col")).as("fp"))
+        graft.functions.text.md5Fingerprint(col("col")).as("fp"))
     val canon = wins.groupBy("fp")
       .agg(min(struct(col(id), col("pos"))).as("first"),
         count(lit(1)).as("c"))
@@ -471,6 +480,60 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
       .groupBy(id)
       .agg(countDistinct("p").as("cut_tokens"))
+  }
+
+  /** EXACT-SUBSTRING REWRITE — the Lee et al. 2022 OUTPUT step
+    * ([[spanCut]] counts what this removes): every duplicated
+    * `w`-token window keeps its corpus-wide canonical occurrence
+    * (smallest (id, pos), the [[spanCut]] rule) and every other
+    * occurrence's token positions are cut; OVERLAPPING cut windows
+    * merge by position (a token inside two marked windows is removed
+    * once). Returns one row per input doc: (id, text_dedup) — the
+    * surviving tokens in original order, single-space joined (the
+    * token stream IS the rewrite's output unit; original whitespace
+    * is not reconstructed, exactly as a token-level ExactSubstr
+    * emits). Docs under `w` tokens pass through whitespace-normalized
+    * but uncut; a doc whose every token is cut emits "".
+    *
+    * Scale shape: window fingerprinting as [[spanProfile]]
+    * (∝ tokens); the cut-position explode is w× the NON-canonical
+    * window count (∝ duplicated text); reassembly is one
+    * (id, pos, token) anti-join against the cut positions and one
+    * per-doc sort_array(collect_list) — both shuffles ∝ tokens,
+    * per-group memory bounded by the single largest document.
+    */
+  def spanRewrite(docs: DataFrame, id: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    val toks = docs
+      .select(col(id), graft.functions.text.tokens(col(textCol)).as("tk"))
+    val wins = toks
+      .select(col(id),
+        posexplode(graft.functions.text.shinglesOfTokens(col("tk"), w)))
+      .select(col(id), col("pos"),
+        graft.functions.text.md5Fingerprint(col("col")).as("fp"))
+    val canon = wins.groupBy("fp")
+      .agg(min(struct(col(id), col("pos"))).as("first"),
+        count(lit(1)).as("c"))
+    val cutPos = wins.join(canon, "fp")
+      .filter(col("c") > 1 &&
+        !(col(id) === col("first").getField(id) &&
+          col("pos") === col("first").getField("pos")))
+      .select(col(id),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
+      .distinct()
+    val kept = toks
+      .select(col(id), posexplode(col("tk")).as(Seq("p", "t")))
+      .join(cutPos, Seq(id, "p"), "left_anti")
+      .groupBy(id)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("t")))),
+          s => s.getField("t")), " ").as("text_dedup"))
+    // one row per INPUT doc: a fully-cut (or token-less) doc has no
+    // kept rows and would otherwise vanish from the output
+    docs.select(col(id))
+      .join(kept, Seq(id), "left")
+      .select(col(id), coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
   def lineDedup(docs: DataFrame, id: String, textCol: String): DataFrame = {

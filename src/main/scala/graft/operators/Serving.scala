@@ -150,7 +150,10 @@ final class Serving private[operators] (
     * sweep are immutable until a rewrite (appends add files; only
     * rebalance/compact rewrite, and those reset the snapshot log,
     * which this probe surfaces by failing loudly on a missing
-    * `fromVersion` rather than silently under-scanning). Cost ∝
+    * `fromVersion` rather than silently under-scanning; an in-place
+    * rewrite under an UNCHANGED name followed by a reconcile is
+    * caught too — the diff compares (bytes, mtime) signatures, not
+    * names). Cost ∝
     * bytes APPENDED since the last checked version, not the corpus —
     * the 100 TB sweep shape. Same shared predicate as the full scan
     * ([[graft.functions.bquant.codeDrift]]).
@@ -159,21 +162,33 @@ final class Serving private[operators] (
     import org.apache.spark.sql.functions._
     require(hasBq,
       s"verifyBqCodesSince: layout at $path has no bq_code column")
-    val before = ServingManifest.filesAt(spark, path, fromVersion)
+    val before = ServingManifest.entrySigsAt(spark, path, fromVersion)
       .getOrElse(sys.error(
         s"verifyBqCodesSince: version $fromVersion is not in the " +
           s"snapshot log at $path — a rewrite reset the log; run the " +
           "full verifyBqCodes() to re-baseline"))
-      .toSet
-    val fresh = ServingManifest.liveFiles(spark, path)
+    // ONE live-manifest read serves both the diff and the subset open
+    // — a concurrent reconcile between two separate reads could drop
+    // files from the subset silently (under-scan is not safe)
+    val live = ServingManifest.liveEntries5(spark, path)
       .getOrElse(sys.error(
         s"verifyBqCodesSince: no manifest at $path"))
-      .filterNot(before)
+    // fresh = files ADDED since the baseline PLUS in-place rewrites
+    // (same relative path, changed bytes/mtime): a side-channel
+    // writer that rewrites an existing file and reconciles is exactly
+    // the poisoning class this probe documents itself as catching —
+    // a name-only diff would never re-scan it
+    val fresh = live.filter { e =>
+      before.get(e._1) match {
+        case None         => true
+        case Some((b, m)) => b != e._3 || m != e._4
+      }
+    }
     // the subset reads through the ManifestFileIndex — statuses come
     // from the manifest, zero per-file driver stats (the explicit-
     // path read was measured 5× slower than the FULL scan on a
     // many-small-files appendage)
-    ServingManifest.openFiles(spark, path, fresh.toSet) match {
+    ServingManifest.openEntriesSubset(spark, path, fresh) match {
       case None => 0L
       case Some(df) =>
         df.filter(graft.functions.bquant.codeDrift(col(vecCol),
@@ -192,8 +207,10 @@ final class Serving private[operators] (
     import org.apache.spark.sql.functions._
     require(hasBq,
       s"signTiePlateau: layout at $path has no bq_code companion column")
+    // coalesce: on an EMPTY layout the outer agg(max) is one NULL row
+    // and getLong would NPE — an empty layout's plateau is 0
     data.groupBy(col("bq_code")).agg(count(lit(1)).as("c"))
-      .agg(max("c")).head().getLong(0)
+      .agg(coalesce(max("c"), lit(0L))).head().getLong(0)
   }
 
   /** SQ8-tier search — the resident-handle form of the `r_serve_sq`
@@ -947,11 +964,13 @@ final class Serving private[operators] (
     // per-query k rides a tiny broadcast frame joined AFTER the
     // aggregation (never threaded through it); the effective depth
     // is least(global, per-query) — the contract of every per-query
-    // knob — with a NULL per-query k falling back to the global
+    // knob — with a NULL per-query k falling back to the global and
+    // anything else non-positive raising in-plan ([[checkedK]], the
+    // same loud-failure convention as the allow/NUMERIC columns)
     val limited = kCol match {
       case Some(c) =>
         val kf = queries.select(col(qid).as("__qid"),
-          coalesce(col(c).cast("bigint"), lit(k.toLong)).as("__pk"))
+          coalesce(checkedK(c), lit(k.toLong)).as("__pk"))
         ranked.join(broadcast(kf), Seq("__qid"))
           .filter(col("rn") <= least(lit(k.toLong), col("__pk")))
           .drop("__pk")
@@ -1632,6 +1651,23 @@ final class Serving private[operators] (
           numAttrs.mkString(",") + ")/ops(" + NumOps.mkString(",") +
           "): "), to_json(col(numCol)))))
       .otherwise(col(numCol))
+  }
+
+  /** The per-query k column with its contract validated in-plan (the
+    * [[checkedAllow]] / [[checkedNum]] convention): a non-null entry
+    * that does not cast to a POSITIVE integer would otherwise fail
+    * quietly — a non-castable value falls back to the global k
+    * (cast → NULL) and a 0/negative silently yields zero rows for
+    * that query. The plan raises on the offending query row instead.
+    */
+  private def checkedK(kc: String): Column = {
+    import org.apache.spark.sql.functions._
+    when(col(kc).isNotNull &&
+        (col(kc).cast("bigint").isNull || col(kc).cast("bigint") < 1),
+      raise_error(concat(
+        lit(s"per-query k ($kc) must be a positive integer, got: "),
+        col(kc).cast("string"))))
+      .otherwise(col(kc).cast("bigint"))
   }
 
   /** ONE numeric restriction set as pushed scan predicates — the

@@ -391,6 +391,55 @@ object ServingManifest {
       version: Int): Option[Seq[String]] =
     entriesAt(spark, path, version).map(_.map(_._1).toSeq)
 
+  /** Per-file (bytes, mtime) signatures AS OF a logged snapshot
+    * version — the baseline an incremental probe diffs the live
+    * manifest against. Carrying the sizes/mtimes (not just names)
+    * matters: an in-place rewrite of an existing file (same relative
+    * path, new bytes) followed by a reconcile is exactly the
+    * side-channel-poisoning class the drift probes exist to catch,
+    * and a name-only diff would never re-scan it.
+    */
+  private[graft] def entrySigsAt(spark: SparkSession, path: String,
+      version: Int): Option[Map[String, (Long, Long)]] =
+    entriesAt(spark, path, version)
+      .map(_.map(e => e._1 -> ((e._3, e._4))).toMap)
+
+  /** Full (file, leaf_id, bytes, mtime, stats) rows of the LIVE
+    * manifest in ONE read — callers that both diff against a baseline
+    * and open the resulting subset must use a single consistent
+    * snapshot (two separate manifest reads race a concurrent
+    * reconcile, silently dropping files from the subset). Driver
+    * footprint matches [[liveFiles]] (~tens of MB at 10⁶ entries).
+    */
+  private[graft] def liveEntries5(spark: SparkSession, path: String)
+      : Option[Array[(String, Int, Long, Long, String)]] =
+    if (!exists(spark, path)) None
+    else {
+      val mf = spark.read.parquet(manifestDir(path))
+      val withM = if (mf.columns.contains("mtime")) mf
+        else mf.withColumn("mtime", lit(0L))
+      val withS = if (withM.columns.contains("stats")) withM
+        else withM.withColumn("stats", lit(""))
+      Some(withS.select("file", "leaf_id", "bytes", "mtime", "stats")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          Option(r.getString(4)).getOrElse(""))))
+    }
+
+  /** Open a pre-collected manifest-entry subset through the same
+    * [[ManifestFileIndex]] as [[open]] — zero filesystem stats (an
+    * explicit-path `spark.read.parquet(files…)` re-validates and
+    * re-stats every listed path on the driver; measured 5× slower
+    * than the FULL manifest scan for a 10k-row appendage spread over
+    * ~2k small files). The incremental maintenance probes read their
+    * appended-files subset through this, with entries taken from the
+    * one [[liveEntries5]] snapshot they diffed. None when the subset
+    * is empty.
+    */
+  private[graft] def openEntriesSubset(spark: SparkSession, path: String,
+      entries: Array[(String, Int, Long, Long, String)]): Option[DataFrame] =
+    if (entries.isEmpty) None else Some(openEntries5(spark, path, entries))
+
   /** Replace the manifest rows of the given leaves with a fresh
     * listing of exactly those directories — the steady-state update
     * after an append or rebalance touched a bounded leaf set. Cost is
@@ -622,33 +671,6 @@ object ServingManifest {
     */
   def openOrRead(spark: SparkSession, path: String): DataFrame =
     open(spark, path).getOrElse(spark.read.parquet(path))
-
-  /** Open ONLY the given manifest-listed relative files, through the
-    * same [[ManifestFileIndex]] as [[open]] — zero filesystem stats
-    * (an explicit-path `spark.read.parquet(files…)` re-validates and
-    * re-stats every listed path on the driver; measured 5× slower
-    * than the FULL manifest scan for a 10k-row appendage spread over
-    * ~2k small files). The incremental maintenance probes read their
-    * appended-files subset through this. Files absent from the live
-    * manifest are ignored; None when nothing matches or there is no
-    * manifest.
-    */
-  private[graft] def openFiles(spark: SparkSession, path: String,
-      files: Set[String]): Option[DataFrame] = {
-    if (!exists(spark, path) || files.isEmpty) return None
-    val mf = spark.read.parquet(manifestDir(path))
-    val withM = if (mf.columns.contains("mtime")) mf
-      else mf.withColumn("mtime", lit(0L))
-    val withS = if (withM.columns.contains("stats")) withM
-      else withM.withColumn("stats", lit(""))
-    val entries = withS.select("file", "leaf_id", "bytes", "mtime", "stats")
-      .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
-        Option(r.getString(4)).getOrElse("")))
-      .filter(e => files.contains(e._1))
-    if (entries.isEmpty) None
-    else Some(openEntries5(spark, path, entries))
-  }
 
   /** Log retention (the Delta VACUUM analog, for the LOG only — data
     * files belong to the layout and are never touched): drop log

@@ -746,7 +746,9 @@ object DedupQueries {
   /** EXACT-SUBSTRING (token-window) duplication profile — Lee et al.
     * 2022 ExactSubstr at window granularity (see
     * [[graft.operators.Dedup.spanProfile]]): stride-1 windows of 8
-    * tokens, integer rolling-hash fingerprints, a window duplicated
+    * tokens, 128-bit md5 fingerprints (collision-free at any
+    * practical corpus size — see the width note on
+    * [[graft.operators.Dedup.spanProfile]]), a window duplicated
     * anywhere in the corpus (within-doc repeats count, as
     * ExactSubstr) marks its doc. Per doc: window count, duplicated-
     * window count, their ratio, and an exact-integer ≤20% keep rule
@@ -764,7 +766,7 @@ object DedupQueries {
       s"wins AS (SELECT doc_id, $concat8 AS win FROM " +
       "(SELECT doc_id, tk, unnest(range(1, len(tk) - " +
       s"${w - 2})) AS i FROM toks)), " +
-      s"fp AS (SELECT doc_id, ${text.sql.polyHash("win")} AS fp FROM wins), " +
+      s"fp AS (SELECT doc_id, md5(win) AS fp FROM wins), " +
       "c AS (SELECT fp, count(*) AS c FROM fp GROUP BY fp), " +
       "pd AS (SELECT doc_id, count(*) AS n_windows, " +
       "cast(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) as bigint) " +
@@ -799,9 +801,10 @@ object DedupQueries {
     * the duplicate group) and every other occurrence marks its token
     * positions; overlapping marks merge by distinct counting. Per
     * doc: token count, tokens cut, fraction kept. The oracle
-    * replays the identical canonicalization with integer ordering
-    * only (fingerprints, doc ids, positions — nothing near a string
-    * comparison).
+    * replays the identical canonicalization ordering by integers
+    * only (doc ids, positions; the md5 fingerprint is used for
+    * equality/partitioning, never ordered — nothing near a string
+    * comparison feeds an emitted value).
     */
   private val dSpanCut = QueryDef.sqlChecked("d_span_cut")({
     val w = 8
@@ -812,7 +815,7 @@ object DedupQueries {
       s"wins AS (SELECT doc_id, i, $concat8 AS win FROM " +
       "(SELECT doc_id, tk, unnest(range(1, len(tk) - " +
       s"${w - 2})) AS i FROM toks)), " +
-      s"fp AS (SELECT doc_id, i, ${text.sql.polyHash("win")} AS f FROM wins), " +
+      s"fp AS (SELECT doc_id, i, md5(win) AS f FROM wins), " +
       "r AS (SELECT doc_id, i, count(*) OVER (PARTITION BY f) AS c, " +
       "row_number() OVER (PARTITION BY f ORDER BY doc_id, i) AS rn FROM fp), " +
       s"pos AS (SELECT doc_id, unnest(range(i, i + $w)) AS p FROM r " +
@@ -844,6 +847,50 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** EXACT-SUBSTRING REWRITE — the Lee et al. 2022 output step
+    * ([[graft.operators.Dedup.spanRewrite]]): the deduplicated
+    * CORPUS itself, canonical span occurrences kept, every other
+    * occurrence's tokens removed, overlapping cuts merged by
+    * position. FULL hash oracle over the rewritten text of all 500
+    * docs: the oracle replays fingerprinting, the (doc, pos)
+    * canonical rule, the w-position cut union, and the
+    * order-preserving token reassembly (`string_agg ... ORDER BY`
+    * over an INTEGER position — no string collation feeds the
+    * order). Completes the profile → cut-accounting → rewrite
+    * pipeline as driver-gated operators.
+    */
+  private val dSpanRewrite = QueryDef.sqlChecked("d_span_rewrite")({
+    val w = 8
+    val concat8 = (0 until w).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, " +
+      "'\\s+'), t -> t <> '') AS tk FROM documents), " +
+      s"wins AS (SELECT doc_id, i, $concat8 AS win FROM " +
+      "(SELECT doc_id, tk, unnest(range(1, len(tk) - " +
+      s"${w - 2})) AS i FROM toks)), " +
+      "fp AS (SELECT doc_id, i, md5(win) AS f FROM wins), " +
+      "r AS (SELECT doc_id, i, count(*) OVER (PARTITION BY f) AS c, " +
+      "row_number() OVER (PARTITION BY f ORDER BY doc_id, i) AS rn FROM fp), " +
+      s"pos AS (SELECT DISTINCT doc_id, unnest(range(i, i + $w)) AS p " +
+      "FROM r WHERE c > 1 AND rn > 1), " +
+      "tokrows AS (SELECT doc_id, tk[i] AS t, i FROM " +
+      "(SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM toks)), " +
+      "kept AS (SELECT tr.doc_id, string_agg(tr.t, ' ' ORDER BY tr.i) " +
+      "AS text_dedup FROM tokrows tr LEFT JOIN pos " +
+      "ON tr.doc_id = pos.doc_id AND tr.i = pos.p " +
+      "WHERE pos.p IS NULL GROUP BY tr.doc_id) " +
+      "SELECT d.doc_id, coalesce(kept.text_dedup, '') AS text_dedup " +
+      "FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id " +
+      "ORDER BY d.doc_id"
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val rw = graft.operators.Dedup.spanRewrite(docs, "doc_id", "text", 8)
+    docs.select("doc_id")
+      .join(rw, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .orderBy("doc_id")
+  }
+
   /** INCREMENTAL exact-substring dedup — the continuous-ingest form
     * of `d_span_dedup`, completing the batch+incremental pattern the
     * other two dedup families carry (lexical MinHash:
@@ -865,7 +912,7 @@ object DedupQueries {
       s"wins AS (SELECT doc_id, $concat8 AS win FROM " +
       "(SELECT doc_id, tk, unnest(range(1, len(tk) - " +
       s"${w - 2})) AS i FROM toks)), " +
-      s"fps AS (SELECT doc_id, ${text.sql.polyHash("win")} AS fp FROM wins), " +
+      s"fps AS (SELECT doc_id, md5(win) AS fp FROM wins), " +
       "store AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 <> 0), " +
       "bw AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 0), " +
       "bc AS (SELECT fp, count(*) AS cb FROM bw GROUP BY fp), " +
@@ -904,7 +951,8 @@ object DedupQueries {
     * duplicated), writes per-doc decisions, and appends its own
     * distinct fingerprints back — so batch 2's windows also
     * duplicate against batch 1's content. The oracle replays both
-    * rounds sequentially; integers end to end, FULL hash check.
+    * rounds sequentially; emitted values are integers end to end
+    * (md5 keys join, never order), FULL hash check.
     */
   private val dStreamSpan = QueryDef.sqlChecked("d_stream_span")({
     val w = 8
@@ -923,7 +971,7 @@ object DedupQueries {
       s"wins AS (SELECT doc_id, $concat8 AS win FROM " +
       "(SELECT doc_id, tk, unnest(range(1, len(tk) - " +
       s"${w - 2})) AS i FROM toks)), " +
-      s"fps AS (SELECT doc_id, ${text.sql.polyHash("win")} AS fp FROM wins), " +
+      s"fps AS (SELECT doc_id, md5(win) AS fp FROM wins), " +
       s"store0 AS (SELECT DISTINCT fp FROM fps WHERE $bkt < 700), " +
       s"b1 AS (SELECT doc_id, fp FROM fps WHERE $bkt >= 700 AND $bkt < 850), " +
       s"b2 AS (SELECT doc_id, fp FROM fps WHERE $bkt >= 850), " +
@@ -994,5 +1042,5 @@ object DedupQueries {
     dDedupIncremental, dStreamDedupInc, dSimhash, dSimhashPairs,
     dSimhashBanded, dSrpLsh, dCosinePairs, dClusters, dDedupKeep,
     dSemDedup, dSemDedupInc, dStreamSemDedup, dLineDedup, dSpanDedup,
-    dSpanCut, dSpanInc, dStreamSpan)
+    dSpanCut, dSpanRewrite, dSpanInc, dStreamSpan)
 }

@@ -61,6 +61,10 @@ object DocumentSource {
     val withCorrupt = schema
       .add(org.apache.spark.sql.types.StructField(corruptCol,
         org.apache.spark.sql.types.StringType, nullable = true))
+    // the localCheckpoint pins the PARSED CORPUS to executor storage
+    // for the life of the two frames — fine as a commissioning tool,
+    // corpus-sized state at a 100 TB steady-state read. Continuous
+    // ingest should use [[ingestJsonl]], which holds nothing.
     val raw = spark.read.schema(withCorrupt)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
@@ -69,5 +73,54 @@ object DocumentSource {
     (raw.filter(col(corruptCol).isNull).drop(corruptCol),
       raw.filter(col(corruptCol).isNotNull)
         .select(col(corruptCol).as("raw_line")))
+  }
+
+  /** STEADY-STATE JSONL ingest — [[readJsonlQuarantined]]'s semantics
+    * with BOUNDED state (that form localCheckpoints the parsed corpus
+    * so both sides can derive from one read; at 100 TB that is
+    * corpus-sized executor storage per read): snapshot the matched
+    * file list ONCE (both passes then read the same files even while
+    * the feed appends — the race the checkpoint form guards against),
+    * write the good frame straight to `goodTarget` parquet with
+    * DROPMALFORMED (a streaming scan-and-write, nothing retained),
+    * then derive the quarantine from a second pass that reads the
+    * same files as TEXT and keeps only lines whose pinned-schema
+    * `from_json` parse is corrupt. Two scans of the corpus, retained
+    * state ∝ corrupt lines only. Returns (good re-opened from the
+    * target — the persisted artifact, not a re-parse — and the
+    * quarantined raw lines).
+    */
+  def ingestJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      goodTarget: String): (DataFrame, DataFrame) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    // one consistent file-list snapshot; hidden files (_*, .*) are
+    // skipped exactly as the datasource scan would skip them
+    val matched =
+      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p)
+       else fs.globStatus(p))
+        .filter(s => s.isFile && {
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        .map(_.getPath.toString).toSeq
+    if (matched.isEmpty) throw EmptyCorpusException(path)
+    spark.read.schema(schema).option("mode", "DROPMALFORMED")
+      .json(matched: _*)
+      .write.mode("overwrite").parquet(goodTarget)
+    val corruptCol = "_graft_corrupt"
+    val withCorrupt = schema
+      .add(org.apache.spark.sql.types.StructField(corruptCol,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val quarantined = spark.read.textFile(matched: _*).toDF("raw_line")
+      .withColumn("__p", from_json(col("raw_line"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corruptCol)))
+      .filter(col("__p").isNull ||
+        col("__p").getField(corruptCol).isNotNull)
+      .select("raw_line")
+    (spark.read.parquet(goodTarget), quarantined)
   }
 }

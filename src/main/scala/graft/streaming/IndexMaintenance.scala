@@ -695,17 +695,26 @@ object IndexMaintenance {
           case vs if vs.nonEmpty => vs.max
           case _ => -1
         }
-        val sinceFiles = policy.bqCheckSinceVersion.flatMap { v =>
-          graft.operators.ServingManifest.filesAt(spark, servePath, v)
-            .map(_.toSet)
+        val sinceSigs = policy.bqCheckSinceVersion.flatMap { v =>
+          graft.operators.ServingManifest.entrySigsAt(spark, servePath, v)
         }
-        val drift = sinceFiles match {
+        val drift = sinceSigs match {
           case Some(before) =>
-            val fresh = graft.operators.ServingManifest
-              .liveFiles(spark, servePath).getOrElse(Seq.empty)
-              .filterNot(before)
+            // one live-manifest snapshot feeds both the diff and the
+            // subset open (no second read to race a reconcile);
+            // changed bytes/mtime under an unchanged name counts as
+            // fresh — in-place rewrites must be re-scanned
+            val live = graft.operators.ServingManifest
+              .liveEntries5(spark, servePath)
+              .getOrElse(Array.empty[(String, Int, Long, Long, String)])
+            val fresh = live.filter { e =>
+              before.get(e._1) match {
+                case None         => true
+                case Some((b, m)) => b != e._3 || m != e._4
+              }
+            }
             graft.operators.ServingManifest
-              .openFiles(spark, servePath, fresh.toSet) match {
+              .openEntriesSubset(spark, servePath, fresh) match {
               case None => 0L
               case Some(df) => df
                 .filter(graft.functions.bquant.codeDrift(col(vecCol),

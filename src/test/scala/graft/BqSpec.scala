@@ -461,6 +461,45 @@ class BqSpec extends SparkTestBase {
     assert(r4.bqCheckedThroughVersion > r2.bqCheckedThroughVersion)
   }
 
+  test("verifyBqCodesSince: an IN-PLACE rewrite of a pre-baseline " +
+      "file (same relative path, new bytes) registers as fresh — " +
+      "the probe diffs (bytes, mtime) signatures, not names") {
+    import graft.operators.ServingManifest
+    val (live, dir) = buildBqLayout()
+    val v0 = ServingManifest.versions(spark, dir).max
+    assert(live.verifyBqCodesSince(v0) == 0L, "baseline must be clean")
+    // the side-channel writer this probe documents itself as
+    // catching: flip an existing file's vectors, keep its stale
+    // codes, and put the poisoned bytes back UNDER THE SAME NAME,
+    // then reconcile (the manifest-registered flavor)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val leaf = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("leaf_id="))
+      .map(_.getPath).head
+    val leafId = leaf.getName.stripPrefix("leaf_id=").toInt
+    val victim = fs.listStatus(leaf)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).head
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bq_inplace").toString
+    spark.read.parquet(victim.toString)
+      .withColumn("v", transform(col("v"), x => -x))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val part = tmpP.getFileSystem(conf).listStatus(tmpP)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).head
+    assert(fs.delete(victim, false))
+    assert(org.apache.hadoop.fs.FileUtil.copy(
+      part.getFileSystem(conf), part, fs, victim, false, conf))
+    ServingManifest.reconcile(spark, dir, Seq(leafId))
+    assert(live.verifyBqCodesSince(v0) >= 1L,
+      "an in-place rewrite under an unchanged name must be " +
+        "re-scanned and flagged — a name-only diff would skip it")
+  }
+
   test("signTiePlateau: reports the largest sign-tie group; m above " +
       "the plateau makes the shortlist exact-set (the SCALE.md " +
       "sizing rule as an API)") {

@@ -187,6 +187,33 @@ class DedupSpec extends SparkTestBase {
     assert(!cut.contains(3L))
   }
 
+  test("spanRewrite: canonical doc keeps its text verbatim " +
+      "(whitespace-normalized), duplicate occurrences lose exactly " +
+      "the merged span positions, sub-window and fully-cut docs " +
+      "behave") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $run gamma one"),  // canonical copy lives here
+      (2L, s"$run delta epsilon two"),     // loses the 10-run, keeps tail
+      (3L, (1 to 20).map(i => s"uniq$i").mkString(" ")), // untouched
+      (4L, "only seven tokens live in here now"),        // < w: pass-thru
+      (5L, run)                            // every token cut → ""
+    ).toDF("doc_id", "text")
+    val rw = Dedup.spanRewrite(corpus, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rw(1L) == s"alpha beta $run gamma one",
+      s"canonical doc must keep everything: ${rw(1L)}")
+    // doc 2: positions 0..9 (the overlap-merged run) are cut; the
+    // tail survives in order
+    assert(rw(2L) == "delta epsilon two",
+      s"duplicate occurrence must lose the merged span: ${rw(2L)}")
+    assert(rw(3L) == (1 to 20).map(i => s"uniq$i").mkString(" "))
+    assert(rw(4L) == "only seven tokens live in here now",
+      "a sub-window doc passes through uncut")
+    assert(rw(5L) == "", s"a fully-duplicated doc rewrites empty: $rw")
+  }
+
   test("spanProfileAgainst: a batch window duplicates iff it is in " +
       "the store OR repeats within the batch; store docs never " +
       "re-profile") {

@@ -61,6 +61,42 @@ class PipelineSpec extends SparkTestBase {
       s"quarantine must carry the raw offending line: ${badLines.toSeq}")
   }
 
+  test("ingestJsonl: steady-state form writes good rows to the target " +
+      "and quarantines corrupt lines with NOTHING pinned to storage") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl-ingest")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Files.writeString(dir.resolve("feed.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |{"doc_id": 2, "text": NOT VALID JSON
+        |{"doc_id": 3, "text": "gamma"}
+        |""".stripMargin)
+    val target = Files.createTempDirectory("graft-jsonl-good")
+      .resolve("good").toString
+    // ids, not a count: another test's checkpointed RDD may be
+    // cleaner-unpersisted concurrently — assert no NEW pins only
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val (good, quarantined) =
+      DocumentSource.ingestJsonl(spark, dir.toString, schema, target)
+    assert(good.as[(Long, String)].collect().toSet ==
+      Set((1L, "alpha"), (3L, "gamma")))
+    val badLines = quarantined.as[String].collect()
+    assert(badLines.length == 1 && badLines.head.contains("NOT VALID"))
+    // the good frame is the persisted parquet artifact, re-openable
+    // by a fresh reader independent of this session's lineage
+    assert(spark.read.parquet(target).count() == 2)
+    // bounded-state contract: unlike readJsonlQuarantined's corpus
+    // checkpoint, nothing was pinned to executor storage
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore)
+      .isEmpty, "ingestJsonl must not pin blocks")
+    // empty feed keeps the fail-fast contract of the other readers
+    val empty = Files.createTempDirectory("graft-jsonl-none")
+    intercept[DocumentSource.EmptyCorpusException] {
+      DocumentSource.ingestJsonl(spark, empty.toString, schema, target)
+    }
+  }
+
   test("feature-hash embedder is deterministic, unit-norm, batched") {
     val emb = new FeatureHashEmbedder(dim = 64, batchSize = 3)
     val docs = Tables.documents(spark, sf).limit(10)

@@ -383,6 +383,20 @@ class ServingApiSpec extends SparkTestBase {
     assert(e.getMessage.contains("allow") ||
       Option(e.getCause).exists(_.getMessage.contains("allow")),
       s"out-of-contract key must raise loudly: ${e.getMessage}")
+    // per-query k is contract-validated in-plan like the allow/NUMERIC
+    // columns: 0 would silently empty that qid's results, so it
+    // raises instead; NULL still falls back to the global k
+    val kq = Seq(
+      (0L, Seq(byId(0L)), Option.empty[Map[String, Seq[String]]], 0L))
+      .toDF("qid", "qvecs", "allow", "kq")
+    val ek = intercept[Exception] {
+      live.searchMaxSimBatchPerQuery(kq, "qid", "qvecs", "allow",
+        Seq("label"), nProbe = 2, k = 3, docCol = "label",
+        kCol = Some("kq")).collect()
+    }
+    assert(ek.getMessage.contains("positive") ||
+      Option(ek.getCause).exists(_.getMessage.contains("positive")),
+      s"non-positive per-query k must raise loudly: ${ek.getMessage}")
   }
 
   test("searchBatch FULL shape (restricts+crowding+metadata) matches " +
