@@ -1302,9 +1302,13 @@ object ScaleProbe {
         Dedup.spanCut(docs, "doc_id", "text", 8).count()
       }
       // the rewrite adds the (id, pos, token) anti-join + per-doc
-      // reassembly on top of the cut — price that delta explicitly
-      val (tRw, nRwDocs) = med3 {
-        Dedup.spanRewrite(docs, "doc_id", "text", 8).count()
+      // reassembly on top of the cut — price that delta explicitly.
+      // The forced value must READ text_dedup: a bare count() of the
+      // left join lets Catalyst prune the aggregated right side and
+      // the whole rewrite subtree (measured 0.26 s of nothing)
+      val (tRw, nRwBytes) = med3 {
+        Dedup.spanRewrite(docs, "doc_id", "text", 8)
+          .agg(sum(length(col("text_dedup")))).head().getLong(0)
       }
       val storePath = java.nio.file.Files
         .createTempDirectory("graft_spanscale").toString + "/fps"
@@ -1320,7 +1324,7 @@ object ScaleProbe {
       docs.unpersist()
       println(f"SPANSCALE n=$n batch=$nBatch profile=$tProf%.2f s " +
         f"(dup_docs=$nDup) cut=$tCut%.2f s (cut_docs=$nCutDocs) " +
-        f"rewrite=$tRw%.2f s (docs_out=$nRwDocs) " +
+        f"rewrite=$tRw%.2f s (kept_chars=$nRwBytes) " +
         f"incremental=$tInc%.2f s (batch_dup_docs=$nBatchDup)")
     } else if (args(0) == "dedupinc") {
       // Incremental near-dup: per-batch cost against a persisted

@@ -1339,8 +1339,8 @@ final class Serving private[operators] (
       numAttrs: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     val perQueryCols =
-      kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
-        capCol.map(c => col(c).cast("int").as("__cap")).toSeq
+      kCol.map(c => checkedLimit(c, "k").cast("int").as("__k")).toSeq ++
+        capCol.map(c => checkedLimit(c, "crowding cap").cast("int").as("__cap")).toSeq
     val probes = queries.select(Seq(col(qid).as("__qid"),
         col(qvecCol).cast("array<double>").as("__qv"),
         checkedAllow(allowCol, attrs).as("__allow")) ++
@@ -1480,8 +1480,8 @@ final class Serving private[operators] (
     val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
       capCol.map(_ => "__cap").toSeq
     val perQueryCols =
-      kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
-        capCol.map(c => col(c).cast("int").as("__cap")).toSeq
+      kCol.map(c => checkedLimit(c, "k").cast("int").as("__k")).toSeq ++
+        capCol.map(c => checkedLimit(c, "crowding cap").cast("int").as("__cap")).toSeq
     // one guarded pair-generation decision for ALL exact maps (one
     // bounded probe, not one per map)
     val probeLimit = (math.min(math.max(maxBroadcastQueries, 0L),
@@ -1552,8 +1552,8 @@ final class Serving private[operators] (
     val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
       capCol.map(_ => "__cap").toSeq
     val perQueryCols =
-      kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
-        capCol.map(c => col(c).cast("int").as("__cap")).toSeq
+      kCol.map(c => checkedLimit(c, "k").cast("int").as("__k")).toSeq ++
+        capCol.map(c => checkedLimit(c, "crowding cap").cast("int").as("__cap")).toSeq
     val probeLimit = (math.min(math.max(maxBroadcastQueries, 0L),
       Int.MaxValue.toLong - 1) + 1).toInt
     val small = keyed.filter(col("__mkey").isin(exactKeys: _*))
@@ -1653,22 +1653,27 @@ final class Serving private[operators] (
       .otherwise(col(numCol))
   }
 
-  /** The per-query k column with its contract validated in-plan (the
-    * [[checkedAllow]] / [[checkedNum]] convention): a non-null entry
-    * that does not cast to a POSITIVE integer would otherwise fail
-    * quietly — a non-castable value falls back to the global k
-    * (cast → NULL) and a 0/negative silently yields zero rows for
-    * that query. The plan raises on the offending query row instead.
+  /** A per-query limit column (k / crowding cap) with its contract
+    * validated in-plan (the [[checkedAllow]] / [[checkedNum]]
+    * convention): a non-null entry that does not cast to a POSITIVE
+    * integer would otherwise fail quietly — a non-castable value
+    * falls back to the global limit (cast → NULL, which `least`
+    * skips) and a 0/negative silently yields zero rows for that
+    * query. The plan raises on the offending query row instead.
+    * Bound at EVERY `__k`/`__cap` binding site, so the single-vector
+    * batch, coded-tier, and MaxSim surfaces share one contract.
     */
-  private def checkedK(kc: String): Column = {
+  private def checkedLimit(c: String, what: String): Column = {
     import org.apache.spark.sql.functions._
-    when(col(kc).isNotNull &&
-        (col(kc).cast("bigint").isNull || col(kc).cast("bigint") < 1),
+    when(col(c).isNotNull &&
+        (col(c).cast("bigint").isNull || col(c).cast("bigint") < 1),
       raise_error(concat(
-        lit(s"per-query k ($kc) must be a positive integer, got: "),
-        col(kc).cast("string"))))
-      .otherwise(col(kc).cast("bigint"))
+        lit(s"per-query $what ($c) must be a positive integer, got: "),
+        col(c).cast("string"))))
+      .otherwise(col(c).cast("bigint"))
   }
+
+  private def checkedK(kc: String): Column = checkedLimit(kc, "k")
 
   /** ONE numeric restriction set as pushed scan predicates — the
     * adaptive exact escape's filter for a set collected off the
@@ -2033,8 +2038,8 @@ final class Serving private[operators] (
     val cb = ProductQuantizer.loadCodebook(spark, path)
     val rot = ProductQuantizer.loadRotation(spark, path)
     val perQueryCols =
-      kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
-        capCol.map(c => col(c).cast("int").as("__cap")).toSeq
+      kCol.map(c => checkedLimit(c, "k").cast("int").as("__k")).toSeq ++
+        capCol.map(c => checkedLimit(c, "crowding cap").cast("int").as("__cap")).toSeq
     val probes = queries.select(Seq(col(qid).as("__qid"),
         col(qvecCol).cast("array<double>").as("__qraw")) ++
         allowCol.map(c => checkedAllow(c, attrs).as("__allow")).toSeq ++
@@ -2138,8 +2143,8 @@ final class Serving private[operators] (
     val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
       capCol.map(_ => "__cap").toSeq
     val perQueryCols =
-      kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
-        capCol.map(c => col(c).cast("int").as("__cap")).toSeq
+      kCol.map(c => checkedLimit(c, "k").cast("int").as("__k")).toSeq ++
+        capCol.map(c => checkedLimit(c, "crowding cap").cast("int").as("__cap")).toSeq
     val probeLimit = (math.min(math.max(maxBroadcastQueries, 0L),
       Int.MaxValue.toLong - 1) + 1).toInt
     val small = keyed.filter(col("__mkey").isin(exactKeys: _*))
@@ -2236,8 +2241,8 @@ final class Serving private[operators] (
     import graft.functions.quantize
     val qv = col(qvecCol).cast("array<double>")
     val perQueryCols =
-      kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
-        capCol.map(c => col(c).cast("int").as("__cap")).toSeq
+      kCol.map(c => checkedLimit(c, "k").cast("int").as("__k")).toSeq ++
+        capCol.map(c => checkedLimit(c, "crowding cap").cast("int").as("__cap")).toSeq
     val probes = queries.select(Seq(col(qid).as("__qid"),
         qv.as("__qraw")) ++
         allowCol.map(c => checkedAllow(c, attrs).as("__allow")).toSeq ++
@@ -2348,8 +2353,8 @@ final class Serving private[operators] (
     val carried = crowdAttr ++ kCol.map(_ => "__k").toSeq ++
       capCol.map(_ => "__cap").toSeq
     val perQueryCols =
-      kCol.map(c => col(c).cast("int").as("__k")).toSeq ++
-        capCol.map(c => col(c).cast("int").as("__cap")).toSeq
+      kCol.map(c => checkedLimit(c, "k").cast("int").as("__k")).toSeq ++
+        capCol.map(c => checkedLimit(c, "crowding cap").cast("int").as("__cap")).toSeq
     val probeLimit = (math.min(math.max(maxBroadcastQueries, 0L),
       Int.MaxValue.toLong - 1) + 1).toInt
     val small = keyed.filter(col("__mkey").isin(exactKeys: _*))

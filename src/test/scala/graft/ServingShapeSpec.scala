@@ -186,6 +186,29 @@ class ServingShapeSpec extends SparkTestBase {
     }
     assert(got(7L).length != got(21L).length,
       "the per-query limits must visibly differ between tenants")
+
+    // limit contract is validated in-plan on EVERY surface: a 0 (or
+    // negative / non-castable) per-query k or cap would silently
+    // empty that tenant's results — the plan raises instead
+    val zeroK = queries.withColumn("kq",
+      when(col("qid") === 7L, lit(0)).otherwise(col("kq")))
+    val ez = intercept[Exception] {
+      serving.searchBatchAdc(zeroK, "qid", "v", nProbe = 2, k = 5,
+        kCol = Some("kq")).collect()
+    }
+    assert(ez.getMessage.contains("positive") ||
+      Option(ez.getCause).exists(_.getMessage.contains("positive")),
+      s"zero per-query k must raise loudly: ${ez.getMessage}")
+    val negCap = queries.withColumn("capq",
+      when(col("qid") === 21L, lit(-3)).otherwise(col("capq")))
+    val ec = intercept[Exception] {
+      serving.searchBatchAdc(negCap, "qid", "v", nProbe = 2, k = 5,
+        crowding = Some(("label", 3)),
+        kCol = Some("kq"), capCol = Some("capq")).collect()
+    }
+    assert(ec.getMessage.contains("positive") ||
+      Option(ec.getCause).exists(_.getMessage.contains("positive")),
+      s"negative per-query cap must raise loudly: ${ec.getMessage}")
   }
 
   test("searchBatchPerQuery == per-query searchBatch with the " +
