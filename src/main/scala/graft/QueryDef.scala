@@ -30,6 +30,20 @@ object QueryDef {
   * makes the sum exact (and therefore order-independent); casting the
   * exact total back to double is then a single deterministic rounding,
   * identical in both engines. The oracle SQL mirrors the same casts.
+  *
+  * THE ROUNDING-TIE TRAP (round 14, found by the sf0.1 replica): the
+  * two engines quantize a double to decimal differently on EXACT
+  * ties. Spark's Cast goes through `Double.toString` then
+  * `BigDecimal.setScale(s, HALF_UP)`; DuckDB's double→decimal cast
+  * rounds the BINARY value half-to-even. A dyadic value whose exact
+  * decimal expansion terminates at digit s+1 with a 5 (e.g.
+  * 0.1494140625 at scale 9 — a real synthetic-embedding value, the
+  * coarse-grid data where dyadic ties actually occur) quantizes to
+  * different decimals (…63 vs …62) and the sums differ by exactly one
+  * quantum. DuckDB's VARCHAR→decimal cast, however, rounds HALF_UP on
+  * the digit string — the same path Spark takes — so the SQL twins
+  * route through `cast(cast(x as varchar) as decimal…)`. Both engines
+  * print shortest round-trip reprs, so the digit strings agree.
   */
 object Exact {
   /** Order-independent double sum: exact decimal(18, scale) accumulate. */
@@ -40,10 +54,12 @@ object Exact {
   def dsumWide(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(28, scale))).cast(DoubleType)
 
-  /** Matching DuckDB SQL fragment for dsum. */
+  /** Matching DuckDB SQL fragment for dsum (varchar-routed — see the
+    * rounding-tie note above).
+    */
   def sqlDsum(expr: String, scale: Int): String =
-    s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
+    s"cast(sum(cast(cast($expr as varchar) as decimal(18,$scale))) as double)"
 
   def sqlDsumWide(expr: String, scale: Int): String =
-    s"cast(sum(cast($expr as decimal(28,$scale))) as double)"
+    s"cast(sum(cast(cast($expr as varchar) as decimal(28,$scale))) as double)"
 }

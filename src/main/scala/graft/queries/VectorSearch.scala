@@ -235,8 +235,8 @@ object VectorSearch {
     */
   private val vEmbedStats = QueryDef.sqlChecked("v_embed_stats")(
     "SELECT label, cast(s.dim as bigint) AS dim, count(*) AS n, " +
-      "cast(sum(cast(cast(embedding as double[])[s.dim+1] as decimal(28,9))) as double) AS sx, " +
-      "cast(sum(cast(cast(embedding as double[])[s.dim+1] as decimal(28,9))) as double) / count(*) AS mean " +
+      s"${graft.Exact.sqlDsumWide("cast(embedding as double[])[s.dim+1]", 9)} AS sx, " +
+      s"${graft.Exact.sqlDsumWide("cast(embedding as double[])[s.dim+1]", 9)} / count(*) AS mean " +
       "FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) s " +
       "GROUP BY 1, 2 ORDER BY label, dim"
   ) { (s, d) =>
