@@ -115,6 +115,11 @@ object DocumentSource {
       .add(org.apache.spark.sql.types.StructField(corruptCol,
         org.apache.spark.sql.types.StringType, nullable = true))
     val quarantined = spark.read.textFile(matched: _*).toDF("raw_line")
+      // the json DATASOURCE skips fully-empty lines (they are not
+      // records); the text pass must skip them too or a trailing
+      // newline would quarantine a phantom "" — whitespace-only
+      // lines stay: the datasource parses and rejects those
+      .filter(length(col("raw_line")) > 0)
       .withColumn("__p", from_json(col("raw_line"), withCorrupt,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> corruptCol)))

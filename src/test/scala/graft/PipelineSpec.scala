@@ -67,9 +67,14 @@ class PipelineSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft-jsonl-ingest")
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
+    // the feed carries the edge shapes: a corrupt line, an EMPTY line
+    // (not a record — the json datasource skips it, so must we), and
+    // a whitespace-only line (a record the parser rejects)
     Files.writeString(dir.resolve("feed.jsonl"),
       """{"doc_id": 1, "text": "alpha"}
         |{"doc_id": 2, "text": NOT VALID JSON
+        |
+        |
         |{"doc_id": 3, "text": "gamma"}
         |""".stripMargin)
     val target = Files.createTempDirectory("graft-jsonl-good")
@@ -82,7 +87,8 @@ class PipelineSpec extends SparkTestBase {
     assert(good.as[(Long, String)].collect().toSet ==
       Set((1L, "alpha"), (3L, "gamma")))
     val badLines = quarantined.as[String].collect()
-    assert(badLines.length == 1 && badLines.head.contains("NOT VALID"))
+    assert(badLines.length == 1 && badLines.head.contains("NOT VALID"),
+      s"empty lines are skipped, not quarantined: ${badLines.toSeq}")
     // the good frame is the persisted parquet artifact, re-openable
     // by a fresh reader independent of this session's lineage
     assert(spark.read.parquet(target).count() == 2)
