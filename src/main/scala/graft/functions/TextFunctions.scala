@@ -129,6 +129,15 @@ object text {
   /** Content fingerprint: md5 hex of the UTF-8 text. */
   def md5Fingerprint(c: Column): Column = md5(c)
 
+  /** md5 as a 16-byte BINARY — the SHUFFLE/STORE form of
+    * [[md5Fingerprint]]: same 128 collision-free bits at half the
+    * key bytes of the 32-char hex string (at 10¹³ span-dedup windows
+    * that is ~160 TB of store/shuffle key traffic saved). unhex is
+    * injective on md5 output, so grouping/joining on the binary key
+    * makes decisions identical to the hex form the oracles replay.
+    */
+  def md5Binary(c: Column): Column = unhex(md5(c))
+
   /** Polynomial rolling hash over code points, mod 1e9+7 — a codegen
     * Catalyst expression (DuckDB oracle: list_reduce with a prepended
     * 0 seed over unicode(c)).
