@@ -385,7 +385,7 @@ object Dedup {
       .select(col(id),
         explode(graft.functions.text.shinglesOfTokens(col("tk"), w))
           .as("win"))
-      .select(col(id), graft.functions.text.md5Fingerprint(col("win")).as("fp"))
+      .select(col(id), graft.functions.text.md5Binary(col("win")).as("fp"))
     val counts = wins.groupBy("fp").agg(count(lit(1)).as("c"))
     wins.join(counts, "fp")
       .groupBy(id)
@@ -405,7 +405,7 @@ object Dedup {
       .select(col(id), graft.functions.text.tokens(col(textCol)).as("tk"))
       .select(explode(graft.functions.text.shinglesOfTokens(col("tk"), w))
         .as("win"))
-      .select(graft.functions.text.md5Fingerprint(col("win")).as("fp"))
+      .select(graft.functions.text.md5Binary(col("win")).as("fp"))
       .distinct()
   }
 
@@ -431,7 +431,7 @@ object Dedup {
       .select(col(id),
         explode(graft.functions.text.shinglesOfTokens(col("tk"), w))
           .as("win"))
-      .select(col(id), graft.functions.text.md5Fingerprint(col("win")).as("fp"))
+      .select(col(id), graft.functions.text.md5Binary(col("win")).as("fp"))
     val bc = bw.groupBy("fp").agg(count(lit(1)).as("cb"))
     val dupFps = bc
       .join(storeFps.select(col("fp"), lit(1).as("in_store")).distinct(),
@@ -468,7 +468,7 @@ object Dedup {
       .select(col(id),
         posexplode(graft.functions.text.shinglesOfTokens(col("tk"), w)))
       .select(col(id), col("pos"),
-        graft.functions.text.md5Fingerprint(col("col")).as("fp"))
+        graft.functions.text.md5Binary(col("col")).as("fp"))
     val canon = wins.groupBy("fp")
       .agg(min(struct(col(id), col("pos"))).as("first"),
         count(lit(1)).as("c"))
@@ -511,7 +511,7 @@ object Dedup {
       .select(col(id),
         posexplode(graft.functions.text.shinglesOfTokens(col("tk"), w)))
       .select(col(id), col("pos"),
-        graft.functions.text.md5Fingerprint(col("col")).as("fp"))
+        graft.functions.text.md5Binary(col("col")).as("fp"))
     val canon = wins.groupBy("fp")
       .agg(min(struct(col(id), col("pos"))).as("first"),
         count(lit(1)).as("c"))
@@ -541,12 +541,75 @@ object Dedup {
       .select(col(id), posexplode(split(col(textCol), "\n")))
       .select(col(id), col("pos"), trim(col("col")).as("line"))
       .filter(length(col("line")) > 0)
-      .withColumn("fp", md5(col("line")))
+      .withColumn("fp", text.md5Binary(col("line")))
     val canon = lines.groupBy("fp")
       .agg(min(struct(col(id), col("pos"))).as("first"))
     lines.join(canon, "fp")
       .withColumn("kept", col(id) === col("first").getField(id) &&
         col("pos") === col("first").getField("pos"))
       .select(col(id), col("pos"), col("line"), col("kept"))
+  }
+
+  /** Benchmark DECONTAMINATION at token-window granularity with a
+    * BLOOM pre-filter — the scan-speed form of eval-set n-gram
+    * decontamination LLM pipelines run before training (the reference
+    * pipeline embeds whatever it is given; this is the guard that the
+    * training corpus does not contain the benchmark — the window-level
+    * sibling of the pairwise document rule in `p_decontaminate`):
+    * a train doc is contaminated per stride-1 `w`-token window whose
+    * fingerprint occurs anywhere in the eval corpus.
+    *
+    * Two-stage shape, both stages exact in the OUTPUT:
+    *  1. a Bloom filter over the eval windows' 64-bit hashes (built
+    *     once, a bounded byte array shipped as a plan literal)
+    *     pre-filters the train window stream AT THE SCAN — windows
+    *     the filter rejects are provably not in the eval set (no
+    *     false negatives) and never reach a shuffle;
+    *  2. the surviving candidates (true hits + the ε false-positive
+    *     residue) verify through the exact fingerprint-keyed join
+    *     against the distinct eval windows, so a Bloom false positive
+    *     can never mark a doc — the output is bit-independent of the
+    *     filter.
+    *
+    * Scale: at 100 TB the train side dominates (~10¹³ windows) while
+    * the eval set is benchmark-sized (~10⁶–10⁸ windows → a filter of
+    * MBs at 10 bits/key). Without the pre-filter the exact join
+    * shuffles every train window on its fingerprint; with it the
+    * shuffled volume is true-hits + ε·windows — at the standard 1%
+    * false-positive sizing, ~100× less traffic through the verify
+    * join on a mostly-clean corpus. Per-doc totals (`n_windows`)
+    * partial-aggregate map-side and never join anything.
+    *
+    * Returns one row per train doc: (id, n_windows, contam_windows,
+    * clean) — exact integers and an exact boolean.
+    */
+  def decontaminateWindows(train: DataFrame, evalDocs: DataFrame,
+      id: String, textCol: String, w: Int,
+      bitsPerKey: Long = 10): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    val evalFps = spanFingerprints(evalDocs, id, textCol, w)
+    // the filter is a bounded driver artifact (nKeys·bitsPerKey bits),
+    // like the runtime filters InjectRuntimeFilter plans — the count
+    // is one pass over the SMALL (eval) side only
+    val nKeys = math.max(1L, evalFps.count())
+    val shims = org.apache.spark.sql.graftshim.Shims
+    val bloom = evalFps
+      .agg(shims.bloomAgg(col("fp"), nKeys, nKeys * bitsPerKey).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val tw = train
+      .select(col(id), graft.functions.text.tokens(col(textCol)).as("tk"))
+      .select(col(id),
+        explode(graft.functions.text.shinglesOfTokens(col("tk"), w))
+          .as("win"))
+      .select(col(id), graft.functions.text.md5Binary(col("win")).as("fp"))
+    val totals = tw.groupBy(id).agg(count(lit(1)).as("n_windows"))
+    val contam = tw
+      .filter(shims.bloomMightContain(bloom, col("fp")))
+      .join(evalFps, Seq("fp"), "left_semi")
+      .groupBy(id).agg(count(lit(1)).as("contam_windows"))
+    totals.join(contam, Seq(id), "left")
+      .select(col(id), col("n_windows"),
+        coalesce(col("contam_windows"), lit(0L)).as("contam_windows"),
+        (coalesce(col("contam_windows"), lit(0L)) === 0L).as("clean"))
   }
 }

@@ -404,6 +404,56 @@ object PipelineQueries {
     splitCounts.crossJoin(pairAgg).crossJoin(hitAgg).localCheckpoint()
   }
 
+  /** Window-level BLOOM-GATED decontamination — the SCAN-SPEED form of
+    * eval-set n-gram decontamination ([[Dedup.decontaminateWindows]]),
+    * complementing `p_decontaminate`'s pairwise document rule: a train
+    * doc is contaminated per stride-1 8-token window occurring
+    * anywhere in the held-out split (deterministic hash split, as
+    * always). The Bloom filter over the eval windows pre-filters the
+    * train window stream at the scan (no false negatives by
+    * construction), and the surviving candidates verify through the
+    * exact fingerprint join — so the emitted counts are EXACT and
+    * bit-independent of the filter, which is why the row can FULL
+    * hash-gate while still executing the production two-stage shape.
+    * The oracle replays only the exact decision (one n-gram
+    * intersection join); the Bloom stage's correctness claim — output
+    * invariance — is exactly what the hash equality checks.
+    */
+  private val pDeconBloom = QueryDef.sqlChecked("p_decon_bloom")({
+    val w = 8
+    val concat8 = (0 until w).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, " +
+      "'\\s+'), t -> t <> '') AS tk FROM documents), " +
+      s"wins AS (SELECT doc_id, $concat8 AS win FROM " +
+      "(SELECT doc_id, tk, unnest(range(1, len(tk) - " +
+      s"${w - 2})) AS i FROM toks)), " +
+      "fps AS (SELECT doc_id, md5(win) AS fp FROM wins), " +
+      s"ev AS (SELECT DISTINCT fp FROM fps WHERE ${sqlBucket1000("doc_id")} >= 900), " +
+      s"tw AS (SELECT doc_id, fp FROM fps WHERE ${sqlBucket1000("doc_id")} < 900), " +
+      "pd AS (SELECT doc_id, count(*) AS n_windows, " +
+      "cast(sum(CASE WHEN ev.fp IS NOT NULL THEN 1 ELSE 0 END) as bigint) " +
+      "AS contam_windows FROM tw LEFT JOIN ev ON tw.fp = ev.fp " +
+      "GROUP BY doc_id) " +
+      "SELECT t.doc_id, coalesce(n_windows, 0) AS n_windows, " +
+      "coalesce(contam_windows, 0) AS contam_windows, " +
+      "coalesce(contam_windows, 0) = 0 AS clean FROM " +
+      s"(SELECT doc_id FROM documents WHERE ${sqlBucket1000("doc_id")} < 900) t " +
+      "LEFT JOIN pd ON t.doc_id = pd.doc_id ORDER BY t.doc_id"
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val isEval = bucket1000(col("doc_id")) >= 900
+    val train = docs.filter(!isEval)
+    val pd = Dedup.decontaminateWindows(
+      train, docs.filter(isEval), "doc_id", "text", 8)
+    train.select("doc_id")
+      .join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("contam_windows"), lit(0L)).as("contam_windows"),
+        coalesce(col("clean"), lit(true)).as("clean"))
+      .orderBy("doc_id")
+  }
+
   /** SEQUENCE PACKING for training (concat-then-chunk): documents are
     * conceptually concatenated in deterministic (source, doc_id) order
     * into a token stream that is cut every 512 tokens; a document's
@@ -688,6 +738,7 @@ object PipelineQueries {
     pSplitTrainTest, pMixtureSample, pSourceCap, pQualityQuantile,
     pTopkTokens, pNgramStats,
     pReembedDelta, pCorpusClean, pPackSequences, pDecontaminate,
+    pDeconBloom,
     pShuffleShard, qStreamDedup, qStreamDedupWm, qStreamJoin,
     qStreamStatic)
 }

@@ -238,6 +238,59 @@ class DedupSpec extends SparkTestBase {
       "output is batch docs only — the store never re-profiles")
   }
 
+  test("decontaminateWindows: a train doc containing an eval 8-run " +
+      "is flagged with the exact window count, clean docs stay clean, " +
+      "and the output is bit-independent of the Bloom stage") {
+    import spark.implicits._
+    val evalRun = (1 to 10).map(i => s"bench$i").mkString(" ")
+    val evalDocs = Seq(
+      (100L, s"qa pair $evalRun answer end"),
+      (101L, (1 to 15).map(i => s"held$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"intro text $evalRun outro tail"), // carries the 10-run → 3 dup windows
+      (2L, (1 to 20).map(i => s"clean$i").mkString(" ")),
+      (3L, "below the window width here")      // < w → no windows
+    ).toDF("doc_id", "text")
+    val pd = Dedup.decontaminateWindows(train, evalDocs,
+      "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("contam_windows"),
+          r.getAs[Boolean]("clean"))).toMap
+    assert(pd(1L)._2 == 3 && !pd(1L)._3,
+      s"the eval 10-run must flag 3 train windows: $pd")
+    assert(pd(2L)._2 == 0 && pd(2L)._3, s"clean doc must stay clean: $pd")
+    assert(!pd.contains(3L), "a sub-window doc has no window rows")
+    // Bloom-independence: the exact verify join makes the output
+    // identical to the no-Bloom exact decision — a false positive can
+    // never mark a doc
+    val evalFps = Dedup.spanFingerprints(evalDocs, "doc_id", "text", 8)
+    val tw = train
+      .select(col("doc_id"),
+        graft.functions.text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(graft.functions.text.shinglesOfTokens(col("tk"), 8))
+          .as("win"))
+      .select(col("doc_id"),
+        graft.functions.text.md5Binary(col("win")).as("fp"))
+    val exact = tw.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"))
+      .join(tw.join(evalFps, Seq("fp"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("contam_windows")),
+        Seq("doc_id"), "left")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_windows"),
+          Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L))).toMap
+    assert(pd.view.mapValues(v => (v._1, v._2)).toMap == exact,
+      s"bloom-gated output must equal the exact decision: $pd vs $exact")
+    // the Bloom stage must actually be IN the plan (pre-filtering the
+    // train scan), not optimized away
+    val plan = Dedup.decontaminateWindows(train, evalDocs,
+      "doc_id", "text", 8).queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom pre-filter missing from the plan:\n$plan")
+  }
+
   test("identical texts get identical simhash, hamming 0") {
     val sim = Dedup.simhash(
       docs.limit(2).unionAll(docs.limit(2)
