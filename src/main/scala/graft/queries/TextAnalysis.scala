@@ -673,7 +673,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Linear bag-of-words classifier inference
+    * ([[graft.operators.TextClassifier]]) — the model-based quality
+    * filter (fastText-shape) that runs after the heuristic gates:
+    * the model is a broadcast (term, milli-weight) table joined onto
+    * the exploded token stream, per-doc exact integer sum, keep iff
+    * score_num ≥ 250·n_tokens (an integer comparison — the decision
+    * cannot flip on float rounding). The oracle carries the identical
+    * model as a VALUES table. 207/500 docs keep at sf0.01 — a real
+    * split, not a constant.
+    */
+  private val tClassifierScore = QueryDef.sqlChecked("t_classifier_score")({
+    val tc = graft.operators.TextClassifier
+    "WITH toks AS (SELECT doc_id, unnest(list_filter(" +
+      "string_split_regex(text, '\\s+'), t -> t <> '')) AS t FROM documents), " +
+      s"w(term, wt) AS (${tc.sqlWeightValues()}), " +
+      "sc AS (SELECT doc_id, count(*) AS n_tokens, " +
+      "cast(coalesce(sum(wt), 0) as bigint) AS score_num " +
+      "FROM toks LEFT JOIN w ON toks.t = w.term GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens, " +
+      "coalesce(score_num, 0) AS score_num, " +
+      "CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0 ELSE " +
+      "cast(score_num as double) / n_tokens END AS score, " +
+      "coalesce(n_tokens, 0) > 0 AND coalesce(score_num, 0) >= " +
+      s"${tc.DefaultThresholdMilli} * coalesce(n_tokens, 0) AS keep " +
+      "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id " +
+      "ORDER BY d.doc_id"
+  }) { (s, d) =>
+    graft.operators.TextClassifier
+      .score(s, Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(tTokenCount, tQuality, tLangId, tBpeCount,
     tRedact, tFingerprint, tRepetition, tRepLines, tRepArgmax, tRepFracs,
-    tGopherRules, tC4Rules, tLangNgram)
+    tGopherRules, tC4Rules, tLangNgram, tClassifierScore)
 }

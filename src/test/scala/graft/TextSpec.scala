@@ -63,6 +63,33 @@ class TextSpec extends SparkTestBase {
     assert(BpeCodec.encodeCount("ingesting") < 9)
   }
 
+  test("TextClassifier.score: exact weighted sums, OOV scores 0, " +
+      "integer keep decision, empty docs survive, model broadcast") {
+    import graft.operators.TextClassifier
+    val docs = Seq(
+      (1L, "spark spark data oovword"), // 1000+1000+900+0 = 2900 / 4
+      (2L, "slow dup a"),               // -400-1000-800 = -2200 / 3
+      (3L, ""),                          // no tokens
+      (4L, "oov1 oov2")                  // all OOV: 0 / 2
+    ).toDF("doc_id", "text")
+    val got = TextClassifier.score(spark, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("score_num"),
+          r.getAs[Double]("score"), r.getAs[Boolean]("keep"))).toMap
+    assert(got(1L) == ((4L, 2900L, 725.0, true)), s"$got")
+    assert(got(2L) == ((3L, -2200L, -2200.0 / 3, false)), s"$got")
+    assert(got(3L) == ((0L, 0L, 0.0, false)),
+      s"an empty doc must emit a zero row, not vanish: $got")
+    assert(got(4L) == ((2L, 0L, 0.0, false)),
+      s"all-OOV doc scores 0 and fails a positive threshold: $got")
+    // the model must join as a BROADCAST (a KB-size artifact never
+    // justifies a shuffle of the token stream)
+    val plan = TextClassifier.score(spark, docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join must broadcast:\n$plan")
+  }
+
   test("BPE column expression sums per-word counts") {
     val got = Seq("the thin xyz", "", "   ").toDF("t")
       .select(text.bpeMergeCount(col("t"))).as[Long].collect().toSeq
