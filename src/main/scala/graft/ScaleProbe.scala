@@ -1326,6 +1326,79 @@ object ScaleProbe {
         f"(dup_docs=$nDup) cut=$tCut%.2f s (cut_docs=$nCutDocs) " +
         f"rewrite=$tRw%.2f s (kept_chars=$nRwBytes) " +
         f"incremental=$tInc%.2f s (batch_dup_docs=$nBatchDup)")
+    } else if (args(0) == "deconbloom") {
+      // Bloom-gated decontamination economics: the claim to price is
+      // "the pre-filter cuts the verify join's input to true hits +
+      // the ε false-positive residue while the output stays exact".
+      // Measures the gated operator vs the no-bloom exact join at the
+      // same corpus, plus the actual candidate-volume reduction.
+      // usage: deconbloom <nTrain>
+      val n = args(1).toLong
+      import graft.operators.Dedup
+      val corpus = graft.pipeline.SyntheticCorpus.docs(spark, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpus.count()
+      val isEval = col("doc_id") % 50 === 0 // 2% held-out split
+      val evalDocs = corpus.filter(isEval)
+      val train = corpus.filter(!isEval)
+      def med3(body: => Long): (Double, Long) = {
+        var out = 0L
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); out = body
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (ts(1), out)
+      }
+      Dedup.decontaminateWindows(train.limit(2000), evalDocs,
+        "doc_id", "text", 8).count() // warm
+      val (tBloom, nContam) = med3 {
+        Dedup.decontaminateWindows(train, evalDocs, "doc_id", "text", 8)
+          .agg(sum("contam_windows")).head().getLong(0)
+      }
+      // the no-pre-filter baseline: every train window reaches the
+      // exact fingerprint join
+      val evalFps = Dedup.spanFingerprints(evalDocs, "doc_id", "text", 8)
+      def trainWins = train
+        .select(col("doc_id"),
+          graft.functions.text.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          explode(graft.functions.text.shinglesOfTokens(col("tk"), 8))
+            .as("win"))
+        .select(col("doc_id"),
+          graft.functions.text.md5Binary(col("win")).as("fp"))
+      val (tExact, nContamExact) = med3 {
+        trainWins.join(evalFps, Seq("fp"), "left_semi").count()
+      }
+      // the large-eval regime: past the broadcast threshold the plain
+      // verify join SHUFFLES every train window on its fingerprint —
+      // this is the condition the pre-filter is designed for
+      val bcThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (tExactShuffle, _) = med3 {
+        trainWins.join(evalFps, Seq("fp"), "left_semi").count()
+      }
+      val (tBloomShuffle, nContamBS) = med3 {
+        Dedup.decontaminateWindows(train, evalDocs, "doc_id", "text", 8)
+          .agg(sum("contam_windows")).head().getLong(0)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThresh)
+      // candidate-volume reduction the filter actually delivers
+      val nKeys = math.max(1L, evalFps.count())
+      val shims = org.apache.spark.sql.graftshim.Shims
+      val bloom = evalFps
+        .agg(shims.bloomAgg(col("fp"), nKeys, nKeys * 10L).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val nAll = trainWins.count()
+      val nPass = trainWins
+        .filter(shims.bloomMightContain(bloom, col("fp"))).count()
+      corpus.unpersist()
+      require(nContam == nContamExact && nContam == nContamBS,
+        s"bloom-gated ($nContam/$nContamBS) must equal exact ($nContamExact)")
+      println(f"DECONBLOOM n=$n eval_keys=$nKeys gated=$tBloom%.2f s " +
+        f"exact_bcast=$tExact%.2f s exact_shuffle=$tExactShuffle%.2f s " +
+        f"gated_shuffle=$tBloomShuffle%.2f s contam_windows=$nContam " +
+        f"windows=$nAll bloom_pass=$nPass " +
+        f"(${100.0 * nPass / math.max(1L, nAll)}%.1f%% reach the verify join)")
     } else if (args(0) == "dedupinc") {
       // Incremental near-dup: per-batch cost against a persisted
       // signature store as the STORE grows — the claim to price is
