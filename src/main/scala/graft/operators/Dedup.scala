@@ -106,10 +106,22 @@ object Dedup {
     * and released before returning (the candidate pairs are
     * localCheckpoint-ed).
     */
-  def minhashCandidates(sig: DataFrame, id: String): DataFrame = {
+  def minhashCandidates(sig: DataFrame, id: String): DataFrame =
+    minhashCandidatesWith(sig, id, 2)
+
+  /** [[minhashCandidates]] at an arbitrary band width — the (b, r)
+    * knob of the LSH S-curve P(candidate | s) = 1 − (1 − s^r)^b over
+    * the 8 signature values (r must divide 8). Narrow bands (small r)
+    * catch lower-similarity pairs at the cost of candidate volume;
+    * `d_minhash_curve` prices the trade as a driver-checked table.
+    */
+  def minhashCandidatesWith(sig: DataFrame, id: String,
+      rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1 && MinhashA.size % rowsPerBand == 0,
+      s"rows per band must divide ${MinhashA.size}, got $rowsPerBand")
     val s = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val bands = MinhashA.indices.grouped(2).toSeq
+      val bands = MinhashA.indices.grouped(rowsPerBand).toSeq
       val perBand = bands.map { cols =>
         val key = struct(cols.map(i => col(s"m${i + 1}")): _*)
         val a = s.select(col(id).as("da"), key.as("k"))

@@ -95,6 +95,74 @@ object DedupQueries {
     Dedup.minhashCandidates(sig, "doc_id").orderBy("da", "db")
   }
 
+  /** MinHash banding TUNING TABLE — the (b, r) S-curve
+    * P(candidate | s) = 1 − (1 − s^r)^b made driver-visible (the
+    * `v_ann_recall_curve` / `v_bq_recall_curve` discipline for the
+    * dedup family): one row per band width r ∈ {1, 2, 4, 8} over the
+    * same 8-value signatures, with exact candidate volume, exact
+    * true-candidate count (candidates at Jaccard ≥ 0.2), the exact
+    * corpus-wide true-pair total, and precision/recall as one IEEE
+    * division each. The table shows both failure modes at once:
+    * r=1 saturates (82 672 candidates at sf0.1 — precision noise),
+    * r=8 collapses recall to near-exact-dups; the production r=2
+    * default sits on the knee. Engine cost note: the engine builds
+    * candidates as per-band equi-joins unioned (never the OR-join the
+    * compact oracle uses — an OR of band equalities cannot hash-join).
+    */
+  private val dMinhashCurve = QueryDef.sqlChecked("d_minhash_curve")({
+    def bandPred(r: Int): String =
+      Dedup.MinhashA.indices.grouped(r).map(g =>
+        g.map(i => s"a.m${i + 1} = b.m${i + 1}")
+          .mkString("(", " AND ", ")")).mkString(" OR ")
+    def candCte(r: Int): String =
+      s"cand$r AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sig a " +
+        s"JOIN sig b ON a.doc_id < b.doc_id AND (${bandPred(r)}))"
+    def row(r: Int): String =
+      s"SELECT $r AS r, ${8 / r} AS n_bands, " +
+        s"(SELECT count(*) FROM cand$r) AS n_candidates, " +
+        s"(SELECT count(*) FROM cand$r JOIN tp USING (da, db)) AS n_true_cands"
+    s"$SigCte, " +
+      s"ds0 AS (SELECT DISTINCT doc_id, s FROM (${sql.shingleRows("doc_id")})), " +
+      "ds AS (SELECT doc_id, s FROM (SELECT doc_id, s, " +
+      "count(*) OVER (PARTITION BY s) AS df FROM ds0) " +
+      s"WHERE df <= ${Dedup.DefaultMaxShingleDf}), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), " +
+      "jp AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c " +
+      "FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "tp AS (SELECT da, db FROM jp JOIN sizes x ON da = x.doc_id " +
+      "JOIN sizes y ON db = y.doc_id " +
+      "WHERE cast(c as double) / (x.n + y.n - c) >= 0.2), " +
+      Seq(1, 2, 4, 8).map(candCte).mkString(", ") + ", " +
+      "rows AS (" + Seq(1, 2, 4, 8).map(row).mkString(" UNION ALL ") + ") " +
+      "SELECT r, n_bands, n_candidates, n_true_cands, " +
+      "(SELECT count(*) FROM tp) AS n_true, " +
+      "CASE WHEN n_candidates = 0 THEN 0.0 ELSE " +
+      "cast(n_true_cands as double) / n_candidates END AS prec, " +
+      "CASE WHEN (SELECT count(*) FROM tp) = 0 THEN 0.0 ELSE " +
+      "cast(n_true_cands as double) / (SELECT count(*) FROM tp) END AS recall " +
+      "FROM rows ORDER BY r"
+  }) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    // localCheckpoint: four banding passes + their per-call persist /
+    // unpersist would otherwise recompute the signature lineage
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .localCheckpoint()
+    val tp = Dedup.jaccardPairs(docs, "doc_id", "text", 0.2)
+      .select("da", "db")
+    val nTrue = tp.count()
+    val rows = Seq(1, 2, 4, 8).map { r =>
+      val cand = Dedup.minhashCandidatesWith(sig, "doc_id", r)
+      val nc = cand.count()
+      val ntc = cand.join(tp, Seq("da", "db"), "left_semi").count()
+      (r.toLong, (8 / r).toLong, nc, ntc, nTrue,
+        if (nc == 0) 0.0 else ntc.toDouble / nc,
+        if (nTrue == 0) 0.0 else ntc.toDouble / nTrue)
+    }
+    rows.toDF("r", "n_bands", "n_candidates", "n_true_cands", "n_true",
+      "prec", "recall").orderBy("r")
+  }
+
   /** SimHash fingerprints (60-bit, shingle-hash multiset). */
   private val dSimhash = QueryDef.sqlChecked("d_simhash")(
     s"$SimhashCte SELECT doc_id, simhash FROM sim ORDER BY doc_id"
@@ -1039,6 +1107,7 @@ object DedupQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
+    dMinhashCurve,
     dDedupIncremental, dStreamDedupInc, dSimhash, dSimhashPairs,
     dSimhashBanded, dSrpLsh, dCosinePairs, dClusters, dDedupKeep,
     dSemDedup, dSemDedupInc, dStreamSemDedup, dLineDedup, dSpanDedup,

@@ -238,6 +238,29 @@ class DedupSpec extends SparkTestBase {
       "output is batch docs only — the store never re-profiles")
   }
 
+  test("minhashCandidatesWith: r=2 is exactly minhashCandidates, " +
+      "candidate sets are monotone in band width, bad r refuses") {
+    import spark.implicits._
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .localCheckpoint()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val default = pairs(Dedup.minhashCandidates(sig, "doc_id"))
+    assert(pairs(Dedup.minhashCandidatesWith(sig, "doc_id", 2)) == default)
+    // narrower bands can only ADD candidates (any r-run match implies
+    // a sub-run match at r/2), wider only remove
+    val c1 = pairs(Dedup.minhashCandidatesWith(sig, "doc_id", 1))
+    val c4 = pairs(Dedup.minhashCandidatesWith(sig, "doc_id", 4))
+    val c8 = pairs(Dedup.minhashCandidatesWith(sig, "doc_id", 8))
+    assert(default.subsetOf(c1) && c4.subsetOf(default) && c8.subsetOf(c4),
+      s"band-width monotonicity broken: ${c1.size}/${default.size}/" +
+        s"${c4.size}/${c8.size}")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatesWith(sig, "doc_id", 3)
+    }
+    ()
+  }
+
   test("decontaminateWindows: a train doc containing an eval 8-run " +
       "is flagged with the exact window count, clean docs stay clean, " +
       "and the output is bit-independent of the Bloom stage") {
