@@ -62,20 +62,25 @@ object TextClassifier {
     */
   def score(spark: SparkSession, docs: DataFrame, id: String,
       textCol: String, weights: Seq[(String, Long)] = QualityWeights,
-      thresholdMilli: Long = DefaultThresholdMilli): DataFrame = {
+      thresholdMilli: Long = DefaultThresholdMilli,
+      carry: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val model = weights.toDF("__term", "__w")
+    // carried columns (e.g. source for downstream mixing) ride the
+    // token rows and the per-doc agg — one pass, never a join back
+    // to the corpus on the doc id
+    val carried = carry.map(col)
     val toks = docs
-      .select(col(id), text.tokens(col(textCol)).as("tk"))
-      .select(col(id), explode(col("tk")).as("__term"))
+      .select(col(id) +: carried :+ text.tokens(col(textCol)).as("tk"): _*)
+      .select(col(id) +: carried :+ explode(col("tk")).as("__term"): _*)
     val sc = toks
       .join(broadcast(model), Seq("__term"), "left")
-      .groupBy(id)
+      .groupBy(id, carry: _*)
       .agg(count(lit(1)).as("n_tokens"),
         coalesce(sum("__w"), lit(0L)).as("score_num"))
-    docs.select(col(id))
-      .join(sc, Seq(id), "left")
-      .select(col(id),
+    docs.select(col(id) +: carried: _*)
+      .join(sc, id +: carry, "left")
+      .select(col(id) +: carried ++: Seq(
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("score_num"), lit(0L)).as("score_num"),
         when(coalesce(col("n_tokens"), lit(0L)) === 0L, 0.0)
@@ -84,7 +89,7 @@ object TextClassifier {
         (coalesce(col("n_tokens"), lit(0L)) > 0L &&
           coalesce(col("score_num"), lit(0L)) >=
             lit(thresholdMilli) * coalesce(col("n_tokens"), lit(0L)))
-          .as("keep"))
+          .as("keep")): _*)
   }
 
   /** The weight table as a SQL VALUES fragment for the DuckDB oracle. */

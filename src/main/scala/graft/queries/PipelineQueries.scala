@@ -404,6 +404,57 @@ object PipelineQueries {
     splitCounts.crossJoin(pairAgg).crossJoin(hitAgg).localCheckpoint()
   }
 
+  /** CLASSIFIER-GUIDED IMPORTANCE SAMPLING — the DCLM-style soft
+    * filter: instead of a hard keep/drop threshold, every doc is kept
+    * with probability ∝ its classifier quality score, realized as the
+    * deterministic hash rule `bucket1000(id)·n_tokens < score_num`
+    * (all bigint — score_num is in milli-units, so the keep
+    * probability is clamp(score, 0, 1)/1 exactly, and the decision is
+    * a pure function of the id like every sampler here: re-runs,
+    * retries, AQE re-plans, and both engines draw the identical
+    * sample; negative scores can never be kept). One classifier pass
+    * with `source` carried through the agg (never a join back to the
+    * corpus), one per-source aggregate — the sampled corpus itself
+    * never materializes. Emits per source: docs, kept docs, token
+    * masses, and the realized rate (one IEEE division).
+    */
+  private val pImportanceSample = QueryDef.sqlChecked("p_importance_sample")({
+    val tc = graft.operators.TextClassifier
+    "WITH toks AS (SELECT doc_id, unnest(list_filter(" +
+      "string_split_regex(text, '\\s+'), t -> t <> '')) AS t FROM documents), " +
+      s"w(term, wt) AS (${tc.sqlWeightValues()}), " +
+      "sc AS (SELECT doc_id, count(*) AS n_tokens, " +
+      "cast(coalesce(sum(wt), 0) as bigint) AS score_num " +
+      "FROM toks LEFT JOIN w ON toks.t = w.term GROUP BY doc_id), " +
+      "scored AS (SELECT d.doc_id, d.source, " +
+      "coalesce(n_tokens, 0) AS n_tokens, " +
+      "coalesce(score_num, 0) AS score_num " +
+      "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id), " +
+      s"k AS (SELECT *, ${sqlBucket1000("doc_id")} * n_tokens < score_num " +
+      "AS keep FROM scored) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) AS n_kept, " +
+      "cast(sum(n_tokens) as bigint) AS total_tokens, " +
+      "cast(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) as bigint) " +
+      "AS kept_tokens, " +
+      "cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as double) / count(*) " +
+      "AS rate FROM k GROUP BY source ORDER BY source"
+  }) { (s, d) =>
+    val sc = graft.operators.TextClassifier.score(
+      s, Tables.documents(s, d), "doc_id", "text", carry = Seq("source"))
+    val keep = bucket1000(col("doc_id")) * col("n_tokens") < col("score_num")
+    sc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum("n_tokens").cast("bigint").as("total_tokens"),
+        sum(when(keep, col("n_tokens")).otherwise(0L)).cast("bigint")
+          .as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("total_tokens"), col("kept_tokens"),
+        (col("n_kept").cast("double") / col("n_docs")).as("rate"))
+      .orderBy("source")
+  }
+
   /** Window-level BLOOM-GATED decontamination — the SCAN-SPEED form of
     * eval-set n-gram decontamination ([[Dedup.decontaminateWindows]]),
     * complementing `p_decontaminate`'s pairwise document rule: a train
@@ -738,7 +789,7 @@ object PipelineQueries {
     pSplitTrainTest, pMixtureSample, pSourceCap, pQualityQuantile,
     pTopkTokens, pNgramStats,
     pReembedDelta, pCorpusClean, pPackSequences, pDecontaminate,
-    pDeconBloom,
+    pDeconBloom, pImportanceSample,
     pShuffleShard, qStreamDedup, qStreamDedupWm, qStreamJoin,
     qStreamStatic)
 }

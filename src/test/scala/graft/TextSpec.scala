@@ -88,6 +88,32 @@ class TextSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"model join must broadcast:\n$plan")
+    // carried columns ride the one pass (no corpus self-join) and
+    // leave the per-doc values unchanged
+    val withSrc = docs.withColumn("src",
+      concat(lit("s"), col("doc_id") % 2))
+    val carried = TextClassifier.score(spark, withSrc, "doc_id", "text",
+      carry = Seq("src"))
+    assert(carried.columns.toSeq ==
+      Seq("doc_id", "src", "n_tokens", "score_num", "score", "keep"))
+    val c = carried.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getAs[Long]("score_num"))).toMap
+    assert(c(1L) == (("s1", 2900L)) && c(2L) == (("s0", -2200L)), s"$c")
+    // importance-sampling algebra: bucket·n_tokens < score_num keeps
+    // a p=1 doc (score 1000 milli) always and a negative-score doc
+    // never, for EVERY bucket value
+    val full = (1 to 40).map(i =>
+      (i.toLong, Seq.fill(6)("spark").mkString(" "))) // score = 1000·6
+    val neg = (41 to 80).map(i => (i.toLong, "dup dup dup"))
+    val all = (full ++ neg).toDF("doc_id", "text")
+    val sc2 = TextClassifier.score(spark, all, "doc_id", "text")
+    val h = ((col("doc_id") % 2147483647L) * 1103515245L + 12345L) %
+      2147483647L
+    val bucket = ((h * h) % 2147483647L) % 1000L
+    val kept = sc2.filter(bucket * col("n_tokens") < col("score_num"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (1L to 40L).toSet,
+      s"p=1 docs always kept, negative never: $kept")
   }
 
   test("BPE column expression sums per-word counts") {
