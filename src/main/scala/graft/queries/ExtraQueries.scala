@@ -120,6 +120,50 @@ object ExtraQueries {
       .orderBy("doc_id")
   }
 
+  /** CSV ROUND-TRIP, driver-gated — the other interchange format as
+    * an oracle-checked source ([[graft.sources.DocumentSource
+    * .readCsv]]): every document is DECORATED with a payload suffix
+    * containing the three characters CSV must escape (a comma, a
+    * double quote, an embedded newline — the synthetic corpus carries
+    * none, so the gate plants them), written as RFC 4180 CSV
+    * (header, quoted fields, doubled-quote escaping), read back
+    * through the pinned-schema fail-fast reader, and hash-compared by
+    * per-doc md5 — a match proves byte-exact survival of quoting,
+    * escaping, and multi-line records in BOTH directions. The oracle
+    * never touches the CSV; it recomputes the decorated md5 from
+    * parquet, which is exactly the claim (round trip ≡ identity).
+    */
+  private val sCsvRoundtrip = QueryDef.sqlChecked("s_csv_roundtrip")(
+    "SELECT doc_id, md5(text || ',\"' || chr(10) || 'end') AS fp, " +
+      "cast(length(text) + 6 as bigint) AS n_chars " +
+      "FROM documents ORDER BY doc_id"
+  ) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_csv_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.walk(dir).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    // moderate file count on purpose: multiLine CSV parallelism is
+    // per-file (see readCsv) — one giant file would serialize the read
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(col("text"), lit(",\"\nend")).as("text"))
+      .repartition(4)
+      .write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(dir.toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    graft.sources.DocumentSource.readCsv(s, dir.toString, schema)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        length(col("text")).cast("bigint").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(qPercentiles, qGroupingFn, tNormalize,
-    qFilteredAgg, sJsonlRoundtrip)
+    qFilteredAgg, sJsonlRoundtrip, sCsvRoundtrip)
 }

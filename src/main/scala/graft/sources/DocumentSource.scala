@@ -43,6 +43,30 @@ object DocumentSource {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
+  /** CSV read with a pinned schema + FAILFAST — the CSV sibling of
+    * [[readJsonl]] for the other common interchange format. RFC 4180
+    * conventions: header row, quoted fields with doubled-quote
+    * escaping (`escape = "` — Spark's default backslash escape is
+    * NOT what other CSV producers emit), and `multiLine` so quoted
+    * embedded newlines survive. Schema pinned, never inferred — CSV
+    * inference is a full extra read AND type-guesses (a doc of all
+    * digits would silently become a number).
+    *
+    * multiLine caveat at scale: a multiLine CSV file is NOT
+    * line-splittable (a record boundary cannot be found mid-file), so
+    * each FILE becomes one input partition — parallelism = file
+    * count. Write many moderate files (the writer side of the gate
+    * does), never one giant CSV.
+    */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(path)
+
   /** JSONL read with corrupt-line QUARANTINE — the steady-state form
     * for web-scale feeds where a malformed line is routine, not
     * exceptional, and must neither kill the job (FAILFAST) nor

@@ -27,6 +27,35 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("csv source: RFC 4180 round trip survives commas, doubled " +
+      "quotes, and embedded newlines; FAILFAST kills on a corrupt row") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-csv")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val hard = Seq(
+      (1L, "plain text"),
+      (2L, "comma, inside"),
+      (3L, "a \"quoted\" word"),
+      (4L, "two\nlines"))
+    hard.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(dir.toString)
+    val back = DocumentSource.readCsv(spark, dir.toString, schema)
+      .as[(Long, String)].collect().toSet
+    assert(back == hard.toSet, s"round trip must be identity: $back")
+    val bad = Files.createTempDirectory("graft-csv-bad")
+    Files.writeString(bad.resolve("bad.csv"),
+      "doc_id,text\nnot_a_long,oops\n")
+    // collect, not count: CSV count() takes a no-parse fast path
+    // (zero columns materialized) and would never see the bad value
+    intercept[org.apache.spark.SparkException] {
+      DocumentSource.readCsv(spark, bad.toString, schema).collect()
+    }
+    ()
+  }
+
   test("jsonl source: pinned schema, FAILFAST kills on one corrupt " +
       "line, quarantine splits good rows from raw offending lines") {
     import org.apache.spark.sql.types._
