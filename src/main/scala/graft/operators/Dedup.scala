@@ -562,6 +562,48 @@ object Dedup {
       .select(col(id), col("pos"), col("line"), col("kept"))
   }
 
+  /** Doc-keyed window-fingerprint INDEX — (id, fp, c) with c the
+    * window's within-doc multiplicity: the persisted train-side state
+    * that makes DELTA decontamination ([[deconDelta]]) possible
+    * without re-scanning the corpus. The span-dedup fingerprint
+    * store's sibling, one partial-aggregable groupBy over the window
+    * explode.
+    */
+  def spanWindowIndex(docs: DataFrame, id: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    docs
+      .select(col(id), graft.functions.text.tokens(col(textCol)).as("tk"))
+      .select(col(id),
+        explode(graft.functions.text.shinglesOfTokens(col("tk"), w))
+          .as("win"))
+      .select(col(id), graft.functions.text.md5Binary(col("win")).as("fp"))
+      .groupBy(id, "fp").agg(count(lit(1)).as("c"))
+  }
+
+  /** DELTA decontamination — the incremental form of
+    * [[decontaminateWindows]] for the case production actually hits:
+    * the training corpus is already screened against eval set v1 and
+    * a NEW benchmark (v2 delta) arrives. Re-screening by re-scanning
+    * 100 TB of train text per eval release is the naive bill; instead
+    * the train side persists its window-fingerprint index ONCE
+    * ([[spanWindowIndex]], the same explode the span-dedup store
+    * already pays) and each eval delta joins against it: cost ∝
+    * |new eval windows| + matches — the corpus text is never touched
+    * again. Returns per train doc the contaminated-window count
+    * against the NEW windows only (windows in `newEvalFps` minus
+    * `oldEvalFps`); docs with no new hits are absent (left-join at
+    * the call site, as the span family does).
+    */
+  def deconDelta(trainIndex: DataFrame, oldEvalFps: DataFrame,
+      newEvalFps: DataFrame, id: String): DataFrame = {
+    val fresh = newEvalFps.select("fp")
+      .join(oldEvalFps.select("fp"), Seq("fp"), "left_anti")
+      .distinct()
+    trainIndex.join(fresh, Seq("fp"), "left_semi")
+      .groupBy(id).agg(sum("c").as("new_contam_windows"))
+  }
+
   /** Benchmark DECONTAMINATION at token-window granularity with a
     * BLOOM pre-filter — the scan-speed form of eval-set n-gram
     * decontamination LLM pipelines run before training (the reference

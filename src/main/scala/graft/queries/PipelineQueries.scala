@@ -505,6 +505,74 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** DELTA decontamination — a NEW benchmark version arrives and the
+    * already-screened corpus must be re-screened against only the new
+    * windows ([[Dedup.deconDelta]]): the train side's persisted
+    * window-fingerprint index absorbs the whole cost (∝ new eval
+    * windows + matches — the corpus text is never re-scanned; at
+    * 100 TB that is the difference between a join against a delta and
+    * a full corpus pass per eval release). Gate: train = bucket <
+    * 900, eval v1 = [900, 950), v2 delta = [950, 1000); emits per
+    * train doc its OLD contamination (vs v1) and NEW contamination
+    * (vs the v2-minus-v1 window set) plus the newly-flagged bit —
+    * docs v1 called clean that v2 catches (at sf0.01: 3 docs carry
+    * v1 contamination and the v2 delta newly flags 1 more).
+    * All exact integers/booleans, FULL hash oracle.
+    */
+  private val pDeconDelta = QueryDef.sqlChecked("p_decon_delta")({
+    val w = 8
+    val concat8 = (0 until w).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    val bkt = sqlBucket1000("doc_id")
+    "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, " +
+      "'\\s+'), t -> t <> '') AS tk FROM documents), " +
+      s"wins AS (SELECT doc_id, $concat8 AS win FROM " +
+      "(SELECT doc_id, tk, unnest(range(1, len(tk) - " +
+      s"${w - 2})) AS i FROM toks)), " +
+      "fps AS (SELECT doc_id, md5(win) AS fp FROM wins), " +
+      s"idx AS (SELECT doc_id, fp, count(*) AS c FROM fps " +
+      s"WHERE $bkt < 900 GROUP BY doc_id, fp), " +
+      s"v1 AS (SELECT DISTINCT fp FROM fps WHERE $bkt >= 900 AND $bkt < 950), " +
+      s"v2 AS (SELECT DISTINCT fp FROM fps WHERE $bkt >= 950), " +
+      "fresh AS (SELECT fp FROM v2 WHERE fp NOT IN (SELECT fp FROM v1)), " +
+      "oldc AS (SELECT doc_id, cast(sum(c) as bigint) AS old_contam " +
+      "FROM idx JOIN v1 USING (fp) GROUP BY doc_id), " +
+      "newc AS (SELECT doc_id, cast(sum(c) as bigint) AS new_contam " +
+      "FROM idx JOIN fresh USING (fp) GROUP BY doc_id) " +
+      "SELECT t.doc_id, coalesce(old_contam, 0) AS old_contam, " +
+      "coalesce(new_contam, 0) AS new_contam, " +
+      "coalesce(old_contam, 0) = 0 AND coalesce(new_contam, 0) > 0 " +
+      "AS newly_flagged FROM " +
+      s"(SELECT doc_id FROM documents WHERE $bkt < 900) t " +
+      "LEFT JOIN oldc ON t.doc_id = oldc.doc_id " +
+      "LEFT JOIN newc ON t.doc_id = newc.doc_id ORDER BY t.doc_id"
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val b = bucket1000(col("doc_id"))
+    val train = docs.filter(b < 900)
+    val idx = Dedup.spanWindowIndex(train, "doc_id", "text", 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v1 = Dedup.spanFingerprints(
+        docs.filter(b >= 900 && b < 950), "doc_id", "text", 8)
+      val v2 = Dedup.spanFingerprints(
+        docs.filter(b >= 950), "doc_id", "text", 8)
+      val oldC = idx.join(v1, Seq("fp"), "left_semi")
+        .groupBy("doc_id").agg(sum("c").as("old_contam"))
+      val newC = Dedup.deconDelta(idx, v1, v2, "doc_id")
+      train.select("doc_id")
+        .join(oldC, Seq("doc_id"), "left")
+        .join(newC, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("old_contam"), lit(0L)).as("old_contam"),
+          coalesce(col("new_contam_windows"), lit(0L)).as("new_contam"),
+          (coalesce(col("old_contam"), lit(0L)) === 0L &&
+            coalesce(col("new_contam_windows"), lit(0L)) > 0L)
+            .as("newly_flagged"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally { idx.unpersist(); () }
+  }
+
   /** SEQUENCE PACKING for training (concat-then-chunk): documents are
     * conceptually concatenated in deterministic (source, doc_id) order
     * into a token stream that is cut every 512 tokens; a document's
@@ -789,7 +857,7 @@ object PipelineQueries {
     pSplitTrainTest, pMixtureSample, pSourceCap, pQualityQuantile,
     pTopkTokens, pNgramStats,
     pReembedDelta, pCorpusClean, pPackSequences, pDecontaminate,
-    pDeconBloom, pImportanceSample,
+    pDeconBloom, pImportanceSample, pDeconDelta,
     pShuffleShard, qStreamDedup, qStreamDedupWm, qStreamJoin,
     qStreamStatic)
 }

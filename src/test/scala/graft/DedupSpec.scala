@@ -314,6 +314,31 @@ class DedupSpec extends SparkTestBase {
       s"bloom pre-filter missing from the plan:\n$plan")
   }
 
+  test("deconDelta: only windows NEW in v2 count — v1 hits and " +
+      "v1-repeated windows are excluded, multiplicity is exact") {
+    import spark.implicits._
+    val runA = (1 to 8).map(i => s"va$i").mkString(" ")  // v1 only
+    val runB = (1 to 8).map(i => s"vb$i").mkString(" ")  // v2 only
+    val runC = (1 to 8).map(i => s"vc$i").mkString(" ")  // in BOTH
+    val train = Seq(
+      (1L, s"x1 x2 $runA y1 y2"),          // old hit, no new
+      (2L, s"$runB z1 z2 $runB"),           // new hit, ×2 occurrences
+      (3L, s"w1 $runC w2"),                 // v2 repeats v1 → NOT new
+      (4L, (1 to 15).map(i => s"cl$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val v1 = Dedup.spanFingerprints(
+      Seq((100L, s"$runA mid $runC")).toDF("doc_id", "text"),
+      "doc_id", "text", 8)
+    val v2 = Dedup.spanFingerprints(
+      Seq((200L, s"$runB mid2 $runC")).toDF("doc_id", "text"),
+      "doc_id", "text", 8)
+    val idx = Dedup.spanWindowIndex(train, "doc_id", "text", 8)
+    val got = Dedup.deconDelta(idx, v1, v2, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long](1)).toMap
+    assert(got == Map(2L -> 2L),
+      s"only doc 2's two new-window occurrences count: $got")
+  }
+
   test("identical texts get identical simhash, hamming 0") {
     val sim = Dedup.simhash(
       docs.limit(2).unionAll(docs.limit(2)
