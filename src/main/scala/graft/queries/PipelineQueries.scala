@@ -573,6 +573,115 @@ object PipelineQueries {
     } finally { idx.unpersist(); () }
   }
 
+  /** The COMPOSED round-14 training-data pipeline in ONE plan —
+    * classifier filter → exact dedup among survivors → window-level
+    * decontamination → classifier-guided importance sampling — with a
+    * per-source AUDIT of every stage's survivor count (the funnel
+    * report a data-curation run ships with). Each stage is an already
+    * oracle-proven operator; this gate pins their COMPOSITION: stage
+    * flags are cumulative booleans on one frame (no stage
+    * materializes a corpus), the dedup canonical is the smallest id
+    * of each fingerprint group (exact-dup groups are HOMOGENEOUS
+    * under every text-pure stage — identical text scores
+    * identically — so no keeper-aware ordering is needed or
+    * meaningful), and the decon flag joins in id-keyed. Counts are
+    * exact integers; monotone by construction.
+    */
+  /** The funnel frame behind `p_pipeline_audit`: per train doc, the
+    * cumulative stage flags (classifier keep → dedup canonical among
+    * KEEPERS → decontaminated → importance-sampled). Exposed so the
+    * spec can exercise the stage rules on planted corpora — in
+    * particular the dedup/decon/sampling stage interactions the
+    * synthetic corpus leaves partly inert.
+    */
+  private[graft] def pipelineFunnel(s: org.apache.spark.sql.SparkSession,
+      trainDocs: org.apache.spark.sql.DataFrame,
+      evalDocs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val train = trainDocs.withColumn("fp", md5(col("text")))
+    val sc = graft.operators.TextClassifier.score(
+      s, train, "doc_id", "text", carry = Seq("source", "fp"))
+    val deconF = Dedup.decontaminateWindows(
+      train, evalDocs, "doc_id", "text", 8)
+      .select(col("doc_id"), col("clean"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp")
+      .orderBy(col("doc_id"))
+    sc.withColumn("rn", row_number().over(w))
+      .join(deconF, Seq("doc_id"), "left")
+      .withColumn("keep_dedup", col("keep") && col("rn") === 1)
+      .withColumn("keep_clean",
+        col("keep_dedup") && coalesce(col("clean"), lit(true)))
+      .withColumn("keep_samp", col("keep_clean") &&
+        bucket1000(col("doc_id")) * col("n_tokens") < col("score_num"))
+  }
+
+  private val pPipelineAudit = QueryDef.sqlChecked("p_pipeline_audit")({
+    val tc = graft.operators.TextClassifier
+    val w = 8
+    val concat8 = (0 until w).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    val bkt = sqlBucket1000("doc_id")
+    "WITH tr AS (SELECT doc_id, source, text, md5(text) AS fp " +
+      s"FROM documents WHERE $bkt < 900), " +
+      "tok AS (SELECT doc_id, unnest(list_filter(" +
+      "string_split_regex(text, '\\s+'), t -> t <> '')) AS t FROM tr), " +
+      s"wtab(term, wt) AS (${tc.sqlWeightValues()}), " +
+      "scn AS (SELECT doc_id, count(*) AS n_tokens, " +
+      "cast(coalesce(sum(wt), 0) as bigint) AS score_num " +
+      "FROM tok LEFT JOIN wtab ON tok.t = wtab.term GROUP BY doc_id), " +
+      "sc AS (SELECT tr.doc_id, tr.source, tr.fp, " +
+      "coalesce(n_tokens, 0) AS n_tokens, " +
+      "coalesce(score_num, 0) AS score_num, " +
+      "coalesce(n_tokens, 0) > 0 AND coalesce(score_num, 0) >= " +
+      s"${tc.DefaultThresholdMilli} * coalesce(n_tokens, 0) AS keep_cls " +
+      "FROM tr LEFT JOIN scn ON tr.doc_id = scn.doc_id), " +
+      "wtoks AS (SELECT doc_id, list_filter(string_split_regex(text, " +
+      "'\\s+'), t -> t <> '') AS tk FROM documents), " +
+      s"wins AS (SELECT doc_id, $concat8 AS win FROM " +
+      "(SELECT doc_id, tk, unnest(range(1, len(tk) - " +
+      s"${w - 2})) AS i FROM wtoks)), " +
+      "fps AS (SELECT doc_id, md5(win) AS wfp FROM wins), " +
+      s"ev AS (SELECT DISTINCT wfp FROM fps WHERE $bkt >= 900), " +
+      "dirty AS (SELECT DISTINCT f.doc_id FROM fps f " +
+      "JOIN ev ON f.wfp = ev.wfp " +
+      s"WHERE ${sqlBucket1000("f.doc_id")} < 900), " +
+      "rn AS (SELECT *, row_number() OVER (PARTITION BY fp " +
+      "ORDER BY doc_id) AS rn FROM sc), " +
+      "fl AS (SELECT r.source, r.n_tokens, r.score_num, r.keep_cls, " +
+      "(r.keep_cls AND r.rn = 1) AS keep_dedup, " +
+      "(r.keep_cls AND r.rn = 1 AND dd.doc_id IS NULL) AS keep_clean, " +
+      "(r.keep_cls AND r.rn = 1 AND dd.doc_id IS NULL AND " +
+      s"${sqlBucket1000("r.doc_id")} * r.n_tokens < r.score_num) " +
+      "AS keep_samp FROM rn r LEFT JOIN dirty dd " +
+      "ON r.doc_id = dd.doc_id) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "cast(sum(CASE WHEN keep_cls THEN 1 ELSE 0 END) as bigint) " +
+      "AS n_classified, " +
+      "cast(sum(CASE WHEN keep_dedup THEN 1 ELSE 0 END) as bigint) " +
+      "AS n_deduped, " +
+      "cast(sum(CASE WHEN keep_clean THEN 1 ELSE 0 END) as bigint) " +
+      "AS n_clean, " +
+      "cast(sum(CASE WHEN keep_samp THEN 1 ELSE 0 END) as bigint) " +
+      "AS n_sampled, " +
+      "cast(sum(CASE WHEN keep_samp THEN n_tokens ELSE 0 END) as bigint) " +
+      "AS sampled_tokens " +
+      "FROM fl GROUP BY source ORDER BY source"
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val b = bucket1000(col("doc_id"))
+    val frame = pipelineFunnel(s,
+      docs.filter(b < 900), docs.filter(b >= 900))
+    frame.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_classified"),
+      sum(when(col("keep_dedup"), 1L).otherwise(0L)).as("n_deduped"),
+      sum(when(col("keep_clean"), 1L).otherwise(0L)).as("n_clean"),
+      sum(when(col("keep_samp"), 1L).otherwise(0L)).as("n_sampled"),
+      sum(when(col("keep_samp"), col("n_tokens")).otherwise(0L))
+        .cast("bigint").as("sampled_tokens"))
+      .orderBy("source")
+  }
+
   /** SEQUENCE PACKING for training (concat-then-chunk): documents are
     * conceptually concatenated in deterministic (source, doc_id) order
     * into a token stream that is cut every 512 tokens; a document's
@@ -857,7 +966,7 @@ object PipelineQueries {
     pSplitTrainTest, pMixtureSample, pSourceCap, pQualityQuantile,
     pTopkTokens, pNgramStats,
     pReembedDelta, pCorpusClean, pPackSequences, pDecontaminate,
-    pDeconBloom, pImportanceSample, pDeconDelta,
+    pDeconBloom, pImportanceSample, pDeconDelta, pPipelineAudit,
     pShuffleShard, qStreamDedup, qStreamDedupWm, qStreamJoin,
     qStreamStatic)
 }

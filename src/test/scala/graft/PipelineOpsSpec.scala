@@ -168,6 +168,41 @@ class PipelineOpsSpec extends SparkTestBase {
     val masks = "\\[TERM\\]".r.findAllIn(r.getString(1)).length
     assert(masks == r.getInt(0))
   }
+
+  test("pipelineFunnel: each stage cuts exactly its rule — dedup " +
+      "keeps the smallest id of a kept dup group, a rejected dup " +
+      "group keeps nothing, decon cuts a contaminated keeper, " +
+      "sampling respects the integer rule") {
+    // high-score text (spark×8 = score 1000/token ⇒ always sampled
+    // if it survives); dup pair 1/2 → only 1 survives dedup; doc 3
+    // rejected (negative); dup pair 4/5 BOTH rejected → neither
+    // survives; doc 6 high-score but contains the eval 8-run → cut
+    // at decon
+    val hi = Seq.fill(8)("spark").mkString(" ")
+    val evalRun = (1 to 8).map(i => s"ev$i").mkString(" ")
+    val train = Seq(
+      (1L, "sa", hi), (2L, "sa", hi),
+      (3L, "sa", "dup dup dup"),
+      (4L, "sb", "slow slow slow"), (5L, "sb", "slow slow slow"),
+      (6L, "sb", s"spark spark spark spark $evalRun spark spark")
+    ).toDF("doc_id", "source", "text")
+    val evalDocs = Seq((100L, "e", s"pre $evalRun post"))
+      .toDF("doc_id", "source", "text")
+    val got = PipelineQueries.pipelineFunnel(spark, train, evalDocs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("keep"), r.getAs[Boolean]("keep_dedup"),
+          r.getAs[Boolean]("keep_clean"), r.getAs[Boolean]("keep_samp")))
+      .toMap
+    assert(got(1L) == ((true, true, true, true)), s"$got")
+    assert(got(2L) == ((true, false, false, false)),
+      s"dup copy must lose to the smaller id: $got")
+    assert(got(3L) == ((false, false, false, false)), s"$got")
+    assert(got(4L) == ((false, false, false, false)) &&
+      got(5L) == ((false, false, false, false)),
+      s"a rejected dup group keeps nothing: $got")
+    assert(got(6L)._1 && got(6L)._2 && !got(6L)._3,
+      s"the contaminated keeper must die at decon, not before: $got")
+  }
 }
 
 private[graft] object TextSpecHelpers {
