@@ -645,11 +645,16 @@ object Dedup {
     // the filter is a bounded driver artifact (nKeys·bitsPerKey bits),
     // like the runtime filters InjectRuntimeFilter plans — the count
     // is one pass over the SMALL (eval) side only
-    val nKeys = math.max(1L, evalFps.count())
+    val nKeys = evalFps.count()
     val shims = org.apache.spark.sql.graftshim.Shims
-    val bloom = evalFps
-      .agg(shims.bloomAgg(col("fp"), nKeys, nKeys * bitsPerKey).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    // an eval set with NO windows (every doc below w tokens, or empty)
+    // means nothing can contaminate: the aggregate over zero rows
+    // yields a NULL filter, so short-circuit instead of shipping a
+    // null literal into might_contain
+    val bloom = if (nKeys == 0) null
+      else evalFps
+        .agg(shims.bloomAgg(col("fp"), nKeys, nKeys * bitsPerKey).as("bf"))
+        .head().getAs[Array[Byte]](0)
     val tw = train
       .select(col(id), graft.functions.text.tokens(col(textCol)).as("tk"))
       .select(col(id),
@@ -657,10 +662,11 @@ object Dedup {
           .as("win"))
       .select(col(id), graft.functions.text.md5Binary(col("win")).as("fp"))
     val totals = tw.groupBy(id).agg(count(lit(1)).as("n_windows"))
-    val contam = tw
-      .filter(shims.bloomMightContain(bloom, col("fp")))
-      .join(evalFps, Seq("fp"), "left_semi")
-      .groupBy(id).agg(count(lit(1)).as("contam_windows"))
+    val contam =
+      (if (bloom == null) tw.filter(lit(false))
+       else tw.filter(shims.bloomMightContain(bloom, col("fp"))))
+        .join(evalFps, Seq("fp"), "left_semi")
+        .groupBy(id).agg(count(lit(1)).as("contam_windows"))
     totals.join(contam, Seq(id), "left")
       .select(col(id), col("n_windows"),
         coalesce(col("contam_windows"), lit(0L)).as("contam_windows"),

@@ -149,12 +149,17 @@ object DedupQueries {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
       .localCheckpoint()
     val tp = Dedup.jaccardPairs(docs, "doc_id", "text", 0.2)
-      .select("da", "db")
+      .select(col("da"), col("db"), lit(1L).as("t"))
     val nTrue = tp.count()
     val rows = Seq(1, 2, 4, 8).map { r =>
       val cand = Dedup.minhashCandidatesWith(sig, "doc_id", r)
-      val nc = cand.count()
-      val ntc = cand.join(tp, Seq("da", "db"), "left_semi").count()
+      // candidate volume and true-candidate count in ONE action (a
+      // left join against the small true-pair set): the per-config
+      // cost is job overhead, not data
+      val a = cand.join(tp, Seq("da", "db"), "left")
+        .agg(count(lit(1)).as("nc"),
+          coalesce(sum("t"), lit(0L)).as("ntc")).head()
+      val (nc, ntc) = (a.getLong(0), a.getLong(1))
       (r.toLong, (8 / r).toLong, nc, ntc, nTrue,
         if (nc == 0) 0.0 else ntc.toDouble / nc,
         if (nTrue == 0) 0.0 else ntc.toDouble / nTrue)

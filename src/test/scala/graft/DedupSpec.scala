@@ -314,6 +314,23 @@ class DedupSpec extends SparkTestBase {
       s"bloom pre-filter missing from the plan:\n$plan")
   }
 
+  test("decontaminateWindows: an eval set with no windows (all docs " +
+      "below w tokens, or none) marks nothing and does not crash on " +
+      "the null Bloom aggregate") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, (1 to 12).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    for (evalDocs <- Seq(
+        Seq((100L, "only three tokens")).toDF("doc_id", "text"),
+        Seq.empty[(Long, String)].toDF("doc_id", "text"))) {
+      val pd = Dedup.decontaminateWindows(train, evalDocs,
+        "doc_id", "text", 8).collect()
+      assert(pd.length == 1 && pd.head.getAs[Long]("contam_windows") == 0L
+        && pd.head.getAs[Boolean]("clean"),
+        s"empty eval window set must mark nothing: ${pd.toSeq}")
+    }
+  }
+
   test("deconDelta: only windows NEW in v2 count — v1 hits and " +
       "v1-repeated windows are excluded, multiplicity is exact") {
     import spark.implicits._
