@@ -168,6 +168,69 @@ object DedupQueries {
       "prec", "recall").orderBy("r")
   }
 
+  /** CROSS-SOURCE overlap matrix — the corpus-overlap audit run
+    * before committing to a dedup strategy (which snapshots/dumps
+    * duplicate each other, e.g. successive CommonCrawl crawls): per
+    * source pair, the count of distinct 8-token windows present in
+    * BOTH, with per-source distinct totals and the window-level
+    * Jaccard. Shape: one DISTINCT (source, fp) projection (windows
+    * ∝ tokens, the span-family explode), then a fingerprint-keyed
+    * self-join whose per-key fan-out is bounded by |sources|² —
+    * NEVER row-pairs (a window shared by all S sources contributes
+    * C(S,2) rows, independent of how many documents carry it). At
+    * 100 TB with tens of sources the join output is ≤ C(S,2) rows
+    * per distinct window and the result is |S|² rows total.
+    */
+  private val dSourceOverlap = QueryDef.sqlChecked("d_source_overlap")({
+    val w = 8
+    val concat8 = (0 until w).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    "WITH toks AS (SELECT source, list_filter(string_split_regex(text, " +
+      "'\\s+'), t -> t <> '') AS tk FROM documents), " +
+      s"wins AS (SELECT source, $concat8 AS win FROM " +
+      "(SELECT source, tk, unnest(range(1, len(tk) - " +
+      s"${w - 2})) AS i FROM toks)), " +
+      "sfp AS (SELECT DISTINCT source, md5(win) AS fp FROM wins), " +
+      "tot AS (SELECT source, count(*) AS n FROM sfp GROUP BY source), " +
+      "pr AS (SELECT a.source AS source_a, b.source AS source_b, " +
+      "count(*) AS shared_windows FROM sfp a JOIN sfp b " +
+      "ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2) " +
+      "SELECT source_a, source_b, shared_windows, " +
+      "ta.n AS n_a, tb.n AS n_b, " +
+      "cast(shared_windows as double) / (ta.n + tb.n - shared_windows) " +
+      "AS jaccard FROM pr " +
+      "JOIN tot ta ON pr.source_a = ta.source " +
+      "JOIN tot tb ON pr.source_b = tb.source " +
+      "ORDER BY source_a, source_b"
+  }) { (s, d) =>
+    val sfp = Tables.documents(s, d)
+      .select(col("source"), text.tokens(col("text")).as("tk"))
+      .select(col("source"),
+        explode(text.shinglesOfTokens(col("tk"), 8)).as("win"))
+      .select(col("source"), text.md5Binary(col("win")).as("fp"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tot = sfp.groupBy("source").agg(count(lit(1)).as("n"))
+      val pr = sfp.select(col("source").as("source_a"), col("fp"))
+        .join(sfp.select(col("source").as("source_b"), col("fp")), "fp")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("shared_windows"))
+      pr
+        .join(tot.select(col("source").as("source_a"), col("n").as("n_a")),
+          "source_a")
+        .join(tot.select(col("source").as("source_b"), col("n").as("n_b")),
+          "source_b")
+        .select(col("source_a"), col("source_b"), col("shared_windows"),
+          col("n_a"), col("n_b"),
+          (col("shared_windows").cast("double") /
+            (col("n_a") + col("n_b") - col("shared_windows")))
+            .as("jaccard"))
+        .orderBy("source_a", "source_b")
+        .localCheckpoint()
+    } finally { sfp.unpersist(); () }
+  }
+
   /** SimHash fingerprints (60-bit, shingle-hash multiset). */
   private val dSimhash = QueryDef.sqlChecked("d_simhash")(
     s"$SimhashCte SELECT doc_id, simhash FROM sim ORDER BY doc_id"
@@ -1112,7 +1175,7 @@ object DedupQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
-    dMinhashCurve,
+    dMinhashCurve, dSourceOverlap,
     dDedupIncremental, dStreamDedupInc, dSimhash, dSimhashPairs,
     dSimhashBanded, dSrpLsh, dCosinePairs, dClusters, dDedupKeep,
     dSemDedup, dSemDedupInc, dStreamSemDedup, dLineDedup, dSpanDedup,
