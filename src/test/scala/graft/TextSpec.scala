@@ -38,6 +38,40 @@ class TextSpec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("BpeTrainer.applyMerge: greedy left-to-right, consumed " +
+      "occurrences cannot chain, non-matching arrays untouched") {
+    import graft.operators.BpeTrainer
+    val df = Seq(
+      Seq("a", "a", "a"),            // -> [aa, a], NOT [aa, aa-overlap]
+      Seq("a", "a", "a", "a"),       // -> [aa, aa]
+      Seq("x", "a", "a", "y"),       // -> [x, aa, y]
+      Seq("a", "b", "a", "b"),       // rule (a,a): untouched
+      Seq("a"), Seq.empty[String]
+    ).toDF("syms")
+    val got = df.select(BpeTrainer.applyMerge($"syms", "a", "a"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("aa", "a"), Seq("aa", "aa"),
+      Seq("x", "aa", "y"), Seq("a", "b", "a", "b"), Seq("a"), Seq.empty),
+      s"$got")
+  }
+
+  test("BpeTrainer.train learns the hand-computable rules of a tiny " +
+      "corpus with deterministic tie-breaks and shrinking symbol mass") {
+    import graft.operators.BpeTrainer
+    // "abab" x3 + "ab" x2: pairs ab=8, ba=3 -> rule1 (a,b);
+    // round 2: words are [ab,ab]x3 + [ab]x2 -> pair (ab,ab)=3
+    val docs = Seq((1L, "abab abab ab"), (2L, "abab ab")).toDF("doc_id", "text")
+    val got = BpeTrainer.train(spark, docs, "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got(0) == ((1L, "a", "b", 8L, 8L)),
+      s"round 1 must merge (a,b) seen 8x; mass 3*2+2*1=8: ${got.toSeq}")
+    assert(got(1) == ((2L, "ab", "ab", 3L, 5L)),
+      s"round 2 must merge (ab,ab) seen 3x; mass 3*1+2*1=5: ${got.toSeq}")
+    // monotone: each merge strictly shrinks weighted symbol mass
+    assert(got(1)._5 < got(0)._5)
+  }
+
   test("BPE merge table is well-formed (sides are chars or earlier products)") {
     import graft.functions.BpeCodec
     val known = scala.collection.mutable.Set.empty[String]
