@@ -55,6 +55,19 @@ object BpeTrainer {
           array(st.getField("pend")))))
   }
 
+  /** Encode symbol arrays with a TRAINED rule table by applying each
+    * rule as one exhaustive greedy pass, in training order. For a
+    * trained table this IS rank-priority BPE encoding: a later rule's
+    * product can never be an input of an earlier rule (each rule's
+    * sides are characters or earlier products — the well-formedness
+    * `BpeCodec`'s spec asserts), so the "merge the lowest-rank pair
+    * present anywhere, repeat" loop and the sequential per-rule folds
+    * produce identical output. k rules = k codegen'd folds in one
+    * projection, no iteration state outside the expression.
+    */
+  def encodeWith(syms: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(syms) { case (c, (a, b)) => applyMerge(c, a, b) }
+
   /** The weighted distinct-word frame (word, f, syms) a training run
     * starts from — the one corpus-sized aggregation.
     */

@@ -719,11 +719,30 @@ object TextAnalysis {
     * quantity training drives down (117 941 → 115 181 → 112 434 at
     * sf0.01; learned rules (e,r), (i,n), (o,w)).
     */
-  private val tBpeTrain = QueryDef.sqlChecked("t_bpe_train")({
-    val rounds = 3
+  /** The chr(1)-delimited greedy merge fold applying rule CTE `rN`'s
+    * (ra, rb) to `syms` of CTE `from` — shared by the two BPE gates.
+    */
+  private def sqlBpeFold(from: String, ruleCte: String,
+      keepCols: String): String = {
     val fin = "CASE WHEN string_split(st, chr(1))[2] = '' " +
       "THEN string_split(st, chr(1))[1] ELSE " +
       "string_split(st, chr(1))[1] || ' ' || string_split(st, chr(1))[2] END"
+    s"SELECT $keepCols, list_filter(string_split(trim($fin), " +
+      s"' '), x -> x <> '') AS syms FROM (SELECT $keepCols, " +
+      "list_reduce(list_prepend(chr(1), syms), (acc, s) -> " +
+      "CASE WHEN string_split(acc, chr(1))[2] = '' " +
+      "THEN string_split(acc, chr(1))[1] || chr(1) || s " +
+      "WHEN string_split(acc, chr(1))[2] = ra AND s = rb " +
+      "THEN string_split(acc, chr(1))[1] || ' ' || ra || rb || chr(1) " +
+      "ELSE string_split(acc, chr(1))[1] || ' ' || " +
+      "string_split(acc, chr(1))[2] || chr(1) || s END) AS st " +
+      s"FROM $from CROSS JOIN $ruleCte)"
+  }
+
+  /** The training CTE chain w0, s0, (p r s)×rounds — shared oracle
+    * fragment; `s$rounds` holds the vocab after all learned merges.
+    */
+  private def sqlBpeTrainCtes(rounds: Int): String = {
     val sb = new StringBuilder(
       "WITH w0 AS (SELECT t AS word, count(*) AS f FROM (" +
         "SELECT unnest(list_filter(string_split_regex(text, '\\s+'), " +
@@ -731,39 +750,87 @@ object TextAnalysis {
         "s0 AS (SELECT word, f, list_filter(string_split(word, ''), " +
         "c -> c <> '') AS syms FROM w0)")
     var prev = "s0"
-    val rows = (1 to rounds).map { r =>
+    (1 to rounds).foreach { r =>
       sb.append(
         s", p$r AS (SELECT syms[i] AS a, syms[i+1] AS b, " +
           "cast(sum(f) as bigint) AS c FROM (SELECT f, syms, " +
           s"unnest(range(1, len(syms))) AS i FROM $prev) GROUP BY 1, 2), " +
           s"r$r AS (SELECT a AS ra, b AS rb, c AS rc FROM p$r " +
           "ORDER BY c DESC, a, b LIMIT 1), " +
-          s"s$r AS (SELECT word, f, list_filter(string_split(trim($fin), " +
-          "' '), x -> x <> '') AS syms FROM (SELECT word, f, " +
-          "list_reduce(list_prepend(chr(1), syms), (acc, s) -> " +
-          "CASE WHEN string_split(acc, chr(1))[2] = '' " +
-          "THEN string_split(acc, chr(1))[1] || chr(1) || s " +
-          "WHEN string_split(acc, chr(1))[2] = ra AND s = rb " +
-          "THEN string_split(acc, chr(1))[1] || ' ' || ra || rb || chr(1) " +
-          "ELSE string_split(acc, chr(1))[1] || ' ' || " +
-          "string_split(acc, chr(1))[2] || chr(1) || s END) AS st " +
-          s"FROM $prev CROSS JOIN r$r))")
+          s"s$r AS (${sqlBpeFold(prev, s"r$r", "word, f")})")
       prev = s"s$r"
+    }
+    sb.toString
+  }
+
+  private val tBpeTrain = QueryDef.sqlChecked("t_bpe_train")({
+    val rounds = 3
+    val rows = (1 to rounds).map { r =>
       s"SELECT $r AS round, (SELECT ra FROM r$r) AS merge_a, " +
         s"(SELECT rb FROM r$r) AS merge_b, " +
         s"(SELECT rc FROM r$r) AS pair_count, " +
         s"(SELECT cast(sum(f * len(syms)) as bigint) FROM s$r) " +
         "AS corpus_symbols"
     }
-    sb.append(" " + rows.mkString(" UNION ALL ") + " ORDER BY round")
-    sb.toString
+    sqlBpeTrainCtes(rounds) + " " +
+      rows.mkString(" UNION ALL ") + " ORDER BY round"
   }) { (s, d) =>
     graft.operators.BpeTrainer
       .train(s, Tables.documents(s, d), "text", 3)
       .orderBy("round")
   }
 
+  /** Trained-table ENCODING — the train→encode round trip
+    * ([[graft.operators.BpeTrainer.encodeWith]]): learn 3 rules, then
+    * tokenize the whole corpus with them, per doc (word count,
+    * encoded symbol count). Sequential per-rule folds in training
+    * order ARE rank-priority BPE encoding for a trained table (a
+    * later rule's product can never feed an earlier rule — the
+    * well-formedness the codec spec asserts). The at-scale shape is
+    * the vocab join: each DISTINCT word encodes once (the training
+    * CTE's final vocab IS the encoded table) and documents join their
+    * words against it — encoding cost ∝ vocab, corpus cost is one
+    * word-keyed join, never per-occurrence folds.
+    */
+  private val tBpeApply = QueryDef.sqlChecked("t_bpe_apply")(
+    sqlBpeTrainCtes(3) +
+      ", dw AS (SELECT doc_id, unnest(list_filter(" +
+      "string_split_regex(text, '\\s+'), t -> t <> '')) AS word " +
+      "FROM documents), " +
+      "venc AS (SELECT word, cast(len(syms) as bigint) AS enc FROM s3), " +
+      "pd AS (SELECT doc_id, count(*) AS n_words, " +
+      "cast(sum(enc) as bigint) AS n_bpe_symbols " +
+      "FROM dw JOIN venc USING (word) GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(n_words, 0) AS n_words, " +
+      "coalesce(n_bpe_symbols, 0) AS n_bpe_symbols " +
+      "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id " +
+      "ORDER BY d.doc_id"
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val trained = graft.operators.BpeTrainer.train(s, docs, "text", 3)
+      .collect().sortBy(_.getLong(0))
+    val rules = trained.map(r => (r.getString(1), r.getString(2))).toSeq
+    val dw = docs.select(col("doc_id"),
+      explode(text.tokens(col("text"))).as("word"))
+    val venc = dw.select("word").distinct()
+      .withColumn("syms", filter(split(col("word"), ""), c => c =!= ""))
+      .select(col("word"),
+        size(graft.operators.BpeTrainer.encodeWith(col("syms"), rules))
+          .cast("bigint").as("enc"))
+    val pd = dw.join(venc, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("enc").as("n_bpe_symbols"))
+    docs.select("doc_id")
+      .join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_symbols"), lit(0L)).as("n_bpe_symbols"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(tTokenCount, tQuality, tLangId, tBpeCount,
     tRedact, tFingerprint, tRepetition, tRepLines, tRepArgmax, tRepFracs,
-    tGopherRules, tC4Rules, tLangNgram, tClassifierScore, tBpeTrain)
+    tGopherRules, tC4Rules, tLangNgram, tClassifierScore, tBpeTrain,
+    tBpeApply)
 }

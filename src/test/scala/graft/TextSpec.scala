@@ -72,6 +72,40 @@ class TextSpec extends SparkTestBase {
     assert(got(1)._5 < got(0)._5)
   }
 
+  test("BpeTrainer.encodeWith equals rank-priority BPE encoding on a " +
+      "trained-order table (later products feed on earlier ones)") {
+    import graft.operators.BpeTrainer
+    // trained order: (a,b) first, then its product feeds (ab,c) —
+    // the case where one exhaustive pass per rule could diverge from
+    // the repeatedly-merge-the-lowest-rank-pair loop for an
+    // arbitrary table, but cannot for a trained one
+    val rules = Seq(("a", "b"), ("ab", "c"))
+    def priority(syms: List[String]): List[String] = {
+      val ranked = rules.zipWithIndex
+      def bestAt(s: List[String]): Option[(Int, Int)] =
+        s.zip(s.drop(1)).zipWithIndex
+          .flatMap { case ((x, y), i) =>
+            ranked.find(_._1 == ((x, y))).map(r => (r._2, i)) }
+          .sortBy(identity).headOption
+      bestAt(syms) match {
+        case None => syms
+        case Some((r, i)) =>
+          val (a, b) = rules(r)
+          priority(syms.take(i) ++ List(a + b) ++ syms.drop(i + 2))
+      }
+    }
+    val inputs = Seq("abc", "abcabc", "abcb", "cabcab", "aabbcc",
+      "ababc", "abcc", "ccc", "ab", "a", "")
+      .map(_.split("").filter(_.nonEmpty).toList)
+    val got = inputs.map(_.toSeq).toDF("syms")
+      .select(BpeTrainer.encodeWith($"syms", rules))
+      .as[Seq[String]].collect().toSeq
+    inputs.zip(got).foreach { case (in, enc) =>
+      assert(enc == priority(in).toSeq,
+        s"in=$in sequential=$enc priority=${priority(in)}")
+    }
+  }
+
   test("BPE merge table is well-formed (sides are chars or earlier products)") {
     import graft.functions.BpeCodec
     val known = scala.collection.mutable.Set.empty[String]
