@@ -331,6 +331,37 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("cross-source overlap counts DISTINCT shared windows once " +
+      "regardless of how many docs carry them") {
+    import spark.implicits._
+    val run = (1 to 9).map(i => s"sh$i").mkString(" ") // 2 windows at w=8
+    val docs = Seq(
+      (1L, "sA", s"x1 x2 $run"),
+      (2L, "sA", s"y1 $run y2"),   // same windows AGAIN in sA
+      (3L, "sB", s"$run z1 z2"),
+      (4L, "sB", (1 to 12).map(i => s"b$i").mkString(" ")),
+      (5L, "sC", (1 to 12).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    // run the gate body over a scratch documents table
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_overlap").toString
+    docs.withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Registry.all.find(_.name == "d_source_overlap")
+      .get.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("shared_windows"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"))).toMap
+    // the 9-token run = 2 distinct windows, shared once per pair even
+    // though sA carries them in two docs; sC shares nothing
+    assert(got.keySet == Set(("sA", "sB")), s"$got")
+    val (shared, na, nb) = got(("sA", "sB"))
+    assert(shared == 2, s"2 distinct shared windows, counted once: $got")
+    // sA: docs 1,2 both contribute the run's 2 windows (distinct) +
+    // their seam windows; sB: run + doc3 seams + doc4's 5 windows
+    assert(na > 2 && nb > 2)
+  }
+
   test("deconDelta: only windows NEW in v2 count — v1 hits and " +
       "v1-repeated windows are excluded, multiplicity is exact") {
     import spark.implicits._
