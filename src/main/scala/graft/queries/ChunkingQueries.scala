@@ -185,5 +185,65 @@ object ChunkingQueries {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(tChunk, qTfidf, qHybridRrf)
+  /** Okapi BM25 (Robertson et al., TREC-3) lexical top-k in EXACT
+    * rational arithmetic — the third leg of the retrieval stack next
+    * to integer TF-IDF and the RRF fusion. With k1 = 6/5 and
+    * b = 3/4 the classic term frequency saturation
+    *   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * clears to the all-integer ratio 22·tf·T / (10·tf·T + 3·T + 9·dl·N)
+    * (avgdl = T/N folded in), floor-scaled ×1000; the idf keeps the
+    * Robertson–Sparck Jones odds (N−df+0.5)/(df+0.5) as the integer
+    * ⌊1000·(2(N−df)+1)/(2df+1)⌋ rather than its log — a float log-idf
+    * would drift across libm implementations, and for top-k under a
+    * handful of query terms the monotone surrogate preserves the
+    * ranking signal. Every intermediate fits signed 64-bit through
+    * T ≈ 10⁹ tokens; past that, quantize dl·N/T once per doc (the
+    * avgdl ratio is corpus-constant) before the per-term arithmetic.
+    *
+    * Scale shape: df and the (T, N) totals are broadcast scalars, tf
+    * is a map-side-combined aggregate over only the query-term token
+    * rows (the `isin` filter drops everything else at the scan), and
+    * the final top-10 is TakeOrderedAndProject — no full-corpus
+    * shuffle anywhere.
+    */
+  private val vBm25 = QueryDef.sqlChecked("v_bm25_topk")(
+    s"WITH dls AS (SELECT doc_id, cast(len(${text.sql.tokensOf("text")}) as bigint) AS dl FROM documents), " +
+      "tot AS (SELECT cast(sum(dl) as bigint) AS tt, count(*) AS nn FROM dls), " +
+      s"toks AS (SELECT doc_id, unnest(${text.sql.tokensOf("text")}) AS t FROM documents), " +
+      s"tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t IN (SELECT t FROM (SELECT unnest(${QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")}) AS t)) GROUP BY doc_id, t), " +
+      s"df AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks WHERE t IN (SELECT t FROM (SELECT unnest(${QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")}) AS t)) GROUP BY t) " +
+      "SELECT tf.doc_id AS doc_id, cast(sum(" +
+      "(((2 * (nn - df) + 1) * 1000) // (2 * df + 1)) * " +
+      "((22 * tf * tt * 1000) // (10 * tf * tt + 3 * tt + 9 * dl * nn))" +
+      ") as bigint) AS score " +
+      "FROM tf JOIN df USING (t) JOIN dls ON tf.doc_id = dls.doc_id CROSS JOIN tot " +
+      "GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 10"
+  ) { (s, d) => bm25(Tables.documents(s, d), QueryTerms, 10) }
+
+  /** BM25 body over any (doc_id, text) frame — see [[vBm25]] for the
+    * rational-arithmetic derivation; exposed for RetrievalSpec's
+    * saturation/length-normalization property checks.
+    */
+  private[graft] def bm25(docs: org.apache.spark.sql.DataFrame,
+      terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    val dls = docs.select(col("doc_id"), text.tokenCount(col("text")).as("dl"))
+    val qtoks = docs.select(col("doc_id"),
+      explode(text.tokens(col("text"))).as("t"))
+      .filter(col("t").isin(terms: _*))
+    val tf = qtoks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = qtoks.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
+    val tot = dls.agg(sum("dl").as("tt"), count(lit(1)).as("nn"))
+    tf.join(broadcast(df), "t")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("idfs", expr("((2 * (nn - df) + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("tfr",
+        expr("(22 * tf * tt * 1000) div (10 * tf * tt + 3 * tt + 9 * dl * nn)"))
+      .groupBy("doc_id")
+      .agg(sum(col("idfs") * col("tfr")).cast("bigint").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val defs: Seq[QueryDef] = Seq(tChunk, qTfidf, qHybridRrf, vBm25)
 }

@@ -249,7 +249,96 @@ object VectorSearch {
       .orderBy("label", "dim")
   }
 
+  /** Matryoshka (MRL, Kusupati et al. 2022) prefix-dimension search:
+    * coarse top-C on the FIRST [[MrlPrefix]] dims, exact full-dim
+    * rerank of the C survivors, final top-k. The production payoff of
+    * MRL-trained embeddings is that the coarse pass reads a 4× (here
+    * 64→16) narrower vector — stored column-split (prefix segment in
+    * its own parquet column/file), the candidate scan's I/O drops by
+    * the same factor, and the full vectors are fetched for only C
+    * rows per query. Both stages are deterministic IEEE dots with
+    * total (score, vec_id) orders, so the gate is a full hash match.
+    */
+  val MrlPrefix = 16
+  val MrlCand = 50
+  private val vMrlSearch = QueryDef.sqlChecked("v_mrl_search")(
+    s"WITH c AS (SELECT e.vec_id AS vec_id, " +
+      s"list_inner_product(cast(e.embedding as double[])[1:$MrlPrefix], $qSub[1:$MrlPrefix]) AS cs " +
+      "FROM embeddings e WHERE e.vec_id <> 0), " +
+      s"cand AS (SELECT vec_id FROM c ORDER BY cs DESC, vec_id LIMIT $MrlCand) " +
+      s"SELECT e.vec_id AS vec_id, $dotE AS score " +
+      s"FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN (SELECT cast(embedding as double[]) AS embedding FROM embeddings WHERE vec_id = 0) q " +
+      "ORDER BY score DESC, vec_id LIMIT 10"
+  ) { (s, d) =>
+    val q = corpus(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val coarse = corpus(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("q_emb"),
+        vectors.dotProduct(slice(col("embedding"), 1, MrlPrefix),
+          slice(col("q_emb"), 1, MrlPrefix)).as("score"))
+    val cand = Knn.topK(coarse, MrlCand, "vec_id", Knn.Dot)
+    Knn.topK(
+      cand.select(col("vec_id"),
+        vectors.dotProduct(col("embedding"), col("q_emb")).as("score")),
+      10, "vec_id", Knn.Dot)
+  }
+
+  /** MRL truncation-width tuning table: overlap@10 between the
+    * prefix-p top-10 and the full-dim top-10 for p ∈ {4,8,16,32,64}
+    * — the measurement that picks [[MrlPrefix]] (and certifies p=64
+    * ≡ full at overlap 10). On the synthetic corpus the embeddings
+    * are random (not matryoshka-trained), so the table honestly
+    * reports low prefix agreement — exactly the signal that tells an
+    * operator whether their embedding model was MRL-trained before
+    * they turn the truncation knob on. Same counts-of-agreement design as the
+    * BQ m-sizing table (`v_bq_recall_curve`): output is |widths|
+    * exact-integer rows regardless of corpus size; each width's
+    * rank list is a partial top-k before the single-partition
+    * window, so the sweep costs one corpus scan per width over
+    * prefix-length data.
+    */
+  private val vMrlCurve = QueryDef.sqlChecked("v_mrl_curve")(
+    "WITH w AS (SELECT unnest([4, 8, 16, 32, 64]) AS p), " +
+      "full_r AS (SELECT e.vec_id AS vec_id, " +
+      s"row_number() OVER (ORDER BY $dotE DESC, e.vec_id) AS r " +
+      s"FROM embeddings e CROSS JOIN (SELECT cast(embedding as double[]) AS embedding FROM embeddings WHERE vec_id = 0) q WHERE e.vec_id <> 0), " +
+      "pref_r AS (SELECT w.p AS p, e.vec_id AS vec_id, " +
+      "row_number() OVER (PARTITION BY w.p ORDER BY " +
+      s"list_inner_product(cast(e.embedding as double[])[1:w.p], $qSub[1:w.p]) DESC, e.vec_id) AS r " +
+      "FROM embeddings e CROSS JOIN w WHERE e.vec_id <> 0) " +
+      "SELECT cast(p as bigint) AS p, count(f.vec_id) AS overlap10 " +
+      "FROM pref_r LEFT JOIN (SELECT vec_id FROM full_r WHERE r <= 10) f USING (vec_id) " +
+      "WHERE pref_r.r <= 10 GROUP BY p ORDER BY p"
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val q = corpus(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val scoredFull = corpus(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        vectors.dotProduct(col("embedding"), col("q_emb")).as("score"))
+    val fullTop = scoredFull
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("r") <= 10).select(col("vec_id"), lit(1).as("hit"))
+    val widths = Seq(4, 8, 16, 32, 64).toDF("p")
+    val prefTop = corpus(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(widths)).crossJoin(broadcast(q))
+      .select(col("p"), col("vec_id"),
+        vectors.dotProduct(slice(col("embedding"), lit(1), col("p")),
+          slice(col("q_emb"), lit(1), col("p"))).as("cs"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("p").orderBy(col("cs").desc, col("vec_id"))))
+      .filter(col("r") <= 10)
+    prefTop.join(broadcast(fullTop), Seq("vec_id"), "left")
+      .groupBy(col("p").cast("bigint").as("p"))
+      .agg(count(col("hit")).as("overlap10"))
+      .orderBy("p")
+  }
+
   val defs: Seq[QueryDef] = Seq(vKnnDot, vKnnCosine, vKnnL2, vKnnBatch,
     vKnnFiltered, vCrowding, vRangeCosine, vNormTop, vTopkAgg, vMaxsim,
-    vEmbedStats)
+    vEmbedStats, vMrlSearch, vMrlCurve)
 }
