@@ -962,11 +962,103 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Tokens each source may contribute before its docs stop being
+    * taken (the mixture weight, expressed as a budget).
+    */
+  val TokenBudget = 800L
+
+  /** Per-source token-budget selection (the DoReMi/Pile mixture
+    * primitive — see [[graft.operators.BudgetSample]] for semantics
+    * and the scale design): docs are taken in deterministic
+    * priority-hash order until the source's 800-token budget is
+    * exhausted, the straddling doc included. The ENGINE runs the
+    * scalable two-phase form (bucket histogram → window over only the
+    * straddling bucket, ≈ 1/1000 of each source); the ORACLE is the
+    * naive full window — the gate certifies the decomposition equals
+    * the greedy semantics on real data, and BudgetSampleSpec pins the
+    * boundary ties.
+    */
+  private val pTokenBudget = QueryDef.sqlChecked("p_token_budget")(
+    s"WITH d AS (SELECT source, doc_id, ${sqlBucket1000("doc_id")} AS pr, " +
+      s"cast(len(${text.sql.tokensOf("text")}) as bigint) AS dl FROM documents), " +
+      "c AS (SELECT source, doc_id, pr, dl, coalesce(sum(dl) OVER (" +
+      "PARTITION BY source ORDER BY pr, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM d) " +
+      s"SELECT source, doc_id, cast(pr as bigint) AS pr, dl FROM c WHERE cb < $TokenBudget " +
+      "ORDER BY source, pr, doc_id"
+  ) { (s, d) =>
+    val rows = Tables.documents(s, d).select(
+      col("source").as("part"),
+      bucket1000(col("doc_id")).as("pr"),
+      col("doc_id").as("key"),
+      text.tokenCount(col("text")).as("w"))
+    graft.operators.BudgetSample.scalable(rows, TokenBudget)
+      .select(col("part").as("source"), col("key").as("doc_id"),
+        col("pr").cast("bigint").as("pr"), col("w").as("dl"))
+      .orderBy("source", "pr", "doc_id")
+  }
+
+  /** Total per-source token budget for the epoch plan — above the
+    * small-SF source sizes (→ full epochs + remainder, the UPSAMPLING
+    * regime) and below the sf0.1 sizes (→ epochs=0, pure prefix, the
+    * downsampling regime), so both regimes are driver-gated.
+    */
+  val EpochBudget = 3000L
+
+  /** Per-source epoch plan — the Pile-style UPSAMPLING half of
+    * mixture weighting (Gao et al. 2020 §2.2: small high-quality
+    * sources are repeated; `p_token_budget` only downsamples): a
+    * source with total tokens tw and budget B contributes
+    * ⌊B/tw⌋ full epochs of every doc, plus one extra repeat of the
+    * greedy (B mod tw)-token priority prefix. Emits (source, doc_id,
+    * pr, dl, n_repeats > 0) — the materialization plan a training-run
+    * sampler consumes. The remainder prefix rides
+    * [[graft.operators.BudgetSample.scalableB]] with per-source
+    * budgets (B mod tw differs per source — budgets ARE columns);
+    * the oracle is the naive window + integer epoch arithmetic, so
+    * the gate certifies the whole plan (sources with zero tokens are
+    * excluded — upsampling zero tokens is undefined).
+    */
+  private val pEpochPlan = QueryDef.sqlChecked("p_epoch_plan")(
+    s"WITH d AS (SELECT source, doc_id, ${sqlBucket1000("doc_id")} AS pr, " +
+      s"cast(len(${text.sql.tokensOf("text")}) as bigint) AS dl FROM documents), " +
+      "tw AS (SELECT source, cast(sum(dl) as bigint) AS tw FROM d GROUP BY source HAVING sum(dl) > 0), " +
+      "c AS (SELECT d.source AS source, doc_id, pr, dl, tw, " +
+      "coalesce(sum(dl) OVER (PARTITION BY d.source ORDER BY pr, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb " +
+      "FROM d JOIN tw USING (source)) " +
+      s"SELECT source, doc_id, cast(pr as bigint) AS pr, dl, " +
+      s"($EpochBudget // tw) + CASE WHEN cb < $EpochBudget % tw THEN 1 ELSE 0 END AS n_repeats " +
+      s"FROM c WHERE ($EpochBudget // tw) + CASE WHEN cb < $EpochBudget % tw THEN 1 ELSE 0 END > 0 " +
+      "ORDER BY source, pr, doc_id"
+  ) { (s, d) =>
+    val rows = Tables.documents(s, d).select(
+      col("source").as("part"),
+      bucket1000(col("doc_id")).as("pr"),
+      col("doc_id").as("key"),
+      text.tokenCount(col("text")).as("w"))
+    val plans = rows.groupBy("part").agg(sum("w").as("tw"))
+      .filter(col("tw") > 0)
+      .select(col("part"),
+        expr(s"$EpochBudget div tw").as("epochs"),
+        expr(s"$EpochBudget % tw").as("budget"))
+    val rem = graft.operators.BudgetSample
+      .scalableB(rows, plans)
+      .select(col("part"), col("key"), lit(1L).as("extra"))
+    rows.join(broadcast(plans.select("part", "epochs")), Seq("part"))
+      .join(rem, Seq("part", "key"), "left")
+      .withColumn("n_repeats", col("epochs") + coalesce(col("extra"), lit(0L)))
+      .filter(col("n_repeats") > 0)
+      .select(col("part").as("source"), col("key").as("doc_id"),
+        col("pr").cast("bigint").as("pr"), col("w").as("dl"), col("n_repeats"))
+      .orderBy("source", "pr", "doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(pSampleHash, pSampleStratified,
     pSplitTrainTest, pMixtureSample, pSourceCap, pQualityQuantile,
     pTopkTokens, pNgramStats,
     pReembedDelta, pCorpusClean, pPackSequences, pDecontaminate,
     pDeconBloom, pImportanceSample, pDeconDelta, pPipelineAudit,
-    pShuffleShard, qStreamDedup, qStreamDedupWm, qStreamJoin,
-    qStreamStatic)
+    pShuffleShard, pTokenBudget, pEpochPlan, qStreamDedup, qStreamDedupWm,
+    qStreamJoin, qStreamStatic)
 }
