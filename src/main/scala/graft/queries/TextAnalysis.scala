@@ -829,8 +829,70 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM predictability score — the integer-exact analog of
+    * CCNet's LM-perplexity quality filter (Wenzek et al. 2020): train
+    * MLE bigram counts on the corpus itself, score each document by
+    * Σ k·(⌊log₂ c(w1,w2)⌋ − ⌊log₂ c(w1,·)⌋) ≈ Σ log₂ P(w2|w1) ≤ 0 —
+    * near 0 = highly predictable (boilerplate/repetition), very
+    * negative = surprising (noise); both tails are what a perplexity
+    * filter cuts. ⌊log₂ c⌋ is `length(bin(c)) − 1`, EXACT in both
+    * engines (a float log2 drifts across libm at exact powers), so
+    * the gate is a full hash match; the per-doc mean ships ×1000
+    * floor-divided (both engines truncate toward zero).
+    *
+    * Scale shape: the model IS two map-side-combined aggregates over
+    * (doc, w1, w2) rows (bigram and prefix-marginal counts); scoring
+    * joins shuffle on the bigram/prefix keys — co-partitioned with
+    * the counts they came from, no broadcast needed. At 100 TB the
+    * model table is vocab²-bounded, and frequency-pruning it (drop
+    * count-1 bigrams into an OOV floor) shrinks the join's build side
+    * without touching the plan.
+    */
+  private val tLmBigram = QueryDef.sqlChecked("t_lm_bigram")(
+    s"WITH tk AS (SELECT doc_id, ${text.sql.tokensOf("text")} AS tk FROM documents), " +
+      "pairs AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM " +
+      "(SELECT doc_id, tk, unnest(range(1, greatest(len(tk), 1))) AS i FROM tk)), " +
+      "dk AS (SELECT doc_id, w1, w2, count(*) AS k FROM pairs GROUP BY doc_id, w1, w2), " +
+      "cb AS (SELECT w1, w2, cast(sum(k) as bigint) AS cb FROM dk GROUP BY w1, w2), " +
+      "cu AS (SELECT w1, cast(sum(k) as bigint) AS cu FROM dk GROUP BY w1), " +
+      "sc AS (SELECT doc_id, cast(sum(k) as bigint) AS n_bigrams, " +
+      "cast(sum(k * ((length(bin(cb)) - 1) - (length(bin(cu)) - 1))) as bigint) AS lm_sum " +
+      "FROM dk JOIN cb USING (w1, w2) JOIN cu USING (w1) GROUP BY doc_id) " +
+      "SELECT d.doc_id AS doc_id, coalesce(n_bigrams, 0) AS n_bigrams, " +
+      "coalesce(lm_sum, 0) AS lm_sum, " +
+      "CASE WHEN coalesce(n_bigrams, 0) > 0 THEN lm_sum * 1000 // n_bigrams ELSE 0 END AS lm_avg_milli " +
+      "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id"
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), text.tokens(col("text")).as("tk"))
+    val pairs = toks
+      .withColumn("i", explode(
+        when(size(col("tk")) >= 2, sequence(lit(1), size(col("tk")) - 1))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"),
+        element_at(col("tk"), col("i")).as("w1"),
+        element_at(col("tk"), col("i") + 1).as("w2"))
+    val dk = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+    val cb = dk.groupBy("w1", "w2").agg(sum("k").as("cb"))
+    val cu = dk.groupBy("w1").agg(sum("k").as("cu"))
+    def ilog2(c: org.apache.spark.sql.Column) =
+      (length(bin(c)) - 1).cast("bigint")
+    val sc = dk.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .groupBy("doc_id").agg(
+        sum(col("k")).as("n_bigrams"),
+        sum(col("k") * (ilog2(col("cb")) - ilog2(col("cu")))).as("lm_sum"))
+    docs.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_sum"), lit(0L)).as("lm_sum"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          expr("lm_sum * 1000 div n_bigrams")).otherwise(lit(0L))
+          .as("lm_avg_milli"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(tTokenCount, tQuality, tLangId, tBpeCount,
     tRedact, tFingerprint, tRepetition, tRepLines, tRepArgmax, tRepFracs,
     tGopherRules, tC4Rules, tLangNgram, tClassifierScore, tBpeTrain,
-    tBpeApply)
+    tBpeApply, tLmBigram)
 }
