@@ -1054,11 +1054,113 @@ object PipelineQueries {
       .orderBy("source", "pr", "doc_id")
   }
 
+  /** Per-source budget each source may spend across the WHOLE stream
+    * in [[qStreamBudget]].
+    */
+  val StreamBudget = 400L
+
+  /** STREAMING token-budget enforcement — [[pTokenBudget]]'s stateful
+    * sibling, proven end-to-end on a real Structured Stream: docs
+    * arrive in micro-batches and each source may spend at most
+    * [[StreamBudget]] tokens over the stream's lifetime; a doc is
+    * taken iff its source's spent-so-far (in arrival order:
+    * batch, then doc_id) is still under budget, the straddler
+    * included. State is an APPEND-ONLY (source, spent-increment)
+    * ledger — one row per source per batch, read back as a tiny
+    * grouped sum, so per-batch cost is ∝ batch + |sources|, never
+    * corpus; the in-batch window is batch-sized (the corpus-sized
+    * window hazard BudgetSample exists for cannot occur here).
+    *
+    * The oracle is the arrival-order naive window over ALL streamed
+    * docs. The two rules agree by a prefix argument: decisions are
+    * identical until a source's first drop (spent-of-kept == cum of
+    * all predecessors while everything is kept), and after it both
+    * the ledger's spent and the oracle's running sum sit at ≥ budget
+    * forever — so kept-only state loses nothing. A state-loss
+    * double-spend or premature cutoff changes the kept set and fails
+    * the hash gate.
+    */
+  private val qStreamBudget = QueryDef.sqlChecked("q_stream_budget")({
+    val bkt = sqlBucket1000("doc_id")
+    s"WITH d AS (SELECT doc_id, source, cast(len(${text.sql.tokensOf("text")}) as bigint) AS dl, " +
+      s"CASE WHEN $bkt >= 850 THEN 2 ELSE 1 END AS b " +
+      s"FROM documents WHERE $bkt >= 700), " +
+      "c AS (SELECT doc_id, source, dl, coalesce(sum(dl) OVER (" +
+      "PARTITION BY source ORDER BY b, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM d) " +
+      s"SELECT doc_id, source, dl, cb < $StreamBudget AS kept " +
+      "FROM c ORDER BY doc_id"
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bkt = bucket1000(col("doc_id"))
+    val feed = Seq(
+      docs.filter(bkt >= 700 && bkt < 850).select("doc_id", "source", "text"),
+      docs.filter(bkt >= 850).select("doc_id", "source", "text"))
+
+    val work = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_sbudget_" + java.lang.Integer.toHexString(d.hashCode))
+    if (java.nio.file.Files.exists(work)) {
+      java.nio.file.Files.walk(work).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+    }
+    val ledgerPath = work.toString + "/ledger"
+    val decPath = work.toString + "/decisions"
+    // seed the ledger with an explicit empty frame so batch 1 reads a
+    // valid (if empty) spent table
+    import s.implicits._
+    Seq.empty[(String, Long)].toDF("part", "add")
+      .write.mode("overwrite").parquet(ledgerPath)
+
+    val streamDir = graft.streaming.FileStreamFixture.write("sbudget", d,
+      "docs by bucket; b1 [700,850), b2 [850,1000); per-source budget", feed)
+    graft.SessionConf.withStreamShuffle(s) {
+      val q = s.readStream.schema(feed.head.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(streamDir)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", work.toString + "/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+          val rows = batch.toDF()
+            .select(col("source").as("part"), lit(0L).as("pr"),
+              col("doc_id").as("key"), text.tokenCount(col("text")).as("w"))
+            .localCheckpoint()
+          val spent = s.read.parquet(ledgerPath)
+            .groupBy("part").agg(sum("add").as("spent"))
+          val budgets = rows.select("part").distinct()
+            .join(spent, Seq("part"), "left")
+            .select(col("part"),
+              greatest(lit(StreamBudget) - coalesce(col("spent"), lit(0L)),
+                lit(0L)).as("budget"))
+          val kept = graft.operators.BudgetSample.naiveB(rows, budgets)
+            .select(col("part"), col("key"), lit(true).as("kept"))
+            .localCheckpoint()
+          rows.join(kept, Seq("part", "key"), "left")
+            .select(col("key").as("doc_id"), col("part").as("source"),
+              col("w").as("dl"),
+              coalesce(col("kept"), lit(false)).as("kept"))
+            .write.mode("append").parquet(decPath)
+          kept.join(rows, Seq("part", "key"))
+            .groupBy("part").agg(sum("w").as("add"))
+            .write.mode("append").parquet(ledgerPath)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(decPath).orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(pSampleHash, pSampleStratified,
     pSplitTrainTest, pMixtureSample, pSourceCap, pQualityQuantile,
     pTopkTokens, pNgramStats,
     pReembedDelta, pCorpusClean, pPackSequences, pDecontaminate,
     pDeconBloom, pImportanceSample, pDeconDelta, pPipelineAudit,
-    pShuffleShard, pTokenBudget, pEpochPlan, qStreamDedup, qStreamDedupWm,
-    qStreamJoin, qStreamStatic)
+    pShuffleShard, pTokenBudget, pEpochPlan, qStreamBudget, qStreamDedup,
+    qStreamDedupWm, qStreamJoin, qStreamStatic)
 }
