@@ -1326,6 +1326,45 @@ object ScaleProbe {
         f"(dup_docs=$nDup) cut=$tCut%.2f s (cut_docs=$nCutDocs) " +
         f"rewrite=$tRw%.2f s (kept_chars=$nRwBytes) " +
         f"incremental=$tInc%.2f s (batch_dup_docs=$nBatchDup)")
+    } else if (args(0) == "budgetscale") {
+      // Budgeted-selection economics under the shape that motivates
+      // the decomposition: ONE dominant part (the 40 TB crawl) holding
+      // ~95% of rows. naive windows that part in a single task; the
+      // scalable form windows only the straddling priority bucket
+      // (~1/1000 of the part). Claims to price: wall-clock gap at
+      // nRows, and identical kept counts.
+      // usage: budgetscale <nRows>
+      val n = args(1).toLong
+      import graft.operators.BudgetSample
+      val rows = spark.range(n).select(
+        when(col("id") % 20 === 0,
+          concat(lit("src"), (col("id") % 19).cast("string")))
+          .otherwise(lit("crawl")).as("part"),
+        pmod(hash(col("id")), lit(1000)).cast("bigint").as("pr"),
+        col("id").as("key"),
+        (pmod(hash(col("id") * 7), lit(200)) + 1).cast("bigint").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rows.count()
+      // ~half the dominant part's tokens: straddle lands mid-crawl
+      val budget = n * 25L
+      def med3(body: => Long): (Double, Long) = {
+        var out = 0L
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); out = body
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (ts(1), out)
+      }
+      BudgetSample.scalable(rows.limit(10000), budget).count() // warm
+      val (tScal, kS) = med3 { BudgetSample.scalable(rows, budget).count() }
+      val (tNaive, kN) = med3 { BudgetSample.naive(rows, budget).count() }
+      val cls = BudgetSample.classify(rows, budget)
+      val edgeN = BudgetSample.edgeRows(rows, cls).count()
+      rows.unpersist()
+      require(kN == kS, s"scalable kept $kS != naive kept $kN")
+      println(f"BUDGETSCALE n=$n kept=$kS naive=$tNaive%.2f s " +
+        f"scalable=$tScal%.2f s speedup=${tNaive / tScal}%.1fx " +
+        f"window_rows: naive=$n scalable=$edgeN")
     } else if (args(0) == "deconbloom") {
       // Bloom-gated decontamination economics: the claim to price is
       // "the pre-filter cuts the verify join's input to true hits +
