@@ -192,4 +192,75 @@ object Knn {
       k: Int, metric: Metric): DataFrame =
     topKPerQuery(leafPairScores(indexed, id, vecCol, metric),
       k, "qid", "nid", metric)
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998) —
+    * the diversity post-processor of RAG retrieval: greedily pick k of
+    * a query's candidates, each step taking
+    * argmax λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s), ties to
+    * the smallest id (step 1 is pure relevance). Unlike the crowding
+    * cap (a per-attribute quota), MMR diversifies in EMBEDDING space.
+    *
+    * The greedy recurrence is inherently sequential per query, so the
+    * Spark shape is flatMapGroups: one task per QUERY, each running
+    * the O(k·C) loop over that query's C candidates (C is bounded by
+    * the upstream top-C cut — the production contract; candidates,
+    * not the corpus, enter the group). Queries parallelize across
+    * tasks; a million-query batch is a million independent groups.
+    * All arithmetic is forward-sequential IEEE double identical to
+    * the DuckDB recursive-CTE oracle (dots accumulate in index order
+    * exactly like [[graft.functions.DotProduct]]; the running
+    * max-to-selected is an exact max, not a sum).
+    *
+    * Input columns: query_id, vec_id, v (array<double>), sq (the
+    * query·candidate score). Output: (query_id, step 1..k, vec_id,
+    * sq) in pick order.
+    */
+  def mmrRerank(cands: DataFrame, k: Int, lam: Double): DataFrame = {
+    val session = cands.sparkSession
+    import session.implicits._
+    cands.select(col("query_id").cast("bigint"), col("vec_id").cast("bigint"),
+        col("v").cast("array<double>"), col("sq").cast("double"))
+      .as[(Long, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Array[Double], Double)]) =>
+        val cs = it.toArray.sortBy(_._2) // id-ascending: strict > keeps smallest id on ties
+        val n = cs.length
+        val taken = new Array[Boolean](n)
+        val mx = new Array[Double](n) // max sim to selected; valid from step 2
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          val m = math.min(a.length, b.length)
+          var acc = 0.0; var i = 0
+          while (i < m) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        val steps = math.min(k, n)
+        var step = 1
+        while (step <= steps) {
+          var best = -1; var bestScore = 0.0
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              val sc = if (step == 1) cs(i)._4
+                else lam * cs(i)._4 - (1.0 - lam) * mx(i)
+              if (best == -1 || sc > bestScore) { best = i; bestScore = sc }
+            }
+            i += 1
+          }
+          taken(best) = true
+          out += ((qid, step.toLong, cs(best)._2, cs(best)._4))
+          var j = 0
+          while (j < n) {
+            if (!taken(j)) {
+              val d0 = dot(cs(j)._3, cs(best)._3)
+              if (step == 1 || d0 > mx(j)) mx(j) = d0
+            }
+            j += 1
+          }
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "step", "vec_id", "sq")
+  }
 }

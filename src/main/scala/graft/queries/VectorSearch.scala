@@ -338,7 +338,52 @@ object VectorSearch {
       .orderBy("p")
   }
 
+  /** MMR diversity re-rank over the top-20 dot candidates: greedy
+    * λ=1/2 relevance-vs-redundancy selection of 5
+    * ([[graft.operators.Knn.mmrRerank]] — one flatMapGroups task per
+    * query over its BOUNDED candidate set; queries parallelize). The
+    * oracle replays the greedy recurrence as a DuckDB RECURSIVE CTE
+    * carrying the selected-id list, with the same total
+    * (score desc, vec_id) argmax order — every pick and its relevance
+    * score hash-gated.
+    */
+  private val vMmrRerank = QueryDef.sqlChecked("v_mmr_rerank")(
+    "WITH RECURSIVE " +
+      s"cand AS (SELECT vec_id, cast(embedding as double[]) AS v, " +
+      s"list_inner_product(cast(embedding as double[]), $qSub) AS sq " +
+      "FROM embeddings WHERE vec_id <> 0 ORDER BY sq DESC, vec_id LIMIT 20), " +
+      "pairs AS (SELECT a.vec_id AS pa, b.vec_id AS pb, " +
+      "list_inner_product(a.v, b.v) AS s FROM cand a, cand b WHERE a.vec_id <> b.vec_id), " +
+      "sel AS (" +
+      "SELECT 1 AS step, (SELECT vec_id FROM cand ORDER BY sq DESC, vec_id LIMIT 1) AS pick, " +
+      "[(SELECT vec_id FROM cand ORDER BY sq DESC, vec_id LIMIT 1)] AS sel_ids " +
+      "UNION ALL " +
+      "SELECT step + 1, pick, list_append(sel_ids, pick) FROM (" +
+      "SELECT s.step AS step, s.sel_ids AS sel_ids, c.vec_id AS pick, " +
+      "row_number() OVER (ORDER BY 0.5*c.sq - 0.5*(" +
+      "SELECT max(p.s) FROM pairs p WHERE p.pa = c.vec_id AND list_contains(s.sel_ids, p.pb)" +
+      ") DESC, c.vec_id) AS rn " +
+      "FROM sel s JOIN cand c ON NOT list_contains(s.sel_ids, c.vec_id) " +
+      "WHERE s.step < 5) t WHERE rn = 1) " +
+      "SELECT cast(step as bigint) AS step, pick AS vec_id, " +
+      "(SELECT sq FROM cand WHERE cand.vec_id = sel.pick) AS sq " +
+      "FROM sel ORDER BY step"
+  ) { (s, d) =>
+    val q = corpus(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val scored = corpus(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        vectors.dotProduct(col("embedding"), col("q_emb")).as("score"))
+    val cand = Knn.topK(scored, 20, "vec_id", Knn.Dot)
+      .select(lit(0L).as("query_id"), col("vec_id"), col("v"),
+        col("score").as("sq"))
+    Knn.mmrRerank(cand, 5, 0.5)
+      .select(col("step"), col("vec_id"), col("sq"))
+      .orderBy("step")
+  }
+
   val defs: Seq[QueryDef] = Seq(vKnnDot, vKnnCosine, vKnnL2, vKnnBatch,
     vKnnFiltered, vCrowding, vRangeCosine, vNormTop, vTopkAgg, vMaxsim,
-    vEmbedStats, vMrlSearch, vMrlCurve)
+    vEmbedStats, vMrlSearch, vMrlCurve, vMmrRerank)
 }

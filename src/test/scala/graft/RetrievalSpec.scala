@@ -56,6 +56,40 @@ class RetrievalSpec extends SparkTestBase {
       s"rare-term idf must dominate: ${s(9L)} vs common-only $commonOnly")
   }
 
+  test("mmr: lambda=1 is pure relevance order; a duplicate of the top hit is exiled") {
+    import graft.operators.Knn
+    import spark.implicits._
+    // candidates: c1 best, c2 = exact copy of c1 (self-sim 4 — a
+    // heavy redundancy penalty), c3/c4 diverse directions
+    val cand = Seq(
+      (0L, 1L, Array(2.0, 0.0), 0.9),
+      (0L, 2L, Array(2.0, 0.0), 0.89),
+      (0L, 3L, Array(0.0, 1.0), 0.5),
+      (0L, 4L, Array(0.0, 0.9), 0.45))
+      .toDF("query_id", "vec_id", "v", "sq")
+    val pure = Knn.mmrRerank(cand, 4, 1.0).orderBy("step")
+      .collect().map(_.getLong(2)).toSeq
+    assert(pure == Seq(1L, 2L, 3L, 4L), "lambda=1 must reduce to relevance order")
+    val mmr = Knn.mmrRerank(cand, 4, 0.5).orderBy("step")
+      .collect().map(_.getLong(2)).toSeq
+    assert(mmr.head == 1L, "step 1 is pure relevance")
+    assert(mmr.last == 2L,
+      s"the exact duplicate of the top hit must be picked LAST, got $mmr")
+    assert(mmr(1) == 3L, "step 2 prefers the diverse direction over the copy")
+  }
+
+  test("mmr: groups are independent — a second query reranks its own candidates") {
+    import graft.operators.Knn
+    import spark.implicits._
+    val cand = Seq(
+      (0L, 1L, Array(1.0, 0.0), 0.9), (0L, 2L, Array(0.0, 1.0), 0.5),
+      (7L, 9L, Array(1.0, 0.0), 0.3), (7L, 8L, Array(1.0, 0.0), 0.8))
+      .toDF("query_id", "vec_id", "v", "sq")
+    val out = Knn.mmrRerank(cand, 2, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 1L, 1L), (0L, 2L, 2L), (7L, 1L, 8L), (7L, 2L, 9L)))
+  }
+
   test("mrl: prefix width 64 reproduces the full-dim top-10 exactly") {
     val curve = SparkEntry.queries("v_mrl_curve")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
