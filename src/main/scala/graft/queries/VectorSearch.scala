@@ -383,7 +383,55 @@ object VectorSearch {
       .orderBy("step")
   }
 
+  /** BATCHED MMR — [[vMmrRerank]]'s production shape: three queries
+    * re-rank their own top-20 candidate sets concurrently, one
+    * flatMapGroups task each. The oracle's recursion advances ALL
+    * queries one step per iteration (argmax partitioned by query),
+    * so cross-query independence is itself gated: any leakage of one
+    * query's selected set into another's argmax changes a pick and
+    * fails the hash.
+    */
+  private val vMmrBatch = QueryDef.sqlChecked("v_mmr_batch")(
+    "WITH RECURSIVE " +
+      "qs AS (SELECT vec_id AS query_id, cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id < 3), " +
+      "cand AS (SELECT query_id, e.vec_id AS vec_id, cast(e.embedding as double[]) AS v, sq FROM (" +
+      "SELECT q.query_id, e.vec_id, list_inner_product(cast(e.embedding as double[]), q.qv) AS sq, " +
+      "row_number() OVER (PARTITION BY q.query_id ORDER BY list_inner_product(cast(e.embedding as double[]), q.qv) DESC, e.vec_id) AS rr " +
+      "FROM embeddings e CROSS JOIN qs q WHERE e.vec_id >= 3) s " +
+      "JOIN embeddings e USING (vec_id) WHERE rr <= 20), " +
+      "pairs AS (SELECT a.query_id AS query_id, a.vec_id AS pa, b.vec_id AS pb, " +
+      "list_inner_product(a.v, b.v) AS s FROM cand a JOIN cand b " +
+      "ON a.query_id = b.query_id AND a.vec_id <> b.vec_id), " +
+      "sel AS (" +
+      "SELECT query_id, 1 AS step, vec_id AS pick, [vec_id] AS sel_ids FROM (" +
+      "SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, vec_id) AS rn FROM cand) t0 " +
+      "WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT query_id, step + 1, pick, list_append(sel_ids, pick) FROM (" +
+      "SELECT s.query_id AS query_id, s.step AS step, s.sel_ids AS sel_ids, c.vec_id AS pick, " +
+      "row_number() OVER (PARTITION BY s.query_id ORDER BY 0.5*c.sq - 0.5*(" +
+      "SELECT max(p.s) FROM pairs p WHERE p.query_id = s.query_id AND p.pa = c.vec_id AND list_contains(s.sel_ids, p.pb)" +
+      ") DESC, c.vec_id) AS rn " +
+      "FROM sel s JOIN cand c ON c.query_id = s.query_id AND NOT list_contains(s.sel_ids, c.vec_id) " +
+      "WHERE s.step < 5) t WHERE rn = 1) " +
+      "SELECT query_id, cast(step as bigint) AS step, pick AS vec_id, " +
+      "(SELECT sq FROM cand WHERE cand.query_id = sel.query_id AND cand.vec_id = sel.pick) AS sq " +
+      "FROM sel ORDER BY query_id, step"
+  ) { (s, d) =>
+    val qs = corpus(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus(s, d).filter(col("vec_id") >= 3)
+      .crossJoin(broadcast(qs))
+      .select(col("query_id"), col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        vectors.dotProduct(col("embedding"), col("q_emb")).as("score"))
+    val cand = Knn.topKPerQuery(scored, 20, "query_id", "vec_id", Knn.Dot)
+      .select(col("query_id"), col("vec_id"), col("v"), col("score").as("sq"))
+    Knn.mmrRerank(cand, 5, 0.5)
+      .orderBy("query_id", "step")
+  }
+
   val defs: Seq[QueryDef] = Seq(vKnnDot, vKnnCosine, vKnnL2, vKnnBatch,
     vKnnFiltered, vCrowding, vRangeCosine, vNormTop, vTopkAgg, vMaxsim,
-    vEmbedStats, vMrlSearch, vMrlCurve, vMmrRerank)
+    vEmbedStats, vMrlSearch, vMrlCurve, vMmrRerank, vMmrBatch)
 }
