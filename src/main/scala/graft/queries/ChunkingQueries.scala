@@ -206,18 +206,27 @@ object ChunkingQueries {
     * the final top-10 is TakeOrderedAndProject — no full-corpus
     * shuffle anywhere.
     */
-  private val vBm25 = QueryDef.sqlChecked("v_bm25_topk")(
-    s"WITH dls AS (SELECT doc_id, cast(len(${text.sql.tokensOf("text")}) as bigint) AS dl FROM documents), " +
+  /** BM25 CTE fragment (dls/tot/toks/tf/df/bscore) shared by the
+    * standalone gate and the composed RAG pipeline oracle.
+    */
+  private[queries] def bm25Ctes: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"dls AS (SELECT doc_id, cast(len(${text.sql.tokensOf("text")}) as bigint) AS dl FROM documents), " +
       "tot AS (SELECT cast(sum(dl) as bigint) AS tt, count(*) AS nn FROM dls), " +
       s"toks AS (SELECT doc_id, unnest(${text.sql.tokensOf("text")}) AS t FROM documents), " +
-      s"tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t IN (SELECT t FROM (SELECT unnest(${QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")}) AS t)) GROUP BY doc_id, t), " +
-      s"df AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks WHERE t IN (SELECT t FROM (SELECT unnest(${QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")}) AS t)) GROUP BY t) " +
-      "SELECT tf.doc_id AS doc_id, cast(sum(" +
+      s"tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t IN (SELECT t FROM (SELECT unnest($terms) AS t)) GROUP BY doc_id, t), " +
+      s"df AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks WHERE t IN (SELECT t FROM (SELECT unnest($terms) AS t)) GROUP BY t), " +
+      "bscore AS (SELECT tf.doc_id AS doc_id, cast(sum(" +
       "(((2 * (nn - df) + 1) * 1000) // (2 * df + 1)) * " +
       "((22 * tf * tt * 1000) // (10 * tf * tt + 3 * tt + 9 * dl * nn))" +
       ") as bigint) AS score " +
       "FROM tf JOIN df USING (t) JOIN dls ON tf.doc_id = dls.doc_id CROSS JOIN tot " +
-      "GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 10"
+      "GROUP BY tf.doc_id)"
+  }
+
+  private val vBm25 = QueryDef.sqlChecked("v_bm25_topk")(
+    s"WITH $bm25Ctes " +
+      "SELECT doc_id, score FROM bscore ORDER BY score DESC, doc_id LIMIT 10"
   ) { (s, d) => bm25(Tables.documents(s, d), QueryTerms, 10) }
 
   /** BM25 body over any (doc_id, text) frame — see [[vBm25]] for the
@@ -225,7 +234,14 @@ object ChunkingQueries {
     * saturation/length-normalization property checks.
     */
   private[graft] def bm25(docs: org.apache.spark.sql.DataFrame,
-      terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+      terms: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
+    bm25Scores(docs, terms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** Un-truncated BM25 scores (doc_id, score) — the bscore CTE. */
+  private[queries] def bm25Scores(docs: org.apache.spark.sql.DataFrame,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
     val dls = docs.select(col("doc_id"), text.tokenCount(col("text")).as("dl"))
     val qtoks = docs.select(col("doc_id"),
       explode(text.tokens(col("text"))).as("t"))
@@ -241,9 +257,125 @@ object ChunkingQueries {
         expr("(22 * tf * tt * 1000) div (10 * tf * tt + 3 * tt + 9 * dl * nn)"))
       .groupBy("doc_id")
       .agg(sum(col("idfs") * col("tfr")).cast("bigint").as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
   }
 
-  val defs: Seq[QueryDef] = Seq(tChunk, qTfidf, qHybridRrf, vBm25)
+  /** The WHOLE modern RAG retrieval stack in one oracle-checked
+    * query: BM25 lexical top-20 ∥ hashed-dense top-20 → RRF fusion →
+    * top-10 candidate pool → MMR diversity re-rank (k=5, λ=1/2,
+    * relevance = the integer dense dot, redundancy = candidate-pair
+    * integer dots over zero-filled 32-dim vectors) → metadata join.
+    * Each leg is an already-gated operator (`v_bm25_topk`,
+    * `q_hybrid_rrf`'s dense path, `v_mmr_rerank`); this gate pins the
+    * COMPOSITION — rank cuts, fusion arithmetic, candidate-pool
+    * boundary, greedy recurrence, and the final enrichment join —
+    * end to end against a single recursive-CTE oracle. All pair/query
+    * similarities are exact integers (order-free), so the only
+    * doubles are the RRF terms and λ-halves — single deterministic
+    * IEEE ops, full hash match.
+    *
+    * Scale shape: one shared tokenized scan feeds both legs; each
+    * rank list is a partial top-k before its single-partition window;
+    * the MMR group receives exactly 10 candidate rows per query.
+    */
+  private val rRagE2e = QueryDef.sqlChecked("r_rag_e2e")({
+    val terms = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val ph = graft.functions.text.sql.polyHash("t")
+    "WITH RECURSIVE " +
+      s"${graft.pipeline.SparseEmbed.sql.embedCte("docvec", "doc_id")}, " +
+      s"q AS (SELECT unnest($terms) AS t), " +
+      s"qv AS (SELECT $ph % ${graft.pipeline.SparseEmbed.Dim} AS idx, " +
+      s"cast(sum((($ph >> 5) & 1) * 2 - 1) as bigint) AS qw " +
+      s"FROM q GROUP BY idx HAVING sum((($ph >> 5) & 1) * 2 - 1) <> 0), " +
+      "dense AS (SELECT doc_id, cast(sum(w * qw) as bigint) AS dot " +
+      "FROM docvec JOIN qv USING (idx) GROUP BY doc_id), " +
+      "drank AS (SELECT doc_id, row_number() OVER (ORDER BY dot DESC, doc_id) AS rd " +
+      "FROM dense WHERE dot > 0), " +
+      s"$bm25Ctes, " +
+      "brank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rs FROM bscore), " +
+      "fused AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, " +
+      "coalesce(1.0/(60+a.rs), 0.0) + coalesce(1.0/(60+b.rd), 0.0) AS rrf " +
+      "FROM (SELECT * FROM brank WHERE rs <= 20) a " +
+      "FULL JOIN (SELECT * FROM drank WHERE rd <= 20) b ON a.doc_id = b.doc_id), " +
+      "cand AS (SELECT f.doc_id AS doc_id, " +
+      "coalesce((SELECT cast(sum(v.w * qv.qw) as double) FROM docvec v JOIN qv ON v.idx = qv.idx " +
+      "WHERE v.doc_id = f.doc_id), 0.0) AS sq " +
+      "FROM fused f ORDER BY rrf DESC, doc_id LIMIT 10), " +
+      "pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb, " +
+      "coalesce((SELECT cast(sum(x.w * y.w) as double) FROM docvec x JOIN docvec y " +
+      "ON x.idx = y.idx WHERE x.doc_id = a.doc_id AND y.doc_id = b.doc_id), 0.0) AS s " +
+      "FROM cand a, cand b WHERE a.doc_id <> b.doc_id), " +
+      "sel AS (" +
+      "SELECT 1 AS step, (SELECT doc_id FROM cand ORDER BY sq DESC, doc_id LIMIT 1) AS pick, " +
+      "[(SELECT doc_id FROM cand ORDER BY sq DESC, doc_id LIMIT 1)] AS sel_ids " +
+      "UNION ALL " +
+      "SELECT step + 1, pick, list_append(sel_ids, pick) FROM (" +
+      "SELECT s.step AS step, s.sel_ids AS sel_ids, c.doc_id AS pick, " +
+      "row_number() OVER (ORDER BY 0.5*c.sq - 0.5*(" +
+      "SELECT max(p.s) FROM pairs p WHERE p.pa = c.doc_id AND list_contains(s.sel_ids, p.pb)" +
+      ") DESC, c.doc_id) AS rn " +
+      "FROM sel s JOIN cand c ON NOT list_contains(s.sel_ids, c.doc_id) " +
+      "WHERE s.step < 5) t WHERE rn = 1) " +
+      "SELECT cast(step as bigint) AS step, d.doc_id AS doc_id, d.source AS source, " +
+      "d.n_chars AS n_chars, (SELECT sq FROM cand WHERE cand.doc_id = sel.pick) AS sq " +
+      "FROM sel JOIN documents d ON d.doc_id = sel.pick ORDER BY step"
+  }) { (s, d) =>
+    import s.implicits._
+    import graft.pipeline.SparseEmbed
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val toks = tokenRows(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dv = toks
+        .select(col("doc_id"), SparseEmbed.dimIdx(col("t")).as("idx"),
+          SparseEmbed.sign(col("t")).as("s"))
+        .groupBy("doc_id", "idx").agg(sum("s").as("w"))
+        .filter(col("w") =!= 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val qv = QueryTerms.toDF("t")
+          .select(SparseEmbed.dimIdx(col("t")).as("idx"),
+            SparseEmbed.sign(col("t")).as("s"))
+          .groupBy("idx").agg(sum("s").as("qw")).filter(col("qw") =!= 0)
+        val dense = dv.join(broadcast(qv), "idx")
+          .groupBy("doc_id").agg(sum(col("w") * col("qw")).as("dot"))
+        val drank = dense.filter(col("dot") > 0)
+          .withColumn("rd", row_number().over(
+            Window.orderBy(col("dot").desc, col("doc_id"))))
+          .filter(col("rd") <= 20)
+        val brank = bm25Scores(docs, QueryTerms)
+          .withColumn("rs", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("rs") <= 20)
+        val fused = brank.select(col("doc_id"), col("rs"))
+          .join(drank.select(col("doc_id"), col("rd")), Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(lit(1.0) / (col("rs") + 60L), lit(0.0)) +
+              coalesce(lit(1.0) / (col("rd") + 60L), lit(0.0))).as("rrf"))
+        val cand10 = fused.orderBy(col("rrf").desc, col("doc_id")).limit(10)
+          .select("doc_id")
+        val dvm = dv.join(cand10, "doc_id")
+          .groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("idx"), col("w"))))
+            .as("m"))
+        val candV = cand10
+          .join(dvm, Seq("doc_id"), "left")
+          .join(dense, Seq("doc_id"), "left")
+          .select(lit(0L).as("query_id"), col("doc_id").as("vec_id"),
+            transform(sequence(lit(0), lit(SparseEmbed.Dim - 1)),
+              i => coalesce(element_at(col("m"), i.cast("bigint")), lit(0L)))
+              .cast("array<double>").as("v"),
+            coalesce(col("dot"), lit(0L)).cast("double").as("sq"))
+        graft.operators.Knn.mmrRerank(candV, 5, 0.5)
+          .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+            col("vec_id") === col("doc_id"))
+          .select(col("step"), col("doc_id"), col("source"), col("n_chars"),
+            col("sq"))
+          .orderBy("step")
+          .localCheckpoint()
+      } finally { dv.unpersist(); () }
+    } finally { toks.unpersist(); () }
+  }
+
+  val defs: Seq[QueryDef] = Seq(tChunk, qTfidf, qHybridRrf, vBm25, rRagE2e)
 }
