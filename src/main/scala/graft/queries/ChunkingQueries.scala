@@ -239,24 +239,42 @@ object ChunkingQueries {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
-  /** Un-truncated BM25 scores (doc_id, score) — the bscore CTE. */
+  /** Un-truncated BM25 scores (doc_id, score) — the bscore CTE.
+    *
+    * The corpus is tokenized exactly TWICE (the honest minimum: the
+    * query-term stream and the per-doc length are different
+    * reductions of the token stream): `qtoks` — query-term token rows
+    * only, cache size ∝ Σ tf(term), corpus-independent — feeds both
+    * tf and df (df ≡ count of tf's distinct (doc, t) groups; column
+    * pruning blocks exchange reuse, so without the cache each
+    * aggregate re-tokenized the corpus); `dls` — one narrow
+    * (doc_id, dl) row per doc — feeds both the length-norm join and
+    * the (T, N) totals. Un-persisted, the same plan ran FOUR full
+    * tokenize scans (plan-audited round 14).
+    */
   private[queries] def bm25Scores(docs: org.apache.spark.sql.DataFrame,
       terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dls = docs.select(col("doc_id"), text.tokenCount(col("text")).as("dl"))
+      .persist(lvl)
     val qtoks = docs.select(col("doc_id"),
       explode(text.tokens(col("text"))).as("t"))
       .filter(col("t").isin(terms: _*))
-    val tf = qtoks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val df = qtoks.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
-    val tot = dls.agg(sum("dl").as("tt"), count(lit(1)).as("nn"))
-    tf.join(broadcast(df), "t")
-      .join(dls, "doc_id")
-      .crossJoin(broadcast(tot))
-      .withColumn("idfs", expr("((2 * (nn - df) + 1) * 1000) div (2 * df + 1)"))
-      .withColumn("tfr",
-        expr("(22 * tf * tt * 1000) div (10 * tf * tt + 3 * tt + 9 * dl * nn)"))
-      .groupBy("doc_id")
-      .agg(sum(col("idfs") * col("tfr")).cast("bigint").as("score"))
+      .persist(lvl)
+    try {
+      val tf = qtoks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val tot = dls.agg(sum("dl").as("tt"), count(lit(1)).as("nn"))
+      tf.join(broadcast(df), "t")
+        .join(dls, "doc_id")
+        .crossJoin(broadcast(tot))
+        .withColumn("idfs", expr("((2 * (nn - df) + 1) * 1000) div (2 * df + 1)"))
+        .withColumn("tfr",
+          expr("(22 * tf * tt * 1000) div (10 * tf * tt + 3 * tt + 9 * dl * nn)"))
+        .groupBy("doc_id")
+        .agg(sum(col("idfs") * col("tfr")).cast("bigint").as("score"))
+        .localCheckpoint()
+    } finally { qtoks.unpersist(); dls.unpersist(); () }
   }
 
   /** The WHOLE modern RAG retrieval stack in one oracle-checked
