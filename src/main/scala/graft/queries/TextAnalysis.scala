@@ -872,23 +872,31 @@ object TextAnalysis {
       .select(col("doc_id"),
         element_at(col("tk"), col("i")).as("w1"),
         element_at(col("tk"), col("i") + 1).as("w2"))
+    // dk feeds three consumers (model counts cb/cu and the scoring
+    // join) — persisted, the bigram explode+aggregate runs ONCE
+    // (un-persisted this plan re-tokenized the corpus per consumer;
+    // plan-audited round 14: 8 scans → 2)
     val dk = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
-    val cb = dk.groupBy("w1", "w2").agg(sum("k").as("cb"))
-    val cu = dk.groupBy("w1").agg(sum("k").as("cu"))
-    def ilog2(c: org.apache.spark.sql.Column) =
-      (length(bin(c)) - 1).cast("bigint")
-    val sc = dk.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
-      .groupBy("doc_id").agg(
-        sum(col("k")).as("n_bigrams"),
-        sum(col("k") * (ilog2(col("cb")) - ilog2(col("cu")))).as("lm_sum"))
-    docs.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("lm_sum"), lit(0L)).as("lm_sum"),
-        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
-          expr("lm_sum * 1000 div n_bigrams")).otherwise(lit(0L))
-          .as("lm_avg_milli"))
-      .orderBy("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cb = dk.groupBy("w1", "w2").agg(sum("k").as("cb"))
+      val cu = dk.groupBy("w1").agg(sum("k").as("cu"))
+      def ilog2(c: org.apache.spark.sql.Column) =
+        (length(bin(c)) - 1).cast("bigint")
+      val sc = dk.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+        .groupBy("doc_id").agg(
+          sum(col("k")).as("n_bigrams"),
+          sum(col("k") * (ilog2(col("cb")) - ilog2(col("cu")))).as("lm_sum"))
+      docs.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("lm_sum"), lit(0L)).as("lm_sum"),
+          when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+            expr("lm_sum * 1000 div n_bigrams")).otherwise(lit(0L))
+            .as("lm_avg_milli"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally { dk.unpersist(); () }
   }
 
   val defs: Seq[QueryDef] = Seq(tTokenCount, tQuality, tLangId, tBpeCount,
