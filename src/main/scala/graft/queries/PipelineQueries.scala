@@ -1156,11 +1156,51 @@ object PipelineQueries {
     s.read.parquet(decPath).orderBy("doc_id")
   }
 
+  /** Per-source dataset card (cf. Datasheets for Datasets, Gebru et
+    * al. 2021; the Pile's per-source tables): the one-row-per-source
+    * audit a curation run publishes with its output — volume (docs,
+    * tokens, scaled mean length), language mix (en/zh counts +
+    * multibyte-content docs via the encoding-level octet_length >
+    * length test, identical UTF-8 semantics in both engines), and an
+    * aggregate quality signal (corpus stopword mass per mille). All
+    * columns are exact integers; one map-side-combined grouped pass
+    * over the corpus, output |sources| rows.
+    */
+  private val pDataCard = QueryDef.sqlChecked("p_data_card")({
+    val stop = text.sql.stopwordCount("text", graft.functions.text.EnStop)
+    s"SELECT source, count(*) AS n_docs, " +
+      s"cast(sum(len(${text.sql.tokensOf("text")})) as bigint) AS n_tokens, " +
+      s"(1000 * cast(sum(len(${text.sql.tokensOf("text")})) as bigint)) // count(*) AS avg_tokens_milli, " +
+      "count(*) FILTER (WHERE lang = 'en') AS n_en, " +
+      "count(*) FILTER (WHERE lang = 'zh') AS n_zh, " +
+      "count(*) FILTER (WHERE strlen(text) > length(text)) AS n_multibyte, " +
+      s"(1000 * cast(sum($stop) as bigint)) // cast(sum(len(${text.sql.tokensOf("text")})) as bigint) AS stop_ratio_milli " +
+      "FROM documents GROUP BY source ORDER BY source"
+  }) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(text.tokenCount(col("text"))).as("n_tokens"),
+        count(when(col("lang") === "en", 1)).as("n_en"),
+        count(when(col("lang") === "zh", 1)).as("n_zh"),
+        count(when(octet_length(col("text")) > length(col("text")), 1))
+          .as("n_multibyte"),
+        sum(text.stopwordCount(col("text"), graft.functions.text.EnStop))
+          .as("n_stop"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(1000 * n_tokens) div n_docs").as("avg_tokens_milli"),
+        col("n_en"), col("n_zh"), col("n_multibyte"),
+        expr("(1000 * n_stop) div n_tokens").as("stop_ratio_milli"))
+      .orderBy("source")
+  }
+
   val defs: Seq[QueryDef] = Seq(pSampleHash, pSampleStratified,
     pSplitTrainTest, pMixtureSample, pSourceCap, pQualityQuantile,
     pTopkTokens, pNgramStats,
     pReembedDelta, pCorpusClean, pPackSequences, pDecontaminate,
     pDeconBloom, pImportanceSample, pDeconDelta, pPipelineAudit,
-    pShuffleShard, pTokenBudget, pEpochPlan, qStreamBudget, qStreamDedup,
+    pShuffleShard, pTokenBudget, pEpochPlan, pDataCard, qStreamBudget,
+    qStreamDedup,
     qStreamDedupWm, qStreamJoin, qStreamStatic)
 }

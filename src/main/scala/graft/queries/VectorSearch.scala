@@ -431,7 +431,49 @@ object VectorSearch {
       .orderBy("query_id", "step")
   }
 
+  /** Embedding-distribution drift monitor — the ML-level sibling of
+    * the file-level BQ drift probe: per dimension, compare the
+    * positive-mass fraction between two corpus snapshots (stand-ins
+    * here: even vs odd vec_id halves) as exact integers —
+    * ⌊1000·pos/n⌋ per side and their signed difference. A retrained
+    * or corrupted embedder shifts per-dim sign balance long before
+    * recall collapses; this table is the alert signal. One scan,
+    * map-side-combined (dim)-keyed aggregate, output |dims| rows
+    * regardless of corpus size — the same monitoring cost contract as
+    * `v_embed_stats`. Exact integer arithmetic end to end (a float
+    * PSI needs logs; the sign-mass difference is the drift signal
+    * without them).
+    */
+  private val vEmbedDrift = QueryDef.sqlChecked("v_embed_drift")(
+    "SELECT cast(s.dim as bigint) AS dim, " +
+      "count(*) FILTER (WHERE vec_id % 2 = 0) AS n_a, " +
+      "count(*) FILTER (WHERE vec_id % 2 = 0 AND cast(embedding as double[])[s.dim+1] > 0) AS pos_a, " +
+      "count(*) FILTER (WHERE vec_id % 2 = 1) AS n_b, " +
+      "count(*) FILTER (WHERE vec_id % 2 = 1 AND cast(embedding as double[])[s.dim+1] > 0) AS pos_b, " +
+      "(1000 * count(*) FILTER (WHERE vec_id % 2 = 0 AND cast(embedding as double[])[s.dim+1] > 0)) " +
+      "// count(*) FILTER (WHERE vec_id % 2 = 0) - " +
+      "(1000 * count(*) FILTER (WHERE vec_id % 2 = 1 AND cast(embedding as double[])[s.dim+1] > 0)) " +
+      "// count(*) FILTER (WHERE vec_id % 2 = 1) AS drift_milli " +
+      "FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) s " +
+      "GROUP BY s.dim ORDER BY dim"
+  ) { (s, d) =>
+    val a = col("vec_id") % 2 === 0
+    val pos = col("x") > 0
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("bigint").as("dim"))
+      .agg(
+        count(when(a, 1)).as("n_a"),
+        count(when(a && pos, 1)).as("pos_a"),
+        count(when(!a, 1)).as("n_b"),
+        count(when(!a && pos, 1)).as("pos_b"))
+      .withColumn("drift_milli",
+        expr("(1000 * pos_a) div n_a - (1000 * pos_b) div n_b"))
+      .orderBy("dim")
+  }
+
   val defs: Seq[QueryDef] = Seq(vKnnDot, vKnnCosine, vKnnL2, vKnnBatch,
     vKnnFiltered, vCrowding, vRangeCosine, vNormTop, vTopkAgg, vMaxsim,
-    vEmbedStats, vMrlSearch, vMrlCurve, vMmrRerank, vMmrBatch)
+    vEmbedStats, vMrlSearch, vMrlCurve, vMmrRerank, vMmrBatch, vEmbedDrift)
 }
