@@ -1195,12 +1195,56 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Close the budget loop: audit [[pTokenBudget]]'s OUTPUT against
+    * its contract — per source, the kept token sum, the budget
+    * utilization per mille, and the two invariants a reviewer checks
+    * by hand: spent-before-last-doc < budget (greedy semantics: only
+    * the straddler may cross) and utilization ≤ the straddler
+    * allowance. Runs the selection itself (scalable form) and reduces
+    * it — so the driver gate re-proves the selection AND its audit
+    * agree with the naive-window oracle every round.
+    */
+  private val pBudgetAudit = QueryDef.sqlChecked("p_budget_audit")(
+    s"WITH d AS (SELECT source, doc_id, ${sqlBucket1000("doc_id")} AS pr, " +
+      s"cast(len(${text.sql.tokensOf("text")}) as bigint) AS dl FROM documents), " +
+      "c AS (SELECT source, doc_id, pr, dl, coalesce(sum(dl) OVER (" +
+      "PARTITION BY source ORDER BY pr, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM d), " +
+      s"kept AS (SELECT * FROM c WHERE cb < $TokenBudget) " +
+      "SELECT source, count(*) AS n_kept, cast(sum(dl) as bigint) AS kept_tokens, " +
+      s"(1000 * cast(sum(dl) as bigint)) // $TokenBudget AS utilization_milli, " +
+      s"cast(max(cb) < $TokenBudget as boolean) AS greedy_ok " +
+      "FROM kept GROUP BY source ORDER BY source"
+  ) { (s, d) =>
+    val rows = Tables.documents(s, d).select(
+      col("source").as("part"),
+      bucket1000(col("doc_id")).as("pr"),
+      col("doc_id").as("key"),
+      text.tokenCount(col("text")).as("w"))
+    val kept = graft.operators.BudgetSample.scalable(rows, TokenBudget)
+    // recompute each kept doc's cum-before WITHIN the kept set: for a
+    // greedy prefix, cum-before over kept == cum-before over all
+    // (everything before the straddler is kept), so max(cb) < budget
+    // iff the greedy contract held
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy("pr", "key")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    kept
+      .withColumn("cb", coalesce(sum("w").over(w), lit(0L)))
+      .groupBy(col("part").as("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum("w").as("kept_tokens"),
+        expr(s"(1000 * sum(w)) div $TokenBudget").as("utilization_milli"),
+        (max(col("cb")) < TokenBudget).as("greedy_ok"))
+      .orderBy("source")
+  }
+
   val defs: Seq[QueryDef] = Seq(pSampleHash, pSampleStratified,
     pSplitTrainTest, pMixtureSample, pSourceCap, pQualityQuantile,
     pTopkTokens, pNgramStats,
     pReembedDelta, pCorpusClean, pPackSequences, pDecontaminate,
     pDeconBloom, pImportanceSample, pDeconDelta, pPipelineAudit,
-    pShuffleShard, pTokenBudget, pEpochPlan, pDataCard, qStreamBudget,
-    qStreamDedup,
+    pShuffleShard, pTokenBudget, pEpochPlan, pDataCard, pBudgetAudit,
+    qStreamBudget, qStreamDedup,
     qStreamDedupWm, qStreamJoin, qStreamStatic)
 }
