@@ -473,7 +473,79 @@ object VectorSearch {
       .orderBy("dim")
   }
 
+  /** MMR over IVF-PROBED candidates — the production serving
+    * composition: leaf routing (fixed 8-centroid model, nProbe=2)
+    * bounds the candidate scan to the probed leaves, the coarse dot
+    * ranks the survivors, and the MMR group diversifies the top-20.
+    * Every stage boundary is hash-gated: a routing change alters the
+    * candidate pool, a pool change alters the picks. The oracle
+    * replays routing (MIPS order ‖c‖²−2·q·c), leaf-filtered scoring,
+    * and the greedy recurrence in one recursive CTE.
+    */
+  private val vAnnMmr = QueryDef.sqlChecked("v_ann_mmr")(
+    "WITH RECURSIVE " +
+      "base AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "q AS (SELECT cast(embedding as double[]) AS qv FROM embeddings WHERE vec_id = 0), " +
+      "probe AS (SELECT cid FROM cent CROSS JOIN q " +
+      "ORDER BY list_inner_product(cv, cv) - 2 * list_inner_product(qv, cv), cid LIMIT 2), " +
+      "assign AS (SELECT vec_id, v, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, b.v, c.cid, row_number() OVER (" +
+      "PARTITION BY b.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn = 1), " +
+      "cand AS (SELECT a.vec_id AS vec_id, a.v AS v, " +
+      "list_inner_product(a.v, (SELECT qv FROM q)) AS sq " +
+      "FROM assign a JOIN probe p ON a.leaf_id = p.cid WHERE a.vec_id <> 0 " +
+      "ORDER BY sq DESC, vec_id LIMIT 20), " +
+      "pairs AS (SELECT a.vec_id AS pa, b.vec_id AS pb, " +
+      "list_inner_product(a.v, b.v) AS s FROM cand a, cand b WHERE a.vec_id <> b.vec_id), " +
+      "sel AS (" +
+      "SELECT 1 AS step, (SELECT vec_id FROM cand ORDER BY sq DESC, vec_id LIMIT 1) AS pick, " +
+      "[(SELECT vec_id FROM cand ORDER BY sq DESC, vec_id LIMIT 1)] AS sel_ids " +
+      "UNION ALL " +
+      "SELECT step + 1, pick, list_append(sel_ids, pick) FROM (" +
+      "SELECT s.step AS step, s.sel_ids AS sel_ids, c.vec_id AS pick, " +
+      "row_number() OVER (ORDER BY 0.5*c.sq - 0.5*(" +
+      "SELECT max(p.s) FROM pairs p WHERE p.pa = c.vec_id AND list_contains(s.sel_ids, p.pb)" +
+      ") DESC, c.vec_id) AS rn " +
+      "FROM sel s JOIN cand c ON NOT list_contains(s.sel_ids, c.vec_id) " +
+      "WHERE s.step < 5) t WHERE rn = 1) " +
+      "SELECT cast(step as bigint) AS step, pick AS vec_id, " +
+      "(SELECT sq FROM cand WHERE cand.vec_id = sel.pick) AS sq " +
+      "FROM sel ORDER BY step"
+  ) { (s, d) =>
+    import graft.operators.IvfIndex
+    val base = corpus(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = base.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val q = base.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"))
+    val assign = base.withColumn("leaf_id",
+      IvfIndex.probeExpr(model, col("v"), 1)(0))
+    val probed = assign
+      .crossJoin(broadcast(q))
+      .withColumn("pls", IvfIndex.probeExpr(model, col("qv"), 2))
+      .filter(array_contains(col("pls"), col("leaf_id")) &&
+        col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v"),
+        vectors.dotProduct(col("v"), col("qv")).as("score"))
+    val cand = Knn.topK(probed, 20, "vec_id", Knn.Dot)
+      .select(lit(0L).as("query_id"), col("vec_id"), col("v"),
+        col("score").as("sq"))
+    Knn.mmrRerank(cand, 5, 0.5)
+      .select(col("step"), col("vec_id"), col("sq"))
+      .orderBy("step")
+  }
+
   val defs: Seq[QueryDef] = Seq(vKnnDot, vKnnCosine, vKnnL2, vKnnBatch,
     vKnnFiltered, vCrowding, vRangeCosine, vNormTop, vTopkAgg, vMaxsim,
-    vEmbedStats, vMrlSearch, vMrlCurve, vMmrRerank, vMmrBatch, vEmbedDrift)
+    vEmbedStats, vMrlSearch, vMrlCurve, vMmrRerank, vMmrBatch, vEmbedDrift,
+    vAnnMmr)
 }
