@@ -197,8 +197,12 @@ object Knn {
     * the diversity post-processor of RAG retrieval: greedily pick k of
     * a query's candidates, each step taking
     * argmax λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s), ties to
-    * the smallest id (step 1 is pure relevance). Unlike the crowding
-    * cap (a per-attribute quota), MMR diversifies in EMBEDDING space.
+    * the smallest id (step 1 is pure relevance). The reference's
+    * diversity knob is the crowding TAG — a per-attribute result
+    * quota provisioned at index build
+    * (/root/reference/vector_store/setup_vector_search.py:65-67,
+    * served by [[crowd]]); MMR is its embedding-space sibling for
+    * corpora without a crowding attribute.
     *
     * The greedy recurrence is inherently sequential per query, so the
     * Spark shape is flatMapGroups: one task per QUERY, each running
