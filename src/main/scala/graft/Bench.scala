@@ -16,6 +16,18 @@ import org.apache.spark.sql.SparkSession
   * (SPARK_GRAFT_BENCH_OUT, default `BENCH_LOCAL.json`) so a
   * tail-truncating or prefix-confused stdout parse can never lose
   * the record.
+  *
+  * Self-adjudication protocol (rounds 12-14 each burned a
+  * judge/builder cycle adjudicating tenancy-polluted rows by hand;
+  * the r14 verdict prescribed moving the adjudication INTO the
+  * record): (a) `/proc/loadavg` is sampled at run start, before each
+  * scale row, and at every retry, and lands in the JSON as load
+  * evidence; (b) after the main pass, every row whose max/min spread
+  * exceeds 3x — plus both scale rows unconditionally — gets ONE
+  * immediate isolated re-run, appended under `"retries"`; (c) when
+  * any retry disagrees with its row's median by more than 1.5x the
+  * record sets `"contended": true` (and lists the rows), so a dirty
+  * record names itself instead of masquerading as a regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,6 +41,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // 1-minute loadavg as load evidence for the adjudication protocol
+    // (a contended box shows load ≫ SPARK_GRAFT_CPUS at sample time)
+    def loadavg(): Double =
+      try java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/loadavg")).get(0)
+        .split(' ')(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val startedAtMs = System.currentTimeMillis()
+    val loadAtStart = loadavg()
 
     val warmups = Seq("q1_pricing_summary", "t_token_count", "v_knn_dot",
       "q_events_props")
@@ -110,38 +132,38 @@ object Bench {
     // doesn't bill the 50k-row synthesis garbage, (b) the knn row
     // runs FIRST — before the three 50k-doc MinHash executions —
     // mirroring the isolation the registry loop gives its rows.
-    val knnScaleRow = if (!selected("v_scale_sf1_knn_join")) None else Some {
-      import org.apache.spark.sql.functions._
-      val idxPath = materialize("knn50k") {
-        val v = graft.pipeline.SyntheticCorpus.vectors(spark, 50000L, 32, 25)
-        val sub = pmod(xxhash64(col("vec_id")), lit(8L)).cast("int")
-        v.withColumn("leaf_id", explode(array(
-          (col("vec_id") % 25).cast("int") * 8 + sub,
-          (col("vec_id") % 25).cast("int") * 8 + (sub + 1) % 8)))
+    val knnScaleRow: Option[(String, () => Unit)] =
+      if (!selected("v_scale_sf1_knn_join")) None else Some {
+        import org.apache.spark.sql.functions._
+        val idxPath = materialize("knn50k") {
+          val v = graft.pipeline.SyntheticCorpus.vectors(spark, 50000L, 32, 25)
+          val sub = pmod(xxhash64(col("vec_id")), lit(8L)).cast("int")
+          v.withColumn("leaf_id", explode(array(
+            (col("vec_id") % 25).cast("int") * 8 + sub,
+            (col("vec_id") % 25).cast("int") * 8 + (sub + 1) % 8)))
+        }
+        "v_scale_sf1_knn_join" -> (() => {
+          graft.operators.Knn.knnJoinPerLeaf(spark.read.parquet(idxPath),
+            "vec_id", "embedding", 3, graft.operators.Knn.Dot).count()
+          ()
+        })
       }
-      System.gc()
-      "v_scale_sf1_knn_join" -> timedTriplet { () =>
-        graft.operators.Knn.knnJoinPerLeaf(spark.read.parquet(idxPath),
-          "vec_id", "embedding", 3, graft.operators.Knn.Dot).count()
-        ()
-      }
-    }
     // sf1-scale dedup smoke (driver testdata tops out at sf0.1): the
     // full MinHash signature+candidate path on the synthetic
     // 50 000-doc corpus — the recorded evidence that the bucketed path
     // holds its selectivity at 10× the verified size (assertions live
     // in DedupScaleSpec)
-    val scaleRow = if (!selected("d_scale_sf1_minhash")) None else Some {
-      val docsPath = materialize("docs50k")(
-        graft.pipeline.SyntheticCorpus.docs(spark, 50000L))
-      System.gc()
-      "d_scale_sf1_minhash" -> timedTriplet { () =>
-        val c = spark.read.parquet(docsPath)
-        val sig = graft.operators.Dedup.minhashSignatures(c, "doc_id", "text")
-        graft.operators.Dedup.minhashCandidates(sig, "doc_id").count()
-        ()
+    val minhashScaleRow: Option[(String, () => Unit)] =
+      if (!selected("d_scale_sf1_minhash")) None else Some {
+        val docsPath = materialize("docs50k")(
+          graft.pipeline.SyntheticCorpus.docs(spark, 50000L))
+        "d_scale_sf1_minhash" -> (() => {
+          val c = spark.read.parquet(docsPath)
+          val sig = graft.operators.Dedup.minhashSignatures(c, "doc_id", "text")
+          graft.operators.Dedup.minhashCandidates(sig, "doc_id").count()
+          ()
+        })
       }
-    }
     // Scale rows run FIRST (they are evaluated above, before the
     // registry loop below): through round 12 they ran LAST, after
     // ~580 query executions on this one shared JVM, and the official
@@ -154,8 +176,18 @@ object Bench {
     // ~190 registry rows keep their relative comparability
     // unchanged (they still run in the same alphabetical order,
     // merely after two more queries).
-    val scaleRows = Seq(knnScaleRow, scaleRow).flatten
-    val registry = SparkEntry.queries.keys.toSeq.sorted
+    val scaleThunks = Seq(knnScaleRow, minhashScaleRow).flatten
+    val scaleNames = scaleThunks.map(_._1).toSet
+    // loadavg sampled right before each scale row — the rows the
+    // record has historically lost to tenancy carry their own
+    // evidence
+    val scaleLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val scaleTimed = scaleThunks.map { case (name, thunk) =>
+      System.gc()
+      scaleLoads(name) = loadavg()
+      (name, thunk, timedTriplet(thunk))
+    }
+    val registryTimed = SparkEntry.queries.keys.toSeq.sorted
       .filter(selected).map { name =>
       // GC before EVERY row, not per family: a heavy predecessor
       // (v_knn_join before v_knn_l2) otherwise bills its garbage +
@@ -164,26 +196,67 @@ object Bench {
       // adjudicating it burned a judge pass. The gc runs OUTSIDE the
       // timed region; rows become order-independent.
       System.gc()
-      name -> timedTriplet { () =>
-        SparkEntry.queries(name)(spark, sfDir).count(); ()
-      }
+      val thunk = () => { SparkEntry.queries(name)(spark, sfDir).count(); () }
+      (name, thunk, timedTriplet(thunk))
     }
-    val all = registry ++ scaleRows
-    val results = all.map { case (k, t) => k -> t._2 }
+    // execution order: scale rows first (see comment above), registry
+    // after; output keeps registry-first for record continuity
+    val all = registryTimed ++ scaleTimed
+
+    // Adjudication pass: one isolated re-run for every suspect row —
+    // the two scale rows unconditionally, plus any row whose triplet
+    // spread (max/min) exceeds 3x. The retry is the "same-day
+    // isolated number" rounds 12-14 had to produce by hand.
+    val suspects = all.filter { case (k, _, (mn, _, mx)) =>
+      scaleNames(k) || (mn > 0 && mx / mn > 3.0)
+    }
+    val retries = suspects.map { case (k, thunk, _) =>
+      System.gc()
+      val load = loadavg()
+      var failed = false
+      val t0 = System.nanoTime()
+      try thunk() catch {
+        case t: Throwable =>
+          failed = true
+          System.err.println(s"[bench] retry of $k failed: $t")
+      }
+      SessionConf.releaseQueryResources(spark)
+      val t = (System.nanoTime() - t0) / 1e9
+      (k, if (failed) -t else t, load)
+    }
+    // contended = a retry disagrees with its row's median by >1.5x on
+    // a row where the larger side is at least 1 s (sub-second
+    // disagreement is GC jitter, not tenancy evidence)
+    val contendedRows = retries.filter { case (k, rt, _) =>
+      val md = all.find(_._1 == k).map(_._3._2).getOrElse(-1.0)
+      rt > 0 && md > 0 && math.max(md, rt) >= 1.0 &&
+        math.max(md / rt, rt / md) > 1.5
+    }.map(_._1)
+    val contended = contendedRows.nonEmpty
+    if (contended)
+      System.err.println(
+        s"[bench] CONTENDED record: retry disagrees >1.5x on ${contendedRows.mkString(", ")}")
+
+    val results = all.map { case (k, _, t) => k -> t._2 }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // full triplets for every row that could plausibly hide noise
     // (med ≥ 1 s) plus the scale rows — a contended box shows up as
     // min ≪ max right in the record
-    val detailRows = all.filter { case (k, (_, md, _)) =>
-      math.abs(md) >= 1.0 || scaleRows.exists(_._1 == k)
+    val detailRows = all.filter { case (k, _, (_, md, _)) =>
+      math.abs(md) >= 1.0 || scaleNames(k)
     }
-    val detail = detailRows.map { case (k, (mn, md, mx)) =>
-      "\"" + k + "\":{\"min\":" + mn + ",\"med\":" + md + ",\"max\":" + mx + "}"
+    val detail = detailRows.map { case (k, _, (mn, md, mx)) =>
+      val load = scaleLoads.get(k).map(l => ",\"load\":" + l).getOrElse("")
+      "\"" + k + "\":{\"min\":" + mn + ",\"med\":" + md + ",\"max\":" + mx + load + "}"
     }.mkString("{", ",", "}")
+    val retryJson = retries.map { case (k, rt, load) =>
+      "\"" + k + "\":{\"retry\":" + rt + ",\"load\":" + load + "}"
+    }.mkString("{", ",", "}")
+    val contendedJson = contendedRows.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scale_detail":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scale_detail":$detail,"retries":$retryJson,"contended":$contended,"contended_rows":$contendedJson,"loadavg_start":$loadAtStart,"started_ms":$startedAtMs,"cpus":"$cpus","sf":"$sfDir"}"""
     // the stdout line is the driver contract; the file is the
     // loss-proof twin of the SAME bytes
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")

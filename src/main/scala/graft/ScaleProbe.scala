@@ -1345,7 +1345,9 @@ object ScaleProbe {
         (pmod(hash(col("id") * 7), lit(200)) + 1).cast("bigint").as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rows.count()
-      // ~half the dominant part's tokens: straddle lands mid-crawl
+      // ~a quarter of the dominant part's tokens (crawl holds ~95% of
+      // rows at mean weight ~100.5 → ~95n tokens): the straddle still
+      // lands mid-crawl, just earlier in its priority range
       val budget = n * 25L
       def med3(body: => Long): (Double, Long) = {
         var out = 0L

@@ -96,6 +96,85 @@ object Multimodal {
     }(RowEncoder.encoderFor(schema))
   }
 
+  /** PERCEPTUAL 64-bit GRID HASH over the binary payload — the
+    * multimodal near-dup fingerprint (dHash family, Krawetz 2013
+    * "Kind of Like That"; aHash/dHash/pHash are the standard
+    * image-dedup fingerprints): the byte stream is resampled onto a
+    * fixed 65-cell grid (cell of byte i = ⌊i·65/len⌋ — the 1-D
+    * analog of the 9×8 downscale a real dHash runs after decode),
+    * and bit c (0..63) is set when cell c's byte-sum exceeds cell
+    * c+1's — a brightness-gradient signature that survives small
+    * local edits, because one changed byte moves only its own cell's
+    * sum. A real image pipeline swaps the byte stream for decoded
+    * luma (the [[DecodeStub]] contract); the hash derivation,
+    * schema, and banded join are codec-independent.
+    *
+    * One partition-parallel pass, 8 B output per payload — the
+    * fingerprint column a 100 TB media corpus carries instead of its
+    * payloads from here on.
+    */
+  def perceptualHash(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("phash", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](pIdx)
+        val len = p.length
+        val sums = new Array[Long](65)
+        var i = 0
+        while (i < len) {
+          sums((i.toLong * 65 / len).toInt) += (p(i) & 0xff)
+          i += 1
+        }
+        var h = 0L
+        var c = 0
+        while (c < 64) {
+          if (sums(c) > sums(c + 1)) h |= (1L << c)
+          c += 1
+        }
+        Row(r.getLong(idIdx), h)
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+
+  /** Sub-quadratic perceptual near-dup pairs — the multimodal cell of
+    * the dedup matrix ([[graft.operators.Dedup.simhashBandedPairs]]'s
+    * 4-band machinery on the 64-bit [[perceptualHash]]): the hash
+    * splits into 4×16-bit bands; two hashes within Hamming distance 3
+    * differ in ≤3 bands, so they AGREE on at least one (pigeonhole) —
+    * per-band equi-joins generate every qualifying pair and the exact
+    * `bit_count(xor)` filter verifies candidates only. EXACT: returns
+    * precisely the brute-force hd ≤ `maxHamming` pair set. Four
+    * hash-partitioned equi-joins on 2¹⁶-value band keys, no cross
+    * product anywhere — the same shape that holds the MinHash/SimHash
+    * families sub-quadratic at corpus scale.
+    */
+  def phashBandedPairs(ph: DataFrame, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 bands guarantee recall only for Hamming <= 3, got $maxHamming")
+    val s = ph.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perBand = (0 until 4).map { bi =>
+        val key = shiftright(col("phash"), bi * 16)
+          .bitwiseAND(lit(0xffffL))
+        val a = s.select(col(idCol).as("da"), col("phash").as("sa"), key.as("k"))
+        val b = s.select(col(idCol).as("db"), col("phash").as("sb"), key.as("k"))
+        a.join(b, Seq("k")).filter(col("da") < col("db"))
+          .select("da", "db", "sa", "sb")
+      }
+      perBand.reduce(_ unionAll _).distinct()
+        .withColumn("hd",
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("bigint"))
+        .filter(col("hd") <= maxHamming)
+        .select("da", "db", "hd")
+        .localCheckpoint()
+    } finally s.unpersist()
+  }
+
   /** Frame sampling: split the payload into fixed-size frames, keep
     * every `stride`-th — the video-frame-sampling shape (explode =
     * one output row per kept frame, work stays partition-parallel).

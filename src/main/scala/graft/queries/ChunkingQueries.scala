@@ -263,17 +263,10 @@ object ChunkingQueries {
       .persist(lvl)
     try {
       val tf = qtoks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-      val tot = dls.agg(sum("dl").as("tt"), count(lit(1)).as("nn"))
-      tf.join(broadcast(df), "t")
-        .join(dls, "doc_id")
-        .crossJoin(broadcast(tot))
-        .withColumn("idfs", expr("((2 * (nn - df) + 1) * 1000) div (2 * df + 1)"))
-        .withColumn("tfr",
-          expr("(22 * tf * tt * 1000) div (10 * tf * tt + 3 * tt + 9 * dl * nn)"))
-        .groupBy("doc_id")
-        .agg(sum(col("idfs") * col("tfr")).cast("bigint").as("score"))
-        .localCheckpoint()
+      // the arithmetic lives in ONE place — Lexical.bm25Tail — shared
+      // with the sidecar-served path (Serving.searchHybrid), so the
+      // two can never drift
+      graft.operators.Lexical.bm25Tail(tf, dls).localCheckpoint()
     } finally { qtoks.unpersist(); dls.unpersist(); () }
   }
 

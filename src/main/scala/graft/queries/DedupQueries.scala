@@ -1227,8 +1227,12 @@ object DedupQueries {
       .agg(max(vectors.cosineSimilarity(col("va"), col("vb"))).as("m"))
     val taus = Seq(20, 30, 40, 50, 60).toDF("tau")
     val tot = base.agg(count(lit(1)).as("n"))
+    // left-join (not crossJoin) so the five tau rows survive an empty
+    // ms — a degenerate corpus where every cluster is a singleton must
+    // report n_dropped=0/n_kept=n, matching the oracle's LEFT JOIN ON
+    // true, instead of emitting zero rows
     broadcast(taus).crossJoin(broadcast(tot))
-      .crossJoin(ms)
+      .join(ms, lit(true), "left")
       .groupBy(col("tau").cast("bigint").as("tau_centi"), col("n"))
       .agg(count(when(col("m") >= col("tau") / lit(100.0), 1)).as("n_dropped"))
       .select(col("tau_centi"), col("n_dropped"),

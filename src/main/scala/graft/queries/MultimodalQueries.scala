@@ -65,5 +65,48 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(mDecode, mFrames, mResize)
+  /** PERCEPTUAL-HASH NEAR-DUP over the binary payloads — the
+    * multimodal × dedup matrix cell (the one empty intersection the
+    * r14 verdict named): [[Multimodal.perceptualHash]]'s 64-bit grid
+    * hash per payload, then the 4×16-bit banded Hamming join
+    * ([[Multimodal.phashBandedPairs]]) with the exact hd ≤ 3 verify.
+    * All integer end to end → FULL hash oracle, which replays the
+    * grid resample byte-for-byte over the ASCII corpus (byte ops ≡
+    * char ops; `ascii(substring)` is the byte value) and brute-forces
+    * the pair set the banded join must match exactly. The sign bit
+    * (grid cell 63) needs a CASE on the oracle side — DuckDB refuses
+    * `1<<63` where two's-complement wrap is the defined Scala
+    * behavior.
+    */
+  private val mPhashPairs = QueryDef.sqlChecked("m_phash_pairs")(
+    "WITH bytes AS (SELECT doc_id, length(text) AS len, i, " +
+      "ascii(substring(text, i+1, 1)) AS b " +
+      "FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS i " +
+      "FROM documents) t), " +
+      "cells AS (SELECT doc_id, (i * 65) // len AS c, " +
+      "cast(sum(b) as bigint) AS s FROM bytes GROUP BY doc_id, (i * 65) // len), " +
+      "grid AS (SELECT d.doc_id, g.c, coalesce(cl.s, 0) AS s " +
+      "FROM documents d CROSS JOIN (SELECT unnest(range(0, 65)) AS c) g " +
+      "LEFT JOIN cells cl ON cl.doc_id = d.doc_id AND cl.c = g.c), " +
+      "bits AS (SELECT a.doc_id, a.c AS i, " +
+      "CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit " +
+      "FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND b.c = a.c + 1 " +
+      "WHERE a.c < 64), " +
+      "ph AS (SELECT doc_id, cast(sum(CASE WHEN i = 63 THEN " +
+      "CASE WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END " +
+      "ELSE bit::BIGINT << i END) as bigint) AS phash FROM bits GROUP BY doc_id), " +
+      "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, " +
+      "bit_count(xor(a.phash, b.phash)) AS hd " +
+      "FROM ph a, ph b WHERE a.doc_id < b.doc_id) " +
+      "SELECT da, db, cast(hd as bigint) AS hd FROM pairs WHERE hd <= 3 " +
+      "ORDER BY da, db"
+  ) { (s, d) =>
+    val withPayload = Multimodal.withPayload(Tables.documents(s, d), "text")
+    val ph = Multimodal.perceptualHash(withPayload, "doc_id")
+      .withColumnRenamed("id", "doc_id")
+    Multimodal.phashBandedPairs(ph, "doc_id", maxHamming = 3)
+      .orderBy("da", "db")
+  }
+
+  val defs: Seq[QueryDef] = Seq(mDecode, mFrames, mResize, mPhashPairs)
 }

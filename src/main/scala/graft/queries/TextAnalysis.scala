@@ -899,8 +899,208 @@ object TextAnalysis {
     } finally { dk.unpersist(); () }
   }
 
+  /** The N-GRAM HALF of the Gopher repetition table (Rae et al.
+    * 2021, App. A) — `t_repetition` ships duplicate lines + top
+    * 2-gram; this completes the family the paper specifies:
+    *  - top 3-gram / top 4-gram: occurrences and character coverage
+    *    of the most frequent word n-gram (count ties resolve to the
+    *    LARGER coverage via the struct-max — no string comparison
+    *    anywhere, the r12 collation lesson), plus the total n-gram
+    *    instance chars the fraction divides by;
+    *  - duplicate 5..10-grams: characters inside word POSITIONS
+    *    covered by at least one occurrence of an n-gram appearing
+    *    ≥2× — position coverage, so overlapping duplicate occurrences
+    *    never double-count (the faithful reading of "fraction of
+    *    characters contained within all duplicate n-grams");
+    *  - `keep`: the paper's thresholds (top3 ≤0.18, top4 ≤0.16,
+    *    dup5..10 ≤ 0.15/0.14/0.13/0.12/0.11/0.10) in EXACT integer
+    *    arithmetic (`chars·100 ≤ total·thr_pct`).
+    * Every output column is bigint (sums cast — the HUGEINT lesson,
+    * SURVEY §2.10) or the exact-integer boolean.
+    *
+    * Scale shape: ONE tokenize (the words frame persists across its
+    * three consumers), one windowed explode of Σ_n (len−n+1)
+    * occurrence rows — the same corpus-linear shape as the shipped
+    * span-dedup machinery (`Dedup.spanFingerprints`), which at
+    * 100 TB would key the count groupBy by a 16-byte md5 of the gram
+    * instead of the gram string (same reasoning as the r14 binary
+    * fingerprint change: ~4× smaller shuffle keys at 10-word grams);
+    * the gate keeps the string key because the oracle counts strings.
+    * Coverage dedup is a (doc, n, position) distinct — bounded by
+    * 6·len rows per doc, never corpus-quadratic.
+    */
+  private val tRepNgrams = QueryDef.sqlChecked("t_rep_ngrams")(
+    "WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, " +
+      "'\\s+'), w -> w <> '') AS ws FROM documents), " +
+      "wchars AS (SELECT doc_id, cast(sum(length(w)) as bigint) AS word_chars " +
+      "FROM (SELECT doc_id, unnest(ws) AS w FROM words) GROUP BY doc_id), " +
+      "occ AS (SELECT doc_id, n, i, array_to_string(ws[i+1 : i+n], ' ') AS g " +
+      "FROM (SELECT doc_id, ws, n, unnest(range(0, len(ws)-n+1)) AS i " +
+      "FROM words, (SELECT unnest([3,4,5,6,7,8,9,10]) AS n) nn)), " +
+      "cnt AS (SELECT doc_id, n, g, count(*) AS c, length(g) AS len " +
+      "FROM occ GROUP BY doc_id, n, g), " +
+      "nmax AS (SELECT doc_id, n, max(c) AS top_count FROM cnt " +
+      "WHERE n IN (3,4) GROUP BY doc_id, n), " +
+      "ntop AS (SELECT b.doc_id, b.n, max(b.c) AS top_count, " +
+      "max(b.c * b.len) AS top_chars FROM cnt b JOIN nmax m " +
+      "ON b.doc_id = m.doc_id AND b.n = m.n AND b.c = m.top_count " +
+      "GROUP BY b.doc_id, b.n), " +
+      "nall AS (SELECT doc_id, n, cast(sum(c * len) as bigint) AS g_chars " +
+      "FROM cnt WHERE n IN (3,4) GROUP BY doc_id, n), " +
+      "dupocc AS (SELECT o.doc_id, o.n, o.i FROM occ o JOIN cnt c " +
+      "ON o.doc_id = c.doc_id AND o.n = c.n AND o.g = c.g " +
+      "WHERE c.c >= 2 AND o.n >= 5), " +
+      "covpos AS (SELECT DISTINCT doc_id, n, i + j AS p " +
+      "FROM (SELECT doc_id, n, i, unnest(range(0, n)) AS j FROM dupocc) t), " +
+      "wpos AS (SELECT doc_id, i AS p, length(ws[i+1]) AS wl " +
+      "FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i FROM words) t), " +
+      "cov AS (SELECT c.doc_id, c.n, cast(sum(w.wl) as bigint) AS cov_chars " +
+      "FROM covpos c JOIN wpos w ON c.doc_id = w.doc_id AND c.p = w.p " +
+      "GROUP BY c.doc_id, c.n), " +
+      "tw AS (SELECT doc_id, " +
+      "cast(coalesce(sum(CASE WHEN n=3 THEN top_count END), 0) as bigint) AS top3_count, " +
+      "cast(coalesce(sum(CASE WHEN n=3 THEN top_chars END), 0) as bigint) AS top3_chars, " +
+      "cast(coalesce(sum(CASE WHEN n=4 THEN top_count END), 0) as bigint) AS top4_count, " +
+      "cast(coalesce(sum(CASE WHEN n=4 THEN top_chars END), 0) as bigint) AS top4_chars " +
+      "FROM ntop GROUP BY doc_id), " +
+      "gw AS (SELECT doc_id, " +
+      "cast(coalesce(sum(CASE WHEN n=3 THEN g_chars END), 0) as bigint) AS g3_chars, " +
+      "cast(coalesce(sum(CASE WHEN n=4 THEN g_chars END), 0) as bigint) AS g4_chars " +
+      "FROM nall GROUP BY doc_id), " +
+      "cw AS (SELECT doc_id, " +
+      "cast(coalesce(sum(CASE WHEN n=5 THEN cov_chars END), 0) as bigint) AS dup5_chars, " +
+      "cast(coalesce(sum(CASE WHEN n=6 THEN cov_chars END), 0) as bigint) AS dup6_chars, " +
+      "cast(coalesce(sum(CASE WHEN n=7 THEN cov_chars END), 0) as bigint) AS dup7_chars, " +
+      "cast(coalesce(sum(CASE WHEN n=8 THEN cov_chars END), 0) as bigint) AS dup8_chars, " +
+      "cast(coalesce(sum(CASE WHEN n=9 THEN cov_chars END), 0) as bigint) AS dup9_chars, " +
+      "cast(coalesce(sum(CASE WHEN n=10 THEN cov_chars END), 0) as bigint) AS dup10_chars " +
+      "FROM cov GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(w.word_chars, 0) AS word_chars, " +
+      "coalesce(tw.top3_count, 0) AS top3_count, " +
+      "coalesce(tw.top3_chars, 0) AS top3_chars, " +
+      "coalesce(gw.g3_chars, 0) AS g3_chars, " +
+      "coalesce(tw.top4_count, 0) AS top4_count, " +
+      "coalesce(tw.top4_chars, 0) AS top4_chars, " +
+      "coalesce(gw.g4_chars, 0) AS g4_chars, " +
+      "coalesce(cw.dup5_chars, 0) AS dup5_chars, " +
+      "coalesce(cw.dup6_chars, 0) AS dup6_chars, " +
+      "coalesce(cw.dup7_chars, 0) AS dup7_chars, " +
+      "coalesce(cw.dup8_chars, 0) AS dup8_chars, " +
+      "coalesce(cw.dup9_chars, 0) AS dup9_chars, " +
+      "coalesce(cw.dup10_chars, 0) AS dup10_chars, " +
+      "coalesce(tw.top3_chars, 0) * 100 <= coalesce(gw.g3_chars, 0) * 18 " +
+      "AND coalesce(tw.top4_chars, 0) * 100 <= coalesce(gw.g4_chars, 0) * 16 " +
+      "AND coalesce(cw.dup5_chars, 0) * 100 <= coalesce(w.word_chars, 0) * 15 " +
+      "AND coalesce(cw.dup6_chars, 0) * 100 <= coalesce(w.word_chars, 0) * 14 " +
+      "AND coalesce(cw.dup7_chars, 0) * 100 <= coalesce(w.word_chars, 0) * 13 " +
+      "AND coalesce(cw.dup8_chars, 0) * 100 <= coalesce(w.word_chars, 0) * 12 " +
+      "AND coalesce(cw.dup9_chars, 0) * 100 <= coalesce(w.word_chars, 0) * 11 " +
+      "AND coalesce(cw.dup10_chars, 0) * 100 <= coalesce(w.word_chars, 0) * 10 " +
+      "AS keep " +
+      "FROM documents d " +
+      "LEFT JOIN wchars w ON d.doc_id = w.doc_id " +
+      "LEFT JOIN tw ON d.doc_id = tw.doc_id " +
+      "LEFT JOIN gw ON d.doc_id = gw.doc_id " +
+      "LEFT JOIN cw ON d.doc_id = cw.doc_id " +
+      "ORDER BY d.doc_id"
+  ) { (s, d) =>
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // ONE tokenize for the whole table: words feeds the occurrence
+    // explode, the char totals, and the position-length frame
+    val words = docs.select(col("doc_id"), text.tokens(col("text")).as("ws"))
+      .persist(lvl)
+    try {
+      val wchars = words.select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id")
+        .agg(sum(length(col("w"))).cast("long").as("word_chars"))
+      // guarded sequence: size < n would descend (Spark's default
+      // step is -1 when start > stop) — filter first
+      val occ = words
+        .select(col("doc_id"), col("ws"),
+          explode(typedLit(Seq(3, 4, 5, 6, 7, 8, 9, 10))).as("n"))
+        .filter(size(col("ws")) >= col("n"))
+        .select(col("doc_id"), col("ws"), col("n"),
+          explode(sequence(lit(0), size(col("ws")) - col("n"))).as("i"))
+        .select(col("doc_id"), col("n"), col("i"),
+          concat_ws(" ", slice(col("ws"), col("i") + 1, col("n"))).as("g"))
+        .persist(lvl)
+      try {
+        val cnt = occ.groupBy("doc_id", "n", "g")
+          .agg(count(lit(1)).as("c"), length(col("g")).cast("long").as("len"))
+          .persist(lvl)
+        try {
+          // struct-max = max count, coverage ties to the larger —
+          // identical to the oracle's bmax+join, no string ordering
+          val ntop = cnt.filter(col("n").isin(3, 4))
+            .groupBy("doc_id", "n")
+            .agg(max(struct(col("c"),
+              (col("c") * col("len")).as("cl"))).as("m"),
+              sum(col("c") * col("len")).cast("long").as("g_chars"))
+            .select(col("doc_id"), col("n"), col("m.c").as("top_count"),
+              col("m.cl").as("top_chars"), col("g_chars"))
+          val dupocc = occ.filter(col("n") >= 5)
+            .join(cnt.filter(col("c") >= 2 && col("n") >= 5)
+              .select("doc_id", "n", "g"), Seq("doc_id", "n", "g"))
+            .select(col("doc_id"), col("n"), col("i"))
+          val covpos = dupocc
+            .select(col("doc_id"), col("n"),
+              explode(sequence(col("i"), col("i") + col("n") - 1)).as("p"))
+            .distinct()
+          val wpos = words
+            .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "w")))
+            .select(col("doc_id"), col("p"),
+              length(col("w")).cast("long").as("wl"))
+          val cov = covpos.join(wpos, Seq("doc_id", "p"))
+            .groupBy("doc_id", "n")
+            .agg(sum("wl").cast("long").as("cov_chars"))
+          def pick(src: org.apache.spark.sql.Column, n: Int) =
+            coalesce(sum(when(col("n") === n, src)), lit(0L)).cast("long")
+          val tw = ntop.groupBy("doc_id").agg(
+            pick(col("top_count"), 3).as("top3_count"),
+            pick(col("top_chars"), 3).as("top3_chars"),
+            pick(col("g_chars"), 3).as("g3_chars"),
+            pick(col("top_count"), 4).as("top4_count"),
+            pick(col("top_chars"), 4).as("top4_chars"),
+            pick(col("g_chars"), 4).as("g4_chars"))
+          val cw = cov.groupBy("doc_id").agg(
+            pick(col("cov_chars"), 5).as("dup5_chars"),
+            pick(col("cov_chars"), 6).as("dup6_chars"),
+            pick(col("cov_chars"), 7).as("dup7_chars"),
+            pick(col("cov_chars"), 8).as("dup8_chars"),
+            pick(col("cov_chars"), 9).as("dup9_chars"),
+            pick(col("cov_chars"), 10).as("dup10_chars"))
+          def z(c: String) = coalesce(col(c), lit(0L)).as(c)
+          val out = docs.select("doc_id")
+            .join(wchars, Seq("doc_id"), "left")
+            .join(tw, Seq("doc_id"), "left")
+            .join(cw, Seq("doc_id"), "left")
+          val wc = coalesce(col("word_chars"), lit(0L))
+          out.select(col("doc_id"), z("word_chars"),
+            z("top3_count"), z("top3_chars"), z("g3_chars"),
+            z("top4_count"), z("top4_chars"), z("g4_chars"),
+            z("dup5_chars"), z("dup6_chars"), z("dup7_chars"),
+            z("dup8_chars"), z("dup9_chars"), z("dup10_chars"),
+            (coalesce(col("top3_chars"), lit(0L)) * 100 <=
+              coalesce(col("g3_chars"), lit(0L)) * 18 &&
+              coalesce(col("top4_chars"), lit(0L)) * 100 <=
+                coalesce(col("g4_chars"), lit(0L)) * 16 &&
+              coalesce(col("dup5_chars"), lit(0L)) * 100 <= wc * 15 &&
+              coalesce(col("dup6_chars"), lit(0L)) * 100 <= wc * 14 &&
+              coalesce(col("dup7_chars"), lit(0L)) * 100 <= wc * 13 &&
+              coalesce(col("dup8_chars"), lit(0L)) * 100 <= wc * 12 &&
+              coalesce(col("dup9_chars"), lit(0L)) * 100 <= wc * 11 &&
+              coalesce(col("dup10_chars"), lit(0L)) * 100 <= wc * 10)
+              .as("keep"))
+            .orderBy("doc_id")
+            .localCheckpoint()
+        } finally { cnt.unpersist(); () }
+      } finally { occ.unpersist(); () }
+    } finally { words.unpersist(); () }
+  }
+
   val defs: Seq[QueryDef] = Seq(tTokenCount, tQuality, tLangId, tBpeCount,
     tRedact, tFingerprint, tRepetition, tRepLines, tRepArgmax, tRepFracs,
-    tGopherRules, tC4Rules, tLangNgram, tClassifierScore, tBpeTrain,
-    tBpeApply, tLmBigram)
+    tRepNgrams, tGopherRules, tC4Rules, tLangNgram, tClassifierScore,
+    tBpeTrain, tBpeApply, tLmBigram)
 }

@@ -15,6 +15,38 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(frames.filter(col("doc_id") === 2).count() == 4) // ceil(200/64)
   }
 
+  test("perceptualHash: a planted near-dup (one byte changed) lands " +
+      "within Hamming 3 of its original, an unrelated payload does " +
+      "not, and the banded join returns EXACTLY the brute-force set") {
+    val base = ("The quick brown fox jumps over the lazy dog. " * 8)
+    val nearDup = base.updated(17, 'X') // one byte: moves ONE grid cell
+    val other = ("Completely different content with other bytes 12345 " * 7)
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other), (4L, ""),
+      (5L, "tiny")).toDF("doc_id", "text")
+    val ph = Multimodal.perceptualHash(
+      Multimodal.withPayload(docs, "text"), "doc_id")
+      .withColumnRenamed("id", "doc_id")
+    val hashes = ph.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)) <= 3,
+      s"one changed byte must stay within hd 3: " +
+        s"${java.lang.Long.bitCount(hashes(1L) ^ hashes(2L))}")
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) > 3,
+      "unrelated payloads must not collide within hd 3")
+    assert(hashes(4L) == 0L, "an empty payload hashes to 0")
+    // banded == brute force, including empty/tiny payload rows
+    val banded = Multimodal.phashBandedPairs(ph, "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val brute = (for {
+      (a, ha) <- hashes.toSeq; (b, hb) <- hashes.toSeq if a < b
+      hd = java.lang.Long.bitCount(ha ^ hb) if hd <= 3
+    } yield (a, b, hd.toLong)).toSet
+    assert(banded == brute,
+      s"banded pairs must equal brute force:\n$banded\n$brute")
+    assert(banded.exists(p => p._1 == 1L && p._2 == 2L),
+      "the planted near-dup pair must be found")
+  }
+
   test("t_repetition and t_gopher_rules survive empty, whitespace, " +
       "and single-word documents (regression: a hand-rolled " +
       "sequence(1, size-1) descends to [1, 0] below 2 words and " +

@@ -132,6 +132,58 @@ class ServingApiSpec extends SparkTestBase {
       "an unlogged version pins nothing")
   }
 
+  test("searchMmr through the handle == the gate composition " +
+      "(probe → coarse pool → Knn.mmrRerank), and λ=1 degrades to " +
+      "pure relevance order") {
+    import graft.operators.{Knn, Serving}
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val (indexed, model) = IvfIndex.build(emb, "vec_id", "v", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srvmmr").toString + "/idx"
+    IvfIndex.write(indexed, dir, model)
+    val live = Serving.open(spark, dir, id = "vec_id", vecCol = "v")
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("v")).head().getSeq[Double](0).toArray
+
+    val viaHandle = live.searchMmr(q, nProbe = 2, kPool = 20, k = 5,
+        lam = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // the v_ann_mmr gate composition, assembled by hand over the same
+    // held frame and model — what a user had to write before the
+    // handle surface existed
+    val probes = live.model.topLeaves(q, 2)
+    val probed = live.data.filter(col("leaf_id").isin(probes: _*))
+      .select(col("vec_id"), col("v"),
+        graft.functions.vectors.dotProduct(col("v"),
+          typedLit(q.toSeq)).as("score"))
+      // spill copies collapse to one candidate per id, the searchDf
+      // convention the handle follows
+      .groupBy(col("vec_id"))
+      .agg(first(col("score")).as("score"), first(col("v")).as("v"))
+    val cand = Knn.topK(probed, 20, "vec_id", Knn.Dot)
+      .select(lit(0L).as("query_id"), col("vec_id"),
+        col("v").cast("array<double>").as("v"), col("score").as("sq"))
+    val manual = Knn.mmrRerank(cand, 5, 0.5)
+      .select(col("step"), col("vec_id"), col("sq"))
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaHandle == manual,
+      s"handle and gate composition diverge:\n$viaHandle\n$manual")
+
+    // λ=1: the diversity term vanishes — picks are exactly the
+    // relevance top-k in (score desc, id) order
+    val pure = live.searchMmr(q, 2, 20, 5, 1.0).collect()
+      .map(_.getLong(1)).toSeq
+    val topk = live.search(q, 2, 5).collect().map(_.getLong(0)).toSeq
+    assert(pure == topk, s"λ=1 must be pure relevance: $pure vs $topk")
+
+    // contract checks: non-raw input is refused loudly elsewhere
+    // (tier-guarded); a kPool smaller than k just truncates
+    assert(live.searchMmr(q, 2, 3, 5, 0.5).count() == 3,
+      "k past the pool size truncates to the pool")
+  }
+
   test("searchPercent mirrors the reference's percent knob: pct maps " +
       "to ceil(pct% of leaves), clamped and loud out of range") {
     import graft.operators.Serving

@@ -21,8 +21,9 @@ def main():
     old = json.load(open(sys.argv[2]))["queries"]
     shared = sorted(set(new) & set(old))
     ratios = {k: med(new[k]) / med(old[k]) for k in shared if med(old[k]) > 0}
-    overall = statistics.median(ratios.values())
-    print(f"shared rows: {len(shared)}  median ratio new/old: {overall:.3f}")
+    overall = statistics.median(ratios.values()) if ratios else float("nan")
+    shown = f"{overall:.3f}" if ratios else "n/a"
+    print(f"shared rows: {len(shared)}  median ratio new/old: {shown}")
     big = sorted(ratios.items(), key=lambda kv: kv[1])
     print("fastest movers:", [(k, round(r, 2)) for k, r in big[:5]])
     print("slowest movers:", [(k, round(r, 2)) for k, r in big[-5:]])
