@@ -252,7 +252,7 @@ object ChunkingQueries {
     * the (T, N) totals. Un-persisted, the same plan ran FOUR full
     * tokenize scans (plan-audited round 14).
     */
-  private[queries] def bm25Scores(docs: org.apache.spark.sql.DataFrame,
+  private[graft] def bm25Scores(docs: org.apache.spark.sql.DataFrame,
       terms: Seq[String]): org.apache.spark.sql.DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dls = docs.select(col("doc_id"), text.tokenCount(col("text")).as("dl"))
@@ -388,5 +388,137 @@ object ChunkingQueries {
     } finally { toks.unpersist(); () }
   }
 
-  val defs: Seq[QueryDef] = Seq(tChunk, qTfidf, qHybridRrf, vBm25, rRagE2e)
+  /** One hybrid-servable layout per sf dir: the documents' 32-dim
+    * hashed-sparse embeddings materialized dense (zero-filled — every
+    * doc gets a vector, even an empty one), a 4-centroid model from
+    * docs 0/64/128/192, nProbe=1 leaf assignment, and the BM25
+    * postings sidecar attached beside the index
+    * ([[graft.operators.Lexical.attach]]).
+    */
+  private[queries] object ServeHybridCache {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def get(s: org.apache.spark.sql.SparkSession, d: String): String =
+      cache.getOrElseUpdate(d, {
+        import graft.operators.{IvfIndex, Lexical}
+        import graft.pipeline.SparseEmbed
+        val docs = Tables.documents(s, d)
+        val dv = SparseEmbed.embed(docs, "doc_id", "text")
+        val dvm = dv.groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("idx"), col("w"))))
+            .as("m"))
+        val dense = docs.select("doc_id").join(dvm, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(SparseEmbed.Dim - 1)),
+              i => coalesce(element_at(col("m"), i.cast("bigint")), lit(0L)))
+              .cast("array<double>").as("v"))
+        val centIds = Seq(0L, 64L, 128L, 192L)
+        val cents = dense.filter(col("doc_id").isin(centIds: _*))
+          .select(col("doc_id"), col("v")).collect().sortBy(_.getLong(0))
+          .map(_.getSeq[Double](1).toArray)
+        val model = IvfIndex.Model(cents)
+        val indexed = dense.withColumn("leaf_id",
+          IvfIndex.probeExpr(model, col("v"), 1)(0))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_servehybrid_" +
+          java.lang.Integer.toHexString(d.hashCode)
+        IvfIndex.write(indexed, path, model)
+        Lexical.attach(s, path, docs, "doc_id", "text")
+        path
+      })
+  }
+
+  /** HYBRID RETRIEVAL through the RESIDENT SERVING HANDLE
+    * ([[graft.operators.Serving.searchHybrid]]) — the `r_rag_e2e`
+    * composition servable without re-assembly: the dense leg routes
+    * over the deployed layout (probe 2 of 4 leaves) instead of
+    * scoring the corpus, and the lexical leg reads the PERSISTED
+    * postings sidecar instead of tokenizing — deploy-once/query-many,
+    * the reference's serving lifecycle (index_manager.py deploy vs
+    * rag/search.py query) extended to the hybrid stack. BM25 top-20 ∥
+    * probed dense top-20 → RRF → top-10 pool → MMR (k=5, λ=1/2,
+    * relevance = the exact integer dense dot). The oracle replays
+    * routing (MIPS ‖c‖²−2·x·c over the sparse frames), both legs,
+    * fusion, and the greedy recurrence in one recursive CTE; the
+    * driver hash-compares every (step, doc_id, sq) row.
+    */
+  private val rServeHybrid = QueryDef.sqlChecked("r_serve_hybrid")({
+    val terms = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val ph = graft.functions.text.sql.polyHash("t")
+    "WITH RECURSIVE " +
+      s"${graft.pipeline.SparseEmbed.sql.embedCte("docvec", "doc_id")}, " +
+      s"q AS (SELECT unnest($terms) AS t), " +
+      s"qv AS (SELECT $ph % ${graft.pipeline.SparseEmbed.Dim} AS idx, " +
+      s"cast(sum((($ph >> 5) & 1) * 2 - 1) as bigint) AS qw " +
+      s"FROM q GROUP BY idx HAVING sum((($ph >> 5) & 1) * 2 - 1) <> 0), " +
+      "cent AS (SELECT cdoc, row_number() OVER (ORDER BY cdoc) - 1 AS cid " +
+      "FROM (SELECT unnest([0, 64, 128, 192]) AS cdoc)), " +
+      "cvec AS (SELECT c.cid, v.idx, v.w FROM cent c JOIN docvec v ON v.doc_id = c.cdoc), " +
+      "cnorm AS (SELECT cid, cast(sum(w * w) as bigint) AS n2 FROM cvec GROUP BY cid), " +
+      "adot AS (SELECT v.doc_id, cv.cid, cast(sum(v.w * cv.w) as bigint) AS dot " +
+      "FROM docvec v JOIN cvec cv ON v.idx = cv.idx GROUP BY v.doc_id, cv.cid), " +
+      "assign AS (SELECT doc_id, cid AS leaf_id FROM (" +
+      "SELECT d.doc_id, n.cid, row_number() OVER (PARTITION BY d.doc_id " +
+      "ORDER BY n.n2 - 2 * coalesce(a.dot, 0), n.cid) AS rn " +
+      "FROM (SELECT doc_id FROM documents) d CROSS JOIN cnorm n " +
+      "LEFT JOIN adot a ON a.doc_id = d.doc_id AND a.cid = n.cid) WHERE rn = 1), " +
+      "qdot AS (SELECT cv.cid, cast(sum(qv.qw * cv.w) as bigint) AS dot " +
+      "FROM qv JOIN cvec cv ON cv.idx = qv.idx GROUP BY cv.cid), " +
+      "probe AS (SELECT cid FROM (SELECT n.cid, row_number() OVER (" +
+      "ORDER BY n.n2 - 2 * coalesce(qd.dot, 0), n.cid) AS rn " +
+      "FROM cnorm n LEFT JOIN qdot qd ON qd.cid = n.cid) WHERE rn <= 2), " +
+      "qdd AS (SELECT v.doc_id, cast(sum(v.w * qv.qw) as bigint) AS dot " +
+      "FROM docvec v JOIN qv ON v.idx = qv.idx GROUP BY v.doc_id), " +
+      "dcand AS (SELECT a.doc_id, cast(coalesce(qdd.dot, 0) as double) AS score " +
+      "FROM assign a JOIN probe p ON a.leaf_id = p.cid " +
+      "LEFT JOIN qdd ON qdd.doc_id = a.doc_id), " +
+      "drank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rd " +
+      "FROM dcand), " +
+      s"$bm25Ctes, " +
+      "brank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rs FROM bscore), " +
+      "fused AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, " +
+      "coalesce(1.0/(60+a.rs), 0.0) + coalesce(1.0/(60+b.rd), 0.0) AS rrf " +
+      "FROM (SELECT * FROM brank WHERE rs <= 20) a " +
+      "FULL JOIN (SELECT * FROM drank WHERE rd <= 20) b ON a.doc_id = b.doc_id), " +
+      "cand AS (SELECT f.doc_id AS doc_id, cast(coalesce(qdd.dot, 0) as double) AS sq " +
+      "FROM fused f LEFT JOIN qdd ON qdd.doc_id = f.doc_id " +
+      "ORDER BY f.rrf DESC, f.doc_id LIMIT 10), " +
+      "pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb, " +
+      "coalesce((SELECT cast(sum(x.w * y.w) as double) FROM docvec x JOIN docvec y " +
+      "ON x.idx = y.idx WHERE x.doc_id = a.doc_id AND y.doc_id = b.doc_id), 0.0) AS s " +
+      "FROM cand a, cand b WHERE a.doc_id <> b.doc_id), " +
+      "sel AS (" +
+      "SELECT 1 AS step, (SELECT doc_id FROM cand ORDER BY sq DESC, doc_id LIMIT 1) AS pick, " +
+      "[(SELECT doc_id FROM cand ORDER BY sq DESC, doc_id LIMIT 1)] AS sel_ids " +
+      "UNION ALL " +
+      "SELECT step + 1, pick, list_append(sel_ids, pick) FROM (" +
+      "SELECT s.step AS step, s.sel_ids AS sel_ids, c.doc_id AS pick, " +
+      "row_number() OVER (ORDER BY 0.5*c.sq - 0.5*(" +
+      "SELECT max(p.s) FROM pairs p WHERE p.pa = c.doc_id AND list_contains(s.sel_ids, p.pb)" +
+      ") DESC, c.doc_id) AS rn " +
+      "FROM sel s JOIN cand c ON NOT list_contains(s.sel_ids, c.doc_id) " +
+      "WHERE s.step < 5) t WHERE rn = 1) " +
+      "SELECT cast(step as bigint) AS step, pick AS doc_id, " +
+      "(SELECT sq FROM cand WHERE cand.doc_id = sel.pick) AS sq " +
+      "FROM sel ORDER BY step"
+  }) { (s, d) =>
+    import s.implicits._
+    import graft.pipeline.SparseEmbed
+    val path = ServeHybridCache.get(s, d)
+    val serving = graft.operators.Serving.open(s, path,
+      id = "doc_id", vecCol = "v")
+    val qArr = {
+      val rows = QueryTerms.toDF("t")
+        .select(SparseEmbed.dimIdx(col("t")).as("idx"),
+          SparseEmbed.sign(col("t")).as("s"))
+        .groupBy("idx").agg(sum("s").as("qw")).filter(col("qw") =!= 0)
+        .collect()
+      val a = new Array[Double](SparseEmbed.Dim)
+      rows.foreach(r => a(r.getLong(0).toInt) = r.getLong(1).toDouble)
+      a
+    }
+    serving.searchHybrid(QueryTerms, qArr, nProbe = 2,
+      kLex = 20, kDense = 20, kPool = 10, k = 5, mmrLam = Some(0.5))
+  }
+
+  val defs: Seq[QueryDef] = Seq(tChunk, qTfidf, qHybridRrf, vBm25, rRagE2e,
+    rServeHybrid)
 }

@@ -184,6 +184,73 @@ class ServingApiSpec extends SparkTestBase {
       "k past the pool size truncates to the pool")
   }
 
+  test("lexical sidecar: bucket-pruned postings serve BM25 scores " +
+      "hash-identical to tokenize-on-the-fly, the postings scan reads " +
+      "only the query terms' buckets, and searchHybrid's two output " +
+      "shapes fuse/diversify the same pool") {
+    import graft.operators.{Lexical, Serving}
+    import graft.pipeline.SparseEmbed
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "join", "stream")
+    // a layout whose vectors are the docs' hashed-sparse embeddings
+    val dv = SparseEmbed.embed(docs, "doc_id", "text")
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("w"))))
+        .as("m"))
+    val dense = docs.select("doc_id").join(dv, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(SparseEmbed.Dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("bigint")), lit(0L)))
+          .cast("array<double>").as("v"))
+    val (indexed, model) = graft.operators.IvfIndex.build(dense, "doc_id", "v", 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srvlex").toString + "/idx"
+    graft.operators.IvfIndex.write(indexed, dir, model)
+    val live = Serving.open(spark, dir, id = "doc_id", vecCol = "v")
+    assert(!live.hasLexical)
+    live.attachLexical(docs, "doc_id", "text")
+    assert(live.hasLexical)
+
+    // sidecar scores == the gate's tokenize-on-the-fly arithmetic
+    val viaSidecar = live.lexicalScores(terms).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaTokenize = graft.queries.ChunkingQueries.bm25Scores(docs, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaSidecar == viaTokenize,
+      "sidecar BM25 must be bit-identical to the tokenize path")
+
+    // the postings scan is bucket-pruned: partition filters carry the
+    // bucket In-list, so non-query-term buckets never read
+    val scan = Lexical.bm25FromStats(spark, dir, terms)
+      .queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      }.find(_.partitionFilters.exists(_.toString.contains("bucket")))
+      .getOrElse(fail("postings scan must partition-filter on bucket"))
+    assert(scan.partitionFilters.nonEmpty)
+
+    // hybrid shapes: None = fused ranking of the pool; Some(λ) = MMR
+    // picks over the same pool with dense-dot relevance
+    val q = new Array[Double](SparseEmbed.Dim)
+    q(3) = 1.0; q(7) = -2.0; q(11) = 1.0
+    val fusedShape = live.searchHybrid(terms, q, nProbe = 2,
+      kLex = 10, kDense = 10, kPool = 5, k = 3, mmrLam = None)
+    assert(fusedShape.columns.toSeq == Seq("doc_id", "rrf", "rank"))
+    val fused = fusedShape.collect()
+    assert(fused.length == 5 &&
+      fused.map(_.getLong(2)).toSeq == (1L to 5L),
+      "None shape = the fused top-kPool ranking")
+    val mmr = live.searchHybrid(terms, q, nProbe = 2,
+      kLex = 10, kDense = 10, kPool = 5, k = 3, mmrLam = Some(0.5))
+    assert(mmr.columns.toSeq == Seq("step", "doc_id", "sq"))
+    val picks = mmr.collect()
+    assert(picks.length == 3 && picks.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // every MMR pick comes from the fused pool
+    val pool = fused.map(_.getLong(0)).toSet
+    assert(picks.map(_.getLong(1)).forall(pool.contains),
+      "MMR picks must come from the fused pool")
+  }
+
   test("searchPercent mirrors the reference's percent knob: pct maps " +
       "to ceil(pct% of leaves), clamped and loud out of range") {
     import graft.operators.Serving
