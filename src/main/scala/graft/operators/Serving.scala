@@ -311,28 +311,18 @@ final class Serving private[operators] (
     import org.apache.spark.sql.functions._
     require(hasBq,
       s"verifyBqCodesSince: layout at $path has no bq_code column")
-    val before = ServingManifest.entrySigsAt(spark, path, fromVersion)
+    // fresh = files ADDED since the baseline PLUS in-place rewrites
+    // (same relative path, changed bytes/mtime). The diff itself runs
+    // DISTRIBUTED ([[ServingManifest.freshEntriesSince]]: baseline
+    // fold and live manifest join as DataFrames, one live read shared
+    // with the subset open) — only the fresh rows reach the driver,
+    // ∝ appendage rather than corpus (the r14 verdict's last
+    // corpus-growing driver term in maintenance).
+    val fresh = ServingManifest.freshEntriesSince(spark, path, fromVersion)
       .getOrElse(sys.error(
         s"verifyBqCodesSince: version $fromVersion is not in the " +
           s"snapshot log at $path — a rewrite reset the log; run the " +
           "full verifyBqCodes() to re-baseline"))
-    // ONE live-manifest read serves both the diff and the subset open
-    // — a concurrent reconcile between two separate reads could drop
-    // files from the subset silently (under-scan is not safe)
-    val live = ServingManifest.liveEntries5(spark, path)
-      .getOrElse(sys.error(
-        s"verifyBqCodesSince: no manifest at $path"))
-    // fresh = files ADDED since the baseline PLUS in-place rewrites
-    // (same relative path, changed bytes/mtime): a side-channel
-    // writer that rewrites an existing file and reconciles is exactly
-    // the poisoning class this probe documents itself as catching —
-    // a name-only diff would never re-scan it
-    val fresh = live.filter { e =>
-      before.get(e._1) match {
-        case None         => true
-        case Some((b, m)) => b != e._3 || m != e._4
-      }
-    }
     // the subset reads through the ManifestFileIndex — statuses come
     // from the manifest, zero per-file driver stats (the explicit-
     // path read was measured 5× slower than the FULL scan on a

@@ -391,39 +391,97 @@ object ServingManifest {
       version: Int): Option[Seq[String]] =
     entriesAt(spark, path, version).map(_.map(_._1).toSeq)
 
-  /** Per-file (bytes, mtime) signatures AS OF a logged snapshot
-    * version — the baseline an incremental probe diffs the live
-    * manifest against. Carrying the sizes/mtimes (not just names)
-    * matters: an in-place rewrite of an existing file (same relative
-    * path, new bytes) followed by a reconcile is exactly the
-    * side-channel-poisoning class the drift probes exist to catch,
-    * and a name-only diff would never re-scan it.
+  /** The snapshot fold of [[entriesAt]] as a DISTRIBUTED plan — the
+    * per-version log frames stay DataFrames (the driver walks only
+    * file-EXISTENCE checks, cost ∝ log depth, zero rows), and the
+    * remove-then-add fold becomes one groupBy: per file, the winning
+    * row is `max(struct(version rank, action rank, …))` with add=1 >
+    * remove=0, which reproduces the sequential fold exactly (within
+    * a version, an add after a remove wins at equal rank; across
+    * versions the later rank wins; a file whose last action is a
+    * remove filters out). None when the version is not in the log.
     */
-  private[graft] def entrySigsAt(spark: SparkSession, path: String,
-      version: Int): Option[Map[String, (Long, Long)]] =
-    entriesAt(spark, path, version)
-      .map(_.map(e => e._1 -> ((e._3, e._4))).toMap)
+  private def entriesAtDf(spark: SparkSession, path: String,
+      version: Int): Option[DataFrame] = {
+    val fs = fsFor(spark, path)
+    if (!fs.exists(new Path(logDir(path) + s"/v=$version")) &&
+        !fs.exists(new Path(logDir(path) + s"/v=$version.full")))
+      return None
+    def readVersionDf(v: Int): (DataFrame, Boolean) = {
+      val fullP = logDir(path) + s"/v=$v.full"
+      val dir = if (fs.exists(new Path(fullP))) fullP
+        else logDir(path) + s"/v=$v"
+      require(fs.exists(new Path(dir)),
+        s"ServingManifest log at $path: version $v missing below " +
+          s"$version with no checkpoint in between — cannot fold")
+      val df = spark.read.parquet(dir)
+      val isDelta = df.columns.contains("action")
+      val withM = if (df.columns.contains("mtime")) df
+        else df.withColumn("mtime", lit(0L))
+      val withA = if (isDelta) withM else withM.withColumn("action", lit("add"))
+      (withA.select("file", "leaf_id", "bytes", "mtime", "action"), !isDelta)
+    }
+    var frames = List.empty[DataFrame] // newest first, rank assigned below
+    var sawFull = false
+    var v = version
+    while (!sawFull) {
+      require(v >= 1,
+        s"ServingManifest log at $path has no checkpoint at or below " +
+          s"version $version")
+      val (df, isFull) = readVersionDf(v)
+      frames ::= df
+      sawFull = isFull
+      v -= 1
+    }
+    val stacked = frames.zipWithIndex.map { case (df, r) =>
+      df.select(col("file"), col("leaf_id"), col("bytes"), col("mtime"),
+        lit(r).as("r"),
+        when(col("action") === "add", 1).otherwise(0).as("a"))
+    }.reduce(_ unionAll _)
+    Some(stacked.groupBy("file")
+      .agg(max(struct(col("r"), col("a"), col("leaf_id"), col("bytes"),
+        col("mtime"))).as("m"))
+      .filter(col("m.a") === 1)
+      .select(col("file"), col("m.leaf_id").as("leaf_id"),
+        col("m.bytes").as("bytes"), col("m.mtime").as("mtime")))
+  }
 
-  /** Full (file, leaf_id, bytes, mtime, stats) rows of the LIVE
-    * manifest in ONE read — callers that both diff against a baseline
-    * and open the resulting subset must use a single consistent
-    * snapshot (two separate manifest reads race a concurrent
-    * reconcile, silently dropping files from the subset). Driver
-    * footprint matches [[liveFiles]] (~tens of MB at 10⁶ entries).
+  /** Files the live manifest gained or REWROTE since snapshot
+    * `fromVersion` — the input to the incremental drift probes, fully
+    * distributed: the baseline fold ([[entriesAtDf]]) and the live
+    * manifest join as DataFrames, and only the FRESH subset reaches
+    * the driver (∝ appendage, never the corpus — the r14 verdict's
+    * remaining driver-footprint term in maintenance). Carrying the
+    * (bytes, mtime) signatures (not just names) matters: an in-place
+    * rewrite of an existing file followed by a reconcile is exactly
+    * the side-channel-poisoning class the drift probes exist to
+    * catch, and a name-only diff would never re-scan it.
+    *
+    * ONE live-manifest read feeds both the diff and (via
+    * [[openEntriesSubset]] on the returned rows) the subset open —
+    * two separate reads would race a concurrent reconcile and drop
+    * files silently. None when `fromVersion` is not in the log
+    * (a rewrite reset it — callers re-baseline with a full scan).
     */
-  private[graft] def liveEntries5(spark: SparkSession, path: String)
-      : Option[Array[(String, Int, Long, Long, String)]] =
-    if (!exists(spark, path)) None
-    else {
+  private[graft] def freshEntriesSince(spark: SparkSession, path: String,
+      fromVersion: Int): Option[Array[(String, Int, Long, Long, String)]] =
+    entriesAtDf(spark, path, fromVersion).map { base =>
+      require(exists(spark, path),
+        s"freshEntriesSince: snapshot log but no manifest at $path")
       val mf = spark.read.parquet(manifestDir(path))
       val withM = if (mf.columns.contains("mtime")) mf
         else mf.withColumn("mtime", lit(0L))
       val withS = if (withM.columns.contains("stats")) withM
         else withM.withColumn("stats", lit(""))
-      Some(withS.select("file", "leaf_id", "bytes", "mtime", "stats")
+      withS.select("file", "leaf_id", "bytes", "mtime", "stats")
+        .join(base.select(col("file"), col("bytes").as("b_bytes"),
+          col("mtime").as("b_mtime")), Seq("file"), "left")
+        .filter(col("b_bytes").isNull ||
+          col("bytes") =!= col("b_bytes") || col("mtime") =!= col("b_mtime"))
+        .select("file", "leaf_id", "bytes", "mtime", "stats")
         .collect()
         .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
-          Option(r.getString(4)).getOrElse(""))))
+          Option(r.getString(4)).getOrElse("")))
     }
 
   /** Open a pre-collected manifest-entry subset through the same
@@ -433,8 +491,8 @@ object ServingManifest {
     * than the FULL manifest scan for a 10k-row appendage spread over
     * ~2k small files). The incremental maintenance probes read their
     * appended-files subset through this, with entries taken from the
-    * one [[liveEntries5]] snapshot they diffed. None when the subset
-    * is empty.
+    * one live-manifest snapshot [[freshEntriesSince]] diffed. None
+    * when the subset is empty.
     */
   private[graft] def openEntriesSubset(spark: SparkSession, path: String,
       entries: Array[(String, Int, Long, Long, String)]): Option[DataFrame] =

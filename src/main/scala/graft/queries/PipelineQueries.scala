@@ -1031,7 +1031,14 @@ object PipelineQueries {
       s"($EpochBudget // tw) + CASE WHEN cb < $EpochBudget % tw THEN 1 ELSE 0 END AS n_repeats " +
       s"FROM c WHERE ($EpochBudget // tw) + CASE WHEN cb < $EpochBudget % tw THEN 1 ELSE 0 END > 0 " +
       "ORDER BY source, pr, doc_id"
-  ) { (s, d) =>
+  ) { (s, d) => epochPlanDf(s, d).orderBy("source", "pr", "doc_id") }
+
+  /** The epoch-plan frame (source, doc_id, pr, dl, n_repeats) shared
+    * by the plan gate and its materialization consumer
+    * ([[pEpochMaterialize]]).
+    */
+  private def epochPlanDf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val rows = Tables.documents(s, d).select(
       col("source").as("part"),
       bucket1000(col("doc_id")).as("pr"),
@@ -1051,7 +1058,61 @@ object PipelineQueries {
       .filter(col("n_repeats") > 0)
       .select(col("part").as("source"), col("key").as("doc_id"),
         col("pr").cast("bigint").as("pr"), col("w").as("dl"), col("n_repeats"))
-      .orderBy("source", "pr", "doc_id")
+  }
+
+  /** EPOCH-PLAN MATERIALIZATION — the consumer step that turns the
+    * plan's (doc, n_repeats) into the SHUFFLED, SHARDED training
+    * corpus (the r14 verdict's stretch: the curation story end to
+    * end as one gated pipeline). Each planned doc expands into
+    * `n_repeats` copies (epoch 1..n); every copy gets its own
+    * position in the global shuffle by mixing the epoch into the
+    * [[pShuffleShard]] LCG chain (`lcg(lcg(doc_id) + epoch)` squared,
+    * all mod-p-reduced — no 64-bit overflow at any doc_id, same
+    * argument as [[bucket1000]]), so two epochs of one doc land in
+    * DIFFERENT shards at different positions — the property epoch
+    * materialization exists for (repeat exposure spread across the
+    * training order, Pile-style upsampling without adjacency).
+    *
+    * Scale shape: the expansion is an explode ∝ Σ n_repeats (the
+    * output's own size); shard assignment is stateless arithmetic;
+    * positions are per-shard windows — 16 independent partitions,
+    * each ~1/16 of the output, never a global sort. Output:
+    * (doc_id, epoch, shard, pos).
+    */
+  private val pEpochMaterialize = QueryDef.sqlChecked("p_epoch_materialize")(
+    s"WITH d AS (SELECT source, doc_id, ${sqlBucket1000("doc_id")} AS pr, " +
+      s"cast(len(${text.sql.tokensOf("text")}) as bigint) AS dl FROM documents), " +
+      "tw AS (SELECT source, cast(sum(dl) as bigint) AS tw FROM d GROUP BY source HAVING sum(dl) > 0), " +
+      "c AS (SELECT d.source AS source, doc_id, pr, dl, tw, " +
+      "coalesce(sum(dl) OVER (PARTITION BY d.source ORDER BY pr, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb " +
+      "FROM d JOIN tw USING (source)), " +
+      s"plan AS (SELECT source, doc_id, dl, " +
+      s"($EpochBudget // tw) + CASE WHEN cb < $EpochBudget % tw THEN 1 ELSE 0 END AS n_repeats " +
+      s"FROM c WHERE ($EpochBudget // tw) + CASE WHEN cb < $EpochBudget % tw THEN 1 ELSE 0 END > 0), " +
+      "copies AS (SELECT doc_id, unnest(range(1, n_repeats + 1)) AS epoch FROM plan), " +
+      "h AS (SELECT doc_id, epoch, " +
+      "((((cast(doc_id as bigint) % 2147483647) * 1103515245 + 12345) % 2147483647 + epoch) " +
+      "* 1103515245 + 12345) % 2147483647 AS kk FROM copies), " +
+      "hv AS (SELECT doc_id, epoch, (kk * kk) % 2147483647 AS hv FROM h) " +
+      "SELECT doc_id, cast(epoch as bigint) AS epoch, cast(hv % 16 as int) AS shard, " +
+      "cast(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id, epoch) as bigint) AS pos " +
+      "FROM hv ORDER BY doc_id, epoch"
+  ) { (s, d) =>
+    val p = 2147483647L
+    val copies = epochPlanDf(s, d)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("n_repeats"))).as("epoch"))
+    val kk = ((((col("doc_id") % p) * 1103515245L + 12345L) % p
+      + col("epoch")) * 1103515245L + 12345L) % p
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("hv", "doc_id", "epoch")
+    copies.withColumn("hv", (kk * kk) % p)
+      .withColumn("shard", (col("hv") % 16).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select(col("doc_id"), col("epoch").cast("bigint").as("epoch"),
+        col("shard"), col("pos"))
+      .orderBy("doc_id", "epoch")
   }
 
   /** Per-source budget each source may spend across the WHOLE stream
@@ -1244,7 +1305,8 @@ object PipelineQueries {
     pTopkTokens, pNgramStats,
     pReembedDelta, pCorpusClean, pPackSequences, pDecontaminate,
     pDeconBloom, pImportanceSample, pDeconDelta, pPipelineAudit,
-    pShuffleShard, pTokenBudget, pEpochPlan, pDataCard, pBudgetAudit,
+    pShuffleShard, pTokenBudget, pEpochPlan, pEpochMaterialize,
+    pDataCard, pBudgetAudit,
     qStreamBudget, qStreamDedup,
     qStreamDedupWm, qStreamJoin, qStreamStatic)
 }

@@ -695,24 +695,17 @@ object IndexMaintenance {
           case vs if vs.nonEmpty => vs.max
           case _ => -1
         }
-        val sinceSigs = policy.bqCheckSinceVersion.flatMap { v =>
-          graft.operators.ServingManifest.entrySigsAt(spark, servePath, v)
+        // the diff runs distributed (freshEntriesSince: one live
+        // manifest read shared with the subset open, baseline fold as
+        // a DataFrame); only the appendage-sized fresh subset reaches
+        // the driver. Changed bytes/mtime under an unchanged name
+        // counts as fresh — in-place rewrites must be re-scanned.
+        val sinceFresh = policy.bqCheckSinceVersion.flatMap { v =>
+          graft.operators.ServingManifest
+            .freshEntriesSince(spark, servePath, v)
         }
-        val drift = sinceSigs match {
-          case Some(before) =>
-            // one live-manifest snapshot feeds both the diff and the
-            // subset open (no second read to race a reconcile);
-            // changed bytes/mtime under an unchanged name counts as
-            // fresh — in-place rewrites must be re-scanned
-            val live = graft.operators.ServingManifest
-              .liveEntries5(spark, servePath)
-              .getOrElse(Array.empty[(String, Int, Long, Long, String)])
-            val fresh = live.filter { e =>
-              before.get(e._1) match {
-                case None         => true
-                case Some((b, m)) => b != e._3 || m != e._4
-              }
-            }
+        val drift = sinceFresh match {
+          case Some(fresh) =>
             graft.operators.ServingManifest
               .openEntriesSubset(spark, servePath, fresh) match {
               case None => 0L
