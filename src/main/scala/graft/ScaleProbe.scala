@@ -1226,6 +1226,62 @@ object ScaleProbe {
         f"id_overlap=${overlap.toDouble / total}%.3f " +
         f"score_regret_mean=${regret / math.max(1, regretN)}%.2e " +
         f"max=$regretMax%.2e")
+    } else if (args(0) == "bqfull") {
+      // DIAGNOSTIC bisect arm (round 15): times the FULL drift probe
+      // alone over a fresh layout, with args(3) choosing whether ONE
+      // verifyBqCodesSince call precedes it — isolates whether the
+      // distributed since-diff leaves session state that slows
+      // subsequent scans (the r15 bqdrift A/B read the full probe
+      // 3-4x slower on the new tree).
+      // usage: bqfull <n> <nBatch> <since|nosince>
+      val n = args(1).toLong; val nBatch = args(2).toLong
+      val withSince = args(3) == "since"
+      import graft.functions.bquant
+      val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, 64, 200)
+        .withColumn("version", lit(1L))
+      val (indexed, model) = graft.operators.IvfIndex.build(v,
+        "vec_id", "embedding", numLeaves = 64, maxFitRows = 20000L)
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_bqfull").toString + "/idx"
+      graft.operators.IvfIndex.write(indexed.withColumn("bq_code",
+        bquant.packSigns(col("embedding").cast("array<double>"))),
+        p, model)
+      val v0 = graft.operators.ServingManifest.versions(spark, p).max
+      val batch = graft.pipeline.SyntheticCorpus
+        .vectors(spark, nBatch, 64, 200)
+        .select((col("vec_id") + n).as("vec_id"), col("embedding"),
+          lit(2L).as("version"))
+      graft.streaming.IndexMaintenance.appendToServing(spark, p,
+        batch, "vec_id", "embedding", "version")
+      val s = graft.operators.Serving.open(spark, p,
+        id = "vec_id", vecCol = "embedding")
+      s.verifyBqCodes() // warm the scan path once
+      val tSince = if (withSince) {
+        val td0 = System.nanoTime()
+        val fresh = graft.operators.ServingManifest
+          .freshEntriesSince(spark, p, v0).get
+        val tDiff = (System.nanoTime() - td0) / 1e9
+        val ts0 = System.nanoTime()
+        val drift = graft.operators.ServingManifest
+          .openEntriesSubset(spark, p, fresh) match {
+          case None => 0L
+          case Some(df) =>
+            df.filter(graft.functions.bquant.codeDrift(
+              col("embedding"), col("bq_code"))).count()
+        }
+        require(drift == 0L)
+        val tScan = (System.nanoTime() - ts0) / 1e9
+        println(f"BQFULL-SPLIT diff=$tDiff%.2f s scan=$tScan%.2f s " +
+          s"fresh=${fresh.length} files")
+        tDiff + tScan
+      } else 0.0
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        require(s.verifyBqCodes() == 0L)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"BQFULL n=$n since=$withSince tSince=$tSince%.2f s " +
+        f"full=${ts.map(t => f"$t%.2f").mkString("/")}")
     } else if (args(0) == "bqdrift") {
       // BQ drift-probe economics: the full-scan probe re-derives
       // packSigns over EVERY row per sweep (∝ corpus — a full read
