@@ -51,6 +51,12 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val startedAtMs = System.currentTimeMillis()
     val loadAtStart = loadavg()
+    // heap is part of the record's environment evidence: a 32 GiB
+    // heap measured the STREAMING rows 2-6x slower than the default
+    // 8 GiB on the same box (r15 A/B: q_stream_join 35.9 s vs 6.5 s —
+    // GC ergonomics dominate micro-batch latency), so a record must
+    // name the heap it ran under or cross-round ratios lie
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
 
     val warmups = Seq("q1_pricing_summary", "t_token_count", "v_knn_dot",
       "q_events_props")
@@ -256,7 +262,7 @@ object Bench {
     val contendedJson = contendedRows.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scale_detail":$detail,"retries":$retryJson,"contended":$contended,"contended_rows":$contendedJson,"loadavg_start":$loadAtStart,"started_ms":$startedAtMs,"cpus":"$cpus","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scale_detail":$detail,"retries":$retryJson,"contended":$contended,"contended_rows":$contendedJson,"loadavg_start":$loadAtStart,"started_ms":$startedAtMs,"cpus":"$cpus","heap_mb":$heapMb,"sf":"$sfDir"}"""
     // the stdout line is the driver contract; the file is the
     // loss-proof twin of the SAME bytes
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
