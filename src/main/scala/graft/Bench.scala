@@ -57,6 +57,19 @@ object Bench {
     // GC ergonomics dominate micro-batch latency), so a record must
     // name the heap it ran under or cross-round ratios lie
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    // heap RULE (r15 verdict Next #2): the official record must run
+    // at the 8 GiB default. A record at any other heap stays a
+    // record but NAMES ITSELF nonstandard — cross-round ratios must
+    // never silently mix heap regimes (the r15 official record ran
+    // at 89 GiB and inflated every streaming row 2-6x). ±25% around
+    // 8192 MB absorbs JVM maxMemory() reporting slack (survivor
+    // space subtraction reports ~7.9 GiB for -Xmx8g).
+    val envNonstandard = heapMb < 6144 || heapMb > 10240
+    if (envNonstandard)
+      System.err.println(
+        s"[bench] NONSTANDARD ENV: heap_mb=$heapMb deviates from the " +
+          "8 GiB default — streaming rows are not comparable across heap " +
+          "regimes; re-run at default heap for the official record")
 
     val warmups = Seq("q1_pricing_summary", "t_token_count", "v_knn_dot",
       "q_events_props")
@@ -262,7 +275,7 @@ object Bench {
     val contendedJson = contendedRows.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scale_detail":$detail,"retries":$retryJson,"contended":$contended,"contended_rows":$contendedJson,"loadavg_start":$loadAtStart,"started_ms":$startedAtMs,"cpus":"$cpus","heap_mb":$heapMb,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scale_detail":$detail,"retries":$retryJson,"contended":$contended,"contended_rows":$contendedJson,"loadavg_start":$loadAtStart,"started_ms":$startedAtMs,"cpus":"$cpus","heap_mb":$heapMb,"env":"${if (envNonstandard) "nonstandard" else "default"}","sf":"$sfDir"}"""
     // the stdout line is the driver contract; the file is the
     // loss-proof twin of the SAME bytes
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")

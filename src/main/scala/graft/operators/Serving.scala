@@ -29,7 +29,27 @@ final class Serving private[operators] (
     val model: IvfIndex.Model,
     val data: DataFrame,
     val id: String,
-    val vecCol: String) {
+    val vecCol: String,
+    val pinnedAt: Option[Int] = None) {
+
+  /** Hybrid/MMR surfaces cast ids through bigint for the typed MMR
+    * recurrence — a non-integral id would cast to null and decode as
+    * 0, silently collapsing every candidate to one id. Fail loudly
+    * instead.
+    */
+  private def requireIntegralId(op: String): org.apache.spark.sql.types.DataType = {
+    val idType = data.schema(id).dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    require(integral,
+      s"$op: id column '$id' must be integral (is $idType)")
+    idType
+  }
 
   /** Leaf-pruned exact top-k: (id, leaf_id, score) by score desc. */
   def search(query: Array[Double], nProbe: Int, k: Int): DataFrame =
@@ -86,16 +106,7 @@ final class Serving private[operators] (
     require(tier == "raw",
       s"searchMmr: layout at $path is a '$tier' tier — MMR's pair " +
         "similarities need the raw vectors")
-    val idType = data.schema(id).dataType
-    val integral = idType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.ByteType => true
-      case _ => false
-    }
-    require(integral,
-      s"searchMmr: id column '$id' must be integral (is $idType)")
+    val idType = requireIntegralId("searchMmr")
     val leaves = model.topLeaves(query, nProbe)
     val qCol = typedLit(query.toSeq)
     // spill copies collapse to one candidate per id (same convention
@@ -116,10 +127,74 @@ final class Serving private[operators] (
       .orderBy("step")
   }
 
+  /** BATCHED [[searchMmr]] — many queries MMR-diversify concurrently
+    * in ONE distributed plan (the serving matrix's batch column,
+    * extended to the diversity surface the r15 verdict asked for):
+    * per-query routed probe (f32 router expression, exact below the
+    * router threshold — the [[searchBatch]] convention), In-list
+    * pre-pruned candidate scan of the UNION of probed leaves, spill
+    * copies collapsed per (query, id), per-query top-`kPool` pool
+    * cut, then [[Knn.mmrRerank]] runs each query's greedy recurrence
+    * in its own flatMapGroups task — queries parallelize, candidates
+    * (never the corpus) enter the groups, and one query's selected
+    * set cannot leak into another's argmax.
+    *
+    * `queries` carries (`qid`, `qvecCol`); both `qid` and the layout
+    * id must be integral (cast through bigint for the typed
+    * recurrence). Output: (qid, step 1..k, id, sq) per query in pick
+    * order.
+    */
+  def searchMmrBatch(queries: DataFrame, qid: String, qvecCol: String,
+      nProbe: Int, kPool: Int, k: Int, lam: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(tier == "raw",
+      s"searchMmrBatch: layout at $path is a '$tier' tier — MMR's " +
+        "pair similarities need the raw vectors")
+    val idType = requireIntegralId("searchMmrBatch")
+    val qidType = queries.schema(qid).dataType
+    val qIntegral = qidType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    require(qIntegral,
+      s"searchMmrBatch: query id column '$qid' must be integral (is $qidType)")
+    val qs = queries.select(col(qid),
+        col(qvecCol).cast("array<double>").as("__qv"))
+      .withColumn("__leaf",
+        explode(IvfIndex.probeExprF32(model, col("__qv"), nProbe)))
+    // In-list pre-prune: the probed-leaf union reaches the scan as a
+    // partition filter (a broadcast-join equality alone would not)
+    val leaves = qs.select("__leaf").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val scored = data.filter(col("leaf_id").isin(leaves: _*))
+      .join(broadcast(qs), col("leaf_id") === col("__leaf"))
+      .select(col(qid), col(id),
+        graft.functions.vectors.dotProduct(col(vecCol), col("__qv"))
+          .as("score"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .groupBy(col(qid), col(id))
+      .agg(first(col("score")).as("score"), first(col("__v")).as("__v"))
+    val pool = Knn.topKPerQuery(scored, kPool, qid, id, Knn.Dot)
+    val cand = pool.select(col(qid).cast("bigint").as("query_id"),
+      col(id).cast("bigint").as("vec_id"), col("__v").as("v"),
+      col("score").cast("double").as("sq"))
+    Knn.mmrRerank(cand, k, lam)
+      .select(col("query_id").cast(qidType).as(qid), col("step"),
+        col("vec_id").cast(idType).as(id), col("sq"))
+      .orderBy(qid, "step")
+  }
+
   /** Tokenize `docs` once and persist the BM25 postings + doc-length
     * sidecar beside this layout ([[Lexical.attach]]) — the deploy-time
     * step that makes [[searchHybrid]] servable without re-tokenizing
-    * the corpus per query.
+    * the corpus per query. The sidecar is stamped with the layout's
+    * current manifest version; [[graft.streaming.IndexMaintenance
+    * .appendToServing]] maintains it through upserts when the batch
+    * carries text (`textCol`), and [[searchHybrid]] refuses a stale
+    * stamp.
     */
   def attachLexical(docs: DataFrame, docId: String, textCol: String): Unit =
     Lexical.attach(spark, path, docs, docId, textCol)
@@ -127,12 +202,46 @@ final class Serving private[operators] (
   /** Whether this layout carries the lexical sidecar. */
   def hasLexical: Boolean = Lexical.hasStats(spark, path)
 
+  /** LOUD staleness gate for the lexical surfaces (the r15 verdict's
+    * hybrid-serving hole): a live handle requires the sidecar stamp
+    * to equal the live manifest version — any layout mutation that
+    * bypassed lexical maintenance (an append without `textCol`, a
+    * compact, a recluster) fails here instead of silently serving
+    * stale BM25 scores. A pinned handle requires the sidecar to span
+    * the pinned version (attached at or before it, rows retained).
+    */
+  private def requireLexicalCurrent(op: String): Unit = {
+    val range = Lexical.versionRange(spark, path)
+    def stampStr = range.map { case (b, c) => s"[$b, $c]" }
+      .getOrElse("<unstamped>")
+    pinnedAt match {
+      case None =>
+        val live = ServingManifest.versions(spark, path)
+          .lastOption.getOrElse(0)
+        require(range.exists(_._2 == live),
+          s"$op: lexical sidecar at $path is stamped $stampStr but the " +
+            s"live manifest version is $live — the layout changed " +
+            "without lexical maintenance; re-run attachLexical (or " +
+            "append with textCol) before hybrid serving")
+      case Some(v) =>
+        require(range.exists(r => r._1 <= v && v <= r._2),
+          s"$op: lexical sidecar at $path is stamped $stampStr and " +
+            s"cannot reconstruct pinned manifest version $v")
+    }
+  }
+
   /** BM25 scores (id, score) for `terms` from the persisted sidecar —
     * a bucket-pruned postings scan, cost ∝ Σ df(term). Exact integer
-    * scores, identical to the `v_bm25_topk` gate's arithmetic.
+    * scores, identical to the `v_bm25_topk` gate's arithmetic. On a
+    * live handle the scores resolve last-write-wins against the delta
+    * registry (tombstoned ids drop, re-upserted ids score by their
+    * newest text); a pinned handle serves the sidecar as of the
+    * pinned manifest version ([[Lexical.bm25FromStats]]).
     */
-  def lexicalScores(terms: Seq[String]): DataFrame =
-    Lexical.bm25FromStats(spark, path, terms)
+  def lexicalScores(terms: Seq[String]): DataFrame = {
+    requireLexicalCurrent("lexicalScores")
+    Lexical.bm25FromStats(spark, path, terms, pinnedAt)
+  }
 
   /** HYBRID retrieval through the handle — the `r_rag_e2e` gate's
     * composition as a serving surface: BM25 (sidecar postings) ∥
@@ -166,6 +275,8 @@ final class Serving private[operators] (
       s"searchHybrid: no lexical sidecar at $path — attachLexical first")
     require(tier == "raw",
       s"searchHybrid: layout at $path is a '$tier' tier, not raw")
+    requireLexicalCurrent("searchHybrid")
+    mmrLam.foreach(_ => requireIntegralId("searchHybrid"))
     // both rank lists are bounded (≤ kLex / kDense rows), so the
     // single-partition row_number windows are constant-size
     val brank = lexicalScores(terms)
@@ -190,10 +301,25 @@ final class Serving private[operators] (
       case Some(lam) =>
         val qCol = typedLit(query.toSeq)
         // vector fetch for the pool: kPool ids broadcast against the
-        // held frame; spill copies collapse (searchDf convention)
-        val vecs = data.join(broadcast(pool.select(id)), Seq(id))
+        // held frame; spill copies collapse (searchDf convention).
+        // Both frames are ≤ kPool rows — localCheckpoint so the
+        // shortfall counts below don't recompute the legs.
+        val poolC = pool.localCheckpoint()
+        val vecs = data.join(broadcast(poolC.select(id)), Seq(id))
           .groupBy(col(id))
           .agg(first(col(vecCol)).cast("array<double>").as("__v"))
+          .localCheckpoint()
+        // a pool id with no vector in the layout (a sidecar built
+        // over a superset corpus, or layout/sidecar skew the version
+        // stamp could not see) would silently shrink the MMR
+        // diversity pool — fail loudly instead
+        val poolN = poolC.count()
+        val fetched = vecs.count()
+        require(fetched == poolN,
+          s"searchHybrid: candidate pool has $poolN ids but only " +
+            s"$fetched have vectors in the layout at $path — the " +
+            "lexical sidecar covers documents the layout does not " +
+            "(re-run attachLexical over the layout's own corpus)")
         val cand = vecs.select(lit(0L).as("query_id"),
           col(id).cast("bigint").as("vec_id"), col("__v").as("v"),
           graft.functions.vectors.dotProduct(col("__v"), qCol)
@@ -203,6 +329,126 @@ final class Serving private[operators] (
           .select(col("step"), col("vec_id").cast(idType).as(id),
             col("sq"))
           .orderBy("step")
+    }
+  }
+
+  /** BATCHED [[searchHybrid]] — many (terms, query-vector) pairs run
+    * the full hybrid stack in ONE distributed plan, completing the
+    * serving matrix's batch column for the hybrid surface: the
+    * lexical leg reads the postings ONCE for the UNION of the
+    * batch's terms (bucket-pruned, Σ df(union) rows — df per term is
+    * identical under the union filter and the single-query filter,
+    * so per-query scores are bit-identical to [[searchHybrid]]'s)
+    * and sums per-(query, doc) BM25 contributions through the single
+    * shared arithmetic site ([[Lexical.bm25TermScores]]); the dense
+    * leg routes per query (f32 expression, exact below the router
+    * threshold) over one In-list-pruned scan of the probed-leaf
+    * union; RRF, the per-query pool cuts, and the MMR recurrences
+    * are per-query windows/groups over ≤ kLex+kDense rows each.
+    * Freshness/pinning semantics are [[searchHybrid]]'s (same
+    * version-stamp gate, same delta-registry LWW, same `openAt`
+    * file-set behavior).
+    *
+    * `queries` carries (`qid` integral, `termsCol` array<string>,
+    * `qvecCol` array numeric). Output shapes mirror [[searchHybrid]]
+    * with a leading `qid`: (qid, id, rrf, rank 1..kPool) fused, or
+    * (qid, step 1..k, id, sq) per query in MMR pick order.
+    */
+  def searchHybridBatch(queries: DataFrame, qid: String, termsCol: String,
+      qvecCol: String, nProbe: Int, kLex: Int = 20, kDense: Int = 20,
+      kPool: Int = 10, k: Int = 5,
+      mmrLam: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(hasLexical,
+      s"searchHybridBatch: no lexical sidecar at $path — attachLexical first")
+    require(tier == "raw",
+      s"searchHybridBatch: layout at $path is a '$tier' tier, not raw")
+    requireLexicalCurrent("searchHybridBatch")
+    mmrLam.foreach(_ => requireIntegralId("searchHybridBatch"))
+    val qidType = queries.schema(qid).dataType
+    val qIntegral = qidType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    require(qIntegral,
+      s"searchHybridBatch: query id column '$qid' must be integral (is $qidType)")
+    // the query batch is bounded (the searchBatch convention):
+    // its term union and the probed-leaf union collect to the driver
+    val qt = queries.select(col(qid), explode(col(termsCol)).as("t"))
+      .localCheckpoint()
+    val unionTerms = qt.select("t").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val contribs = Lexical.bm25TermContribs(spark, path, unionTerms,
+      pinnedAt)
+    val contribsId = if (id == "doc_id") contribs
+      else contribs.withColumnRenamed("doc_id", id)
+    val bscore = contribsId.join(broadcast(qt), Seq("t"))
+      .groupBy(col(qid), col(id))
+      .agg(sum(col("contrib")).cast("bigint").as("score"))
+    val brank = bscore.withColumn("rs", row_number().over(
+        Window.partitionBy(qid).orderBy(col("score").desc, col(id))))
+      .filter(col("rs") <= kLex)
+      .select(col(qid), col(id), col("rs"))
+    val qs = queries.select(col(qid),
+        col(qvecCol).cast("array<double>").as("__qv"))
+      .withColumn("__leaf",
+        explode(IvfIndex.probeExprF32(model, col("__qv"), nProbe)))
+    val leaves = qs.select("__leaf").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val dscored = data.filter(col("leaf_id").isin(leaves: _*))
+      .join(broadcast(qs), col("leaf_id") === col("__leaf"))
+      .select(col(qid), col(id),
+        graft.functions.vectors.dotProduct(col(vecCol), col("__qv"))
+          .as("score"))
+      .groupBy(col(qid), col(id))
+      .agg(first(col("score")).as("score"))
+    val drank = dscored.withColumn("rd", row_number().over(
+        Window.partitionBy(qid).orderBy(col("score").desc, col(id))))
+      .filter(col("rd") <= kDense)
+      .select(col(qid), col(id), col("rd"))
+    val fused = brank.join(drank, Seq(qid, id), "full_outer")
+      .select(col(qid), col(id),
+        (coalesce(lit(1.0) / (col("rs") + 60L), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rd") + 60L), lit(0.0))).as("rrf"))
+    val pool = fused.withColumn("rank", row_number().over(
+        Window.partitionBy(qid).orderBy(col("rrf").desc, col(id)))
+        .cast("bigint"))
+      .filter(col("rank") <= kPool)
+    mmrLam match {
+      case None =>
+        pool.select(col(qid), col(id), col("rrf"), col("rank"))
+          .orderBy(qid, "rank")
+      case Some(lam) =>
+        val idType = data.schema(id).dataType
+        val poolC = pool.localCheckpoint()
+        val vecs = data.join(
+            broadcast(poolC.select(col(id)).distinct()), Seq(id))
+          .groupBy(col(id))
+          .agg(first(col(vecCol)).cast("array<double>").as("__v"))
+        val cand = poolC.select(col(qid), col(id))
+          .join(vecs, Seq(id))
+          .join(broadcast(queries.select(col(qid),
+            col(qvecCol).cast("array<double>").as("__qv"))), Seq(qid))
+          .select(col(qid).cast("bigint").as("query_id"),
+            col(id).cast("bigint").as("vec_id"), col("__v").as("v"),
+            graft.functions.vectors.dotProduct(col("__v"), col("__qv"))
+              .cast("double").as("sq"))
+          .localCheckpoint()
+        val poolN = poolC.count()
+        val fetched = cand.count()
+        require(fetched == poolN,
+          s"searchHybridBatch: candidate pools have $poolN ids but " +
+            s"only $fetched have vectors in the layout at $path — the " +
+            "lexical sidecar covers documents the layout does not " +
+            "(re-run attachLexical over the layout's own corpus)")
+        Knn.mmrRerank(cand, k, lam)
+          .select(col("query_id").cast(qidType).as(qid), col("step"),
+            col("vec_id").cast(idType).as(id), col("sq"))
+          .orderBy(qid, "step")
     }
   }
 
@@ -2600,7 +2846,8 @@ object Serving {
       id: String = "vec_id",
       vecCol: String = "embedding"): Option[Serving] = {
     ServingManifest.openAt(spark, path, version).map { data =>
-      new Serving(spark, path, IvfIndex.load(spark, path), data, id, vecCol)
+      new Serving(spark, path, IvfIndex.load(spark, path), data, id,
+        vecCol, pinnedAt = Some(version))
     }
   }
 }

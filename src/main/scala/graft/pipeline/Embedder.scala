@@ -87,11 +87,11 @@ object SparseEmbed {
   object sql {
     import graft.functions.text.{sql => tsql}
     def embedCte(alias: String, idCol: String = "doc_id",
-        dim: Int = Dim): String =
+        dim: Int = Dim, from: String = "documents"): String =
       s"$alias AS (SELECT $idCol, idx, cast(sum(s) as bigint) AS w FROM (" +
         s"SELECT $idCol, ${tsql.polyHash("t")} % $dim AS idx, " +
         s"((${tsql.polyHash("t")} >> 5) & 1) * 2 - 1 AS s " +
-        s"FROM (SELECT $idCol, unnest(${tsql.tokensOf("text")}) AS t FROM documents)) " +
+        s"FROM (SELECT $idCol, unnest(${tsql.tokensOf("text")}) AS t FROM $from)) " +
         s"GROUP BY $idCol, idx HAVING sum(s) <> 0)"
 
     /** CTE pair replicating [[shingleHashes]]: `__sh` is (id, sh).

@@ -209,11 +209,16 @@ object ChunkingQueries {
   /** BM25 CTE fragment (dls/tot/toks/tf/df/bscore) shared by the
     * standalone gate and the composed RAG pipeline oracle.
     */
-  private[queries] def bm25Ctes: String = {
+  private[queries] def bm25Ctes: String = bm25CtesFrom("documents")
+
+  /** [[bm25Ctes]] over an arbitrary corpus CTE/table — the
+    * upsert/pinned hybrid oracles score a FILTERED live corpus.
+    */
+  private[queries] def bm25CtesFrom(from: String): String = {
     val terms = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
-    s"dls AS (SELECT doc_id, cast(len(${text.sql.tokensOf("text")}) as bigint) AS dl FROM documents), " +
+    s"dls AS (SELECT doc_id, cast(len(${text.sql.tokensOf("text")}) as bigint) AS dl FROM $from), " +
       "tot AS (SELECT cast(sum(dl) as bigint) AS tt, count(*) AS nn FROM dls), " +
-      s"toks AS (SELECT doc_id, unnest(${text.sql.tokensOf("text")}) AS t FROM documents), " +
+      s"toks AS (SELECT doc_id, unnest(${text.sql.tokensOf("text")}) AS t FROM $from), " +
       s"tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t IN (SELECT t FROM (SELECT unnest($terms) AS t)) GROUP BY doc_id, t), " +
       s"df AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks WHERE t IN (SELECT t FROM (SELECT unnest($terms) AS t)) GROUP BY t), " +
       "bscore AS (SELECT tf.doc_id AS doc_id, cast(sum(" +
@@ -440,11 +445,19 @@ object ChunkingQueries {
     * fusion, and the greedy recurrence in one recursive CTE; the
     * driver hash-compares every (step, doc_id, sq) row.
     */
-  private val rServeHybrid = QueryDef.sqlChecked("r_serve_hybrid")({
+  /** The full serve-hybrid oracle (routing → both legs → RRF → MMR,
+    * one recursive CTE) over the live corpus `SELECT … FROM documents
+    * WHERE $where` — parameterized so the lifecycle gates
+    * (`r_serve_hybrid_upsert`, `r_serve_hybrid_pinned`) replay the
+    * SAME pipeline over their post-upsert / pinned corpus.
+    */
+  private def hybridOracleSql(where: String): String = {
     val terms = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
     val ph = graft.functions.text.sql.polyHash("t")
     "WITH RECURSIVE " +
-      s"${graft.pipeline.SparseEmbed.sql.embedCte("docvec", "doc_id")}, " +
+      s"live AS (SELECT doc_id, text FROM documents WHERE $where), " +
+      s"${graft.pipeline.SparseEmbed.sql.embedCte("docvec", "doc_id",
+        graft.pipeline.SparseEmbed.Dim, "live")}, " +
       s"q AS (SELECT unnest($terms) AS t), " +
       s"qv AS (SELECT $ph % ${graft.pipeline.SparseEmbed.Dim} AS idx, " +
       s"cast(sum((($ph >> 5) & 1) * 2 - 1) as bigint) AS qw " +
@@ -458,7 +471,7 @@ object ChunkingQueries {
       "assign AS (SELECT doc_id, cid AS leaf_id FROM (" +
       "SELECT d.doc_id, n.cid, row_number() OVER (PARTITION BY d.doc_id " +
       "ORDER BY n.n2 - 2 * coalesce(a.dot, 0), n.cid) AS rn " +
-      "FROM (SELECT doc_id FROM documents) d CROSS JOIN cnorm n " +
+      "FROM (SELECT doc_id FROM live) d CROSS JOIN cnorm n " +
       "LEFT JOIN adot a ON a.doc_id = d.doc_id AND a.cid = n.cid) WHERE rn = 1), " +
       "qdot AS (SELECT cv.cid, cast(sum(qv.qw * cv.w) as bigint) AS dot " +
       "FROM qv JOIN cvec cv ON cv.idx = qv.idx GROUP BY cv.cid), " +
@@ -472,7 +485,7 @@ object ChunkingQueries {
       "LEFT JOIN qdd ON qdd.doc_id = a.doc_id), " +
       "drank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rd " +
       "FROM dcand), " +
-      s"$bm25Ctes, " +
+      s"${bm25CtesFrom("live")}, " +
       "brank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rs FROM bscore), " +
       "fused AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, " +
       "coalesce(1.0/(60+a.rs), 0.0) + coalesce(1.0/(60+b.rd), 0.0) AS rrf " +
@@ -499,26 +512,277 @@ object ChunkingQueries {
       "SELECT cast(step as bigint) AS step, pick AS doc_id, " +
       "(SELECT sq FROM cand WHERE cand.doc_id = sel.pick) AS sq " +
       "FROM sel ORDER BY step"
-  }) { (s, d) =>
+  }
+
+  /** A term list's dense (hashed-sparse, zero-filled) vector — the
+    * same embedding the layouts were built with.
+    */
+  private def termsVec(s: org.apache.spark.sql.SparkSession,
+      terms: Seq[String]): Array[Double] = {
     import s.implicits._
     import graft.pipeline.SparseEmbed
+    val rows = terms.toDF("t")
+      .select(SparseEmbed.dimIdx(col("t")).as("idx"),
+        SparseEmbed.sign(col("t")).as("s"))
+      .groupBy("idx").agg(sum("s").as("qw")).filter(col("qw") =!= 0)
+      .collect()
+    val a = new Array[Double](SparseEmbed.Dim)
+    rows.foreach(r => a(r.getLong(0).toInt) = r.getLong(1).toDouble)
+    a
+  }
+
+  private def hybridQueryVec(s: org.apache.spark.sql.SparkSession): Array[Double] =
+    termsVec(s, QueryTerms)
+
+  private val rServeHybrid = QueryDef.sqlChecked("r_serve_hybrid")(
+    hybridOracleSql("TRUE")
+  ) { (s, d) =>
     val path = ServeHybridCache.get(s, d)
     val serving = graft.operators.Serving.open(s, path,
       id = "doc_id", vecCol = "v")
-    val qArr = {
-      val rows = QueryTerms.toDF("t")
-        .select(SparseEmbed.dimIdx(col("t")).as("idx"),
-          SparseEmbed.sign(col("t")).as("s"))
-        .groupBy("idx").agg(sum("s").as("qw")).filter(col("qw") =!= 0)
-        .collect()
-      val a = new Array[Double](SparseEmbed.Dim)
-      rows.foreach(r => a(r.getLong(0).toInt) = r.getLong(1).toDouble)
-      a
-    }
-    serving.searchHybrid(QueryTerms, qArr, nProbe = 2,
+    serving.searchHybrid(QueryTerms, hybridQueryVec(s), nProbe = 2,
       kLex = 20, kDense = 20, kPool = 10, k = 5, mmrLam = Some(0.5))
   }
 
+  /** One hybrid layout per sf dir that has LIVED the full
+    * STREAM_UPDATE lifecycle — the r15 verdict's staleness hole,
+    * gated end to end: built over the BASE corpus (doc_id % 4 ≠ 3,
+    * the four centroid docs included), lexical sidecar attached
+    * (stamp = manifest v1), the COMPLEMENT upserted through the
+    * maintained path WITH text
+    * ([[graft.streaming.IndexMaintenance.appendToServing]]
+    * `textCol` — vectors, delta registry, manifest reconcile to v2,
+    * AND incremental postings + sidecar re-stamp in one call), then
+    * one base doc (doc_id 1) tombstoned
+    * ([[graft.streaming.IndexMaintenance.removeFromServing]] —
+    * delta-only, no manifest change). The path is wiped first so a
+    * stale layout from a previous JVM can never double-apply the
+    * lifecycle.
+    */
+  private[queries] object ServeHybridLifecycleCache {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    val DeletedDoc = 1L
+    def get(s: org.apache.spark.sql.SparkSession, d: String): String =
+      cache.getOrElseUpdate(d, {
+        import s.implicits._
+        import graft.operators.{IvfIndex, Lexical}
+        import graft.pipeline.SparseEmbed
+        import graft.streaming.IndexMaintenance
+        val docs = Tables.documents(s, d)
+        val dv = SparseEmbed.embed(docs, "doc_id", "text")
+        val dvm = dv.groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("idx"), col("w"))))
+            .as("m"))
+        val dense = docs.select("doc_id").join(dvm, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(SparseEmbed.Dim - 1)),
+              i => coalesce(element_at(col("m"), i.cast("bigint")), lit(0L)))
+              .cast("array<double>").as("v"))
+        val isBase = col("doc_id") % 4 =!= 3
+        val centIds = Seq(0L, 64L, 128L, 192L) // all ≡ 0 mod 4 — in base
+        val cents = dense.filter(col("doc_id").isin(centIds: _*))
+          .select(col("doc_id"), col("v")).collect().sortBy(_.getLong(0))
+          .map(_.getSeq[Double](1).toArray)
+        val model = IvfIndex.Model(cents)
+        val indexed = dense.filter(isBase)
+          .withColumn("version", lit(1L))
+          .withColumn("leaf_id", IvfIndex.probeExpr(model, col("v"), 1)(0))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_servehyblc_" +
+          java.lang.Integer.toHexString(d.hashCode)
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(x => { java.nio.file.Files.delete(x); () })
+        }
+        IvfIndex.write(indexed, path, model) // manifest log v1
+        Lexical.attach(s, path, docs.filter(isBase), "doc_id", "text")
+        val up = dense.filter(!isBase)
+          .join(docs.select("doc_id", "text"), Seq("doc_id"))
+          .select(col("doc_id"), col("v"), lit(2L).as("version"), col("text"))
+        IndexMaintenance.appendToServing(s, path, up, "doc_id", "v",
+          "version", spill = 1, textCol = Some("text")) // log v2, stamp → 2
+        IndexMaintenance.removeFromServing(s, path,
+          Seq((DeletedDoc, 3L)).toDF("doc_id", "version"),
+          "doc_id", "version") // LWW tombstone; no manifest change
+        path
+      })
+  }
+
+  /** HYBRID SERVING AFTER THE FULL UPSERT LIFECYCLE — closes the r15
+    * verdict's staleness hole as an oracle row, not just a spec: the
+    * layout in [[ServeHybridLifecycleCache]] was built over 3/4 of
+    * the corpus, took the rest as a streamed upsert WITH text (so the
+    * BM25 sidecar was maintained incrementally — postings appended
+    * into the term-hash buckets, stamp moved to the post-append
+    * manifest version), and tombstoned one base doc. The oracle
+    * replays the ENTIRE hybrid pipeline (routing, both legs, fusion,
+    * MMR) over the POST-upsert live corpus (`doc_id <> 1`) — every
+    * df, dl, and corpus total comes from the post-upsert state, so a
+    * stale lexical leg (the pre-r16 behavior), an unresolved
+    * tombstone, or a missed postings append each flips a hashed
+    * value. Delete semantics ride the delta registry's LWW — the
+    * SAME authority the vector read uses, so the two legs cannot
+    * disagree about which ids are live.
+    */
+  private val rServeHybridUpsert = QueryDef.sqlChecked("r_serve_hybrid_upsert")(
+    hybridOracleSql(s"doc_id <> ${ServeHybridLifecycleCache.DeletedDoc}")
+  ) { (s, d) =>
+    val path = ServeHybridLifecycleCache.get(s, d)
+    val serving = graft.operators.Serving.open(s, path,
+      id = "doc_id", vecCol = "v")
+    serving.searchHybrid(QueryTerms, hybridQueryVec(s), nProbe = 2,
+      kLex = 20, kDense = 20, kPool = 10, k = 5, mmrLam = Some(0.5))
+  }
+
+  /** VERSION-PINNED HYBRID over the SAME lived-in layout —
+    * [[graft.operators.Serving.openAt]] time travel extended to the
+    * lexical leg (r15 verdict Next #5): the handle pins manifest v1
+    * (the pre-upsert install), and the sidecar serves the v1-
+    * consistent statistics (rows with `mv ≤ 1` only, no delta — the
+    * registry is live state, exactly the dense leg's file-set
+    * semantics). The oracle is the hybrid pipeline over the BASE
+    * corpus (`doc_id % 4 <> 3` — including the later-tombstoned doc
+    * 1: deletes land after the pin). Because the layout HAS taken a
+    * post-pin append and a delete, a hash match here IS the
+    * bit-stability proof: any leakage of post-pin postings, dls
+    * rows, appended vectors, or tombstones into the pinned view
+    * flips a value.
+    */
+  private val rServeHybridPinned = QueryDef.sqlChecked("r_serve_hybrid_pinned")(
+    hybridOracleSql("doc_id % 4 <> 3")
+  ) { (s, d) =>
+    val path = ServeHybridLifecycleCache.get(s, d)
+    val serving = graft.operators.Serving.openAt(s, path, version = 1,
+      id = "doc_id", vecCol = "v").getOrElse(
+      sys.error(s"manifest log at $path has no version 1"))
+    serving.searchHybrid(QueryTerms, hybridQueryVec(s), nProbe = 2,
+      kLex = 20, kDense = 20, kPool = 10, k = 5, mmrLam = Some(0.5))
+  }
+
+  /** The batched-hybrid gate's fixed query set — three queries over
+    * disjoint slices of the corpus vocabulary.
+    */
+  private val HybridBatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join"),
+    1L -> Seq("stream", "table", "window"),
+    2L -> Seq("group", "filter"))
+
+  /** BATCHED HYBRID through the handle
+    * ([[graft.operators.Serving.searchHybridBatch]]) — three (terms,
+    * query-vector) pairs run the full BM25 ∥ routed-dense → RRF →
+    * MMR stack in ONE distributed plan over the deployed layout: the
+    * lexical leg reads the postings once for the UNION of the terms
+    * (df per term is union-invariant, so per-query scores are
+    * bit-identical to the single-query surface), the dense leg
+    * routes per query over one In-list-pruned scan, and the three
+    * greedy recurrences advance independently. The oracle replays
+    * per-query routing, per-query BM25 (contributions joined through
+    * a (qid, term) VALUES list), fusion, the pool cuts, and ALL
+    * THREE recursions stepping together (argmax partitioned by
+    * query) — cross-query independence is hash-gated exactly like
+    * `v_mmr_batch`/`r_serve_mmr_batch`.
+    */
+  private val rServeHybridBatch = QueryDef.sqlChecked("r_serve_hybrid_batch")({
+    val ph = graft.functions.text.sql.polyHash("t")
+    val dim = graft.pipeline.SparseEmbed.Dim
+    val qvals = HybridBatchQueries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    val toksOf = text.sql.tokensOf("text")
+    "WITH RECURSIVE " +
+      "live AS (SELECT doc_id, text FROM documents WHERE TRUE), " +
+      s"${graft.pipeline.SparseEmbed.sql.embedCte("docvec", "doc_id",
+        dim, "live")}, " +
+      s"qterms(qid, t) AS (VALUES $qvals), " +
+      s"qv AS (SELECT qid, $ph % $dim AS idx, " +
+      s"cast(sum((($ph >> 5) & 1) * 2 - 1) as bigint) AS qw " +
+      s"FROM qterms GROUP BY qid, idx HAVING sum((($ph >> 5) & 1) * 2 - 1) <> 0), " +
+      "cent AS (SELECT cdoc, row_number() OVER (ORDER BY cdoc) - 1 AS cid " +
+      "FROM (SELECT unnest([0, 64, 128, 192]) AS cdoc)), " +
+      "cvec AS (SELECT c.cid, v.idx, v.w FROM cent c JOIN docvec v ON v.doc_id = c.cdoc), " +
+      "cnorm AS (SELECT cid, cast(sum(w * w) as bigint) AS n2 FROM cvec GROUP BY cid), " +
+      "adot AS (SELECT v.doc_id, cv.cid, cast(sum(v.w * cv.w) as bigint) AS dot " +
+      "FROM docvec v JOIN cvec cv ON v.idx = cv.idx GROUP BY v.doc_id, cv.cid), " +
+      "assign AS (SELECT doc_id, cid AS leaf_id FROM (" +
+      "SELECT d.doc_id, n.cid, row_number() OVER (PARTITION BY d.doc_id " +
+      "ORDER BY n.n2 - 2 * coalesce(a.dot, 0), n.cid) AS rn " +
+      "FROM (SELECT doc_id FROM live) d CROSS JOIN cnorm n " +
+      "LEFT JOIN adot a ON a.doc_id = d.doc_id AND a.cid = n.cid) WHERE rn = 1), " +
+      "qdot AS (SELECT q.qid, cv.cid, cast(sum(q.qw * cv.w) as bigint) AS dot " +
+      "FROM qv q JOIN cvec cv ON cv.idx = q.idx GROUP BY q.qid, cv.cid), " +
+      "qids AS (SELECT DISTINCT qid FROM qterms), " +
+      "probe AS (SELECT qid, cid FROM (SELECT qq.qid, n.cid, " +
+      "row_number() OVER (PARTITION BY qq.qid " +
+      "ORDER BY n.n2 - 2 * coalesce(qd.dot, 0), n.cid) AS rn " +
+      "FROM qids qq CROSS JOIN cnorm n " +
+      "LEFT JOIN qdot qd ON qd.cid = n.cid AND qd.qid = qq.qid) WHERE rn <= 2), " +
+      "qdd AS (SELECT q.qid, v.doc_id, cast(sum(v.w * q.qw) as bigint) AS dot " +
+      "FROM docvec v JOIN qv q ON v.idx = q.idx GROUP BY q.qid, v.doc_id), " +
+      "dcand AS (SELECT p.qid, a.doc_id, cast(coalesce(qdd.dot, 0) as double) AS score " +
+      "FROM assign a JOIN probe p ON a.leaf_id = p.cid " +
+      "LEFT JOIN qdd ON qdd.doc_id = a.doc_id AND qdd.qid = p.qid), " +
+      "drank AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY score DESC, doc_id) AS rd FROM dcand), " +
+      s"dls AS (SELECT doc_id, cast(len($toksOf) as bigint) AS dl FROM live), " +
+      "tot AS (SELECT cast(sum(dl) as bigint) AS tt, count(*) AS nn FROM dls), " +
+      s"toks AS (SELECT doc_id, unnest($toksOf) AS t FROM live), " +
+      "tf AS (SELECT doc_id, t, count(*) AS tf FROM toks " +
+      "WHERE t IN (SELECT DISTINCT t FROM qterms) GROUP BY doc_id, t), " +
+      "df AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks " +
+      "WHERE t IN (SELECT DISTINCT t FROM qterms) GROUP BY t), " +
+      "contrib AS (SELECT tf.doc_id AS doc_id, tf.t AS t, " +
+      "((((2 * (nn - df) + 1) * 1000) // (2 * df + 1)) * " +
+      "((22 * tf * tt * 1000) // (10 * tf * tt + 3 * tt + 9 * dl * nn))) AS c " +
+      "FROM tf JOIN df USING (t) JOIN dls ON tf.doc_id = dls.doc_id CROSS JOIN tot), " +
+      "bscore AS (SELECT q.qid, c.doc_id, cast(sum(c.c) as bigint) AS score " +
+      "FROM contrib c JOIN qterms q ON q.t = c.t GROUP BY q.qid, c.doc_id), " +
+      "brank AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY score DESC, doc_id) AS rs FROM bscore), " +
+      "fused AS (SELECT coalesce(a.qid, b.qid) AS qid, " +
+      "coalesce(a.doc_id, b.doc_id) AS doc_id, " +
+      "coalesce(1.0/(60+a.rs), 0.0) + coalesce(1.0/(60+b.rd), 0.0) AS rrf " +
+      "FROM (SELECT * FROM brank WHERE rs <= 20) a " +
+      "FULL JOIN (SELECT * FROM drank WHERE rd <= 20) b " +
+      "ON a.doc_id = b.doc_id AND a.qid = b.qid), " +
+      "cand AS (SELECT qid, doc_id, sq FROM (SELECT f.qid, f.doc_id, " +
+      "cast(coalesce(qdd.dot, 0) as double) AS sq, " +
+      "row_number() OVER (PARTITION BY f.qid ORDER BY f.rrf DESC, f.doc_id) AS rp " +
+      "FROM fused f LEFT JOIN qdd ON qdd.doc_id = f.doc_id AND qdd.qid = f.qid) " +
+      "WHERE rp <= 10), " +
+      "pairs AS (SELECT a.qid, a.doc_id AS pa, b.doc_id AS pb, " +
+      "coalesce((SELECT cast(sum(x.w * y.w) as double) FROM docvec x JOIN docvec y " +
+      "ON x.idx = y.idx WHERE x.doc_id = a.doc_id AND y.doc_id = b.doc_id), 0.0) AS s " +
+      "FROM cand a JOIN cand b ON a.qid = b.qid AND a.doc_id <> b.doc_id), " +
+      "sel AS (" +
+      "SELECT qid, 1 AS step, doc_id AS pick, [doc_id] AS sel_ids FROM (" +
+      "SELECT qid, doc_id, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY sq DESC, doc_id) AS rn FROM cand) t0 WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT qid, step + 1, pick, list_append(sel_ids, pick) FROM (" +
+      "SELECT s.qid AS qid, s.step AS step, s.sel_ids AS sel_ids, c.doc_id AS pick, " +
+      "row_number() OVER (PARTITION BY s.qid ORDER BY 0.5*c.sq - 0.5*(" +
+      "SELECT max(p.s) FROM pairs p WHERE p.qid = s.qid AND p.pa = c.doc_id AND list_contains(s.sel_ids, p.pb)" +
+      ") DESC, c.doc_id) AS rn " +
+      "FROM sel s JOIN cand c ON c.qid = s.qid AND NOT list_contains(s.sel_ids, c.doc_id) " +
+      "WHERE s.step < 5) t WHERE rn = 1) " +
+      "SELECT cast(qid as bigint) AS query_id, cast(step as bigint) AS step, " +
+      "pick AS doc_id, " +
+      "(SELECT sq FROM cand WHERE cand.qid = sel.qid AND cand.doc_id = sel.pick) AS sq " +
+      "FROM sel ORDER BY query_id, step"
+  }) { (s, d) =>
+    import s.implicits._
+    val path = ServeHybridCache.get(s, d)
+    val serving = graft.operators.Serving.open(s, path,
+      id = "doc_id", vecCol = "v")
+    val queries = HybridBatchQueries
+      .map { case (q, ts) => (q, ts, termsVec(s, ts).toSeq) }
+      .toDF("query_id", "terms", "qv")
+    serving.searchHybridBatch(queries, "query_id", "terms", "qv",
+      nProbe = 2, kLex = 20, kDense = 20, kPool = 10, k = 5,
+      mmrLam = Some(0.5))
+  }
+
   val defs: Seq[QueryDef] = Seq(tChunk, qTfidf, qHybridRrf, vBm25, rRagE2e,
-    rServeHybrid)
+    rServeHybrid, rServeHybridUpsert, rServeHybridPinned, rServeHybridBatch)
 }

@@ -108,5 +108,70 @@ object MultimodalQueries {
       .orderBy("da", "db")
   }
 
-  val defs: Seq[QueryDef] = Seq(mDecode, mFrames, mResize, mPhashPairs)
+  /** MEDIA KEEP-RULE — perceptual-hash dedup composed into the
+    * curation funnel (r15 verdict stretch #9: `m_phash_pairs` emitted
+    * pairs; the pipeline-audit funnel curated text only — this gives
+    * the multimodal corpus the same end-to-end keep/drop story):
+    * banded hd ≤ 3 pairs → connected components
+    * ([[graft.operators.Dedup.connectedComponents]] — the
+    * pointer-doubled label propagation every text dedup family
+    * shares) → per cluster keep the LARGEST payload (ties to the
+    * smallest id), the `d_dedup_keep` rule with media size as the
+    * quality signal. Output: every clustered payload with its
+    * cluster and keep verdict. The oracle replays the grid hash, the
+    * exact pair set, a recursive-CTE reachability closure (min-label
+    * ≡ the propagation fixpoint), and the keep window — FULL hash.
+    * At 100 TB: pairs are banded (never all-pairs), components
+    * converge in O(log diameter) rounds over edge-count-sized
+    * frames, and the keep window shuffles one narrow row per
+    * CLUSTERED payload only.
+    */
+  private val mPhashKeep = QueryDef.sqlChecked("m_phash_keep")(
+    "WITH RECURSIVE bytes AS (SELECT doc_id, length(text) AS len, i, " +
+      "ascii(substring(text, i+1, 1)) AS b " +
+      "FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS i " +
+      "FROM documents) t), " +
+      "cells AS (SELECT doc_id, (i * 65) // len AS c, " +
+      "cast(sum(b) as bigint) AS s FROM bytes GROUP BY doc_id, (i * 65) // len), " +
+      "grid AS (SELECT d.doc_id, g.c, coalesce(cl.s, 0) AS s " +
+      "FROM documents d CROSS JOIN (SELECT unnest(range(0, 65)) AS c) g " +
+      "LEFT JOIN cells cl ON cl.doc_id = d.doc_id AND cl.c = g.c), " +
+      "bits AS (SELECT a.doc_id, a.c AS i, " +
+      "CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit " +
+      "FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND b.c = a.c + 1 " +
+      "WHERE a.c < 64), " +
+      "ph AS (SELECT doc_id, cast(sum(CASE WHEN i = 63 THEN " +
+      "CASE WHEN bit = 1 THEN -9223372036854775808 ELSE 0 END " +
+      "ELSE bit::BIGINT << i END) as bigint) AS phash FROM bits GROUP BY doc_id), " +
+      "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db " +
+      "FROM ph a, ph b WHERE a.doc_id < b.doc_id " +
+      "AND bit_count(xor(a.phash, b.phash)) <= 3), " +
+      "nodes AS (SELECT da AS n FROM pairs UNION SELECT db FROM pairs), " +
+      "edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs), " +
+      "reach(a, b) AS (SELECT n, n FROM nodes UNION " +
+      "SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+      "cc AS (SELECT a AS da, min(b) AS cluster_id FROM reach GROUP BY a) " +
+      "SELECT cc.da AS doc_id, cc.cluster_id, d.n_chars, " +
+      "row_number() OVER (PARTITION BY cc.cluster_id " +
+      "ORDER BY d.n_chars DESC, cc.da) = 1 AS keep " +
+      "FROM cc JOIN documents d ON d.doc_id = cc.da ORDER BY doc_id"
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val withPayload = Multimodal.withPayload(docs, "text")
+    val ph = Multimodal.perceptualHash(withPayload, "doc_id")
+      .withColumnRenamed("id", "doc_id")
+    val pairs = Multimodal.phashBandedPairs(ph, "doc_id", maxHamming = 3)
+      .select("da", "db")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc("n_chars"), asc("doc_id"))
+    cc.join(docs.select("doc_id", "n_chars"), cc("da") === docs("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(mDecode, mFrames, mResize, mPhashPairs,
+    mPhashKeep)
 }

@@ -2906,12 +2906,83 @@ object ReferencePipeline {
     serving.searchMmr(query, nProbe = 2, kPool = 20, k = 5, lam = 0.5)
   }
 
+  /** BATCHED MMR through the RESIDENT SERVING HANDLE
+    * ([[graft.operators.Serving.searchMmrBatch]]) — the serving
+    * matrix's batch column extended to the diversity surface (r15
+    * verdict Next #4): three queries route (2 of 8 leaves each, f32
+    * router expression — exact below the router threshold), score
+    * one In-list-pruned candidate scan of the probed-leaf union, cut
+    * per-query top-20 pools, and run three INDEPENDENT greedy MMR
+    * recurrences in parallel flatMapGroups tasks. The oracle replays
+    * per-query routing, the build's leaf assignment, the pool cuts,
+    * and advances ALL queries' recursions one step per iteration
+    * (argmax partitioned by query) — so cross-query independence is
+    * itself hash-gated, exactly like `v_mmr_batch` proved for the
+    * un-routed form.
+    */
+  private val rServeMmrBatch = QueryDef.sqlChecked("r_serve_mmr_batch")(
+    "WITH RECURSIVE " +
+      "base AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings), " +
+      "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+      "cast(embedding as double[]) AS cv FROM embeddings " +
+      "WHERE vec_id IN (0,64,128,192,256,320,384,448)), " +
+      "qs AS (SELECT vec_id AS query_id, cast(embedding as double[]) AS qv " +
+      "FROM embeddings WHERE vec_id < 3), " +
+      "probe AS (SELECT query_id, cid FROM (SELECT q.query_id, c.cid, " +
+      "row_number() OVER (PARTITION BY q.query_id " +
+      "ORDER BY list_inner_product(c.cv, c.cv) - 2 * list_inner_product(q.qv, c.cv), c.cid) AS rn " +
+      "FROM qs q CROSS JOIN cent c) WHERE rn <= 2), " +
+      "assign AS (SELECT vec_id, v, cid AS leaf_id FROM (" +
+      "SELECT b.vec_id, b.v, c.cid, row_number() OVER (" +
+      "PARTITION BY b.vec_id ORDER BY list_inner_product(c.cv, c.cv) - " +
+      "2 * list_inner_product(b.v, c.cv), c.cid) AS rn " +
+      "FROM base b, cent c) WHERE rn = 1), " +
+      "cand AS (SELECT query_id, vec_id, v, sq FROM (" +
+      "SELECT q.query_id, a.vec_id, a.v, list_inner_product(a.v, q.qv) AS sq, " +
+      "row_number() OVER (PARTITION BY q.query_id " +
+      "ORDER BY list_inner_product(a.v, q.qv) DESC, a.vec_id) AS rr " +
+      "FROM qs q JOIN probe p ON p.query_id = q.query_id " +
+      "JOIN assign a ON a.leaf_id = p.cid) WHERE rr <= 20), " +
+      "pairs AS (SELECT a.query_id AS query_id, a.vec_id AS pa, b.vec_id AS pb, " +
+      "list_inner_product(a.v, b.v) AS s FROM cand a JOIN cand b " +
+      "ON a.query_id = b.query_id AND a.vec_id <> b.vec_id), " +
+      "sel AS (" +
+      "SELECT query_id, 1 AS step, vec_id AS pick, [vec_id] AS sel_ids FROM (" +
+      "SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, vec_id) AS rn FROM cand) t0 " +
+      "WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT query_id, step + 1, pick, list_append(sel_ids, pick) FROM (" +
+      "SELECT s.query_id AS query_id, s.step AS step, s.sel_ids AS sel_ids, c.vec_id AS pick, " +
+      "row_number() OVER (PARTITION BY s.query_id ORDER BY 0.5*c.sq - 0.5*(" +
+      "SELECT max(p.s) FROM pairs p WHERE p.query_id = s.query_id AND p.pa = c.vec_id AND list_contains(s.sel_ids, p.pb)" +
+      ") DESC, c.vec_id) AS rn " +
+      "FROM sel s JOIN cand c ON c.query_id = s.query_id AND NOT list_contains(s.sel_ids, c.vec_id) " +
+      "WHERE s.step < 5) t WHERE rn = 1) " +
+      "SELECT query_id, cast(step as bigint) AS step, pick AS vec_id, " +
+      "(SELECT sq FROM cand WHERE cand.query_id = sel.query_id AND cand.vec_id = sel.pick) AS sq " +
+      "FROM sel ORDER BY query_id, step"
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centIds = Seq(0L, 64L, 128L, 192L, 256L, 320L, 384L, 448L)
+    val cents = emb.filter(col("vec_id").isin(centIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val path = ServeBatchCache.get(s, d, cents)
+    val serving = graft.operators.Serving.open(s, path)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    serving.searchMmrBatch(queries, "query_id", "qv",
+      nProbe = 2, kPool = 20, k = 5, lam = 0.5)
+  }
+
   val defs: Seq[QueryDef] = Seq(rDatapoint, rMetadataLww, rPointLookup,
     rSearchE2e, rRecluster, rStreamUpsert, rStreamServe, rServeApi,
     rServeManifest, rServeSnapshot, rServeCdc, rServeClone, rServeBatch,
     rServeRestricts, rServePct, rServeAllow2, rServePerQuery, rServePAdaptive,
     rServeNumR, rServeLive, rMaintain,
-    rServeDelete, rServePrefilter, rServeMmr, rRebalance, vAnnBuild, vAnnCertified,
+    rServeDelete, rServePrefilter, rServeMmr, rServeMmrBatch, rRebalance,
+    vAnnBuild, vAnnCertified,
     vMaxsimPruned, vMaxsimFiltered, vMaxsimBatch, vMaxsimPerQuery, vAnnBuild2, vAnnIvf, vAnnPipeline, vAnnSql, vAnnSqlE2e,
     vAnnRouted, vAnnRecallCurve, vKnnJoin)
 }

@@ -64,10 +64,34 @@ object IndexMaintenance {
     * snapshots are dropped ([[graft.operators.ServingManifest.truncate]]
     * — steady state ≤ keepVersions + CheckpointInterval small dirs).
     * ≤ 0 disables retention (keep every version forever).
+    *
+    * `textCol`: when the layout carries a LEXICAL sidecar
+    * ([[graft.operators.Lexical]] — the hybrid-retrieval BM25 leg)
+    * the upsert batch must also maintain it, or the hybrid surface
+    * goes stale; pass the batch's text column and the append
+    * tokenizes it into the sidecar's term-hash buckets and re-stamps
+    * the sidecar to the post-append manifest version
+    * ([[graft.operators.Lexical.appendStats]]). The column is
+    * stripped before the vector write (it is not a layout column).
+    * An append WITHOUT `textCol` on a sidecar-carrying layout is
+    * allowed but leaves the sidecar stamped at the pre-append
+    * version, and [[graft.operators.Serving.searchHybrid]] then
+    * fails LOUDLY on the version skew rather than serving stale
+    * BM25 scores.
     */
   def appendToServing(spark: SparkSession, servePath: String,
       batch: DataFrame, id: String, vecCol: String, versionCol: String,
-      spill: Int = 2, keepVersions: Int = 64): Unit = {
+      spill: Int = 2, keepVersions: Int = 64,
+      textCol: Option[String] = None): Unit = {
+    textCol.foreach { tc =>
+      require(batch.columns.contains(tc),
+        s"appendToServing: textCol '$tc' is not a batch column " +
+          s"(${batch.columns.mkString(",")})")
+      require(graft.operators.Lexical.hasStats(spark, servePath),
+        s"appendToServing: textCol given but $servePath carries no " +
+          "lexical sidecar — run Lexical.attach (or Serving.attachLexical) first")
+    }
+    val vecBatch = textCol.map(batch.drop(_)).getOrElse(batch)
     val model = IvfIndex.load(spark, servePath)
     val layoutCols = graft.operators.ServingManifest.openOrRead(spark, servePath)
       .columns.sorted.toSeq
@@ -78,9 +102,9 @@ object IndexMaintenance {
     // signs). Freshness is by construction, not convention.
     val coded =
       if (layoutCols.contains("bq_code"))
-        batch.withColumn("bq_code", graft.functions.bquant.packSigns(
+        vecBatch.withColumn("bq_code", graft.functions.bquant.packSigns(
           col(vecCol).cast("array<double>")))
-      else batch
+      else vecBatch
     // probeExprF32: identical to probeExpr below the router threshold
     // (exact flat branch); past it the assignment matrix is broadcast
     // float32 — an upsert batch against a 10⁶-leaf index must not
@@ -117,6 +141,15 @@ object IndexMaintenance {
       graft.operators.ServingManifest.truncate(spark, servePath,
         keepVersions)
       ()
+    }
+    // lexical leg of the upsert: tokenize the batch into the sidecar
+    // buckets and re-stamp to the version the reconcile just installed
+    textCol.foreach { tc =>
+      val mv = graft.operators.ServingManifest.versions(spark, servePath)
+        .lastOption.getOrElse(0)
+      graft.operators.Lexical.appendStats(spark, servePath,
+        batch.select(col(id), col(tc), col(versionCol)),
+        id, tc, versionCol, mv)
     }
   }
 
@@ -278,9 +311,32 @@ object IndexMaintenance {
     // manifest-backed open when the layout carries one (no directory
     // listing; same rows, same pruning), plain listing read otherwise
     val data = graft.operators.ServingManifest.openOrRead(spark, servePath)
+    deltaWinners(spark, servePath) match {
+      case None => data
+      case Some(latest) =>
+        data.join(latest, data(id) === col("__id"), "left")
+          .filter(col("__latest").isNull ||
+            (col(versionCol).cast("long") === col("__latest") &&
+              !col("__tomb")))
+          .drop("__id", "__latest", "__tomb")
+    }
+  }
+
+  /** The delta registry's LWW verdict per id — (__id, __latest,
+    * __tomb), one row per upserted/deleted id; None when the layout
+    * has no registry. Winner per id = max (version, tombstone)
+    * struct: highest version wins; on a version TIE the tombstone
+    * wins (true > false) — deterministic, and the conservative
+    * reading of a simultaneous write/delete. Shared authority for
+    * [[readServing]]'s data rows and the lexical sidecar's postings
+    * ([[graft.operators.Lexical.bm25FromStats]]) so the two surfaces
+    * can never disagree about which generation of an id is live.
+    */
+  private[graft] def deltaWinners(spark: SparkSession,
+      servePath: String): Option[DataFrame] = {
     val delta = new org.apache.hadoop.fs.Path(deltaDir(servePath))
     val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(delta)) data
+    if (!fs.exists(delta)) None
     else {
       // mergeSchema: the registry may mix pre-tombstone (id, version)
       // files with (id, version, tombstone) ones — the delta is small
@@ -292,19 +348,12 @@ object IndexMaintenance {
           raw.withColumn("tombstone",
             coalesce(col("tombstone"), lit(false)))
         else raw.withColumn("tombstone", lit(false))
-      // LWW winner per id = max (version, tombstone) struct: highest
-      // version wins; on a version TIE the tombstone wins (true >
-      // false) — deterministic, and the conservative reading of a
-      // simultaneous write/delete
-      val latest = entries.groupBy(col(id).as("__id"))
+      val idCol = raw.columns
+        .filterNot(Set("version", "tombstone")).head
+      Some(entries.groupBy(col(idCol).as("__id"))
         .agg(max(struct(col("version"), col("tombstone"))).as("__w"))
         .select(col("__id"), col("__w.version").as("__latest"),
-          col("__w.tombstone").as("__tomb"))
-      data.join(latest, data(id) === col("__id"), "left")
-        .filter(col("__latest").isNull ||
-          (col(versionCol).cast("long") === col("__latest") &&
-            !col("__tomb")))
-        .drop("__id", "__latest", "__tomb")
+          col("__w.tombstone").as("__tomb")))
     }
   }
 
@@ -541,6 +590,11 @@ object IndexMaintenance {
     // manifest over the compacted copy, relative paths → survives the
     // rename below
     graft.operators.ServingManifest.rebuild(spark, tmp.toString)
+    // the lexical sidecar travels RESOLVED (tombstoned/superseded
+    // postings materialized away, exactly like the data rows) and
+    // re-stamped to the fresh manifest — hybrid serving survives
+    // compaction without a re-attach
+    graft.operators.Lexical.compactTo(spark, servePath, tmp.toString)
     val old = new org.apache.hadoop.fs.Path(servePath + ".compact-old")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(hadoopPath, old))

@@ -1,0 +1,271 @@
+package graft
+
+import graft.operators.{IvfIndex, Lexical, Serving}
+import graft.streaming.IndexMaintenance
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The lexical sidecar's STREAM_UPDATE lifecycle (round 16 — the r15
+  * verdict's hybrid-serving staleness hole): version stamping, loud
+  * skew failure, incremental postings, delta-registry LWW (deletes +
+  * resurrection), pinned-snapshot bit-stability, and the
+  * layout/sidecar skew guards on the MMR tail.
+  */
+class LexicalLifecycleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val terms = Seq("alpha", "beta")
+  private val qv = Array(1.0, 0.0)
+
+  private val baseDocs = Seq(
+    (0L, "alpha beta gamma"),
+    (1L, "alpha alpha delta"),
+    (2L, "beta beta epsilon"),
+    (3L, "gamma delta epsilon"),
+    (4L, "alpha beta beta zeta"),
+    (5L, "zeta eta theta"),
+    (6L, "beta gamma gamma"),
+    (7L, "alpha zeta zeta eta"))
+
+  private def denseify(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("v",
+      array(col("doc_id").cast("double"), lit(1.0)).cast("array<double>"))
+
+  private def mkLayout(docs: Seq[(Long, String)],
+      attach: Boolean = true): String = {
+    val path = Files.createTempDirectory("graft_lexlc").toString + "/idx"
+    val df = denseify(docs.toDF("doc_id", "text"))
+      .withColumn("version", lit(1L))
+    val model = IvfIndex.Model(Array(Array(0.0, 1.0), Array(8.0, 1.0)))
+    val indexed = df.select("doc_id", "v", "version")
+      .withColumn("leaf_id", IvfIndex.probeExpr(model, col("v"), 1)(0))
+    IvfIndex.write(indexed, path, model) // manifest log v1
+    if (attach)
+      Lexical.attach(spark, path, docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+    path
+  }
+
+  private def upBatch(rows: Seq[(Long, String, Long)]) =
+    denseify(rows.toDF("doc_id", "text", "version"))
+      .select("doc_id", "v", "version", "text")
+
+  private def scores(path: String): Seq[(Long, Long)] =
+    Serving.open(spark, path, id = "doc_id", vecCol = "v")
+      .lexicalScores(terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("append WITHOUT textCol leaves the sidecar stale and " +
+      "searchHybrid fails LOUDLY on the version skew") {
+    val path = mkLayout(baseDocs)
+    IndexMaintenance.appendToServing(spark, path,
+      upBatch(Seq((20L, "alpha omega", 2L))).drop("text"),
+      "doc_id", "v", "version", spill = 1)
+    val serving = Serving.open(spark, path, id = "doc_id", vecCol = "v")
+    val e = intercept[IllegalArgumentException] {
+      serving.searchHybrid(terms, qv, nProbe = 1)
+    }
+    assert(e.getMessage.contains("without lexical maintenance"),
+      e.getMessage)
+    // lexicalScores is guarded by the same gate
+    val e2 = intercept[IllegalArgumentException] {
+      serving.lexicalScores(terms)
+    }
+    assert(e2.getMessage.contains("without lexical maintenance"))
+  }
+
+  test("incremental postings append == one-shot attach over the " +
+      "same live corpus (bit-identical BM25)") {
+    val path = mkLayout(baseDocs)
+    val newDocs = Seq((20L, "alpha omega omega", 2L),
+      (21L, "beta beta omega", 2L))
+    IndexMaintenance.appendToServing(spark, path, upBatch(newDocs),
+      "doc_id", "v", "version", spill = 1, textCol = Some("text"))
+    val oneShot = mkLayout(baseDocs ++ newDocs.map(r => (r._1, r._2)))
+    assert(scores(path) == scores(oneShot))
+    assert(scores(path).map(_._1).contains(20L))
+  }
+
+  test("delete drops a doc from BM25; a later re-upsert resurrects " +
+      "it scoring its NEWEST text only") {
+    val path = mkLayout(baseDocs)
+    IndexMaintenance.removeFromServing(spark, path,
+      Seq((0L, 5L)).toDF("doc_id", "version"), "doc_id", "version")
+    assert(!scores(path).map(_._1).contains(0L),
+      "tombstoned doc still scored by the lexical leg")
+    // resurrect with different text (higher LWW version)
+    IndexMaintenance.appendToServing(spark, path,
+      upBatch(Seq((0L, "beta beta beta", 6L))),
+      "doc_id", "v", "version", spill = 1, textCol = Some("text"))
+    val got = scores(path)
+    assert(got.map(_._1).contains(0L), "resurrected doc missing")
+    // equivalent one-shot corpus: doc 0 carries ONLY its new text
+    val oneShot = mkLayout(
+      baseDocs.map { case (i, t) => if (i == 0L) (i, "beta beta beta") else (i, t) })
+    assert(got == scores(oneShot),
+      "resurrected doc must score by its newest text only")
+  }
+
+  test("pinned hybrid is bit-stable across later appends and deletes") {
+    val path = mkLayout(baseDocs)
+    def pinned() = Serving.openAt(spark, path, 1,
+      id = "doc_id", vecCol = "v").get
+      .searchHybrid(terms, qv, nProbe = 2, kLex = 20, kDense = 20,
+        kPool = 10, k = 5, mmrLam = Some(0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = pinned()
+    IndexMaintenance.appendToServing(spark, path,
+      upBatch(Seq((20L, "alpha alpha alpha alpha", 2L))),
+      "doc_id", "v", "version", spill = 1, textCol = Some("text"))
+    IndexMaintenance.removeFromServing(spark, path,
+      Seq((0L, 5L)).toDF("doc_id", "version"), "doc_id", "version")
+    assert(pinned() == before,
+      "post-pin append/delete leaked into the pinned hybrid view")
+    // while the LIVE handle sees both mutations
+    val live = Serving.open(spark, path, id = "doc_id", vecCol = "v")
+      .searchHybrid(terms, qv, nProbe = 2, kLex = 20, kDense = 20,
+        kPool = 10, k = 5, mmrLam = Some(0.5))
+      .collect().map(_.getLong(1)).toSeq
+    assert(live.contains(20L), "live hybrid must rank the upserted doc")
+    assert(!live.contains(0L), "live hybrid served a tombstoned doc")
+  }
+
+  test("appendToServing with textCol on a sidecar-less layout fails " +
+      "loudly") {
+    val path = mkLayout(baseDocs, attach = false)
+    val e = intercept[IllegalArgumentException] {
+      IndexMaintenance.appendToServing(spark, path,
+        upBatch(Seq((20L, "alpha", 2L))),
+        "doc_id", "v", "version", spill = 1, textCol = Some("text"))
+    }
+    assert(e.getMessage.contains("no lexical sidecar"), e.getMessage)
+  }
+
+  test("searchHybrid MMR on a string-id layout fails loudly instead " +
+      "of collapsing ids through a null cast") {
+    val path = Files.createTempDirectory("graft_lexlc").toString + "/idx"
+    val df = baseDocs.toDF("did", "text")
+      .select(concat(lit("doc-"), col("did")).as("doc_id"), col("text"),
+        array(col("did").cast("double"), lit(1.0)).cast("array<double>").as("v"))
+    val model = IvfIndex.Model(Array(Array(0.0, 1.0), Array(8.0, 1.0)))
+    val indexed = df.select("doc_id", "v")
+      .withColumn("leaf_id", IvfIndex.probeExpr(model, col("v"), 1)(0))
+    IvfIndex.write(indexed, path, model)
+    Lexical.attach(spark, path, df.select("doc_id", "text"),
+      "doc_id", "text")
+    val serving = Serving.open(spark, path, id = "doc_id", vecCol = "v")
+    val e = intercept[IllegalArgumentException] {
+      serving.searchHybrid(terms, qv, nProbe = 1, mmrLam = Some(0.5))
+    }
+    assert(e.getMessage.contains("must be integral"), e.getMessage)
+    // the fused (None) shape has no bigint cast and stays servable
+    assert(serving.searchHybrid(terms, qv, nProbe = 2).count() > 0)
+  }
+
+  test("a sidecar over a SUPERSET corpus fails the MMR pool fetch " +
+      "loudly instead of silently shrinking the diversity pool") {
+    val path = mkLayout(baseDocs, attach = false)
+    // attach covers a doc the layout does not hold — and that doc
+    // dominates the lexical ranking, so it reaches the fused pool
+    Lexical.attach(spark, path,
+      (baseDocs :+ (99L, "alpha alpha alpha alpha alpha"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val serving = Serving.open(spark, path, id = "doc_id", vecCol = "v")
+    val e = intercept[IllegalArgumentException] {
+      serving.searchHybrid(terms, qv, nProbe = 2, kLex = 20,
+        kDense = 20, kPool = 10, k = 5, mmrLam = Some(0.5))
+    }
+    assert(e.getMessage.contains("have vectors in the layout"),
+      e.getMessage)
+  }
+
+  test("searchMmrBatch == searchMmr per query (routing, pool cut, " +
+      "recurrence all consistent)") {
+    val path = mkLayout(baseDocs)
+    val serving = Serving.open(spark, path, id = "doc_id", vecCol = "v")
+    val queries = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(-1.0, 2.0)))
+      .toDF("query_id", "qv")
+    val batch = serving.searchMmrBatch(queries, "query_id", "qv",
+      nProbe = 2, kPool = 5, k = 3, lam = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    for ((qid, q) <- Seq((0L, Array(1.0, 0.0)), (1L, Array(-1.0, 2.0)))) {
+      val single = serving.searchMmr(q, nProbe = 2, kPool = 5, k = 3,
+        lam = 0.5)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSeq
+      assert(batch.filter(_._1 == qid) == single,
+        s"batch and single MMR diverge for query $qid")
+    }
+  }
+
+  test("compactServing carries the lexical sidecar RESOLVED — hybrid " +
+      "serving survives compaction without a re-attach") {
+    val path = mkLayout(baseDocs)
+    IndexMaintenance.appendToServing(spark, path,
+      upBatch(Seq((20L, "alpha omega omega", 2L))),
+      "doc_id", "v", "version", spill = 1, textCol = Some("text"))
+    IndexMaintenance.removeFromServing(spark, path,
+      Seq((0L, 5L)).toDF("doc_id", "version"), "doc_id", "version")
+    IndexMaintenance.compactServing(spark, path, "doc_id", "version")
+    // fresh manifest, fresh stamp — the freshness gate passes
+    assert(Lexical.stampedVersion(spark, path) ==
+      Some(graft.operators.ServingManifest.versions(spark, path).last))
+    // scores == a one-shot layout over the compacted live corpus
+    // (tombstoned doc gone, upserted doc present)
+    val oneShot = mkLayout(
+      baseDocs.filterNot(_._1 == 0L) :+ ((20L, "alpha omega omega")))
+    assert(scores(path) == scores(oneShot))
+    // and the full hybrid surface still serves
+    val picks = Serving.open(spark, path, id = "doc_id", vecCol = "v")
+      .searchHybrid(terms, qv, nProbe = 2, kLex = 20, kDense = 20,
+        kPool = 10, k = 5, mmrLam = Some(0.5))
+      .collect().map(_.getLong(1)).toSeq
+    assert(picks.nonEmpty && !picks.contains(0L))
+  }
+
+  test("searchHybridBatch == searchHybrid per query (shared postings " +
+      "scan, union-invariant df, independent recurrences)") {
+    val path = mkLayout(baseDocs)
+    val serving = Serving.open(spark, path, id = "doc_id", vecCol = "v")
+    val batchQs = Seq(
+      (0L, Seq("alpha", "beta"), Seq(1.0, 0.0)),
+      (1L, Seq("gamma", "zeta"), Seq(-1.0, 2.0)))
+      .toDF("query_id", "terms", "qv")
+    val batch = serving.searchHybridBatch(batchQs, "query_id", "terms",
+      "qv", nProbe = 2, kLex = 10, kDense = 10, kPool = 6, k = 3,
+      mmrLam = Some(0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    for ((qid, ts, q) <- Seq((0L, Seq("alpha", "beta"), Array(1.0, 0.0)),
+        (1L, Seq("gamma", "zeta"), Array(-1.0, 2.0)))) {
+      val single = serving.searchHybrid(ts, q, nProbe = 2, kLex = 10,
+        kDense = 10, kPool = 6, k = 3, mmrLam = Some(0.5))
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSeq
+      assert(batch.filter(_._1 == qid) == single,
+        s"batch and single hybrid diverge for query $qid")
+    }
+    // fused (None) shape: per-query rankings match too
+    val fusedB = serving.searchHybridBatch(batchQs, "query_id", "terms",
+      "qv", nProbe = 2, kLex = 10, kDense = 10, kPool = 6, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    for ((qid, ts, q) <- Seq((0L, Seq("alpha", "beta"), Array(1.0, 0.0)),
+        (1L, Seq("gamma", "zeta"), Array(-1.0, 2.0)))) {
+      val fusedS = serving.searchHybrid(ts, q, nProbe = 2, kLex = 10,
+        kDense = 10, kPool = 6, k = 3)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1),
+          r.getLong(2))).toSeq
+      assert(fusedB.filter(_._1 == qid) == fusedS,
+        s"batch and single fused rankings diverge for query $qid")
+    }
+  }
+
+  test("hasStats resolves through the path's Hadoop filesystem " +
+      "(file: URI layouts)") {
+    val path = mkLayout(baseDocs)
+    assert(Lexical.hasStats(spark, "file:" + path))
+    assert(Lexical.stampedVersion(spark, "file:" + path).contains(1))
+  }
+}
