@@ -1602,6 +1602,77 @@ object ScaleProbe {
         graft.operators.IvfIndex.leafExpr(col("embedding"), cents))
       val c = assigned.groupBy("leaf_id").count().count()
       println(f"EXPR k=$k ${(System.nanoTime()-t0)/1e9}%.1f s, leaves=$c")
+    } else if (args(0) == "lexappend") {
+      // Price the LEXICAL LIFECYCLE at scale (round 16): attach the
+      // BM25 sidecar over an n-doc corpus, run m incremental appends
+      // of b docs each through the maintained path (vectors + delta +
+      // manifest + postings in ONE appendToServing(textCol) call),
+      // then serve a hybrid query. Evidence sought: append cost ∝
+      // batch (not corpus), postings files ∝ touched buckets (not
+      // tasks × buckets), query cost flat as the corpus grows.
+      // usage: lexappend <nDocs> <batch> <nAppends>
+      import graft.operators.{IvfIndex, Lexical, Serving}
+      import graft.streaming.IndexMaintenance
+      val n = args(1).toLong; val b = args(2).toLong; val m = args(3).toInt
+      val all = graft.pipeline.SyntheticCorpus.docs(spark, n + m * b)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      all.count()
+      def dense(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("v", transform(sequence(lit(0), lit(7)),
+          j => pmod(xxhash64(col("doc_id"), j), lit(13L)).cast("double")))
+      val base = all.filter(col("doc_id") < n)
+      var t0 = System.nanoTime()
+      val (indexed, model) = IvfIndex.build(
+        dense(base).select(col("doc_id"), col("v"), lit(1L).as("version")),
+        "doc_id", "v", numLeaves = 64, maxFitRows = 20000L)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_lexscale").toString + "/idx"
+      IvfIndex.write(indexed, path, model)
+      println(f"BUILD ${(System.nanoTime() - t0) / 1e9}%.1f s, n=$n")
+      t0 = System.nanoTime()
+      Lexical.attach(spark, path, base.select("doc_id", "text"),
+        "doc_id", "text")
+      println(f"ATTACH ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      def postingsFiles(): Int = {
+        val d = java.nio.file.Paths.get(path, Lexical.Dir, "postings")
+        java.nio.file.Files.walk(d).filter(p =>
+          p.toString.endsWith(".parquet")).count().toInt
+      }
+      val filesAfterAttach = postingsFiles()
+      val terms = Seq("w17", "w230", "w1041")
+      val q = Array.tabulate(8)(j => (j % 13).toDouble)
+      def timeHybrid(tag: String): Unit = (1 to 2).foreach { i =>
+        val serving = Serving.open(spark, path, id = "doc_id", vecCol = "v")
+        val t1 = System.nanoTime()
+        val rows = serving.searchHybrid(terms, q, nProbe = 4,
+          kLex = 20, kDense = 20, kPool = 10, k = 5,
+          mmrLam = Some(0.5)).count()
+        println(f"${tag}_$i ${(System.nanoTime() - t1) / 1e9}%.2f s, rows=$rows")
+      }
+      timeHybrid("HYBRID_PRISTINE")
+      (1 to m).foreach { i =>
+        val lo = n + (i - 1) * b; val hi = n + i * b
+        val batch = dense(all.filter(col("doc_id") >= lo &&
+            col("doc_id") < hi))
+          .select(col("doc_id"), col("v"),
+            lit(i + 1L).as("version"), col("text"))
+        val t1 = System.nanoTime()
+        IndexMaintenance.appendToServing(spark, path, batch,
+          "doc_id", "v", "version", spill = 1, textCol = Some("text"))
+        println(f"APPEND_$i ${(System.nanoTime() - t1) / 1e9}%.1f s, " +
+          s"batch=$b, postings_files=${postingsFiles()}")
+      }
+      println(s"FILES attach=$filesAfterAttach final=${postingsFiles()} " +
+        s"(buckets=${Lexical.Buckets}, appends=$m — spray would be " +
+        s"tasks x buckets per append)")
+      timeHybrid("HYBRID_LIVED") // full LWW resolution (delta + self-LWW)
+      t0 = System.nanoTime()
+      IndexMaintenance.compactServing(spark, path, "doc_id", "version")
+      println(f"COMPACT ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        s"(postings_files=${postingsFiles()})")
+      timeHybrid("HYBRID_COMPACTED") // pristine plan restored
+      all.unpersist()
+      ()
     } else {
       val n = args(0).toLong; val leaves = args(1).toInt; val maxLeaf = args(2).toInt
       val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, 32, 25)

@@ -246,6 +246,25 @@ object Lexical {
     val postings0 = withLineage(
       spark.read.parquet(s"$path/$Dir/postings"))
     val dls0 = withLineage(spark.read.parquet(s"$path/$Dir/dls"))
+    // PRISTINE fast path: an attach-only (or freshly compacted)
+    // sidecar has exactly one generation per doc and no delta
+    // registry — the LWW machinery would be two corpus-keyed
+    // shuffles (the dls self-LWW groupBy + the postings winner join)
+    // spent proving nothing was ever superseded. Stamp base ==
+    // current guarantees no incremental append ran; an empty delta
+    // guarantees no tombstones. This is the common serving state
+    // (compaction re-bases the sidecar, restoring this plan), so the
+    // per-query resolution cost exists only between a mutation and
+    // the next compact.
+    val pristine = versionRange(spark, path).exists(r => r._1 == r._2) &&
+      graft.streaming.IndexMaintenance.deltaWinners(spark, path).isEmpty
+    if (pristine) {
+      val pruned = postings0
+        .filter(col("bucket").isin(buckets: _*))
+        .filter(col("t").isin(terms: _*))
+        .select("doc_id", "t", "tf")
+      return (pruned, dls0.select(col("doc_id"), col("ver"), col("dl")))
+    }
     val (postings1, dls1) = pinnedAt match {
       case Some(v) =>
         (postings0.filter(col("mv") <= v), dls0.filter(col("mv") <= v))

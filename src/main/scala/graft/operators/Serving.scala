@@ -240,7 +240,11 @@ final class Serving private[operators] (
     */
   def lexicalScores(terms: Seq[String]): DataFrame = {
     requireLexicalCurrent("lexicalScores")
-    Lexical.bm25FromStats(spark, path, terms, pinnedAt)
+    val scores = Lexical.bm25FromStats(spark, path, terms, pinnedAt)
+    // the sidecar keys by "doc_id" regardless of the layout's id
+    // column — surface the handle's own id name so the hybrid tail
+    // (and callers) can join/order without knowing the sidecar schema
+    if (id == "doc_id") scores else scores.withColumnRenamed("doc_id", id)
   }
 
   /** HYBRID retrieval through the handle — the `r_rag_e2e` gate's

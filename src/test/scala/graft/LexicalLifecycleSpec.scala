@@ -262,6 +262,27 @@ class LexicalLifecycleSpec extends SparkTestBase {
     }
   }
 
+  test("hybrid serves a layout whose id column is NOT named doc_id " +
+      "(the sidecar keys by doc_id internally; the handle's id name " +
+      "surfaces)") {
+    val path = Files.createTempDirectory("graft_lexlc").toString + "/idx"
+    val df = baseDocs.toDF("vid", "text")
+      .withColumn("v",
+        array(col("vid").cast("double"), lit(1.0)).cast("array<double>"))
+    val model = IvfIndex.Model(Array(Array(0.0, 1.0), Array(8.0, 1.0)))
+    val indexed = df.select("vid", "v")
+      .withColumn("leaf_id", IvfIndex.probeExpr(model, col("v"), 1)(0))
+    IvfIndex.write(indexed, path, model)
+    Lexical.attach(spark, path, df.select("vid", "text"), "vid", "text")
+    val serving = Serving.open(spark, path, id = "vid", vecCol = "v")
+    val lex = serving.lexicalScores(terms)
+    assert(lex.columns.toSeq == Seq("vid", "score"))
+    val picks = serving.searchHybrid(terms, qv, nProbe = 2, kLex = 10,
+      kDense = 10, kPool = 6, k = 3, mmrLam = Some(0.5))
+    assert(picks.columns.toSeq == Seq("step", "vid", "sq"))
+    assert(picks.count() == 3)
+  }
+
   test("hasStats resolves through the path's Hadoop filesystem " +
       "(file: URI layouts)") {
     val path = mkLayout(baseDocs)
