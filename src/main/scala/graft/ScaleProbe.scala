@@ -1671,6 +1671,31 @@ object ScaleProbe {
       println(f"COMPACT ${(System.nanoTime() - t0) / 1e9}%.1f s " +
         s"(postings_files=${postingsFiles()})")
       timeHybrid("HYBRID_COMPACTED") // pristine plan restored
+      // batch amortization: 3 hybrid queries in ONE plan (shared
+      // postings read for the term union, one pruned dense scan)
+      // vs 3 sequential single-query calls
+      locally {
+        import spark.implicits._
+        val serving = Serving.open(spark, path, id = "doc_id", vecCol = "v")
+        val qsets = Seq(
+          (0L, Seq("w17", "w230"), (0 until 8).map(j => (j % 13).toDouble)),
+          (1L, Seq("w1041", "w77"), (0 until 8).map(j => ((j + 3) % 13).toDouble)),
+          (2L, Seq("w555", "w900", "w12"), (0 until 8).map(j => ((j + 7) % 13).toDouble)))
+        var t1 = System.nanoTime()
+        val nb = serving.searchHybridBatch(
+          qsets.toDF("query_id", "terms", "qv"), "query_id", "terms", "qv",
+          nProbe = 4, kLex = 20, kDense = 20, kPool = 10, k = 5,
+          mmrLam = Some(0.5)).count()
+        val tBatch = (System.nanoTime() - t1) / 1e9
+        t1 = System.nanoTime()
+        val ns = qsets.map { case (_, ts, q) =>
+          serving.searchHybrid(ts, q.toArray, nProbe = 4, kLex = 20,
+            kDense = 20, kPool = 10, k = 5, mmrLam = Some(0.5)).count()
+        }.sum
+        val tSingle = (System.nanoTime() - t1) / 1e9
+        println(f"HYBRID_BATCH3 $tBatch%.2f s (rows=$nb) vs " +
+          f"3xSINGLE $tSingle%.2f s — ${tSingle / tBatch}%.1fx")
+      }
       all.unpersist()
       ()
     } else {

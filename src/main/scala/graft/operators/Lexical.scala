@@ -343,6 +343,59 @@ object Lexical {
     stamp(spark, dstPath, mv, mv)
   }
 
+  /** Sidecar carry-over for
+    * [[graft.streaming.IndexMaintenance.cloneServing]] — the clone
+    * starts a FRESH manifest history, so the source's `mv` lineage is
+    * meaningless on it and must be re-based:
+    *
+    *  - LIVE clone (`version = None`): rows copy VERBATIM except
+    *    `mv := stampVersion` — the delta registry travels with a live
+    *    clone, so the `ver` self-LWW + delta resolution stays exactly
+    *    the source's; re-basing `ver` here would desync it from the
+    *    copied registry (a pre-clone upsert's winner version would
+    *    match nothing).
+    *  - PINNED clone (`Some(v)`): the registry does NOT travel, so
+    *    the sidecar lands RESOLVED as of `v` (rows with `mv ≤ v`,
+    *    highest-`ver` generation per doc, re-based to `ver = −1`) —
+    *    the clone is then a pristine base, matching its data files
+    *    (the v-pinned file-set with no registry).
+    *
+    * Both shapes stamp (stampVersion, stampVersion) — the clone's own
+    * fresh manifest version. No-op when the source has no sidecar.
+    */
+  private[graft] def cloneTo(spark: SparkSession, srcPath: String,
+      dstPath: String, version: Option[Int], stampVersion: Int): Unit = {
+    if (!hasStats(spark, srcPath)) return
+    val postings = withLineage(
+      spark.read.parquet(s"$srcPath/$Dir/postings"))
+    val dls = withLineage(spark.read.parquet(s"$srcPath/$Dir/dls"))
+    val (p, d) = version match {
+      case None =>
+        (postings.withColumn("mv", lit(stampVersion)),
+          dls.withColumn("mv", lit(stampVersion)))
+      case Some(v) =>
+        val dlsV = dls.filter(col("mv") <= v)
+        val dlsW = dlsV.groupBy("doc_id")
+          .agg(max(struct(col("ver"), col("dl"))).as("__w"))
+          .select(col("doc_id"), col("__w.ver").as("ver"),
+            col("__w.dl").as("dl"))
+        val pV = postings.filter(col("mv") <= v)
+          .join(dlsW.select(col("doc_id"), col("ver")), Seq("doc_id", "ver"))
+          .select(col("doc_id"), col("t"), col("tf"), lit(-1L).as("ver"),
+            lit(stampVersion).as("mv"), col("bucket"))
+        (pV, dlsW.select(col("doc_id"), col("dl"), lit(-1L).as("ver"),
+          lit(stampVersion).as("mv")))
+    }
+    p.select(col("doc_id"), col("t"), col("tf"), col("ver"),
+        col("mv"), col("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dstPath/$Dir/postings")
+    d.select(col("doc_id"), col("dl"), col("ver"), col("mv"))
+      .write.mode("overwrite").parquet(s"$dstPath/$Dir/dls")
+    stamp(spark, dstPath, stampVersion, stampVersion)
+  }
+
   /** The shared BM25 arithmetic over (doc_id, t, tf) term-frequency
     * rows and (doc_id, dl) lengths — identical to the `v_bm25_topk`
     * oracle's bscore CTE (k1=1.2, b=0.75 as the exact rationals

@@ -275,6 +275,9 @@ final class Serving private[operators] (
       mmrLam: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty,
+      "searchHybrid: empty term list — a hybrid query needs a lexical " +
+        "leg (use search/searchMmr for dense-only retrieval)")
     require(hasLexical,
       s"searchHybrid: no lexical sidecar at $path — attachLexical first")
     require(tier == "raw",
@@ -382,6 +385,10 @@ final class Serving private[operators] (
       s"searchHybridBatch: query id column '$qid' must be integral (is $qidType)")
     // the query batch is bounded (the searchBatch convention):
     // its term union and the probed-leaf union collect to the driver
+    require(queries.filter(size(col(termsCol)) === 0).isEmpty,
+      "searchHybridBatch: a query has an empty term list — a hybrid " +
+        "query needs a lexical leg (route dense-only queries through " +
+        "searchBatch/searchMmrBatch)")
     val qt = queries.select(col(qid), explode(col(termsCol)).as("t"))
       .localCheckpoint()
     val unionTerms = qt.select("t").distinct()

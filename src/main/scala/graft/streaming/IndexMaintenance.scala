@@ -1028,6 +1028,12 @@ object IndexMaintenance {
     // fresh history: v=1 checkpoint manifest over exactly the copied
     // set (listAll sees only what landed — the pinned subset)
     ServingManifest.rebuild(spark, dstPath)
+    // the lexical sidecar travels with its mv lineage re-based to the
+    // clone's fresh history (verbatim + live delta for a live clone,
+    // resolved-as-of-v for a pinned one) — a cloned hybrid endpoint
+    // serves without a re-attach
+    graft.operators.Lexical.cloneTo(spark, srcPath, dstPath, version,
+      ServingManifest.versions(spark, dstPath).lastOption.getOrElse(0))
     files.length.toLong
   }
 }

@@ -283,6 +283,97 @@ class LexicalLifecycleSpec extends SparkTestBase {
     assert(picks.count() == 3)
   }
 
+  test("a Structured Stream of text-carrying upserts keeps hybrid " +
+      "serving fresh across micro-batches — STREAM_UPDATE covers the " +
+      "lexical leg the way it covers vectors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = mkLayout(baseDocs)
+    val stream = MemoryStream[(Long, String, Long, Boolean)]
+    val sq = stream.toDF.toDF("doc_id", "text", "version", "tombstone")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", path + ".ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+        val ups = denseify(batch.filter(!col("tombstone"))
+          .drop("tombstone"))
+          .select("doc_id", "v", "version", "text")
+        val dels = batch.filter(col("tombstone"))
+          .select("doc_id", "version")
+        if (!ups.isEmpty)
+          IndexMaintenance.appendToServing(spark, path, ups,
+            "doc_id", "v", "version", spill = 1, textCol = Some("text"))
+        if (!dels.isEmpty)
+          IndexMaintenance.removeFromServing(spark, path, dels,
+            "doc_id", "version")
+      }
+      .start()
+    def send(rows: (Long, String, Long, Boolean)*): Unit = {
+      stream.addData(rows: _*); sq.processAllAvailable()
+    }
+    // b1: two new docs; b2: delete a base doc; b3: re-upsert doc 0
+    // with NEW text — three micro-batches, three lifecycle shapes
+    send((30L, "alpha omega", 2L, false),
+      (31L, "beta omega omega", 2L, false))
+    send((1L, "", 3L, true))
+    send((0L, "beta beta beta", 4L, false))
+    sq.stop()
+    // the streamed state must score exactly like a one-shot layout
+    // over the final live corpus
+    val expect = mkLayout(
+      baseDocs.filterNot(_._1 == 1L)
+        .map { case (i, t) => if (i == 0L) (i, "beta beta beta") else (i, t) }
+        ++ Seq((30L, "alpha omega"), (31L, "beta omega omega")))
+    assert(scores(path) == scores(expect),
+      "streamed lexical state diverges from the one-shot corpus")
+    // and the hybrid surface serves it without any re-attach
+    val picks = Serving.open(spark, path, id = "doc_id", vecCol = "v")
+      .searchHybrid(terms, qv, nProbe = 2, kLex = 20, kDense = 20,
+        kPool = 10, k = 5, mmrLam = Some(0.5))
+      .collect().map(_.getLong(1)).toSeq
+    assert(picks.nonEmpty && !picks.contains(1L))
+  }
+
+  test("cloneServing carries the lexical sidecar — a cloned hybrid " +
+      "endpoint answers exactly like its source (live and pinned)") {
+    val path = mkLayout(baseDocs)
+    IndexMaintenance.appendToServing(spark, path,
+      upBatch(Seq((20L, "alpha omega omega", 2L),
+        (0L, "beta beta beta", 2L))),
+      "doc_id", "v", "version", spill = 1, textCol = Some("text"))
+    IndexMaintenance.removeFromServing(spark, path,
+      Seq((2L, 3L)).toDF("doc_id", "version"), "doc_id", "version")
+    def hybrid(p: String, pin: Option[Int] = None) = {
+      val h = pin match {
+        case None => Serving.open(spark, p, id = "doc_id", vecCol = "v")
+        case Some(v) => Serving.openAt(spark, p, v,
+          id = "doc_id", vecCol = "v").get
+      }
+      h.searchHybrid(terms, qv, nProbe = 2, kLex = 20, kDense = 20,
+        kPool = 10, k = 5, mmrLam = Some(0.5))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    }
+    // LIVE clone: verbatim rows + delta → identical answers, and the
+    // freshness stamp matches the clone's own fresh manifest
+    val live = Files.createTempDirectory("graft_lexclone").toString + "/live"
+    IndexMaintenance.cloneServing(spark, path, live)
+    assert(hybrid(live) == hybrid(path),
+      "live clone's hybrid diverges from the source")
+    // a later mutation on the SOURCE must not leak into the clone
+    IndexMaintenance.removeFromServing(spark, path,
+      Seq((0L, 9L)).toDF("doc_id", "version"), "doc_id", "version")
+    assert(hybrid(live).map(_._2).contains(0L),
+      "clone must be independent of post-clone source mutations")
+    // PINNED clone: resolved-as-of-v1 sidecar, pristine base — the
+    // clone's live hybrid equals the source's v1-pinned hybrid
+    val pinned = Files.createTempDirectory("graft_lexclone").toString + "/v1"
+    IndexMaintenance.cloneServing(spark, path, pinned, version = Some(1))
+    assert(hybrid(pinned) == hybrid(path, pin = Some(1)),
+      "pinned clone's hybrid diverges from the source's pinned view")
+  }
+
   test("hasStats resolves through the path's Hadoop filesystem " +
       "(file: URI layouts)") {
     val path = mkLayout(baseDocs)
