@@ -272,7 +272,8 @@ final class Serving private[operators] (
     */
   def searchHybrid(terms: Seq[String], query: Array[Double], nProbe: Int,
       kLex: Int = 20, kDense: Int = 20, kPool: Int = 10, k: Int = 5,
-      mmrLam: Option[Double] = None): DataFrame = {
+      mmrLam: Option[Double] = None,
+      restricts: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     require(terms.nonEmpty,
@@ -284,14 +285,34 @@ final class Serving private[operators] (
       s"searchHybrid: layout at $path is a '$tier' tier, not raw")
     requireLexicalCurrent("searchHybrid")
     mmrLam.foreach(_ => requireIntegralId("searchHybrid"))
+    // RESTRICTED hybrid (the reference's per-request restricts,
+    // setup_vector_search.py:45-62, applied to the hybrid surface):
+    // restricts filter CANDIDATES in both legs before their rank
+    // cuts; corpus statistics (BM25 df, length totals) stay GLOBAL —
+    // the filtered-query convention (a tenant filter must not change
+    // a term's idf). The lexical leg semi-joins its (bounded,
+    // Σ df(term)-sized) score list against the restricted ids — the
+    // restrict predicates sit directly on the held frame's scan, so
+    // parquet pushes them to row-group granularity.
+    val allowed =
+      if (restricts.isEmpty) None
+      else Some(restricts.foldLeft(data)(_.filter(_))
+        .select(col(id)).distinct())
     // both rank lists are bounded (≤ kLex / kDense rows), so the
     // single-partition row_number windows are constant-size
-    val brank = lexicalScores(terms)
+    val lex = allowed match {
+      case None => lexicalScores(terms)
+      case Some(ok) => lexicalScores(terms).join(ok, Seq(id), "left_semi")
+    }
+    val brank = lex
       .orderBy(col("score").desc, col(id)).limit(kLex)
       .withColumn("rs", row_number().over(
         Window.orderBy(col("score").desc, col(id))))
       .select(col(id), col("rs"))
-    val drank = search(query, nProbe, kDense)
+    val dsrc =
+      if (restricts.isEmpty) search(query, nProbe, kDense)
+      else search(query, nProbe, kDense, restricts, None, None)
+    val drank = dsrc.select(col(id), col("score"))
       .withColumn("rd", row_number().over(
         Window.orderBy(col("score").desc, col(id))))
       .select(col(id), col("rd"))

@@ -449,9 +449,13 @@ object ChunkingQueries {
     * one recursive CTE) over the live corpus `SELECT … FROM documents
     * WHERE $where` — parameterized so the lifecycle gates
     * (`r_serve_hybrid_upsert`, `r_serve_hybrid_pinned`) replay the
-    * SAME pipeline over their post-upsert / pinned corpus.
+    * SAME pipeline over their post-upsert / pinned corpus, and so the
+    * restricted gate (`r_serve_hybrid_restrict`) can filter
+    * CANDIDATES in both legs (`restrict`, a predicate on `doc_id`)
+    * while corpus statistics stay global.
     */
-  private def hybridOracleSql(where: String): String = {
+  private def hybridOracleSql(where: String,
+      restrict: String = "TRUE"): String = {
     val terms = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
     val ph = graft.functions.text.sql.polyHash("t")
     "WITH RECURSIVE " +
@@ -482,11 +486,18 @@ object ChunkingQueries {
       "FROM docvec v JOIN qv ON v.idx = qv.idx GROUP BY v.doc_id), " +
       "dcand AS (SELECT a.doc_id, cast(coalesce(qdd.dot, 0) as double) AS score " +
       "FROM assign a JOIN probe p ON a.leaf_id = p.cid " +
-      "LEFT JOIN qdd ON qdd.doc_id = a.doc_id), " +
+      "LEFT JOIN qdd ON qdd.doc_id = a.doc_id" +
+      (if (restrict == "TRUE") "" else
+        s" WHERE a.doc_id IN (SELECT doc_id FROM live WHERE $restrict)") +
+      "), " +
       "drank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rd " +
       "FROM dcand), " +
       s"${bm25CtesFrom("live")}, " +
-      "brank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rs FROM bscore), " +
+      (if (restrict == "TRUE") "" else
+        "bscoreR AS (SELECT * FROM bscore WHERE doc_id IN " +
+          s"(SELECT doc_id FROM live WHERE $restrict)), ") +
+      "brank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rs FROM " +
+      (if (restrict == "TRUE") "bscore" else "bscoreR") + "), " +
       "fused AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, " +
       "coalesce(1.0/(60+a.rs), 0.0) + coalesce(1.0/(60+b.rd), 0.0) AS rrf " +
       "FROM (SELECT * FROM brank WHERE rs <= 20) a " +
@@ -783,6 +794,31 @@ object ChunkingQueries {
       mmrLam = Some(0.5))
   }
 
+  /** RESTRICTED (tenant-filtered) hybrid through the handle — the
+    * reference's per-request restricts
+    * (setup_vector_search.py:45-62) applied to the hybrid surface:
+    * restricts filter CANDIDATES in both legs before the rank cuts
+    * (the probed dense leg through the full filtered serving shape,
+    * the lexical leg by a semi-join of its bounded score list
+    * against the restricted ids), while BM25 corpus statistics stay
+    * GLOBAL — the filtered-query convention: a tenant filter must
+    * not change a term's idf. The oracle filters both legs'
+    * candidate sets with the same predicate and keeps the df/totals
+    * CTEs over the full corpus; a restrict leaking into the
+    * statistics, or a leg skipping the filter, flips a hashed value.
+    */
+  private val rServeHybridRestrict = QueryDef.sqlChecked("r_serve_hybrid_restrict")(
+    hybridOracleSql("TRUE", restrict = "doc_id % 2 = 0")
+  ) { (s, d) =>
+    val path = ServeHybridCache.get(s, d)
+    val serving = graft.operators.Serving.open(s, path,
+      id = "doc_id", vecCol = "v")
+    serving.searchHybrid(QueryTerms, hybridQueryVec(s), nProbe = 2,
+      kLex = 20, kDense = 20, kPool = 10, k = 5, mmrLam = Some(0.5),
+      restricts = Seq(col("doc_id") % 2 === 0))
+  }
+
   val defs: Seq[QueryDef] = Seq(tChunk, qTfidf, qHybridRrf, vBm25, rRagE2e,
-    rServeHybrid, rServeHybridUpsert, rServeHybridPinned, rServeHybridBatch)
+    rServeHybrid, rServeHybridUpsert, rServeHybridPinned, rServeHybridBatch,
+    rServeHybridRestrict)
 }

@@ -374,6 +374,43 @@ class LexicalLifecycleSpec extends SparkTestBase {
       "pinned clone's hybrid diverges from the source's pinned view")
   }
 
+  test("plan audit: the LIVED-IN resolution keeps the postings scan " +
+      "bucket-pruned, and the batched hybrid keeps the data scan " +
+      "leaf-pruned") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = mkLayout(baseDocs)
+    IndexMaintenance.appendToServing(spark, path,
+      upBatch(Seq((20L, "alpha omega", 2L))),
+      "doc_id", "v", "version", spill = 1, textCol = Some("text"))
+    // lived-in (non-pristine) path: the LWW joins sit ABOVE the
+    // postings scan — the bucket In-list must still reach it as a
+    // partition filter, or every query pays a full postings read
+    val scans1 = Lexical.bm25FromStats(spark, path, terms)
+      .queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+    assert(scans1.exists(_.partitionFilters.exists(
+      _.toString.contains("bucket"))),
+      "lived-in postings scan lost its bucket partition filter")
+    // batched hybrid (fused shape — no checkpoint boundary hides the
+    // legs): postings bucket-pruned AND corpus scan leaf-pruned
+    val serving = Serving.open(spark, path, id = "doc_id", vecCol = "v")
+    val qs = Seq((0L, Seq("alpha", "beta"), Seq(1.0, 0.0)),
+      (1L, Seq("gamma", "zeta"), Seq(-1.0, 2.0)))
+      .toDF("query_id", "terms", "qv")
+    val scans2 = serving.searchHybridBatch(qs, "query_id", "terms", "qv",
+        nProbe = 2, kLex = 10, kDense = 10, kPool = 6, k = 3)
+      .queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+    assert(scans2.exists(_.partitionFilters.exists(
+      _.toString.contains("bucket"))),
+      "batched hybrid's postings scan lost its bucket partition filter")
+    assert(scans2.exists(s => s.partitionFilters.exists(f =>
+      f.toString.contains("leaf_id") && f.toString.contains("IN"))),
+      "batched hybrid's corpus scan lost its leaf_id In-list")
+  }
+
   test("hasStats resolves through the path's Hadoop filesystem " +
       "(file: URI layouts)") {
     val path = mkLayout(baseDocs)
