@@ -313,6 +313,17 @@ object Lexical {
   private[graft] def compactTo(spark: SparkSession, srcPath: String,
       dstPath: String): Unit = {
     if (!hasStats(spark, srcPath)) return
+    // carry only a FRESH sidecar: a stale stamp means some
+    // manifest-changing mutation bypassed lexical maintenance, so the
+    // resolved copy would be silently PARTIAL (the bypassing docs'
+    // text never entered the postings) — and compaction would
+    // re-stamp it fresh, laundering the pre-compact loud failure into
+    // a quiet wrong answer. Skipping the carry keeps it loud: the
+    // compacted layout has NO sidecar and hybrid serving says
+    // "attachLexical first".
+    val live = ServingManifest.versions(spark, srcPath)
+      .lastOption.getOrElse(0)
+    if (!stampedVersion(spark, srcPath).contains(live)) return
     val postings = withLineage(
       spark.read.parquet(s"$srcPath/$Dir/postings"))
     val dls = withLineage(spark.read.parquet(s"$srcPath/$Dir/dls"))
@@ -366,6 +377,20 @@ object Lexical {
   private[graft] def cloneTo(spark: SparkSession, srcPath: String,
       dstPath: String, version: Option[Int], stampVersion: Int): Unit = {
     if (!hasStats(spark, srcPath)) return
+    // same laundering guard as [[compactTo]]: only a sidecar the
+    // SOURCE could legally serve travels — a live clone needs a
+    // fresh stamp, a pinned clone needs the stamp range to span the
+    // pinned version; otherwise the clone lands sidecar-less (loud)
+    // instead of fresh-stamped-but-partial (quiet wrong)
+    val range = versionRange(spark, srcPath)
+    val srcServable = version match {
+      case None =>
+        val live = ServingManifest.versions(spark, srcPath)
+          .lastOption.getOrElse(0)
+        range.exists(_._2 == live)
+      case Some(v) => range.exists(r => r._1 <= v && v <= r._2)
+    }
+    if (!srcServable) return
     val postings = withLineage(
       spark.read.parquet(s"$srcPath/$Dir/postings"))
     val dls = withLineage(spark.read.parquet(s"$srcPath/$Dir/dls"))

@@ -679,7 +679,14 @@ object IndexMaintenance {
       // no external bookkeeping. Captured BEFORE the probe reads, so
       // a concurrent append lands past the recorded baseline and is
       // re-checked next sweep (over-scan is safe, under-scan is not).
-      bqCheckedThroughVersion: Int = -1)
+      bqCheckedThroughVersion: Int = -1,
+      // lexical-sidecar freshness over the sweep's FINAL state:
+      // −1 = layout carries no sidecar, 0 = stamp matches the live
+      // manifest (hybrid serves), 1 = STALE — the layout mutated
+      // without lexical maintenance and searchHybrid will refuse it
+      // (re-attach or append with textCol). Two driver-side file
+      // reads, zero data scan.
+      lexicalStale: Int = -1)
 
   /** ONE policy-driven maintenance sweep over a serving layout — the
     * autopilot tick an always-on index schedules after upsert/delete
@@ -798,8 +805,18 @@ object IndexMaintenance {
         }
         (drift, checkedThrough)
       } else (-1L, -1)
+    // lexical freshness over the FINAL state (a compact this sweep
+    // carried + re-stamped the sidecar, so it reads fresh here)
+    val lexicalStale =
+      if (!graft.operators.Lexical.hasStats(spark, servePath)) -1
+      else {
+        val live = graft.operators.ServingManifest
+          .versions(spark, servePath).lastOption.getOrElse(0)
+        if (graft.operators.Lexical.stampedVersion(spark, servePath)
+            .contains(live)) 0 else 1
+      }
     MaintenanceReport(splits, maxAfter, compact, deltaRows, dropped,
-      reclustered, radiiRebuilt, bqDrift, bqCheckedThrough)
+      reclustered, radiiRebuilt, bqDrift, bqCheckedThrough, lexicalStale)
   }
 
   /** RECLUSTER a CODED serving layout — the autopilot completion for

@@ -411,6 +411,37 @@ class LexicalLifecycleSpec extends SparkTestBase {
       "batched hybrid's corpus scan lost its leaf_id In-list")
   }
 
+  test("the autopilot sweep reports lexical staleness: -1 no sidecar, " +
+      "0 fresh, 1 stale; a compacting sweep restores freshness") {
+    import IndexMaintenance.MaintenancePolicy
+    val bare = mkLayout(baseDocs, attach = false)
+    val policy = MaintenancePolicy(maxLeafSize = 1000000)
+    assert(IndexMaintenance.maintain(spark, bare, "doc_id", "v",
+      "version", policy).lexicalStale == -1)
+    val path = mkLayout(baseDocs)
+    assert(IndexMaintenance.maintain(spark, path, "doc_id", "v",
+      "version", policy).lexicalStale == 0)
+    // append WITHOUT text → manifest moves, sidecar stamp lags
+    IndexMaintenance.appendToServing(spark, path,
+      upBatch(Seq((20L, "alpha", 2L))).drop("text"),
+      "doc_id", "v", "version", spill = 1)
+    assert(IndexMaintenance.maintain(spark, path, "doc_id", "v",
+      "version", policy).lexicalStale == 1,
+      "sweep must flag the stale sidecar")
+    // a compacting sweep must NOT launder the stale sidecar into a
+    // fresh-stamped PARTIAL one (the bypassing append's text never
+    // entered the postings): the carry is skipped, the compacted
+    // layout is sidecar-less, and the report says so — loud either way
+    val r = IndexMaintenance.maintain(spark, path, "doc_id", "v",
+      "version", policy.copy(maxDeltaRows = 0L))
+    assert(r.compacted && r.lexicalStale == -1,
+      s"compaction must drop (not launder) a stale sidecar, got $r")
+    assert(!Serving.open(spark, path, id = "doc_id", vecCol = "v")
+      .hasLexical)
+    // whereas compacting a FRESH lived-in layout carries it (proven
+    // in the dedicated compaction test above)
+  }
+
   test("hasStats resolves through the path's Hadoop filesystem " +
       "(file: URI layouts)") {
     val path = mkLayout(baseDocs)
