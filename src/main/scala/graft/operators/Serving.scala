@@ -141,11 +141,14 @@ final class Serving private[operators] (
     *
     * `queries` carries (`qid`, `qvecCol`); both `qid` and the layout
     * id must be integral (cast through bigint for the typed
-    * recurrence). Output: (qid, step 1..k, id, sq) per query in pick
-    * order.
+    * recurrence). `restricts` filter candidates before the pool cut
+    * (the single-surface convention — predicates pushed to the scan
+    * beside the leaf In-list). Output: (qid, step 1..k, id, sq) per
+    * query in pick order.
     */
   def searchMmrBatch(queries: DataFrame, qid: String, qvecCol: String,
-      nProbe: Int, kPool: Int, k: Int, lam: Double): DataFrame = {
+      nProbe: Int, kPool: Int, k: Int, lam: Double,
+      restricts: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     require(tier == "raw",
       s"searchMmrBatch: layout at $path is a '$tier' tier — MMR's " +
@@ -161,6 +164,12 @@ final class Serving private[operators] (
     }
     require(qIntegral,
       s"searchMmrBatch: query id column '$qid' must be integral (is $qidType)")
+    // a duplicate qid would double every per-query candidate row and
+    // silently corrupt the pool cut — user input error, fail loudly
+    require(queries.groupBy(col(qid)).count()
+        .filter(col("count") > 1).isEmpty,
+      s"searchMmrBatch: duplicate '$qid' rows in the query batch — " +
+        "each query must appear exactly once")
     val qs = queries.select(col(qid),
         col(qvecCol).cast("array<double>").as("__qv"))
       .withColumn("__leaf",
@@ -169,7 +178,11 @@ final class Serving private[operators] (
     // partition filter (a broadcast-join equality alone would not)
     val leaves = qs.select("__leaf").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val scored = data.filter(col("leaf_id").isin(leaves: _*))
+    // restricts filter CANDIDATES before the pool cut (the single-
+    // surface convention): the predicates sit directly on the scan
+    // beside the leaf In-list, so parquet pushes both
+    val dataR = restricts.foldLeft(data)(_.filter(_))
+    val scored = dataR.filter(col("leaf_id").isin(leaves: _*))
       .join(broadcast(qs), col("leaf_id") === col("__leaf"))
       .select(col(qid), col(id),
         graft.functions.vectors.dotProduct(col(vecCol), col("__qv"))
@@ -197,7 +210,7 @@ final class Serving private[operators] (
     * stamp.
     */
   def attachLexical(docs: DataFrame, docId: String, textCol: String): Unit =
-    Lexical.attach(spark, path, docs, docId, textCol)
+    Lexical.attach(spark, path, docs, docId, textCol, Some(id))
 
   /** Whether this layout carries the lexical sidecar. */
   def hasLexical: Boolean = Lexical.hasStats(spark, path)
@@ -240,7 +253,8 @@ final class Serving private[operators] (
     */
   def lexicalScores(terms: Seq[String]): DataFrame = {
     requireLexicalCurrent("lexicalScores")
-    val scores = Lexical.bm25FromStats(spark, path, terms, pinnedAt)
+    val scores = Lexical.bm25FromStats(spark, path, terms, pinnedAt,
+      Some(id))
     // the sidecar keys by "doc_id" regardless of the layout's id
     // column — surface the handle's own id name so the hybrid tail
     // (and callers) can join/order without knowing the sidecar schema
@@ -273,7 +287,9 @@ final class Serving private[operators] (
   def searchHybrid(terms: Seq[String], query: Array[Double], nProbe: Int,
       kLex: Int = 20, kDense: Int = 20, kPool: Int = 10, k: Int = 5,
       mmrLam: Option[Double] = None,
-      restricts: Seq[Column] = Nil): DataFrame = {
+      restricts: Seq[Column] = Nil,
+      adaptive: Boolean = false,
+      maxExactFraction: Double = 0.05): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     require(terms.nonEmpty,
@@ -309,8 +325,17 @@ final class Serving private[operators] (
       .withColumn("rs", row_number().over(
         Window.orderBy(col("score").desc, col(id))))
       .select(col(id), col("rs"))
+    // `adaptive`: the dense leg makes the pre/post-filter decision
+    // the plain restricted serve already makes ([[searchAdaptive]] —
+    // manifest-stat-proven selective restricts run the EXACT plan
+    // over the few surviving files for full recall; unselective ones
+    // ride the standard probe). The lexical leg is unaffected: its
+    // semi-join already sees only restricted ids.
     val dsrc =
       if (restricts.isEmpty) search(query, nProbe, kDense)
+      else if (adaptive)
+        searchAdaptive(query, nProbe, kDense, restricts, None, None,
+          maxExactFraction)
       else search(query, nProbe, kDense, restricts, None, None)
     val drank = dsrc.select(col(id), col("score"))
       .withColumn("rd", row_number().over(
@@ -378,14 +403,18 @@ final class Serving private[operators] (
     * file-set behavior).
     *
     * `queries` carries (`qid` integral, `termsCol` array<string>,
-    * `qvecCol` array numeric). Output shapes mirror [[searchHybrid]]
+    * `qvecCol` array numeric). `restricts` apply to every query in
+    * the batch, filtering candidates in both legs before the rank
+    * cuts while corpus statistics stay global — [[searchHybrid]]'s
+    * restricted convention. Output shapes mirror [[searchHybrid]]
     * with a leading `qid`: (qid, id, rrf, rank 1..kPool) fused, or
     * (qid, step 1..k, id, sq) per query in MMR pick order.
     */
   def searchHybridBatch(queries: DataFrame, qid: String, termsCol: String,
       qvecCol: String, nProbe: Int, kLex: Int = 20, kDense: Int = 20,
       kPool: Int = 10, k: Int = 5,
-      mmrLam: Option[Double] = None): DataFrame = {
+      mmrLam: Option[Double] = None,
+      restricts: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     require(hasLexical,
@@ -404,6 +433,13 @@ final class Serving private[operators] (
     }
     require(qIntegral,
       s"searchHybridBatch: query id column '$qid' must be integral (is $qidType)")
+    // a duplicate qid would join its exploded term list twice into
+    // the BM25 contributions — doubled lexical scores the dense leg's
+    // groupBy then hides. User input error, fail loudly.
+    require(queries.groupBy(col(qid)).count()
+        .filter(col("count") > 1).isEmpty,
+      s"searchHybridBatch: duplicate '$qid' rows in the query batch — " +
+        "each query must appear exactly once")
     // the query batch is bounded (the searchBatch convention):
     // its term union and the probed-leaf union collect to the driver
     require(queries.filter(size(col(termsCol)) === 0).isEmpty,
@@ -415,12 +451,23 @@ final class Serving private[operators] (
     val unionTerms = qt.select("t").distinct()
       .collect().map(_.getString(0)).toSeq
     val contribs = Lexical.bm25TermContribs(spark, path, unionTerms,
-      pinnedAt)
+      pinnedAt, Some(id))
     val contribsId = if (id == "doc_id") contribs
       else contribs.withColumnRenamed("doc_id", id)
-    val bscore = contribsId.join(broadcast(qt), Seq("t"))
+    // restricts filter CANDIDATES in both legs before their rank
+    // cuts; corpus statistics (df, totals) stay GLOBAL — the
+    // searchHybrid convention (a tenant filter must not change idf)
+    val allowed =
+      if (restricts.isEmpty) None
+      else Some(restricts.foldLeft(data)(_.filter(_))
+        .select(col(id)).distinct())
+    val bscore0 = contribsId.join(broadcast(qt), Seq("t"))
       .groupBy(col(qid), col(id))
       .agg(sum(col("contrib")).cast("bigint").as("score"))
+    val bscore = allowed match {
+      case None => bscore0
+      case Some(ok) => bscore0.join(ok, Seq(id), "left_semi")
+    }
     val brank = bscore.withColumn("rs", row_number().over(
         Window.partitionBy(qid).orderBy(col("score").desc, col(id))))
       .filter(col("rs") <= kLex)
@@ -431,7 +478,10 @@ final class Serving private[operators] (
         explode(IvfIndex.probeExprF32(model, col("__qv"), nProbe)))
     val leaves = qs.select("__leaf").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val dscored = data.filter(col("leaf_id").isin(leaves: _*))
+    // the restrict predicates sit directly on the held frame's scan
+    // beside the leaf In-list — parquet pushes both
+    val dataR = restricts.foldLeft(data)(_.filter(_))
+    val dscored = dataR.filter(col("leaf_id").isin(leaves: _*))
       .join(broadcast(qs), col("leaf_id") === col("__leaf"))
       .select(col(qid), col(id),
         graft.functions.vectors.dotProduct(col(vecCol), col("__qv"))

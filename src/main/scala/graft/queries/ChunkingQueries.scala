@@ -455,7 +455,7 @@ object ChunkingQueries {
     * while corpus statistics stay global.
     */
   private def hybridOracleSql(where: String,
-      restrict: String = "TRUE"): String = {
+      restrict: String = "TRUE", denseExact: Boolean = false): String = {
     val terms = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
     val ph = graft.functions.text.sql.polyHash("t")
     "WITH RECURSIVE " +
@@ -484,12 +484,19 @@ object ChunkingQueries {
       "FROM cnorm n LEFT JOIN qdot qd ON qd.cid = n.cid) WHERE rn <= 2), " +
       "qdd AS (SELECT v.doc_id, cast(sum(v.w * qv.qw) as bigint) AS dot " +
       "FROM docvec v JOIN qv ON v.idx = qv.idx GROUP BY v.doc_id), " +
-      "dcand AS (SELECT a.doc_id, cast(coalesce(qdd.dot, 0) as double) AS score " +
-      "FROM assign a JOIN probe p ON a.leaf_id = p.cid " +
-      "LEFT JOIN qdd ON qdd.doc_id = a.doc_id" +
-      (if (restrict == "TRUE") "" else
-        s" WHERE a.doc_id IN (SELECT doc_id FROM live WHERE $restrict)") +
-      "), " +
+      (if (denseExact)
+        // the adaptive gate's selective branch: the dense leg is the
+        // EXACT top-k over the restricted docs — no probe, full recall
+        "dcand AS (SELECT a.doc_id, cast(coalesce(qdd.dot, 0) as double) AS score " +
+          s"FROM (SELECT doc_id FROM live WHERE $restrict) a " +
+          "LEFT JOIN qdd ON qdd.doc_id = a.doc_id), "
+      else
+        "dcand AS (SELECT a.doc_id, cast(coalesce(qdd.dot, 0) as double) AS score " +
+          "FROM assign a JOIN probe p ON a.leaf_id = p.cid " +
+          "LEFT JOIN qdd ON qdd.doc_id = a.doc_id" +
+          (if (restrict == "TRUE") "" else
+            s" WHERE a.doc_id IN (SELECT doc_id FROM live WHERE $restrict)") +
+          "), ") +
       "drank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rd " +
       "FROM dcand), " +
       s"${bm25CtesFrom("live")}, " +
@@ -694,7 +701,15 @@ object ChunkingQueries {
     * query) — cross-query independence is hash-gated exactly like
     * `v_mmr_batch`/`r_serve_mmr_batch`.
     */
-  private val rServeHybridBatch = QueryDef.sqlChecked("r_serve_hybrid_batch")({
+  /** The batched-hybrid oracle (per-query routing, per-query BM25
+    * through a (qid, term) VALUES list, fusion, pool cuts, all
+    * recursions stepping together) — parameterized like
+    * [[hybridOracleSql]] so the restricted-batch gate
+    * (`r_serve_hybrid_brestrict`) filters CANDIDATES in both legs
+    * with the same predicate while df/totals stay over the full
+    * corpus.
+    */
+  private def hybridBatchOracleSql(restrict: String = "TRUE"): String = {
     val ph = graft.functions.text.sql.polyHash("t")
     val dim = graft.pipeline.SparseEmbed.Dim
     val qvals = HybridBatchQueries
@@ -732,7 +747,10 @@ object ChunkingQueries {
       "FROM docvec v JOIN qv q ON v.idx = q.idx GROUP BY q.qid, v.doc_id), " +
       "dcand AS (SELECT p.qid, a.doc_id, cast(coalesce(qdd.dot, 0) as double) AS score " +
       "FROM assign a JOIN probe p ON a.leaf_id = p.cid " +
-      "LEFT JOIN qdd ON qdd.doc_id = a.doc_id AND qdd.qid = p.qid), " +
+      "LEFT JOIN qdd ON qdd.doc_id = a.doc_id AND qdd.qid = p.qid" +
+      (if (restrict == "TRUE") "" else
+        s" WHERE a.doc_id IN (SELECT doc_id FROM live WHERE $restrict)") +
+      "), " +
       "drank AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid " +
       "ORDER BY score DESC, doc_id) AS rd FROM dcand), " +
       s"dls AS (SELECT doc_id, cast(len($toksOf) as bigint) AS dl FROM live), " +
@@ -748,8 +766,12 @@ object ChunkingQueries {
       "FROM tf JOIN df USING (t) JOIN dls ON tf.doc_id = dls.doc_id CROSS JOIN tot), " +
       "bscore AS (SELECT q.qid, c.doc_id, cast(sum(c.c) as bigint) AS score " +
       "FROM contrib c JOIN qterms q ON q.t = c.t GROUP BY q.qid, c.doc_id), " +
+      (if (restrict == "TRUE") "" else
+        "bscoreR AS (SELECT * FROM bscore WHERE doc_id IN " +
+          s"(SELECT doc_id FROM live WHERE $restrict)), ") +
       "brank AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid " +
-      "ORDER BY score DESC, doc_id) AS rs FROM bscore), " +
+      "ORDER BY score DESC, doc_id) AS rs FROM " +
+      (if (restrict == "TRUE") "bscore" else "bscoreR") + "), " +
       "fused AS (SELECT coalesce(a.qid, b.qid) AS qid, " +
       "coalesce(a.doc_id, b.doc_id) AS doc_id, " +
       "coalesce(1.0/(60+a.rs), 0.0) + coalesce(1.0/(60+b.rd), 0.0) AS rrf " +
@@ -781,7 +803,11 @@ object ChunkingQueries {
       "pick AS doc_id, " +
       "(SELECT sq FROM cand WHERE cand.qid = sel.qid AND cand.doc_id = sel.pick) AS sq " +
       "FROM sel ORDER BY query_id, step"
-  }) { (s, d) =>
+  }
+
+  private val rServeHybridBatch = QueryDef.sqlChecked("r_serve_hybrid_batch")(
+    hybridBatchOracleSql()
+  ) { (s, d) =>
     import s.implicits._
     val path = ServeHybridCache.get(s, d)
     val serving = graft.operators.Serving.open(s, path,
@@ -792,6 +818,30 @@ object ChunkingQueries {
     serving.searchHybridBatch(queries, "query_id", "terms", "qv",
       nProbe = 2, kLex = 20, kDense = 20, kPool = 10, k = 5,
       mmrLam = Some(0.5))
+  }
+
+  /** RESTRICTED batched hybrid — the serving matrix's last asymmetry
+    * (r16 verdict Next #4): the same three-query batch under a tenant
+    * filter (`doc_id % 2 = 0`), every query's candidates filtered in
+    * BOTH legs before the rank cuts while df/totals stay global. The
+    * oracle replays all three restricted pipelines stepping together,
+    * so a restrict leaking into the statistics, a leg skipping the
+    * filter for ANY query, or cross-query leakage through the shared
+    * scans flips a hashed value.
+    */
+  private val rServeHybridBRestrict = QueryDef.sqlChecked("r_serve_hybrid_brestrict")(
+    hybridBatchOracleSql(restrict = "doc_id % 2 = 0")
+  ) { (s, d) =>
+    import s.implicits._
+    val path = ServeHybridCache.get(s, d)
+    val serving = graft.operators.Serving.open(s, path,
+      id = "doc_id", vecCol = "v")
+    val queries = HybridBatchQueries
+      .map { case (q, ts) => (q, ts, termsVec(s, ts).toSeq) }
+      .toDF("query_id", "terms", "qv")
+    serving.searchHybridBatch(queries, "query_id", "terms", "qv",
+      nProbe = 2, kLex = 20, kDense = 20, kPool = 10, k = 5,
+      mmrLam = Some(0.5), restricts = Seq(col("doc_id") % 2 === 0))
   }
 
   /** RESTRICTED (tenant-filtered) hybrid through the handle — the
@@ -818,7 +868,189 @@ object ChunkingQueries {
       restricts = Seq(col("doc_id") % 2 === 0))
   }
 
+  /** Layout for the ADAPTIVE restricted hybrid gate: every doc at
+    * version 1 with `version` stats PROMOTED to the manifest, lexical
+    * sidecar attached, then a small re-upsert (doc_id % 32 = 5, same
+    * text and vector, version 2) through the maintained path — so the
+    * only files whose `version` stats can hold a 2 are the appended
+    * ones, making `version = 2` PROVABLY selective by file stats
+    * while `version = 1` provably is not. The resolved corpus is all
+    * docs (the upsert replaced content with itself), so the oracle
+    * replays over plain `documents`.
+    */
+  private[queries] object ServeHybridAdaptiveCache {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def get(s: org.apache.spark.sql.SparkSession, d: String): String =
+      cache.getOrElseUpdate(d, {
+        import graft.operators.{IvfIndex, Lexical}
+        import graft.pipeline.SparseEmbed
+        import graft.streaming.IndexMaintenance
+        val docs = Tables.documents(s, d)
+        val dv = SparseEmbed.embed(docs, "doc_id", "text")
+        val dvm = dv.groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("idx"), col("w"))))
+            .as("m"))
+        val dense = docs.select("doc_id").join(dvm, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(SparseEmbed.Dim - 1)),
+              i => coalesce(element_at(col("m"), i.cast("bigint")), lit(0L)))
+              .cast("array<double>").as("v"))
+        val centIds = Seq(0L, 64L, 128L, 192L)
+        val cents = dense.filter(col("doc_id").isin(centIds: _*))
+          .select(col("doc_id"), col("v")).collect().sortBy(_.getLong(0))
+          .map(_.getSeq[Double](1).toArray)
+        val model = IvfIndex.Model(cents)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_servehyba_" +
+          java.lang.Integer.toHexString(d.hashCode)
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(x => { java.nio.file.Files.delete(x); () })
+        }
+        val indexed = dense.withColumn("version", lit(1L))
+          .withColumn("leaf_id", IvfIndex.probeExpr(model, col("v"), 1)(0))
+        IvfIndex.write(indexed, path, model)
+        graft.operators.ServingManifest.promote(s, path, Seq("version"))
+        Lexical.attach(s, path, docs, "doc_id", "text")
+        val up = dense.filter(col("doc_id") % 32 === 5)
+          .join(docs.select("doc_id", "text"), Seq("doc_id"))
+          .select(col("doc_id"), col("v"), lit(2L).as("version"),
+            col("text"))
+        IndexMaintenance.appendToServing(s, path, up, "doc_id", "v",
+          "version", spill = 1, textCol = Some("text"))
+        path
+      })
+  }
+
+  /** SELECTIVITY-ADAPTIVE restricted hybrid (r16 verdict Next #6):
+    * the dense leg makes the pre/post-filter decision the plain
+    * restricted serve already makes (`searchAdaptive`, gated by
+    * `r_serve_padaptive`) — here through the HYBRID stack. The
+    * restrict (`version = 2`, ≡ `doc_id % 32 = 5` on the resolved
+    * corpus) is proven selective by the manifest's promoted file
+    * stats, so the dense leg runs the EXACT plan over the few
+    * surviving files (full recall — the probed plan could miss
+    * qualifying rows living in unprobed leaves); the gate REQUIREs
+    * both plan decisions (`version = 2` → exact, `version = 1` →
+    * probed) before hash-matching the oracle, whose dense leg is the
+    * exact restricted top-k (no probe CTE). The lexical leg is
+    * unchanged: its semi-join already sees only restricted ids, and
+    * BM25 statistics stay global.
+    */
+  private val rServeHybridAdaptive = QueryDef.sqlChecked("r_serve_hybrid_adaptive")(
+    hybridOracleSql("TRUE", restrict = "doc_id % 32 = 5", denseExact = true)
+  ) { (s, d) =>
+    val path = ServeHybridAdaptiveCache.get(s, d)
+    val serving = graft.operators.Serving.open(s, path,
+      id = "doc_id", vecCol = "v")
+    val sel = Seq(col("version") === 2)
+    require(serving.searchAdaptivePlan(sel, maxExactFraction = 0.2),
+      "r_serve_hybrid_adaptive: the version=2 restrict must prove " +
+        "selective by manifest stats")
+    require(!serving.searchAdaptivePlan(Seq(col("version") === 1),
+        maxExactFraction = 0.2),
+      "r_serve_hybrid_adaptive: the version=1 restrict must stay probed")
+    serving.searchHybrid(QueryTerms, hybridQueryVec(s), nProbe = 2,
+      kLex = 20, kDense = 20, kPool = 10, k = 5, mmrLam = Some(0.5),
+      restricts = sel, adaptive = true, maxExactFraction = 0.2)
+  }
+
+  /** HYBRID SERVING FED BY A REAL STRUCTURED STREAM (r16 verdict
+    * Next #5): the lexical append was spec'd and oracle-gated under
+    * direct `appendToServing(textCol=…)` calls; this gate drives it
+    * through `readStream → foreachBatch` the way `r_serve_live` gates
+    * the dense path. Build over 3/4 of the corpus + attach; then TWO
+    * text-carrying upsert micro-batches (the complement, split by
+    * doc_id % 8) and a tombstone flow through a file-source stream
+    * with `maxFilesPerTrigger=1` — each micro-batch appends vectors,
+    * delta rows, manifest version, postings, AND the sidecar re-stamp
+    * in its own trigger, with the checkpoint machinery in the loop.
+    * The oracle replays the full hybrid pipeline over the post-stream
+    * corpus (`doc_id <> 2`): a missed per-batch postings append, a
+    * stale stamp surviving the second trigger, or the tombstone
+    * leaking into either leg flips a hashed value.
+    */
+  private val rStreamHybrid = QueryDef.sqlChecked("r_stream_hybrid")(
+    hybridOracleSql("doc_id <> 2")
+  ) { (s, d) =>
+    import graft.operators.{IvfIndex, Lexical}
+    import graft.pipeline.SparseEmbed
+    import graft.streaming.{FileStreamFixture, IndexMaintenance}
+    val docs = Tables.documents(s, d)
+    val dv = SparseEmbed.embed(docs, "doc_id", "text")
+    val dvm = dv.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("w"))))
+        .as("m"))
+    val dense = docs.select("doc_id").join(dvm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(SparseEmbed.Dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("bigint")), lit(0L)))
+          .cast("array<double>").as("v"))
+    val isBase = col("doc_id") % 4 =!= 3
+    val centIds = Seq(0L, 64L, 128L, 192L)
+    val cents = dense.filter(col("doc_id").isin(centIds: _*))
+      .select(col("doc_id"), col("v")).collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val model = IvfIndex.Model(cents)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_streamhyb_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    // fresh layout + checkpoint per run: appends are cumulative and
+    // the gate must see exactly build + 2 micro-batches + 1 delete
+    for (p <- Seq(path, path + ".ckpt").map(java.nio.file.Paths.get(_))
+        if java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => { java.nio.file.Files.delete(x); () })
+    }
+    val indexed = dense.filter(isBase)
+      .withColumn("version", lit(1L))
+      .withColumn("leaf_id", IvfIndex.probeExpr(model, col("v"), 1)(0))
+    IvfIndex.write(indexed, path, model) // manifest log v1
+    Lexical.attach(s, path, docs.filter(isBase), "doc_id", "text")
+    val withText = dense.join(docs.select("doc_id", "text"), Seq("doc_id"))
+    val b1 = withText.filter(col("doc_id") % 8 === 3)
+      .select(col("doc_id"), col("v"), lit(2L).as("version"),
+        col("text"), lit(false).as("tombstone"))
+    val b2 = withText.filter(col("doc_id") % 8 === 7)
+      .select(col("doc_id"), col("v"), lit(2L).as("version"),
+        col("text"), lit(false).as("tombstone"))
+      .unionByName(docs.filter(col("doc_id") === 2)
+        .select(col("doc_id"), lit(null).cast("array<double>").as("v"),
+          lit(3L).as("version"), lit(null).cast("string").as("text"),
+          lit(true).as("tombstone")))
+    val streamDir = FileStreamFixture.write("streamhybrid", d,
+      "two text-carrying upsert micro-batches + a tombstone", Seq(b1, b2))
+    val sq = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(streamDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", path + ".ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+        val ups = batch.filter(!col("tombstone")).drop("tombstone")
+        val dels = batch.filter(col("tombstone"))
+          .select("doc_id", "version")
+        if (!ups.isEmpty)
+          IndexMaintenance.appendToServing(s, path, ups, "doc_id", "v",
+            "version", spill = 1, textCol = Some("text"))
+        if (!dels.isEmpty)
+          IndexMaintenance.removeFromServing(s, path, dels,
+            "doc_id", "version")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    val serving = graft.operators.Serving.open(s, path,
+      id = "doc_id", vecCol = "v")
+    serving.searchHybrid(QueryTerms, hybridQueryVec(s), nProbe = 2,
+      kLex = 20, kDense = 20, kPool = 10, k = 5, mmrLam = Some(0.5))
+  }
+
   val defs: Seq[QueryDef] = Seq(tChunk, qTfidf, qHybridRrf, vBm25, rRagE2e,
     rServeHybrid, rServeHybridUpsert, rServeHybridPinned, rServeHybridBatch,
-    rServeHybridRestrict)
+    rServeHybridRestrict, rServeHybridBRestrict, rServeHybridAdaptive,
+    rStreamHybrid)
 }

@@ -311,7 +311,7 @@ object IndexMaintenance {
     // manifest-backed open when the layout carries one (no directory
     // listing; same rows, same pruning), plain listing read otherwise
     val data = graft.operators.ServingManifest.openOrRead(spark, servePath)
-    deltaWinners(spark, servePath) match {
+    deltaWinners(spark, servePath, Some(id)) match {
       case None => data
       case Some(latest) =>
         data.join(latest, data(id) === col("__id"), "left")
@@ -333,7 +333,7 @@ object IndexMaintenance {
     * can never disagree about which generation of an id is live.
     */
   private[graft] def deltaWinners(spark: SparkSession,
-      servePath: String): Option[DataFrame] = {
+      servePath: String, idHint: Option[String] = None): Option[DataFrame] = {
     val delta = new org.apache.hadoop.fs.Path(deltaDir(servePath))
     val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(delta)) None
@@ -348,8 +348,21 @@ object IndexMaintenance {
           raw.withColumn("tombstone",
             coalesce(col("tombstone"), lit(false)))
         else raw.withColumn("tombstone", lit(false))
-      val idCol = raw.columns
-        .filterNot(Set("version", "tombstone")).head
+      // callers that know the layout id thread it — a registry whose
+      // id column happens to be absent (or null-filled by a
+      // mixed-schema merge) then fails loudly instead of resolving
+      // against the wrong column; inference is the legacy fallback
+      // for bare-path callers only
+      val idCol = idHint match {
+        case Some(n) =>
+          require(raw.columns.contains(n),
+            s"delta registry at ${deltaDir(servePath)} lacks the layout " +
+              s"id column '$n' (has ${raw.columns.mkString(",")}) — " +
+              "mixed registry schemas cannot be LWW-resolved")
+          n
+        case None => raw.columns
+          .filterNot(Set("version", "tombstone")).head
+      }
       Some(entries.groupBy(col(idCol).as("__id"))
         .agg(max(struct(col("version"), col("tombstone"))).as("__w"))
         .select(col("__id"), col("__w.version").as("__latest"),
@@ -594,7 +607,8 @@ object IndexMaintenance {
     // postings materialized away, exactly like the data rows) and
     // re-stamped to the fresh manifest — hybrid serving survives
     // compaction without a re-attach
-    graft.operators.Lexical.compactTo(spark, servePath, tmp.toString)
+    graft.operators.Lexical.compactTo(spark, servePath, tmp.toString,
+      Some(id))
     val old = new org.apache.hadoop.fs.Path(servePath + ".compact-old")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(hadoopPath, old))
