@@ -306,20 +306,22 @@ final class Serving private[operators] (
     // restricts filter CANDIDATES in both legs before their rank
     // cuts; corpus statistics (BM25 df, length totals) stay GLOBAL —
     // the filtered-query convention (a tenant filter must not change
-    // a term's idf). The lexical leg semi-joins its (bounded,
-    // Σ df(term)-sized) score list against the restricted ids — the
-    // restrict predicates sit directly on the held frame's scan, so
-    // parquet pushes them to row-group granularity.
-    val allowed =
-      if (restricts.isEmpty) None
-      else Some(restricts.foldLeft(data)(_.filter(_))
-        .select(col(id)).distinct())
+    // a term's idf). The lexical leg BROADCASTS its bounded
+    // (Σ df(term)-row) score list against the restricted scan — the
+    // restrict predicates sit directly on the held frame's scan
+    // (pushed, row-group-skippable), the broadcast join adds NO
+    // shuffle, and the spill-copy dedupe aggregates only the join
+    // output (bounded). The previous shape semi-joined against a
+    // corpus-sized restricted-id frame — one corpus-keyed shuffle
+    // per query (r16 verdict What's wrong #4).
+    val lex =
+      if (restricts.isEmpty) lexicalScores(terms)
+      else restricts.foldLeft(data)(_.filter(_))
+        .select(col(id))
+        .join(broadcast(lexicalScores(terms)), Seq(id))
+        .groupBy(col(id)).agg(max(col("score")).as("score"))
     // both rank lists are bounded (≤ kLex / kDense rows), so the
     // single-partition row_number windows are constant-size
-    val lex = allowed match {
-      case None => lexicalScores(terms)
-      case Some(ok) => lexicalScores(terms).join(ok, Seq(id), "left_semi")
-    }
     val brank = lex
       .orderBy(col("score").desc, col(id)).limit(kLex)
       .withColumn("rs", row_number().over(
@@ -456,18 +458,20 @@ final class Serving private[operators] (
       else contribs.withColumnRenamed("doc_id", id)
     // restricts filter CANDIDATES in both legs before their rank
     // cuts; corpus statistics (df, totals) stay GLOBAL — the
-    // searchHybrid convention (a tenant filter must not change idf)
-    val allowed =
-      if (restricts.isEmpty) None
-      else Some(restricts.foldLeft(data)(_.filter(_))
-        .select(col(id)).distinct())
+    // searchHybrid convention (a tenant filter must not change idf).
+    // Like the single surface: the bounded per-(query, doc) score
+    // list broadcasts against the restricted scan (pushed
+    // predicates, no shuffle), spill copies dedupe on the bounded
+    // join output.
     val bscore0 = contribsId.join(broadcast(qt), Seq("t"))
       .groupBy(col(qid), col(id))
       .agg(sum(col("contrib")).cast("bigint").as("score"))
-    val bscore = allowed match {
-      case None => bscore0
-      case Some(ok) => bscore0.join(ok, Seq(id), "left_semi")
-    }
+    val bscore =
+      if (restricts.isEmpty) bscore0
+      else restricts.foldLeft(data)(_.filter(_))
+        .select(col(id))
+        .join(broadcast(bscore0), Seq(id))
+        .groupBy(col(qid), col(id)).agg(max(col("score")).as("score"))
     val brank = bscore.withColumn("rs", row_number().over(
         Window.partitionBy(qid).orderBy(col("score").desc, col(id))))
       .filter(col("rs") <= kLex)

@@ -142,6 +142,31 @@ class LexicalReadPathSpec extends SparkTestBase {
     assert(e2.getMessage.contains("duplicate"), e2.getMessage)
   }
 
+  test("restricted searchMmrBatch: every pick satisfies the " +
+      "restrict, and per-query results are independent of the batch") {
+    val path = mkLayout(baseDocs)
+    val serving = Serving.open(spark, path, id = "doc_id", vecCol = "v")
+    val restricts = Seq(col("doc_id") % 2 === 0)
+    val queries = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(-1.0, 2.0)))
+      .toDF("query_id", "qv")
+    val batch = serving.searchMmrBatch(queries, "query_id", "qv",
+      nProbe = 2, kPool = 5, k = 3, lam = 0.5, restricts = restricts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(batch.nonEmpty)
+    assert(batch.forall(_._3 % 2 == 0),
+      "a restricted MMR pick violates the restrict")
+    for (qid <- Seq(0L, 1L)) {
+      val solo = serving.searchMmrBatch(
+        queries.filter(col("query_id") === qid), "query_id", "qv",
+        nProbe = 2, kPool = 5, k = 3, lam = 0.5, restricts = restricts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(batch.filter(_._1 == qid) == solo,
+        s"restricted batch and single-query results diverge for $qid")
+    }
+  }
+
   test("postings files are term-clustered within buckets and dls " +
       "files doc_id-sorted — attached, appended, and compacted " +
       "(row-group t/doc_id stats stay narrow at scale)") {
