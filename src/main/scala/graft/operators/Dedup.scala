@@ -121,14 +121,22 @@ object Dedup {
       s"rows per band must divide ${MinhashA.size}, got $rowsPerBand")
     val s = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // ONE pass per side: the b band keys explode to (band, key)
+      // rows and match in a single equi-join — the same shape
+      // [[minhashCandidatesAgainst]] documents for the incremental
+      // path. The per-band-join union this replaces scanned each
+      // side once PER BAND (2b scans + b joins; 8 joins at r=1),
+      // with identical output: a pair is a candidate iff SOME band
+      // matches in full, and the trailing distinct collapses
+      // multi-band matches either way.
       val bands = MinhashA.indices.grouped(rowsPerBand).toSeq
-      val perBand = bands.map { cols =>
-        val key = struct(cols.map(i => col(s"m${i + 1}")): _*)
-        val a = s.select(col(id).as("da"), key.as("k"))
-        val b = s.select(col(id).as("db"), key.as("k"))
-        a.join(b, Seq("k")).filter(col("da") < col("db")).select("da", "db")
-      }
-      perBand.reduce(_ unionAll _).distinct().localCheckpoint()
+      def exploded(as: String) = s.select(col(id).as(as),
+        posexplode(array(bands.map(cols =>
+          struct(cols.zipWithIndex.map { case (i, j) =>
+            col(s"m${i + 1}").as(s"r$j") }: _*)): _*)).as(Seq("band", "k")))
+      exploded("da").join(exploded("db"), Seq("band", "k"))
+        .filter(col("da") < col("db"))
+        .select("da", "db").distinct().localCheckpoint()
     } finally s.unpersist()
   }
 

@@ -636,6 +636,37 @@ object ServingManifest {
         .select(col(id), lit("delete").as("change")))
   }
 
+  /** [[changesBetween]] for SEVERAL intervals in one call — the shape
+    * a CDC reader walking a version range actually issues. Each
+    * DISTINCT endpoint version's id set is materialized once
+    * (localCheckpoint — every set is joined up to twice across the
+    * intervals) instead of once per interval side: n intervals over
+    * k ≤ n+1 versions cost k snapshot scans, not 2n. Output rows are
+    * exactly the per-interval [[changesBetween]] frames, keyed by
+    * (v_from, v_to).
+    */
+  def changesBetween(spark: SparkSession, path: String, id: String,
+      intervals: Seq[(Int, Int)]): DataFrame = {
+    require(intervals.nonEmpty, "changesBetween: no intervals")
+    val vs = intervals.flatMap { case (f, t) => Seq(f, t) }.distinct
+    val ids = vs.map { v =>
+      v -> openAt(spark, path, v).getOrElse(sys.error(
+          s"ServingManifest.changesBetween: version $v is not in the " +
+            s"snapshot log at $path"))
+        .select(col(id)).distinct().localCheckpoint()
+    }.toMap
+    intervals.map { case (f, t) =>
+      val a = ids(f)
+      val b = ids(t)
+      b.join(a, Seq(id), "left_anti")
+        .select(lit(f).as("v_from"), lit(t).as("v_to"),
+          lit("insert").as("change"), col(id))
+        .unionAll(a.join(b, Seq(id), "left_anti")
+          .select(lit(f).as("v_from"), lit(t).as("v_to"),
+            lit("delete").as("change"), col(id)))
+    }.reduce(_ unionAll _)
+  }
+
   /** The file-set of a logged version: walk down from `version` to
     * the nearest checkpoint, then fold the deltas back up. A `v=N`
     * dir WITHOUT an `action` column is a full snapshot from the

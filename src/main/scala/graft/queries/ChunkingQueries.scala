@@ -991,11 +991,16 @@ object ChunkingQueries {
     val dvm = dv.groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("idx"), col("w"))))
         .as("m"))
+    // checkpointed: the embedded corpus feeds FOUR actions below
+    // (centroid collect, the base-layout write, both micro-batch
+    // fixture writes) — without it each one re-runs the tokenize +
+    // embed + densify lineage
     val dense = docs.select("doc_id").join(dvm, Seq("doc_id"), "left")
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(SparseEmbed.Dim - 1)),
           i => coalesce(element_at(col("m"), i.cast("bigint")), lit(0L)))
           .cast("array<double>").as("v"))
+      .localCheckpoint()
     val isBase = col("doc_id") % 4 =!= 3
     val centIds = Seq(0L, 64L, 128L, 192L)
     val cents = dense.filter(col("doc_id").isin(centIds: _*))

@@ -287,9 +287,11 @@ object ReferencePipeline {
     val bound = 100
     val overBefore = IndexMaintenance
       .oversizedLeaves(s, servePath.toString, bound).count()
-    val rowsBefore = s.read.parquet(servePath.toString).count()
-    val idsBefore = s.read.parquet(servePath.toString)
-      .select("vec_id").distinct().count()
+    // rows + distinct ids in ONE pass (they were two separate actions
+    // — two full layout scans — for two scalars of the same frame)
+    val beforeRow = s.read.parquet(servePath.toString)
+      .agg(count(lit(1)), countDistinct(col("vec_id"))).head()
+    val (rowsBefore, idsBefore) = (beforeRow.getLong(0), beforeRow.getLong(1))
 
     val (_, maxAfter) = IndexMaintenance.rebalanceOverflow(
       s, servePath.toString, "vec_id", "v", maxLeafSize = bound)
@@ -302,11 +304,14 @@ object ReferencePipeline {
       k = 5, "vec_id", "v")
       .select("vec_id").collect().map(_.getLong(0)).toSet
 
+    // same one-pass discipline as beforeRow
+    val afterRow = after
+      .agg(count(lit(1)), countDistinct(col("vec_id"))).head()
     Seq((emb.count(), 40L,
       if (overBefore >= 1) 1L else 0L,
       if (maxAfter <= bound) 1L else 0L,
-      if (after.count() == rowsBefore) 1L else 0L,
-      if (after.select("vec_id").distinct().count() == idsBefore) 1L
+      if (afterRow.getLong(0) == rowsBefore) 1L else 0L,
+      if (afterRow.getLong(1) == idsBefore) 1L
       else 0L,
       if (hits.contains(3L) && hits.exists(_ >= 900000L)) 1L else 0L))
       .toDF("n_base", "n_appended", "overflow_before_ok",
@@ -2313,12 +2318,10 @@ object ReferencePipeline {
 
     // same-version emptiness, directionality, and spill dedup are
     // spec'd (ServingManifestSpec) — the gate pays for the three
-    // forward intervals only
-    Seq((1, 2), (2, 3), (1, 3)).map { case (f, t) =>
-      ServingManifest.changesBetween(s, servePath.toString, "vec_id", f, t)
-        .select(lit(f).as("v_from"), lit(t).as("v_to"), col("change"),
-          col("vec_id"))
-    }.reduce(_ unionAll _)
+    // forward intervals only, through the multi-interval form (each
+    // snapshot's id set scans once, not once per interval side)
+    ServingManifest.changesBetween(s, servePath.toString, "vec_id",
+        Seq((1, 2), (2, 3), (1, 3)))
       .orderBy("v_from", "v_to", "vec_id")
   }
 

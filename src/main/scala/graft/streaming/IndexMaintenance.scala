@@ -109,10 +109,17 @@ object IndexMaintenance {
     // (exact flat branch); past it the assignment matrix is broadcast
     // float32 — an upsert batch against a 10⁶-leaf index must not
     // ship per-task double-matrix copies
+    // the assignment (a probeExprF32 pass over the batch) feeds THREE
+    // consumers — the partitioned write, the touched-leaf list for the
+    // manifest reconcile, and the certified-search radii merge —
+    // persisted so it computes once instead of once per consumer (at
+    // scale each recompute is a full batch × router pass)
     val assigned = coded
       .withColumn("leaf_id",
         explode(IvfIndex.probeExprF32(model,
           col(vecCol).cast("array<double>"), math.max(1, spill))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     require(assigned.columns.sorted.toSeq == layoutCols,
       s"appendToServing: batch columns ${batch.columns.sorted.mkString(",")} " +
         s"+ leaf_id do not match the serving layout's " +
@@ -142,6 +149,7 @@ object IndexMaintenance {
         keepVersions)
       ()
     }
+    } finally { assigned.unpersist(); () }
     // lexical leg of the upsert: tokenize the batch into the sidecar
     // buckets and re-stamp to the version the reconcile just installed
     textCol.foreach { tc =>
@@ -211,12 +219,16 @@ object IndexMaintenance {
         servePath)
       .map(r => graft.operators.ProductQuantizer.rotateExpr(v, r))
       .getOrElse(v)
+    // persisted: the assignment+encode pass feeds both the write and
+    // the touched-leaf reconcile (see appendToServing)
     val assigned = batch
       .withColumn("leaf_id",
         explode(IvfIndex.probeExprF32(model, v, math.max(1, spill))))
       .withColumn("pq_code",
         graft.operators.ProductQuantizer.encodeExpr(encIn, cb))
       .drop(vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     require(assigned.columns.sorted.toSeq == layoutCols,
       s"appendCodedToServing: batch columns " +
         s"${batch.columns.sorted.mkString(",")} encoded to " +
@@ -241,6 +253,7 @@ object IndexMaintenance {
         keepVersions)
       ()
     }
+    } finally { assigned.unpersist(); () }
   }
 
   /** [[appendToServing]] for an SQ8 (scalar-quantized) layout — the
@@ -261,6 +274,8 @@ object IndexMaintenance {
     val layoutCols = graft.operators.ServingManifest.openOrRead(spark, servePath)
       .columns.sorted.toSeq
     val v = col(vecCol).cast("array<double>")
+    // persisted: the assignment+quantize pass feeds both the write
+    // and the touched-leaf reconcile (see appendToServing)
     val assigned = batch
       .withColumn("leaf_id",
         explode(IvfIndex.probeExprF32(model, v, math.max(1, spill))))
@@ -268,6 +283,8 @@ object IndexMaintenance {
       .withColumn("sq_code", graft.functions.quantize.packCodes(
         graft.functions.quantize.codes(v, col("ma"))))
       .drop(vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     require(assigned.columns.sorted.toSeq == layoutCols,
       s"appendSqToServing: batch columns " +
         s"${batch.columns.sorted.mkString(",")} quantized to " +
@@ -292,6 +309,7 @@ object IndexMaintenance {
         keepVersions)
       ()
     }
+    } finally { assigned.unpersist(); () }
   }
 
   /** Serving-time read of the layout: data rows with superseded
