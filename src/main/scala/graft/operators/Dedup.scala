@@ -332,15 +332,20 @@ object Dedup {
       s"4 bands guarantee recall only for Hamming <= 3, got $maxHamming")
     val s = sim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val perBand = (0 until 4).map { bi =>
-        val key = shiftright(col("simhash"), bi * (SimhashBits / 4))
-          .bitwiseAND(lit((1L << (SimhashBits / 4)) - 1L))
-        val a = s.select(col(id).as("da"), col("simhash").as("sa"), key.as("k"))
-        val b = s.select(col(id).as("db"), col("simhash").as("sb"), key.as("k"))
-        a.join(b, Seq("k")).filter(col("da") < col("db"))
-          .select("da", "db", "sa", "sb")
-      }
-      perBand.reduce(_ unionAll _).distinct()
+      // ONE pass per side (the [[minhashCandidatesWith]] shape): the
+      // 4 band keys explode to (band, key) rows and match in a single
+      // equi-join instead of 4 per-band joins (8 scans). A pair
+      // agreeing on several bands collapses in the same distinct the
+      // union form needed.
+      def exploded(as: String, sh: String) = s.select(col(id).as(as),
+        col("simhash").as(sh),
+        posexplode(array((0 until 4).map { bi =>
+          shiftright(col("simhash"), bi * (SimhashBits / 4))
+            .bitwiseAND(lit((1L << (SimhashBits / 4)) - 1L))
+        }: _*)).as(Seq("band", "k")))
+      exploded("da", "sa").join(exploded("db", "sb"), Seq("band", "k"))
+        .filter(col("da") < col("db"))
+        .select("da", "db", "sa", "sb").distinct()
         .withColumn("hd",
           bit_count(col("sa").bitwiseXOR(col("sb"))).cast("bigint"))
         .filter(col("hd") <= maxHamming)

@@ -1016,6 +1016,14 @@ object TextAnalysis {
         .agg(sum(length(col("w"))).cast("long").as("word_chars"))
       // guarded sequence: size < n would descend (Spark's default
       // step is -1 when start > stop) — filter first
+      // the gram string leaves the plan immediately: every downstream
+      // consumer keys on (doc_id, n, gram) and needs only the gram's
+      // LENGTH, so the occurrence rows carry a 16-byte md5 fingerprint
+      // + the length instead of the string — the span-dedup
+      // convention ([[graft.operators.Dedup.spanFingerprints]], r14):
+      // ~4x smaller shuffle keys for the count groupBy and the
+      // duplicate-occurrence join at 10-word grams, same groups
+      // (md5-128 collisions are not a real event)
       val occ = words
         .select(col("doc_id"), col("ws"),
           explode(typedLit(Seq(3, 4, 5, 6, 7, 8, 9, 10))).as("n"))
@@ -1024,10 +1032,13 @@ object TextAnalysis {
           explode(sequence(lit(0), size(col("ws")) - col("n"))).as("i"))
         .select(col("doc_id"), col("n"), col("i"),
           concat_ws(" ", slice(col("ws"), col("i") + 1, col("n"))).as("g"))
+        .select(col("doc_id"), col("n"), col("i"),
+          unhex(md5(col("g").cast("binary"))).as("gh"),
+          length(col("g")).cast("long").as("glen"))
         .persist(lvl)
       try {
-        val cnt = occ.groupBy("doc_id", "n", "g")
-          .agg(count(lit(1)).as("c"), length(col("g")).cast("long").as("len"))
+        val cnt = occ.groupBy("doc_id", "n", "gh")
+          .agg(count(lit(1)).as("c"), max(col("glen")).as("len"))
           .persist(lvl)
         try {
           // struct-max = max count, coverage ties to the larger —
@@ -1041,7 +1052,7 @@ object TextAnalysis {
               col("m.cl").as("top_chars"), col("g_chars"))
           val dupocc = occ.filter(col("n") >= 5)
             .join(cnt.filter(col("c") >= 2 && col("n") >= 5)
-              .select("doc_id", "n", "g"), Seq("doc_id", "n", "g"))
+              .select("doc_id", "n", "gh"), Seq("doc_id", "n", "gh"))
             .select(col("doc_id"), col("n"), col("i"))
           val covpos = dupocc
             .select(col("doc_id"), col("n"),
