@@ -105,9 +105,12 @@ object DedupQueries {
     * division each. The table shows both failure modes at once:
     * r=1 saturates (82 672 candidates at sf0.1 — precision noise),
     * r=8 collapses recall to near-exact-dups; the production r=2
-    * default sits on the knee. Engine cost note: the engine builds
-    * candidates as per-band equi-joins unioned (never the OR-join the
-    * compact oracle uses — an OR of band equalities cannot hash-join).
+    * default sits on the knee. Engine cost note: the engine computes
+    * the whole curve from ONE position-level equi-join (the r=1
+    * leg's volume — its widest point) folded to per-pair match
+    * bitmasks, then evaluates every width as a mask predicate in a
+    * single aggregate (never the OR-join the compact oracle uses —
+    * an OR of band equalities cannot hash-join).
     */
   private val dMinhashCurve = QueryDef.sqlChecked("d_minhash_curve")({
     def bandPred(r: Int): String =
@@ -144,22 +147,41 @@ object DedupQueries {
   }) { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d)
-    // localCheckpoint: four banding passes + their per-call persist /
-    // unpersist would otherwise recompute the signature lineage
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
       .localCheckpoint()
     val tp = Dedup.jaccardPairs(docs, "doc_id", "text", 0.2)
       .select(col("da"), col("db"), lit(1L).as("t"))
     val nTrue = tp.count()
-    val rows = Seq(1, 2, 4, 8).map { r =>
-      val cand = Dedup.minhashCandidatesWith(sig, "doc_id", r)
-      // candidate volume and true-candidate count in ONE action (a
-      // left join against the small true-pair set): the per-config
-      // cost is job overhead, not data
-      val a = cand.join(tp, Seq("da", "db"), "left")
-        .agg(count(lit(1)).as("nc"),
-          coalesce(sum("t"), lit(0L)).as("ntc")).head()
-      val (nc, ntc) = (a.getLong(0), a.getLong(1))
+    // ALL FOUR curve points from ONE join: a pair is a width-r
+    // candidate iff some aligned r-block of signature positions
+    // matches in full, so the per-pair MATCH-POSITION BITMASK (one
+    // self-join at width-1 granularity — exactly the r=1 leg's join
+    // volume, which the curve pays anyway as its widest point —
+    // folded to a mask via sum(1<<pos) over the distinct matched
+    // positions) decides candidacy at EVERY width as a mask
+    // predicate. Replaces four banding passes (per-width join +
+    // materialization + count join each) with one join + one
+    // 8-counter aggregate: the curve costs its widest leg, not the
+    // sum of its legs.
+    def ex(as: String) = sig.select(col("doc_id").as(as),
+      posexplode(array(Dedup.MinhashA.indices.map(i =>
+        col(s"m${i + 1}")): _*)).as(Seq("pos", "mv")))
+    val masks = ex("da").join(ex("db"), Seq("pos", "mv"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(sum(expr("shiftleft(cast(1 as bigint), pos)")).as("mask"))
+    def candAt(r: Int) = Dedup.MinhashA.indices.grouped(r).toSeq.map { g =>
+      val bm = g.map(1L << _).sum
+      col("mask").bitwiseAND(lit(bm)) === lit(bm)
+    }.reduce(_ || _)
+    val aggCols = Seq(1, 2, 4, 8).flatMap { r => Seq(
+      coalesce(sum(when(candAt(r), 1L)), lit(0L)).as(s"nc$r"),
+      coalesce(sum(when(candAt(r) && col("t").isNotNull, 1L)), lit(0L))
+        .as(s"ntc$r")) }
+    val a = masks.join(broadcast(tp), Seq("da", "db"), "left")
+      .agg(aggCols.head, aggCols.tail: _*).head()
+    val rows = Seq(1, 2, 4, 8).zipWithIndex.map { case (r, i) =>
+      val (nc, ntc) = (a.getLong(2 * i), a.getLong(2 * i + 1))
       (r.toLong, (8 / r).toLong, nc, ntc, nTrue,
         if (nc == 0) 0.0 else ntc.toDouble / nc,
         if (nTrue == 0) 0.0 else ntc.toDouble / nTrue)
