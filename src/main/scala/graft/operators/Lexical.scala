@@ -181,9 +181,16 @@ object Lexical {
       .sortWithinPartitions("bucket", "t")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/$Dir/postings")
-    docsV.select(col(idCol).as("doc_id"),
-      text.tokenCount(col(textCol)).as("dl"),
-      col("__gver").as("ver"), lit(mv).as("mv"))
+    // doc lengths DERIVE from the postings just written (dl = Σ tf —
+    // the same whitespace tokens) instead of a second tokenize pass
+    // over the corpus; the left join restores zero-token docs (no
+    // postings rows) at dl = 0. Tokenization happens ONCE per attach.
+    val dlSums = spark.read.parquet(s"$path/$Dir/postings")
+      .groupBy("doc_id", "ver").agg(sum("tf").as("dl"))
+    docsV.select(col(idCol).as("doc_id"), col("__gver").as("ver"))
+      .join(dlSums, Seq("doc_id", "ver"), "left")
+      .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"),
+        col("ver"), lit(mv).as("mv"))
       .sort("doc_id")
       .write.mode("overwrite").parquet(s"$path/$Dir/dls")
     // one generation per doc after a full attach → the self-LWW
