@@ -929,30 +929,27 @@ object QuantizeQueries {
       .map(_.getSeq[Double](1).toArray)
     val model = IvfIndex.Model(cents)
 
-    val servePath = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_sqpadapt_" + java.lang.Integer.toHexString(d.hashCode))
-    if (java.nio.file.Files.exists(servePath)) {
-      java.nio.file.Files.walk(servePath).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => { java.nio.file.Files.delete(p); () })
+    // deterministic build+promote+append fixture: cached per JVM
+    // (the gate measures the SQ-tier adaptive SEARCH surface)
+    val servePath = ReferencePipeline.AdaptiveLayoutCache.get(s, d,
+        "sqpadapt") { path =>
+      val sq = base
+        .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 1)))
+        .withColumn("ma", quantize.maxAbs(col("v")))
+        .withColumn("sq_code",
+          quantize.packCodes(quantize.codes(col("v"), col("ma"))))
+        .drop("v")
+      IvfIndex.write(sq, path, model)
+      ServingManifest.promote(s, path, Seq("version"))
+      val planted = base.filter(col("vec_id") % 30 === 7)
+        .withColumn("vec_id", col("vec_id") + 200000)
+        .withColumn("v", transform(col("v"), x => -x))
+        .withColumn("version", lit(2L))
+      IndexMaintenance.appendSqToServing(s, path, planted,
+        "vec_id", "v", "version")
     }
-    val sq = base
-      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 1)))
-      .withColumn("ma", quantize.maxAbs(col("v")))
-      .withColumn("sq_code",
-        quantize.packCodes(quantize.codes(col("v"), col("ma"))))
-      .drop("v")
-    IvfIndex.write(sq, servePath.toString, model)
-    ServingManifest.promote(s, servePath.toString, Seq("version"))
-    val planted = base.filter(col("vec_id") % 30 === 7)
-      .withColumn("vec_id", col("vec_id") + 200000)
-      .withColumn("v", transform(col("v"), x => -x))
-      .withColumn("version", lit(2L))
-    IndexMaintenance.appendSqToServing(s, servePath.toString, planted,
-      "vec_id", "v", "version")
 
-    val serving = graft.operators.Serving.open(s, servePath.toString)
+    val serving = graft.operators.Serving.open(s, servePath)
     require(serving.perQueryAdaptivePlan(Map("version" -> Seq("2")), 0.35),
       "r_serve_sq_padaptive: the version=2 map must pick the exact plan")
     require(!serving.perQueryAdaptivePlan(Map("version" -> Seq("1")), 0.35),
@@ -1043,30 +1040,28 @@ object QuantizeQueries {
       .map(_.getSeq[Double](1).toArray)
     val model = IvfIndex.Model(cents)
 
-    val servePath = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_sqnumr_" + java.lang.Integer.toHexString(d.hashCode))
-    if (java.nio.file.Files.exists(servePath)) {
-      java.nio.file.Files.walk(servePath).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => { java.nio.file.Files.delete(p); () })
+    // deterministic build+promote+append fixture: cached per JVM —
+    // identical to the sqpadapt layout, so the two SQ adaptive gates
+    // share one build
+    val servePath = ReferencePipeline.AdaptiveLayoutCache.get(s, d,
+        "sqpadapt") { path =>
+      val sq = base
+        .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 1)))
+        .withColumn("ma", quantize.maxAbs(col("v")))
+        .withColumn("sq_code",
+          quantize.packCodes(quantize.codes(col("v"), col("ma"))))
+        .drop("v")
+      IvfIndex.write(sq, path, model)
+      ServingManifest.promote(s, path, Seq("version"))
+      val planted = base.filter(col("vec_id") % 30 === 7)
+        .withColumn("vec_id", col("vec_id") + 200000)
+        .withColumn("v", transform(col("v"), x => -x))
+        .withColumn("version", lit(2L))
+      IndexMaintenance.appendSqToServing(s, path, planted,
+        "vec_id", "v", "version")
     }
-    val sq = base
-      .withColumn("leaf_id", explode(IvfIndex.probeExpr(model, col("v"), 1)))
-      .withColumn("ma", quantize.maxAbs(col("v")))
-      .withColumn("sq_code",
-        quantize.packCodes(quantize.codes(col("v"), col("ma"))))
-      .drop("v")
-    IvfIndex.write(sq, servePath.toString, model)
-    ServingManifest.promote(s, servePath.toString, Seq("version"))
-    val planted = base.filter(col("vec_id") % 30 === 7)
-      .withColumn("vec_id", col("vec_id") + 200000)
-      .withColumn("v", transform(col("v"), x => -x))
-      .withColumn("version", lit(2L))
-    IndexMaintenance.appendSqToServing(s, servePath.toString, planted,
-      "vec_id", "v", "version")
 
-    val serving = graft.operators.Serving.open(s, servePath.toString)
+    val serving = graft.operators.Serving.open(s, servePath)
     require(serving.perQueryAdaptivePlanNum(Map.empty,
       Seq(("version", "GE", 2.0)), 0.35),
       "r_serve_sq_numr: the GE-2 set must pick the exact plan")

@@ -1858,6 +1858,34 @@ object ReferencePipeline {
     * `r_serve_snapshot`), so rebuilding per invocation would re-time
     * what is already covered.
     */
+  /** Per-JVM fixture cache for QUERY-surface gates whose serving
+    * layout is a DETERMINISTIC build-promote-append sequence (the
+    * [[graft.queries.ChunkingQueries.ServeHybridAdaptiveCache]]
+    * shape, generalized): the closure builds the layout once per
+    * (kind, sf dir); repeated invocations reuse it. Only for gates
+    * that measure a SEARCH surface — lifecycle gates (snapshot /
+    * cdc / clone / delete / rebalance / maintain / live) keep their
+    * per-invocation rebuilds, because the lifecycle IS the operator
+    * under test there.
+    */
+  private[queries] object AdaptiveLayoutCache {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def get(s: org.apache.spark.sql.SparkSession, d: String,
+        kind: String)(build: String => Unit): String =
+      cache.getOrElseUpdate(kind + ":" + d, {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
+          java.lang.Integer.toHexString(d.hashCode)
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(x => { java.nio.file.Files.delete(x); () })
+        }
+        build(path)
+        path
+      })
+  }
+
   /** Shared serving layout for the MaxSim QUERY gates (pruned /
     * filtered / batch / per-query): all four build the IDENTICAL
     * base + spill-2 indexed layout over the same fixed 8-centroid
@@ -2607,27 +2635,22 @@ object ReferencePipeline {
       .map(_.getSeq[Double](1).toArray)
     val model = IvfIndex.Model(cents)
 
-    val servePath = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_servepqa_" + java.lang.Integer.toHexString(d.hashCode))
-    if (java.nio.file.Files.exists(servePath)) {
-      java.nio.file.Files.walk(servePath).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => { java.nio.file.Files.delete(p); () })
+    // deterministic build+promote+append fixture: cached per JVM
+    // (the gate measures the per-query adaptive SEARCH surface)
+    val servePath = AdaptiveLayoutCache.get(s, d, "servepqa") { path =>
+      val indexed = base.withColumn("leaf_id",
+        explode(IvfIndex.probeExpr(model, col("v"), 2)))
+      IvfIndex.write(indexed, path, model)
+      graft.operators.ServingManifest.promote(s, path, Seq("version"))
+      val planted = base.filter(col("vec_id") % 30 === 7)
+        .withColumn("vec_id", col("vec_id") + 200000)
+        .withColumn("v", transform(col("v"), x => -x))
+        .withColumn("version", lit(2))
+      IndexMaintenance.appendToServing(s, path, planted,
+        "vec_id", "v", "version", spill = 1)
     }
-    val indexed = base.withColumn("leaf_id",
-      explode(IvfIndex.probeExpr(model, col("v"), 2)))
-    IvfIndex.write(indexed, servePath.toString, model)
-    graft.operators.ServingManifest.promote(s, servePath.toString,
-      Seq("version"))
-    val planted = base.filter(col("vec_id") % 30 === 7)
-      .withColumn("vec_id", col("vec_id") + 200000)
-      .withColumn("v", transform(col("v"), x => -x))
-      .withColumn("version", lit(2))
-    IndexMaintenance.appendToServing(s, servePath.toString, planted,
-      "vec_id", "v", "version", spill = 1)
 
-    val serving = graft.operators.Serving.open(s, servePath.toString,
+    val serving = graft.operators.Serving.open(s, servePath,
       id = "vec_id", vecCol = "v")
     require(serving.perQueryAdaptivePlan(Map("version" -> Seq("2")), 0.35),
       "r_serve_padaptive: the version=2 map must pick the exact plan")
@@ -2718,27 +2741,24 @@ object ReferencePipeline {
       .map(_.getSeq[Double](1).toArray)
     val model = IvfIndex.Model(cents)
 
-    val servePath = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_servenumr_" + java.lang.Integer.toHexString(d.hashCode))
-    if (java.nio.file.Files.exists(servePath)) {
-      java.nio.file.Files.walk(servePath).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => { java.nio.file.Files.delete(p); () })
+    // deterministic build+promote+append fixture: cached per JVM
+    // (the gate measures the per-query numeric-restrict SEARCH
+    // surface)
+    val servePath = AdaptiveLayoutCache.get(s, d, "servenumr") { path =>
+      val indexed = base.withColumn("leaf_id",
+        explode(IvfIndex.probeExpr(model, col("v"), 2)))
+      IvfIndex.write(indexed, path, model)
+      graft.operators.ServingManifest.promote(s, path,
+        Seq("version", "bucket"))
+      val planted = base.filter(col("vec_id") % 30 === 7)
+        .withColumn("vec_id", col("vec_id") + 200000)
+        .withColumn("v", transform(col("v"), x => -x))
+        .withColumn("version", lit(2))
+      IndexMaintenance.appendToServing(s, path, planted,
+        "vec_id", "v", "version", spill = 1)
     }
-    val indexed = base.withColumn("leaf_id",
-      explode(IvfIndex.probeExpr(model, col("v"), 2)))
-    IvfIndex.write(indexed, servePath.toString, model)
-    graft.operators.ServingManifest.promote(s, servePath.toString,
-      Seq("version", "bucket"))
-    val planted = base.filter(col("vec_id") % 30 === 7)
-      .withColumn("vec_id", col("vec_id") + 200000)
-      .withColumn("v", transform(col("v"), x => -x))
-      .withColumn("version", lit(2))
-    IndexMaintenance.appendToServing(s, servePath.toString, planted,
-      "vec_id", "v", "version", spill = 1)
 
-    val serving = graft.operators.Serving.open(s, servePath.toString,
+    val serving = graft.operators.Serving.open(s, servePath,
       id = "vec_id", vecCol = "v")
     require(serving.perQueryAdaptivePlanNum(Map.empty,
       Seq(("version", "GE", 2.0)), 0.35),
