@@ -755,6 +755,21 @@ object ServingManifest {
     spark.baseRelationToDataFrame(relation)
   }
 
+  /** Column set of the layout (the data schema + the `leaf_id`
+    * partition column) at ONE-manifest-row + ONE-footer cost. The
+    * append paths need COLUMNS only (a schema-mismatch guard);
+    * opening the layout for that materializes the full manifest into
+    * a FileIndex — 10⁶ entries at 100 TB, paid per micro-batch.
+    */
+  private[graft] def layoutColumns(spark: SparkSession,
+      path: String): Seq[String] =
+    if (!exists(spark, path)) spark.read.parquet(path).columns.toSeq
+    else {
+      val f = spark.read.parquet(manifestDir(path))
+        .select("file").head().getString(0)
+      spark.read.parquet(path + "/" + f).schema.fieldNames.toSeq :+ "leaf_id"
+    }
+
   /** Manifest-backed open when available, plain listing read
     * otherwise — the reader entry point.
     */

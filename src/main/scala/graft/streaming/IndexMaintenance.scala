@@ -93,8 +93,8 @@ object IndexMaintenance {
     }
     val vecBatch = textCol.map(batch.drop(_)).getOrElse(batch)
     val model = IvfIndex.load(spark, servePath)
-    val layoutCols = graft.operators.ServingManifest.openOrRead(spark, servePath)
-      .columns.sorted.toSeq
+    val layoutCols = graft.operators.ServingManifest
+      .layoutColumns(spark, servePath).sorted
     // a layout carrying the BQ sign-bit companion column derives it
     // HERE, from the appended vectors themselves — never from the
     // batch (a caller-supplied column could be stale and the
@@ -209,8 +209,8 @@ object IndexMaintenance {
       spill: Int = 1, keepVersions: Int = 64): Unit = {
     val model = IvfIndex.load(spark, servePath)
     val cb = graft.operators.ProductQuantizer.loadCodebook(spark, servePath)
-    val layoutCols = graft.operators.ServingManifest.openOrRead(spark, servePath)
-      .columns.sorted.toSeq
+    val layoutCols = graft.operators.ServingManifest
+      .layoutColumns(spark, servePath).sorted
     val v = col(vecCol).cast("array<double>")
     // an OPQ layout rotates before encoding (codebooks live in the
     // rotated space); leaf ASSIGNMENT stays in raw space — the model
@@ -271,8 +271,8 @@ object IndexMaintenance {
       batch: DataFrame, id: String, vecCol: String, versionCol: String,
       spill: Int = 1, keepVersions: Int = 64): Unit = {
     val model = IvfIndex.load(spark, servePath)
-    val layoutCols = graft.operators.ServingManifest.openOrRead(spark, servePath)
-      .columns.sorted.toSeq
+    val layoutCols = graft.operators.ServingManifest
+      .layoutColumns(spark, servePath).sorted
     val v = col(vecCol).cast("array<double>")
     // persisted: the assignment+quantize pass feeds both the write
     // and the touched-leaf reconcile (see appendToServing)
