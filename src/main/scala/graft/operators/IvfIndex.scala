@@ -955,36 +955,54 @@ object IvfIndex {
     * router's grouping is persisted rather than recomputed.
     */
   def load(spark: SparkSession, path: String): Model = {
-    val rows = spark.read.parquet(modelDir(path)).collect()
-    val byKind = rows.groupBy(_.getString(0))
+    // driver-side read (MetaIO): the sidecar is driver-sized by
+    // definition (it is collected whole either way), and the
+    // spark.read...collect() here cost one Spark job per open/append/
+    // probe-catalog registration — pure scheduler overhead on the
+    // serving lifecycle paths
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(modelDir(path))
+    val fs = dir.getFileSystem(conf)
+    val raw = MetaIO.read(conf, fs, dir,
+      Seq("kind", "id", "vec", "grp", "n_vectors", "n_rows",
+        "max_leaf_rows", "format_version", "n_centroids"))
+    final case class MRow(kind: String, id: Int, vec: Array[Double],
+      grp: Int, nVectors: Long, nRows: Long, maxLeafRows: Long,
+      formatVersion: Int, nCentroids: Int)
+    val rows = raw.map(r => MRow(r(0).asInstanceOf[String],
+      r(1).asInstanceOf[Int], r(2).asInstanceOf[Array[Double]],
+      r(3).asInstanceOf[Int], r(4).asInstanceOf[Long],
+      r(5).asInstanceOf[Long], r(6).asInstanceOf[Long],
+      r(7).asInstanceOf[Int], r(8).asInstanceOf[Int]))
+    val byKind = rows.groupBy(_.kind)
     val centRows = byKind.getOrElse("centroid",
       throw new IllegalStateException(
         s"no centroids in model sidecar at ${modelDir(path)}"))
-      .sortBy(_.getInt(1))
-    require(centRows.zipWithIndex.forall { case (r, i) => r.getInt(1) == i },
+      .sortBy(_.id)
+    require(centRows.zipWithIndex.forall { case (r, i) => r.id == i },
       s"model sidecar at ${modelDir(path)} has non-contiguous centroid ids")
     val statsRow = byKind.getOrElse("stats",
       throw new IllegalStateException(
         s"no stats row in model sidecar at ${modelDir(path)}")).head
-    val version = statsRow.getInt(7)
+    val version = statsRow.formatVersion
     require(version == ModelFormatVersion,
       s"model sidecar format v$version at ${modelDir(path)}; " +
         s"this build reads v$ModelFormatVersion")
     // the chunked write is not atomic: a crash between chunk appends
     // leaves a CONTIGUOUS centroid prefix that the id check alone
     // accepts. The stats row (always in chunk 0) carries the total.
-    val nCentroids = statsRow.getInt(8)
+    val nCentroids = statsRow.nCentroids
     require(centRows.length == nCentroids,
       s"model sidecar at ${modelDir(path)} is truncated: " +
         s"${centRows.length} of $nCentroids centroid rows present " +
         "(crash during chunked write?) — rebuild or rewrite the sidecar")
-    val cents = centRows.map(_.getSeq[Double](2).toArray)
-    val stats = BuildStats(statsRow.getLong(4), statsRow.getLong(5),
-      statsRow.getLong(6))
+    val cents = centRows.map(_.vec).toArray
+    val stats = BuildStats(statsRow.nVectors, statsRow.nRows,
+      statsRow.maxLeafRows)
     val router = byKind.get("super").map { srs =>
-      val sorted = srs.sortBy(_.getInt(1))
-      Router(sorted.map(_.getSeq[Double](2).toArray),
-        centRows.map(_.getInt(3)), sorted.head.getInt(3))
+      val sorted = srs.sortBy(_.id)
+      Router(sorted.map(_.vec).toArray,
+        centRows.map(_.grp).toArray, sorted.head.grp)
     }
     Model(cents, stats, router)
   }

@@ -11,18 +11,41 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** File manifest for a served `partitionBy(leaf_id)` index layout —
   * the table-format trick (Iceberg/Delta manifests) applied to the
-  * index: a `_graft_manifest` sidecar records every data file
-  * (relative path, leaf id, byte size), so a serving session opens
-  * the index from the manifest alone instead of recursively listing
-  * the layout.
+  * index: a snapshot LOG records every mutation of the file-set
+  * (checkpoints + deltas, the Delta-log shape), so a serving session
+  * opens the index from a handful of small metadata reads instead of
+  * recursively listing the layout.
   *
   * Why it matters at scale: a 100 TB index holds ~10⁵-10⁶ leaf
   * directories; `spark.read.parquet(path)` lists every one of them
   * on EVERY fresh open (measured 21.6 s at 12 270 leaves on a local
   * fs — object-store LIST latency makes it minutes, and eventual
   * listing consistency makes it wrong after concurrent writes). The
-  * manifest is one small parquet read; the file set it names is
-  * exact, not discovered.
+  * manifest fold is a few small parquet reads; the file set it names
+  * is exact, not discovered.
+  *
+  * ARCHITECTURE (round 18): the snapshot log is the AUTHORITY.
+  * Steady-state mutations ([[reconcile]] after an append/rebalance)
+  * write ONE delta version — O(touched files), independent of layout
+  * size — and the LIVE view is the fold of the log at its latest
+  * version (nearest checkpoint + ≤ [[CheckpointInterval]]−1 deltas).
+  * The `_graft_manifest` directory persists as the most recent
+  * CHECKPOINT (rewritten on full installs and every
+  * [[CheckpointInterval]]-th version), serving as the
+  * manifest-exists marker and the legacy-reader surface. Before
+  * round 18 every reconcile rewrote the full manifest — O(manifest)
+  * per append, the wrong asymptotic for a streaming index at 10⁶
+  * entries.
+  *
+  * All metadata reads and writes here are DRIVER-SIDE parquet I/O
+  * ([[MetaIO]]): a `spark.read...collect()` of a kilobyte sidecar
+  * costs a Spark job (scheduler round-trip, task launch), and the
+  * lifecycle paths used to issue many per call — the round-17
+  * profile's "431 broadcast jobs, none > 1.2 s". The manifest is
+  * driver-sized by design (tens of MB at 100 TB — what a
+  * Delta/Iceberg snapshot holds for planning), so the driver read is
+  * strictly cheaper; only layout-scale listings ([[listAll]]) and
+  * footer-stats passes over many files fan out through Spark.
   *
   * Writer contract: every mutation of the serving layout maintains
   * the manifest — [[IvfIndex.write]] (full build / recluster)
@@ -34,6 +57,16 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   * falls back to listing ([[openOrRead]]), so the manifest is a pure
   * optimization with a loud failure mode: a listed-but-deleted file
   * fails the scan, and [[verify]] detects drift in either direction.
+  *
+  * Crash discipline: a steady-state install is ONE directory rename
+  * (the log delta) — atomic on a real filesystem, so a reader sees
+  * the version in full or not at all. Full installs write the log
+  * CHECKPOINT first, then the manifest directory: a crash between
+  * the two leaves a lagging checkpoint dir that the fold never
+  * consults (the log is the authority). A manifest dir AHEAD of the
+  * log (written by the pre-r18 manifest-first code and crashed
+  * before its log rename) is detected ([[liveState]]) and served
+  * as-is; the next install re-synchronizes by forcing a checkpoint.
   *
   * Paths are stored RELATIVE to the index root, so the manifest
   * survives `compactServing`'s directory rename swap and the layout
@@ -47,26 +80,27 @@ object ServingManifest {
 
   /** Retained manifest SNAPSHOT LOG, one parquet dir per manifest
     * install — the Delta/Iceberg version-log trick. Every mutation
-    * that rewrites `_graft_manifest` also logs the change here, so a
-    * reader can pin the layout AS OF a version: build = v1, each
-    * append/rebalance reconcile = +1. Because appends only ADD data
-    * files, every older snapshot's file-set stays fully readable
-    * under append-only mutation — a serving process can hold one
-    * consistent snapshot while upserts race. Mutations that REWRITE
-    * data files (compact, recluster — both rebuild on a fresh copy)
-    * start a fresh log; a snapshot that names a deleted file fails
-    * its scan loudly, never silently.
+    * logs here, so a reader can pin the layout AS OF a version:
+    * build = v1, each append/rebalance reconcile = +1. Because
+    * appends only ADD data files, every older snapshot's file-set
+    * stays fully readable under append-only mutation — a serving
+    * process can hold one consistent snapshot while upserts race.
+    * Mutations that REWRITE data files (compact, recluster — both
+    * rebuild on a fresh copy) start a fresh log; a snapshot that
+    * names a deleted file fails its scan loudly, never silently.
     *
     * Log format (the Delta-log shape, so the log grows O(changes),
     * never O(total files) per mutation): full-listing installs
     * (build, recluster, compact) write a CHECKPOINT `v=N.full`
     * holding the complete file-set; steady-state [[reconcile]]
     * writes a DELTA `v=N` holding only (file…, action add|remove)
-    * rows for the touched leaves' changes, with a checkpoint forced
-    * every [[CheckpointInterval]] versions to bound the fold depth.
-    * [[openAt]] reconstructs a version by folding deltas onto the
-    * nearest checkpoint at-or-below it. Logs written by the older
-    * full-snapshot format (no `action` column) read back as
+    * rows for the touched leaves' changes — add rows carry the
+    * file's promoted-column stats so the live fold skips files
+    * exactly like a freshly-rebuilt manifest — with a checkpoint
+    * forced every [[CheckpointInterval]] versions to bound the fold
+    * depth. [[openAt]] reconstructs a version by folding deltas onto
+    * the nearest checkpoint at-or-below it. Logs written by the
+    * older full-snapshot format (no `action` column) read back as
     * checkpoints — fully compatible.
     */
   def logDir(path: String): String = path + "/_graft_manifest_log"
@@ -175,7 +209,7 @@ object ServingManifest {
     * the one-time cost of turning restricts into plan-time file
     * pruning. Maintenance is automatic from here: [[reconcile]]
     * computes stats for its touched files, [[rebuild]] for the full
-    * listing. Stats are LIVE-manifest state only — time-travel opens
+    * listing. Stats are LIVE-fold state only — time-travel opens
     * ([[openAt]]) carry none and skip nothing (conservative).
     */
   def promote(spark: SparkSession, path: String,
@@ -211,6 +245,9 @@ object ServingManifest {
 
   private def fsFor(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hconf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
 
   def exists(spark: SparkSession, path: String): Boolean =
     fsFor(spark, path).exists(new Path(manifestDir(path)))
@@ -278,79 +315,201 @@ object ServingManifest {
     }
   }
 
-  private def writeEntries(spark: SparkSession, path: String,
-      entries: Seq[(String, Int, Long, Long)]): Unit = {
-    import spark.implicits._
-    val cols = promotedCols(spark, path)
-    val df =
-      if (cols.isEmpty) entries.toDF("file", "leaf_id", "bytes", "mtime")
-      else {
-        // full-listing install on a promoted layout: the stats pass
-        // rides the layout-scale pass that just happened anyway
-        val st = statsFor(spark, path, entries.map(_._1), cols)
-        entries.map(e => (e._1, e._2, e._3, e._4, st.getOrElse(e._1, "")))
-          .toDF("file", "leaf_id", "bytes", "mtime", "stats")
-      }
-    writeEntriesDf(spark, path, df, None)
+  // ------------------------------------------------------------------
+  // entry representation and driver-side log I/O
+  // ------------------------------------------------------------------
+
+  /** (file, leaf_id, bytes, mtime, stats) — the manifest row. */
+  private type Entry5 = (String, Int, Long, Long, String)
+
+  private def asInt(v: Any): Int = v match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case null => 0
+    case other => other.toString.toInt
   }
 
-  /** Install `entries` as the live manifest and log the mutation.
-    * `delta` is the exact change this install applies (add/remove
-    * rows): when present AND the version is not a forced checkpoint,
-    * the log records ONLY the delta — per-append log cost stays
-    * proportional to the touched leaves, independent of layout size.
-    * `None` (full-listing installs) always checkpoints.
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case null => 0L
+    case other => other.toString.toLong
+  }
+
+  private def asStr(v: Any): String = v match {
+    case null => ""
+    case s: String => s
+    case other => other.toString
+  }
+
+  private val LogCols =
+    Seq("file", "leaf_id", "bytes", "mtime", "stats", "action")
+
+  /** One log version's rows as (entry, action) plus whether the
+    * version is a checkpoint. Driver-side read ([[MetaIO]]): log
+    * versions are O(touched) deltas or one driver-sized checkpoint.
     */
-  private def writeEntriesDf(spark: SparkSession, path: String,
-      entries: org.apache.spark.sql.DataFrame,
-      delta: Option[Seq[(String, Int, Long, Long, String)]]): Unit = {
-    import spark.implicits._
-    val tmp = new Path(manifestDir(path) + ".tmp")
-    val dst = new Path(manifestDir(path))
+  private def readLogVersion(spark: SparkSession, path: String,
+      v: Int, upTo: Int): (Seq[(Entry5, String)], Boolean) = {
     val fs = fsFor(spark, path)
-    val loggedLatest = versions(spark, path).lastOption
-    val next = loggedLatest.getOrElse(0) + 1
-    // crash-window drift check: the manifest records the log version
-    // it was installed as (`mver`). If the live manifest's version is
-    // NOT the latest logged one, a previous install died between the
-    // manifest rename and the log-archive rename — its change was
-    // never logged, so folding deltas over the log would silently
-    // omit it. Re-synchronize by forcing THIS install to checkpoint.
-    val unlogged = fs.exists(dst) && {
-      val old = spark.read.parquet(dst.toString)
-      old.columns.contains("mver") &&
-        !loggedLatest.contains(old.select("mver").head().getInt(0))
+    val conf = hconf(spark)
+    val fullP = new Path(logDir(path) + s"/v=$v.full")
+    val dir = if (fs.exists(fullP)) fullP
+      else new Path(logDir(path) + s"/v=$v")
+    require(fs.exists(dir),
+      s"ServingManifest log at $path: version $v missing below " +
+        s"$upTo with no checkpoint in between — cannot fold")
+    val cols = MetaIO.columnsOf(conf, fs, dir)
+    val isDelta = cols.contains("action")
+    val rows = MetaIO.read(conf, fs, dir, LogCols).map { r =>
+      ((asStr(r(0)), asInt(r(1)), asLong(r(2)), asLong(r(3)),
+        asStr(r(4))), if (isDelta) asStr(r(5)) else "add")
     }
-    entries
-      .withColumn("mver", lit(next))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    // swap, never overwrite-in-place: a reader racing the rewrite
-    // sees either the old manifest or none (→ listing fallback),
-    // never a half-written one
+    (rows, !isDelta)
+  }
+
+  /** The file-set AS OF a logged version: walk down from `version` to
+    * the nearest checkpoint, then fold the deltas back up (removes
+    * first, then adds, per version — a file replaced in place logs as
+    * remove+add). Stats ride the fold: checkpoints carry the full
+    * stats column, delta adds carry their file's stats (empty on
+    * pre-r18 delta rows — conservative, never wrong). None when the
+    * version is not in the log.
+    */
+  private def entriesAt5(spark: SparkSession, path: String,
+      version: Int): Option[Array[Entry5]] = {
+    val fs = fsFor(spark, path)
+    if (!fs.exists(new Path(logDir(path) + s"/v=$version")) &&
+        !fs.exists(new Path(logDir(path) + s"/v=$version.full")))
+      return None
+    var deltas = List.empty[Seq[(Entry5, String)]]
+    var base: Seq[(Entry5, String)] = null
+    var v = version
+    while (base == null) {
+      require(v >= 1,
+        s"ServingManifest log at $path has no checkpoint at or below " +
+          s"version $version")
+      val (rows, isFull) = readLogVersion(spark, path, v, version)
+      if (isFull) base = rows else { deltas ::= rows; v -= 1 }
+    }
+    val set = scala.collection.mutable.LinkedHashMap[String, Entry5]()
+    base.foreach { case (e, _) => set(e._1) = e }
+    deltas.foreach { d =>
+      d.foreach { case (e, a) => if (a == "remove") set.remove(e._1) }
+      d.foreach { case (e, a) => if (a == "add") set(e._1) = e }
+    }
+    Some(set.values.toArray)
+  }
+
+  /** The manifest DIRECTORY's rows (the latest checkpoint / legacy
+    * live manifest) — driver-side.
+    */
+  private def manifestDirEntries(spark: SparkSession,
+      path: String): Array[Entry5] = {
+    val fs = fsFor(spark, path)
+    val conf = hconf(spark)
+    MetaIO.read(conf, fs, new Path(manifestDir(path)),
+        Seq("file", "leaf_id", "bytes", "mtime", "stats"))
+      .map(r => (asStr(r(0)), asInt(r(1)), asLong(r(2)), asLong(r(3)),
+        asStr(r(4))))
+      .toArray
+  }
+
+  /** The manifest directory's recorded install version (absent on
+    * pre-mver manifests). */
+  private def manifestMver(spark: SparkSession, path: String): Option[Int] =
+    MetaIO.readHead(hconf(spark), fsFor(spark, path),
+        new Path(manifestDir(path)), Seq("mver"))
+      .flatMap(r => Option(r(0)).map(asInt))
+
+  /** The LIVE entry set and whether the next install must force a
+    * checkpoint to re-synchronize. Normally the fold of the log at
+    * its latest version; a manifest dir AHEAD of the log (pre-r18
+    * manifest-first install crashed before its log rename) is newer
+    * than any fold and is served directly, with the heal flag set. A
+    * layout with a manifest but no log (pre-log era) reads the
+    * manifest dir and also heals on the next install.
+    */
+  private def liveState(spark: SparkSession,
+      path: String): Option[(Array[Entry5], Boolean)] = {
+    if (!exists(spark, path)) return None
+    versions(spark, path).lastOption match {
+      case None => Some((manifestDirEntries(spark, path), true))
+      case Some(latest) =>
+        val ahead = manifestMver(spark, path).exists(_ > latest)
+        if (ahead) Some((manifestDirEntries(spark, path), true))
+        else entriesAt5(spark, path, latest).map((_, false))
+          .orElse(Some((manifestDirEntries(spark, path), true)))
+    }
+  }
+
+  /** The live file-set's entries (None when the layout carries no
+    * manifest) — the single authority every live consumer folds
+    * from. Driver-materialized like every manifest consumer before
+    * it: ~10⁶ short rows at 100 TB, tens of MB.
+    */
+  private[graft] def liveEntries5(spark: SparkSession,
+      path: String): Option[Array[Entry5]] =
+    liveState(spark, path).map(_._1)
+
+  // ------------------------------------------------------------------
+  // driver-side installs
+  // ------------------------------------------------------------------
+
+  private val DeltaSchema = MetaIO.schema(Seq(
+    "file" -> 'S', "leaf_id" -> 'I', "bytes" -> 'L', "mtime" -> 'L',
+    "stats" -> 'S', "action" -> 'S'))
+
+  private val ManifestSchema = MetaIO.schema(Seq(
+    "file" -> 'S', "leaf_id" -> 'I', "bytes" -> 'L', "mtime" -> 'L',
+    "stats" -> 'S', "mver" -> 'I'))
+
+  /** Write one log version dir via tmp + rename (a reader sees the
+    * version in full or not at all).
+    */
+  private def writeLogDir(spark: SparkSession, path: String,
+      name: String, rows: Iterator[Array[Any]],
+      schema: org.apache.parquet.schema.MessageType): Unit = {
+    val fs = fsFor(spark, path)
+    val conf = hconf(spark)
+    val tmp = new Path(logDir(path) + s"/.$name.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    MetaIO.write(conf, fs, tmp, schema, rows)
+    val dst = new Path(logDir(path) + s"/$name")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"ServingManifest: cannot archive snapshot $dst")
+  }
+
+  /** Steady-state install: ONE O(delta) log dir, nothing else. */
+  private def installDelta(spark: SparkSession, path: String, next: Int,
+      delta: Seq[(Entry5, String)]): Unit =
+    writeLogDir(spark, path, s"v=$next",
+      delta.iterator.map { case (e, a) =>
+        Array[Any](e._1, e._2, e._3, e._4, e._5, a)
+      }, DeltaSchema)
+
+  /** Full install: log CHECKPOINT first (the authority), then the
+    * manifest dir rewrite (tmp + delete + rename — a reader racing
+    * the swap sees the old manifest or none, never a half-written
+    * one; the fold never needs the dir, so a crash between the two
+    * renames costs nothing).
+    */
+  private def installFull(spark: SparkSession, path: String, next: Int,
+      entries: Seq[Entry5]): Unit = {
+    val fs = fsFor(spark, path)
+    val conf = hconf(spark)
+    def rows = entries.iterator.map(e =>
+      Array[Any](e._1, e._2, e._3, e._4, e._5, next))
+    writeLogDir(spark, path, s"v=$next.full", rows, ManifestSchema)
+    val tmp = new Path(manifestDir(path) + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    MetaIO.write(conf, fs, tmp, ManifestSchema, rows)
+    val dst = new Path(manifestDir(path))
     if (fs.exists(dst)) fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(
-        s"ServingManifest: cannot install ${tmp}")
-    // log the mutation — same tmp-write + rename discipline, so the
-    // log never holds a half-written version. The data files
-    // themselves are never duplicated. v=1 ALWAYS checkpoints: a
-    // pre-log layout's first mutation logs as a delta otherwise,
-    // and a delta with no checkpoint beneath can never be folded.
-    val full = delta.isEmpty || next == 1 || unlogged ||
-      next % CheckpointInterval == 0
-    val name = if (full) s"v=$next.full" else s"v=$next"
-    val vTmp = new Path(logDir(path) + s"/.$name.tmp")
-    val vDst = new Path(logDir(path) + s"/$name")
-    if (full)
-      spark.read.parquet(dst.toString)
-        .coalesce(1).write.mode("overwrite").parquet(vTmp.toString)
-    else
-      delta.get.toDF("file", "leaf_id", "bytes", "mtime", "action")
-        .coalesce(1).write.mode("overwrite").parquet(vTmp.toString)
-    if (!fs.rename(vTmp, vDst))
-      throw new java.io.IOException(
-        s"ServingManifest: cannot archive snapshot ${vDst}")
+        s"ServingManifest: cannot install $tmp")
   }
 
   /** Snapshot versions present in the log, ascending (empty for a
@@ -368,20 +527,27 @@ object ServingManifest {
       .sorted
   }
 
-  /** (Re)build the manifest from a full listing of the layout. */
-  def rebuild(spark: SparkSession, path: String): Unit =
-    writeEntries(spark, path, listAll(spark, path))
+  /** (Re)build the manifest from a full listing of the layout —
+    * always a checkpoint install.
+    */
+  def rebuild(spark: SparkSession, path: String): Unit = {
+    val listed = listAll(spark, path)
+    val cols = promotedCols(spark, path)
+    val st =
+      if (cols.isEmpty) Map.empty[String, String]
+      else statsFor(spark, path, listed.map(_._1), cols)
+    val entries = listed.map(e =>
+      (e._1, e._2, e._3, e._4, st.getOrElse(e._1, "")))
+    val next = versions(spark, path).lastOption.getOrElse(0) + 1
+    installFull(spark, path, next, entries)
+  }
 
-  /** Relative data-file paths of the LIVE manifest (None when the
-    * layout carries no manifest). Driver-materialized like every
-    * other manifest consumer ([[ManifestFileIndex]] holds the same
-    * rows): ~10⁶ short strings at 100 TB, tens of MB.
+  /** Relative data-file paths of the LIVE file-set (None when the
+    * layout carries no manifest).
     */
   private[graft] def liveFiles(spark: SparkSession,
       path: String): Option[Seq[String]] =
-    if (!exists(spark, path)) None
-    else Some(spark.read.parquet(manifestDir(path))
-      .select("file").collect().map(_.getString(0)).toSeq)
+    liveEntries5(spark, path).map(_.map(_._1).toSeq)
 
   /** Relative data-file paths AS OF a logged snapshot version (the
     * same fold [[openAt]] performs); None when the version is not in
@@ -389,99 +555,27 @@ object ServingManifest {
     */
   private[graft] def filesAt(spark: SparkSession, path: String,
       version: Int): Option[Seq[String]] =
-    entriesAt(spark, path, version).map(_.map(_._1).toSeq)
+    entriesAt5(spark, path, version).map(_.map(_._1).toSeq)
 
-  /** The snapshot fold of [[entriesAt]] as a DISTRIBUTED plan — the
-    * per-version log frames stay DataFrames (the driver walks only
-    * file-EXISTENCE checks, cost ∝ log depth, zero rows), and the
-    * remove-then-add fold becomes one groupBy: per file, the winning
-    * row is `max(struct(version rank, action rank, …))` with add=1 >
-    * remove=0, which reproduces the sequential fold exactly (within
-    * a version, an add after a remove wins at equal rank; across
-    * versions the later rank wins; a file whose last action is a
-    * remove filters out). None when the version is not in the log.
-    */
-  private def entriesAtDf(spark: SparkSession, path: String,
-      version: Int): Option[DataFrame] = {
-    val fs = fsFor(spark, path)
-    if (!fs.exists(new Path(logDir(path) + s"/v=$version")) &&
-        !fs.exists(new Path(logDir(path) + s"/v=$version.full")))
-      return None
-    def readVersionDf(v: Int): (DataFrame, Boolean) = {
-      val fullP = logDir(path) + s"/v=$v.full"
-      val dir = if (fs.exists(new Path(fullP))) fullP
-        else logDir(path) + s"/v=$v"
-      require(fs.exists(new Path(dir)),
-        s"ServingManifest log at $path: version $v missing below " +
-          s"$version with no checkpoint in between — cannot fold")
-      val df = spark.read.parquet(dir)
-      val isDelta = df.columns.contains("action")
-      val withM = if (df.columns.contains("mtime")) df
-        else df.withColumn("mtime", lit(0L))
-      val withA = if (isDelta) withM else withM.withColumn("action", lit("add"))
-      (withA.select("file", "leaf_id", "bytes", "mtime", "action"), !isDelta)
-    }
-    var frames = List.empty[DataFrame] // newest first, rank assigned below
-    var sawFull = false
-    var v = version
-    while (!sawFull) {
-      require(v >= 1,
-        s"ServingManifest log at $path has no checkpoint at or below " +
-          s"version $version")
-      val (df, isFull) = readVersionDf(v)
-      frames ::= df
-      sawFull = isFull
-      v -= 1
-    }
-    val stacked = frames.zipWithIndex.map { case (df, r) =>
-      df.select(col("file"), col("leaf_id"), col("bytes"), col("mtime"),
-        lit(r).as("r"),
-        when(col("action") === "add", 1).otherwise(0).as("a"))
-    }.reduce(_ unionAll _)
-    Some(stacked.groupBy("file")
-      .agg(max(struct(col("r"), col("a"), col("leaf_id"), col("bytes"),
-        col("mtime"))).as("m"))
-      .filter(col("m.a") === 1)
-      .select(col("file"), col("m.leaf_id").as("leaf_id"),
-        col("m.bytes").as("bytes"), col("m.mtime").as("mtime")))
-  }
-
-  /** Files the live manifest gained or REWROTE since snapshot
-    * `fromVersion` — the input to the incremental drift probes, fully
-    * distributed: the baseline fold ([[entriesAtDf]]) and the live
-    * manifest join as DataFrames, and only the FRESH subset reaches
-    * the driver (∝ appendage, never the corpus — the r14 verdict's
-    * remaining driver-footprint term in maintenance). Carrying the
+  /** Files the live file-set gained or REWROTE since snapshot
+    * `fromVersion` — the input to the incremental drift probes.
+    * Driver-side: the baseline fold and the live fold share the same
+    * log reads, and only bounded metadata is compared. Carrying the
     * (bytes, mtime) signatures (not just names) matters: an in-place
     * rewrite of an existing file followed by a reconcile is exactly
     * the side-channel-poisoning class the drift probes exist to
-    * catch, and a name-only diff would never re-scan it.
-    *
-    * ONE live-manifest read feeds both the diff and (via
-    * [[openEntriesSubset]] on the returned rows) the subset open —
-    * two separate reads would race a concurrent reconcile and drop
-    * files silently. None when `fromVersion` is not in the log
-    * (a rewrite reset it — callers re-baseline with a full scan).
+    * catch, and a name-only diff would never re-scan it. None when
+    * `fromVersion` is not in the log (a rewrite reset it — callers
+    * re-baseline with a full scan).
     */
   private[graft] def freshEntriesSince(spark: SparkSession, path: String,
       fromVersion: Int): Option[Array[(String, Int, Long, Long, String)]] =
-    entriesAtDf(spark, path, fromVersion).map { base =>
-      require(exists(spark, path),
-        s"freshEntriesSince: snapshot log but no manifest at $path")
-      val mf = spark.read.parquet(manifestDir(path))
-      val withM = if (mf.columns.contains("mtime")) mf
-        else mf.withColumn("mtime", lit(0L))
-      val withS = if (withM.columns.contains("stats")) withM
-        else withM.withColumn("stats", lit(""))
-      withS.select("file", "leaf_id", "bytes", "mtime", "stats")
-        .join(base.select(col("file"), col("bytes").as("b_bytes"),
-          col("mtime").as("b_mtime")), Seq("file"), "left")
-        .filter(col("b_bytes").isNull ||
-          col("bytes") =!= col("b_bytes") || col("mtime") =!= col("b_mtime"))
-        .select("file", "leaf_id", "bytes", "mtime", "stats")
-        .collect()
-        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
-          Option(r.getString(4)).getOrElse("")))
+    entriesAt5(spark, path, fromVersion).map { base =>
+      val live = liveEntries5(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"freshEntriesSince: snapshot log but no manifest at $path"))
+      val sig = base.map(e => e._1 -> ((e._3, e._4))).toMap
+      live.filter(e => !sig.get(e._1).contains((e._3, e._4)))
     }
 
   /** Open a pre-collected manifest-entry subset through the same
@@ -491,86 +585,66 @@ object ServingManifest {
     * than the FULL manifest scan for a 10k-row appendage spread over
     * ~2k small files). The incremental maintenance probes read their
     * appended-files subset through this, with entries taken from the
-    * one live-manifest snapshot [[freshEntriesSince]] diffed. None
-    * when the subset is empty.
+    * one live fold [[freshEntriesSince]] diffed. None when the
+    * subset is empty.
     */
   private[graft] def openEntriesSubset(spark: SparkSession, path: String,
       entries: Array[(String, Int, Long, Long, String)]): Option[DataFrame] =
     if (entries.isEmpty) None else Some(openEntries5(spark, path, entries))
 
-  /** Replace the manifest rows of the given leaves with a fresh
-    * listing of exactly those directories — the steady-state update
-    * after an append or rebalance touched a bounded leaf set. Cost is
-    * proportional to the TOUCHED leaves, never the layout.
+  /** Record the manifest change after an append or rebalance touched
+    * a bounded leaf set: list exactly those directories fresh and log
+    * the difference as ONE delta version — cost proportional to the
+    * TOUCHED leaves, never the layout (the pre-r18 implementation
+    * rewrote the full manifest per append). Every
+    * [[CheckpointInterval]]-th version folds the live set and
+    * installs a checkpoint instead, bounding later fold depth.
     */
   def reconcile(spark: SparkSession, path: String,
       leaves: Seq[Int]): Unit = {
     if (!exists(spark, path)) return // pre-manifest layout: stay consistent
-    import spark.implicits._
     val fs = fsFor(spark, path)
     val root = new Path(path)
     val touched = leaves.distinct
-    val fresh = touched.flatMap { l =>
+    val touchedSet = touched.toSet
+    val freshListed = touched.flatMap { l =>
       val dir = new Path(root, s"leaf_id=$l")
       if (fs.exists(dir)) listLeafDir(fs, root, dir) else Nil
     }
-    // kept rows stay distributed: the manifest can hold ~10⁶ file
-    // entries at 100 TB, so the rewrite is a DataFrame union (old
-    // minus touched leaves, plus the fresh listing), never a driver
-    // materialization. The tmp-write + rename swap in writeEntriesDf
-    // also means we never overwrite the manifest we are reading.
-    val old = spark.read.parquet(manifestDir(path))
-    val withM = if (old.columns.contains("mtime")) old
-      else old.withColumn("mtime", lit(0L))
-    // promoted layouts carry per-file stats: kept rows keep theirs,
-    // fresh (touched) files get a footer read each — cost bounded by
-    // the batch, like the listing above
     val statCols = promotedCols(spark, path)
-    val useStats = statCols.nonEmpty || withM.columns.contains("stats")
-    val withS = if (!useStats) withM
-      else if (withM.columns.contains("stats")) withM
-      else withM.withColumn("stats", lit(""))
-    val entryCols = if (useStats)
-      Seq("file", "leaf_id", "bytes", "mtime", "stats")
-    else Seq("file", "leaf_id", "bytes", "mtime")
-    val keep = withS
-      .filter(!col("leaf_id").isin(touched: _*))
-      .select(entryCols.map(col): _*)
-    val freshDf = if (useStats) {
-      val st = statsFor(spark, path, fresh.map(_._1), statCols)
-      fresh.map(e => (e._1, e._2, e._3, e._4, st.getOrElse(e._1, "")))
-        .toDF("file", "leaf_id", "bytes", "mtime", "stats")
-    } else fresh.toDF("file", "leaf_id", "bytes", "mtime")
-    // the log entry for this install is the EXACT change: old rows of
-    // the touched leaves that are gone-or-changed (remove) plus fresh
-    // rows that are new-or-changed (add). Collecting only the touched
-    // leaves' rows is driver-safe — that set is bounded by the batch,
-    // not the layout. (Deltas log the 4-field identity only — stats
-    // are LIVE-manifest state; time-travel folds skip nothing.)
-    val oldTouched = withM.filter(col("leaf_id").isin(touched: _*))
-      .select("file", "leaf_id", "bytes", "mtime").collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-    val oldByFile = oldTouched.map(e => e._1 -> e).toMap
-    val freshByFile = fresh.map(e => e._1 -> e).toMap
-    val delta =
-      oldTouched.filter(e => !freshByFile.get(e._1).contains(e))
-        .map(e => (e._1, e._2, e._3, e._4, "remove")).toSeq ++
-      fresh.filter(e => !oldByFile.get(e._1).contains(e))
-        .map(e => (e._1, e._2, e._3, e._4, "add"))
-    writeEntriesDf(spark, path, keep.unionByName(freshDf), Some(delta))
+    val st =
+      if (statCols.isEmpty) Map.empty[String, String]
+      else statsFor(spark, path, freshListed.map(_._1), statCols)
+    val fresh: Seq[Entry5] = freshListed.map(e =>
+      (e._1, e._2, e._3, e._4, st.getOrElse(e._1, "")))
+    val (live, heal) = liveState(spark, path).getOrElse(return)
+    val oldTouched = live.filter(e => touchedSet(e._2))
+    // the delta is the EXACT change, by 4-field identity (stats derive
+    // from content — bytes/mtime move whenever stats would)
+    def key(e: Entry5) = (e._1, e._2, e._3, e._4)
+    val freshKeys = fresh.map(key).toSet
+    val oldKeys = oldTouched.map(key).toSet
+    val delta: Seq[(Entry5, String)] =
+      oldTouched.filter(e => !freshKeys(key(e))).map(e => (e, "remove")) ++
+        fresh.filter(e => !oldKeys(key(e))).map(e => (e, "add"))
+    val next = versions(spark, path).lastOption.getOrElse(0) + 1
+    if (next == 1 || heal || next % CheckpointInterval == 0) {
+      val entries = live.filter(e => !touchedSet(e._2)) ++ fresh
+      installFull(spark, path, next, entries)
+    } else installDelta(spark, path, next, delta)
   }
 
   /** Open the layout through the manifest: the scan's file statuses
-    * come straight from the manifest via a [[ManifestFileIndex]] —
-    * ZERO filesystem metadata calls at open time (no directory
-    * listing, no per-file status probes; this is the Delta/Iceberg
-    * architecture, a snapshot-backed FileIndex). `leaf_id` stays a
-    * partition column served by the index, so `graft_ann_probe`
-    * partition pruning works unchanged — the In-list lands in
-    * `partitionFilters` and [[ManifestFileIndex.listFiles]] evaluates
-    * it against the manifest rows. The only per-open I/O beyond the
-    * manifest read is ONE parquet footer (data schema). None when the
-    * layout has no manifest.
+    * come straight from the live fold via a [[ManifestFileIndex]] —
+    * no directory listing, no per-file status probes; this is the
+    * Delta/Iceberg architecture, a snapshot-backed FileIndex.
+    * `leaf_id` stays a partition column served by the index, so
+    * `graft_ann_probe` partition pruning works unchanged — the
+    * In-list lands in `partitionFilters` and
+    * [[ManifestFileIndex.listFiles]] evaluates it against the
+    * manifest rows. The only per-open data I/O beyond the metadata
+    * reads is ONE parquet footer (data schema). None when the layout
+    * has no manifest.
     *
     * (An explicit-file-paths `spark.read.parquet(files…)` open was
     * measured FIRST and rejected: Spark re-validates and re-stats
@@ -578,10 +652,8 @@ object ServingManifest {
     * for the recursive listing it was meant to replace. The FileIndex
     * hands Spark the statuses it already trusts.)
     */
-  def open(spark: SparkSession, path: String): Option[DataFrame] = {
-    if (!exists(spark, path)) return None
-    Some(openEntriesDir(spark, path, manifestDir(path)))
-  }
+  def open(spark: SparkSession, path: String): Option[DataFrame] =
+    liveEntries5(spark, path).map(openEntries5(spark, path, _))
 
   /** Open the layout AS OF a logged snapshot version — the file-set
     * the manifest named when that version was installed. Readable in
@@ -596,9 +668,12 @@ object ServingManifest {
     * fails loudly rather than serving a partial file-set.
     */
   def openAt(spark: SparkSession, path: String,
-      version: Int): Option[DataFrame] = {
-    entriesAt(spark, path, version).map(openEntries(spark, path, _))
-  }
+      version: Int): Option[DataFrame] =
+    entriesAt5(spark, path, version).map { es =>
+      // time-travel opens carry no skip stats (conservative, as
+      // documented): the pinned plan must not depend on live state
+      openEntries5(spark, path, es.map(e => (e._1, e._2, e._3, e._4, "")))
+    }
 
   /** Logical CHANGE FEED between two logged snapshot versions — the
     * change-data-feed analog over the snapshot log: which `id`s the
@@ -667,85 +742,13 @@ object ServingManifest {
     }.reduce(_ unionAll _)
   }
 
-  /** The file-set of a logged version: walk down from `version` to
-    * the nearest checkpoint, then fold the deltas back up. A `v=N`
-    * dir WITHOUT an `action` column is a full snapshot from the
-    * pre-delta log format and folds as a checkpoint.
-    */
-  private def entriesAt(spark: SparkSession, path: String,
-      version: Int): Option[Array[(String, Int, Long, Long)]] = {
-    val fs = fsFor(spark, path)
-    if (!fs.exists(new Path(logDir(path) + s"/v=$version")) &&
-        !fs.exists(new Path(logDir(path) + s"/v=$version.full")))
-      return None
-    def readVersion(v: Int): (Array[(String, Int, Long, Long, String)], Boolean) = {
-      val fullP = logDir(path) + s"/v=$v.full"
-      val dir = if (fs.exists(new Path(fullP))) fullP
-        else logDir(path) + s"/v=$v"
-      require(fs.exists(new Path(dir)),
-        s"ServingManifest log at $path: version $v missing below " +
-          s"$version with no checkpoint in between — cannot fold")
-      val df = spark.read.parquet(dir)
-      val isDelta = df.columns.contains("action")
-      val withM = if (df.columns.contains("mtime")) df
-        else df.withColumn("mtime", lit(0L))
-      val withA = if (isDelta) withM else withM.withColumn("action", lit("add"))
-      val rows = withA.select("file", "leaf_id", "bytes", "mtime", "action")
-        .collect()
-        .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
-          r.getLong(3), r.getString(4)))
-      (rows, !isDelta)
-    }
-    // walk down to the checkpoint, stacking deltas
-    var deltas = List.empty[Array[(String, Int, Long, Long, String)]]
-    var base: Array[(String, Int, Long, Long, String)] = null
-    var v = version
-    while (base == null) {
-      require(v >= 1,
-        s"ServingManifest log at $path has no checkpoint at or below " +
-          s"version $version")
-      val (rows, isFull) = readVersion(v)
-      if (isFull) base = rows else { deltas ::= rows; v -= 1 }
-    }
-    // fold ascending: removes first, then adds, per version — a file
-    // replaced in place (same name, new bytes) logs as remove+add
-    val set = scala.collection.mutable.LinkedHashMap[String, (String, Int, Long, Long)]()
-    base.foreach(e => set(e._1) = (e._1, e._2, e._3, e._4))
-    deltas.foreach { d =>
-      d.foreach { e => if (e._5 == "remove") set.remove(e._1) }
-      d.foreach { e => if (e._5 == "add") set(e._1) = (e._1, e._2, e._3, e._4) }
-    }
-    Some(set.values.toArray)
-  }
-
-  private def openEntriesDir(spark: SparkSession, path: String,
-      mDir: String): DataFrame = {
-    val mf = spark.read.parquet(mDir)
-    // manifests written before the mtime column read as mtime=0 —
-    // harmless: modification time is informational for a scan
-    val withM = if (mf.columns.contains("mtime")) mf
-      else mf.withColumn("mtime", lit(0L))
-    // stats column (promoted layouts): per-file skip ranges for
-    // listFiles' dataFilters; absent/empty = no skipping
-    val withS = if (withM.columns.contains("stats")) withM
-      else withM.withColumn("stats", lit(""))
-    val entries = withS.select("file", "leaf_id", "bytes", "mtime", "stats")
-      .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
-        Option(r.getString(4)).getOrElse("")))
-    openEntries5(spark, path, entries)
-  }
-
-  private def openEntries(spark: SparkSession, path: String,
-      entries: Array[(String, Int, Long, Long)]): DataFrame =
-    openEntries5(spark, path, entries.map(e => (e._1, e._2, e._3, e._4, "")))
-
   private def openEntries5(spark: SparkSession, path: String,
       entries: Array[(String, Int, Long, Long, String)]): DataFrame = {
     require(entries.nonEmpty,
       s"ServingManifest at $path lists no data files")
     // one footer read for the data schema (files carry no leaf_id —
-    // it lives in the directory name, served by the index)
+    // it lives in the directory name, served by the index); .schema
+    // is driver-side footer inference, no job
     val dataSchema = spark.read
       .parquet(path + "/" + entries.head._1).schema
     val index = new ManifestFileIndex(spark, new Path(path), entries)
@@ -756,18 +759,20 @@ object ServingManifest {
   }
 
   /** Column set of the layout (the data schema + the `leaf_id`
-    * partition column) at ONE-manifest-row + ONE-footer cost. The
+    * partition column) at ONE-metadata-fold + ONE-footer cost. The
     * append paths need COLUMNS only (a schema-mismatch guard);
     * opening the layout for that materializes the full manifest into
     * a FileIndex — 10⁶ entries at 100 TB, paid per micro-batch.
     */
   private[graft] def layoutColumns(spark: SparkSession,
       path: String): Seq[String] =
-    if (!exists(spark, path)) spark.read.parquet(path).columns.toSeq
-    else {
-      val f = spark.read.parquet(manifestDir(path))
-        .select("file").head().getString(0)
-      spark.read.parquet(path + "/" + f).schema.fieldNames.toSeq :+ "leaf_id"
+    liveEntries5(spark, path) match {
+      case None => spark.read.parquet(path).columns.toSeq
+      case Some(es) =>
+        require(es.nonEmpty,
+          s"ServingManifest at $path lists no data files")
+        spark.read.parquet(path + "/" + es.head._1)
+          .schema.fieldNames.toSeq :+ "leaf_id"
     }
 
   /** Manifest-backed open when available, plain listing read
@@ -803,9 +808,9 @@ object ServingManifest {
     def isCheckpoint(v: Int): Boolean =
       fs.exists(new Path(logDir(path) + s"/v=$v.full"))
     def isLegacyCheckpoint(v: Int): Boolean = {
-      val p = logDir(path) + s"/v=$v"
-      fs.exists(new Path(p)) &&
-        !spark.read.parquet(p).columns.contains("action")
+      val p = new Path(logDir(path) + s"/v=$v")
+      fs.exists(p) &&
+        !MetaIO.columnsOf(hconf(spark), fs, p).contains("action")
     }
     (cutoff to 1 by -1).find(isCheckpoint)
       .orElse((cutoff to 1 by -1).find(isLegacyCheckpoint)) match {
@@ -822,9 +827,9 @@ object ServingManifest {
     }
   }
 
-  /** Drift check for specs and operators: files in the manifest but
+  /** Drift check for specs and operators: files in the live fold but
     * not on disk (would fail a scan loudly) and files on disk but not
-    * in the manifest (would be silently invisible — the dangerous
+    * in the fold (would be silently invisible — the dangerous
     * direction). Byte sizes must match too: a rewritten-in-place file
     * is drift even when the name survives.
     *
@@ -832,9 +837,9 @@ object ServingManifest {
     */
   def verify(spark: SparkSession, path: String): (Long, Long) = {
     val listed = listAll(spark, path).map(e => (e._1, e._3)).toSet
-    val manifest = spark.read.parquet(manifestDir(path))
-      .select("file", "bytes").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val manifest = liveEntries5(spark, path)
+      .map(_.map(e => (e._1, e._3)).toSet)
+      .getOrElse(Set.empty)
     ((manifest -- listed).size.toLong, (listed -- manifest).size.toLong)
   }
 
@@ -977,7 +982,7 @@ object ServingManifest {
   }
 
   /** File-level selectivity of a restrict conjunction, from the LIVE
-    * manifest's promoted-column stats — the planner input for
+    * fold's promoted-column stats — the planner input for
     * [[Serving.searchAdaptive]]'s pre-filter/post-filter decision.
     * Counts the exact files [[ManifestFileIndex.listFiles]] would
     * scan under these restricts (same [[statsKeep]] test), so the
@@ -992,27 +997,26 @@ object ServingManifest {
       : Option[RestrictEstimate] =
     estimateRestrictBatch(spark, path, Seq(restricts)).head
 
-  /** [[estimateRestrict]] for MANY conjunct-sets in ONE manifest
-    * read — [[estimateAllowBatch]]'s analog for arbitrary restrict
+  /** [[estimateRestrict]] for MANY conjunct-sets in ONE metadata fold
+    * — [[estimateAllowBatch]]'s analog for arbitrary restrict
     * Columns: the per-query adaptive surfaces estimate every
-    * distinct (allow-map, numeric-restriction) pair of a batch, and
-    * a per-set re-read would pay a Spark job each. Per-set semantics
-    * identical to [[estimateRestrict]] (None = that set has no
-    * stats-testable conjunct — no evidence).
+    * distinct (allow-map, numeric-restriction) pair of a batch.
+    * Per-set semantics identical to [[estimateRestrict]] (None =
+    * that set has no stats-testable conjunct — no evidence).
     */
   def estimateRestrictBatch(spark: SparkSession, path: String,
       restrictSets: Seq[Seq[org.apache.spark.sql.Column]])
       : Seq[Option[RestrictEstimate]] = {
     if (restrictSets.isEmpty) return Nil
-    if (!exists(spark, path)) return restrictSets.map(_ => None)
+    if (promotedCols(spark, path).isEmpty)
+      return restrictSets.map(_ => None)
     val keeps = restrictSets.map(rs => statsKeep(rs.map(
       org.apache.spark.sql.graftshim.Shims.catalystExpression)))
     if (keeps.forall(_.isEmpty)) return restrictSets.map(_ => None)
-    val mf = spark.read.parquet(manifestDir(path))
-    if (!mf.columns.contains("stats")) return restrictSets.map(_ => None)
-    val rows = mf.select("bytes", "stats").collect()
-      .map(r => (r.getLong(0),
-        decodeStats(Option(r.getString(1)).getOrElse(""))))
+    val rows = liveEntries5(spark, path) match {
+      case None => return restrictSets.map(_ => None)
+      case Some(es) => es.map(e => (e._3, decodeStats(e._5)))
+    }
     val totalBytes = rows.map(_._1).sum
     keeps.map(_.map { keep =>
       var keptFiles = 0L; var keptBytes = 0L
@@ -1025,8 +1029,8 @@ object ServingManifest {
   }
 
   /** File-level selectivity of a PER-QUERY allow-map (attribute →
-    * allowed stringified values) from the live manifest's promoted
-    * stats — [[estimateRestrict]]'s analog for
+    * allowed stringified values) from the live fold's promoted stats
+    * — [[estimateRestrict]]'s analog for
     * [[Serving.searchBatchPerQueryAdaptive]]'s per-map plan decision.
     * The allow contract is a conjunction over attributes where each
     * conjunct is an equality-disjunction (`attr ∈ values`), so a file
@@ -1045,23 +1049,22 @@ object ServingManifest {
       allow: Map[String, Seq[String]]): Option[RestrictEstimate] =
     estimateAllowBatch(spark, path, Seq(allow)).head
 
-  /** [[estimateAllow]] for MANY maps in ONE manifest read — the
+  /** [[estimateAllow]] for MANY maps in ONE metadata fold — the
     * adaptive per-query surfaces estimate every distinct allow-map of
     * a batch, and a per-map re-read would pay a Spark job each
     * (measured ~95 ms/map at 1024 manifest rows, ScaleProbe
-    * `padapt`); one read + one decode serves all maps in the same
-    * driver pass. Per-map semantics identical to [[estimateAllow]].
+    * `padapt`); one fold serves all maps in the same driver pass.
+    * Per-map semantics identical to [[estimateAllow]].
     */
   def estimateAllowBatch(spark: SparkSession, path: String,
       allows: Seq[Map[String, Seq[String]]])
       : Seq[Option[RestrictEstimate]] = {
     if (allows.isEmpty) return Nil
-    if (!exists(spark, path)) return allows.map(_ => None)
-    val mf = spark.read.parquet(manifestDir(path))
-    if (!mf.columns.contains("stats")) return allows.map(_ => None)
-    val rows = mf.select("bytes", "stats").collect()
-      .map(r => (r.getLong(0),
-        decodeStats(Option(r.getString(1)).getOrElse(""))))
+    if (promotedCols(spark, path).isEmpty) return allows.map(_ => None)
+    val rows = liveEntries5(spark, path) match {
+      case None => return allows.map(_ => None)
+      case Some(es) => es.map(e => (e._3, decodeStats(e._5)))
+    }
     val totalBytes = rows.map(_._1).sum
     allows.map { allow =>
       val parsed = allow.toSeq.map { case (a, vs) =>

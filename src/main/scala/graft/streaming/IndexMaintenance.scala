@@ -332,7 +332,10 @@ object IndexMaintenance {
     deltaWinners(spark, servePath, Some(id)) match {
       case None => data
       case Some(latest) =>
-        data.join(latest, data(id) === col("__id"), "left")
+        // the winners frame is a driver-built LocalRelation: the
+        // broadcast build is a driver-side collect of local rows —
+        // no scan stage, no shuffle, no broadcast-exchange job
+        data.join(broadcast(latest), data(id) === col("__id"), "left")
           .filter(col("__latest").isNull ||
             (col(versionCol).cast("long") === col("__latest") &&
               !col("__tomb")))
@@ -352,39 +355,97 @@ object IndexMaintenance {
     */
   private[graft] def deltaWinners(spark: SparkSession,
       servePath: String, idHint: Option[String] = None): Option[DataFrame] = {
+    import graft.operators.MetaIO
     val delta = new org.apache.hadoop.fs.Path(deltaDir(servePath))
-    val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = delta.getFileSystem(conf)
     if (!fs.exists(delta)) None
     else {
-      // mergeSchema: the registry may mix pre-tombstone (id, version)
-      // files with (id, version, tombstone) ones — the delta is small
-      // by construction, so the per-file footer merge is cheap
-      val raw = spark.read.option("mergeSchema", "true")
-        .parquet(delta.toString)
-      val entries =
-        if (raw.columns.contains("tombstone"))
-          raw.withColumn("tombstone",
-            coalesce(col("tombstone"), lit(false)))
-        else raw.withColumn("tombstone", lit(false))
+      // the registry is DRIVER-SIZED by construction (only upserts
+      // since the last recluster — the broadcast-size assumption
+      // readServing already makes), so the LWW fold runs on the
+      // driver ([[MetaIO]]: per-file schemas handle the pre-tombstone
+      // format natively) and the winners ship as a LocalRelation —
+      // the join's broadcast build then costs no Spark job at all,
+      // where the old groupBy-over-scan paid a shuffle + a scan stage
+      // per consumer
+      val cols = MetaIO.columnsOf(conf, fs, delta)
       // callers that know the layout id thread it — a registry whose
-      // id column happens to be absent (or null-filled by a
-      // mixed-schema merge) then fails loudly instead of resolving
-      // against the wrong column; inference is the legacy fallback
-      // for bare-path callers only
+      // id column happens to be absent then fails loudly instead of
+      // resolving against the wrong column; inference is the legacy
+      // fallback for bare-path callers only
       val idCol = idHint match {
         case Some(n) =>
-          require(raw.columns.contains(n),
+          require(cols.contains(n),
             s"delta registry at ${deltaDir(servePath)} lacks the layout " +
-              s"id column '$n' (has ${raw.columns.mkString(",")}) — " +
+              s"id column '$n' (has ${cols.mkString(",")}) — " +
               "mixed registry schemas cannot be LWW-resolved")
           n
-        case None => raw.columns
-          .filterNot(Set("version", "tombstone")).head
+        case None => cols.filterNot(Set("version", "tombstone")).head
       }
-      Some(entries.groupBy(col(idCol).as("__id"))
-        .agg(max(struct(col("version"), col("tombstone"))).as("__w"))
-        .select(col("__id"), col("__w.version").as("__latest"),
-          col("__w.tombstone").as("__tomb")))
+      val rows = MetaIO.read(conf, fs, delta,
+        Seq(idCol, "version", "tombstone"))
+      // winner per id = max (version, tombstone): highest version
+      // wins; on a tie the tombstone (true > false) — identical to
+      // the old max(struct(version, tombstone)) aggregate
+      val m = scala.collection.mutable.HashMap.empty[Any, (Long, Boolean)]
+      var idIsLong = false
+      rows.foreach { r =>
+        val rawId = r(0)
+        if (rawId.isInstanceOf[Long]) idIsLong = true
+        val v = r(1) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => other.toString.toLong
+        }
+        val t = r(2) == true
+        val k = rawId
+        m.get(k) match {
+          case Some((pv, pt)) if pv > v || (pv == v && (pt || !t)) => ()
+          case _ => m(k) = (v, t)
+        }
+      }
+      // a registry that mixes int and long id files (widened mid-
+      // stream) folds per physical value; normalize ints up to long
+      // so the same id never splits across two keys
+      val folded: Seq[(Any, Long, Boolean)] =
+        if (idIsLong) {
+          val n = scala.collection.mutable.HashMap.empty[Any, (Long, Boolean)]
+          m.foreach { case (k, (v, t)) =>
+            val nk: Any = k match {
+              case i: Int => i.toLong
+              case other => other
+            }
+            n.get(nk) match {
+              case Some((pv, pt)) if pv > v || (pv == v && (pt || !t)) => ()
+              case _ => n(nk) = (v, t)
+            }
+          }
+          n.toSeq.map { case (k, (v, t)) => (k, v, t) }
+        } else m.toSeq.map { case (k, (v, t)) => (k, v, t) }
+      val idType: org.apache.spark.sql.types.DataType =
+        if (idIsLong) org.apache.spark.sql.types.LongType
+        else folded.headOption.map(_._1) match {
+          case Some(_: Int) => org.apache.spark.sql.types.IntegerType
+          case Some(_: String) => org.apache.spark.sql.types.StringType
+          case Some(other) => throw new IllegalStateException(
+            s"delta registry at ${deltaDir(servePath)}: unsupported id " +
+              s"type ${other.getClass.getName}")
+          case None => org.apache.spark.sql.types.LongType // empty registry
+        }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__id", idType),
+        org.apache.spark.sql.types.StructField("__latest",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__tomb",
+          org.apache.spark.sql.types.BooleanType)))
+      val outRows = new java.util.ArrayList[org.apache.spark.sql.Row](
+        folded.length)
+      // sorted for a deterministic LocalRelation row order
+      folded.sortBy(_._1.toString).foreach { case (k, v, t) =>
+        outRows.add(org.apache.spark.sql.Row(k, v, t))
+      }
+      Some(spark.createDataFrame(outRows, schema))
     }
   }
 
@@ -771,8 +832,11 @@ object IndexMaintenance {
       } else if (overflowed > 0) (0, currentMaxLeaf(), false)
       else (0, 0L, false)
     val delta = new org.apache.hadoop.fs.Path(deltaDir(servePath))
+    // footer row counts only — the registry count() was a Spark job
     val deltaRows =
-      if (fs.exists(delta)) spark.read.parquet(delta.toString).count()
+      if (fs.exists(delta))
+        graft.operators.MetaIO.rowCount(
+          spark.sparkContext.hadoopConfiguration, fs, delta)
       else 0L
     val compact = deltaRows > policy.maxDeltaRows
     if (compact) compactServing(spark, servePath, id, versionCol)

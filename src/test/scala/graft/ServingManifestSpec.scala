@@ -208,16 +208,24 @@ class ServingManifestSpec extends SparkTestBase {
 
     // v2 is a DELTA, not a full copy: only the appended files, all
     // action=add (an append removes nothing), far smaller than the
-    // layout's manifest — the O(delta) log property
+    // live file-set — the O(delta) log property
     val v2 = spark.read.parquet(ServingManifest.logDir(dir) + "/v=2")
     assert(v2.columns.contains("action"), "steady-state versions are deltas")
     val acts = v2.select("action").distinct().collect().map(_.getString(0))
     assert(acts.sameElements(Array("add")),
       s"an append logs only adds, got ${acts.mkString(",")}")
-    val manifestRows = spark.read
-      .parquet(ServingManifest.manifestDir(dir)).count()
-    assert(v2.count() < manifestRows,
-      "a delta version must be smaller than the full manifest")
+    val liveFileCount = ServingManifest.open(spark, dir).get
+      .inputFiles.length
+    assert(v2.count() < liveFileCount,
+      "a delta version must be smaller than the live file-set")
+    // the manifest DIR is the latest checkpoint (v1 here): steady-
+    // state appends must not rewrite it — O(delta) per append means
+    // the O(manifest) copy happens only every CheckpointInterval-th
+    // version
+    val mver = spark.read.parquet(ServingManifest.manifestDir(dir))
+      .select("mver").head().getInt(0)
+    assert(mver == 1,
+      s"an append must NOT rewrite the manifest checkpoint, mver=$mver")
 
     // time travel: v1 = the build alone, v2 sees b1 but not b2,
     // v3 = the live manifest
@@ -443,36 +451,82 @@ class ServingManifestSpec extends SparkTestBase {
       "openAt(1) must reconstruct on a freshly-logged layout")
   }
 
-  test("crashed install (manifest renamed, log rename lost) re-syncs") {
+  test("a lost log-delta rename rolls back CONSISTENTLY (the one " +
+      "steady-state crash window) and the next reconcile adopts the " +
+      "orphaned files") {
     val (dir, _) = freshServe("crashlog")
+    val before = ServingManifest.open(spark, dir).get.count()
     val b1 = Tables.embeddings(spark, sf)
       .filter(col("vec_id") % 41 === 2)
       .select((col("vec_id") + 500000).as("vec_id"),
         col("embedding").cast("array<double>").as("v"), lit(2L).as("version"))
     IndexMaintenance.appendToServing(spark, dir, b1, "vec_id", "v", "version")
     assert(ServingManifest.versions(spark, dir) == Seq(1, 2))
-    // simulate the crash window: the manifest for v2 was installed
-    // but the process died before the log-archive rename
+    val after = ServingManifest.open(spark, dir).get.count()
+    // simulate the crash window: the append's data files landed but
+    // the log-delta rename was lost (a steady-state install is ONE
+    // atomic rename — there is no half-applied state to observe)
     def rmr(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
     }
     rmr(new java.io.File(ServingManifest.logDir(dir) + "/v=2"))
     assert(ServingManifest.versions(spark, dir) == Seq(1))
-    // the next install sees manifest mver=2 vs logged latest 1 —
-    // an unlogged change — and must checkpoint rather than write a
-    // delta that silently omits it
-    val b2 = Tables.embeddings(spark, sf)
-      .filter(col("vec_id") % 47 === 5)
-      .select((col("vec_id") + 700000).as("vec_id"),
-        col("embedding").cast("array<double>").as("v"), lit(3L).as("version"))
-    IndexMaintenance.appendToServing(spark, dir, b2, "vec_id", "v", "version")
-    assert(ServingManifest.versions(spark, dir) == Seq(1, 2))
-    assert(new java.io.File(ServingManifest.logDir(dir) + "/v=2.full")
-      .exists(), "the recovery install must be a forced checkpoint")
-    assert(ServingManifest.openAt(spark, dir, 2).get.count() ==
-      ServingManifest.open(spark, dir).get.count(),
-      "the recovered snapshot must hold the full live file-set — " +
-        "including the change the crash left unlogged")
+    // the view rolls back to the v1 snapshot — consistent, not torn
+    assert(ServingManifest.open(spark, dir).get.count() == before,
+      "a lost delta must roll the live view back to the prior snapshot")
+    // and the orphaned data files are DETECTED as drift, not silent
+    assert(ServingManifest.verify(spark, dir)._2 > 0L,
+      "orphaned post-crash files must register as unlisted drift")
+    // a reconcile of the touched leaves (what the next append to them
+    // runs) re-lists the directories fresh and ADOPTS the orphans
+    ServingManifest.reconcile(spark, dir, 0 until 8)
+    assert(ServingManifest.verify(spark, dir) == ((0L, 0L)),
+      "reconcile must adopt orphaned files from a crashed install")
+    assert(ServingManifest.open(spark, dir).get.count() == after)
+  }
+
+  test("a manifest dir AHEAD of the log (pre-r18 manifest-first crash " +
+      "shape) is served as-is and re-synced by a forced checkpoint") {
+    val (dir, _) = freshServe("aheadlog")
+    val b1 = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 41 === 2)
+      .select((col("vec_id") + 500000).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"), lit(2L).as("version"))
+    IndexMaintenance.appendToServing(spark, dir, b1, "vec_id", "v", "version")
+    val live = ServingManifest.open(spark, dir).get.count()
+    // fabricate the legacy crash artifact: a manifest dir stamped
+    // mver=3 (newer than any logged version) holding the true live
+    // file-set — what the pre-r18 manifest-first installer left when
+    // it died between its two renames
+    val mDir = ServingManifest.manifestDir(dir)
+    val rows = ServingManifest.open(spark, dir).get.inputFiles.length
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_manifest_ahead").toString
+    val folded = spark.read.parquet(ServingManifest.logDir(dir) + "/v=1.full")
+      .drop("mver")
+    // live set = v1 files + v2 delta adds
+    val v2adds = spark.read.parquet(ServingManifest.logDir(dir) + "/v=2")
+      .filter(col("action") === "add")
+      .select("file", "leaf_id", "bytes", "mtime", "stats")
+    folded.select("file", "leaf_id", "bytes", "mtime", "stats")
+      .unionByName(v2adds)
+      .withColumn("mver", lit(3))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(new java.io.File(mDir))
+    assert(new java.io.File(tmp).renameTo(new java.io.File(mDir)))
+    assert(rows > 0)
+    // reads serve the (newer) manifest dir, not a stale fold
+    assert(ServingManifest.open(spark, dir).get.count() == live)
+    // the next install re-synchronizes with a forced checkpoint
+    ServingManifest.reconcile(spark, dir, Seq(0))
+    val vs = ServingManifest.versions(spark, dir)
+    assert(new java.io.File(
+        ServingManifest.logDir(dir) + s"/v=${vs.last}.full").exists(),
+      s"the heal install must be a forced checkpoint, log: $vs")
+    assert(ServingManifest.open(spark, dir).get.count() == live)
     assert(ServingManifest.verify(spark, dir) == ((0L, 0L)))
   }
 
