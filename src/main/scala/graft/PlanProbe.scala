@@ -85,12 +85,67 @@ object PlanProbe {
         .select(col("doc_id"), col("n"), col("i"))
     }
 
+    // r18: the streaming-dedup per-batch VERIFY stage, text-scan form
+    // (pre-r18: jaccardOfPairs re-reads the corpus text and
+    // re-tokenizes every candidate's stored doc per batch) vs the
+    // tokens-sidecar form (jaccardOfPairsStore: the store side scans
+    // the pre-tokenized sidecar — no regexp tokenize on the store
+    // side of the plan). Pairs/fresh sets are tiny local stand-ins:
+    // the store-side subtree is the evidence.
+    def sdedupVerify(sidecar: Boolean): DataFrame = {
+      import spark.implicits._
+      val pairs = Seq((1L, 2L)).toDF("da", "db").localCheckpoint()
+      val freshSets = Seq((2L, "a b c")).toDF("doc_id", "s")
+        .localCheckpoint()
+      // the operators' own bodies minus their trailing checkpoint
+      // (and minus the persist, which does not change the plan)
+      val storeSh =
+        if (!sidecar) {
+          // pre-r18 jaccardOfPairs store side: corpus TEXT scan +
+          // re-tokenize of the candidates' stored docs, every batch
+          val ids = pairs.select(col("da").as("doc_id"))
+            .unionAll(pairs.select(col("db").as("doc_id"))).distinct()
+          Dedup.shingleSets(docs.join(ids, Seq("doc_id"), "left_semi"),
+            "doc_id", "text")
+        } else {
+          val tokPath = java.nio.file.Files
+            .createTempDirectory("graft_probe_toks").toString + "/tokens"
+          docs.select(col("doc_id"),
+              graft.functions.text.tokens(col("text")).as("tk"))
+            .write.mode("overwrite").parquet(tokPath)
+          Dedup.shingleSetsOfTokens(
+            spark.read.parquet(tokPath)
+              .join(pairs.select(col("da").as("doc_id")).distinct(),
+                Seq("doc_id"), "left_semi"),
+            "doc_id", "tk")
+        }
+      val freshSh =
+        if (!sidecar) storeSh
+        else freshSets.join(pairs.select(col("db").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+      val sa = storeSh.groupBy("doc_id").agg(count(lit(1)).as("na"))
+      val sb = freshSh.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+      val common = pairs
+        .join(storeSh.select(col("doc_id").as("da"), col("s")), "da")
+        .join(freshSh.select(col("doc_id").as("db"), col("s")),
+          Seq("db", "s"))
+        .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      pairs.join(common, Seq("da", "db"), "left")
+        .join(sa.select(col("doc_id").as("da"), col("na")), "da")
+        .join(sb.select(col("doc_id").as("db"), col("nb")), "db")
+        .select(col("da"), col("db"),
+          coalesce(col("c").cast("double") /
+            (col("na") + col("nb") - col("c")), lit(0.0)).as("jaccard"))
+    }
+
     val df = name match {
       case "minhash_band_union" => minhashBandUnion
       case "minhash_exploded"   => minhashExploded
       case "curve_mask"         => curveMask
       case "trep_string_keys"   => trep(fingerprint = false)
       case "trep_fp_keys"       => trep(fingerprint = true)
+      case "sdedup_verify_text"    => sdedupVerify(sidecar = false)
+      case "sdedup_verify_sidecar" => sdedupVerify(sidecar = true)
       case other => sys.error(s"unknown PlanProbe case: $other")
     }
     df.explain("formatted")

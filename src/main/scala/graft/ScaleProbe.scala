@@ -1698,6 +1698,111 @@ object ScaleProbe {
       }
       all.unpersist()
       ()
+    } else if (args(0) == "streamhybprofile") {
+      // phase timing of the r_stream_hybrid gate body (round-18
+      // triage: where does the record's slowest row actually spend
+      // its time — fixture embed, build+attach, the micro-batch
+      // machinery, or the hybrid read?). usage: streamhybprofile <sfDir>
+      import graft.operators.{IvfIndex, Lexical}
+      import graft.pipeline.SparseEmbed
+      import graft.streaming.{FileStreamFixture, IndexMaintenance}
+      val d = args(1)
+      def t[A](tag: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"STREAMHYB $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val docs = Tables.documents(spark, d)
+      val dense = t("embed_densify_ckpt") {
+        val dv = SparseEmbed.embed(docs, "doc_id", "text")
+        val dvm = dv.groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("idx"), col("w"))))
+            .as("m"))
+        docs.select("doc_id").join(dvm, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(SparseEmbed.Dim - 1)),
+              i => coalesce(element_at(col("m"), i.cast("bigint")), lit(0L)))
+              .cast("array<double>").as("v"))
+          .localCheckpoint()
+      }
+      val isBase = col("doc_id") % 4 =!= 3
+      val model = t("centroids") {
+        IvfIndex.Model(dense
+          .filter(col("doc_id").isin(Seq(0L, 64L, 128L, 192L): _*))
+          .select(col("doc_id"), col("v")).collect().sortBy(_.getLong(0))
+          .map(_.getSeq[Double](1).toArray))
+      }
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_shybprof").toString + "/idx"
+      t("build_write") {
+        IvfIndex.write(dense.filter(isBase)
+          .withColumn("version", lit(1L))
+          .withColumn("leaf_id", IvfIndex.probeExpr(model, col("v"), 1)(0)),
+          path, model)
+      }
+      t("lexical_attach") {
+        Lexical.attach(spark, path, docs.filter(isBase), "doc_id", "text")
+      }
+      val streamDir = t("fixture_writes") {
+        val withText = dense.join(docs.select("doc_id", "text"), Seq("doc_id"))
+        val b1 = withText.filter(col("doc_id") % 8 === 3)
+          .select(col("doc_id"), col("v"), lit(2L).as("version"),
+            col("text"), lit(false).as("tombstone"))
+        val b2 = withText.filter(col("doc_id") % 8 === 7)
+          .select(col("doc_id"), col("v"), lit(2L).as("version"),
+            col("text"), lit(false).as("tombstone"))
+          .unionByName(docs.filter(col("doc_id") === 2)
+            .select(col("doc_id"), lit(null).cast("array<double>").as("v"),
+              lit(3L).as("version"), lit(null).cast("string").as("text"),
+              lit(true).as("tombstone")))
+        FileStreamFixture.write("shybprof", d, "profile fixture", Seq(b1, b2))
+      }
+      t("stream_drain") {
+        val sq = spark.readStream
+          .schema(spark.read.parquet(streamDir).schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(streamDir)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", path + ".ckpt")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                bid: Long) =>
+            t(s"  batch_$bid") {
+              val ups = batch.filter(!col("tombstone")).drop("tombstone")
+              val dels = batch.filter(col("tombstone"))
+                .select("doc_id", "version")
+              if (!ups.isEmpty)
+                IndexMaintenance.appendToServing(spark, path, ups,
+                  "doc_id", "v", "version", spill = 1,
+                  textCol = Some("text"))
+              if (!dels.isEmpty)
+                IndexMaintenance.removeFromServing(spark, path, dels,
+                  "doc_id", "version")
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
+      t("hybrid_search") {
+        import spark.implicits._
+        val terms = Seq("spark", "join", "stream", "table", "window",
+          "group")
+        val rows = terms.toDF("t")
+          .select(SparseEmbed.dimIdx(col("t")).as("idx"),
+            SparseEmbed.sign(col("t")).as("s"))
+          .groupBy("idx").agg(sum("s").as("qw")).filter(col("qw") =!= 0)
+          .collect()
+        val qv = new Array[Double](SparseEmbed.Dim)
+        rows.foreach(r => qv(r.getLong(0).toInt) = r.getLong(1).toDouble)
+        val serving = graft.operators.Serving.open(spark, path,
+          id = "doc_id", vecCol = "v")
+        serving.searchHybrid(terms, qv, nProbe = 2, kLex = 20,
+          kDense = 20, kPool = 10, k = 5, mmrLam = Some(0.5)).count()
+      }
+      ()
     } else {
       val n = args(0).toLong; val leaves = args(1).toInt; val maxLeaf = args(2).toInt
       val v = graft.pipeline.SyntheticCorpus.vectors(spark, n, 32, 25)

@@ -918,16 +918,16 @@ object TextAnalysis {
     * Every output column is bigint (sums cast — the HUGEINT lesson,
     * SURVEY §2.10) or the exact-integer boolean.
     *
-    * Scale shape: ONE tokenize (the words frame persists across its
-    * three consumers), one windowed explode of Σ_n (len−n+1)
-    * occurrence rows — the same corpus-linear shape as the shipped
-    * span-dedup machinery (`Dedup.spanFingerprints`), which at
-    * 100 TB would key the count groupBy by a 16-byte md5 of the gram
-    * instead of the gram string (same reasoning as the r14 binary
-    * fingerprint change: ~4× smaller shuffle keys at 10-word grams);
-    * the gate keeps the string key because the oracle counts strings.
-    * Coverage dedup is a (doc, n, position) distinct — bounded by
-    * 6·len rows per doc, never corpus-quadratic.
+    * Scale shape: ONE tokenize, one explode of Σ_n (len−n+1)
+    * occurrence rows keyed by xxhash64 of the token SLICE — no gram
+    * string is ever built (the r14/r17 fingerprint-key reasoning
+    * taken to its end: 8-byte keys, no concat allocation, no
+    * cryptographic hash), gram length from the word-length array and
+    * only for the n ∈ {3,4} top legs that use it. Char totals come
+    * from per-doc word-length ARRAYS, never an exploded
+    * (doc, position, word) frame. Coverage dedup is a
+    * (doc, n, position) distinct — bounded by 6·len rows per doc,
+    * never corpus-quadratic.
     */
   private val tRepNgrams = QueryDef.sqlChecked("t_rep_ngrams")(
     "WITH words AS (SELECT doc_id, list_filter(string_split_regex(text, " +
@@ -1006,40 +1006,50 @@ object TextAnalysis {
   ) { (s, d) =>
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    // ONE tokenize for the whole table: words feeds the occurrence
-    // explode, the char totals, and the position-length frame
+    // ONE tokenize for the whole table; the per-word LENGTH array
+    // rides along so every char total below is array arithmetic on
+    // the doc row — no exploded (doc, position, word) frame anywhere
     val words = docs.select(col("doc_id"), text.tokens(col("text")).as("ws"))
+      .withColumn("wlen", transform(col("ws"), w => length(w).cast("long")))
       .persist(lvl)
     try {
-      val wchars = words.select(col("doc_id"), explode(col("ws")).as("w"))
-        .groupBy("doc_id")
-        .agg(sum(length(col("w"))).cast("long").as("word_chars"))
+      def arrSum(a: org.apache.spark.sql.Column) =
+        aggregate(a, lit(0L), (acc, x) => acc + x)
+      val wchars = words.select(col("doc_id"),
+        arrSum(col("wlen")).as("word_chars"))
       // guarded sequence: size < n would descend (Spark's default
-      // step is -1 when start > stop) — filter first
-      // the gram string leaves the plan immediately: every downstream
-      // consumer keys on (doc_id, n, gram) and needs only the gram's
-      // LENGTH, so the occurrence rows carry a 16-byte md5 fingerprint
-      // + the length instead of the string — the span-dedup
-      // convention ([[graft.operators.Dedup.spanFingerprints]], r14):
-      // ~4x smaller shuffle keys for the count groupBy and the
-      // duplicate-occurrence join at 10-word grams, same groups
-      // (md5-128 collisions are not a real event)
+      // step is -1 when start > stop) — filter first.
+      // The gram STRING is never built: every downstream consumer
+      // keys on (doc_id, n, gram) and needs only the gram's char
+      // LENGTH, so each occurrence carries xxhash64 of the token
+      // SLICE (token↔gram-string is bijective — tokens contain no
+      // whitespace) plus, for the n ∈ {3,4} top-gram legs only, the
+      // length from the word-length slice (+ n−1 separators). No
+      // concat_ws allocation, no md5 (a cryptographic hash, several
+      // times the cost), 8-byte shuffle keys. A 64-bit collision
+      // WITHIN one (doc, n) group is the only way results could
+      // change: p ≈ len²/2⁶⁴ per doc — not a real event (the r14/r17
+      // fingerprint-key reasoning).
       val occ = words
-        .select(col("doc_id"), col("ws"),
+        .select(col("doc_id"), col("ws"), col("wlen"),
           explode(typedLit(Seq(3, 4, 5, 6, 7, 8, 9, 10))).as("n"))
         .filter(size(col("ws")) >= col("n"))
-        .select(col("doc_id"), col("ws"), col("n"),
+        .select(col("doc_id"), col("ws"), col("wlen"), col("n"),
           explode(sequence(lit(0), size(col("ws")) - col("n"))).as("i"))
         .select(col("doc_id"), col("n"), col("i"),
-          concat_ws(" ", slice(col("ws"), col("i") + 1, col("n"))).as("g"))
-        .select(col("doc_id"), col("n"), col("i"),
-          unhex(md5(col("g").cast("binary"))).as("gh"),
-          length(col("g")).cast("long").as("glen"))
+          xxhash64(slice(col("ws"), col("i") + 1, col("n"))).as("gh"),
+          when(col("n") <= 4,
+            arrSum(slice(col("wlen"), col("i") + 1, col("n"))) +
+              col("n") - 1).as("glen"))
+        .persist(lvl)
+      // (A one-shuffle variant folding the n ≥ 5 positions into the
+      // count aggregate via collect_list measured SLOWER: the array
+      // aggregate trades the codegen'd HashAggregate for an
+      // ObjectHashAggregate — the join shape stays.)
+      val cnt = occ.groupBy("doc_id", "n", "gh")
+        .agg(count(lit(1)).as("c"), max(col("glen")).as("len"))
         .persist(lvl)
       try {
-        val cnt = occ.groupBy("doc_id", "n", "gh")
-          .agg(count(lit(1)).as("c"), max(col("glen")).as("len"))
-          .persist(lvl)
         try {
           // struct-max = max count, coverage ties to the larger —
           // identical to the oracle's bmax+join, no string ordering
@@ -1058,11 +1068,13 @@ object TextAnalysis {
             .select(col("doc_id"), col("n"),
               explode(sequence(col("i"), col("i") + col("n") - 1)).as("p"))
             .distinct()
-          val wpos = words
-            .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "w")))
-            .select(col("doc_id"), col("p"),
-              length(col("w")).cast("long").as("wl"))
-          val cov = covpos.join(wpos, Seq("doc_id", "p"))
+          // covered chars via the per-doc length ARRAY (one row per
+          // doc) instead of a corpus-wide (doc, position, length)
+          // explode-and-join
+          val cov = covpos.join(words.select(col("doc_id"), col("wlen")),
+              Seq("doc_id"))
+            .select(col("doc_id"), col("n"),
+              element_at(col("wlen"), col("p") + 1).as("wl"))
             .groupBy("doc_id", "n")
             .agg(sum("wl").cast("long").as("cov_chars"))
           def pick(src: org.apache.spark.sql.Column, n: Int) =
