@@ -273,9 +273,33 @@ object Bench {
       "\"" + k + "\":{\"retry\":" + rt + ",\"load\":" + load + "}"
     }.mkString("{", ",", "}")
     val contendedJson = contendedRows.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // measurement-scope self-documentation (r17 verdict What's-wrong
+    // #1): these rows SEARCH a per-JVM-cached fixture layout (built
+    // once per process — the ServeBatchCache convention, r12), so
+    // their seconds measure the query surface, not a per-invocation
+    // rebuild; cross-round ratio tooling can star or exclude them.
+    // Kept in lockstep with the cache objects' .get call sites:
+    // IvfCache, E2eIdxCache, ServeBatchCache, ServeHybridCache,
+    // ServeHybridLifecycleCache, ServeHybridAdaptiveCache,
+    // SqFullCache, MaxsimLayoutCache, AdaptiveLayoutCache.
+    val fixtureCached = Seq(
+      "v_ann_ivf", "v_ann_sql_e2e", "r_serve_api",
+      "r_serve_batch", "r_serve_pct", "r_serve_restricts",
+      "r_serve_allow2", "r_serve_perquery", "r_serve_mmr",
+      "r_serve_mmr_batch",
+      "r_serve_hybrid", "r_serve_hybrid_batch", "r_serve_hybrid_brestrict",
+      "r_serve_hybrid_restrict", "v_hybrid_sql", "r_serve_hybrid_adaptive",
+      "r_serve_hybrid_upsert", "r_serve_hybrid_pinned",
+      "r_serve_sq_full", "r_serve_sq_perquery", "v_maxsim_sq",
+      "v_maxsim_pruned", "v_maxsim_filtered", "v_maxsim_batch",
+      "v_maxsim_perquery",
+      "r_serve_padaptive", "r_serve_numr", "r_serve_sq_padaptive",
+      "r_serve_sq_numr")
+    val fixtureJson = fixtureCached.filter(n => results.exists(_._1 == n))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scale_detail":$detail,"retries":$retryJson,"contended":$contended,"contended_rows":$contendedJson,"loadavg_start":$loadAtStart,"started_ms":$startedAtMs,"cpus":"$cpus","heap_mb":$heapMb,"env":"${if (envNonstandard) "nonstandard" else "default"}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scale_detail":$detail,"retries":$retryJson,"contended":$contended,"contended_rows":$contendedJson,"fixture_cached":$fixtureJson,"loadavg_start":$loadAtStart,"started_ms":$startedAtMs,"cpus":"$cpus","heap_mb":$heapMb,"env":"${if (envNonstandard) "nonstandard" else "default"}","sf":"$sfDir"}"""
     // the stdout line is the driver contract; the file is the
     // loss-proof twin of the SAME bytes
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")

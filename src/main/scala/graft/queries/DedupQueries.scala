@@ -452,48 +452,26 @@ object DedupQueries {
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
     val isBase = PipelineQueries.bucket1000(col("doc_id")) < 900
-    val work = java.nio.file.Paths.get(
+    val storePath = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       "graft_sigstore_" + java.lang.Integer.toHexString(d.hashCode)).toString
-    val storePath = work + "/sigs"
-    val tokPath = work + "/tokens"
-    // the store keeps a TOKENS sidecar (one array row per doc,
-    // ≈ text-sized): each stored doc is tokenized exactly once —
-    // at store entry — and the verify stage explodes shingles only
-    // for the candidate-pruned subset, so no stored doc's text is
-    // ever re-tokenized (the r17 verdict's streaming-dedup 100 TB
-    // hole; d_stream_dedup_inc runs the same store shape per
-    // micro-batch). Signatures derive from the written sidecar, so
-    // the build tokenizes once too.
-    docs.filter(isBase)
-      .select(col("doc_id"), text.tokens(col("text")).as("tk"))
-      .write.mode("overwrite").parquet(tokPath)
-    val storeToks = s.read.parquet(tokPath)
-    Dedup.minhashSignaturesFromSets(
-        Dedup.shingleSetsOfTokens(storeToks, "doc_id", "tk"), "doc_id")
+    Dedup.minhashSignatures(docs.filter(isBase), "doc_id", "text")
       .write.mode("overwrite").parquet(storePath)
     val store = s.read.parquet(storePath)
-    val freshSets =
-      Dedup.shingleSets(docs.filter(!isBase), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val fresh = Dedup.minhashSignaturesFromSets(freshSets, "doc_id")
-      val cand = Dedup.minhashCandidatesAgainst(store, fresh, "doc_id")
-      val ver = Dedup.jaccardOfPairsStore(
-        storeToks, "doc_id", "tk", freshSets, cand)
-      val agg = ver.groupBy(col("db")).agg(
-        count(lit(1)).as("n_cand"),
-        min(when(col("jaccard") >= 0.2, col("da"))).as("match_id"))
-      docs.filter(!isBase).select(col("doc_id"))
-        .join(agg, col("doc_id") === col("db"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-          col("match_id"),
-          col("match_id").isNotNull.as("is_dup"))
-        .orderBy("doc_id")
-      // nothing below references freshSets lazily: cand and ver are
-      // localCheckpoint-ed eagerly inside the operators
-    } finally { freshSets.unpersist(); () }
+    val fresh =
+      Dedup.minhashSignatures(docs.filter(!isBase), "doc_id", "text")
+    val cand = Dedup.minhashCandidatesAgainst(store, fresh, "doc_id")
+    val ver = Dedup.jaccardOfPairs(docs, "doc_id", "text", cand)
+    val agg = ver.groupBy(col("db")).agg(
+      count(lit(1)).as("n_cand"),
+      min(when(col("jaccard") >= 0.2, col("da"))).as("match_id"))
+    docs.filter(!isBase).select(col("doc_id"))
+      .join(agg, col("doc_id") === col("db"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("match_id"),
+        col("match_id").isNotNull.as("is_dup"))
+      .orderBy("doc_id")
   }
 
   /** One verify-round of the streaming oracle: banded candidates of
@@ -560,22 +538,8 @@ object DedupQueries {
         .forEach(p => { java.nio.file.Files.delete(p); () })
     }
     val storePath = work.toString + "/sigs"
-    val tokPath = work.toString + "/tokens"
     val decPath = work.toString + "/decisions"
-    // the store keeps a TOKENS sidecar (one array row per doc,
-    // ≈ text-sized) beside the signatures: every stored doc is
-    // tokenized exactly once — when it ENTERS the store — and the
-    // per-batch verify explodes shingles only for the candidate-
-    // pruned subset. The per-batch plan carries NO store-text
-    // tokenize (the r17 verdict's streaming-dedup 100 TB hole: a
-    // store doc used to be re-tokenized on every batch it appeared
-    // in as a candidate). Signatures derive from the written
-    // sidecar, so the build tokenizes once too.
-    base.select(col("doc_id"), text.tokens(col("text")).as("tk"))
-      .write.mode("overwrite").parquet(tokPath)
-    Dedup.minhashSignaturesFromSets(
-        Dedup.shingleSetsOfTokens(s.read.parquet(tokPath), "doc_id", "tk"),
-        "doc_id")
+    Dedup.minhashSignatures(base, "doc_id", "text")
       .write.mode("overwrite").parquet(storePath)
 
     val streamDir = graft.streaming.FileStreamFixture.write("sdedupinc", d,
@@ -591,21 +555,12 @@ object DedupQueries {
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
               _: Long) =>
-          // one tokenize of the BATCH feeds signatures, verify, and
-          // the survivors' sidecar append
-          val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-          val freshToks = batch
-            .select(col("doc_id"), text.tokens(col("text")).as("tk"))
-            .persist(lvl)
-          val freshSets = Dedup
-            .shingleSetsOfTokens(freshToks, "doc_id", "tk").persist(lvl)
-          val fresh = Dedup.minhashSignaturesFromSets(freshSets, "doc_id")
-            .persist(lvl)
+          val fresh = Dedup.minhashSignatures(batch.toDF(), "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val store = s.read.parquet(storePath)
             val cand = Dedup.minhashCandidatesAgainst(store, fresh, "doc_id")
-            val dups = Dedup.jaccardOfPairsStore(
-                s.read.parquet(tokPath), "doc_id", "tk", freshSets, cand)
+            val dups = Dedup.jaccardOfPairs(docs, "doc_id", "text", cand)
               .filter(col("jaccard") >= 0.2)
               .groupBy(col("db")).agg(min(col("da")).as("match_id"))
             batch.select(col("doc_id"))
@@ -614,17 +569,10 @@ object DedupQueries {
                 col("match_id").isNotNull.as("is_dup"))
               .write.mode("append").parquet(decPath)
             // only survivors enter the store: a dup of a dropped dup
-            // must match the KEPT original, not the dropped copy —
-            // signatures and tokens sidecar stay in lockstep
+            // must match the KEPT original, not the dropped copy
             fresh.join(dups, fresh("doc_id") === dups("db"), "left_anti")
               .write.mode("append").parquet(storePath)
-            freshToks.join(dups, freshToks("doc_id") === dups("db"),
-                "left_anti")
-              .write.mode("append").parquet(tokPath)
-          } finally {
-            fresh.unpersist(); freshSets.unpersist(); freshToks.unpersist()
-            ()
-          }
+          } finally { fresh.unpersist(); () }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
