@@ -62,7 +62,7 @@ object PlanProbe {
     }
     def trep(fingerprint: Boolean): DataFrame = {
       // t_rep_ngrams occurrence → count → duplicate-occurrence join,
-      // with the pre-r17 string key or the current md5+length key
+      // with the pre-r17 string key or the r17 md5+length key
       val words = docs.select(col("doc_id"),
         graft.functions.text.tokens(col("text")).as("ws"))
       val occG = words
@@ -83,6 +83,29 @@ object PlanProbe {
       occ.join(cnt.filter(col("c") >= 2).select("doc_id", "n", key),
           Seq("doc_id", "n", key))
         .select(col("doc_id"), col("n"), col("i"))
+    }
+    def trepSliceHash: DataFrame = {
+      // the r18 occurrence shape: xxhash64 of the token SLICE — no
+      // concat_ws gram string, no md5; length from the word-length
+      // array, only where used (n ≤ 4)
+      val words = docs
+        .select(col("doc_id"), graft.functions.text.tokens(col("text")).as("ws"))
+        .withColumn("wlen", transform(col("ws"), w => length(w).cast("long")))
+      def arrSum(a: org.apache.spark.sql.Column) =
+        aggregate(a, lit(0L), (acc, x) => acc + x)
+      val occ = words
+        .select(col("doc_id"), col("ws"), col("wlen"),
+          explode(typedLit(Seq(3, 4, 5, 6, 7, 8, 9, 10))).as("n"))
+        .filter(size(col("ws")) >= col("n"))
+        .select(col("doc_id"), col("ws"), col("wlen"), col("n"),
+          explode(sequence(lit(0), size(col("ws")) - col("n"))).as("i"))
+        .select(col("doc_id"), col("n"), col("i"),
+          xxhash64(slice(col("ws"), col("i") + 1, col("n"))).as("gh"),
+          when(col("n") <= 4,
+            arrSum(slice(col("wlen"), col("i") + 1, col("n"))) +
+              col("n") - 1).as("glen"))
+      occ.groupBy("doc_id", "n", "gh")
+        .agg(count(lit(1)).as("c"), max(col("glen")).as("len"))
     }
 
     // r18: the streaming-dedup per-batch VERIFY stage, text-scan form
@@ -144,6 +167,7 @@ object PlanProbe {
       case "curve_mask"         => curveMask
       case "trep_string_keys"   => trep(fingerprint = false)
       case "trep_fp_keys"       => trep(fingerprint = true)
+      case "trep_slicehash"     => trepSliceHash
       case "sdedup_verify_text"    => sdedupVerify(sidecar = false)
       case "sdedup_verify_sidecar" => sdedupVerify(sidecar = true)
       case other => sys.error(s"unknown PlanProbe case: $other")

@@ -431,6 +431,54 @@ class ServingManifestSpec extends SparkTestBase {
       "keepVersions=0 must keep every version")
   }
 
+  test("per-append manifest write cost is independent of manifest " +
+      "size (the O(delta) append property, asserted at two sizes)") {
+    import spark.implicits._
+    // two synthetic layouts, 20x apart in manifest size, same ONE
+    // touched leaf per append: the bytes a reconcile WRITES must not
+    // scale with the manifest
+    def mk(nLeaves: Int): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_odelta_$nLeaves").toString + "/idx"
+      (0 until nLeaves).foreach { l =>
+        Seq((l.toLong, l)).toDF("vec_id", "x")
+          .coalesce(1).write.parquet(dir + s"/leaf_id=$l")
+      }
+      ServingManifest.rebuild(spark, dir)
+      dir
+    }
+    def appendBytes(dir: String): (Long, Int) = {
+      val vsBefore = ServingManifest.versions(spark, dir)
+      // a fresh file lands in leaf 0, reconcile records it
+      spark.range(1).select(col("id").as("vec_id"), lit(99).as("x"))
+        .coalesce(1).write.mode("append").parquet(dir + "/leaf_id=0")
+      ServingManifest.reconcile(spark, dir, Seq(0))
+      val v = ServingManifest.versions(spark, dir).last
+      assert(v == vsBefore.last + 1)
+      val logV = new java.io.File(
+        ServingManifest.logDir(dir) + s"/v=$v")
+      assert(logV.exists(), s"v=$v must be a DELTA dir (not .full)")
+      val bytes = logV.listFiles().filter(_.isFile).map(_.length()).sum
+      val mver = spark.read.parquet(ServingManifest.manifestDir(dir))
+        .select("mver").head().getInt(0)
+      (bytes, mver)
+    }
+    val small = mk(5)
+    val big = mk(100)
+    val (bSmall, mverSmall) = appendBytes(small)
+    val (bBig, mverBig) = appendBytes(big)
+    // the delta logs ONE added file either way: same order of bytes
+    // (parquet framing dominates; 1.5x slack for dictionary noise)
+    assert(bBig <= bSmall * 3 / 2,
+      s"append log cost grew with manifest size: $bSmall -> $bBig bytes")
+    // and neither append rewrote the manifest checkpoint
+    assert(mverSmall == 1 && mverBig == 1,
+      s"append must not rewrite the checkpoint (mver $mverSmall/$mverBig)")
+    // the live fold still serves the appended file
+    assert(ServingManifest.verify(spark, small) == ((0L, 0L)))
+    assert(ServingManifest.verify(spark, big) == ((0L, 0L)))
+  }
+
   test("pre-log layout: the first logged mutation is a checkpoint") {
     val (dir, _) = freshServe("prelog")
     // simulate a layout written before the snapshot log existed:
