@@ -1,40 +1,37 @@
 #!/usr/bin/env python3
-"""Compare two Bench metric-line JSONs row by row.
+"""Compare two bench JSON records row by row (round-18 record tooling).
 
-Usage: python3 tools/bench_compare.py <new.json> <old.json>
-
-Prints shared-row median ratio (new/old med-of-medians), the biggest
-movers both ways, and rows present on only one side. Rows may be
-{"min":..,"med":..,"max":..} triplets or bare seconds.
+Usage: bench_compare.py <before.json> <after.json> [--md]
+Prints per-row before/after/ratio (sorted by name), geomeans, and the
+largest movers. --md emits the markdown appendix table.
 """
 import json
-import statistics
+import math
 import sys
 
 
-def med(v):
-    return v["med"] if isinstance(v, dict) else float(v)
-
-
-def main():
-    new = json.load(open(sys.argv[1]))["queries"]
-    old = json.load(open(sys.argv[2]))["queries"]
-    shared = sorted(set(new) & set(old))
-    ratios = {k: med(new[k]) / med(old[k]) for k in shared if med(old[k]) > 0}
-    overall = statistics.median(ratios.values()) if ratios else float("nan")
-    shown = f"{overall:.3f}" if ratios else "n/a"
-    print(f"shared rows: {len(shared)}  median ratio new/old: {shown}")
-    big = sorted(ratios.items(), key=lambda kv: kv[1])
-    print("fastest movers:", [(k, round(r, 2)) for k, r in big[:5]])
-    print("slowest movers:", [(k, round(r, 2)) for k, r in big[-5:]])
-    only_new = sorted(set(new) - set(old))
-    if only_new:
-        print("new rows:", [(k, round(med(new[k]), 2)) for k in only_new])
-    only_old = sorted(set(old) - set(new))
-    if only_old:
-        print("removed rows:", only_old)
-    slow = sorted(new.items(), key=lambda kv: -med(kv[1]))[:8]
-    print("slowest absolute:", [(k, round(med(v), 2)) for k, v in slow])
+def main() -> None:
+    before = json.load(open(sys.argv[1]))["queries"]
+    after = json.load(open(sys.argv[2]))["queries"]
+    md = "--md" in sys.argv
+    rows = [(k, before[k], after[k], after[k] / before[k])
+            for k in sorted(before) if k in after]
+    if md:
+        print("| query | before s | after s | ratio |")
+        print("|---|---|---|---|")
+        for k, b, a, r in rows:
+            print(f"| {k} | {b:.2f} | {a:.2f} | {r:.2f} |")
+    else:
+        for k, b, a, r in rows:
+            print(f"{k:30s} {b:7.2f} {a:7.2f} {r:6.2f}")
+    g = math.exp(sum(math.log(r[3]) for r in rows) / len(rows))
+    big = [r for r in rows if r[1] >= 1.0]
+    gb = math.exp(sum(math.log(r[3]) for r in big) / len(big))
+    tb = sum(r[1] for r in rows)
+    ta = sum(r[2] for r in rows)
+    print(f"\nshared rows n={len(rows)} total {tb:.1f} -> {ta:.1f} "
+          f"({ta / tb:.3f}x)  geomean {g:.3f}  "
+          f"geomean(before>=1s, n={len(big)}) {gb:.3f}")
 
 
 if __name__ == "__main__":
